@@ -1,0 +1,256 @@
+"""Unit tests for the scipy-free numpy kernels.
+
+scipy is absent from this environment, so correctness is established
+via closed-form/analytic invariants — the same style the reference's
+suite uses (e.g. |hilbert(A sin)| == A, tests/test_signal.py:566-568;
+golden peak matrices, tests/test_signal.py:110-331).
+"""
+
+import numpy as np
+import pytest
+
+from xarray_scipy_spark.kernels import (
+    butter_sos,
+    cheby1_sos,
+    decimate_1d,
+    fftconvolve_1d,
+    firwin,
+    hilbert_1d,
+    peak_widths,
+    resample_fourier,
+    sosfilt_1d,
+    sosfiltfilt_1d,
+    sosfilt_zi,
+)
+
+
+def sine(duration=1.0, fs=8000.0, f=100.0, amp=2.0):
+    t = np.arange(int(duration * fs)) / fs
+    return amp * np.sin(2 * np.pi * f * t), fs
+
+
+# ---------- convolution ----------
+
+def test_fftconvolve_matches_direct():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=200)
+    y = rng.normal(size=37)
+    np.testing.assert_allclose(fftconvolve_1d(x, y, "full"), np.convolve(x, y, "full"), atol=1e-10)
+    np.testing.assert_allclose(fftconvolve_1d(x, y, "same"), np.convolve(x, y, "same"), atol=1e-10)
+
+
+def test_fftconvolve_sizes():
+    # reference invariant: full -> n1+n2-1, same -> n1 (test_signal.py:73-76)
+    x, y = np.ones(50), np.ones(7)
+    assert len(fftconvolve_1d(x, y, "full")) == 56
+    assert len(fftconvolve_1d(x, y, "same")) == 50
+    with pytest.raises(NotImplementedError):
+        fftconvolve_1d(x, y, "valid")
+
+
+# ---------- hilbert ----------
+
+def test_hilbert_envelope_of_sine():
+    # |analytic| == amplitude (reference test_signal.py:566-568)
+    x, _ = sine()
+    env = np.abs(hilbert_1d(x))
+    interior = env[50:-50]
+    np.testing.assert_allclose(interior, 2.0, rtol=1e-2)
+
+
+def test_hilbert_real_part_is_input():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=256)
+    np.testing.assert_allclose(hilbert_1d(x).real, x, atol=1e-10)
+
+
+def test_hilbert_n_pads_or_truncates():
+    x = np.arange(100.0)
+    assert len(hilbert_1d(x, n=128)) == 128
+    assert len(hilbert_1d(x, n=64)) == 64
+
+
+# ---------- resample ----------
+
+def test_resample_identity():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=128)
+    np.testing.assert_allclose(resample_fourier(x, 128), x, atol=1e-12)
+
+
+@pytest.mark.parametrize("n,num", [(100, 200), (100, 50), (101, 67), (64, 96)])
+def test_resample_sum_scales(n, num):
+    # sum(resampled) == (num/n) * sum(x): only the DC bin contributes
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=n)
+    np.testing.assert_allclose(resample_fourier(x, num).sum(), x.sum() * num / n, atol=1e-9)
+
+
+def test_resample_bandlimited_sine_exact():
+    # a tone well below both Nyquists is reproduced exactly on the new grid
+    n, num, f = 200, 400, 5
+    t = np.arange(n) / n
+    x = np.sin(2 * np.pi * f * t)
+    t2 = np.arange(num) / num
+    np.testing.assert_allclose(resample_fourier(x, num), np.sin(2 * np.pi * f * t2), atol=1e-9)
+
+
+# ---------- filter design + sosfilt ----------
+
+def test_butter_dc_gain_and_stability():
+    sos = butter_sos(4, 0.3)
+    assert sos.shape == (2, 6)
+    dc = np.prod([s[:3].sum() / s[3:].sum() for s in sos])
+    assert abs(dc - 1.0) < 1e-9  # unity DC gain for a low-pass
+    # poles inside unit circle
+    for s in sos:
+        roots = np.roots(s[3:])
+        assert np.all(np.abs(roots) < 1.0)
+
+
+def test_cheby1_ripple_band():
+    sos = cheby1_sos(8, 0.05, 0.5)
+    # DC gain for even-order cheby1 is -rp dB
+    dc = np.prod([s[:3].sum() / s[3:].sum() for s in sos])
+    assert abs(20 * np.log10(abs(dc)) + 0.05) < 1e-6
+    for s in sos:
+        assert np.all(np.abs(np.roots(s[3:])) < 1.0)
+
+
+def _freq_gain(sos, w):
+    z = np.exp(1j * np.pi * w)
+    h = 1.0
+    for s in sos:
+        h *= (s[0] + s[1] / z + s[2] / z**2) / (s[3] + s[4] / z + s[5] / z**2)
+    return abs(h)
+
+
+def test_butter_frequency_response():
+    sos = butter_sos(4, 0.3)
+    assert abs(_freq_gain(sos, 0.3) - 1 / np.sqrt(2)) < 1e-6  # -3 dB at Wn
+    assert _freq_gain(sos, 0.05) > 0.99
+    assert _freq_gain(sos, 0.8) < 0.01
+
+
+def test_sosfilt_impulse_response_single_biquad():
+    # hand-computable recursion: y[n] = x[n] + 0.5 y[n-1]
+    sos = np.array([[1.0, 0.0, 0.0, 1.0, -0.5, 0.0]])
+    imp = np.zeros(8)
+    imp[0] = 1.0
+    y = sosfilt_1d(sos, imp)
+    np.testing.assert_allclose(y, 0.5 ** np.arange(8), atol=1e-12)
+
+
+def test_sosfilt_fir_section_matches_convolution():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=64)
+    sos = np.array([[0.25, 0.5, 0.25, 1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(
+        sosfilt_1d(sos, x), np.convolve(x, [0.25, 0.5, 0.25])[:64], atol=1e-12
+    )
+
+
+def test_sosfilt_batch_matches_loop():
+    rng = np.random.default_rng(5)
+    xs = rng.normal(size=(5, 100))
+    sos = butter_sos(4, 0.3)
+    batch = sosfilt_1d(sos, xs)
+    for i in range(5):
+        np.testing.assert_allclose(batch[i], sosfilt_1d(sos, xs[i]), atol=1e-12)
+
+
+def test_sosfilt_zi_steady_state():
+    # with steady-state zi, a constant input passes through unchanged
+    sos = butter_sos(4, 0.3)
+    zi = sosfilt_zi(sos)
+    x = np.ones(50) * 3.7
+    y, _ = sosfilt_1d(sos, x, zi=zi * 3.7)
+    np.testing.assert_allclose(y, 3.7, atol=1e-9)
+
+
+def test_sosfiltfilt_constant_and_length():
+    sos = butter_sos(4, 0.3)
+    x = np.full(200, 1.5)
+    y = sosfiltfilt_1d(sos, x)
+    assert len(y) == 200  # length preserved (test_signal.py:620-628)
+    np.testing.assert_allclose(y, 1.5, atol=1e-8)
+
+
+def test_sosfiltfilt_zero_phase_no_delay():
+    # zero-phase: the filtered low-frequency tone stays aligned
+    x, fs = sine(duration=0.5, f=50.0, amp=1.0)
+    sos = butter_sos(4, 0.3)  # passband includes 50 Hz @ fs 8000
+    y = sosfiltfilt_1d(sos, x)
+    interior = slice(200, -200)
+    np.testing.assert_allclose(y[interior], x[interior], atol=1e-3)
+
+
+def test_sosfiltfilt_attenuates_stopband():
+    x, fs = sine(duration=0.5, f=3000.0, amp=1.0)  # 0.75 of Nyquist
+    sos = butter_sos(4, 0.3)
+    y = sosfiltfilt_1d(sos, x)
+    assert np.abs(y[200:-200]).max() < 1e-3
+
+
+# ---------- firwin / decimate ----------
+
+def test_firwin_unit_dc():
+    h = firwin(121, 0.25)
+    assert abs(h.sum() - 1.0) < 1e-12
+    np.testing.assert_allclose(h, h[::-1], atol=1e-15)  # linear phase
+
+
+def test_decimate_lengths():
+    # ceil semantics; reference declares len//q (signal.py:143-145)
+    x = np.zeros(100)
+    assert len(decimate_1d(x, 4)) == 25
+    assert len(decimate_1d(np.zeros(102), 4)) == 26
+
+
+def test_decimate_preserves_low_tone():
+    x, fs = sine(duration=1.0, f=100.0, amp=1.0)
+    y = decimate_1d(x, 4)
+    t2 = np.arange(len(y)) * 4 / fs
+    expected = np.sin(2 * np.pi * 100.0 * t2)
+    np.testing.assert_allclose(y[50:-50], expected[50:-50], atol=5e-3)
+
+
+def test_decimate_fir_identity_when_n0():
+    # n=0 -> single-tap unit filter -> pure downsample (used by the oracle query)
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=101)
+    np.testing.assert_array_equal(decimate_1d(x, 4, n=0, ftype="fir"), x[::4])
+
+
+# ---------- peak_widths ----------
+
+def _track_signal(ntime=7, nfreq=14, offsets=(1,), bandwidth=1):
+    """Golden fixture re-derived from reference tests/test_signal.py:110-172:
+    diagonal tracks of ones of a given bandwidth on a zero background."""
+    x = np.zeros((ntime, nfreq))
+    peaks = np.zeros((ntime, len(offsets)), dtype=int)
+    for t in range(ntime):
+        for p, off in enumerate(offsets):
+            for w in range(bandwidth):
+                x[t, t + off + w] = 1.0
+            peaks[t, p] = t + off
+    return x, peaks
+
+
+@pytest.mark.parametrize("offsets", [(1,), (1, 4)])
+@pytest.mark.parametrize("bandwidth", [1, 2])
+def test_peak_widths_golden_tracks(offsets, bandwidth):
+    x, peaks = _track_signal(offsets=offsets, bandwidth=bandwidth)
+    for t in range(x.shape[0]):
+        widths, wh, lips, rips = peak_widths(x[t], peaks[t])
+        np.testing.assert_allclose(widths, float(bandwidth))
+        np.testing.assert_allclose(wh, 0.5)  # rel_height=.5 of prominence 1
+
+
+def test_peak_widths_triangular():
+    x = np.array([0.0, 1.0, 2.0, 1.0, 0.0])
+    widths, wh, lips, rips = peak_widths(x, np.array([2]))
+    np.testing.assert_allclose(widths, [2.0])
+    np.testing.assert_allclose(wh, [1.0])
+    np.testing.assert_allclose(lips, [1.0])
+    np.testing.assert_allclose(rips, [3.0])

@@ -1,0 +1,198 @@
+"""IIR/FIR filter design in pure numpy.
+
+The reference (``/root/reference/xarray_scipy/signal.py:109-152, 403-461``)
+delegates filter design and execution to scipy (``scipy.signal.decimate``
+defaults to an order-8 Chebyshev-I low-pass, ``scipy.signal.butter`` builds
+the SOS fixtures used by its tests, ``tests/test_signal.py:590-595``).
+scipy is not available in this environment, so the small set of design
+routines the engine needs is re-implemented here from the published
+textbook formulas (Oppenheim & Schafer; Parks & Burrus):
+
+- analog Butterworth / Chebyshev-I low-pass prototypes (pole formulas),
+- low-pass frequency scaling + bilinear transform (zpk form),
+- zpk -> second-order-sections conversion,
+- windowed-sinc FIR design (``firwin`` equivalent, Hamming window),
+- steady-state initial conditions (``sosfilt_zi`` equivalent) used by
+  the zero-phase filter.
+
+These run on the DRIVER or inside Arrow-batched UDFs only for tiny
+coefficient arrays (order <= 8); all heavy per-sample work lives in
+:mod:`xarray_scipy_spark.kernels.dsp`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "butter_sos",
+    "cheby1_sos",
+    "firwin",
+    "sosfilt_zi",
+]
+
+
+def _buttap(n: int) -> tuple[np.ndarray, np.ndarray, float]:
+    """Analog Butterworth low-pass prototype (zeros, poles, gain)."""
+    k = np.arange(-n + 1, n, 2)
+    poles = -np.exp(1j * np.pi * k / (2 * n))
+    return np.array([], dtype=complex), poles, 1.0
+
+
+def _cheb1ap(n: int, rp: float) -> tuple[np.ndarray, np.ndarray, float]:
+    """Analog Chebyshev type-I low-pass prototype with ``rp`` dB ripple."""
+    eps = np.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / n
+    m = np.arange(-n + 1, n, 2)
+    theta = np.pi * m / (2.0 * n)
+    poles = -np.sinh(mu + 1j * theta)
+    gain = np.real(np.prod(-poles))
+    if n % 2 == 0:
+        gain /= np.sqrt(1.0 + eps * eps)
+    return np.array([], dtype=complex), poles, gain
+
+
+def _lp2lp_zpk(z, p, k, wo):
+    degree = len(p) - len(z)
+    z = z * wo
+    p = p * wo
+    k = k * wo**degree
+    return z, p, k
+
+
+def _bilinear_zpk(z, p, k, fs):
+    degree = len(p) - len(z)
+    fs2 = 2.0 * fs
+    z_d = (fs2 + z) / (fs2 - z)
+    p_d = (fs2 + p) / (fs2 - p)
+    # analog zeros at infinity map to z = -1
+    z_d = np.append(z_d, -np.ones(degree))
+    k_d = k * np.real(np.prod(fs2 - z) / np.prod(fs2 - p))
+    return z_d, p_d, k_d
+
+
+def _split_conjugates(roots: np.ndarray) -> tuple[list, list]:
+    """Split roots into conjugate pairs (one representative each) + reals."""
+    tol = 1e-10
+    roots = np.asarray(roots, dtype=complex)
+    complexes = [r for r in roots if abs(r.imag) > tol]
+    reals = [r.real for r in roots if abs(r.imag) <= tol]
+    pairs = [r for r in complexes if r.imag > 0]
+    return pairs, reals
+
+
+def _zpk2sos(z: np.ndarray, p: np.ndarray, k: float) -> np.ndarray:
+    """Convert zpk to second-order sections.
+
+    Simple pairing: conjugate pole pairs each get a section (matched with
+    conjugate zero pairs in order), leftover real poles/zeros are paired
+    up. Overall gain is applied to the first section. The cascade's
+    transfer function is exact; section ordering differs from scipy's
+    (which is irrelevant in exact arithmetic and benign at order <= 8).
+    """
+    z = np.asarray(z, dtype=complex)
+    p = np.asarray(p, dtype=complex)
+    zp, zr = _split_conjugates(z)
+    pp, pr = _split_conjugates(p)
+
+    sections = []
+    # conjugate pole pairs
+    for i, pole in enumerate(pp):
+        a = np.real(np.poly([pole, np.conj(pole)]))
+        if i < len(zp):
+            b = np.real(np.poly([zp[i], np.conj(zp[i])]))
+        elif len(zr) >= 2:
+            b = np.real(np.poly([zr.pop(), zr.pop()]))
+        elif len(zr) == 1:
+            b = np.real(np.poly([zr.pop()]))
+            b = np.append(b, 0.0)
+        else:
+            b = np.array([1.0, 0.0, 0.0])
+        if len(b) == 2:
+            b = np.append(b, 0.0)
+        sections.append(np.concatenate([b, a]))
+    zp_left = zp[len(pp):]
+    # leftover real poles, two at a time
+    while pr:
+        p1 = pr.pop()
+        p2 = pr.pop() if pr else None
+        a = np.real(np.poly([p1] if p2 is None else [p1, p2]))
+        if zp_left:
+            zz = zp_left.pop()
+            b = np.real(np.poly([zz, np.conj(zz)]))
+        elif len(zr) >= 2 and p2 is not None:
+            b = np.real(np.poly([zr.pop(), zr.pop()]))
+        elif zr:
+            b = np.real(np.poly([zr.pop()]))
+        else:
+            b = np.array([1.0])
+        b = np.pad(b, (0, 3 - len(b)))
+        a = np.pad(a, (0, 3 - len(a)))
+        sections.append(np.concatenate([b, a]))
+    if not sections:
+        sections.append(np.array([1.0, 0.0, 0.0, 1.0, 0.0, 0.0]))
+    sos = np.array(sections, dtype=float)
+    sos[0, :3] *= float(np.real(k))
+    return sos
+
+
+def _iir_lowpass_sos(proto_z, proto_p, proto_k, wn: float) -> np.ndarray:
+    """Digital low-pass from an analog prototype, Wn in (0, 1) (Nyquist=1)."""
+    if not 0.0 < wn < 1.0:
+        raise ValueError(f"Wn must be in (0, 1), got {wn}")
+    fs = 2.0
+    warped = 2.0 * fs * np.tan(np.pi * wn / fs)
+    z, p, k = _lp2lp_zpk(proto_z, proto_p, proto_k, warped)
+    z, p, k = _bilinear_zpk(z, p, k, fs)
+    return _zpk2sos(z, p, k)
+
+
+def butter_sos(n: int, wn: float) -> np.ndarray:
+    """Digital Butterworth low-pass in SOS form (scipy ``butter(n, wn,
+    output='sos')`` equivalent; reference fixture tests/test_signal.py:590-595)."""
+    return _iir_lowpass_sos(*_buttap(n), wn)
+
+
+def cheby1_sos(n: int, rp: float, wn: float) -> np.ndarray:
+    """Digital Chebyshev-I low-pass in SOS form (scipy ``cheby1``), the
+    default anti-aliasing filter of ``decimate`` (signal.py:109-152)."""
+    return _iir_lowpass_sos(*_cheb1ap(n, rp), wn)
+
+
+def firwin(numtaps: int, cutoff: float) -> np.ndarray:
+    """Hamming-windowed sinc low-pass FIR (scipy ``firwin`` equivalent).
+
+    ``cutoff`` normalized to Nyquist=1; taps normalized to unit DC gain.
+    """
+    if numtaps < 1:
+        raise ValueError("numtaps must be >= 1")
+    if numtaps == 1:
+        return np.array([1.0])
+    m = np.arange(numtaps) - (numtaps - 1) / 2.0
+    h = cutoff * np.sinc(cutoff * m)
+    win = np.hamming(numtaps)
+    h = h * win
+    return h / h.sum()
+
+
+def sosfilt_zi(sos: np.ndarray) -> np.ndarray:
+    """Steady-state initial conditions per section for a unit-step input
+    (scipy ``sosfilt_zi`` equivalent), used by the zero-phase filter.
+
+    For each biquad (b, a) the direct-form-II-transposed state satisfies
+    ``zi = (I - A) \\ B`` with ``A`` the transposed companion matrix of
+    ``a`` and ``B = b[1:] - a[1:] * b[0]``; the input scale accumulates
+    each section's DC gain.
+    """
+    sos = np.atleast_2d(np.asarray(sos, dtype=float))
+    n_sections = sos.shape[0]
+    zi = np.empty((n_sections, 2))
+    scale = 1.0
+    for s in range(n_sections):
+        b = sos[s, :3] / sos[s, 3]
+        a = sos[s, 3:] / sos[s, 3]
+        big_a = np.array([[-a[1], 1.0], [-a[2], 0.0]])
+        rhs = np.array([b[1] - a[1] * b[0], b[2] - a[2] * b[0]])
+        zi[s] = scale * np.linalg.solve(np.eye(2) - big_a, rhs)
+        scale *= b.sum() / a.sum()  # section DC gain
+    return zi
