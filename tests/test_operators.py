@@ -1,0 +1,263 @@
+"""Spark operator tests: the reference suite's invariants re-expressed
+over long-form DataFrames (SURVEY.md §5 "our strategy"), plus
+numpy-oracle comparisons (collect → compare within tolerance)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import xarray_scipy_spark as xss
+from tests.conftest import AMP, F0, FS, NCHAN, NSAMP
+
+
+def by_channel(df):
+    return {r["channel"]: r for r in df.collect()}
+
+
+def series_of(pdf_rows, col="value"):
+    return np.array([r[col] for r in pdf_rows])
+
+
+def collect_series(df, val_cols=("value",), order="idx"):
+    out = {}
+    for row in df.orderBy("channel", order).collect():
+        out.setdefault(row["channel"], []).append([row[c] for c in val_cols])
+    return {ch: np.array(v) for ch, v in out.items()}
+
+
+# ---------------- fft family ----------------
+
+def test_rfft_length_and_coords(sine_df):
+    # rfft length n//2+1 (reference test_signal.py:443); Δf = 1/(n·delta)
+    out = xss.rfft(sine_df, by=["channel"], dim="time")
+    rows = out.orderBy("channel", "idx").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["channel"], []).append(r)
+    assert set(per) == set(range(NCHAN))
+    for ch, rs in per.items():
+        assert len(rs) == NSAMP // 2 + 1
+        freqs = [r["frequency"] for r in rs]
+        # spectral-resolution invariant fs/n — asserted for real, unlike
+        # the reference's dead check (test_signal.py:335-337, SURVEY §5)
+        assert freqs[1] - freqs[0] == pytest.approx(FS / NSAMP, rel=1e-6)
+        # dominant bin at F0
+        mags = [np.hypot(r["re"], r["im"]) for r in rs]
+        assert freqs[int(np.argmax(mags))] == pytest.approx(F0, rel=1e-6)
+        # peak magnitude of a pure sine in rfft: A*n/2
+        assert max(mags) == pytest.approx(AMP * NSAMP / 2, rel=1e-6)
+
+
+@pytest.mark.parametrize("n", [None, 99, 100, 101, 102])
+def test_fft_n_sweep_row_counts(sine_df, n):
+    # reference's off-by-one probe (test_signal.py:339-341)
+    out = xss.fft(sine_df, by=["channel"], dim="time", n=n)
+    counts = out.groupBy("channel").count().collect()
+    expected = NSAMP if n is None else n
+    assert all(r["count"] == expected for r in counts)
+    out_r = xss.rfft(sine_df, by=["channel"], dim="time", n=n)
+    counts_r = out_r.groupBy("channel").count().collect()
+    assert all(r["count"] == expected // 2 + 1 for r in counts_r)
+
+
+def test_fft_ifft_roundtrip(sine_df, sine_pdf):
+    spec = xss.fft(sine_df, by=["channel"], dim="time")
+    back = xss.ifft(
+        spec, by=["channel"], dim="frequency", values=("re", "im"),
+        newdim="time2", order="idx",
+    )
+    got = collect_series(back, ("re", "im"))
+    base = sine_pdf[sine_pdf.channel == 0].sort_values("time")["value"].to_numpy()
+    for ch in range(NCHAN):
+        np.testing.assert_allclose(got[ch][:, 0], base, atol=1e-9)
+        np.testing.assert_allclose(got[ch][:, 1], 0.0, atol=1e-9)
+
+
+def test_rfft_matches_numpy(sine_df, sine_pdf):
+    out = xss.rfft(sine_df, by=["channel"], dim="time", norm="ortho")
+    got = collect_series(out, ("re", "im"))
+    base = sine_pdf[sine_pdf.channel == 0].sort_values("time")["value"].to_numpy()
+    ref = np.fft.rfft(base, norm="ortho")
+    for ch in range(NCHAN):
+        np.testing.assert_allclose(got[ch][:, 0] + 1j * got[ch][:, 1], ref, atol=1e-9)
+
+
+def test_hfft_ihfft_roundtrip(sine_df, sine_pdf):
+    half = xss.ihfft(sine_df, by=["channel"], dim="time")
+    back = xss.hfft(
+        half, by=["channel"], dim="frequency", values=("re", "im"),
+        newdim="time2", order="idx", n=NSAMP,
+    )
+    got = collect_series(back, ("value",))
+    base = sine_pdf[sine_pdf.channel == 0].sort_values("time")["value"].to_numpy()
+    for ch in range(NCHAN):
+        np.testing.assert_allclose(got[ch][:, 0], base, atol=1e-9)
+
+
+def test_fft_newdim_collision(sine_df):
+    with pytest.raises(ValueError, match="already exist"):
+        xss.fft(sine_df, by=["channel"], dim="time", newdim="channel")
+
+
+def test_fftshift_roundtrip_and_order(spark):
+    import pandas as pd
+
+    n = 10
+    pdf = pd.DataFrame({"g": 0, "bin": range(n), "value": np.arange(n, dtype=float)})
+    df = spark.createDataFrame(pdf)
+    shifted = xss.fftshift(df, by=["g"], dim="bin")
+    rows = shifted.orderBy("idx").collect()
+    vals = [r["value"] for r in rows]
+    np.testing.assert_array_equal(vals, np.fft.fftshift(np.arange(n, dtype=float)))
+    unshifted = xss.ifftshift(
+        shifted.select("g", F.col("idx").alias("bin"), "value"), by=["g"], dim="bin"
+    )
+    rows = unshifted.orderBy("idx").collect()
+    np.testing.assert_array_equal([r["value"] for r in rows], np.arange(n, dtype=float))
+
+
+# ---------------- convolution ----------------
+
+def test_fftconvolve_sizes_and_values(sine_df, sine_pdf):
+    # sizes: full -> n1+n2-1, same -> n1 (reference test_signal.py:73-78)
+    full = xss.fftconvolve(sine_df, sine_df, by=["channel"], dim="time", mode="full")
+    assert full.groupBy("channel").count().collect()[0]["count"] == 2 * NSAMP - 1
+    same = xss.fftconvolve(sine_df, sine_df, by=["channel"], dim="time", mode="same")
+    got = collect_series(same, ("value",))
+    base = sine_pdf[sine_pdf.channel == 0].sort_values("time")["value"].to_numpy()
+    ref = np.convolve(base, base, mode="same")
+    for ch in range(NCHAN):
+        np.testing.assert_allclose(got[ch][:, 0], ref, atol=1e-7)
+
+
+def test_convolve_valid_unsupported(sine_df):
+    with pytest.raises(NotImplementedError):
+        xss.convolve(sine_df, sine_df, by=["channel"], dim="time", mode="valid")
+
+
+def test_convolve_fir_matches_numpy(sine_df, sine_pdf):
+    taps = [0.25, 0.5, 0.25]
+    out = xss.convolve_fir(sine_df, taps, by=["channel"], dim="time")
+    rows = out.filter(F.col("channel") == 1).orderBy("time").collect()
+    got = np.array([r["value_conv"] for r in rows])
+    base = sine_pdf[sine_pdf.channel == 1].sort_values("time")["value"].to_numpy()
+    ref = np.convolve(base, taps, mode="same")
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+# ---------------- decimate / resample ----------------
+
+def test_decimate_length_and_coords(sine_df):
+    out = xss.decimate(sine_df, 4, by=["channel"], dim="time")
+    rows = out.filter(F.col("channel") == 2).orderBy("idx").collect()
+    assert len(rows) == NSAMP // 4  # 400/4, exact
+    # recomputed coords: delta' = 4/fs (the reference TODO'd this, signal.py:124)
+    assert rows[1]["time"] - rows[0]["time"] == pytest.approx(4 / FS, rel=1e-9)
+    # low tone survives decimation
+    vals = series_of(rows)
+    t = np.array([r["time"] for r in rows])
+    np.testing.assert_allclose(
+        vals[20:-20], AMP * np.sin(2 * np.pi * F0 * t)[20:-20], atol=2e-2
+    )
+
+
+def test_resample_identity_and_sum(sine_df):
+    out = xss.resample(sine_df, NSAMP, by=["channel"], dim="time")
+    rows = out.filter(F.col("channel") == 0).orderBy("idx").collect()
+    t = np.arange(NSAMP) / FS
+    np.testing.assert_allclose(
+        series_of(rows), AMP * np.sin(2 * np.pi * F0 * t), atol=1e-9
+    )
+    up = xss.resample(sine_df, 2 * NSAMP, by=["channel"], dim="time")
+    rows = up.filter(F.col("channel") == 0).orderBy("idx").collect()
+    assert len(rows) == 2 * NSAMP
+    # coord spacing halves
+    assert rows[1]["time"] - rows[0]["time"] == pytest.approx(0.5 / FS, rel=1e-9)
+
+
+# ---------------- hilbert ----------------
+
+def test_hilbert_envelope(sine_df):
+    out = xss.envelope(xss.hilbert(sine_df, by=["channel"], dim="time"))
+    rows = out.filter(F.col("channel") == 3).orderBy("idx").collect()
+    env = np.array([r["envelope"] for r in rows])
+    # |hilbert(A sin)| ≈ A (reference test_signal.py:566-568)
+    np.testing.assert_allclose(env[25:-25], AMP, rtol=1e-2)
+    assert len(rows) == NSAMP
+
+
+# ---------------- sosfilt ----------------
+
+def test_sosfilt_preserves_shape_and_filters(sine_df):
+    from xarray_scipy_spark.kernels import butter_sos
+
+    sos = butter_sos(4, 0.3)  # F0/Nyquist = 0.1 -> passband
+    out = xss.sosfilt(sos, sine_df, by=["channel"], dim="time")
+    assert out.count() == NCHAN * NSAMP  # length/channel preserved
+    outff = xss.sosfiltfilt(sos, sine_df, by=["channel"], dim="time")
+    rows = outff.filter(F.col("channel") == 0).orderBy("idx").collect()
+    t = np.arange(NSAMP) / FS
+    # zero-phase: passband tone unchanged, no delay
+    np.testing.assert_allclose(
+        series_of(rows)[30:-30], (AMP * np.sin(2 * np.pi * F0 * t))[30:-30], atol=1e-2
+    )
+
+
+def test_sosfilt_from_coefficient_dataframe(spark, sine_df):
+    import pandas as pd
+
+    from xarray_scipy_spark.kernels import butter_sos
+
+    sos = butter_sos(4, 0.3)
+    rows = [
+        {"section": s, "coefficient": c, "value": float(sos[s, c])}
+        for s in range(sos.shape[0])
+        for c in range(6)
+    ]
+    sos_df = spark.createDataFrame(pd.DataFrame(rows))
+    out = xss.sosfilt(sos_df, sine_df, by=["channel"], dim="time")
+    assert out.count() == NCHAN * NSAMP
+
+
+def test_sosfilt_zi_unsupported(sine_df):
+    with pytest.raises(NotImplementedError):
+        xss.sosfilt(np.zeros((1, 6)), sine_df, by=["channel"], dim="time", zi=[[0.0, 0.0]])
+
+
+# ---------------- peak_widths ----------------
+
+def test_peak_widths_golden_tracks(spark):
+    import pandas as pd
+
+    # FIXTURES.md §3: diagonal binary tracks, expected width == bandwidth
+    ntime, nfreq, bandwidth, offsets = 7, 14, 2, (1, 4)
+    sig_rows, peak_rows = [], []
+    for t in range(ntime):
+        x = np.zeros(nfreq)
+        for p, off in enumerate(offsets):
+            x[t + off : t + off + bandwidth] = 1.0
+            peak_rows.append({"time": t, "peak": p, "index": t + off})
+        for fq in range(nfreq):
+            sig_rows.append({"time": t, "frequency": fq, "value": float(x[fq])})
+    xdf = spark.createDataFrame(pd.DataFrame(sig_rows))
+    pdf = spark.createDataFrame(pd.DataFrame(peak_rows))
+    out = xss.peak_widths(xdf, pdf, by=["time"], dim="frequency")
+    rows = out.collect()
+    assert len(rows) == ntime * len(offsets)
+    for r in rows:
+        assert r["width"] == pytest.approx(bandwidth)
+        assert r["width_height"] == pytest.approx(0.5)
+
+
+# ---------------- layout codecs ----------------
+
+def test_series_roundtrip(spark, sine_df, sine_pdf):
+    from xarray_scipy_spark.plans import to_long, to_series
+
+    ser = to_series(sine_df, by=["channel"], order="time", values=["value"])
+    assert ser.count() == NCHAN
+    row = ser.filter(F.col("channel") == 0).collect()[0]
+    base = sine_pdf[sine_pdf.channel == 0].sort_values("time")["value"].to_numpy()
+    np.testing.assert_allclose(row["value"], base)
+    long = to_long(ser, by=["channel"], arrays=["time", "value"])
+    assert long.count() == NCHAN * NSAMP

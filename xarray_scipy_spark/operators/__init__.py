@@ -1,0 +1,31 @@
+"""Operator inventory — one public entry per reference operator
+(SURVEY.md §2.2 #1-17) plus engine-native fast paths."""
+
+from .convolve import convolve, convolve_fir, fftconvolve
+from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
+from .filters import sos_from_dataframe, sosfilt, sosfiltfilt
+from .hilbert import envelope, hilbert
+from .peaks import peak_widths
+from .resample import decimate, resample
+
+__all__ = [
+    "convolve",
+    "fftconvolve",
+    "convolve_fir",
+    "decimate",
+    "fft",
+    "ifft",
+    "rfft",
+    "irfft",
+    "hfft",
+    "ihfft",
+    "fftshift",
+    "ifftshift",
+    "hilbert",
+    "envelope",
+    "peak_widths",
+    "resample",
+    "sosfilt",
+    "sosfiltfilt",
+    "sos_from_dataframe",
+]

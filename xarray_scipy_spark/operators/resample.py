@@ -1,0 +1,85 @@
+"""Rate-changing operators: decimate, resample.
+
+Reference: ``decimate`` at ``/root/reference/xarray_scipy/signal.py:
+109-152``, ``resample`` at signal.py:374-400. Both leave output
+coordinates broken upstream (TODOs at signal.py:124 and signal.py:383);
+here the new equispaced coordinate is emitted natively in SQL
+(SURVEY.md §7 M2 "fix what the reference TODO'd").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..core import apply_series_kernel
+from ..functions.coords import linear_coord
+from ..kernels.dsp import decimate_1d, resample_fourier
+
+__all__ = ["decimate", "resample"]
+
+
+def decimate(
+    df: DataFrame,
+    q: int,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    n: int | None = None,
+    ftype: str = "iir",
+    zero_phase: bool = True,
+) -> DataFrame:
+    """Anti-alias filter + downsample by integer factor ``q``.
+
+    Output ``[*by, idx, value, <dim>, n_in, offset, delta]`` with the
+    recomputed coordinate ``offset + idx·q·delta`` (the filtered signal
+    is sampled at positions 0, q, 2q, ...). Output length is
+    ``ceil(n/q)`` (scipy semantics; the reference declares ``n//q`` at
+    signal.py:143-145 which silently truncates — divergence documented).
+    """
+
+    def kernel(coords, x):
+        return {"value": decimate_1d(x, q, n=n, ftype=ftype, zero_phase=zero_phase)}
+
+    res = apply_series_kernel(
+        df, kernel, by=by, order=dim, values=[value], out_fields="value double"
+    )
+    new_delta = F.col("delta") * F.lit(float(q))
+    return res.withColumn(dim, linear_coord("idx", "offset", new_delta))
+
+
+def resample(
+    df: DataFrame,
+    num: int,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    window=None,
+    domain: str = "time",
+) -> DataFrame:
+    """Fourier-method resample to exactly ``num`` samples per series.
+
+    ``window`` is accepted for signature parity and not forwarded —
+    the reference has the identical quirk (signal.py:374-400 accepts
+    ``window`` and never passes it to scipy). Only ``domain='time'`` is
+    meaningful for long-form real input.
+
+    Output coordinate: ``offset + idx·(n_in·delta/num)`` — the sample
+    spacing scales by n/num over the same span (fixes the reference's
+    ``TODO: support t=None``, signal.py:383).
+    """
+    del window  # reference-parity quirk: accepted, not forwarded
+    if domain != "time":
+        raise NotImplementedError("only domain='time' is supported")
+
+    def kernel(coords, x):
+        return {"value": resample_fourier(x, num)}
+
+    res = apply_series_kernel(
+        df, kernel, by=by, order=dim, values=[value], out_fields="value double"
+    )
+    new_delta = F.col("n_in").cast("double") * F.col("delta") / F.lit(float(num))
+    return res.withColumn(dim, linear_coord("idx", "offset", new_delta))
