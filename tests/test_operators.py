@@ -99,10 +99,12 @@ def test_fft_newdim_collision(sine_df):
         xss.fft(sine_df, by=["channel"], dim="time", newdim="channel")
 
 
-def test_fftshift_roundtrip_and_order(spark):
+@pytest.mark.parametrize("n", [5, 7, 10, 11, 12])
+def test_fftshift_roundtrip_and_order(spark, n):
+    # odd n distinguishes fftshift from ifftshift (the reference sweeps
+    # odd/even lengths at tests/test_signal.py:339-341)
     import pandas as pd
 
-    n = 10
     pdf = pd.DataFrame({"g": 0, "bin": range(n), "value": np.arange(n, dtype=float)})
     df = spark.createDataFrame(pdf)
     shifted = xss.fftshift(df, by=["g"], dim="bin")
@@ -114,6 +116,10 @@ def test_fftshift_roundtrip_and_order(spark):
     )
     rows = unshifted.orderBy("idx").collect()
     np.testing.assert_array_equal([r["value"] for r in rows], np.arange(n, dtype=float))
+
+    only_ishift = xss.ifftshift(df, by=["g"], dim="bin")
+    vals = [r["value"] for r in only_ishift.orderBy("idx").collect()]
+    np.testing.assert_array_equal(vals, np.fft.ifftshift(np.arange(n, dtype=float)))
 
 
 # ---------------- convolution ----------------

@@ -174,7 +174,11 @@ def sosfiltfilt_1d(
         ntaps = 2 * sos.shape[0] + 1
         padlen = 3 * ntaps
     if padlen >= n:
-        padlen = n - 1
+        # scipy parity: sosfiltfilt raises for inputs not longer than padlen
+        raise ValueError(
+            f"The length of the input vector x must be greater than padlen, "
+            f"which is {padlen}."
+        )
     ext = _odd_ext(x, padlen)
     zi = sosfilt_zi(sos)  # (n_sections, 2)
     x0 = ext[..., :1]
@@ -215,6 +219,11 @@ def decimate_1d(
         y = sosfiltfilt_1d(sos, x) if zero_phase else sosfilt_1d(sos, x)
     elif ftype == "fir":
         numtaps = (30 * q if n is None else n) + 1
+        if zero_phase and numtaps % 2 == 0:
+            # a centered 'same' convolution is only truly zero-phase for a
+            # symmetric odd-length FIR; an even tap count would leave a
+            # half-sample shift
+            numtaps += 1
         h = firwin(numtaps, 1.0 / q)
         if zero_phase:
             # symmetric FIR + centered 'same' convolution == zero phase

@@ -67,12 +67,20 @@ def _make_fft(kind: str, inverse: bool, real: bool = False, hermitian: bool = Fa
                 return {"re": np.real(out).astype(float), "im": np.imag(out).astype(float)}
             return {"value": np.real(out).astype(float)}
 
+        if order is None:
+            # Inverse transforms consume a spectrum whose rows must arrive
+            # in BIN order (0..n-1), not sorted by the signed frequency
+            # coordinate (which puts negative frequencies first). When the
+            # input carries a positional `idx` column (every forward op
+            # emits one), default to it for the inverse direction.
+            order = "idx" if inverse and "idx" in df.columns else dim
+
         out_fields = "re double, im double" if complex_out else "value double"
         res = apply_series_kernel(
             df,
             kernel,
             by=by,
-            order=order or dim,
+            order=order,
             values=values,
             out_fields=out_fields,
         )
@@ -123,7 +131,11 @@ def _make_fftshift(kind: str):
         w = Window.partitionBy(*by).orderBy(order or dim)
         rn = F.row_number().over(w) - 1
         cnt = F.count(F.lit(1)).over(Window.partitionBy(*by))
-        shift = (cnt - F.floor(cnt / 2)) if forward else F.floor(cnt / 2)
+        # np.fft.fftshift sends index k -> (k + n//2) % n; ifftshift sends
+        # k -> (k + n - n//2) % n = (k + ceil(n/2)) % n. For even n the two
+        # coincide; odd n distinguishes them (reference sweeps odd/even at
+        # tests/test_signal.py:339-341).
+        shift = F.floor(cnt / 2) if forward else (cnt - F.floor(cnt / 2))
         return df.withColumn(pos, (rn + shift) % cnt)
 
     op.__name__ = kind
