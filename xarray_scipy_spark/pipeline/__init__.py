@@ -1,0 +1,53 @@
+"""LLM-training-data pipeline operators over Spark DataFrames.
+
+The reference library (/root/reference/xarray_scipy) has no analog —
+this package is the engine's north-star extension scope: the
+operations a large-scale training-data pipeline needs, built
+Spark-first so every plan is a bucketed join / single shuffle, never
+an all-pairs comparison:
+
+- :mod:`~xarray_scipy_spark.pipeline.dedup` — exact, MinHash+LSH,
+  SimHash, n-gram Jaccard, embedding-cosine near-duplicate detection;
+- :mod:`~xarray_scipy_spark.pipeline.similarity` — brute-force and
+  IVF-bucketed cosine top-k search over embedding columns;
+- :mod:`~xarray_scipy_spark.pipeline.text` — language ID, quality
+  scoring, token counting, document fingerprinting;
+- :mod:`~xarray_scipy_spark.pipeline.multimodal` — opaque binary
+  columns with typed metadata and Arrow-batched decode plumbing.
+
+Every op is expressed with JVM-side builtins (split / transform /
+aggregate / md5 / conv) so the hot path stays inside whole-stage
+codegen; Python appears only in the multimodal decode UDF, which is
+Arrow-batched by design.
+"""
+
+from .dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+    embedding_dup_pairs,
+)
+from .similarity import cosine_topk, cosine_topk_ivf
+from .text import token_stats, quality_score, lang_id, fingerprint
+from .multimodal import with_binary, decode_features
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "embedding_dup_pairs",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "with_binary",
+    "decode_features",
+]

@@ -1,0 +1,398 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+No reference analog (/root/reference has no text pipeline); these are
+the north-star training-data ops. Design rules at 100 TB:
+
+- candidate generation is always a *bucket equi-join* (band hash /
+  bit chunk / SRP bucket) — never an all-pairs cross join;
+- signatures are computed **map-side** with higher-order array
+  functions (one pass over each doc's token array, zero shuffles);
+- the only shuffles are the bucket join and the final distinct;
+- hot buckets (a band value shared by many docs) are the classic LSH
+  skew risk: AQE skew-join splitting handles moderate skew, and
+  ``max_df`` drops degenerate shingles (stopword-like n-grams) before
+  they create quadratic buckets.
+
+Every constant (seeds, band layout, hash width) is mirrored by the
+DuckDB oracle SQL in :mod:`xarray_scipy_spark.oracles`, which recomputes
+identical md5-based values — the correctness gate compares byte-equal
+results, not just row counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .hashes import h48, seeded_md5, tokens, word_shingles
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "embedding_dup_pairs",
+    "srp_plane",
+]
+
+
+def exact_duplicates(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct
+    content, with the kept representative (min id) and the copy count.
+
+    Single hash-aggregate shuffle on the 128-bit digest; at any scale
+    this is the cheapest dedup pass and the one to run first.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _with_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), word_shingles(tokens(text_col), k=k).alias("shingles")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: ``mh_i`` = min over the doc's
+    distinct word-``k``-gram shingles of ``md5("<i>|<shingle>")``.
+
+    Computed entirely map-side — ``transform`` + ``array_min`` over the
+    in-row shingle array, no explode, no shuffle. md5-string order
+    statistics are a valid MinHash family (uniform over hex strings).
+    """
+    sh = _with_shingles(df, id_col, text_col, k)
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        cols.append(
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s, i=i: seeded_md5(i, s))
+            ).alias(f"mh_{i}")
+        )
+    return sh.select(*cols)
+
+
+def minhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
+
+    1. signatures (map-side, see :func:`minhash_signatures`);
+    2. band hashes: ``bands`` groups of ``num_hashes//bands`` rows,
+       band value = md5 of the concatenated minhashes;
+    3. candidates: self-equi-join on ``(band_idx, band_hash)`` — a
+       shuffle hash join on bucket keys, never a cross join;
+    4. verify: exact shingle-set Jaccard via ``array_intersect`` /
+       ``array_union`` after joining the (small) candidate set back to
+       the shingle arrays; keep pairs with ``jaccard >= threshold``.
+
+    Output: ``(a_id, b_id, jaccard)`` with ``a_id < b_id``.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, "bb.band", "bb.band_hash")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+    sh = _with_shingles(df, id_col, text_col, k)
+    sa = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle index.
+
+    ``explode`` distinct shingles → self-join on the shingle (inverted
+    index: only docs sharing a shingle ever meet) → intersection counts
+    per pair → Jaccard from per-doc set sizes. ``max_df`` drops shingles
+    appearing in more than that many docs — the stopword-gram guard that
+    keeps hot-shingle buckets from going quadratic at scale.
+    """
+    sh = _with_shingles(df, id_col, text_col, k)
+    sizes = sh.select(
+        F.col(id_col), F.size("shingles").alias("set_size")
+    )
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        w = Window.partitionBy("sh")
+        inv = inv.withColumn("df_", F.count(F.lit(1)).over(w)).filter(
+            F.col("df_") <= max_df
+        ).drop("df_")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("a_id"), F.col("set_size").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("b_id"), F.col("set_size").alias("sz_b"))
+    return (
+        inter.join(za, "a_id")
+        .join(zb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# SimHash: 48-bit fingerprints (12 md5 hex chars per token hash) with
+# 4 × 12-bit chunk banding for candidate generation.
+_SIMHASH_BITS = 48
+_SIMHASH_CHUNKS = 4
+
+
+def simhash_fingerprints(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """48-bit SimHash per document over whitespace tokens.
+
+    Bit ``b`` of the fingerprint is the majority vote of bit ``b``
+    across all token hashes (+1 if set, −1 if not; tie → 0), weighted
+    by token frequency (every occurrence votes). Relational shape:
+    explode tokens → one hash aggregate per doc with 48 vectorized
+    ``sum(CASE ...)`` columns — a single shuffle on the doc id, fully
+    codegen'd (a nested higher-order-function formulation is
+    interpreted per element and orders of magnitude slower).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", h48(F.col("tok")))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.lit(1 << b)) != F.lit(0), 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidates: pairs sharing at least one of the 4 × 12-bit chunks
+    (pigeonhole: any pair within Hamming distance 3·12 shares a chunk —
+    for ``max_distance <= 3`` recall is exact; larger distances trade
+    recall for the same bucket-join cost). Then the exact distance
+    filter via ``bit_count(a ^ b)``.
+    """
+    fps = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    chunk_bits = _SIMHASH_BITS // _SIMHASH_CHUNKS
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(_SIMHASH_CHUNKS)
+        ]
+    )
+    buckets = fps.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("cc")
+    ).select(id_col, "simhash", "cc.chunk", "cc.chunk_val")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def srp_plane(plane: int, dim: int) -> float:
+    """Deterministic signed-random-projection weight for (plane, dim):
+    md5-derived uniform in [−0.5, 0.5). Reproducible in SQL as
+    ``(('0x' || substring(md5(p||'|'||d), 1, 15))::BIGINT % 1000) / 1000
+    - 0.5`` — but since the matrix is input-independent we inline it as
+    literals on both sides instead of recomputing per row."""
+    h = hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()
+    return (int(h[:15], 16) % 1000) / 1000.0 - 0.5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    lsh_planes: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs by cosine similarity.
+
+    ``lsh_planes=None``: exact all-pairs (the verification baseline —
+    only for modest candidate sets). With ``lsh_planes=p``: signed
+    random projections — each vector gets a ``p``-bit bucket from the
+    signs of ``p`` deterministic hyperplane dots (:func:`srp_plane`
+    literals, JVM-evaluated); pairs must share the bucket before the
+    exact cosine check. At scale the bucket join replaces the O(N²)
+    cross join; near-identical vectors agree on every sign with
+    probability ``1 − θ/π`` per plane.
+
+    Output ``(a_id, b_id, cos_sim)`` with ``a_id < b_id``.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    v = v.withColumn("nrm", norm)
+
+    if lsh_planes:
+        dim = len(df.select(vec_col).first()[0])
+        def plane_lit(p):
+            return F.array(*[F.lit(srp_plane(p, d)) for d in range(dim)])
+        bucket = None
+        for p in range(lsh_planes):
+            bit = F.when(_dot(F.col("v"), plane_lit(p)) >= 0, 1 << p).otherwise(0)
+            bucket = bit if bucket is None else bucket + bit
+        v = v.withColumn("bucket", bucket)
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    else:
+        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

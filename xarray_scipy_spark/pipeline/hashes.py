@@ -1,0 +1,63 @@
+"""Engine-portable hash / tokenize expression builders.
+
+Every helper here returns a Catalyst Column built purely from JVM
+builtins (``md5``/``conv``/``split``/higher-order array functions), so
+(a) the hot path never leaves whole-stage codegen, and (b) the exact
+same value is reproducible in any ANSI-ish SQL engine (the DuckDB
+correctness oracle recomputes these byte-for-byte).
+
+Hash design: ``md5`` is the only hash primitive both engines share, so
+numeric hashes are "first K hex chars of md5, parsed base-16". 15 hex
+chars = 60 bits < 2^63 keeps the value inside a signed BIGINT in both
+engines. Seeded variants prepend ``"<seed>|"`` to the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = ["tokens", "word_shingles", "h60", "h48", "seeded_md5"]
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def tokens(text) -> Column:
+    """Whitespace tokens with empties dropped (`split` collapses nothing,
+    so consecutive spaces yield '' entries we filter out)."""
+    return F.filter(F.split(_c(text), " "), lambda t: t != F.lit(""))
+
+
+def word_shingles(toks, k: int = 3) -> Column:
+    """Distinct word k-grams joined by single spaces; empty array when the
+    document has fewer than k tokens."""
+    toks = _c(toks)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(empty)
+
+
+def h60(col) -> Column:
+    """60-bit signed-BIGINT hash: first 15 hex chars of md5, base-16.
+
+    DuckDB equivalent: ``('0x' || substring(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")
+
+
+def h48(col) -> Column:
+    """48-bit variant (first 12 hex chars) for SimHash bit votes."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 12), 16, 10).cast("bigint")
+
+
+def seeded_md5(seed: int, col) -> Column:
+    """md5 of ``"<seed>|<value>"`` as a hex string; min() over these is a
+    valid MinHash (uniform order statistics over the hex ordering)."""
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), _c(col)))

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns: cosine top-k.
+
+No reference analog. Two physical strategies:
+
+- :func:`cosine_topk` — brute-force: broadcast the (small) query set
+  against the full corpus, rank per query. Exact; the baseline. Cost
+  O(Q·N·d) but embarrassingly parallel and shuffle-free on the corpus
+  side (queries are broadcast, ranking shuffles only Q·k-ish rows
+  after the per-partition window).
+- :func:`cosine_topk_ivf` — IVF-style: corpus is bucketed by a coarse
+  quantizer cell (here the precomputed ``label`` column stands in for
+  a k-means cell id); each query probes only its own cell. The join
+  becomes a bucket equi-join and the scanned fraction drops to ~1/C.
+  This is the 100 TB path: cells map to partition pruning when the
+  corpus is written partitioned by cell.
+
+All arithmetic is JVM higher-order functions (``zip_with`` +
+``aggregate``) — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["cosine_topk", "cosine_topk_ivf"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str, extra: list[str]) -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    out = df.select(F.col(id_col), v, *[F.col(c) for c in extra])
+    return out.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k nearest neighbors by cosine for each query vector.
+
+    ``queries`` is broadcast (it must be the small side); ranking is
+    deterministic — ties broken by neighbor id on the similarity
+    rounded to ``round_digits`` (so independent engines agree).
+
+    Output: ``(query_id, rank, neighbor_id, cos_sim)``.
+    """
+    c = _normed(corpus, id_col, vec_col, []).alias("c")
+    q = _normed(queries, id_col, vec_col, []).alias("q")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q.v"), F.col("c.v"))
+                / (F.col("q.nrm") * F.col("c.nrm")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-bucketed top-k: each query only scans its own coarse cell.
+
+    The equi-join on ``cell_col`` replaces the cross join — candidate
+    volume drops from N to N/C per query, and with a cell-partitioned
+    corpus layout the scan prunes to matching partitions. Recall is
+    exact for neighbors in the probed cell (single-probe IVF
+    semantics).
+    """
+    c = _normed(corpus, id_col, vec_col, [cell_col]).alias("c")
+    q = _normed(queries, id_col, vec_col, [cell_col]).alias("q")
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col(f"q.{cell_col}") == F.col(f"c.{cell_col}"))
+            & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q.v"), F.col("c.v"))
+                / (F.col("q.nrm") * F.col("c.nrm")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

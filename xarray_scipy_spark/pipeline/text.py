@@ -1,0 +1,138 @@
+"""Text analysis: token stats, quality scoring, language ID, document
+fingerprinting.
+
+No reference analog — training-data pipeline scope. All scalar math is
+built from deterministic JVM expressions (counts, ratios, md5) so the
+DuckDB oracle can reproduce results byte-for-byte; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashes import tokens
+
+__all__ = ["token_stats", "quality_score", "lang_id", "fingerprint", "LANG_MARKERS"]
+
+# Distinctive high-frequency marker tokens per language. A doc's
+# language score is its marker-token count; prediction is the argmax
+# with a fixed preference order for ties (en first = most common).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "las", "es"),
+    "zh": ("的", "了", "是", "在", "和"),
+}
+_LANG_ORDER = ("en", "de", "fr", "es", "zh")
+
+
+def token_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count, distinct count, char length, mean token
+    length, and a BPE-ish subword estimate (``ceil(len/4)`` pieces per
+    token — the ~4-chars-per-token heuristic)."""
+    tk = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_uniq_tokens"),
+        F.round(
+            F.aggregate(
+                tk, F.lit(0.0), lambda acc, t: acc + F.length(t)
+            )
+            / F.greatest(F.size(tk), F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+        F.aggregate(
+            tk,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)),
+        ).alias("n_bpe_pieces"),
+    )
+
+
+def quality_score(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality in [0, 1]:
+
+    ``0.4·min(n_tokens/100, 1) + 0.3·stopword_ratio·2 (capped at 0.3)
+    + 0.3·min(mean_token_len/8, 1)``
+
+    Length rewards substance, a sane stopword ratio rewards natural
+    prose (pure keyword soup scores low), moderate word length rewards
+    real words. Deterministic integer-count arithmetic → exact oracle.
+    """
+    tk = tokens(text_col)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_tok = F.size(tk)
+    n_stop = F.size(F.filter(tk, lambda t: F.array_contains(stop, t)))
+    mean_len = F.aggregate(
+        tk, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.least(
+            F.lit(0.3),
+            F.lit(0.6) * n_stop / F.greatest(n_tok, F.lit(1)),
+        )
+        + F.lit(0.3) * F.least(mean_len / F.lit(8.0), F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(tk).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-token language ID: count per-language marker tokens,
+    predict the argmax (ties resolved by the fixed order
+    en→de→fr→es→zh). Emits per-language scores so downstream filters
+    can threshold on confidence."""
+    tk = tokens(text_col)
+    scores = {}
+    for lang in _LANG_ORDER:
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        scores[lang] = F.size(F.filter(tk, lambda t: F.array_contains(markers, t)))
+    best = None
+    pred = F.lit(_LANG_ORDER[-1])
+    # build the argmax as a reversed CASE chain: earlier languages win ties
+    for lang in reversed(_LANG_ORDER[:-1]):
+        later = [scores[l] for l in _LANG_ORDER[_LANG_ORDER.index(lang) + 1 :]]
+        cond = None
+        for s in later:
+            c = scores[lang] >= s
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = lang
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", width: int = 8
+) -> DataFrame:
+    """Content fingerprint: the minimum md5 over all ``width``-char
+    sliding substrings (the degenerate single-fingerprint case of
+    winnowing — window = whole document). Shift-robust: any shared
+    ``width``-gram that happens to be the global min survives edits
+    elsewhere. Map-side higher-order expression, zero shuffle."""
+    expr = (
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)), "
+        f"i -> md5(substring({text_col}, i, {width}))))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.expr(expr).alias("fingerprint"),
+    )
