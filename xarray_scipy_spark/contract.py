@@ -1,0 +1,1080 @@
+"""The driver contract: one named query per implemented operator, each
+paired with an ANSI-SQL oracle DuckDB can run on the same parquet
+tables.
+
+``QUERIES[name](spark, sf_dir) -> DataFrame`` runs the operator through
+this engine; ``ORACLES[name]`` is the equivalent SQL. The driver
+compares row-count + schema + order-insensitive value hash, so every
+query here:
+
+- aliases every output column identically on both sides;
+- emits deterministic values: floats are rounded at a granularity that
+  is orders of magnitude above the cross-engine numerical noise
+  (FFT-vs-naive-DFT ~1e-10; the rounding unit is >=1e-6), and ``+ 0.0``
+  normalizes any ``-0.0``;
+- breaks ranking ties on rounded keys + ids so independent engines
+  agree exactly.
+
+Oracle strategies per family:
+
+- **FFT family**: forward transforms against an O(n^2) literal DFT
+  (self-join per user series — groups are <100 samples at test scale);
+  inverse transforms as forward→inverse round-trips whose oracle is the
+  original series.
+- **convolution**: direct convolution sums via a per-user self-join.
+- **IIR filters**: a causal IIR from zero state equals convolution with
+  the filter's impulse response; the response is precomputed (by this
+  package's own kernels) and inlined as SQL literals, turning the
+  recursion into a join the oracle can run. sosfiltfilt composes the
+  same trick with odd extension + state-response literals.
+- **shift/permutation ops**: pure integer index arithmetic — exact.
+- **pipeline ops**: identical md5-derived hash constructions re-written
+  in DuckDB's dialect (lists, lambdas, bit ops) — byte-equal results.
+
+Spark-side scale notes live with each operator's implementation module;
+this file is only the wiring + oracle text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import operators as ops
+from . import pipeline as pl
+from .functions.complexsql import magnitude
+from .kernels.dsp import sosfilt_1d
+from .kernels.filter_design import butter_sos, cheby1_sos, firwin, sosfilt_zi
+from .sources.tables import load_table
+
+__all__ = ["QUERIES", "ORACLES", "flagship"]
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)
+
+
+def _r(col, digits: int, alias: str):
+    """round + (-0.0 -> 0.0) normalization, matching `round(x, d) + 0.0`."""
+    return (F.round(col, digits) + F.lit(0.0)).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE: one row per (user, sample position) with 0-based j,
+# the value as DOUBLE, and the series length n
+# ---------------------------------------------------------------------------
+
+_S = """
+s AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS j,
+         CAST(value AS DOUBLE) AS x,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+)
+"""
+
+# O(n^2) literal DFT per user: bin k of user's series (k taken from the
+# same position table). re/im of X[k] = sum_j x_j e^{-2*pi*i*j*k/n}.
+_SPEC = """
+spec AS (
+  SELECT a.user_id, b.j AS k, a.n,
+         sum(a.x * cos(2 * pi() * a.j * b.j / a.n)) AS re,
+         sum(-a.x * sin(2 * pi() * a.j * b.j / a.n)) AS im
+  FROM s a JOIN s b USING (user_id)
+  GROUP BY a.user_id, b.j, a.n
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# FFT family
+# ---------------------------------------------------------------------------
+
+@_q(
+    "fft",
+    f"WITH {_S}, {_SPEC} "
+    "SELECT user_id, k AS idx, round(re, 4) + 0.0 AS re4, round(im, 4) + 0.0 AS im4 "
+    "FROM spec",
+)
+def q_fft(spark, sf_dir):
+    res = ops.fft(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    return res.select("user_id", "idx", _r("re", 4, "re4"), _r("im", 4, "im4"))
+
+
+@_q(
+    "rfft",
+    f"WITH {_S}, {_SPEC} "
+    "SELECT user_id, k AS idx, round(re, 4) + 0.0 AS re4, round(im, 4) + 0.0 AS im4 "
+    "FROM spec WHERE k <= n // 2",
+)
+def q_rfft(spark, sf_dir):
+    res = ops.rfft(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    return res.select("user_id", "idx", _r("re", 4, "re4"), _r("im", 4, "im4"))
+
+
+@_q(
+    "hfft",
+    f"WITH {_S}, "
+    # positions m = 0..2(n-1)-1 for the Hermitian-extended output
+    "pos AS ("
+    "  SELECT user_id, j AS m, n FROM s"
+    "  UNION ALL"
+    "  SELECT user_id, j + n AS m, n FROM s WHERE j <= n - 3"
+    ") "
+    # hfft of a real series a: y[m] = a0 + (-1)^m*a_{n-1}
+    #                               + 2*sum_{j=1..n-2} a_j cos(2 pi j m / (2(n-1)))
+    "SELECT p.user_id, p.m AS idx, "
+    "round(sum(CASE WHEN s.j = 0 THEN s.x "
+    "               WHEN s.j = p.n - 1 THEN s.x * (CASE WHEN p.m % 2 = 0 THEN 1 ELSE -1 END) "
+    "               ELSE 2 * s.x * cos(2 * pi() * s.j * p.m / (2 * (p.n - 1))) END), 4) + 0.0 AS value4 "
+    "FROM pos p JOIN s ON s.user_id = p.user_id "
+    "GROUP BY p.user_id, p.m",
+)
+def q_hfft(spark, sf_dir):
+    res = ops.hfft(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+@_q(
+    "ifft",
+    f"WITH {_S} "
+    "SELECT user_id, j AS idx, round(x, 6) + 0.0 AS re6, 0.0 AS im6 FROM s",
+)
+def q_ifft(spark, sf_dir):
+    """fft -> ifft round-trip; the oracle is the original series (im = 0)."""
+    spec = ops.fft(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    back = ops.ifft(
+        spec.select("user_id", "idx", "re", "im", "frequency"),
+        by=["user_id"],
+        dim="frequency",
+        newdim="t2",
+        values=["re", "im"],
+    )
+    return back.select("user_id", "idx", _r("re", 6, "re6"), _r("im", 6, "im6"))
+
+
+@_q(
+    "irfft",
+    f"WITH {_S} "
+    "SELECT user_id, j AS idx, round(x, 6) + 0.0 AS value6 "
+    "FROM s WHERE j < n - (n % 2)",
+)
+def q_irfft(spark, sf_dir):
+    """rfft -> irfft round-trip on the series truncated to even length
+    (irfft's default output length 2*(m-1) only reproduces even n)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    cnt = Window.partitionBy("user_id")
+    ev = (
+        ev.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("rn") < F.col("n") - (F.col("n") % 2))
+        .select("user_id", "ts", "value")
+    )
+    spec = ops.rfft(ev, by=["user_id"], dim="ts")
+    back = ops.irfft(
+        spec.select("user_id", "idx", "re", "im", "frequency"),
+        by=["user_id"],
+        dim="frequency",
+        newdim="t2",
+        values=["re", "im"],
+    )
+    return back.select("user_id", "idx", _r("value", 6, "value6"))
+
+
+@_q(
+    "ihfft",
+    f"WITH {_S} "
+    "SELECT user_id, j AS idx, round(x, 6) + 0.0 AS re6, 0.0 AS im6 FROM s",
+)
+def q_ihfft(spark, sf_dir):
+    """hfft -> ihfft round-trip back to the original real series."""
+    sp = ops.hfft(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    back = ops.ihfft(
+        sp.select("user_id", "idx", "value", "frequency"),
+        by=["user_id"],
+        dim="frequency",
+        newdim="t2",
+        values=["value"],
+    )
+    return back.select("user_id", "idx", _r("re", 6, "re6"), _r("im", 6, "im6"))
+
+
+@_q(
+    "fftshift",
+    f"WITH {_S} "
+    "SELECT user_id, (j + n // 2) % n AS idx, x AS value FROM s",
+)
+def q_fftshift(spark, sf_dir):
+    res = ops.fftshift(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    return res.select("user_id", "idx", "value")
+
+
+@_q(
+    "ifftshift",
+    f"WITH {_S} "
+    "SELECT user_id, (j + n - n // 2) % n AS idx, x AS value FROM s",
+)
+def q_ifftshift(spark, sf_dir):
+    res = ops.ifftshift(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    return res.select("user_id", "idx", "value")
+
+
+# ---------------------------------------------------------------------------
+# convolution family
+# ---------------------------------------------------------------------------
+
+@_q(
+    "fftconvolve",
+    f"WITH {_S} "
+    "SELECT a.user_id, a.j + b.j AS idx, round(sum(a.x * b.x), 4) + 0.0 AS conv4 "
+    "FROM s a JOIN s b USING (user_id) "
+    "GROUP BY a.user_id, a.j + b.j",
+)
+def q_fftconvolve(spark, sf_dir):
+    """Self-convolution (mode=full) of each user's series."""
+    ev = _events(spark, sf_dir)
+    res = ops.fftconvolve(ev, ev, by=["user_id"], dim="ts", mode="full")
+    return res.select("user_id", "idx", _r("value", 4, "conv4"))
+
+
+@_q(
+    "convolve",
+    f"WITH {_S}, "
+    "full_conv AS ("
+    "  SELECT a.user_id, a.j + b.j AS k, a.n, sum(a.x * b.x) AS y"
+    "  FROM s a JOIN s b USING (user_id)"
+    "  GROUP BY a.user_id, a.j + b.j, a.n"
+    ") "
+    "SELECT user_id, k - (n - 1) // 2 AS idx, round(y, 4) + 0.0 AS conv4 "
+    "FROM full_conv WHERE k - (n - 1) // 2 BETWEEN 0 AND n - 1",
+)
+def q_convolve(spark, sf_dir):
+    """convolve shim, mode=same (centered slice of the full output)."""
+    ev = _events(spark, sf_dir)
+    res = ops.convolve(ev, ev, by=["user_id"], dim="ts", mode="same")
+    return res.select("user_id", "idx", _r("value", 4, "conv4"))
+
+
+_FIR_TAPS = (0.1, 0.2, 0.4, 0.2, 0.1)
+
+
+def _fir_sql_terms(taps, x="x", over="w") -> str:
+    """Same left-fold dot-product expression convolve_fir builds."""
+    m = len(taps)
+    center = (m - 1) // 2
+    acc = "0.0"
+    for j, h in enumerate(taps):
+        k = center - j
+        if k > 0:
+            term = f"lead({x}, {k}, 0.0) OVER {over}"
+        elif k < 0:
+            term = f"lag({x}, {-k}, 0.0) OVER {over}"
+        else:
+            term = x
+        acc = f"({acc} + {h!r} * {term})"
+    return acc
+
+
+@_q(
+    "convolve_fir",
+    f"WITH {_S} "
+    f"SELECT user_id, j AS idx, round({_fir_sql_terms(_FIR_TAPS)}, 6) + 0.0 AS fir6 "
+    "FROM s WINDOW w AS (PARTITION BY user_id ORDER BY j)",
+)
+def q_convolve_fir(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    res = ops.convolve_fir(
+        ev, _FIR_TAPS, by=["user_id"], dim="ts", out="fir"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    res = res.withColumn("idx", F.row_number().over(w) - 1)
+    return res.select("user_id", "idx", _r("fir", 6, "fir6"))
+
+
+# ---------------------------------------------------------------------------
+# decimate / resample
+# ---------------------------------------------------------------------------
+
+_DECIMATE_Q = 4
+_DECIMATE_FIR_N = 12  # numtaps 13 (odd -> truly zero-phase)
+_DECIMATE_FIR_TAPS = tuple(float(t) for t in firwin(_DECIMATE_FIR_N + 1, 1.0 / _DECIMATE_Q))
+
+
+def _centered_fir_sql(taps, x="x", over="w") -> str:
+    """same-mode centered FIR: y[j] = sum_m h[m] * x[j + c - m], c=(len-1)//2."""
+    m = len(taps)
+    c = (m - 1) // 2
+    parts = []
+    for mm, h in enumerate(taps):
+        k = c - mm  # >0 -> lead, <0 -> lag
+        if k > 0:
+            parts.append(f"{h!r} * lead({x}, {k}, 0.0) OVER {over}")
+        elif k < 0:
+            parts.append(f"{h!r} * lag({x}, {-k}, 0.0) OVER {over}")
+        else:
+            parts.append(f"{h!r} * {x}")
+    return "(" + " + ".join(parts) + ")"
+
+
+@_q(
+    "decimate_fir",
+    f"WITH {_S}, "
+    f"filt AS (SELECT user_id, j, {_centered_fir_sql(_DECIMATE_FIR_TAPS)} AS y "
+    "FROM s WINDOW w AS (PARTITION BY user_id ORDER BY j)) "
+    f"SELECT user_id, j // {_DECIMATE_Q} AS idx, round(y, 4) + 0.0 AS value4 "
+    f"FROM filt WHERE j % {_DECIMATE_Q} = 0",
+)
+def q_decimate_fir(spark, sf_dir):
+    res = ops.decimate(
+        _events(spark, sf_dir),
+        _DECIMATE_Q,
+        by=["user_id"],
+        dim="ts",
+        n=_DECIMATE_FIR_N,
+        ftype="fir",
+        zero_phase=True,
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+def _impulse_response_sql(sos: np.ndarray, length: int = 160) -> str:
+    """VALUES list h(m, hv): the cascade's impulse response, computed by
+    this package's own sosfilt kernel. A causal IIR from zero state is
+    exactly conv(x, h) for any input shorter than `length`."""
+    imp = np.zeros(length)
+    imp[0] = 1.0
+    h = sosfilt_1d(sos, imp)
+    rows = ", ".join(f"({m}, {float(v)!r})" for m, v in enumerate(h))
+    return f"h(m, hv) AS (SELECT * FROM (VALUES {rows}))"
+
+
+_DEC_IIR_SOS = cheby1_sos(8, 0.05, 0.8 / _DECIMATE_Q)
+
+
+@_q(
+    "decimate_iir",
+    f"WITH {_S}, {_impulse_response_sql(_DEC_IIR_SOS)}, "
+    "filt AS ("
+    "  SELECT xi.user_id, xi.j AS i, sum(h.hv * xj.x) AS y"
+    "  FROM s xi JOIN h ON h.m <= xi.j"
+    "  JOIN s xj ON xj.user_id = xi.user_id AND xj.j = xi.j - h.m"
+    "  GROUP BY xi.user_id, xi.j"
+    ") "
+    f"SELECT user_id, i // {_DECIMATE_Q} AS idx, round(y, 4) + 0.0 AS value4 "
+    f"FROM filt WHERE i % {_DECIMATE_Q} = 0",
+)
+def q_decimate_iir(spark, sf_dir):
+    """Causal (zero_phase=False) IIR decimate; oracle = inlined impulse
+    response convolution (exact for zero initial state)."""
+    res = ops.decimate(
+        _events(spark, sf_dir),
+        _DECIMATE_Q,
+        by=["user_id"],
+        dim="ts",
+        ftype="iir",
+        zero_phase=False,
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+_RESAMPLE_NUM = 32
+
+
+@_q(
+    "resample",
+    f"WITH {_S}, {_SPEC}, "
+    # spectrum bins kept by Fourier resampling to num=32 (num < n always
+    # holds here: n >= 45 per group), with the even-m Nyquist fold
+    "kept AS ("
+    "  SELECT user_id, n, 16 AS kt, re, im FROM spec WHERE k = n - 16"
+    "  UNION ALL"
+    "  SELECT user_id, n, k AS kt, re, im FROM spec WHERE k <= 16"
+    "  UNION ALL"
+    "  SELECT user_id, n, k - n + 32 AS kt, re, im FROM spec WHERE k >= n - 15"
+    "), "
+    "m_pos AS (SELECT user_id, j AS m, n FROM s WHERE j < 32) "
+    "SELECT p.user_id, p.m AS idx, "
+    "round(sum((k.re * cos(2 * pi() * k.kt * p.m / 32) "
+    "         - k.im * sin(2 * pi() * k.kt * p.m / 32)) / p.n), 4) + 0.0 AS value4 "
+    "FROM m_pos p JOIN kept k ON k.user_id = p.user_id "
+    "GROUP BY p.user_id, p.m",
+)
+def q_resample(spark, sf_dir):
+    res = ops.resample(
+        _events(spark, sf_dir), _RESAMPLE_NUM, by=["user_id"], dim="ts"
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+# ---------------------------------------------------------------------------
+# hilbert
+# ---------------------------------------------------------------------------
+
+# analytic signal: inverse DFT of the one-sided-weighted spectrum.
+# H(k): 1 for k=0 and (n even) k=n/2; 2 for 1 <= k < ceil(n/2); 0 else.
+_HILBERT_CORE = (
+    "an AS ("
+    "  SELECT sp.user_id, p.j AS idx,"
+    "    sum(CASE WHEN sp.k = 0 THEN 1.0"
+    "             WHEN sp.n % 2 = 0 AND sp.k = sp.n // 2 THEN 1.0"
+    "             WHEN sp.k < (sp.n + 1) // 2 THEN 2.0"
+    "             ELSE 0.0 END"
+    "        * (sp.re * cos(2 * pi() * sp.k * p.j / sp.n)"
+    "           - sp.im * sin(2 * pi() * sp.k * p.j / sp.n)) / sp.n) AS re,"
+    "    sum(CASE WHEN sp.k = 0 THEN 1.0"
+    "             WHEN sp.n % 2 = 0 AND sp.k = sp.n // 2 THEN 1.0"
+    "             WHEN sp.k < (sp.n + 1) // 2 THEN 2.0"
+    "             ELSE 0.0 END"
+    "        * (sp.re * sin(2 * pi() * sp.k * p.j / sp.n)"
+    "           + sp.im * cos(2 * pi() * sp.k * p.j / sp.n)) / sp.n) AS im"
+    "  FROM spec sp JOIN s p ON p.user_id = sp.user_id"
+    "  GROUP BY sp.user_id, p.j"
+    ")"
+)
+
+
+@_q(
+    "hilbert",
+    f"WITH {_S}, {_SPEC}, {_HILBERT_CORE} "
+    "SELECT user_id, idx, round(re, 4) + 0.0 AS re4, round(im, 4) + 0.0 AS im4 "
+    "FROM an",
+)
+def q_hilbert(spark, sf_dir):
+    res = ops.hilbert(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    return res.select("user_id", "idx", _r("re", 4, "re4"), _r("im", 4, "im4"))
+
+
+@_q(
+    "hilbert_envelope",
+    f"WITH {_S}, {_SPEC}, {_HILBERT_CORE} "
+    "SELECT user_id, idx, round(sqrt(re * re + im * im), 4) + 0.0 AS env4 "
+    "FROM an",
+)
+def q_hilbert_envelope(spark, sf_dir):
+    res = ops.envelope(
+        ops.hilbert(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    )
+    return res.select("user_id", "idx", _r("envelope", 4, "env4"))
+
+
+# ---------------------------------------------------------------------------
+# IIR filters
+# ---------------------------------------------------------------------------
+
+_SOSFILT_SOS = butter_sos(4, 0.3)
+
+
+@_q(
+    "sosfilt",
+    f"WITH {_S}, {_impulse_response_sql(_SOSFILT_SOS)} "
+    "SELECT xi.user_id, xi.j AS idx, round(sum(h.hv * xj.x), 4) + 0.0 AS value4 "
+    "FROM s xi JOIN h ON h.m <= xi.j "
+    "JOIN s xj ON xj.user_id = xi.user_id AND xj.j = xi.j - h.m "
+    "GROUP BY xi.user_id, xi.j",
+)
+def q_sosfilt(spark, sf_dir):
+    res = ops.sosfilt(
+        _SOSFILT_SOS, _events(spark, sf_dir), by=["user_id"], dim="ts"
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+# sosfiltfilt: oracle built in _sosfiltfilt_oracle_sql below (odd
+# extension + impulse-response convolution + state-response literals,
+# forward and backward).
+_SFF_SOS = butter_sos(4, 0.25)
+_SFF_NSEC = _SFF_SOS.shape[0]
+_SFF_PADLEN = 3 * (2 * _SFF_NSEC + 1)  # kernel default
+
+
+def _state_response_sql(sos: np.ndarray, name: str, length: int = 200) -> str:
+    """VALUES list g(m, gv): filter output for zero input from the
+    steady-state unit initial condition sosfilt_zi(sos); the linear
+    'initial state' term of a seeded sosfilt run."""
+    zi = sosfilt_zi(sos)
+    zeros = np.zeros(length)
+    g, _ = sosfilt_1d(sos, zeros, zi=zi)
+    rows = ", ".join(f"({m}, {float(v)!r})" for m, v in enumerate(g))
+    return f"{name}(m, gv) AS (SELECT * FROM (VALUES {rows}))"
+
+
+def _sosfiltfilt_oracle_sql() -> str:
+    p = _SFF_PADLEN
+    hs = _impulse_response_sql(_SFF_SOS, length=200)
+    gs = _state_response_sql(_SFF_SOS, "g", length=200)
+    return f"""
+WITH {_S}, {hs}, {gs},
+ext AS (
+  -- odd extension: positions 0..n+2p-1 over the padded series
+  SELECT user_id, j + {p} AS i, x, n FROM s
+  UNION ALL
+  SELECT a.user_id, {p} - a.j AS i, 2 * f.x - a.x, a.n
+  FROM s a JOIN s f ON f.user_id = a.user_id AND f.j = 0
+  WHERE a.j BETWEEN 1 AND {p}
+  UNION ALL
+  SELECT a.user_id, 2 * (a.n - 1) + {p} - a.j AS i, 2 * l.x - a.x, a.n
+  FROM s a JOIN s l ON l.user_id = a.user_id AND l.j = a.n - 1
+  WHERE a.j BETWEEN a.n - 1 - {p} AND a.n - 2
+),
+x0 AS (SELECT user_id, x AS v0 FROM ext WHERE i = 0),
+fwd AS (
+  SELECT e.user_id, e.i, e.n,
+         sum(h.hv * e2.x) + any_value(x0.v0) * any_value(g.gv) AS y
+  FROM ext e
+  JOIN h ON h.m <= e.i
+  JOIN ext e2 ON e2.user_id = e.user_id AND e2.i = e.i - h.m
+  JOIN x0 ON x0.user_id = e.user_id
+  JOIN g ON g.m = e.i
+  GROUP BY e.user_id, e.i, e.n
+),
+rev1 AS (
+  SELECT user_id, n + 2 * {p} - 1 - i AS i, n, y AS x FROM fwd
+),
+y0 AS (SELECT user_id, x AS v0 FROM rev1 WHERE i = 0),
+bwd AS (
+  SELECT e.user_id, e.i, e.n,
+         sum(h.hv * e2.x) + any_value(y0.v0) * any_value(g.gv) AS y
+  FROM rev1 e
+  JOIN h ON h.m <= e.i
+  JOIN rev1 e2 ON e2.user_id = e.user_id AND e2.i = e.i - h.m
+  JOIN y0 ON y0.user_id = e.user_id
+  JOIN g ON g.m = e.i
+  GROUP BY e.user_id, e.i, e.n
+),
+rev2 AS (
+  SELECT user_id, n + 2 * {p} - 1 - i AS i, n, y FROM bwd
+)
+SELECT user_id, i - {p} AS idx, round(y, 4) + 0.0 AS value4
+FROM rev2 WHERE i BETWEEN {p} AND n + {p} - 1
+"""
+
+
+@_q("sosfiltfilt", _sosfiltfilt_oracle_sql())
+def q_sosfiltfilt(spark, sf_dir):
+    res = ops.sosfiltfilt(
+        _SFF_SOS, _events(spark, sf_dir), by=["user_id"], dim="ts"
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+# ---------------------------------------------------------------------------
+# peak_widths (non-SQL-expressible for now: rows-only check — no oracle)
+# ---------------------------------------------------------------------------
+
+@_q("peak_widths")
+def q_peak_widths(spark, sf_dir):
+    """Widths of interior local maxima of each user's series at half
+    prominence. Peaks are detected in pure SQL (strict local maxima);
+    width measurement runs through the cogrouped kernel."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ser = ev.withColumn("idx0", F.row_number().over(w) - 1)
+    lagv = F.lag("value", 1).over(w)
+    leadv = F.lead("value", 1).over(w)
+    peaks = (
+        ser.withColumn("is_peak", (F.col("value") > lagv) & (F.col("value") > leadv))
+        .filter(F.col("is_peak"))
+        .select(
+            "user_id",
+            (F.row_number().over(Window.partitionBy("user_id").orderBy("idx0")) - 1).alias("peak"),
+            F.col("idx0").alias("index"),
+        )
+    )
+    res = ops.peak_widths(
+        ev, peaks, by=["user_id"], dim="ts", peak="peak", index="index"
+    )
+    return res.select(
+        "user_id",
+        "peak",
+        _r("width", 4, "width4"),
+        _r("width_height", 4, "wh4"),
+        _r("left_ip", 4, "lip4"),
+        _r("right_ip", 4, "rip4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship: per-user dominant frequency (rfft -> argmax |X[k]|, k >= 1)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dominant_frequency",
+    f"WITH {_S}, {_SPEC}, "
+    "mag AS ("
+    "  SELECT user_id, k, n, round(sqrt(re * re + im * im), 3) + 0.0 AS m3"
+    "  FROM spec WHERE k >= 1 AND k <= n // 2"
+    ") "
+    "SELECT user_id, k AS peak_bin, m3 AS peak_mag3 FROM ("
+    "  SELECT user_id, k, m3,"
+    "         row_number() OVER (PARTITION BY user_id ORDER BY m3 DESC, k) AS rnk"
+    "  FROM mag"
+    ") WHERE rnk = 1",
+)
+def q_dominant_frequency(spark, sf_dir):
+    spec = ops.rfft(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    mag = spec.filter(F.col("idx") >= 1).select(
+        "user_id", F.col("idx").alias("peak_bin"), _r(magnitude(), 3, "peak_mag3")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("peak_mag3").desc(), F.col("peak_bin")
+    )
+    return (
+        mag.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("user_id", "peak_bin", "peak_mag3")
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Driver smoke entry: the dominant-frequency query at sf0.001."""
+    return q_dominant_frequency(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# pipeline: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+# DuckDB fragments mirroring pipeline.hashes: whitespace tokens and
+# distinct word-3-gram shingles (1-based list indexing).
+_TOKS = (
+    "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk "
+    "FROM documents)"
+)
+_SHINGLES = (
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), "
+    "i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS shingles "
+    "FROM toks WHERE len(tk) >= 3)"
+)
+
+
+@_q(
+    "dedup_exact",
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
+    "count(*) AS n_copies FROM documents GROUP BY md5(text)",
+)
+def q_dedup_exact(spark, sf_dir):
+    return pl.exact_duplicates(_docs(spark, sf_dir))
+
+
+_MINHASH_N = 16
+_MINHASH_BANDS = 4
+_MINHASH_THRESHOLD = 0.5
+
+
+def _minhash_oracle() -> str:
+    rows = _MINHASH_N // _MINHASH_BANDS
+    mins = ", ".join(
+        f"min(md5('{i}' || '|' || sh)) AS mh_{i}" for i in range(_MINHASH_N)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ") AS band_hash FROM sigs"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH {_TOKS}, {_SHINGLES},
+inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+sigs AS (SELECT doc_id, {mins} FROM inv GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, jaccard FROM (
+  SELECT c.a_id, c.b_id,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+) WHERE jaccard >= {_MINHASH_THRESHOLD}
+"""
+
+
+@_q("dedup_minhash", _minhash_oracle())
+def q_dedup_minhash(spark, sf_dir):
+    return pl.minhash_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+
+
+_SIMHASH_MAXDIST = 6
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN h & {1 << b} != 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(48)
+    )
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(48))
+    return f"""
+WITH {_TOKS},
+tok AS (
+  SELECT doc_id, ('0x' || substring(md5(t), 1, 12))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+),
+votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes),
+chunks AS (
+  SELECT doc_id, simhash, c.chunk, (simhash >> (c.chunk * 12)) & 4095 AS chunk_val
+  FROM fps, (VALUES (0), (1), (2), (3)) c(chunk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, hamming FROM cand WHERE hamming <= {_SIMHASH_MAXDIST}
+"""
+
+
+@_q("dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark, sf_dir):
+    res = pl.simhash_pairs(_docs(spark, sf_dir), max_distance=_SIMHASH_MAXDIST)
+    return res.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+_NGRAM_THRESHOLD = 0.5
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"WITH {_TOKS}, {_SHINGLES}, "
+    "sizes AS (SELECT doc_id, len(shingles) AS set_size FROM sh), "
+    "inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sh), "
+    "inter AS ("
+    "  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter"
+    "  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+    "  GROUP BY a.doc_id, b.doc_id"
+    ") "
+    "SELECT a_id, b_id, jaccard FROM ("
+    "  SELECT i.a_id, i.b_id,"
+    "         CAST(i.n_inter AS DOUBLE) / (za.set_size + zb.set_size - i.n_inter) AS jaccard"
+    "  FROM inter i"
+    "  JOIN sizes za ON za.doc_id = i.a_id"
+    "  JOIN sizes zb ON zb.doc_id = i.b_id"
+    f") WHERE jaccard >= {_NGRAM_THRESHOLD}",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return pl.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=_NGRAM_THRESHOLD
+    )
+
+
+_EMB_DIM = 64
+_EMB_THRESHOLD = 0.45
+
+_EMB_NORM = (
+    "v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings), "
+    "nv AS (SELECT vec_id, label, v, "
+    f"sqrt(list_sum(list_transform(range(1, {_EMB_DIM + 1}), i -> v[i] * v[i]))) AS nrm "
+    "FROM v)"
+)
+_EMB_DOT = (
+    f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), i -> a.v[i] * b.v[i]))"
+)
+
+
+@_q(
+    "dedup_embedding",
+    f"WITH {_EMB_NORM} "
+    "SELECT a_id, b_id, cos_sim FROM ("
+    f"  SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
+    f"         round({_EMB_DOT} / (a.nrm * b.nrm), 6) + 0.0 AS cos_sim"
+    "  FROM nv a JOIN nv b ON a.vec_id < b.vec_id"
+    f") WHERE cos_sim >= {_EMB_THRESHOLD}",
+)
+def q_dedup_embedding(spark, sf_dir):
+    res = pl.embedding_dup_pairs(_emb(spark, sf_dir), threshold=_EMB_THRESHOLD)
+    return res.select(
+        "a_id", "b_id", _r("cos_sim", 6, "cos_sim")
+    ).filter(F.col("cos_sim") >= _EMB_THRESHOLD)
+
+
+_ANN_K = 5
+_ANN_NQ = 8
+
+_ANN_SCORED = (
+    f"q AS (SELECT * FROM nv WHERE vec_id < {_ANN_NQ}), "
+    "scored AS ("
+    "  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+    f"         round({_EMB_DOT} / (a.nrm * b.nrm), 6) + 0.0 AS cos_sim"
+    "  FROM q a JOIN nv b ON b.vec_id <> a.vec_id{extra}"
+    ")"
+)
+
+
+@_q(
+    "ann_cosine_topk",
+    f"WITH {_EMB_NORM}, {_ANN_SCORED.format(extra='')} "
+    "SELECT query_id, rank, neighbor_id, cos_sim FROM ("
+    "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+    "    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank FROM scored"
+    f") WHERE rank <= {_ANN_K}",
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return pl.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K
+    )
+
+
+@_q(
+    "ann_cosine_topk_ivf",
+    f"WITH {_EMB_NORM}, {_ANN_SCORED.format(extra=' AND b.label = a.label')} "
+    "SELECT query_id, rank, neighbor_id, cos_sim FROM ("
+    "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+    "    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank FROM scored"
+    f") WHERE rank <= {_ANN_K}",
+)
+def q_ann_cosine_topk_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return pl.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K
+    )
+
+
+@_q(
+    "text_token_stats",
+    f"WITH {_TOKS} "
+    "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
+    "CAST(len(t.tk) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_distinct(t.tk)) AS BIGINT) AS n_uniq_tokens, "
+    "round(CAST(list_sum(list_transform(t.tk, x -> length(x))) AS DOUBLE) "
+    "  / greatest(len(t.tk), 1), 6) + 0.0 AS mean_token_len, "
+    "CAST(list_sum(list_transform(t.tk, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) "
+    "  AS BIGINT) AS n_bpe_pieces "
+    "FROM documents d JOIN toks t USING (doc_id)",
+)
+def q_text_token_stats(spark, sf_dir):
+    res = pl.token_stats(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("bigint").alias("n_uniq_tokens"),
+        (F.col("mean_token_len") + F.lit(0.0)).alias("mean_token_len"),
+        F.col("n_bpe_pieces").cast("bigint").alias("n_bpe_pieces"),
+    )
+
+
+_STOP_SQL = "(x = 'the' OR x = 'a' OR x = 'and' OR x = 'of' OR x = 'is')"
+
+
+@_q(
+    "text_quality",
+    f"WITH {_TOKS}, "
+    "c AS (SELECT doc_id, len(tk) AS n_tok, "
+    f"  len(list_filter(tk, x -> {_STOP_SQL})) AS n_stop, "
+    "  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) "
+    "    / greatest(len(tk), 1) AS mean_len "
+    "FROM toks) "
+    "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+    "CAST(n_stop AS BIGINT) AS n_stopwords, "
+    "round(0.4 * least(n_tok / 100.0, 1.0) "
+    "  + least(0.3, 0.6 * n_stop / greatest(n_tok, 1)) "
+    "  + 0.3 * least(mean_len / 8.0, 1.0), 6) + 0.0 AS quality "
+    "FROM c",
+)
+def q_text_quality(spark, sf_dir):
+    res = pl.quality_score(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_stopwords").cast("bigint").alias("n_stopwords"),
+        (F.col("quality") + F.lit(0.0)).alias("quality"),
+    )
+
+
+def _lang_filter_sql(lang_words) -> str:
+    return "(" + " OR ".join(f"x = '{w}'" for w in lang_words) + ")"
+
+
+def _lang_id_oracle() -> str:
+    from .pipeline.text import LANG_MARKERS
+
+    scores = ", ".join(
+        f"CAST(len(list_filter(tk, x -> {_lang_filter_sql(LANG_MARKERS[lang])})) AS BIGINT) AS score_{lang}"
+        for lang in ("en", "de", "fr", "es", "zh")
+    )
+    pred = (
+        "CASE WHEN score_en >= score_de AND score_en >= score_fr "
+        "AND score_en >= score_es AND score_en >= score_zh THEN 'en' "
+        "WHEN score_de >= score_fr AND score_de >= score_es "
+        "AND score_de >= score_zh THEN 'de' "
+        "WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr' "
+        "WHEN score_es >= score_zh THEN 'es' ELSE 'zh' END"
+    )
+    return (
+        f"WITH {_TOKS}, c AS (SELECT doc_id, {scores} FROM toks) "
+        f"SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh, "
+        f"{pred} AS pred_lang FROM c"
+    )
+
+
+@_q("text_lang_id", _lang_id_oracle())
+def q_text_lang_id(spark, sf_dir):
+    res = pl.lang_id(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        *[
+            F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}")
+            for lang in ("en", "de", "fr", "es", "zh")
+        ],
+        "pred_lang",
+    )
+
+
+@_q(
+    "text_fingerprint",
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+    "list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1), "
+    "i -> md5(substring(text, i, 8)))) AS fingerprint "
+    "FROM documents",
+)
+def q_text_fingerprint(spark, sf_dir):
+    res = pl.fingerprint(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), "fingerprint"
+    )
+
+
+_MM_FEATURES = 4
+
+
+def _multimodal_oracle() -> str:
+    feats = ", ".join(
+        f"CAST(('0x' || substring(md5(text), {2 * i + 1}, 2)) AS INTEGER) "
+        f"* 1.0 AS f{i}"
+        for i in range(_MM_FEATURES)
+    )
+    return (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, "
+        f"{feats} FROM documents"
+    )
+
+
+@_q("multimodal_features", _multimodal_oracle())
+def q_multimodal_features(spark, sf_dir):
+    df = pl.with_binary(_docs(spark, sf_dir))
+    return pl.decode_features(df, n_features=_MM_FEATURES)
+
+
+# ---------------------------------------------------------------------------
+# relational demos: the Catalyst-built-in surface over the same tables
+# ---------------------------------------------------------------------------
+
+# lineitem timestamps are micros-precision parquet -> Spark reads
+# timestamp_ntz (nanosAsLong only affects nanos columns like events.ts)
+_Q1_CUTOFF = "2024-06-01 00:00:00"
+
+
+@_q(
+    "tpch_q1",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE) AS sum_base_price, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22, 4))) AS DOUBLE) AS sum_disc_price, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(24, 6))) AS DOUBLE) AS sum_charge, "
+    "count(*) AS count_order "
+    "FROM lineitem "
+    f"WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q_tpch_q1(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+                "decimal(22,4)"
+            )
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
+            ).cast("decimal(24,6)")
+        )
+        .cast("double")
+        .alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+@_q(
+    "sessionize",
+    "WITH e AS ("
+    "  SELECT user_id, epoch_ns(ts) AS t,"
+    "         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER "
+    f"           (PARTITION BY user_id ORDER BY ts) > {_SESSION_GAP_NS} "
+    "           THEN 1 ELSE 0 END AS new_sess"
+    "  FROM events"
+    "), sess AS ("
+    "  SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY t "
+    "    ROWS UNBOUNDED PRECEDING) AS sess_id FROM e"
+    "), per AS ("
+    "  SELECT user_id, sess_id, count(*) AS n FROM sess GROUP BY user_id, sess_id"
+    ") "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
+    "CAST(max(n) AS BIGINT) AS max_session_events "
+    "FROM per GROUP BY user_id",
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (the batch shape of a streaming session
+    window): new session when the gap to the previous event exceeds 30
+    minutes."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    sess = ev.withColumn(
+        "new_sess", F.when(gap > _SESSION_GAP_NS, 1).otherwise(0)
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+    )
