@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Per-query time = wall-clock of building the plan + a full count()
+execution (kernel + shuffle + coordinate math all run; no driver-side
+collect of the payload). A warmup action runs first so JVM/Arrow
+startup is excluded, matching BASELINE.md's protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: flagship + one representative per SURVEY §2 family +
+# the four pipeline components (BASELINE.md protocol)
+HEADLINE = [
+    "dominant_frequency",
+    "rfft",
+    "fftconvolve",
+    "decimate_fir",
+    "decimate_iir",
+    "hilbert_envelope",
+    "sosfilt",
+    "sosfiltfilt",
+    "peak_widths",
+    "fftshift",
+    "resample",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "text_token_stats",
+    "text_quality",
+    "tpch_q1",
+    "sessionize",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from xarray_scipy_spark.session import get_spark
+    from xarray_scipy_spark.sources.tables import load_table
+
+    spark = get_spark("bench")
+    qs = e.queries()
+
+    # warmup: JVM + Arrow + python-worker pool spin-up, excluded from timing
+    load_table(spark, "events", SF_DIR).limit(100).count()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).count()
+        except Exception as ex:  # a failing query must not kill the bench
+            print(f"# bench error {name}: {ex}", file=sys.stderr)
+            times[name] = -1.0
+            continue
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

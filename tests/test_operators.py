@@ -225,9 +225,28 @@ def test_sosfilt_from_coefficient_dataframe(spark, sine_df):
     assert out.count() == NCHAN * NSAMP
 
 
-def test_sosfilt_zi_unsupported(sine_df):
-    with pytest.raises(NotImplementedError):
-        xss.sosfilt(np.zeros((1, 6)), sine_df, by=["channel"], dim="time", zi=[[0.0, 0.0]])
+def test_sosfilt_zi_seeded(sine_df, sine_pdf):
+    # zi seeding (beyond reference parity: its own zi path is broken,
+    # signal.py:417-419): steady-state initial conditions must match the
+    # kernel run with the same state, and differ from the zero-state run
+    from xarray_scipy_spark.kernels import butter_sos, sosfilt_zi
+    from xarray_scipy_spark.kernels.dsp import sosfilt_1d
+
+    sos = butter_sos(4, 0.3)
+    zi = sosfilt_zi(sos)
+    out = xss.sosfilt(sos, sine_df, by=["channel"], dim="time", zi=zi)
+    got = collect_series(out)
+    for ch in range(NCHAN):
+        x = sine_pdf[sine_pdf["channel"] == ch].sort_values("time")["value"].to_numpy()
+        want, _ = sosfilt_1d(sos, x, zi=zi)
+        np.testing.assert_allclose(got[ch][:, 0], want, atol=1e-10)
+        zero_state = sosfilt_1d(sos, x)
+        assert not np.allclose(want, zero_state)
+
+
+def test_sosfilt_zi_bad_shape(sine_df):
+    with pytest.raises(ValueError):
+        xss.sosfilt(np.zeros((2, 6)), sine_df, by=["channel"], dim="time", zi=[[0.0, 0.0]])
 
 
 # ---------------- peak_widths ----------------
@@ -267,3 +286,75 @@ def test_series_roundtrip(spark, sine_df, sine_pdf):
     np.testing.assert_allclose(row["value"], base)
     long = to_long(ser, by=["channel"], arrays=["time", "value"])
     assert long.count() == NCHAN * NSAMP
+
+
+# ---------------- batched core: mixed lengths, attrs, datetimes ----------------
+
+def test_mixed_length_series_batching(spark):
+    # series of different lengths share buckets; each must come back with
+    # its own n_in/offset/delta and a correct per-series transform
+    import pandas as pd
+
+    rows = []
+    rng = np.random.default_rng(7)
+    lengths = {f"s{i}": ln for i, ln in enumerate([8, 8, 13, 21, 21, 21, 34])}
+    series = {}
+    for key, ln in lengths.items():
+        x = rng.normal(size=ln)
+        series[key] = x
+        rows.append(pd.DataFrame({"key": key, "t": np.arange(ln) * 0.5 + 3.0, "value": x}))
+    df = spark.createDataFrame(pd.concat(rows, ignore_index=True)).repartition(3)
+
+    out = xss.fft(df, by=["key"], dim="t")
+    got = {}
+    for r in out.orderBy("key", "idx").collect():
+        got.setdefault(r["key"], []).append(r)
+    assert set(got) == set(lengths)
+    for key, rs in got.items():
+        want = np.fft.fft(series[key])
+        np.testing.assert_allclose([r["re"] for r in rs], want.real, atol=1e-9)
+        np.testing.assert_allclose([r["im"] for r in rs], want.imag, atol=1e-9)
+        assert all(r["n_in"] == lengths[key] for r in rs)
+        assert rs[0]["offset"] == pytest.approx(3.0)
+        assert rs[0]["delta"] == pytest.approx(0.5)
+
+
+def test_keep_attrs_fft_ifft_chain(spark, sine_pdf):
+    # reference `_keep_attrs` (signal.py:10-13): attrs must survive an
+    # fft -> ifft chain when keep_attrs=True
+    import pandas as pd
+
+    pdf = sine_pdf.copy()
+    pdf["attrs"] = [{"fs": str(FS)}] * len(pdf)
+    df = spark.createDataFrame(pdf)
+    spec = xss.fft(df, by=["channel"], dim="time", keep_attrs=True)
+    assert "attrs" in spec.columns
+    back = xss.ifft(
+        spec, by=["channel"], dim="frequency", newdim="t2",
+        values=["re", "im"], keep_attrs=True,
+    )
+    row = back.limit(1).collect()[0]
+    assert row["attrs"]["fs"] == str(FS)
+    # default (keep_attrs off): attrs dropped
+    spec2 = xss.fft(df, by=["channel"], dim="time")
+    assert "attrs" not in spec2.columns
+
+
+def test_hilbert_datetime_coords(spark):
+    # reference hilbert special-cases datetime coords (signal.py:316-321);
+    # here a timestamp order column must work and yield epoch-ns attrs
+    import datetime as dt
+    import pandas as pd
+
+    n = 64
+    t0 = dt.datetime(2024, 1, 1)
+    ts = pd.date_range(t0, periods=n, freq="250ms")
+    x = np.sin(2 * np.pi * 5 * np.arange(n) / n)
+    df = spark.createDataFrame(pd.DataFrame({"ch": 0, "ts": ts, "value": x}))
+    out = xss.hilbert(df, by=["ch"], dim="ts")
+    rows = out.orderBy("idx").collect()
+    assert len(rows) == n
+    env = np.hypot([r["re"] for r in rows], [r["im"] for r in rows])
+    assert np.median(env) == pytest.approx(1.0, rel=0.05)
+    # delta = 250ms in nanoseconds
+    assert rows[0]["delta"] == pytest.approx(250e6)

@@ -19,12 +19,23 @@ Spark translation (SURVEY.md §2.1):
   emits for free, so no second shuffle or join is ever needed for
   coordinates.
 
-Scale notes (100 TB design): exactly ONE shuffle per operator, keyed by
-the broadcast dims; group size is bounded by one series (the reference
-accepts the same bound via ``allow_rechunk`` — a series must fit one
-worker). Skewed series lengths are handled by AQE skew splitting on the
-exchange; chaining operators with the same ``by`` keys reuses the
-exchange (Catalyst sees identical hash partitioning).
+Batched execution (the 100 TB design):
+
+A naive translation keys the shuffle by the broadcast dims directly —
+one pandas group per series — which pays Arrow + pandas + kernel-call
+overhead once PER SERIES. With millions of short series that overhead
+dominates. Instead, the single-input primitive shuffles by
+``hash(broadcast dims) % n_buckets``: one pandas group per BUCKET, each
+holding many complete series. Inside the UDF the bucket is sorted once,
+series boundaries are found vectorized, equal-length series are stacked
+into ``(n_series, n)`` blocks, and the kernel runs once per block —
+numpy-vectorized ACROSS series (this is what makes the sequential IIR
+recursion scale: the per-sample loop runs once per block, not once per
+series). Still exactly ONE shuffle; bucket count scales with the
+cluster (default: 8x shuffle partitions), and AQE coalesces or splits
+buckets as sizes demand. A single series never spans buckets, so the
+per-worker memory bound is unchanged from the reference's own
+``allow_rechunk`` concession (one series must fit one worker).
 """
 
 from __future__ import annotations
@@ -33,13 +44,20 @@ from collections.abc import Callable, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["apply_series_kernel", "apply_cogrouped_kernel", "GROUP_ATTR_FIELDS"]
+__all__ = [
+    "apply_series_kernel",
+    "apply_cogrouped_kernel",
+    "resolve_keep_attrs",
+    "GROUP_ATTR_FIELDS",
+]
 
 # group-constant columns emitted by every kernel application; used by the
 # operator layer to build coordinate expressions natively in SQL
 GROUP_ATTR_FIELDS = "n_in bigint, offset double, delta double"
+
+_BUCKET = "__bucket__"
 
 
 def _ddl_of(df: DataFrame, cols: Sequence[str]) -> str:
@@ -47,21 +65,47 @@ def _ddl_of(df: DataFrame, cols: Sequence[str]) -> str:
     return ", ".join(f"{c} {by_field[c]}" for c in cols)
 
 
-def _sorted_group(pdf: pd.DataFrame, order: Sequence[str]) -> pd.DataFrame:
-    return pdf.sort_values(list(order), kind="mergesort")
+def resolve_keep_attrs(df: DataFrame, keep_attrs: bool | None) -> list[str]:
+    """The reference resolves a per-call/global attrs-propagation flag
+    (``_keep_attrs``, signal.py:10-13). Here: per-call ``keep_attrs``
+    falls back to the session conf ``spark.xarray_scipy_spark.keep_attrs``;
+    when on and the frame carries an ``attrs`` sidecar column
+    (group-constant map of metadata), it rides through the kernel."""
+    if keep_attrs is None:
+        keep_attrs = (
+            str(
+                df.sparkSession.conf.get("spark.xarray_scipy_spark.keep_attrs", "false")
+            ).lower()
+            == "true"
+        )
+    return ["attrs"] if keep_attrs and "attrs" in df.columns else []
 
 
-def _coord_attrs(coords: np.ndarray) -> tuple[int, float, float]:
-    """(n, offset, delta) of an equispaced coordinate array.
+def _coord_floats(col: pd.Series) -> np.ndarray:
+    """Coordinate column -> float64 array; datetimes become epoch-ns
+    (the reference special-cases datetime coords the same way its
+    ``hilbert`` does at signal.py:316-321 — numeric internally)."""
+    if str(col.dtype).startswith("datetime64"):
+        return col.to_numpy().astype("datetime64[ns]").view("int64").astype(float)
+    return col.to_numpy(dtype=float)
 
-    delta is the mean of consecutive diffs exactly as the reference's
-    ``_compute_delta`` (signal.py:16-17): for a sorted array the mean diff
-    telescopes to ``(last - first) / (n - 1)``.
-    """
-    n = len(coords)
-    offset = float(coords[0]) if n else 0.0
-    delta = float(coords[-1] - coords[0]) / (n - 1) if n > 1 else 0.0
-    return n, offset, abs(delta)
+
+def _series_bounds(pdf: pd.DataFrame, by: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end row offsets of each series in a bucket sorted by
+    ``by + order``: a new series starts where any key column changes."""
+    changed = np.zeros(len(pdf), dtype=bool)
+    changed[0] = True
+    for c in by:
+        a = pdf[c].to_numpy()
+        changed[1:] |= a[1:] != a[:-1]
+    starts = np.flatnonzero(changed)
+    ends = np.r_[starts[1:], len(pdf)]
+    return starts, ends
+
+
+def _default_buckets(df: DataFrame) -> int:
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(8 * parts, 64)
 
 
 def apply_series_kernel(
@@ -73,48 +117,97 @@ def apply_series_kernel(
     values: Sequence[str],
     out_fields: str,
     emit_idx: bool = True,
+    keep: Sequence[str] = (),
+    buckets: int | None = None,
 ) -> DataFrame:
-    """Apply a 1-D numpy kernel to each series group.
+    """Apply a batched numpy kernel to every series group.
 
     Parameters
     ----------
     df : long-form DataFrame (one row per sample).
-    kernel : ``kernel(coords, *value_arrays) -> dict[name, np.ndarray]``;
-        all returned arrays must share one length (the output series).
-    by : broadcast-dim columns (the partitioning key — reference's loop dims).
+    kernel : ``kernel(*blocks) -> dict[name, np.ndarray]`` where each
+        block is a ``(n_series, n)`` float64 matrix (one row per series,
+        equal length ``n`` within a call) and every returned array is
+        ``(n_series, m)`` — the kernel must be vectorized across rows
+        (numpy ops on the last axis are).
+    by : broadcast-dim columns (the series key — reference's loop dims).
     order : core-dim coordinate column (+ optional tie-break columns);
-        the first entry is the coordinate used for offset/delta.
-    values : value columns handed to the kernel as float64 numpy arrays.
+        the first entry supplies offset/delta (datetime ok — epoch-ns).
+    values : value columns handed to the kernel as float64 blocks.
     out_fields : DDL for the kernel's output columns,
         e.g. ``"re double, im double"``.
-    emit_idx : add ``idx bigint`` = 0..len-1 output position.
+    emit_idx : add ``idx bigint`` = 0..m-1 output position per series.
+    keep : group-constant columns passed through unchanged (attrs
+        sidecar, auxiliary metadata).
+    buckets : shuffle-key cardinality (default 8x shuffle partitions).
 
     Returns a long-form DataFrame with columns
-    ``[*by, idx?, *out_fields, n_in, offset, delta]``.
+    ``[*by, *keep, idx?, *out_fields, n_in, offset, delta]``.
     """
     order = [order] if isinstance(order, str) else list(order)
     by = list(by)
+    keep = list(keep)
     idx_field = "idx bigint, " if emit_idx else ""
-    schema = f"{_ddl_of(df, by)}, {idx_field}{out_fields}, {GROUP_ATTR_FIELDS}"
+    keep_ddl = (_ddl_of(df, keep) + ", ") if keep else ""
+    schema = f"{_ddl_of(df, by)}, {keep_ddl}{idx_field}{out_fields}, {GROUP_ATTR_FIELDS}"
+    out_names = [f.strip().split()[0] for f in out_fields.split(",")]
+    n_buckets = buckets if buckets is not None else _default_buckets(df)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _sorted_group(pdf, order)
-        coords = pdf[order[0]].to_numpy(dtype=float)
-        n, offset, delta = _coord_attrs(coords)
-        arrays = [pdf[v].to_numpy(dtype=float) for v in values]
-        out = kernel(coords, *arrays)
-        m = len(next(iter(out.values()))) if out else 0
-        res = pd.DataFrame(out)
+        pdf = pdf.sort_values(by + order, kind="mergesort")
+        starts, ends = _series_bounds(pdf, by)
+        lengths = ends - starts
+        coords = _coord_floats(pdf[order[0]])
+        offsets = coords[starts]
+        lasts = coords[ends - 1]
+        deltas = np.where(
+            lengths > 1, np.abs(lasts - offsets) / np.maximum(lengths - 1, 1), 0.0
+        )
+        vals = [pdf[v].to_numpy(dtype=float) for v in values]
+
+        pieces: list[dict[str, np.ndarray]] = []
+        for n in np.unique(lengths):
+            sel = np.flatnonzero(lengths == n)
+            s = starts[sel]
+            row_idx = (s[:, None] + np.arange(n)).ravel()
+            blocks = [v[row_idx].reshape(len(s), n) for v in vals]
+            out = kernel(*blocks)
+            first = next(iter(out.values()))
+            m = np.atleast_2d(first).shape[1]
+            piece = {
+                "__rep__": np.repeat(s, m),  # row index of each series head
+                "n_in": np.full(len(s) * m, n, dtype=np.int64),
+                "offset": np.repeat(offsets[sel], m),
+                "delta": np.repeat(deltas[sel], m),
+            }
+            if emit_idx:
+                piece["idx"] = np.tile(np.arange(m, dtype=np.int64), len(s))
+            for name in out_names:
+                piece[name] = np.atleast_2d(out[name]).ravel()
+            pieces.append(piece)
+
+        cat = {
+            k: np.concatenate([p[k] for p in pieces])
+            for k in pieces[0]
+        } if pieces else {}
+        rep = cat.pop("__rep__", np.array([], dtype=np.int64))
+        res = pd.DataFrame(index=np.arange(len(rep)))
+        for c in by + keep:
+            res[c] = pdf[c].to_numpy()[rep]
         if emit_idx:
-            res.insert(0, "idx", np.arange(m, dtype=np.int64))
-        for k in reversed(by):
-            res.insert(0, k, pdf[k].iloc[0])
-        res["n_in"] = np.int64(n)
-        res["offset"] = offset
-        res["delta"] = delta
+            res["idx"] = cat["idx"] if pieces else np.array([], dtype=np.int64)
+        for name in out_names:
+            res[name] = cat[name] if pieces else np.array([], dtype=float)
+        for g in ("n_in", "offset", "delta"):
+            res[g] = cat[g] if pieces else np.array([], dtype=float)
         return res
 
-    return df.groupBy(*by).applyInPandas(run, schema=schema)
+    bucket = F.pmod(F.xxhash64(*by), F.lit(n_buckets))
+    return (
+        df.withColumn(_BUCKET, bucket)
+        .groupBy(_BUCKET)
+        .applyInPandas(run, schema=schema)
+    )
 
 
 def apply_cogrouped_kernel(
@@ -129,6 +222,7 @@ def apply_cogrouped_kernel(
     values2: Sequence[str],
     out_fields: str,
     emit_idx: bool = True,
+    keep: Sequence[str] = (),
 ) -> DataFrame:
     """Two-input variant (convolution's pair of signals, peak_widths'
     signal ⋈ peak-indices pairing, reference signal.py:84-105, 353-360).
@@ -136,31 +230,33 @@ def apply_cogrouped_kernel(
     Both inputs are shuffled once on the same ``by`` keys and co-located
     (``groupBy().cogroup().applyInPandas``). Groups present on only one
     side are skipped (empty result), mirroring an inner alignment.
-    ``kernel(coords1, *arrays1, coords2, *arrays2) -> dict``.
+    ``kernel(coords1, *arrays1, coords2, *arrays2) -> dict`` of 1-D
+    arrays (per-pair call — pair shapes differ too much to block-batch).
     Group attrs (n_in/offset/delta) describe input 1.
     """
     order1 = [order1] if isinstance(order1, str) else list(order1)
     order2 = [order2] if isinstance(order2, str) else list(order2)
     by = list(by)
+    keep = list(keep)
     # Fresh attribute IDs on the right side: when both inputs share lineage
     # (self-convolution, two filters of one cache), Spark's self-join
     # dedup otherwise prunes the right cogroup input down to the key.
-    from pyspark.sql import functions as F
-
     df2 = df2.select(*[F.col(c).alias(c) for c in df2.columns])
     idx_field = "idx bigint, " if emit_idx else ""
-    schema = f"{_ddl_of(df1, by)}, {idx_field}{out_fields}, {GROUP_ATTR_FIELDS}"
+    keep_ddl = (_ddl_of(df1, keep) + ", ") if keep else ""
+    schema = f"{_ddl_of(df1, by)}, {keep_ddl}{idx_field}{out_fields}, {GROUP_ATTR_FIELDS}"
 
     def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
-            return pd.DataFrame(
-                {f.split()[0]: [] for f in schema.split(", ")}
-            ).iloc[0:0]
-        left = _sorted_group(left, order1)
-        right = _sorted_group(right, order2)
-        coords1 = left[order1[0]].to_numpy(dtype=float)
-        coords2 = right[order2[0]].to_numpy(dtype=float)
-        n, offset, delta = _coord_attrs(coords1)
+            cols = [f.strip().split()[0] for f in schema.split(", ")]
+            return pd.DataFrame({c: [] for c in cols}).iloc[0:0]
+        left = left.sort_values(order1, kind="mergesort")
+        right = right.sort_values(order2, kind="mergesort")
+        coords1 = _coord_floats(left[order1[0]])
+        coords2 = _coord_floats(right[order2[0]])
+        n = len(coords1)
+        offset = float(coords1[0]) if n else 0.0
+        delta = abs(float(coords1[-1] - coords1[0])) / (n - 1) if n > 1 else 0.0
         arrays1 = [left[v].to_numpy(dtype=float) for v in values1]
         arrays2 = [right[v].to_numpy(dtype=float) for v in values2]
         out = kernel(coords1, *arrays1, coords2, *arrays2)
@@ -168,7 +264,7 @@ def apply_cogrouped_kernel(
         res = pd.DataFrame(out)
         if emit_idx:
             res.insert(0, "idx", np.arange(m, dtype=np.int64))
-        for k in reversed(by):
+        for k in reversed(by + keep):
             res.insert(0, k, left[k].iloc[0])
         res["n_in"] = np.int64(n)
         res["offset"] = offset

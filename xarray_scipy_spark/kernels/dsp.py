@@ -30,26 +30,30 @@ __all__ = [
 
 
 def fftconvolve_1d(x: np.ndarray, y: np.ndarray, mode: str = "full") -> np.ndarray:
-    """FFT-based linear convolution of two 1-D arrays.
+    """FFT-based linear convolution along the last axis.
 
     Mirrors ``scipy.signal.fftconvolve`` semantics used at
     reference signal.py:84-105: ``full`` -> n1+n2-1, ``same`` -> n1
     (centered), ``valid`` unsupported exactly like the reference
-    (signal.py:77 returns NotImplemented for it).
+    (signal.py:77 returns NotImplemented for it). Inputs may be
+    ``(n,)`` or batched ``(k, n)`` (broadcast rules apply: a batched
+    signal against one shared 1-D kernel is the common case).
     """
     x = np.asarray(x, dtype=float)
     y = np.asarray(y, dtype=float)
-    n1, n2 = len(x), len(y)
+    n1, n2 = x.shape[-1], y.shape[-1]
     if mode not in ("full", "same"):
         raise NotImplementedError(
             "mode='valid' is unsupported (reference parity, signal.py:77)"
         )
     nfull = n1 + n2 - 1
     nfft = 1 << (nfull - 1).bit_length()  # next power of two
-    out = np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(y, nfft), nfft)[:nfull]
+    out = np.fft.irfft(
+        np.fft.rfft(x, nfft, axis=-1) * np.fft.rfft(y, nfft, axis=-1), nfft, axis=-1
+    )[..., :nfull]
     if mode == "same":
         start = (n2 - 1) // 2
-        out = out[start : start + n1]
+        out = out[..., start : start + n1]
     return out
 
 
@@ -57,12 +61,13 @@ def hilbert_1d(x: np.ndarray, n: int | None = None) -> np.ndarray:
     """Analytic signal via the frequency-domain method
     (``scipy.signal.hilbert`` definition; reference signal.py:279-327).
 
+    Operates along the last axis (``(n,)`` or batched ``(k, n)``).
     Returns complex ``analytic = x + i * H(x)`` of length ``n`` (defaults
-    to ``len(x)``; longer n zero-pads, shorter truncates — same as scipy).
+    to ``x.shape[-1]``; longer n zero-pads, shorter truncates — scipy).
     """
     x = np.asarray(x, dtype=float)
     if n is None:
-        n = len(x)
+        n = x.shape[-1]
     if n <= 0:
         raise ValueError("N must be positive")
     xf = np.fft.fft(x, n)
@@ -86,23 +91,23 @@ def resample_fourier(x: np.ndarray, num: int) -> np.ndarray:
     (upsample) to keep the result real and energy placement correct.
     """
     x = np.asarray(x, dtype=float)
-    n = len(x)
+    n = x.shape[-1]
     if num == n:
         return x.copy()
-    xf = np.fft.fft(x)
-    yf = np.zeros(num, dtype=complex)
+    xf = np.fft.fft(x, axis=-1)
+    yf = np.zeros((*x.shape[:-1], num), dtype=complex)
     m = min(n, num)
     nyq = m // 2 + 1
-    yf[:nyq] = xf[:nyq]
+    yf[..., :nyq] = xf[..., :nyq]
     if m > 2:
-        yf[num - (m - nyq) :] = xf[n - (m - nyq) :]
+        yf[..., num - (m - nyq) :] = xf[..., n - (m - nyq) :]
     if m % 2 == 0:
         if num < n:  # downsample: fold the aliased negative-Nyquist bin in
-            yf[m // 2] += xf[n - m // 2]
+            yf[..., m // 2] += xf[..., n - m // 2]
         else:  # upsample: split the Nyquist bin symmetrically
-            yf[m // 2] *= 0.5
-            yf[num - m // 2] = yf[m // 2]
-    return np.fft.ifft(yf).real * (num / float(n))
+            yf[..., m // 2] *= 0.5
+            yf[..., num - m // 2] = yf[..., m // 2]
+    return np.fft.ifft(yf, axis=-1).real * (num / float(n))
 
 
 def sosfilt_1d(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
@@ -230,7 +235,7 @@ def decimate_1d(
             y = fftconvolve_1d(x, h, mode="same") if numtaps > 1 else x
         else:
             full = fftconvolve_1d(x, h, mode="full")
-            y = full[: len(x)]
+            y = full[..., : x.shape[-1]]
     else:
         raise ValueError(f"ftype must be 'iir' or 'fir', got {ftype!r}")
-    return y[::q]
+    return y[..., ::q]

@@ -32,7 +32,7 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..core import apply_series_kernel
+from ..core import apply_series_kernel, resolve_keep_attrs
 from ..functions.coords import fft_coord, rfft_coord
 
 __all__ = ["fft", "ifft", "rfft", "irfft", "hfft", "ihfft", "fftshift", "ifftshift"]
@@ -53,6 +53,7 @@ def _make_fft(kind: str, inverse: bool, real: bool = False, hermitian: bool = Fa
         n: int | None = None,
         norm: str | None = None,
         order: str | Sequence[str] | None = None,
+        keep_attrs: bool | None = None,
     ) -> DataFrame:
         if newdim in list(by) or newdim == dim:
             # reference collision check, signal.py:223-224
@@ -60,9 +61,9 @@ def _make_fft(kind: str, inverse: bool, real: bool = False, hermitian: bool = Fa
         values = list(values)
         npfunc = getattr(np.fft, kind)
 
-        def kernel(coords, *arrays):
-            x = arrays[0] if len(arrays) == 1 else arrays[0] + 1j * arrays[1]
-            out = npfunc(x, n=n, norm=norm)
+        def kernel(*blocks):
+            x = blocks[0] if len(blocks) == 1 else blocks[0] + 1j * blocks[1]
+            out = npfunc(x, n=n, norm=norm, axis=-1)
             if complex_out:
                 return {"re": np.real(out).astype(float), "im": np.imag(out).astype(float)}
             return {"value": np.real(out).astype(float)}
@@ -83,6 +84,7 @@ def _make_fft(kind: str, inverse: bool, real: bool = False, hermitian: bool = Fa
             order=order,
             values=values,
             out_fields=out_fields,
+            keep=resolve_keep_attrs(df, keep_attrs),
         )
 
         # logical DFT size for the coordinate formula (signal.py:199-219)

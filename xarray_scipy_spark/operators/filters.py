@@ -4,15 +4,17 @@ Reference: ``/root/reference/xarray_scipy/signal.py:403-461``. The
 recursion is inherently sequential along the core dim; the reference's
 answer is ``allow_rechunk=True`` (signal.py:422, 452) — force the whole
 time axis into one block per series. Ours is the same concession made
-explicit: one shuffle groups each full series onto one worker, the
-cascaded-biquad kernel is numpy-vectorized ACROSS the series sharing a
-worker (so many short series cost one Python loop, not many).
+explicit — one shuffle co-locates each full series — but batched: many
+series share one bucket, the cascaded-biquad kernel runs once per
+equal-length block numpy-vectorized ACROSS series, so the per-sample
+recursion loop is paid once per block, not once per series
+(:func:`xarray_scipy_spark.core.apply_series_kernel`).
 
 Scale path beyond reference parity (SURVEY.md §7 "hard parts"): for a
 single series longer than worker memory, overlap-and-discard chunked
-filtering with per-chunk ``zi`` handoff, or
-``applyInPandasWithState`` under Structured Streaming
-(:mod:`xarray_scipy_spark.streaming.stateful`). Batch parity ships here.
+filtering with per-chunk ``zi`` handoff (the kernel returns final
+state), or ``applyInPandasWithState`` under Structured Streaming
+(:mod:`xarray_scipy_spark.streaming.stateful`).
 
 The SOS coefficient matrix is tiny (n_sections × 6) and rides into the
 UDF closure — the moral equivalent of a broadcast join against every
@@ -21,8 +23,11 @@ signal.py:415-418).
 
 ``zi``: the reference's ``zi`` pass-through is broken by construction
 (scipy returns a (y, zf) tuple that violates the declared single output,
-signal.py:417-419 — SURVEY.md §2.2 #16), i.e. effectively unsupported;
-we raise explicitly instead of failing downstream.
+signal.py:417-419 — SURVEY.md §2.2 #16). Here ``zi`` IS supported: a
+``(n_sections, 2)`` initial state applied to every series (the chunked
+long-series scale path needs it); the final state is not emitted in the
+long-form result (it is per-series, not per-sample — use the kernel
+directly for chunk handoff).
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import DataFrame
 
-from ..core import apply_series_kernel
+from ..core import apply_series_kernel, resolve_keep_attrs
 from ..functions.coords import linear_coord
 from ..kernels.dsp import sosfilt_1d, sosfiltfilt_1d
 
@@ -70,24 +75,39 @@ def sosfilt(
     dim: str,
     value: str = "value",
     zi=None,
+    keep_attrs: bool | None = None,
 ) -> DataFrame:
     """Forward IIR filter in second-order-sections form along ``dim``.
+
+    ``zi``: optional ``(n_sections, 2)`` initial conditions applied to
+    each series (scipy's per-series zi shape, broadcast across series).
 
     Output ``[*by, idx, value, <dim>, n_in, offset, delta]``, length
     preserved, coordinate passed through as ``offset + idx·delta``.
     """
-    if zi is not None:
-        raise NotImplementedError(
-            "zi is unsupported (reference parity: its zi path violates the "
-            "declared single-output contract, signal.py:417-419)"
-        )
     sos = _as_sos(sos)
+    if zi is not None:
+        zi = np.asarray(zi, dtype=float)
+        if zi.shape != (sos.shape[0], 2):
+            raise ValueError(
+                f"zi must have shape (n_sections, 2) = {(sos.shape[0], 2)}, "
+                f"got {zi.shape}"
+            )
 
-    def kernel(coords, x):
-        return {"value": sosfilt_1d(sos, x)}
+    def kernel(x):
+        if zi is None:
+            return {"value": sosfilt_1d(sos, x)}
+        y, _zf = sosfilt_1d(sos, x, zi=zi)
+        return {"value": y}
 
     res = apply_series_kernel(
-        df, kernel, by=by, order=dim, values=[value], out_fields="value double"
+        df,
+        kernel,
+        by=by,
+        order=dim,
+        values=[value],
+        out_fields="value double",
+        keep=resolve_keep_attrs(df, keep_attrs),
     )
     return res.withColumn(dim, linear_coord("idx", "offset", "delta"))
 
@@ -101,16 +121,23 @@ def sosfiltfilt(
     value: str = "value",
     padtype: str = "odd",
     padlen: int | None = None,
+    keep_attrs: bool | None = None,
 ) -> DataFrame:
     """Zero-phase forward-backward IIR filter (signal.py:433-461)."""
     if padtype != "odd":
         raise NotImplementedError("only padtype='odd' is supported")
     sos = _as_sos(sos)
 
-    def kernel(coords, x):
+    def kernel(x):
         return {"value": sosfiltfilt_1d(sos, x, padlen=padlen)}
 
     res = apply_series_kernel(
-        df, kernel, by=by, order=dim, values=[value], out_fields="value double"
+        df,
+        kernel,
+        by=by,
+        order=dim,
+        values=[value],
+        out_fields="value double",
+        keep=resolve_keep_attrs(df, keep_attrs),
     )
     return res.withColumn(dim, linear_coord("idx", "offset", "delta"))

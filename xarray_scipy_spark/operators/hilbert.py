@@ -14,7 +14,7 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from ..core import apply_series_kernel
+from ..core import apply_series_kernel, resolve_keep_attrs
 from ..functions.complexsql import magnitude
 from ..functions.coords import linear_coord
 from ..kernels.dsp import hilbert_1d
@@ -29,6 +29,7 @@ def hilbert(
     dim: str,
     value: str = "value",
     n: int | None = None,
+    keep_attrs: bool | None = None,
 ) -> DataFrame:
     """Analytic signal along ``dim`` per group.
 
@@ -39,12 +40,18 @@ def hilbert(
     arithmetic (coords are kept numeric/epoch internally, SURVEY.md §7).
     """
 
-    def kernel(coords, x):
+    def kernel(x):
         out = hilbert_1d(x, n=n)
         return {"re": np.real(out), "im": np.imag(out)}
 
     res = apply_series_kernel(
-        df, kernel, by=by, order=dim, values=[value], out_fields="re double, im double"
+        df,
+        kernel,
+        by=by,
+        order=dim,
+        values=[value],
+        out_fields="re double, im double",
+        keep=resolve_keep_attrs(df, keep_attrs),
     )
     if n is None:
         coord = linear_coord("idx", "offset", "delta")

@@ -34,8 +34,14 @@ def peak_widths(
     peak: str = "peak",
     index: str = "index",
     rel_height: float = 0.5,
+    wlen: int | None = None,
 ) -> DataFrame:
     """Width of each listed peak at ``rel_height`` of its prominence.
+
+    ``wlen`` bounds the window used for prominence bases (forwarded to
+    the kernel — the reference forwards arbitrary ``**kwargs`` to scipy
+    at signal.py:330/369; ``rel_height`` and ``wlen`` are the complete
+    scipy.signal.peak_widths keyword surface).
 
     ``xdf``: long-form signal ``[*by, dim, value]``; ``peaks_df``: peak
     positions ``[*by, peak, index]`` (``index`` = sample position of the
@@ -47,7 +53,7 @@ def peak_widths(
 
     def kernel(coords_x, x, coords_p, peak_ids, indices):
         widths, heights, lips, rips = _peak_widths_np(
-            x, indices.astype(np.intp), rel_height=rel_height
+            x, indices.astype(np.intp), rel_height=rel_height, wlen=wlen
         )
         return {
             "peak": peak_ids.astype(np.int64),

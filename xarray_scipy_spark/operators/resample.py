@@ -13,7 +13,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..core import apply_series_kernel
+from ..core import apply_series_kernel, resolve_keep_attrs
 from ..functions.coords import linear_coord
 from ..kernels.dsp import decimate_1d, resample_fourier
 
@@ -30,6 +30,7 @@ def decimate(
     n: int | None = None,
     ftype: str = "iir",
     zero_phase: bool = True,
+    keep_attrs: bool | None = None,
 ) -> DataFrame:
     """Anti-alias filter + downsample by integer factor ``q``.
 
@@ -40,11 +41,17 @@ def decimate(
     signal.py:143-145 which silently truncates — divergence documented).
     """
 
-    def kernel(coords, x):
+    def kernel(x):
         return {"value": decimate_1d(x, q, n=n, ftype=ftype, zero_phase=zero_phase)}
 
     res = apply_series_kernel(
-        df, kernel, by=by, order=dim, values=[value], out_fields="value double"
+        df,
+        kernel,
+        by=by,
+        order=dim,
+        values=[value],
+        out_fields="value double",
+        keep=resolve_keep_attrs(df, keep_attrs),
     )
     new_delta = F.col("delta") * F.lit(float(q))
     return res.withColumn(dim, linear_coord("idx", "offset", new_delta))
@@ -59,6 +66,7 @@ def resample(
     value: str = "value",
     window=None,
     domain: str = "time",
+    keep_attrs: bool | None = None,
 ) -> DataFrame:
     """Fourier-method resample to exactly ``num`` samples per series.
 
@@ -75,11 +83,17 @@ def resample(
     if domain != "time":
         raise NotImplementedError("only domain='time' is supported")
 
-    def kernel(coords, x):
+    def kernel(x):
         return {"value": resample_fourier(x, num)}
 
     res = apply_series_kernel(
-        df, kernel, by=by, order=dim, values=[value], out_fields="value double"
+        df,
+        kernel,
+        by=by,
+        order=dim,
+        values=[value],
+        out_fields="value double",
+        keep=resolve_keep_attrs(df, keep_attrs),
     )
     new_delta = F.col("n_in").cast("double") * F.col("delta") / F.lit(float(num))
     return res.withColumn(dim, linear_coord("idx", "offset", new_delta))
