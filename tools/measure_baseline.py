@@ -1,0 +1,120 @@
+"""Measure the self-defined BASELINE (BASELINE.md protocol).
+
+Comparator: single-node pandas + the repo's own numpy kernels (the same
+math scipy would run — scipy itself is unavailable here), applied in a
+per-group loop over the same grouping keys the Spark operators use.
+Data: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1). Metric:
+wall-clock sec/op, median of 3 runs, after one warmup.
+
+Prints one JSON object with per-op medians; paste into BASELINE.md and
+freeze.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xarray_scipy_spark.kernels.dsp import (  # noqa: E402
+    decimate_1d,
+    fftconvolve_1d,
+    hilbert_1d,
+    sosfiltfilt_1d,
+)
+from xarray_scipy_spark.kernels.filter_design import butter_sos  # noqa: E402
+from xarray_scipy_spark.kernels.peaks import peak_widths  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = 3
+
+
+def load_events() -> list[np.ndarray]:
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts"], kind="mergesort")
+    return [g["value"].to_numpy(dtype=float) for _, g in ev.groupby("user_id")]
+
+
+def main() -> int:
+    series = load_events()
+    nseries = len(series)
+    total = sum(len(s) for s in series)
+    sos = butter_sos(4, 0.25)
+
+    def flagship():
+        for x in series:
+            sp = np.fft.rfft(x)
+            mag = np.abs(sp[1:])
+            int(np.argmax(mag)) + 1
+
+    def op_rfft():
+        for x in series:
+            np.fft.rfft(x)
+
+    def op_fftconvolve():
+        for x in series:
+            fftconvolve_1d(x, x, mode="full")
+
+    def op_decimate():
+        for x in series:
+            decimate_1d(x, 4)
+
+    def op_hilbert():
+        for x in series:
+            np.abs(hilbert_1d(x))
+
+    def op_sosfiltfilt():
+        for x in series:
+            sosfiltfilt_1d(sos, x)
+
+    def op_peak_widths():
+        for x in series:
+            interior = np.flatnonzero(
+                (x[1:-1] > x[:-2]) & (x[1:-1] > x[2:])
+            ) + 1
+            if len(interior):
+                peak_widths(x, interior.astype(np.intp))
+
+    ops = {
+        "flagship_dominant_frequency": flagship,
+        "rfft": op_rfft,
+        "fftconvolve": op_fftconvolve,
+        "decimate_iir_q4": op_decimate,
+        "hilbert_envelope": op_hilbert,
+        "sosfiltfilt": op_sosfiltfilt,
+        "peak_widths": op_peak_widths,
+    }
+
+    out: dict[str, float] = {}
+    for name, fn in ops.items():
+        fn()  # warmup
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        out[name] = round(float(np.median(samples)), 3)
+        print(f"# {name}: {out[name]}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": SF_DIR,
+                "n_series": nseries,
+                "n_samples_total": total,
+                "runs": RUNS,
+                "oracle_sec": out,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -685,19 +685,25 @@ _MINHASH_THRESHOLD = 0.5
 
 
 def _minhash_oracle() -> str:
+    from .pipeline.hashes import MINHASH_P, minhash_coeffs
+
     rows = _MINHASH_N // _MINHASH_BANDS
     mins = ", ".join(
-        f"min(md5('{i}' || '|' || sh)) AS mh_{i}" for i in range(_MINHASH_N)
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(_MINHASH_N))
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + " || '|' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         + ") AS band_hash FROM sigs"
         for b in range(_MINHASH_BANDS)
     )
     return f"""
 WITH {_TOKS}, {_SHINGLES},
-inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+inv AS (SELECT doc_id, sh, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS x
+        FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh)),
 sigs AS (SELECT doc_id, {mins} FROM inv GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (

@@ -16,7 +16,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["tokens", "word_shingles", "h60", "h48", "seeded_md5"]
+__all__ = [
+    "tokens",
+    "word_shingles",
+    "h60",
+    "h48",
+    "h32",
+    "seeded_md5",
+    "minhash_coeffs",
+    "MINHASH_P",
+]
 
 
 def _c(x) -> Column:
@@ -61,3 +70,33 @@ def seeded_md5(seed: int, col) -> Column:
     """md5 of ``"<seed>|<value>"`` as a hex string; min() over these is a
     valid MinHash (uniform order statistics over the hex ordering)."""
     return F.md5(F.concat_ws("|", F.lit(str(seed)), _c(col)))
+
+
+def h32(col) -> Column:
+    """32-bit hash: first 8 hex chars of md5, base-16 (fits a signed
+    BIGINT with room for the affine-permutation arithmetic below).
+
+    DuckDB equivalent: ``('0x' || substring(md5(x), 1, 8))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("bigint")
+
+
+# affine MinHash permutations over the 32-bit hash space:
+# pi_i(x) = (A_i * x + B_i) mod P. P is the smallest prime > 2^32;
+# A_i < 2^30 keeps A_i * x < 2^62 (no BIGINT overflow in either engine).
+# A/B are md5-derived so both engines inline identical literals.
+MINHASH_P = 4_294_967_311
+
+
+def minhash_coeffs(n: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs for n affine permutations."""
+    import hashlib
+
+    out = []
+    for i in range(n):
+        ha = hashlib.md5(f"minhash-a|{i}".encode()).hexdigest()
+        hb = hashlib.md5(f"minhash-b|{i}".encode()).hexdigest()
+        a = (int(ha[:8], 16) % ((1 << 30) - 1)) | 1  # odd, < 2^30
+        b = int(hb[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
