@@ -1,8 +1,15 @@
 """Measure the self-defined BASELINE (BASELINE.md protocol).
 
-Comparator: single-node pandas + the repo's own numpy kernels (the same
-math scipy would run — scipy itself is unavailable here), applied in a
-per-group loop over the same grouping keys the Spark operators use.
+Two comparator classes, both complete single-node programs (parquet
+load INCLUDED in the timed region — Spark pays the scan per query, so
+the oracle must too):
+
+- DSP ops: pandas + the repo's own numpy kernels (the same math scipy
+  would run — scipy itself is unavailable here), per-group loop over
+  the same grouping keys the Spark operators use.
+- pipeline/relational ops: DuckDB running the exact ``oracle_sql()``
+  text from the driver contract over the same parquet files.
+
 Data: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1). Metric:
 wall-clock sec/op, median of 3 runs, after one warmup.
 
@@ -41,40 +48,55 @@ def load_events() -> list[np.ndarray]:
     return [g["value"].to_numpy(dtype=float) for _, g in ev.groupby("user_id")]
 
 
+# pipeline / relational queries timed via their exact contract oracle SQL
+DUCKDB_OPS = [
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "text_token_stats",
+    "text_quality",
+    "tpch_q1",
+    "sessionize",
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
 def main() -> int:
-    series = load_events()
-    nseries = len(series)
-    total = sum(len(s) for s in series)
     sos = butter_sos(4, 0.25)
 
     def flagship():
-        for x in series:
+        for x in load_events():
             sp = np.fft.rfft(x)
             mag = np.abs(sp[1:])
             int(np.argmax(mag)) + 1
 
     def op_rfft():
-        for x in series:
+        for x in load_events():
             np.fft.rfft(x)
 
     def op_fftconvolve():
-        for x in series:
+        for x in load_events():
             fftconvolve_1d(x, x, mode="full")
 
     def op_decimate():
-        for x in series:
+        for x in load_events():
             decimate_1d(x, 4)
 
     def op_hilbert():
-        for x in series:
+        for x in load_events():
             np.abs(hilbert_1d(x))
 
     def op_sosfiltfilt():
-        for x in series:
+        for x in load_events():
             sosfiltfilt_1d(sos, x)
 
     def op_peak_widths():
-        for x in series:
+        for x in load_events():
             interior = np.flatnonzero(
                 (x[1:-1] > x[:-2]) & (x[1:-1] > x[2:])
             ) + 1
@@ -82,14 +104,25 @@ def main() -> int:
                 peak_widths(x, interior.astype(np.intp))
 
     ops = {
-        "flagship_dominant_frequency": flagship,
+        "dominant_frequency": flagship,
         "rfft": op_rfft,
         "fftconvolve": op_fftconvolve,
-        "decimate_iir_q4": op_decimate,
+        "decimate_iir": op_decimate,
         "hilbert_envelope": op_hilbert,
         "sosfiltfilt": op_sosfiltfilt,
         "peak_widths": op_peak_widths,
     }
+
+    import duckdb
+
+    from xarray_scipy_spark.contract import ORACLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    for name in DUCKDB_OPS:
+        sql = ORACLES[name]
+        ops[name] = lambda sql=sql: con.sql(sql).fetchall()
 
     out: dict[str, float] = {}
     for name, fn in ops.items():
@@ -102,12 +135,13 @@ def main() -> int:
         out[name] = round(float(np.median(samples)), 3)
         print(f"# {name}: {out[name]}s", file=sys.stderr)
 
+    ev_series = load_events()
     print(
         json.dumps(
             {
                 "sf_dir": SF_DIR,
-                "n_series": nseries,
-                "n_samples_total": total,
+                "n_series": len(ev_series),
+                "n_samples_total": sum(len(s) for s in ev_series),
                 "runs": RUNS,
                 "oracle_sec": out,
             }

@@ -26,7 +26,15 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .hashes import MINHASH_P, h32, h48, minhash_coeffs, tokens, word_shingles
+from .hashes import (
+    MINHASH_P,
+    h32,
+    h48,
+    minhash_coeffs,
+    spread,
+    tokens,
+    word_shingles,
+)
 
 __all__ = [
     "exact_duplicates",
@@ -62,8 +70,16 @@ def exact_duplicates(
 def _with_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), word_shingles(tokens(text_col), k=k).alias("shingles")
+    # Materialize the token array in its own projection: inlining
+    # ``tokens(text)`` directly into ``word_shingles`` would substitute
+    # the split+filter subtree into every per-gram ``element_at``, so
+    # the tokenizer would re-run ~k times PER SHINGLE (measured ~10x
+    # slowdown). Two projections keep it evaluated once per row —
+    # CollapseProject declines to merge because the reference is
+    # non-cheap and repeated.
+    tok = spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("toks"))
+    return tok.select(
+        F.col(id_col), word_shingles(F.col("toks"), k=k).alias("shingles")
     )
 
 
@@ -92,9 +108,16 @@ def minhash_signatures(
     (they cannot near-duplicate anything under this family).
     """
     sh = _with_shingles(df, id_col, text_col, k)
-    hashed = sh.select(
-        F.col(id_col), F.explode("shingles").alias("sh")
-    ).withColumn("x", h32(F.col("sh")))
+    # explode_outer (+ null filter) instead of explode: plain explode
+    # triggers InferFiltersFromGenerate, which pushes a size()>0 filter
+    # below the repartition with the whole shingle expression re-inlined
+    # — re-running the tokenizer serially on the unsplit scan (measured
+    # 8.6s -> 0.4s on sf0.1 documents).
+    hashed = (
+        sh.select(F.col(id_col), F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .withColumn("x", h32(F.col("sh")))
+    )
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
@@ -205,7 +228,11 @@ def ngram_jaccard_pairs(
     sizes = sh.select(
         F.col(id_col), F.size("shingles").alias("set_size")
     )
-    inv = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    # explode_outer + null filter: see minhash_signatures (generator
+    # filter inference would re-inline the shingle pipeline into the scan)
+    inv = sh.select(
+        F.col(id_col), F.explode_outer("shingles").alias("sh")
+    ).filter(F.col("sh").isNotNull())
     if max_df is not None:
         w = Window.partitionBy("sh")
         inv = inv.withColumn("df_", F.count(F.lit(1)).over(w)).filter(
@@ -258,9 +285,12 @@ def simhash_fingerprints(
     codegen'd (a nested higher-order-function formulation is
     interpreted per element and orders of magnitude slower).
     """
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", h48(F.col("tok")))
+    toks = spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("toks"))
+    tok = (
+        toks.select(F.col(id_col), F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .withColumn("h", h48(F.col("tok")))
+    )
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(

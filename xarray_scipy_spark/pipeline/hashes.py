@@ -25,11 +25,31 @@ __all__ = [
     "seeded_md5",
     "minhash_coeffs",
     "MINHASH_P",
+    "spread",
 ]
 
 
 def _c(x) -> Column:
     return x if isinstance(x, Column) else F.col(x)
+
+
+def spread(df, *cols):
+    """Repartition a CPU-heavy pipeline's input so per-row work uses
+    every core.
+
+    A single small parquet file scans as ONE partition (parquet splits
+    by row group), which would serialize all downstream tokenize/hash/
+    decode work onto one core regardless of cluster size. When the scan
+    yields fewer partitions than the default parallelism, hash-
+    repartition on ``cols`` (deterministic, skew-free for unique ids);
+    at full scale inputs arrive pre-split and this is a no-op. The
+    shuffle moves the raw rows once — strictly cheaper than running the
+    per-row pipeline serially.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[_c(c) for c in cols]) if cols else df.repartition(target)
 
 
 def tokens(text) -> Column:

@@ -23,6 +23,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .hashes import spread
+
 __all__ = ["with_binary", "decode_features", "fake_decoder", "image_decoder"]
 
 
@@ -102,4 +104,4 @@ def decode_features(
                 out[f"f{i}"] = [f[i] for f in feats]
             yield out
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+    return spread(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=schema)

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .hashes import spread
+
 __all__ = ["cosine_topk", "cosine_topk_ivf"]
 
 
@@ -56,7 +58,7 @@ def cosine_topk(
 
     Output: ``(query_id, rank, neighbor_id, cos_sim)``.
     """
-    c = _normed(corpus, id_col, vec_col, []).alias("c")
+    c = _normed(spread(corpus, id_col), id_col, vec_col, []).alias("c")
     q = _normed(queries, id_col, vec_col, []).alias("q")
     scored = (
         F.broadcast(q)
@@ -100,7 +102,7 @@ def cosine_topk_ivf(
     exact for neighbors in the probed cell (single-probe IVF
     semantics).
     """
-    c = _normed(corpus, id_col, vec_col, [cell_col]).alias("c")
+    c = _normed(spread(corpus, id_col), id_col, vec_col, [cell_col]).alias("c")
     q = _normed(queries, id_col, vec_col, [cell_col]).alias("q")
     scored = (
         F.broadcast(q)

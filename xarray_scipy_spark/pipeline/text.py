@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .hashes import tokens
+from .hashes import spread, tokens
 
 __all__ = ["token_stats", "quality_score", "lang_id", "fingerprint", "LANG_MARKERS"]
 
@@ -33,10 +33,16 @@ def token_stats(
     """Whitespace token count, distinct count, char length, mean token
     length, and a BPE-ish subword estimate (``ceil(len/4)`` pieces per
     token — the ~4-chars-per-token heuristic)."""
-    tk = tokens(text_col)
-    return df.select(
+    # tokenize once into a real column: repeated references to the raw
+    # tokens(text) expression would re-run split+filter per reference
+    # (see dedup._with_shingles).
+    base = spread(df, id_col).select(
+        F.col(id_col), F.length(text_col).alias("n_chars"), tokens(text_col).alias("tk")
+    )
+    tk = F.col("tk")
+    return base.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
+        F.col("n_chars"),
         F.size(tk).alias("n_tokens"),
         F.size(F.array_distinct(tk)).alias("n_uniq_tokens"),
         F.round(
@@ -66,7 +72,8 @@ def quality_score(
     prose (pure keyword soup scores low), moderate word length rewards
     real words. Deterministic integer-count arithmetic → exact oracle.
     """
-    tk = tokens(text_col)
+    base = spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("tk"))
+    tk = F.col("tk")
     stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
     n_tok = F.size(tk)
     n_stop = F.size(F.filter(tk, lambda t: F.array_contains(stop, t)))
@@ -81,7 +88,7 @@ def quality_score(
         )
         + F.lit(0.3) * F.least(mean_len / F.lit(8.0), F.lit(1.0))
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         F.size(tk).alias("n_tokens"),
         n_stop.alias("n_stopwords"),
@@ -96,7 +103,8 @@ def lang_id(
     predict the argmax (ties resolved by the fixed order
     en→de→fr→es→zh). Emits per-language scores so downstream filters
     can threshold on confidence."""
-    tk = tokens(text_col)
+    base = spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("tk"))
+    tk = F.col("tk")
     scores = {}
     for lang in _LANG_ORDER:
         markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
@@ -112,7 +120,7 @@ def lang_id(
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
         best = lang
-    return df.select(
+    return base.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER],
         pred.alias("pred_lang"),
@@ -131,7 +139,7 @@ def fingerprint(
         f"array_min(transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)), "
         f"i -> md5(substring({text_col}, i, {width}))))"
     )
-    return df.select(
+    return spread(df, id_col).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         F.expr(expr).alias("fingerprint"),
