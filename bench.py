@@ -59,8 +59,14 @@ def main() -> int:
     spark = get_spark("bench")
     qs = e.queries()
 
-    # warmup: JVM + Arrow + python-worker pool spin-up, excluded from timing
-    load_table(spark, "events", SF_DIR).limit(100).count()
+    # warmup: JVM + Arrow + python-worker pool spin-up, excluded from
+    # timing (BASELINE.md protocol: cold session excluded). The grouped-
+    # map no-op matters: without it the first UDF query absorbs the
+    # Python worker pool startup.
+    ev = load_table(spark, "events", SF_DIR).limit(256)
+    ev.groupBy("user_id").applyInPandas(
+        lambda p: p[["user_id"]].head(1), "user_id bigint"
+    ).count()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}

@@ -358,3 +358,85 @@ def test_hilbert_datetime_coords(spark):
     assert np.median(env) == pytest.approx(1.0, rel=0.05)
     # delta = 250ms in nanoseconds
     assert rows[0]["delta"] == pytest.approx(250e6)
+    # the coordinate column is restored to a TIMESTAMP (not epoch float),
+    # round-tripping the input values exactly (reference restores real
+    # coords after its datetime workaround, signal.py:316-325)
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    assert isinstance(out.schema["ts"].dataType, (TimestampType, TimestampNTZType))
+    got = [r["ts"] for r in rows]
+    assert got == list(pd.to_datetime(ts).to_pydatetime())
+
+
+def test_fftconvolve_nd_2d_matches_numpy(spark):
+    # reference multi-core-dim convolution (_convolve dims=[...],
+    # signal.py:62-63): 2-D FFT convolve vs direct numpy evaluation
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n1, m1, n2, m2 = 6, 5, 3, 4
+    a = rng.standard_normal((n1, m1))
+    b = rng.standard_normal((n2, m2))
+
+    def long_form(arr, g):
+        r, c = np.indices(arr.shape)
+        return pd.DataFrame(
+            {"g": g, "row": r.ravel(), "col": c.ravel(), "value": arr.ravel()}
+        )
+
+    df1 = spark.createDataFrame(long_form(a, 0))
+    df2 = spark.createDataFrame(long_form(b, 0))
+
+    # numpy oracle: direct 2-D full convolution
+    full = np.zeros((n1 + n2 - 1, m1 + m2 - 1))
+    for i in range(n2):
+        for j in range(m2):
+            full[i : i + n1, j : j + m1] += b[i, j] * a
+    out = xss.fftconvolve_nd(
+        df1, df2, by=["g"], dims=["row", "col"], mode="full"
+    )
+    rows = out.orderBy("row_idx", "col_idx").collect()
+    got = np.array([r["value"] for r in rows]).reshape(full.shape)
+    np.testing.assert_allclose(got, full, atol=1e-9)
+
+    # same-mode: centered crop to df1's shape
+    out_same = xss.fftconvolve_nd(
+        df1, df2, by=["g"], dims=["row", "col"], mode="same"
+    )
+    rows_s = out_same.orderBy("row_idx", "col_idx").collect()
+    got_s = np.array([r["value"] for r in rows_s]).reshape((n1, m1))
+    st_r, st_c = (n2 - 1) // 2, (m2 - 1) // 2
+    np.testing.assert_allclose(
+        got_s, full[st_r : st_r + n1, st_c : st_c + m1], atol=1e-9
+    )
+
+
+@pytest.mark.parametrize("shape", [(4, 6), (5, 7), (5, 6)])
+def test_fftshift_dims_2d(spark, shape):
+    # reference fftshift over a dims LIST (signal.py:247-248): the
+    # destination positions must match np.fft.fftshift axis-by-axis
+    import pandas as pd
+
+    n, m = shape
+    r, c = np.indices((n, m))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": 0, "d1": r.ravel(), "d2": c.ravel(), "value": np.arange(n * m, dtype=float)}
+        )
+    )
+    out = xss.fftshift(df, by=["g"], dims=["d1", "d2"])
+    rows = out.orderBy("d1", "d2").collect()
+    dest = np.zeros((n, m))
+    for row in rows:
+        dest[int(row["idx_d1"]), int(row["idx_d2"])] = row["value"]
+    expected = np.fft.fftshift(np.arange(n * m, dtype=float).reshape(n, m))
+    np.testing.assert_array_equal(dest, expected)
+    # inverse roundtrip
+    outi = xss.ifftshift(df, by=["g"], dims=["d1", "d2"])
+    rowsi = outi.orderBy("d1", "d2").collect()
+    desti = np.zeros((n, m))
+    for row in rowsi:
+        desti[int(row["idx_d1"]), int(row["idx_d2"])] = row["value"]
+    np.testing.assert_array_equal(
+        desti, np.fft.ifftshift(np.arange(n * m, dtype=float).reshape(n, m))
+    )

@@ -19,6 +19,7 @@ from .operators import (
     envelope,
     fft,
     fftconvolve,
+    fftconvolve_nd,
     fftshift,
     hfft,
     hilbert,
@@ -41,6 +42,7 @@ __all__ = [
     "get_spark",
     "convolve",
     "fftconvolve",
+    "fftconvolve_nd",
     "convolve_fir",
     "decimate",
     "fft",

@@ -638,13 +638,19 @@ def q_dominant_frequency(spark, sf_dir):
     mag = spec.filter(F.col("idx") >= 1).select(
         "user_id", F.col("idx").alias("peak_bin"), _r(magnitude(), 3, "peak_mag3")
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("peak_mag3").desc(), F.col("peak_bin")
+    # argmax as a partial-aggregatable max(struct(mag, -bin)) — struct
+    # ordering gives "largest magnitude, then smallest bin" with
+    # map-side combine; a row_number window would instead full-sort
+    # every user's spectrum after an extra shuffle.
+    best = mag.groupBy("user_id").agg(
+        F.max(
+            F.struct(F.col("peak_mag3"), (-F.col("peak_bin")).alias("neg_bin"))
+        ).alias("b")
     )
-    return (
-        mag.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("user_id", "peak_bin", "peak_mag3")
+    return best.select(
+        "user_id",
+        (-F.col("b.neg_bin")).cast("bigint").alias("peak_bin"),
+        F.col("b.peak_mag3").alias("peak_mag3"),
     )
 
 

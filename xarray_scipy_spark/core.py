@@ -223,13 +223,18 @@ def apply_cogrouped_kernel(
     out_fields: str,
     emit_idx: bool = True,
     keep: Sequence[str] = (),
+    buckets: int | None = None,
 ) -> DataFrame:
     """Two-input variant (convolution's pair of signals, peak_widths'
     signal ⋈ peak-indices pairing, reference signal.py:84-105, 353-360).
 
-    Both inputs are shuffled once on the same ``by`` keys and co-located
-    (``groupBy().cogroup().applyInPandas``). Groups present on only one
-    side are skipped (empty result), mirroring an inner alignment.
+    Both inputs are shuffled ONCE on ``hash(by) % buckets`` and
+    co-located (``cogroup().applyInPandas``) — one pandas invocation
+    per BUCKET of many complete series pairs, not per pair, so
+    Arrow/pandas overhead amortizes exactly like
+    :func:`apply_series_kernel`. Inside a bucket both sides are sorted
+    once and paired by their ``by`` tuple; keys present on only one
+    side are skipped (inner alignment).
     ``kernel(coords1, *arrays1, coords2, *arrays2) -> dict`` of 1-D
     arrays (per-pair call — pair shapes differ too much to block-batch).
     Group attrs (n_in/offset/delta) describe input 1.
@@ -245,34 +250,59 @@ def apply_cogrouped_kernel(
     idx_field = "idx bigint, " if emit_idx else ""
     keep_ddl = (_ddl_of(df1, keep) + ", ") if keep else ""
     schema = f"{_ddl_of(df1, by)}, {keep_ddl}{idx_field}{out_fields}, {GROUP_ATTR_FIELDS}"
+    out_names = [f.strip().split()[0] for f in out_fields.split(",")]
+    all_names = (
+        by + keep + (["idx"] if emit_idx else []) + out_names
+        + ["n_in", "offset", "delta"]
+    )
+    n_buckets = buckets if buckets is not None else _default_buckets(df1)
 
     def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: [] for c in all_names}).iloc[0:0]
         if left.empty or right.empty:
-            cols = [f.strip().split()[0] for f in schema.split(", ")]
-            return pd.DataFrame({c: [] for c in cols}).iloc[0:0]
-        left = left.sort_values(order1, kind="mergesort")
-        right = right.sort_values(order2, kind="mergesort")
-        coords1 = _coord_floats(left[order1[0]])
-        coords2 = _coord_floats(right[order2[0]])
-        n = len(coords1)
-        offset = float(coords1[0]) if n else 0.0
-        delta = abs(float(coords1[-1] - coords1[0])) / (n - 1) if n > 1 else 0.0
-        arrays1 = [left[v].to_numpy(dtype=float) for v in values1]
-        arrays2 = [right[v].to_numpy(dtype=float) for v in values2]
-        out = kernel(coords1, *arrays1, coords2, *arrays2)
-        m = len(next(iter(out.values()))) if out else 0
-        res = pd.DataFrame(out)
-        if emit_idx:
-            res.insert(0, "idx", np.arange(m, dtype=np.int64))
-        for k in reversed(by + keep):
-            res.insert(0, k, left[k].iloc[0])
-        res["n_in"] = np.int64(n)
-        res["offset"] = offset
-        res["delta"] = delta
-        return res
+            return empty
+        left = left.sort_values(by + order1, kind="mergesort")
+        right = right.sort_values(by + order2, kind="mergesort")
+        ls, le = _series_bounds(left, by)
+        rs, re_ = _series_bounds(right, by)
+        lkeys = [left[c].to_numpy() for c in by]
+        rkeys = [right[c].to_numpy() for c in by]
+        rindex = {
+            tuple(a[s] for a in rkeys): (s, e) for s, e in zip(rs, re_)
+        }
+        frames: list[pd.DataFrame] = []
+        for s, e in zip(ls, le):
+            hit = rindex.get(tuple(a[s] for a in lkeys))
+            if hit is None:
+                continue
+            lg = left.iloc[s:e]
+            rg = right.iloc[hit[0] : hit[1]]
+            coords1 = _coord_floats(lg[order1[0]])
+            coords2 = _coord_floats(rg[order2[0]])
+            n = len(coords1)
+            arrays1 = [lg[v].to_numpy(dtype=float) for v in values1]
+            arrays2 = [rg[v].to_numpy(dtype=float) for v in values2]
+            out = kernel(coords1, *arrays1, coords2, *arrays2)
+            m = len(next(iter(out.values()))) if out else 0
+            res = pd.DataFrame(out)
+            if emit_idx:
+                res.insert(0, "idx", np.arange(m, dtype=np.int64))
+            for k in reversed(by + keep):
+                res.insert(0, k, lg[k].iloc[0])
+            res["n_in"] = np.int64(n)
+            res["offset"] = float(coords1[0]) if n else 0.0
+            res["delta"] = (
+                abs(float(coords1[-1] - coords1[0])) / (n - 1) if n > 1 else 0.0
+            )
+            frames.append(res)
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
 
+    bucket_expr = F.pmod(F.xxhash64(*by), F.lit(n_buckets))
     return (
-        df1.groupBy(*by)
-        .cogroup(df2.groupBy(*by))
+        df1.withColumn(_BUCKET, bucket_expr)
+        .groupBy(_BUCKET)
+        .cogroup(df2.withColumn(_BUCKET, bucket_expr).groupBy(_BUCKET))
         .applyInPandas(run, schema=schema)
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["fft_coord", "rfft_coord", "linear_coord"]
+__all__ = ["fft_coord", "rfft_coord", "linear_coord", "restore_coord_dtype"]
 
 
 def _c(x) -> Column:
@@ -44,3 +44,23 @@ def linear_coord(k="idx", offset="offset", delta="delta") -> Column:
     (the engine's (offset, delta) contract, README.md:25-29)."""
     k, offset, delta = _c(k), _c(offset), _c(delta)
     return offset + k.cast("double") * delta
+
+
+def restore_coord_dtype(df, dim: str, coord: Column) -> Column:
+    """Restore a recomputed coordinate to the INPUT column's dtype.
+
+    Coordinates are numeric internally — datetime order columns enter the
+    kernel as epoch-nanosecond floats (``core._coord_floats``, mirroring
+    the reference's datetime-safe linspace at signal.py:316-321). On the
+    way out, if the input ``dim`` column was a timestamp, the epoch-ns
+    expression is cast back to a timestamp (microsecond precision —
+    Spark's native resolution); otherwise the numeric expression passes
+    through unchanged.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    dtype = df.schema[dim].dataType
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        micros = F.round(coord / F.lit(1000.0)).cast("bigint")
+        return F.timestamp_micros(micros).cast(dtype)
+    return coord

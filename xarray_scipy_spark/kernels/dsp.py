@@ -21,6 +21,7 @@ from .filter_design import cheby1_sos, firwin, sosfilt_zi
 
 __all__ = [
     "fftconvolve_1d",
+    "fftconvolve_nd",
     "hilbert_1d",
     "resample_fourier",
     "decimate_1d",
@@ -54,6 +55,33 @@ def fftconvolve_1d(x: np.ndarray, y: np.ndarray, mode: str = "full") -> np.ndarr
     if mode == "same":
         start = (n2 - 1) // 2
         out = out[..., start : start + n1]
+    return out
+
+
+def fftconvolve_nd(x: np.ndarray, y: np.ndarray, mode: str = "full") -> np.ndarray:
+    """N-dimensional FFT-based linear convolution over ALL axes of both
+    inputs (the reference's multi-core-dim path: ``_convolve`` with
+    ``dims`` spanning several dimensions, signal.py:62-63, 81-105).
+
+    ``full`` -> per-axis n1+n2-1; ``same`` -> centered crop to ``x``'s
+    shape (scipy ``_centered``); ``valid`` unsupported (reference
+    parity, signal.py:77).
+    """
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    if x.ndim != y.ndim:
+        raise ValueError("inputs must have the same number of core dims")
+    if mode not in ("full", "same"):
+        raise NotImplementedError(
+            "mode='valid' is unsupported (reference parity, signal.py:77)"
+        )
+    fshape = tuple(a + b - 1 for a, b in zip(x.shape, y.shape))
+    out = np.fft.irfftn(
+        np.fft.rfftn(x, fshape) * np.fft.rfftn(y, fshape), fshape
+    )
+    if mode == "same":
+        starts = tuple((f - s) // 2 for f, s in zip(fshape, x.shape))
+        out = out[tuple(slice(st, st + s) for st, s in zip(starts, x.shape))]
     return out
 
 

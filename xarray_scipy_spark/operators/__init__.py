@@ -1,7 +1,7 @@
 """Operator inventory — one public entry per reference operator
 (SURVEY.md §2.2 #1-17) plus engine-native fast paths."""
 
-from .convolve import convolve, convolve_fir, fftconvolve
+from .convolve import convolve, convolve_fir, fftconvolve, fftconvolve_nd
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import sos_from_dataframe, sosfilt, sosfiltfilt
 from .hilbert import envelope, hilbert
@@ -11,6 +11,7 @@ from .resample import decimate, resample
 __all__ = [
     "convolve",
     "fftconvolve",
+    "fftconvolve_nd",
     "convolve_fir",
     "decimate",
     "fft",

@@ -34,12 +34,13 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..core import apply_cogrouped_kernel
-from ..kernels.dsp import fftconvolve_1d
+from ..kernels.dsp import fftconvolve_1d, fftconvolve_nd as _fftconvolve_nd_kernel
 
-__all__ = ["convolve", "fftconvolve", "convolve_fir"]
+__all__ = ["convolve", "fftconvolve", "fftconvolve_nd", "convolve_fir"]
 
 
 def fftconvolve(
@@ -75,6 +76,73 @@ def fftconvolve(
         values1=[value1],
         values2=[value2],
         out_fields="value double",
+    )
+
+
+def fftconvolve_nd(
+    df1: DataFrame,
+    df2: DataFrame,
+    *,
+    by: Sequence[str],
+    dims: Sequence[str],
+    value1: str = "value",
+    value2: str = "value",
+    mode: str = "full",
+) -> DataFrame:
+    """N-dimensional convolution over several core dims per group — the
+    reference's multi-core-dim path (``fftconvolve(..., dims=[...])``
+    spanning >1 dimension, signal.py:41-48, 62-63, 81-105).
+
+    Each input is long-form ``[*by, *dims, value]`` holding a COMPLETE
+    dense grid per group (every (d1, ..., dk) combination present —
+    the dense-array contract a DataArray block satisfies by
+    construction). Output: one row per output cell,
+    ``[*by, <dim>_idx per dim, value, n_in, offset, delta]``; per-axis
+    length n1+n2-1 (full) or n1 (same, centered). Like the reference
+    (``exclude_dims``, signal.py:99), convolved dims carry positional
+    indices, not coordinates.
+    """
+    dims = list(dims)
+    if mode not in ("full", "same"):
+        raise NotImplementedError(
+            "mode='valid' is unsupported (reference parity, signal.py:77)"
+        )
+    k = len(dims)
+
+    def kernel(*args):
+        # layout per apply_cogrouped_kernel: (coords1, *values1, coords2,
+        # *values2) with values = [*dims, value] -> k dim columns + data
+        dimcols1, x = args[1 : 1 + k], args[1 + k]
+        dimcols2, y = args[3 + k : 3 + 2 * k], args[3 + 2 * k]
+
+        def to_grid(dimcols, data):
+            shape = [len(np.unique(c)) for c in dimcols]
+            if int(np.prod(shape)) != data.size:
+                raise ValueError(
+                    f"group is not a complete dense grid: shape {shape} "
+                    f"vs {data.size} rows"
+                )
+            # rows arrive sorted by dims (order=...), i.e. C-order
+            return data.reshape(shape)
+
+        out = _fftconvolve_nd_kernel(to_grid(dimcols1, x), to_grid(dimcols2, y), mode=mode)
+        grids = np.indices(out.shape)
+        res = {f"{d}_idx": grids[i].ravel().astype(np.int64) for i, d in enumerate(dims)}
+        res["value"] = out.ravel()
+        return res
+
+    idx_fields = ", ".join(f"{d}_idx bigint" for d in dims)
+    return apply_cogrouped_kernel(
+        df1,
+        df2,
+        kernel,
+        by=by,
+        order1=dims,
+        order2=dims,
+        values1=[*dims, value1],
+        values2=[*dims, value2],
+        out_fields=f"{idx_fields}, value double",
+        emit_idx=False,
     )
 
 

@@ -121,7 +121,8 @@ def _make_fftshift(kind: str):
         df: DataFrame,
         *,
         by: Sequence[str],
-        dim: str,
+        dim: str | None = None,
+        dims: Sequence[str] | None = None,
         order: str | None = None,
         pos: str = "idx",
     ) -> DataFrame:
@@ -129,16 +130,34 @@ def _make_fftshift(kind: str):
         destination position of each row under the fftshift permutation.
         Values and coordinates move together (reference applies the same
         permutation to both, signal.py:257-266), so this is a pure
-        projection — only the position column is new."""
-        w = Window.partitionBy(*by).orderBy(order or dim)
-        rn = F.row_number().over(w) - 1
-        cnt = F.count(F.lit(1)).over(Window.partitionBy(*by))
-        # np.fft.fftshift sends index k -> (k + n//2) % n; ifftshift sends
-        # k -> (k + n - n//2) % n = (k + ceil(n/2)) % n. For even n the two
-        # coincide; odd n distinguishes them (reference sweeps odd/even at
-        # tests/test_signal.py:339-341).
-        shift = F.floor(cnt / 2) if forward else (cnt - F.floor(cnt / 2))
-        return df.withColumn(pos, (rn + shift) % cnt)
+        projection — only the position column is new.
+
+        Multi-dim (reference ``dims`` list, signal.py:247-248, 257-266):
+        the shift permutation is separable, one independent index remap
+        per dim. Pass ``dims=[...]``; each dim ``d`` gets its own
+        destination-position column ``{pos}_{d}``, computed over a
+        window partitioned by the *other* dims (so the per-axis length
+        is that axis's extent, not the group's row count). Single-dim
+        calls emit just ``pos``.
+        """
+        if (dim is None) == (dims is None):
+            raise ValueError("pass exactly one of dim= or dims=")
+        dimlist = [dim] if dim is not None else list(dims)
+        multi = len(dimlist) > 1
+        out = df
+        for d in dimlist:
+            others = [o for o in dimlist if o != d]
+            part = [*by, *others]
+            w = Window.partitionBy(*part).orderBy(order or d)
+            rn = F.row_number().over(w) - 1
+            cnt = F.count(F.lit(1)).over(Window.partitionBy(*part))
+            # np.fft.fftshift sends index k -> (k + n//2) % n; ifftshift
+            # sends k -> (k + n - n//2) % n = (k + ceil(n/2)) % n. For
+            # even n the two coincide; odd n distinguishes them
+            # (reference sweeps odd/even at tests/test_signal.py:339-341).
+            shift = F.floor(cnt / 2) if forward else (cnt - F.floor(cnt / 2))
+            out = out.withColumn(f"{pos}_{d}" if multi else pos, (rn + shift) % cnt)
+        return out
 
     op.__name__ = kind
     return op

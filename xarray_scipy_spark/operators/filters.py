@@ -38,7 +38,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from ..core import apply_series_kernel, resolve_keep_attrs
-from ..functions.coords import linear_coord
+from ..functions.coords import linear_coord, restore_coord_dtype
 from ..kernels.dsp import sosfilt_1d, sosfiltfilt_1d
 
 __all__ = ["sosfilt", "sosfiltfilt", "sos_from_dataframe"]
@@ -109,7 +109,8 @@ def sosfilt(
         out_fields="value double",
         keep=resolve_keep_attrs(df, keep_attrs),
     )
-    return res.withColumn(dim, linear_coord("idx", "offset", "delta"))
+    coord = linear_coord("idx", "offset", "delta")
+    return res.withColumn(dim, restore_coord_dtype(df, dim, coord))
 
 
 def sosfiltfilt(
@@ -140,4 +141,5 @@ def sosfiltfilt(
         out_fields="value double",
         keep=resolve_keep_attrs(df, keep_attrs),
     )
-    return res.withColumn(dim, linear_coord("idx", "offset", "delta"))
+    coord = linear_coord("idx", "offset", "delta")
+    return res.withColumn(dim, restore_coord_dtype(df, dim, coord))

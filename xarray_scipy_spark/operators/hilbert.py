@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..core import apply_series_kernel, resolve_keep_attrs
 from ..functions.complexsql import magnitude
-from ..functions.coords import linear_coord
+from ..functions.coords import linear_coord, restore_coord_dtype
 from ..kernels.dsp import hilbert_1d
 
 __all__ = ["hilbert", "envelope"]
@@ -59,7 +59,7 @@ def hilbert(
         coord = linear_coord(
             "idx", "offset", F.col("n_in").cast("double") * F.col("delta") / F.lit(float(n))
         )
-    return res.withColumn(dim, coord)
+    return res.withColumn(dim, restore_coord_dtype(df, dim, coord))
 
 
 def envelope(df: DataFrame, re: str = "re", im: str = "im", out: str = "envelope") -> DataFrame:

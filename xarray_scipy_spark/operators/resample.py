@@ -14,7 +14,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from ..core import apply_series_kernel, resolve_keep_attrs
-from ..functions.coords import linear_coord
+from ..functions.coords import linear_coord, restore_coord_dtype
 from ..kernels.dsp import decimate_1d, resample_fourier
 
 __all__ = ["decimate", "resample"]
@@ -54,7 +54,8 @@ def decimate(
         keep=resolve_keep_attrs(df, keep_attrs),
     )
     new_delta = F.col("delta") * F.lit(float(q))
-    return res.withColumn(dim, linear_coord("idx", "offset", new_delta))
+    coord = linear_coord("idx", "offset", new_delta)
+    return res.withColumn(dim, restore_coord_dtype(df, dim, coord))
 
 
 def resample(
@@ -96,4 +97,5 @@ def resample(
         keep=resolve_keep_attrs(df, keep_attrs),
     )
     new_delta = F.col("n_in").cast("double") * F.col("delta") / F.lit(float(num))
-    return res.withColumn(dim, linear_coord("idx", "offset", new_delta))
+    coord = linear_coord("idx", "offset", new_delta)
+    return res.withColumn(dim, restore_coord_dtype(df, dim, coord))

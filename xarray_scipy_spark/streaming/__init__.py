@@ -1,0 +1,10 @@
+"""Structured Streaming extensions.
+
+The reference is batch-only (SURVEY.md §2.3 "streaming: absent"); this
+package is the engine's scale path for *unbounded* series — the same
+kernels, applied incrementally with explicit carried state.
+"""
+
+from .stateful import sosfilt_stream
+
+__all__ = ["sosfilt_stream"]
