@@ -254,3 +254,27 @@ def test_peak_widths_triangular():
     np.testing.assert_allclose(wh, [1.0])
     np.testing.assert_allclose(lips, [1.0])
     np.testing.assert_allclose(rips, [3.0])
+
+
+def test_decimate_large_q_analytic_tone():
+    # ADVICE item: high-order/low-cutoff cascade precision — decimate's
+    # default cheby1(8, 0.05, 0.8/q) at large q must still pass a tone
+    # far below the post-decimation Nyquist essentially unchanged
+    # (zero-phase, so no shift either). Exercises the unit-circle
+    # section ordering in _zpk2sos.
+    from xarray_scipy_spark.kernels.dsp import decimate_1d
+    from xarray_scipy_spark.kernels.filter_design import cheby1_sos
+
+    n, f = 8192, 0.002
+    x = np.sin(2 * np.pi * f * np.arange(n))
+    for q in (4, 16, 32):
+        y = decimate_1d(x, q)
+        m = np.arange(len(y))
+        expected = np.sin(2 * np.pi * f * q * m)
+        sl = slice(50, -50)
+        assert np.max(np.abs(y[sl] - expected[sl])) < 0.02
+    # every section of the large-q designs must be stable
+    for q in (16, 32):
+        sos = cheby1_sos(8, 0.05, 0.8 / q)
+        for s in sos:
+            assert np.all(np.abs(np.roots(s[3:])) < 1.0)

@@ -84,23 +84,31 @@ def _split_conjugates(roots: np.ndarray) -> tuple[list, list]:
 def _zpk2sos(z: np.ndarray, p: np.ndarray, k: float) -> np.ndarray:
     """Convert zpk to second-order sections.
 
-    Simple pairing: conjugate pole pairs each get a section (matched with
-    conjugate zero pairs in order), leftover real poles/zeros are paired
-    up. Overall gain is applied to the first section. The cascade's
-    transfer function is exact; section ordering differs from scipy's
-    (which is irrelevant in exact arithmetic and benign at order <= 8).
+    Pairing/ordering follows scipy's robustness conventions: conjugate
+    pole pairs are processed farthest-from-the-unit-circle first (so the
+    near-unstable sections run last in the cascade — scipy orders
+    "according to the proximity of the pole pairs to the unit circle"),
+    and each pole pair takes its NEAREST remaining conjugate zero pair.
+    This keeps high-order/low-cutoff cascades (``cheby1(8, 0.05,
+    0.8/q)`` at large q — decimate's default) numerically sane; the
+    transfer function itself is exact under any pairing. Leftover real
+    poles/zeros are paired up; overall gain is applied to the first
+    section.
     """
     z = np.asarray(z, dtype=complex)
     p = np.asarray(p, dtype=complex)
     zp, zr = _split_conjugates(z)
     pp, pr = _split_conjugates(p)
+    pp.sort(key=lambda r: abs(1.0 - abs(r)), reverse=True)
 
     sections = []
     # conjugate pole pairs
     for i, pole in enumerate(pp):
         a = np.real(np.poly([pole, np.conj(pole)]))
-        if i < len(zp):
-            b = np.real(np.poly([zp[i], np.conj(zp[i])]))
+        if zp:
+            j = min(range(len(zp)), key=lambda j: abs(zp[j] - pole))
+            zz = zp.pop(j)
+            b = np.real(np.poly([zz, np.conj(zz)]))
         elif len(zr) >= 2:
             b = np.real(np.poly([zr.pop(), zr.pop()]))
         elif len(zr) == 1:
@@ -111,7 +119,7 @@ def _zpk2sos(z: np.ndarray, p: np.ndarray, k: float) -> np.ndarray:
         if len(b) == 2:
             b = np.append(b, 0.0)
         sections.append(np.concatenate([b, a]))
-    zp_left = zp[len(pp):]
+    zp_left = zp  # conjugate zero pairs not consumed by the pole pairs
     # leftover real poles, two at a time
     while pr:
         p1 = pr.pop()
