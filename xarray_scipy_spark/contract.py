@@ -1090,3 +1090,241 @@ def q_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sessions"),
         F.max("n").alias("max_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-dim operators (reference dims=[...] paths)
+# ---------------------------------------------------------------------------
+
+# per-user 6x6 grid from the first 36 samples; fixed 3x3 kernel
+_G2_ROWS, _G2_COLS = 6, 6
+_K2 = [[0.1, 0.2, 0.3], [0.4, 0.5, 0.6], [0.7, 0.8, 0.9]]
+
+
+def _grid2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    j = F.row_number().over(w) - 1
+    lim = _G2_ROWS * _G2_COLS
+    return (
+        ev.withColumn("j", j)
+        .filter(F.col("j") < lim)
+        .select(
+            "user_id",
+            (F.col("j") / _G2_COLS).cast("bigint").alias("row"),
+            (F.col("j") % _G2_COLS).alias("col"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+def _kernel2(spark: SparkSession, grid: DataFrame) -> DataFrame:
+    """The 3x3 kernel replicated per user (the cogrouped primitive
+    pairs both sides on the `by` key; a 9-row literal frame cross-joined
+    to the distinct users is a broadcast of the tiny side)."""
+    rows = [
+        (int(r), int(c), float(_K2[r][c]))
+        for r in range(3)
+        for c in range(3)
+    ]
+    ker = spark.createDataFrame(rows, "row bigint, col bigint, value double")
+    return grid.select("user_id").distinct().crossJoin(F.broadcast(ker))
+
+
+_K2_VALUES = ", ".join(
+    f"({r}, {c}, {_K2[r][c]})" for r in range(3) for c in range(3)
+)
+
+
+@_q(
+    "fftconvolve_2d",
+    f"""
+WITH g AS (
+  SELECT user_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1) AS j,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+  QUALIFY j < {_G2_ROWS * _G2_COLS}
+), grid AS (
+  SELECT user_id, j // {_G2_COLS} AS row, j % {_G2_COLS} AS col, x FROM g
+), ker(r, c, w) AS (VALUES {_K2_VALUES})
+SELECT user_id,
+       grid.row + ker.r AS row_idx,
+       grid.col + ker.c AS col_idx,
+       round(sum(x * w), 4) + 0.0 AS val4
+FROM grid CROSS JOIN ker
+GROUP BY user_id, grid.row + ker.r, grid.col + ker.c
+""",
+)
+def q_fftconvolve_2d(spark, sf_dir):
+    """2-D FFT convolution (full) of each user's 6x6 sample grid with a
+    3x3 kernel — the reference's multi-core-dim convolve
+    (signal.py:62-63); oracle is the direct convolution sum."""
+    grid = _grid2(spark, sf_dir)
+    out = ops.fftconvolve_nd(
+        grid,
+        _kernel2(spark, grid),
+        by=["user_id"],
+        dims=["row", "col"],
+        mode="full",
+    )
+    return out.select("user_id", "row_idx", "col_idx", _r("value", 4, "val4"))
+
+
+@_q(
+    "fftshift_2d",
+    f"""
+WITH g AS (
+  SELECT user_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1) AS j,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+  QUALIFY j < 35
+)
+SELECT user_id,
+       (j // 7 + 2) % 5 AS idx_d1,
+       (j % 7 + 3) % 7 AS idx_d2,
+       round(x, 4) + 0.0 AS val4
+FROM g
+""",
+)
+def q_fftshift_2d(spark, sf_dir):
+    """fftshift over a dims list (signal.py:247-248) on a 5x7 grid —
+    odd extents on both axes so the fftshift/ifftshift distinction is
+    exercised; pure index arithmetic on both sides."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    j = F.row_number().over(w) - 1
+    grid = (
+        ev.withColumn("j", j)
+        .filter(F.col("j") < 35)
+        .select(
+            "user_id",
+            (F.col("j") / 7).cast("bigint").alias("d1"),
+            (F.col("j") % 7).alias("d2"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    out = ops.fftshift(grid, by=["user_id"], dims=["d1", "d2"])
+    return out.select("user_id", "idx_d1", "idx_d2", _r("value", 4, "val4"))
+
+
+# ---------------------------------------------------------------------------
+# relational coverage: rollup aggregation, join-heavy top-k
+# ---------------------------------------------------------------------------
+
+@_q(
+    "lineitem_rollup",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "count(*) AS n "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def q_lineitem_rollup(spark, sf_dir):
+    """Hierarchical aggregate (grouping-sets family, SURVEY §2.3) —
+    subtotals per returnflag and a grand total in one pass."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1998-06-01"
+
+
+@_q(
+    "tpch_q3",
+    "SELECT l_orderkey, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4))) AS DOUBLE) AS revenue, "
+    "CAST(o_orderdate AS VARCHAR) AS o_orderdate "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    f"WHERE c_mktsegment = '{_Q3_SEGMENT}' "
+    f"AND o_orderdate < TIMESTAMP '{_Q3_DATE}' "
+    f"AND l_shipdate > TIMESTAMP '{_Q3_DATE}' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def q_tpch_q3(spark, sf_dir):
+    """Join-heavy shipping-priority query (TPC-H Q3 shape): the small
+    filtered dimension (customer) is broadcast — no shuffle of the fact
+    table for its join; the orders join and aggregate shuffle once on
+    the order key. Top-k via sort+limit (rounded tie-break + key)."""
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp_ntz")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp_ntz")
+    )
+    j = (
+        li.join(F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey)
+                .select("o_orderkey", "o_orderdate")),
+                li.l_orderkey == F.col("o_orderkey"))
+    )
+    rev = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+                "decimal(22,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming (rows-only: stateful streaming is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@_q("sosfilt_stream")
+def q_sosfilt_stream(spark, sf_dir):
+    """Stateful streaming sosfilt (applyInPandasWithState): filter the
+    events stream per user with carried zi, AvailableNow trigger, and
+    return the materialized result. Rows-only check — custom stateful
+    streaming has no SQL equivalent (the batch `sosfilt` query IS the
+    hash-verified twin of this kernel)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import sosfilt_stream
+
+    name = f"sos_stream_{uuid.uuid4().hex[:8]}"
+    schema = load_table(spark, "events", sf_dir).schema
+    # the file-stream source requires a directory; expose the single
+    # parquet file through a temp dir symlink (testdata is read-only)
+    src_dir = tempfile.mkdtemp(prefix="sos_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("user_id", "ts", "value")
+    )
+    out = sosfilt_stream(stream, _SOSFILT_SOS, by=["user_id"], dim="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sos_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "idx", _r("value", 4, "val4")
+    )
