@@ -1328,3 +1328,41 @@ def q_sosfilt_stream(spark, sf_dir):
     return spark.table(name).select(
         "user_id", "idx", _r("value", 4, "val4")
     )
+
+
+# ---------------------------------------------------------------------------
+# iterative algorithm: duplicate clustering (connected components)
+# ---------------------------------------------------------------------------
+
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE connected components over the hash-verified minhash
+    pairs: walk enumerates every (node, reachable-seed) pair; min(seed)
+    per node is the cluster's canonical (minimum) id."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+walk(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+)
+SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+"""
+
+
+@_q("dedup_clusters", _dedup_clusters_oracle())
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: iterative min-label propagation
+    (driver-loop joins with lineage checkpoints) over the minhash near-
+    dup pairs; oracle is a recursive CTE over the same pair SQL."""
+    pairs = pl.minhash_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+    return pl.duplicate_clusters(pairs)

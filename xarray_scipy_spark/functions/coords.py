@@ -56,6 +56,11 @@ def restore_coord_dtype(df, dim: str, coord: Column) -> Column:
     expression is cast back to a timestamp (microsecond precision —
     Spark's native resolution); otherwise the numeric expression passes
     through unchanged.
+
+    Precision bound: epoch-ns magnitudes (~1.7e18) exceed a double's
+    53-bit mantissa, so the float coordinate carries ~2^8 ns of
+    representation error — the restored microsecond is exact for
+    microsecond-aligned inputs and within 1 µs otherwise.
     """
     from pyspark.sql.types import TimestampNTZType, TimestampType
 

@@ -37,7 +37,7 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..core import apply_cogrouped_kernel
+from ..core import apply_cogrouped_kernel, resolve_keep_attrs
 from ..kernels.dsp import fftconvolve_1d, fftconvolve_nd as _fftconvolve_nd_kernel
 
 __all__ = ["convolve", "fftconvolve", "fftconvolve_nd", "convolve_fir"]
@@ -52,11 +52,13 @@ def fftconvolve(
     value1: str = "value",
     value2: str = "value",
     mode: str = "full",
+    keep_attrs: bool | None = None,
 ) -> DataFrame:
     """FFT-based convolution of two long-form signals per group.
 
     Output: ``[*by, idx, value, n_in, offset, delta]``; length per group
-    is n1+n2-1 (full) or n1 (same).
+    is n1+n2-1 (full) or n1 (same). ``keep_attrs`` propagates input 1's
+    ``attrs`` sidecar (reference signal.py:10-13 semantics).
     """
     if mode not in ("full", "same"):
         raise NotImplementedError(
@@ -76,6 +78,7 @@ def fftconvolve(
         values1=[value1],
         values2=[value2],
         out_fields="value double",
+        keep=resolve_keep_attrs(df1, keep_attrs),
     )
 
 
@@ -156,13 +159,15 @@ def convolve(
     value2: str = "value",
     mode: str = "full",
     method: str = "auto",
+    keep_attrs: bool | None = None,
 ) -> DataFrame:
     """Reference-parity ``convolve`` (signal.py:34-38): a shim over the
     FFT path. ``method`` is accepted for signature parity and ignored,
     matching the reference quirk (signal.py:88-91)."""
     del method  # always FFT-based, like the reference actually is
     return fftconvolve(
-        df1, df2, by=by, dim=dim, value1=value1, value2=value2, mode=mode
+        df1, df2, by=by, dim=dim, value1=value1, value2=value2, mode=mode,
+        keep_attrs=keep_attrs,
     )
 
 

@@ -102,7 +102,20 @@ def _make_fft(kind: str, inverse: bool, real: bool = False, hermitian: bool = Fa
         )
         return res.withColumn(newdim, coord)
 
+    # reference `_wrap` parity (signal.py:25-31): carry the kernel's
+    # name AND a docstring onto the generated wrapper
     op.__name__ = kind
+    op.__doc__ = (
+        f"``np.fft.{kind}`` along ``dim`` per ``by`` group (reference "
+        f"factory signal.py:155-241).\n\n"
+        "    Output ``[*by, idx, "
+        + ("re, im" if complex_out else "value")
+        + ", <newdim>, n_in, offset, delta]`` with the frequency "
+        "coordinate generated natively in SQL "
+        "(:mod:`xarray_scipy_spark.functions.coords`); ``n`` pads or "
+        "truncates, ``norm`` is fully supported (the reference rejects "
+        "it under dask, signal.py:180-182)."
+    )
     return op
 
 

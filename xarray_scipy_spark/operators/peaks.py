@@ -18,7 +18,7 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import DataFrame
 
-from ..core import apply_cogrouped_kernel
+from ..core import apply_cogrouped_kernel, resolve_keep_attrs
 from ..kernels.peaks import peak_widths as _peak_widths_np
 
 __all__ = ["peak_widths"]
@@ -35,6 +35,7 @@ def peak_widths(
     index: str = "index",
     rel_height: float = 0.5,
     wlen: int | None = None,
+    keep_attrs: bool | None = None,
 ) -> DataFrame:
     """Width of each listed peak at ``rel_height`` of its prominence.
 
@@ -74,4 +75,5 @@ def peak_widths(
         values2=[peak, index],
         out_fields="peak bigint, width double, width_height double, "
         "left_ip double, right_ip double",
+        keep=resolve_keep_attrs(xdf, keep_attrs),
     )

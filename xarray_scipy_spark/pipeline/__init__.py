@@ -29,6 +29,7 @@ from .dedup import (
     simhash_fingerprints,
     simhash_pairs,
     embedding_dup_pairs,
+    duplicate_clusters,
 )
 from .similarity import cosine_topk, cosine_topk_ivf
 from .text import token_stats, quality_score, lang_id, fingerprint
@@ -38,6 +39,7 @@ __all__ = [
     "exact_duplicates",
     "minhash_signatures",
     "minhash_pairs",
+    "duplicate_clusters",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_pairs",

@@ -44,6 +44,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_pairs",
     "embedding_dup_pairs",
+    "duplicate_clusters",
     "srp_plane",
 ]
 
@@ -264,6 +265,56 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every doc
+    in a transitive duplicate cluster gets the cluster's minimum doc id
+    (the canonical representative to keep).
+
+    Iterative min-label propagation — the standard distributed CC
+    algorithm (what a dedup pipeline runs after candidate verification
+    to collapse A~B~C chains): each round every node takes the min
+    label among itself and its neighbors; converges in O(diameter)
+    rounds. Each round is one shuffle join + one aggregate;
+    ``localCheckpoint`` cuts the growing lineage so round N's plan does
+    not replay rounds 1..N-1. Near-dup graphs are overwhelmingly tiny
+    components, so diameter (and the round count) stays small at any
+    corpus size.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.union(rev).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels, edges.dst == labels.id
+        ).select(F.col("src").alias("id"), F.col("comp"))
+        new_labels = (
+            labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
 # SimHash: 48-bit fingerprints (12 md5 hex chars per token hash) with
