@@ -1366,3 +1366,35 @@ def q_dedup_clusters(spark, sf_dir):
         threshold=_MINHASH_THRESHOLD,
     )
     return pl.duplicate_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# text analysis: TF-IDF top tokens
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+
+@_q(
+    "text_tfidf",
+    f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+doclen AS (SELECT doc_id, sum(tf) AS n_tok FROM tf GROUP BY doc_id),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round((tf.tf / doclen.n_tok) * (ln((nd.n + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+  FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (tok) CROSS JOIN nd
+)
+SELECT doc_id, rank, tok, tfidf + 0.0 AS tfidf FROM (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+  FROM scored
+) t WHERE rank <= {_TFIDF_K}
+""",
+)
+def q_text_tfidf(spark, sf_dir):
+    return pl.tfidf_top_tokens(_docs(spark, sf_dir), k=_TFIDF_K)

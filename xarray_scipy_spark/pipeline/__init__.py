@@ -32,7 +32,7 @@ from .dedup import (
     duplicate_clusters,
 )
 from .similarity import cosine_topk, cosine_topk_ivf
-from .text import token_stats, quality_score, lang_id, fingerprint
+from .text import token_stats, quality_score, lang_id, fingerprint, tfidf_top_tokens
 from .multimodal import with_binary, decode_features
 
 __all__ = [
@@ -40,6 +40,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_pairs",
     "duplicate_clusters",
+    "tfidf_top_tokens",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_pairs",

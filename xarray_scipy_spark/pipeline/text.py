@@ -12,7 +12,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from .hashes import spread, tokens
 
-__all__ = ["token_stats", "quality_score", "lang_id", "fingerprint", "LANG_MARKERS"]
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "tfidf_top_tokens",
+    "LANG_MARKERS",
+]
 
 # Distinctive high-frequency marker tokens per language. A doc's
 # language score is its marker-token count; prediction is the argmax
@@ -143,4 +150,54 @@ def fingerprint(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         F.expr(expr).alias("fingerprint"),
+    )
+
+
+def tfidf_top_tokens(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` tokens per document by smoothed TF-IDF.
+
+    ``tfidf = (tf / n_tokens_doc) * (ln((N + 1) / (df + 1)) + 1)`` —
+    sklearn's smoothed idf. Relational shape at scale: explode once,
+    one hash aggregate for per-doc term counts, one for document
+    frequencies (both map-side partial), a broadcast-able join on the
+    token, and a per-doc top-k window. Ranking is deterministic: ties
+    broken on the ROUNDED score then the token string.
+    """
+    from pyspark.sql import Window
+
+    toks = spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("tk"))
+    # explode_outer + null filter: see dedup (generator filter inference)
+    tok = toks.select(
+        F.col(id_col), F.explode_outer("tk").alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("n_tok"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
+    scored = (
+        tf.join(doclen, id_col)
+        .join(F.broadcast(dfreq), "tok")
+        .select(
+            F.col(id_col),
+            F.col("tok"),
+            F.round(
+                (F.col("tf") / F.col("n_tok")) * idf, round_digits
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "tok", (F.col("tfidf") + F.lit(0.0)).alias("tfidf"))
     )
