@@ -440,3 +440,70 @@ def test_fftshift_dims_2d(spark, shape):
     np.testing.assert_array_equal(
         desti, np.fft.ifftshift(np.arange(n * m, dtype=float).reshape(n, m))
     )
+
+
+# ---------------- stft / welch ----------------
+
+def _np_stft(x, frame_len, hop, taps):
+    nf = (len(x) - frame_len) // hop + 1
+    frames = np.stack([x[f * hop : f * hop + frame_len] for f in range(nf)])
+    return np.fft.rfft(frames * taps, axis=-1)
+
+
+@pytest.mark.parametrize("window", [None, "hann"])
+def test_stft_matches_numpy(sine_df, sine_pdf, window):
+    fl, hop = 32, 16
+    out = xss.stft(
+        sine_df, by=["channel"], dim="time", frame_len=fl, hop=hop, window=window
+    )
+    taps = np.ones(fl) if window is None else 0.5 - 0.5 * np.cos(
+        2 * np.pi * np.arange(fl) / fl
+    )
+    base = sine_pdf[sine_pdf.channel == 0].sort_values("time")["value"].to_numpy()
+    ref = _np_stft(base, fl, hop, taps)
+    rows = out.filter(F.col("channel") == 1).orderBy("frame", "bin").collect()
+    nb = fl // 2 + 1
+    assert len(rows) == ref.shape[0] * nb
+    got = np.array([r["re"] + 1j * r["im"] for r in rows]).reshape(ref.shape)
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+    # native coordinates: frame_time advances by hop/fs, frequency by fs/fl
+    r1 = [r for r in rows if r["bin"] == 0]
+    assert r1[1]["frame_time"] - r1[0]["frame_time"] == pytest.approx(hop / FS)
+    rb = [r for r in rows if r["frame"] == 0]
+    assert rb[1]["frequency"] - rb[0]["frequency"] == pytest.approx(FS / fl)
+
+
+def test_stft_short_series_empty(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"channel": 0, "time": [0.0, 1.0, 2.0], "value": [1.0, 2.0, 3.0]})
+    )
+    out = xss.stft(df, by=["channel"], dim="time", frame_len=8, hop=4)
+    assert out.count() == 0
+
+
+def test_welch_peak_and_scaling(sine_df):
+    fl, hop = 64, 32
+    out = xss.welch(
+        sine_df, by=["channel"], dim="time", frame_len=fl, hop=hop, window="hann"
+    )
+    rows = out.filter(F.col("channel") == 2).orderBy("idx").collect()
+    assert len(rows) == fl // 2 + 1
+    freqs = np.array([r["frequency"] for r in rows])
+    power = np.array([r["power"] for r in rows])
+    # the tone lands exactly on bin F0/(FS/fl) = 20/(400/64) = 3.2 -> peak
+    # bin is the nearest bin; total one-sided power ~ A^2/2 * fl (Welch
+    # density x fs normalization: sum(power)*df/fs ~ A^2/2)
+    assert freqs[int(np.argmax(power))] == pytest.approx(F0, abs=FS / fl)
+    est_var = power.sum() / fl  # sum * (fs/fl) / fs
+    assert est_var == pytest.approx(AMP**2 / 2, rel=0.2)
+    # oracle: numpy periodogram average with identical formula
+    base_rows = sine_df.filter(F.col("channel") == 2).orderBy("time").collect()
+    x = np.array([r["value"] for r in base_rows])
+    taps = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(fl) / fl)
+    spec = _np_stft(x, fl, hop, taps)
+    fold = np.full(fl // 2 + 1, 2.0)
+    fold[0] = fold[-1] = 1.0
+    ref = (np.abs(spec) ** 2).mean(axis=0) * fold / np.sum(taps**2)
+    np.testing.assert_allclose(power, ref, atol=1e-9)

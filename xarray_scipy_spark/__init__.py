@@ -33,6 +33,8 @@ from .operators import (
     sos_from_dataframe,
     sosfilt,
     sosfiltfilt,
+    stft,
+    welch,
 )
 from .session import get_spark
 
@@ -60,4 +62,6 @@ __all__ = [
     "sosfilt",
     "sosfiltfilt",
     "sos_from_dataframe",
+    "stft",
+    "welch",
 ]

@@ -430,6 +430,134 @@ def q_resample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# stft / welch (framed spectral analysis)
+# ---------------------------------------------------------------------------
+
+_STFT_FL = 16
+_STFT_HOP = 8
+
+# frames f = 0..(n-16)//8 and bins k = 0..8, both generated from the
+# row-position table itself (n >= 49 per series at test scale)
+_STFT_FRAMES = (
+    f"fr AS (SELECT user_id, j AS f, n FROM s WHERE j <= (n - {_STFT_FL}) // {_STFT_HOP})"
+)
+_STFT_BINS = f"b AS (SELECT user_id, j AS k FROM s WHERE j <= {_STFT_FL // 2})"
+
+
+@_q(
+    "stft",
+    f"WITH {_S}, {_STFT_FRAMES}, {_STFT_BINS} "
+    "SELECT fr.user_id, fr.f AS frame, b.k AS bin, "
+    f"round(sum(a.x * cos(2 * pi() * (a.j - fr.f * {_STFT_HOP}) * b.k / {_STFT_FL})), 4) + 0.0 AS re4, "
+    f"round(sum(-a.x * sin(2 * pi() * (a.j - fr.f * {_STFT_HOP}) * b.k / {_STFT_FL})), 4) + 0.0 AS im4 "
+    "FROM fr "
+    f"JOIN s a ON a.user_id = fr.user_id AND a.j BETWEEN fr.f * {_STFT_HOP} AND fr.f * {_STFT_HOP} + {_STFT_FL - 1} "
+    "JOIN b ON b.user_id = fr.user_id "
+    "GROUP BY fr.user_id, fr.f, b.k",
+)
+def q_stft(spark, sf_dir):
+    """Boxcar STFT (frame 16, hop 8); oracle = literal per-frame DFT."""
+    res = ops.stft(
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        frame_len=_STFT_FL,
+        hop=_STFT_HOP,
+        window=None,
+    )
+    return res.select("user_id", "frame", "bin", _r("re", 4, "re4"), _r("im", 4, "im4"))
+
+
+def _welch_oracle() -> str:
+    from .operators.spectral import window_taps
+
+    u = float(np.sum(window_taps("hann", _STFT_FL) ** 2))
+    win = f"(0.5 - 0.5 * cos(2 * pi() * (a.j - fr.f * {_STFT_HOP}) / {_STFT_FL}))"
+    return (
+        f"WITH {_S}, {_STFT_FRAMES}, {_STFT_BINS}, "
+        "spec AS ("
+        "  SELECT fr.user_id, fr.f, b.k,"
+        f"    sum(a.x * {win} * cos(2 * pi() * (a.j - fr.f * {_STFT_HOP}) * b.k / {_STFT_FL})) AS re,"
+        f"    sum(-a.x * {win} * sin(2 * pi() * (a.j - fr.f * {_STFT_HOP}) * b.k / {_STFT_FL})) AS im"
+        "  FROM fr "
+        f"  JOIN s a ON a.user_id = fr.user_id AND a.j BETWEEN fr.f * {_STFT_HOP} AND fr.f * {_STFT_HOP} + {_STFT_FL - 1} "
+        "  JOIN b ON b.user_id = fr.user_id "
+        "  GROUP BY fr.user_id, fr.f, b.k"
+        ") "
+        "SELECT user_id, k AS idx, "
+        f"round((CASE WHEN k = 0 OR k = {_STFT_FL // 2} THEN 1.0 ELSE 2.0 END) "
+        f"  * avg(re * re + im * im) / {u!r}, 4) + 0.0 AS power4 "
+        "FROM spec GROUP BY user_id, k"
+    )
+
+
+@_q("welch", _welch_oracle())
+def q_welch(spark, sf_dir):
+    """Hann-windowed Welch averaged periodogram; oracle = the identical
+    windowed DFT + frame average in SQL (window formula inline, the
+    window-energy constant sum(w^2) from this package's own taps)."""
+    res = ops.welch(
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        frame_len=_STFT_FL,
+        hop=_STFT_HOP,
+        window="hann",
+    )
+    return res.select("user_id", "idx", _r("power", 4, "power4"))
+
+
+_RFFT_PAD_N = 64
+
+
+# Bins k=0 and k=16 of a 64-point DFT have cos/sin terms of exactly
+# 0/±1, so with lattice-quantized inputs the sums land EXACTLY on
+# rounding half-boundaries and round() flips on 1e-10 cross-engine
+# noise at any digit count. Quantize with an epsilon-shifted floor
+# instead: floor(x*1000 + 0.5 + 1e-6) is deterministic for any value on
+# the half-boundary lattice (the 1e-6 shift dominates the noise but is
+# far below the lattice spacing).
+def _q3(expr_sql: str) -> str:
+    return f"CAST(floor(({expr_sql}) * 1000 + 0.5 + 1e-6) AS BIGINT)"
+
+
+def _q3_col(col) -> F.Column:
+    return F.floor(col * 1000 + F.lit(0.5) + F.lit(1e-6)).cast("bigint")
+
+
+@_q(
+    "rfft_n_ortho",
+    f"WITH {_S}, "
+    f"b AS (SELECT user_id, j AS k FROM s WHERE j <= {_RFFT_PAD_N // 2}) "
+    "SELECT b.user_id, b.k AS idx, "
+    + _q3(
+        f"sum(CASE WHEN a.j < {_RFFT_PAD_N} THEN a.x * cos(2 * pi() * a.j * b.k / {_RFFT_PAD_N}) ELSE 0 END) / {float(np.sqrt(_RFFT_PAD_N))!r}"
+    )
+    + " AS re_q, "
+    + _q3(
+        f"sum(CASE WHEN a.j < {_RFFT_PAD_N} THEN -a.x * sin(2 * pi() * a.j * b.k / {_RFFT_PAD_N}) ELSE 0 END) / {float(np.sqrt(_RFFT_PAD_N))!r}"
+    )
+    + " AS im_q "
+    "FROM b JOIN s a USING (user_id) GROUP BY b.user_id, b.k",
+)
+def q_rfft_n_ortho(spark, sf_dir):
+    """rfft with explicit n (pad/truncate to 64) and norm='ortho' — the
+    parameter surface the reference's n-sweep probes
+    (test_signal.py:339-341) plus the norm its dask path rejects
+    (signal.py:180-182); oracle = literal DFT of the zero-padded series
+    scaled by 1/sqrt(n)."""
+    res = ops.rfft(
+        _events(spark, sf_dir), by=["user_id"], dim="ts", n=_RFFT_PAD_N, norm="ortho"
+    )
+    return res.select(
+        "user_id",
+        "idx",
+        _q3_col(F.col("re")).alias("re_q"),
+        _q3_col(F.col("im")).alias("im_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # hilbert
 # ---------------------------------------------------------------------------
 

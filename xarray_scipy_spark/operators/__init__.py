@@ -7,6 +7,7 @@ from .filters import sos_from_dataframe, sosfilt, sosfiltfilt
 from .hilbert import envelope, hilbert
 from .peaks import peak_widths
 from .resample import decimate, resample
+from .spectral import stft, welch
 
 __all__ = [
     "convolve",
@@ -29,4 +30,6 @@ __all__ = [
     "sosfilt",
     "sosfiltfilt",
     "sos_from_dataframe",
+    "stft",
+    "welch",
 ]

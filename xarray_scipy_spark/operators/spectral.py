@@ -1,0 +1,191 @@
+"""Short-time spectral analysis: ``stft`` and ``welch``.
+
+Engine-native extensions (no direct reference analog — the reference
+stops at whole-series transforms, ``/root/reference/xarray_scipy/
+signal.py:155-241``): the same per-series grouped-kernel primitive,
+but the kernel frames each series into overlapping windows before the
+real FFT. This is the scale path for *long* series — a spectrogram
+keeps per-output-row work O(frame_len · log frame_len) regardless of
+series length, where a whole-series FFT's memory grows with n.
+
+Design notes (100 TB):
+
+- framing happens INSIDE the kernel on the contiguous per-series block
+  (``numpy.lib.stride_tricks.sliding_window_view`` — zero-copy views,
+  no materialized frame table), so there is still exactly ONE shuffle,
+  the same bucket exchange every other operator pays;
+- frame/bin positions and their time/frequency coordinates are derived
+  NATIVELY in SQL from the flat output index (``frame = idx div n_bins``,
+  ``bin = idx % n_bins``) and the group-constant ``offset``/``delta`` —
+  no second pass, no Python;
+- Welch averages periodograms inside the kernel, so its output is
+  n_bins rows per series no matter how long the series — the classic
+  map-side reduction of spectral mass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..core import apply_series_kernel, resolve_keep_attrs
+
+__all__ = ["stft", "welch", "window_taps"]
+
+
+def window_taps(window: str | Sequence[float] | None, frame_len: int) -> np.ndarray:
+    """Resolve a window spec to taps of length ``frame_len``.
+
+    ``None`` -> boxcar (all ones); ``"hann"`` -> periodic Hann
+    ``0.5 - 0.5*cos(2*pi*m/frame_len)`` (the DFT-symmetric form used for
+    spectral analysis); ``"hamming"`` -> periodic Hamming; a sequence is
+    used verbatim.
+    """
+    if window is None:
+        return np.ones(frame_len)
+    if isinstance(window, str):
+        m = np.arange(frame_len, dtype=float)
+        if window == "hann":
+            return 0.5 - 0.5 * np.cos(2.0 * np.pi * m / frame_len)
+        if window == "hamming":
+            return 0.54 - 0.46 * np.cos(2.0 * np.pi * m / frame_len)
+        raise ValueError(f"unknown window {window!r} (None | 'hann' | 'hamming' | taps)")
+    taps = np.asarray(window, dtype=float)
+    if taps.shape != (frame_len,):
+        raise ValueError(f"window taps must have shape ({frame_len},), got {taps.shape}")
+    return taps
+
+
+def _frames(x: np.ndarray, frame_len: int, hop: int) -> np.ndarray:
+    """(n_series, n) -> (n_series, n_frames, frame_len) zero-copy frame
+    view; the tail shorter than a full frame is dropped (scipy.signal
+    .stft with boundary=None/padded=False drops it the same way)."""
+    if x.shape[-1] < frame_len:
+        return x[:, :0].reshape(x.shape[0], 0, frame_len)
+    return np.lib.stride_tricks.sliding_window_view(x, frame_len, axis=-1)[:, ::hop, :]
+
+
+def stft(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    frame_len: int,
+    hop: int | None = None,
+    window: str | Sequence[float] | None = "hann",
+    values: Sequence[str] = ("value",),
+    order: str | Sequence[str] | None = None,
+    keep_attrs: bool | None = None,
+) -> DataFrame:
+    """Short-time Fourier transform of each series.
+
+    Frames of ``frame_len`` samples every ``hop`` (default
+    ``frame_len // 2``) are windowed and real-FFT'd. Output: one row per
+    (series, frame, bin) with twin ``re``/``im`` columns plus native
+    position/coordinate columns::
+
+        frame      = idx div n_bins        (n_bins = frame_len//2 + 1)
+        bin        = idx %  n_bins
+        frame_time = offset + frame*hop*delta   (frame start time)
+        frequency  = bin / (frame_len*delta)
+
+    Series shorter than one frame produce no rows.
+    """
+    hop = frame_len // 2 if hop is None else hop
+    if hop < 1 or frame_len < 1:
+        raise ValueError("frame_len and hop must be >= 1")
+    taps = window_taps(window, frame_len)
+    values = list(values)
+    n_bins = frame_len // 2 + 1
+
+    def kernel(*blocks):
+        x = blocks[0] if len(blocks) == 1 else blocks[0] + 1j * blocks[1]
+        fr = _frames(x, frame_len, hop) * taps
+        spec = np.fft.rfft(fr, axis=-1)
+        flat = spec.reshape(spec.shape[0], -1)
+        return {
+            "re": np.real(flat).astype(float),
+            "im": np.imag(flat).astype(float),
+        }
+
+    res = apply_series_kernel(
+        df,
+        kernel,
+        by=by,
+        order=order or dim,
+        values=values,
+        out_fields="re double, im double",
+        keep=resolve_keep_attrs(df, keep_attrs),
+    )
+    frame = F.floor(F.col("idx") / n_bins).cast("bigint")
+    bin_ = (F.col("idx") % n_bins).cast("bigint")
+    return (
+        res.withColumn("frame", frame)
+        .withColumn("bin", bin_)
+        .withColumn(
+            "frame_time", F.col("offset") + frame.cast("double") * hop * F.col("delta")
+        )
+        .withColumn(
+            "frequency", bin_.cast("double") / (F.lit(float(frame_len)) * F.col("delta"))
+        )
+    )
+
+
+def welch(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    frame_len: int,
+    hop: int | None = None,
+    window: str | Sequence[float] | None = "hann",
+    values: Sequence[str] = ("value",),
+    order: str | Sequence[str] | None = None,
+    keep_attrs: bool | None = None,
+) -> DataFrame:
+    """Welch averaged periodogram per series (one row per bin).
+
+    ``power[k] = c_k * mean_over_frames |X_f[k]|^2 / sum(w^2)`` with the
+    one-sided fold ``c_k = 2`` except DC and (even ``frame_len``) the
+    Nyquist bin — i.e. scipy's ``welch(..., scaling="density")`` times
+    ``fs``; multiply by the sample spacing for the literal density
+    (provided as the native ``psd`` column = ``power * delta``).
+
+    The frame average runs inside the kernel, so output size is
+    ``n_bins`` rows per series regardless of series length — the
+    reduction happens map-side, before any further aggregation.
+    """
+    hop = frame_len // 2 if hop is None else hop
+    taps = window_taps(window, frame_len)
+    u = float(np.sum(taps**2))
+    values = list(values)
+    n_bins = frame_len // 2 + 1
+    fold = np.full(n_bins, 2.0)
+    fold[0] = 1.0
+    if frame_len % 2 == 0:
+        fold[-1] = 1.0
+
+    def kernel(*blocks):
+        x = blocks[0]
+        fr = _frames(x, frame_len, hop) * taps
+        if fr.shape[1] == 0:  # series shorter than one frame: no rows
+            return {"power": np.zeros((x.shape[0], 0))}
+        spec = np.fft.rfft(fr, axis=-1)
+        pxx = (spec.real**2 + spec.imag**2).mean(axis=1) * (fold / u)
+        return {"power": pxx.astype(float)}
+
+    res = apply_series_kernel(
+        df,
+        kernel,
+        by=by,
+        order=order or dim,
+        values=values,
+        out_fields="power double",
+        keep=resolve_keep_attrs(df, keep_attrs),
+    )
+    return res.withColumn(
+        "frequency",
+        F.col("idx").cast("double") / (F.lit(float(frame_len)) * F.col("delta")),
+    ).withColumn("psd", F.col("power") * F.col("delta"))
