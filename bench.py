@@ -39,6 +39,9 @@ HEADLINE = [
     "peak_widths",
     "fftshift",
     "resample",
+    "stft",
+    "welch",
+    "asof_join",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

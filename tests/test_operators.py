@@ -507,3 +507,43 @@ def test_welch_peak_and_scaling(sine_df):
     fold[0] = fold[-1] = 1.0
     ref = (np.abs(spec) ** 2).mean(axis=0) * fold / np.sum(taps**2)
     np.testing.assert_allclose(power, ref, atol=1e-9)
+
+
+# ---------------- asof join ----------------
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_pandas(spark, direction):
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 60),
+            "t": np.sort(rng.choice(np.arange(500), 60, replace=False)).astype("int64"),
+            "lv": rng.standard_normal(60),
+        }
+    ).sort_values("t")
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 25),
+            "rt": np.sort(rng.choice(np.arange(500), 25, replace=False)).astype("int64"),
+            "rv": rng.standard_normal(25),
+        }
+    ).sort_values("rt")
+    out = xss.asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on=["k"],
+        left_ts="t",
+        right_ts="rt",
+        direction=direction,
+    ).toPandas()
+    want = pd.merge_asof(
+        left, right, left_on="t", right_on="rt", by="k", direction=direction
+    )
+    got = out.sort_values(["k", "t"]).reset_index(drop=True)
+    want = want.sort_values(["k", "t"]).reset_index(drop=True)
+    for c in ("rt", "rv"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float), equal_nan=True
+        )

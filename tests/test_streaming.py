@@ -77,3 +77,69 @@ def test_sosfilt_stream_matches_batch(spark, chunked_dir, tmp_path):
         y_stream = np.array([c[2] for c in chunk])
         y_batch = sosfilt_1d(sos, full[ch])
         np.testing.assert_allclose(y_stream, y_batch, atol=1e-12)
+
+
+def test_windowed_stats_stream_equals_batch(spark, tmp_path):
+    """Tumbling-window stats over a multi-batch stream must equal the
+    same plan run on the static union of the input."""
+    import uuid
+
+    from xarray_scipy_spark.streaming import windowed_stats
+
+    rng = np.random.default_rng(7)
+    src = tmp_path / "win_src"
+    src.mkdir()
+    frames = []
+    for i in range(NCHUNKS):
+        # event times in nanos spanning several 60 s windows per batch
+        ts = (i * 400 + rng.integers(0, 400, size=50)) * 1_000_000_000
+        pdf = pd.DataFrame(
+            {
+                "ch": rng.integers(0, NCH, size=50),
+                "ts": np.sort(ts).astype("int64"),
+                "value": rng.standard_normal(50),
+            }
+        )
+        frames.append(pdf)
+        pdf.to_parquet(src / f"chunk_{i}.parquet")
+        time.sleep(1.1)
+    allpdf = pd.concat(frames, ignore_index=True)
+
+    schema = "ch bigint, ts bigint, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windowed_stats(
+        stream, by=["ch"], dim="ts", window="60 seconds", watermark="10 minutes"
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name).toPandas().sort_values(["ch", "window_start"])
+
+    batch = windowed_stats(
+        spark.createDataFrame(allpdf, schema=schema),
+        by=["ch"],
+        dim="ts",
+        window="60 seconds",
+    )
+    want = batch.toPandas().sort_values(["ch", "window_start"])
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(
+        got["n"].to_numpy(), want["n"].to_numpy()
+    )
+    for c in ("sum", "avg", "min", "max"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float), atol=1e-9
+        )
+    # window starts are whole minutes aligned to the epoch
+    assert (got["window_start"].to_numpy() % 60 == 0).all()

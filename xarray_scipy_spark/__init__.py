@@ -13,6 +13,7 @@ Public surface mirrors ``xarray_scipy.signal`` operator-for-operator
 """
 
 from .operators import (
+    asof_join,
     convolve,
     convolve_fir,
     decimate,
@@ -64,4 +65,5 @@ __all__ = [
     "sos_from_dataframe",
     "stft",
     "welch",
+    "asof_join",
 ]

@@ -1459,6 +1459,119 @@ def q_sosfilt_stream(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# as-of join (temporal alignment)
+# ---------------------------------------------------------------------------
+
+_ASOF_EVERY = 7  # every 7th event per user is an "anchor"
+
+
+@_q(
+    "asof_join",
+    f"WITH {_S}, "
+    # epoch_us: Spark reads the nanos column as int64 ns while DuckDB
+    # truncates to micros — compare at the shared micros precision
+    "ev AS (SELECT user_id, j, epoch_us(ts) AS t, x FROM ("
+    "  SELECT user_id, ts, value AS x,"
+    "  row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS j FROM events)"
+    "), "
+    f"anch AS (SELECT user_id, t AS at, x AS av FROM ev WHERE j % {_ASOF_EVERY} = 0) "
+    "SELECT e.user_id, e.t, a.at AS anchor_t, round(a.av, 6) + 0.0 AS anchor_value6 "
+    "FROM ev e ASOF LEFT JOIN anch a "
+    "ON e.user_id = a.user_id AND e.t >= a.at",
+)
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each event matched to the most recent
+    'anchor' event (every 7th per user) at or before it. Oracle =
+    DuckDB's native ASOF LEFT JOIN; the Spark side is the union+window
+    formulation (one shuffle, no join node — operators/joins.py)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ev = ev.withColumn("j", F.row_number().over(w) - 1)
+    anchors = ev.filter(F.col("j") % _ASOF_EVERY == 0).select(
+        "user_id", F.col("ts").alias("at"), F.col("value").alias("av")
+    )
+    res = ops.asof_join(
+        ev.select("user_id", "ts", "value"),
+        anchors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="at",
+        right_values=["av"],
+    )
+    return res.select(
+        F.col("user_id"),
+        F.expr("ts div 1000").alias("t"),  # integer div: ns -> us exactly
+        F.expr("at div 1000").alias("anchor_t"),
+        _r("av", 6, "anchor_value6"),
+    )
+
+
+_WIN_SECONDS = 86_400  # 1-day tumbling windows over the month of events
+
+
+@_q(
+    "stream_window_stats",
+    "SELECT user_id, "
+    f"(epoch_ns(ts) // {_WIN_SECONDS * 1_000_000_000}) * {_WIN_SECONDS} AS window_start, "
+    "count(*) AS n, "
+    "CAST(floor(sum(value) * 1000 + 0.5 + 1e-6) AS BIGINT) AS sum_q, "
+    "CAST(floor(avg(value) * 1000 + 0.5 + 1e-6) AS BIGINT) AS avg_q, "
+    "round(min(value), 4) + 0.0 AS min4, round(max(value), 4) + 0.0 AS max4 "
+    "FROM events GROUP BY user_id, window_start",
+)
+def q_stream_window_stats(spark, sf_dir):
+    """Event-time tumbling-window stats via Structured Streaming
+    (readStream -> withWatermark -> window() agg -> AvailableNow into a
+    memory sink). Oracle = the same epoch-bucket aggregate in SQL —
+    streaming over a bounded source must equal the batch aggregate.
+    Complete output mode: with AvailableNow the watermark never passes
+    the final windows, so append mode would withhold them; complete
+    emits every window while the watermark still bounds state on a
+    truly unbounded run. sum/avg use the epsilon-floor quantizer
+    (summation ORDER differs between engines; see rfft_n_ortho note)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import windowed_stats
+
+    name = f"win_stream_{uuid.uuid4().hex[:8]}"
+    schema = load_table(spark, "events", sf_dir).schema
+    src_dir = tempfile.mkdtemp(prefix="win_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("user_id", "ts", "value")
+    )
+    out = windowed_stats(
+        stream,
+        by=["user_id"],
+        dim="ts",
+        window=f"{_WIN_SECONDS} seconds",
+        watermark="1 day",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="win_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        "window_start",
+        "n",
+        _q3_col(F.col("sum")).alias("sum_q"),
+        _q3_col(F.col("avg")).alias("avg_q"),
+        _r("min", 4, "min4"),
+        _r("max", 4, "max4"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # iterative algorithm: duplicate clustering (connected components)
 # ---------------------------------------------------------------------------
 

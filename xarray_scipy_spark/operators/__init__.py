@@ -5,6 +5,7 @@ from .convolve import convolve, convolve_fir, fftconvolve, fftconvolve_nd
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import sos_from_dataframe, sosfilt, sosfiltfilt
 from .hilbert import envelope, hilbert
+from .joins import asof_join
 from .peaks import peak_widths
 from .resample import decimate, resample
 from .spectral import stft, welch
@@ -32,4 +33,5 @@ __all__ = [
     "sos_from_dataframe",
     "stft",
     "welch",
+    "asof_join",
 ]

@@ -1,0 +1,92 @@
+"""Temporal joins Spark lacks as built-ins: the as-of join.
+
+An as-of join pairs every left row with the nearest right row at or
+before (``direction="backward"``) / at or after (``"forward"``) its
+timestamp, per key — the standard alignment primitive for time-series
+enrichment (quotes→trades, sensor→calibration, events→model-version).
+
+Scale design: the naive formulation is a range join (cartesian per key
++ filter + argmax) that explodes quadratically on hot keys. This
+implementation instead UNIONS both sides into one stream, shuffles ONCE
+on the key, and runs ``last(value, ignorenulls=True)`` over an ordered
+window — O(n log n) per partition, no join node at all, no build side
+to skew. The physical plan is Exchange → Sort → Window → Filter, the
+shape that survives a 1000-executor scale-up; AQE's skew handling
+applies to the single exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    right_values: Sequence[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, enriched with the matched
+    ``right`` row's ``right_values`` (null when no match exists).
+
+    ``direction="backward"`` matches the greatest ``right_ts <=
+    left_ts``; ``"forward"`` the least ``right_ts >= left_ts``. Ties
+    (equal timestamps) match. The matched right timestamp is emitted as
+    ``{right_ts}{suffix}``.
+
+    Matched columns keep their name unless it collides with a left
+    column, in which case ``suffix`` is appended.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    on = list(on)
+    right_ts = right_ts or left_ts
+    if right_values is None:
+        right_values = [c for c in right.columns if c not in (*on, right_ts)]
+    right_values = list(right_values)
+
+    out_names = {
+        c: c + suffix if c in left.columns else c for c in (right_ts, *right_values)
+    }
+
+    # one unified stream: left rows carry their payload, right rows carry
+    # the columns to propagate; __side__ breaks timestamp ties so the
+    # right row at an equal timestamp is visible to the left row
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__t__"),
+        F.lit(1).alias("__side__"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__rv_{c}") for c in (right_ts, *right_values)],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) if c not in on else F.col(c) for c in left.columns],
+        F.col(right_ts).alias("__t__"),
+        F.lit(0).alias("__side__"),
+        *[F.col(c).alias(f"__rv_{c}") for c in (right_ts, *right_values)],
+    )
+    both = l_tagged.unionByName(r_tagged)
+
+    t_order = F.col("__t__").asc() if direction == "backward" else F.col("__t__").desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(t_order, F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = both.select(
+        *left.columns,
+        "__side__",
+        *[
+            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(out_names[c])
+            for c in (right_ts, *right_values)
+        ],
+    )
+    return matched.filter(F.col("__side__") == 1).drop("__side__")

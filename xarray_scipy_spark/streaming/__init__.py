@@ -6,5 +6,6 @@ kernels, applied incrementally with explicit carried state.
 """
 
 from .stateful import sosfilt_stream
+from .windows import windowed_stats
 
-__all__ = ["sosfilt_stream"]
+__all__ = ["sosfilt_stream", "windowed_stats"]

@@ -1,0 +1,79 @@
+"""Event-time windowed aggregation over streams: tumbling/sliding
+windows with a watermark for late data.
+
+The reference is batch-only (SURVEY.md §2.3); this is the Structured-
+Streaming shape of the engine's per-series statistics. The aggregation
+is fully incremental — Spark keeps one running aggregate per
+(key, window) in the state store, emits according to the output mode,
+and the watermark bounds state: windows older than
+``max(event_time) - watermark`` are finalized and evicted, so state
+size is O(keys × windows-in-watermark-horizon) regardless of stream
+length.
+
+Batch/stream parity: the same groupBy(window(...)) plan executes on a
+static DataFrame, and the contract's DuckDB oracle reproduces it with
+epoch bucket arithmetic — the streaming result over a bounded source
+(AvailableNow) is identical to the batch aggregate of the materialized
+input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["windowed_stats"]
+
+
+def windowed_stats(
+    sdf: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    window: str = "60 seconds",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key tumbling (or sliding) event-time window statistics.
+
+    ``dim`` may be a timestamp column or epoch-nanosecond bigint (the
+    engine's internal representation for nanos parquet — truncation to
+    microseconds cannot move an event across a whole-second window
+    boundary). Output per (key, window): ``window_start`` (epoch
+    seconds), ``n``, ``sum``, ``avg``, ``min``, ``max``.
+
+    Works on both streaming and static DataFrames (identical plan
+    semantics); the watermark only takes effect on streams.
+    """
+    by = list(by)
+    ts = F.col(dim)
+    if dict(sdf.dtypes)[dim] in ("bigint", "long"):
+        # integer div, not float: ns magnitudes (~1.7e18) lose the last
+        # microsecond digit under double division
+        ts = F.timestamp_micros(F.expr(f"`{dim}` div 1000"))
+    work = sdf.withColumn("__event_time__", ts)
+    if work.isStreaming:
+        work = work.withWatermark("__event_time__", watermark)
+    win = (
+        F.window("__event_time__", window, slide)
+        if slide
+        else F.window("__event_time__", window)
+    )
+    agg = work.groupBy(win.alias("w"), *by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value).alias("sum"),
+        F.avg(value).alias("avg"),
+        F.min(value).alias("min"),
+        F.max(value).alias("max"),
+    )
+    return agg.select(
+        *by,
+        F.col("w.start").cast("long").alias("window_start"),
+        "n",
+        "sum",
+        "avg",
+        "min",
+        "max",
+    )
