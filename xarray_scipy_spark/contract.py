@@ -1130,6 +1130,53 @@ def q_multimodal_features(spark, sf_dir):
     return pl.decode_features(df, n_features=_MM_FEATURES)
 
 
+_FRAME_BYTES = 8
+_FRAME_EVERY = 3
+
+
+@_q(
+    "multimodal_frame_sample",
+    # document text is pure ASCII at test scale, so byte frames equal
+    # character substrings; frame k covers chars [k*8+1, k*8+8]
+    "WITH fr AS ("
+    "  SELECT d.doc_id, CAST(k.k AS INTEGER) AS frame_idx,"
+    f"    substring(d.text, CAST(k.k AS INTEGER) * {_FRAME_BYTES} + 1, {_FRAME_BYTES}) AS frame"
+    "  FROM documents d,"
+    f"  LATERAL (SELECT unnest(range(0, length(d.text) // {_FRAME_BYTES})) AS k) k"
+    f"  WHERE k.k % {_FRAME_EVERY} = 0"
+    ") "
+    "SELECT doc_id, frame_idx, "
+    "CAST(('0x' || substring(md5(frame), 1, 2)) AS INTEGER) * 1.0 AS f0 "
+    "FROM fr",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Fixed-stride frame sampling from binary payloads (one output row
+    per sampled frame); oracle rebuilds the frames with substring + md5
+    arithmetic."""
+    df = pl.with_binary(_docs(spark, sf_dir))
+    return pl.frame_sample(
+        df, frame_bytes=_FRAME_BYTES, every=_FRAME_EVERY
+    )
+
+
+_RESIZE_BYTES = 64
+
+
+@_q(
+    "multimodal_resize",
+    f"SELECT doc_id, {_RESIZE_BYTES} AS n_bytes, "
+    f"md5(rpad(substring(text, 1, {_RESIZE_BYTES}), {_RESIZE_BYTES}, '.')) AS digest "
+    "FROM documents",
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Payload normalization to a fixed byte budget (resize plumbing);
+    oracle = truncate/right-pad + digest in SQL. The binary payload
+    itself is excluded from the compare (the digest pins it)."""
+    df = pl.with_binary(_docs(spark, sf_dir))
+    res = pl.resize_payload(df, target_bytes=_RESIZE_BYTES)
+    return res.select("doc_id", "n_bytes", "digest")
+
+
 # ---------------------------------------------------------------------------
 # relational demos: the Catalyst-built-in surface over the same tables
 # ---------------------------------------------------------------------------

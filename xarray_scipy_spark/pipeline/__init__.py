@@ -33,7 +33,12 @@ from .dedup import (
 )
 from .similarity import cosine_topk, cosine_topk_ivf
 from .text import token_stats, quality_score, lang_id, fingerprint, tfidf_top_tokens
-from .multimodal import with_binary, decode_features
+from .multimodal import (
+    decode_features,
+    frame_sample,
+    resize_payload,
+    with_binary,
+)
 
 __all__ = [
     "exact_duplicates",
@@ -53,4 +58,6 @@ __all__ = [
     "fingerprint",
     "with_binary",
     "decode_features",
+    "frame_sample",
+    "resize_payload",
 ]

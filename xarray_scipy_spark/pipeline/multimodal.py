@@ -25,7 +25,15 @@ from pyspark.sql import DataFrame, functions as F
 
 from .hashes import spread
 
-__all__ = ["with_binary", "decode_features", "fake_decoder", "image_decoder"]
+__all__ = [
+    "with_binary",
+    "decode_features",
+    "fake_decoder",
+    "image_decoder",
+    "frame_sample",
+    "video_frame_decoder",
+    "resize_payload",
+]
 
 
 def with_binary(
@@ -67,6 +75,98 @@ def image_decoder(payload: bytes, n_features: int) -> list[float]:
         "image decode requires an imaging library (PIL/cv2) not present "
         "in this environment; use fake_decoder for plumbing tests"
     )
+
+
+def video_frame_decoder(payload: bytes, frame_bytes: int) -> list[bytes]:
+    """Real container demux / codec decode — requires an av library this
+    container does not ship. STUB."""
+    raise NotImplementedError(
+        "video decode requires an av library (pyav/ffmpeg) not present in "
+        "this environment; frame_sample's fixed-stride fallback exercises "
+        "the identical Spark plumbing"
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    frame_bytes: int = 8,
+    every: int = 3,
+) -> DataFrame:
+    """Sample every ``every``-th fixed-stride frame from each binary
+    payload and emit one row per sampled frame (UDTF shape: the
+    ``mapInPandas`` batch yields MORE rows than it receives).
+
+    The fallback "codec" slices the payload into consecutive
+    ``frame_bytes``-byte frames (tail shorter than a frame dropped) —
+    a real codec plugs in at :func:`video_frame_decoder`. Per frame:
+    ``frame_idx`` (index among ALL frames, so the sampling stride is
+    visible) and ``f0`` (md5-derived stand-in feature, SQL-reproducible
+    for the oracle).
+
+    Scale: explode happens Python-side inside the Arrow batch, so one
+    input batch amortizes decode across documents, and the payload
+    column is pruned upstream by Catalyst until this operator scans it.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, frame_idx int, f0 double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            fidx: list[int] = []
+            feat: list[float] = []
+            for i, payload in zip(pdf[id_col], pdf[bin_col]):
+                n_frames = len(payload) // frame_bytes
+                for k in range(0, n_frames, every):
+                    frame = payload[k * frame_bytes : (k + 1) * frame_bytes]
+                    ids.append(i)
+                    fidx.append(k)
+                    feat.append(float(hashlib.md5(frame).digest()[0]))
+            yield pd.DataFrame({id_col: ids, "frame_idx": fidx, "f0": feat})
+
+    return spread(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=schema)
+
+
+def resize_payload(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    target_bytes: int = 64,
+    pad: bytes = b".",
+) -> DataFrame:
+    """Normalize every payload to a fixed byte budget (truncate or
+    right-pad) — the plumbing shape of an image/audio resize: binary in,
+    binary out, metadata recomputed. A real resampler replaces the
+    truncate/pad body; the Spark contract (schema, batching, digest
+    recompute) is identical.
+
+    Output: ``(id_col, payload, n_bytes, digest)``.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, payload binary, n_bytes int, digest string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, payloads, digests = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[bin_col]):
+                p = bytes(payload)[:target_bytes].ljust(target_bytes, pad)
+                out_ids.append(i)
+                payloads.append(p)
+                digests.append(hashlib.md5(p).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "payload": payloads,
+                    "n_bytes": [target_bytes] * len(out_ids),
+                    "digest": digests,
+                }
+            )
+
+    return spread(df.select(id_col, bin_col), id_col).mapInPandas(run, schema=schema)
 
 
 def decode_features(
