@@ -547,3 +547,56 @@ def test_asof_join_matches_pandas(spark, direction):
         np.testing.assert_allclose(
             got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float), equal_nan=True
         )
+
+
+def test_range_join_matches_bruteforce(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame({"p": rng.integers(0, 1000, 200).astype("int64")})
+    lo = rng.integers(0, 950, 20).astype("int64")
+    iv = pd.DataFrame(
+        {"iid": np.arange(20), "lo": lo, "hi": lo + rng.integers(0, 200, 20)}
+    )
+    # boundary cases: interval exactly on a chunk edge, point == lo == hi
+    iv.loc[0, ["lo", "hi"]] = [100, 100]
+    pts.loc[0, "p"] = 100
+    out = xss.range_join(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(iv),
+        point_col="p",
+        start_col="lo",
+        end_col="hi",
+        granularity=50,
+    ).toPandas()
+    want = pts.merge(iv, how="cross")
+    want = want[(want.p >= want.lo) & (want.p <= want.hi)]
+    got_set = sorted(map(tuple, out[["p", "iid"]].to_numpy()))
+    want_set = sorted(map(tuple, want[["p", "iid"]].to_numpy()))
+    assert got_set == want_set
+    # and the plan is a hash join on the chunk key, not a nested loop
+    plan = xss.range_join(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(iv),
+        point_col="p",
+        start_col="lo",
+        end_col="hi",
+        granularity=50,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_plan_single_exchange(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [0, 1], "t": [1, 2], "lv": [0.1, 0.2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [0, 1], "rt": [0, 1], "rv": [9.0, 8.0]})
+    )
+    out = xss.asof_join(left, right, on=["k"], left_ts="t", right_ts="rt")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union + window: no join operator at all, one shuffle for the window
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -42,3 +42,43 @@ def test_resize_payload_truncate_and_pad(spark):
     assert bytes(out.loc[1, "payload"]) == b"short" + b"." * 11
     assert bytes(out.loc[2, "payload"]) == b"abcdefgh" * 2
     assert out.loc[1, "digest"] == hashlib.md5(b"short" + b"." * 11).hexdigest()
+
+
+def test_series_form_roundtrip(spark, tmp_path):
+    """write_series -> read_series is the identity on long-form data,
+    and a value transform applied in series form matches the long form."""
+    import numpy as np
+
+    from xarray_scipy_spark.sources import read_series, write_series
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        {
+            "ch": np.repeat([0, 1, 2], 40),
+            "t": np.tile(np.arange(40, dtype=float), 3),
+            "value": rng.standard_normal(120),
+        }
+    ).sample(frac=1.0, random_state=1)  # scrambled row order
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "series")
+    write_series(df, path, by=["ch"], dim="t")
+    back = read_series(spark, path, by=["ch"], dim="t").toPandas()
+    a = pdf.sort_values(["ch", "t"]).reset_index(drop=True)
+    b = back.sort_values(["ch", "t"]).reset_index(drop=True)
+    for c in ("ch", "t", "value"):
+        np.testing.assert_allclose(a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float))
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    import numpy as np
+
+    from xarray_scipy_spark.sources import write_partitioned
+
+    pdf = pd.DataFrame({"part": np.repeat([0, 1, 2, 3], 25), "v": np.arange(100)})
+    path = str(tmp_path / "parts")
+    write_partitioned(spark.createDataFrame(pdf), path, partition_by=["part"])
+    got = spark.read.parquet(path).filter("part = 2")
+    assert got.count() == 25
+    # partition pruning: the physical scan reports a partition filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part" in plan.split("PartitionFilters")[1][:80]

@@ -15,6 +15,7 @@ Public surface mirrors ``xarray_scipy.signal`` operator-for-operator
 from .operators import (
     asof_join,
     convolve,
+    range_join,
     convolve_fir,
     decimate,
     envelope,
@@ -66,4 +67,5 @@ __all__ = [
     "stft",
     "welch",
     "asof_join",
+    "range_join",
 ]

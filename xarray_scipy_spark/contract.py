@@ -1553,6 +1553,58 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# range join (interval containment)
+# ---------------------------------------------------------------------------
+
+_RANGE_DAYS_US = 7 * 86_400 * 1_000_000  # 7-day windows, epoch micros
+_RANGE_MOD = 997  # deterministic sparse subset of orders
+
+
+@_q(
+    "range_join",
+    "WITH iv AS ("
+    "  SELECT o_orderkey, epoch_us(o_orderdate) AS lo,"
+    f"    epoch_us(o_orderdate) + {_RANGE_DAYS_US} AS hi"
+    f"  FROM orders WHERE o_orderkey % {_RANGE_MOD} = 0"
+    ") "
+    "SELECT iv.o_orderkey, count(*) AS n_shipments, "
+    "CAST(floor(sum(l.l_quantity) * 1000 + 0.5 + 1e-6) AS BIGINT) AS qty_q "
+    "FROM iv JOIN lineitem l "
+    "ON epoch_us(l.l_shipdate) BETWEEN iv.lo AND iv.hi "
+    "GROUP BY iv.o_orderkey",
+)
+def q_range_join(spark, sf_dir):
+    """Interval-containment join: all shipments (any order) within 7
+    days after each sampled order's date, without the nested-loop plan
+    a naive range predicate produces — intervals explode into covered
+    time chunks and the join is an equi hash join on the chunk id
+    (operators/joins.py range_join). Oracle = DuckDB's native range
+    predicate join."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") % _RANGE_MOD == 0
+    )
+    iv = orders.select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("lo"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + _RANGE_DAYS_US).alias(
+            "hi"
+        ),
+    )
+    pts = load_table(spark, "lineitem", sf_dir).select(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+        "l_quantity",
+    )
+    j = ops.range_join(
+        pts, iv, point_col="ship_us", start_col="lo", end_col="hi",
+        granularity=_RANGE_DAYS_US,
+    )
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        _q3_col(F.sum("l_quantity")).alias("qty_q"),
+    )
+
+
 _WIN_SECONDS = 86_400  # 1-day tumbling windows over the month of events
 
 

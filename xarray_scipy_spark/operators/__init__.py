@@ -5,7 +5,7 @@ from .convolve import convolve, convolve_fir, fftconvolve, fftconvolve_nd
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import sos_from_dataframe, sosfilt, sosfiltfilt
 from .hilbert import envelope, hilbert
-from .joins import asof_join
+from .joins import asof_join, range_join
 from .peaks import peak_widths
 from .resample import decimate, resample
 from .spectral import stft, welch
@@ -34,4 +34,5 @@ __all__ = [
     "stft",
     "welch",
     "asof_join",
+    "range_join",
 ]

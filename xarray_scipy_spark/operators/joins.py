@@ -21,7 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -90,3 +90,53 @@ def asof_join(
         ],
     )
     return matched.filter(F.col("__side__") == 1).drop("__side__")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    granularity: int | float = None,
+) -> DataFrame:
+    """Inner join of points to the closed intervals containing them
+    (``start <= point <= end``), without a cartesian/nested-loop plan.
+
+    Without an equi-key, Spark plans a range predicate as
+    BroadcastNestedLoopJoin (every point × every interval). Here the
+    range axis is chunked at ``granularity``: each interval explodes
+    into the chunks it covers, each point maps to exactly ONE chunk, and
+    the join is an equi hash join on ``(chunk, *on)`` followed by the
+    precise containment filter. No duplicate elimination is needed —
+    a point matches an interval only in the point's own chunk.
+
+    Cost model: interval explosion factor = interval length /
+    granularity (choose granularity near the typical interval length so
+    the factor is small); the hash join shuffles on chunk keys, so long
+    intervals spread across many chunks instead of hot-spotting one
+    task, and AQE's skew split covers residual hot chunks. All columns
+    must be numeric (cast timestamps to epoch first).
+
+    Output: all point columns + all interval columns (``on`` keys once).
+    """
+    if granularity is None or granularity <= 0:
+        raise ValueError("granularity must be a positive number")
+    on = list(on)
+    # integer-div chunking (exact — float division loses low digits at
+    # epoch magnitudes). trunc-toward-zero is monotone, so start<=p<=end
+    # always implies chunk(start) <= chunk(p) <= chunk(end).
+    g = int(granularity)
+    p_chunk = F.expr(f"CAST(`{point_col}` AS BIGINT) div {g}")
+    i_chunks = F.sequence(
+        F.expr(f"CAST(`{start_col}` AS BIGINT) div {g}"),
+        F.expr(f"CAST(`{end_col}` AS BIGINT) div {g}"),
+    )
+    pts = points.withColumn("__chunk__", p_chunk)
+    ivs = intervals.withColumn("__chunk__", F.explode(i_chunks))
+    joined = pts.join(ivs, on=["__chunk__", *on], how="inner").filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__chunk__")

@@ -1,0 +1,111 @@
+"""Sinks: partitioned / bucketed / series-form parquet writers.
+
+The reference has no storage layer (SURVEY.md §2.3); these writers are
+the output half of our engine's scan story. Layout choices here are
+what make the 100 TB read side cheap:
+
+- ``write_partitioned``: hive-style directory partitioning on a
+  low-cardinality column — downstream filters on it become partition
+  PRUNING (directories never listed), not row filtering.
+- ``write_bucketed``: pre-shuffled bucket files keyed by a join/groupBy
+  key — a downstream aggregation or join on that key skips its
+  exchange entirely (the shuffle is paid once, at write time).
+- ``write_series``: the engine's series-form layout — one row per
+  series with the core dim as sorted arrays. Re-reading gives
+  kernel-ready blocks with no window/sort; the natural checkpoint
+  format between pipeline stages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["write_partitioned", "write_bucketed", "write_series", "read_series"]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str],
+    mode: str = "error",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-partitioned parquet. ``max_records_per_file`` bounds file
+    size under skewed partitions (AQE handles task-side skew; this
+    handles file-side)."""
+    w = df.write.mode(mode).partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_by: Sequence[str] = (),
+    mode: str = "error",
+) -> None:
+    """Bucketed table (``saveAsTable`` — bucketing requires the catalog;
+    plain ``.parquet()`` silently drops bucket metadata). A downstream
+    join/groupBy on ``bucket_by`` reads co-located buckets and skips the
+    exchange; ``sort_by`` additionally pre-sorts within buckets (sorted
+    merge reads for the series form)."""
+    bucket_by = list(bucket_by)
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def write_series(
+    df: DataFrame,
+    path: str,
+    *,
+    by: Sequence[str],
+    dim: str,
+    values: Sequence[str] = ("value",),
+    mode: str = "error",
+) -> None:
+    """Materialize long-form data as series-form parquet: one row per
+    ``by`` group with ``{dim}_arr`` + one array per value column, each
+    sorted by ``dim`` (``array_sort`` over the zipped struct keeps the
+    coordinate and values aligned through one sort)."""
+    by = list(by)
+    values = list(values)
+    zipped = F.array_sort(F.collect_list(F.struct(F.col(dim).alias("o"), *values)))
+    agg = df.groupBy(*by).agg(zipped.alias("z"))
+    cols = [F.col("z.o").alias(f"{dim}_arr")] + [
+        F.col(f"z.{v}").alias(f"{v}_arr") for v in values
+    ]
+    agg.select(*by, *cols).write.mode(mode).parquet(path)
+
+
+def read_series(
+    spark: SparkSession,
+    path: str,
+    *,
+    by: Sequence[str],
+    dim: str,
+    values: Sequence[str] = ("value",),
+) -> DataFrame:
+    """Explode series-form parquet back to the long form the operators
+    consume (inverse of :func:`write_series`)."""
+    by = list(by)
+    values = list(values)
+    df = spark.read.parquet(path)
+    arrs = F.arrays_zip(
+        F.col(f"{dim}_arr").alias("o"), *[F.col(f"{v}_arr").alias(v) for v in values]
+    )
+    ex = df.select(*by, F.explode(arrs).alias("e"))
+    return ex.select(
+        *by, F.col("e.o").alias(dim), *[F.col(f"e.{v}").alias(v) for v in values]
+    )
