@@ -42,6 +42,8 @@ HEADLINE = [
     "stft",
     "welch",
     "asof_join",
+    "range_join",
+    "stream_window_stats",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

