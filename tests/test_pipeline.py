@@ -82,3 +82,28 @@ def test_write_partitioned_prunes(spark, tmp_path):
     # partition pruning: the physical scan reports a partition filter
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "part" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_embedding_dup_pairs_blocked_matches_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    n, d = 120, 16
+    vecs = rng.standard_normal((n, d))
+    vecs[50] = vecs[10] * 2.0 + 0.01  # planted near-dup (cos ~ 1)
+    vecs[71] = -vecs[30]  # planted anti-dup (cos ~ -1, must NOT pair)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    out = pl.embedding_dup_pairs(
+        spark.createDataFrame(pdf), threshold=0.6
+    ).toPandas()
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ nv.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.6, k=1))
+    want = sorted(zip(ii.tolist(), jj.tolist()))
+    got = sorted(zip(out["a_id"].tolist(), out["b_id"].tolist()))
+    assert got == want
+    assert (10, 50) in got
+    m = out.set_index(["a_id", "b_id"])["cos_sim"]
+    np.testing.assert_allclose(m.loc[(10, 50)], sims[10, 50], atol=1e-9)

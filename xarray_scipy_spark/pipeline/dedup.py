@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashes import (
@@ -484,23 +486,95 @@ def embedding_dup_pairs(
             bit = F.when(_dot(F.col("v"), plane_lit(p)) >= 0, 1 << p).otherwise(0)
             bucket = bit if bucket is None else bucket + bit
         v = v.withColumn("bucket", bucket)
+        a = v.hint("shuffle_hash").alias("a")
+        b = v.hint("shuffle_hash").alias("b")
         join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
             F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         )
-    else:
-        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-
-    a = v.alias("a")
-    b = v.alias("b")
-    return (
-        a.join(b, join_cond)
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            (
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cos_sim"),
+        return (
+            a.join(b, join_cond)
+            .select(
+                F.col(f"a.{id_col}").alias("a_id"),
+                F.col(f"b.{id_col}").alias("b_id"),
+                (
+                    _dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.nrm") * F.col("b.nrm"))
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
         )
-        .filter(F.col("cos_sim") >= threshold)
+    return _blocked_allpairs_cosine(
+        v.drop("nrm"), id_col=id_col, threshold=threshold
+    )
+
+
+def _blocked_allpairs_cosine(
+    v: DataFrame, *, id_col: str, threshold: float, blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs cosine as a blocked matrix product.
+
+    An element-wise SQL dot (`zip_with`+`aggregate`) is interpreted per
+    pair — O(N²·dim) interpreted ops. Instead: split vectors into
+    ``blocks`` hash blocks, enumerate the ``B(B+1)/2`` unordered block
+    pairs (a broadcast of a tiny literal table — each vector is
+    replicated ~B/2 times), cogroup both blocks of each pair, and score
+    them with ONE numpy matmul per block pair. Each unordered vector
+    pair lands in exactly one block-pair group (twice when the blocks
+    coincide — deduped by pair normalization), so no global distinct is
+    needed. ``blocks`` scales with the cluster: block size just has to
+    fit in a worker.
+    """
+    spark = v.sparkSession
+    id_type = dict(v.dtypes)[id_col]
+    pairs_meta = spark.createDataFrame(
+        [
+            (pa * blocks + pb, pa, pb)
+            for pa in range(blocks)
+            for pb in range(pa, blocks)
+        ],
+        "pid int, pa int, pb int",
+    )
+    vb = v.withColumn("blk", F.pmod(F.xxhash64(id_col), F.lit(blocks)).cast("int"))
+    left = vb.join(
+        F.broadcast(pairs_meta), vb["blk"] == pairs_meta["pa"]
+    ).select("pid", id_col, "v")
+    right = vb.join(
+        F.broadcast(pairs_meta), vb["blk"] == pairs_meta["pb"]
+    ).select("pid", id_col, "v")
+    # fresh attribute IDs on the right: both cogroup inputs share the
+    # (vb ⋈ pairs_meta) lineage, which trips the ambiguous-self-join
+    # check (same workaround as core.apply_cogrouped_kernel)
+    right = right.select(*[F.col(c).alias(c) for c in right.columns])
+
+    out_schema = f"a_id {id_type}, b_id {id_type}, cos_sim double"
+
+    def score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        la = np.stack(lpdf["v"].to_numpy())
+        rb = np.stack(rpdf["v"].to_numpy())
+        la = la / np.linalg.norm(la, axis=1, keepdims=True)
+        rb = rb / np.linalg.norm(rb, axis=1, keepdims=True)
+        sims = la @ rb.T
+        ia, ib = np.nonzero(sims >= threshold)
+        if not len(ia):
+            return empty
+        aid = lpdf[id_col].to_numpy()[ia]
+        bid = rpdf[id_col].to_numpy()[ib]
+        keep = aid != bid
+        aid, bid, s = aid[keep], bid[keep], sims[ia[keep], ib[keep]]
+        lo, hi = np.minimum(aid, bid), np.maximum(aid, bid)
+        # same-block groups see each unordered pair twice ((x,y),(y,x));
+        # unique on the normalized pair drops the mirror
+        pairs = np.stack([lo, hi], axis=1)
+        _, first = np.unique(pairs, axis=0, return_index=True)
+        return pd.DataFrame(
+            {"a_id": lo[first], "b_id": hi[first], "cos_sim": s[first]}
+        )
+
+    return (
+        left.groupBy("pid")
+        .cogroup(right.groupBy("pid"))
+        .applyInPandas(lambda l, r: score(l, r), schema=out_schema)
     )
