@@ -107,3 +107,32 @@ def test_embedding_dup_pairs_blocked_matches_bruteforce(spark):
     assert (10, 50) in got
     m = out.set_index(["a_id", "b_id"])["cos_sim"]
     np.testing.assert_allclose(m.loc[(10, 50)], sims[10, 50], atol=1e-9)
+
+
+def test_contract_scans_are_pruned(spark):
+    """Column pruning must reach the parquet scans: kernel queries over
+    events read only (user_id, ts, value); minhash over documents reads
+    only (doc_id, text). A scan reading all columns for a narrow
+    projection is a plan regression at any scale."""
+    from xarray_scipy_spark.contract import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            seg.split("ReadSchema: ")[1].split("\n")[0]
+            for seg in plan.split("FileScan parquet")[1:]
+            if "ReadSchema: " in seg
+        ]
+
+    rfft_scans = scans(QUERIES["rfft"](spark, sf))
+    assert rfft_scans, "no parquet scan found"
+    for rs in rfft_scans:
+        assert "user_id" in rs and "value" in rs
+        assert "session_id" not in rs and "event_type" not in rs
+
+    mh_scans = scans(QUERIES["dedup_minhash"](spark, sf))
+    for rs in mh_scans:
+        assert "doc_id" in rs and "text" in rs
+        assert "lang" not in rs and "quality" not in rs

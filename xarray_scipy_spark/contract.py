@@ -709,10 +709,77 @@ def q_sosfiltfilt(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# peak_widths (non-SQL-expressible for now: rows-only check — no oracle)
+# peak_widths — the scipy walk algorithm re-expressed relationally:
+# prev/next strictly-higher neighbours bound each peak's contour, range
+# minima give the prominence, and the crossing of the evaluation height
+# is the extremal sample position with x <= height inside those bounds
+# (the walk's stop condition), linearly interpolated. Every arithmetic
+# step mirrors the kernel's op order, so the doubles are bit-identical
+# and the epsilon-floor quantizer compares exactly.
 # ---------------------------------------------------------------------------
 
-@_q("peak_widths")
+
+def _peak_widths_oracle() -> str:
+    return f"""
+WITH {_S},
+pk AS (
+  SELECT user_id, j AS p, x AS xp,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY j) - 1 AS BIGINT) AS peak
+  FROM (
+    SELECT user_id, j, x,
+           lag(x) OVER w AS xl, lead(x) OVER w AS xr
+    FROM s WINDOW w AS (PARTITION BY user_id ORDER BY j)
+  ) WHERE xl IS NOT NULL AND xr IS NOT NULL AND x > xl AND x > xr
+),
+bounds AS (
+  SELECT pk.user_id, pk.peak, pk.p, pk.xp,
+         coalesce(max(CASE WHEN a.j < pk.p AND a.x > pk.xp THEN a.j END), -1) AS ph,
+         coalesce(min(CASE WHEN a.j > pk.p AND a.x > pk.xp THEN a.j END), max(a.n)) AS nh
+  FROM pk JOIN s a USING (user_id)
+  GROUP BY pk.user_id, pk.peak, pk.p, pk.xp
+),
+mins AS (
+  SELECT b.user_id, b.peak, b.p, b.xp, b.ph, b.nh,
+         min(CASE WHEN a.j > b.ph AND a.j <= b.p THEN a.x END) AS lmin,
+         min(CASE WHEN a.j >= b.p AND a.j < b.nh THEN a.x END) AS rmin
+  FROM bounds b JOIN s a USING (user_id)
+  GROUP BY b.user_id, b.peak, b.p, b.xp, b.ph, b.nh
+),
+h AS (
+  SELECT *, xp - 0.5 * (xp - greatest(lmin, rmin)) AS height FROM mins
+),
+ips AS (
+  SELECT h.user_id, h.peak, h.height,
+         max(CASE WHEN a.j > h.ph AND a.j <= h.p AND a.x <= h.height THEN a.j END) AS il,
+         min(CASE WHEN a.j >= h.p AND a.j < h.nh AND a.x <= h.height THEN a.j END) AS ir
+  FROM h JOIN s a USING (user_id)
+  GROUP BY h.user_id, h.peak, h.height, h.ph, h.nh, h.p
+),
+vals AS (
+  SELECT i.user_id, i.peak, i.height, i.il, i.ir,
+         max(CASE WHEN a.j = i.il THEN a.x END) AS xil,
+         max(CASE WHEN a.j = i.il + 1 THEN a.x END) AS xil1,
+         max(CASE WHEN a.j = i.ir THEN a.x END) AS xir,
+         max(CASE WHEN a.j = i.ir - 1 THEN a.x END) AS xirm1
+  FROM ips i JOIN s a USING (user_id)
+  GROUP BY i.user_id, i.peak, i.height, i.il, i.ir
+),
+fin AS (
+  SELECT user_id, peak, height,
+         il + CASE WHEN xil < height THEN (height - xil) / (xil1 - xil) ELSE 0 END AS lip,
+         ir - CASE WHEN xir < height THEN (height - xir) / (xirm1 - xir) ELSE 0 END AS rip
+  FROM vals
+)
+SELECT user_id, peak,
+       CAST(floor((rip - lip) * 1000 + 0.5 + 1e-6) AS BIGINT) AS width_q,
+       CAST(floor(height * 1000 + 0.5 + 1e-6) AS BIGINT) AS wh_q,
+       CAST(floor(lip * 1000 + 0.5 + 1e-6) AS BIGINT) AS lip_q,
+       CAST(floor(rip * 1000 + 0.5 + 1e-6) AS BIGINT) AS rip_q
+FROM fin
+"""
+
+
+@_q("peak_widths", _peak_widths_oracle())
 def q_peak_widths(spark, sf_dir):
     """Widths of interior local maxima of each user's series at half
     prominence. Peaks are detected in pure SQL (strict local maxima);
@@ -737,10 +804,10 @@ def q_peak_widths(spark, sf_dir):
     return res.select(
         "user_id",
         "peak",
-        _r("width", 4, "width4"),
-        _r("width_height", 4, "wh4"),
-        _r("left_ip", 4, "lip4"),
-        _r("right_ip", 4, "rip4"),
+        _q3_col(F.col("width")).alias("width_q"),
+        _q3_col(F.col("width_height")).alias("wh_q"),
+        _q3_col(F.col("left_ip")).alias("lip_q"),
+        _q3_col(F.col("right_ip")).alias("rip_q"),
     )
 
 

@@ -279,34 +279,56 @@ def apply_cogrouped_kernel(
         rindex = {
             tuple(a[s] for a in rkeys): (s, e) for s, e in zip(rs, re_)
         }
-        frames: list[pd.DataFrame] = []
+        all_coords1 = _coord_floats(left[order1[0]])
+        lvals = [left[v].to_numpy(dtype=float) for v in values1]
+        rvals = [right[v].to_numpy(dtype=float) for v in values2]
+        all_coords2 = _coord_floats(right[order2[0]])
+        # accumulate raw arrays per pair and assemble ONE DataFrame at
+        # the end — building a pandas frame per pair dominates the
+        # kernel cost for buckets of many small series
+        outs: dict[str, list[np.ndarray]] = {name: [] for name in out_names}
+        heads: list[int] = []
+        ms: list[int] = []
+        ns: list[int] = []
+        offs: list[float] = []
+        dels: list[float] = []
         for s, e in zip(ls, le):
             hit = rindex.get(tuple(a[s] for a in lkeys))
             if hit is None:
                 continue
-            lg = left.iloc[s:e]
-            rg = right.iloc[hit[0] : hit[1]]
-            coords1 = _coord_floats(lg[order1[0]])
-            coords2 = _coord_floats(rg[order2[0]])
+            coords1 = all_coords1[s:e]
+            coords2 = all_coords2[hit[0] : hit[1]]
             n = len(coords1)
-            arrays1 = [lg[v].to_numpy(dtype=float) for v in values1]
-            arrays2 = [rg[v].to_numpy(dtype=float) for v in values2]
+            arrays1 = [v[s:e] for v in lvals]
+            arrays2 = [v[hit[0] : hit[1]] for v in rvals]
             out = kernel(coords1, *arrays1, coords2, *arrays2)
             m = len(next(iter(out.values()))) if out else 0
-            res = pd.DataFrame(out)
-            if emit_idx:
-                res.insert(0, "idx", np.arange(m, dtype=np.int64))
-            for k in reversed(by + keep):
-                res.insert(0, k, lg[k].iloc[0])
-            res["n_in"] = np.int64(n)
-            res["offset"] = float(coords1[0]) if n else 0.0
-            res["delta"] = (
+            for name in out_names:
+                outs[name].append(np.asarray(out[name]))
+            heads.append(s)
+            ms.append(m)
+            ns.append(n)
+            offs.append(float(coords1[0]) if n else 0.0)
+            dels.append(
                 abs(float(coords1[-1] - coords1[0])) / (n - 1) if n > 1 else 0.0
             )
-            frames.append(res)
-        if not frames:
+        if not heads:
             return empty
-        return pd.concat(frames, ignore_index=True)
+        ms_arr = np.asarray(ms, dtype=np.int64)
+        rep = np.repeat(np.asarray(heads, dtype=np.int64), ms_arr)
+        res = pd.DataFrame(index=np.arange(int(ms_arr.sum())))
+        for c in by + keep:
+            res[c] = left[c].to_numpy()[rep]
+        if emit_idx:
+            res["idx"] = np.concatenate(
+                [np.arange(m, dtype=np.int64) for m in ms]
+            ) if ms else np.array([], dtype=np.int64)
+        for name in out_names:
+            res[name] = np.concatenate(outs[name]) if outs[name] else np.array([])
+        res["n_in"] = np.repeat(np.asarray(ns, dtype=np.int64), ms_arr)
+        res["offset"] = np.repeat(np.asarray(offs), ms_arr)
+        res["delta"] = np.repeat(np.asarray(dels), ms_arr)
+        return res
 
     bucket_expr = F.pmod(F.xxhash64(*by), F.lit(n_buckets))
     return (
