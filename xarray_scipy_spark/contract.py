@@ -649,12 +649,15 @@ def _state_response_sql(sos: np.ndarray, name: str, length: int = 200) -> str:
     return f"{name}(m, gv) AS (SELECT * FROM (VALUES {rows}))"
 
 
-def _sosfiltfilt_oracle_sql() -> str:
-    p = _SFF_PADLEN
-    hs = _impulse_response_sql(_SFF_SOS, length=200)
-    gs = _state_response_sql(_SFF_SOS, "g", length=200)
-    return f"""
-WITH {_S}, {hs}, {gs},
+def _filtfilt_chain_sql(sos: np.ndarray, length: int = 200) -> str:
+    """CTE chain (odd extension + impulse/state-response convolution,
+    forward and backward) ending in ``ff(user_id, idx, y)`` — the
+    zero-phase filtfilt of the ``s`` series with the kernel's default
+    ``padlen = 3*(2*n_sections+1)``."""
+    p = 3 * (2 * sos.shape[0] + 1)
+    hs = _impulse_response_sql(sos, length=length)
+    gs = _state_response_sql(sos, "g", length=length)
+    return f"""{hs}, {gs},
 ext AS (
   -- odd extension: positions 0..n+2p-1 over the padded series
   SELECT user_id, j + {p} AS i, x, n FROM s
@@ -694,16 +697,46 @@ bwd AS (
 ),
 rev2 AS (
   SELECT user_id, n + 2 * {p} - 1 - i AS i, n, y FROM bwd
-)
-SELECT user_id, i - {p} AS idx, round(y, 4) + 0.0 AS value4
-FROM rev2 WHERE i BETWEEN {p} AND n + {p} - 1
-"""
+),
+ff AS (
+  SELECT user_id, i - {p} AS idx, y
+  FROM rev2 WHERE i BETWEEN {p} AND n + {p} - 1
+)"""
+
+
+def _sosfiltfilt_oracle_sql() -> str:
+    return (
+        f"WITH {_S}, {_filtfilt_chain_sql(_SFF_SOS)} "
+        "SELECT user_id, idx, round(y, 4) + 0.0 AS value4 FROM ff"
+    )
 
 
 @_q("sosfiltfilt", _sosfiltfilt_oracle_sql())
 def q_sosfiltfilt(spark, sf_dir):
     res = ops.sosfiltfilt(
         _SFF_SOS, _events(spark, sf_dir), by=["user_id"], dim="ts"
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+@_q(
+    "decimate_iir_zerophase",
+    f"WITH {_S}, {_filtfilt_chain_sql(_DEC_IIR_SOS)} "
+    f"SELECT user_id, idx // {_DECIMATE_Q} AS idx, "
+    "round(y, 4) + 0.0 AS value4 "
+    f"FROM ff WHERE idx % {_DECIMATE_Q} = 0",
+)
+def q_decimate_iir_zerophase(spark, sf_dir):
+    """decimate's DEFAULT path (ftype='iir', zero_phase=True = cheby1
+    cascade through sosfiltfilt, then every q-th sample); oracle = the
+    filtfilt CTE chain with the decimate cascade, decimated in SQL."""
+    res = ops.decimate(
+        _events(spark, sf_dir),
+        _DECIMATE_Q,
+        by=["user_id"],
+        dim="ts",
+        ftype="iir",
+        zero_phase=True,
     )
     return res.select("user_id", "idx", _r("value", 4, "value4"))
 
