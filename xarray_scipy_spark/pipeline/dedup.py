@@ -235,13 +235,15 @@ def ngram_jaccard_pairs(
     keeps hot-shingle buckets from going quadratic at scale.
     """
     sh = _with_shingles(df, id_col, text_col, k)
-    sizes = sh.select(
-        F.col(id_col), F.size("shingles").alias("set_size")
-    )
     # explode_outer + null filter: see minhash_signatures (generator
-    # filter inference would re-inline the shingle pipeline into the scan)
+    # filter inference would re-inline the shingle pipeline into the scan).
+    # The doc's set size rides along on every index row: two small ints
+    # through the join beat two extra shuffles of the (much larger)
+    # intersection table to look the sizes up afterwards.
     inv = sh.select(
-        F.col(id_col), F.explode_outer("shingles").alias("sh")
+        F.col(id_col),
+        F.size("shingles").alias("sz"),
+        F.explode_outer("shingles").alias("sh"),
     ).filter(F.col("sh").isNotNull())
     if max_df is not None:
         w = Window.partitionBy("sh")
@@ -253,7 +255,7 @@ def ngram_jaccard_pairs(
     # one full copy through the driver
     a = inv.hint("shuffle_hash").alias("a")
     b = inv.hint("shuffle_hash").alias("b")
-    inter = (
+    return (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
@@ -263,13 +265,11 @@ def ngram_jaccard_pairs(
             F.col(f"a.{id_col}").alias("a_id"),
             F.col(f"b.{id_col}").alias("b_id"),
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col(id_col).alias("a_id"), F.col("set_size").alias("sz_a"))
-    zb = sizes.select(F.col(id_col).alias("b_id"), F.col("set_size").alias("sz_b"))
-    return (
-        inter.join(za.hint("shuffle_hash"), "a_id")
-        .join(zb.hint("shuffle_hash"), "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
