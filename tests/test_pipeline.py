@@ -136,3 +136,28 @@ def test_contract_scans_are_pruned(spark):
     for rs in mh_scans:
         assert "doc_id" in rs and "text" in rs
         assert "lang" not in rs and "quality" not in rs
+
+
+def test_cosine_topk_lsh_subset_of_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n, d = 200, 16
+    vecs = rng.standard_normal((n, d))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.filter("vec_id < 4")
+    exact = pl.cosine_topk(corpus, queries, k=n - 1).toPandas()
+    lsh = pl.cosine_topk_lsh(
+        corpus, queries, k=5, planes=6, probes=3
+    ).toPandas()
+    assert len(lsh) > 0
+    # every LSH hit carries the exact cosine score (same scoring math)
+    escore = exact.set_index(["query_id", "neighbor_id"])["cos_sim"]
+    for _, r in lsh.iterrows():
+        assert abs(escore.loc[(r["query_id"], r["neighbor_id"])] - r["cos_sim"]) < 1e-12
+    # ranks are contiguous from 1 per query
+    for qid, grp in lsh.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))

@@ -1104,6 +1104,57 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
     )
 
 
+_LSH_PLANES = 8
+_LSH_PROBES = 3
+
+
+def _lsh_topk_oracle() -> str:
+    from .pipeline.dedup import srp_plane
+
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(repr(srp_plane(p, d)) for d in range(_EMB_DIM)) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+        f"i -> v[i] * ({plane_lit(p)})[i])) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_PLANES)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_LSH_PROBES - 1)]
+    )
+    return (
+        f"WITH {_EMB_NORM}, "
+        f"bk AS (SELECT vec_id, v, nrm, {bucket} AS bucket FROM nv), "
+        f"q AS (SELECT vec_id, v, nrm, unnest([{probe_list}]) AS probe "
+        f"FROM bk WHERE vec_id < {_ANN_NQ}), "
+        "scored AS ("
+        "  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        f"         round({_EMB_DOT} / (a.nrm * b.nrm), 6) + 0.0 AS cos_sim"
+        "  FROM q a JOIN bk b ON b.bucket = a.probe AND b.vec_id <> a.vec_id"
+        ") "
+        "SELECT query_id, rank, neighbor_id, cos_sim FROM ("
+        "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank FROM scored"
+        f") WHERE rank <= {_ANN_K}"
+    )
+
+
+@_q("ann_cosine_topk_lsh", _lsh_topk_oracle())
+def q_ann_cosine_topk_lsh(spark, sf_dir):
+    """Multiprobe SRP-LSH top-k (8 planes, own bucket + 2 one-bit
+    flips); oracle replicates the deterministic hyperplane literals and
+    bucket arithmetic in SQL. The approximate-recall trade is the
+    point: candidates per query drop to ~probes·N/2^planes."""
+    emb = _emb(spark, sf_dir)
+    return pl.cosine_topk_lsh(
+        emb,
+        emb.filter(F.col("vec_id") < _ANN_NQ),
+        k=_ANN_K,
+        planes=_LSH_PLANES,
+        probes=_LSH_PROBES,
+    )
+
+
 @_q(
     "text_token_stats",
     f"WITH {_TOKS} "

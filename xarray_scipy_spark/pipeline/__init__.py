@@ -31,7 +31,7 @@ from .dedup import (
     embedding_dup_pairs,
     duplicate_clusters,
 )
-from .similarity import cosine_topk, cosine_topk_ivf
+from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .text import token_stats, quality_score, lang_id, fingerprint, tfidf_top_tokens
 from .multimodal import (
     decode_features,
@@ -52,6 +52,7 @@ __all__ = [
     "embedding_dup_pairs",
     "cosine_topk",
     "cosine_topk_ivf",
+    "cosine_topk_lsh",
     "token_stats",
     "quality_score",
     "lang_id",

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashes import spread
 
-__all__ = ["cosine_topk", "cosine_topk_ivf"]
+__all__ = ["cosine_topk", "cosine_topk_ivf", "cosine_topk_lsh"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -64,6 +64,84 @@ def cosine_topk(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q.v"), F.col("c.v"))
+                / (F.col("q.nrm") * F.col("c.nrm")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def srp_bucket(vcol: Column, planes: int, dim: int) -> Column:
+    """Signed-random-projection bucket: bit ``p`` is the sign of the dot
+    with deterministic hyperplane ``p`` (:func:`..dedup.srp_plane`
+    literals — JVM-evaluated, reproducible in SQL)."""
+    from .dedup import srp_plane
+
+    bucket = None
+    for p in range(planes):
+        plane = F.array(*[F.lit(srp_plane(p, d)) for d in range(dim)])
+        bit = F.when(_dot(vcol, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    planes: int = 8,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """LSH-bucketed top-k: corpus and queries hash to signed-random-
+    projection buckets; each query scans only its probed buckets.
+
+    ``probes=1`` probes the query's own bucket; ``probes=1+m`` also
+    probes the ``m`` buckets at Hamming distance 1 (lowest plane bits
+    flipped) — the standard multiprobe recall/cost dial. Candidate
+    volume is ~``probes·N/2^planes`` per query; at scale the bucket
+    column doubles as a partition key so probes prune to partitions.
+    Approximate by construction: neighbors hashing elsewhere are
+    missed with probability ``1 - (1-θ/π)^planes``-ish per plane
+    disagreement (the LSH trade).
+    """
+    if not 1 <= probes <= planes + 1:
+        raise ValueError(f"probes must be in [1, planes+1], got {probes}")
+    dim = len(corpus.select(vec_col).first()[0])
+    c = _normed(spread(corpus, id_col), id_col, vec_col, []).withColumn(
+        "bucket", srp_bucket(F.col("v"), planes, dim)
+    ).alias("c")
+    q = _normed(queries, id_col, vec_col, []).withColumn(
+        "bucket", srp_bucket(F.col("v"), planes, dim)
+    )
+    probe_list = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(probes - 1)],
+    )
+    q = q.withColumn("probe", F.explode(probe_list)).alias("q")
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.probe") == F.col("c.bucket"))
+            & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
+        )
         .select(
             F.col(f"q.{id_col}").alias("query_id"),
             F.col(f"c.{id_col}").alias("neighbor_id"),
