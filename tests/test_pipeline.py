@@ -161,3 +161,33 @@ def test_cosine_topk_lsh_subset_of_bruteforce(spark):
     # ranks are contiguous from 1 per query
     for qid, grp in lsh.groupby("query_id"):
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_kmeans_cells_matches_numpy_lloyd(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    n, d, k, iters = 150, 8, 4, 3
+    vecs = rng.standard_normal((n, d)) + rng.integers(0, 4, n)[:, None] * 3.0
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    got = (
+        pl.kmeans_cells(spark.createDataFrame(pdf), k=k, iters=iters)
+        .toPandas()
+        .sort_values("vec_id")["cell"]
+        .to_numpy()
+    )
+    # reference Lloyd with the same deterministic contract
+    cents = vecs[:k].copy()
+    for t in range(iters):
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = np.argmin(np.round(d2, 6), axis=1)
+        if t == iters - 1:
+            break
+        for j in range(k):
+            sel = vecs[cell == j]
+            if len(sel):
+                cents[j] = np.round(sel.mean(axis=0), 6)
+    np.testing.assert_array_equal(got, cell)
+    assert len(np.unique(got)) > 1  # actually clustered

@@ -1104,6 +1104,78 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
     )
 
 
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _kmeans_topk_oracle() -> str:
+    """Unrolled Lloyd k-means (init = first k vectors; rounded distances
+    and centroids, ties to the smaller cell — the kmeans_cells
+    determinism contract) + IVF scoring on the built cells."""
+    d = _EMB_DIM
+
+    def assign(name: str, cents: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, cell FROM ("
+            "  SELECT n.vec_id, c.cell,"
+            "    row_number() OVER (PARTITION BY n.vec_id ORDER BY"
+            f"      round(list_sum(list_transform(range(1, {d + 1}),"
+            "        i -> (n.v[i] - c.v[i]) * (n.v[i] - c.v[i]))), 6), c.cell) AS rn"
+            f"  FROM nv n CROSS JOIN {cents} c"
+            ") WHERE rn = 1)"
+        )
+
+    update = (
+        "cm AS ("
+        "  SELECT a1.cell, u.i, round(avg(n.v[u.i]), 6) AS m"
+        "  FROM a1 JOIN nv n USING (vec_id),"
+        f"  (SELECT unnest(range(1, {d + 1})) AS i) u"
+        "  GROUP BY a1.cell, u.i"
+        "), "
+        "cent1 AS ("
+        "  SELECT c0.cell, coalesce(cl.vlist, c0.v) AS v"
+        "  FROM cent0 c0 LEFT JOIN ("
+        "    SELECT cell, list(m ORDER BY i) AS vlist FROM cm GROUP BY cell"
+        "  ) cl USING (cell)"
+        ")"
+    )
+    assert _KM_ITERS == 2, "oracle unrolls exactly two Lloyd iterations"
+    return (
+        f"WITH {_EMB_NORM}, "
+        f"cent0 AS (SELECT vec_id AS cell, v FROM nv WHERE vec_id < {_KM_K}), "
+        f"{assign('a1', 'cent0')}, {update}, {assign('a2', 'cent1')}, "
+        f"q AS (SELECT n.vec_id, n.v, n.nrm, a2.cell FROM nv n "
+        f"JOIN a2 USING (vec_id) WHERE n.vec_id < {_ANN_NQ}), "
+        "scored AS ("
+        "  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        f"         round({_EMB_DOT} / (a.nrm * b.nrm), 6) + 0.0 AS cos_sim"
+        "  FROM q a JOIN (SELECT n.vec_id, n.v, n.nrm, a2.cell FROM nv n JOIN a2 USING (vec_id)) b"
+        "    ON b.cell = a.cell AND b.vec_id <> a.vec_id"
+        ") "
+        "SELECT query_id, rank, neighbor_id, cos_sim FROM ("
+        "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank FROM scored"
+        f") WHERE rank <= {_ANN_K}"
+    )
+
+
+@_q("ann_cosine_topk_kmeans", _kmeans_topk_oracle())
+def q_ann_cosine_topk_kmeans(spark, sf_dir):
+    """IVF with a BUILT index: Lloyd k-means (2 deterministic
+    iterations, distributed assignment + per-cell mean updates) builds
+    the coarse cells, then each query probes its own cell. Oracle =
+    the same two Lloyd rounds unrolled in SQL."""
+    emb = _emb(spark, sf_dir)
+    cells = pl.kmeans_cells(emb, k=_KM_K, iters=_KM_ITERS)
+    corpus = emb.join(cells, "vec_id")
+    return pl.cosine_topk_ivf(
+        corpus,
+        corpus.filter(F.col("vec_id") < _ANN_NQ),
+        k=_ANN_K,
+        cell_col="cell",
+    )
+
+
 _LSH_PLANES = 8
 _LSH_PROBES = 3
 

@@ -31,7 +31,7 @@ from .dedup import (
     embedding_dup_pairs,
     duplicate_clusters,
 )
-from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
+from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh, kmeans_cells
 from .text import token_stats, quality_score, lang_id, fingerprint, tfidf_top_tokens
 from .multimodal import (
     decode_features,
@@ -53,6 +53,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "kmeans_cells",
     "token_stats",
     "quality_score",
     "lang_id",

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashes import spread
 
-__all__ = ["cosine_topk", "cosine_topk_ivf", "cosine_topk_lsh"]
+__all__ = ["cosine_topk", "cosine_topk_ivf", "cosine_topk_lsh", "kmeans_cells"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -160,6 +160,78 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def kmeans_cells(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lloyd k-means cell assignment — the IVF coarse-quantizer build.
+
+    Deterministic by construction so independent engines reproduce it:
+    initial centroids are the vectors with the ``k`` smallest ids,
+    distances are ROUNDED to ``round_digits`` before the argmin (ties →
+    smaller cell index), and each updated centroid (per-dimension mean)
+    is rounded the same way before the next round — the rounding
+    absorbs float-summation-order differences that would otherwise make
+    the assignment depend on partition order.
+
+    Execution: assignment is a ``mapInPandas`` scan against the
+    broadcast k×d centroid matrix (tiny closure state, the standard
+    Lloyd-on-Spark shape); the update is one groupBy per iteration.
+    Only the k×d centroid matrix ever reaches the driver.
+
+    Returns ``(id_col, cell)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    id_type = dict(df.dtypes)[id_col]
+    init = v.orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(init)}")
+    centroids = np.asarray([r["v"] for r in init], dtype=float)
+
+    def assigner(cents: np.ndarray):
+        def run(batches):
+            for pdf in batches:
+                x = np.stack(pdf["v"].to_numpy())
+                d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                cell = np.argmin(np.round(d2, round_digits), axis=1)
+                out = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
+                out["cell"] = cell.astype(np.int32)
+                yield out[[id_col, "cell"]]
+
+        return run
+
+    assigned = None
+    dim = centroids.shape[1]
+    for t in range(iters):
+        assigned = spread(v, id_col).mapInPandas(
+            assigner(centroids), schema=f"{id_col} {id_type}, cell int"
+        )
+        if t == iters - 1:
+            break  # the returned assignment follows the LAST centroids
+        means = (
+            assigned.join(v, id_col)
+            .groupBy("cell")
+            .agg(*[F.round(F.avg(F.col("v")[i]), round_digits).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new_c = centroids.copy()  # empty cells keep their old centroid
+        for r in means:
+            new_c[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
+        centroids = new_c
+    return assigned
 
 
 def cosine_topk_ivf(
