@@ -600,3 +600,21 @@ def test_asof_join_plan_single_exchange(spark):
     # union + window: no join operator at all, one shuffle for the window
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scalar_series_no_broadcast_dims(spark, sine_pdf):
+    """The reference's nchannels=None shape (tests/test_signal.py:36-38):
+    a bare series with NO broadcast dims is one global group."""
+    import pandas as pd
+
+    base = sine_pdf[sine_pdf.channel == 0][["time", "value"]]
+    df = spark.createDataFrame(base).repartition(4)
+    out = xss.rfft(df, by=[], dim="time")
+    rows = out.orderBy("idx").collect()
+    assert len(rows) == NSAMP // 2 + 1
+    ref = np.fft.rfft(base.sort_values("time")["value"].to_numpy())
+    got = np.array([r["re"] + 1j * r["im"] for r in rows])
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+    # two-input path with no keys: self-convolution
+    conv = xss.fftconvolve(df, df, by=[], dim="time", mode="full")
+    assert conv.count() == 2 * NSAMP - 1

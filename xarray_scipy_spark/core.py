@@ -158,7 +158,8 @@ def apply_series_kernel(
     keep = list(keep)
     idx_field = "idx bigint, " if emit_idx else ""
     keep_ddl = (_ddl_of(df, keep) + ", ") if keep else ""
-    schema = f"{_ddl_of(df, by)}, {keep_ddl}{idx_field}{out_fields}, {GROUP_ATTR_FIELDS}"
+    by_ddl = (_ddl_of(df, by) + ", ") if by else ""
+    schema = f"{by_ddl}{keep_ddl}{idx_field}{out_fields}, {GROUP_ATTR_FIELDS}"
     out_names = [f.strip().split()[0] for f in out_fields.split(",")]
     n_buckets = buckets if buckets is not None else _default_buckets(df)
 
@@ -211,7 +212,12 @@ def apply_series_kernel(
             res[g] = cat[g] if pieces else np.array([], dtype=float)
         return res
 
-    bucket = F.pmod(F.xxhash64(*by), F.lit(n_buckets))
+    # no broadcast dims (the reference's scalar / nchannels=None shape,
+    # tests/test_signal.py:36-38): the whole frame is ONE series — one
+    # bucket, exactly the reference's single-block concession
+    bucket = (
+        F.pmod(F.xxhash64(*by), F.lit(n_buckets)) if by else F.lit(0)
+    )
     return (
         df.withColumn(_BUCKET, bucket)
         .groupBy(_BUCKET)
@@ -258,7 +264,8 @@ def apply_cogrouped_kernel(
     df2 = df2.select(*[F.col(c).alias(c) for c in df2.columns])
     idx_field = "idx bigint, " if emit_idx else ""
     keep_ddl = (_ddl_of(df1, keep) + ", ") if keep else ""
-    schema = f"{_ddl_of(df1, by)}, {keep_ddl}{idx_field}{out_fields}, {GROUP_ATTR_FIELDS}"
+    by_ddl = (_ddl_of(df1, by) + ", ") if by else ""
+    schema = f"{by_ddl}{keep_ddl}{idx_field}{out_fields}, {GROUP_ATTR_FIELDS}"
     out_names = [f.strip().split()[0] for f in out_fields.split(",")]
     all_names = (
         by + keep + (["idx"] if emit_idx else []) + out_names
@@ -330,7 +337,9 @@ def apply_cogrouped_kernel(
         res["delta"] = np.repeat(np.asarray(dels), ms_arr)
         return res
 
-    bucket_expr = F.pmod(F.xxhash64(*by), F.lit(n_buckets))
+    bucket_expr = (
+        F.pmod(F.xxhash64(*by), F.lit(n_buckets)) if by else F.lit(0)
+    )
     return (
         df1.withColumn(_BUCKET, bucket_expr)
         .groupBy(_BUCKET)
