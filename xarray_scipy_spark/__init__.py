@@ -34,6 +34,7 @@ from .operators import (
     rfft,
     sos_from_dataframe,
     sosfilt,
+    sosfilt_chunked,
     sosfiltfilt,
     stft,
     welch,
@@ -63,6 +64,7 @@ __all__ = [
     "resample",
     "sosfilt",
     "sosfiltfilt",
+    "sosfilt_chunked",
     "sos_from_dataframe",
     "stft",
     "welch",

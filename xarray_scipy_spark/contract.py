@@ -630,6 +630,30 @@ def q_sosfilt(spark, sf_dir):
     return res.select("user_id", "idx", _r("value", 4, "value4"))
 
 
+@_q(
+    "sosfilt_chunked",
+    f"WITH {_S}, {_impulse_response_sql(_SOSFILT_SOS)} "
+    "SELECT xi.user_id, xi.j AS idx, round(sum(h.hv * xj.x), 4) + 0.0 AS value4 "
+    "FROM s xi JOIN h ON h.m <= xi.j "
+    "JOIN s xj ON xj.user_id = xi.user_id AND xj.j = xi.j - h.m "
+    "GROUP BY xi.user_id, xi.j",
+)
+def q_sosfilt_chunked(spark, sf_dir):
+    """Chunked long-series sosfilt (sequential passes with per-series
+    zi handoff, worker memory bounded by chunk_rows not series length).
+    chunk_rows=16 forces 4-6 real state handoffs per series at test
+    scale; the recursion is exact, so the oracle is the SAME impulse-
+    response convolution that verifies whole-series sosfilt."""
+    res = ops.sosfilt_chunked(
+        _SOSFILT_SOS,
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        chunk_rows=16,
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
 # sosfiltfilt: oracle built in _sosfiltfilt_oracle_sql below (odd
 # extension + impulse-response convolution + state-response literals,
 # forward and backward).

@@ -3,7 +3,7 @@
 
 from .convolve import convolve, convolve_fir, fftconvolve, fftconvolve_nd
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
-from .filters import sos_from_dataframe, sosfilt, sosfiltfilt
+from .filters import sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join
 from .peaks import peak_widths
@@ -30,6 +30,7 @@ __all__ = [
     "resample",
     "sosfilt",
     "sosfiltfilt",
+    "sosfilt_chunked",
     "sos_from_dataframe",
     "stft",
     "welch",
