@@ -1473,6 +1473,42 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+_Q6_DATE = "1997-01-01"
+
+
+@_q(
+    "tpch_q6",
+    "SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(22,4))) AS DOUBLE) AS revenue, "
+    "count(*) AS n "
+    "FROM lineitem "
+    f"WHERE l_shipdate >= TIMESTAMP '{_Q6_DATE}' "
+    f"AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 "
+    "AND l_quantity < 24",
+)
+def q_tpch_q6(spark, sf_dir):
+    """Forecast-revenue-change (TPC-H Q6 shape): pure filter +
+    aggregate — every predicate pushes to the parquet scan and the
+    aggregation is map-side partial; the minimal full-scan query."""
+    li = load_table(spark, "lineitem", sf_dir)
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_DATE).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).cast(
+                "decimal(22,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 _SESSION_GAP_NS = 30 * 60 * 1_000_000_000
 
 
