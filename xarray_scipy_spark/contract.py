@@ -507,6 +507,40 @@ def q_welch(spark, sf_dir):
     return res.select("user_id", "idx", _r("power", 4, "power4"))
 
 
+def _spectrogram_oracle() -> str:
+    win = f"(0.5 - 0.5 * cos(2 * pi() * (a.j - fr.f * {_STFT_HOP}) / {_STFT_FL}))"
+    return (
+        f"WITH {_S}, {_STFT_FRAMES}, {_STFT_BINS} "
+        "SELECT fr.user_id, fr.f AS frame, b.k AS bin, "
+        f"round(power(sum(a.x * {win} * cos(2 * pi() * (a.j - fr.f * {_STFT_HOP}) * b.k / {_STFT_FL})), 2) "
+        f"    + power(sum(-a.x * {win} * sin(2 * pi() * (a.j - fr.f * {_STFT_HOP}) * b.k / {_STFT_FL})), 2), 4) + 0.0 AS pow4 "
+        "FROM fr "
+        f"JOIN s a ON a.user_id = fr.user_id AND a.j BETWEEN fr.f * {_STFT_HOP} AND fr.f * {_STFT_HOP} + {_STFT_FL - 1} "
+        "JOIN b ON b.user_id = fr.user_id "
+        "GROUP BY fr.user_id, fr.f, b.k"
+    )
+
+
+@_q("spectrogram", _spectrogram_oracle())
+def q_spectrogram(spark, sf_dir):
+    """Hann spectrogram: |STFT|^2 per (frame, bin) — the stft operator
+    plus one native power projection (no extra kernel pass)."""
+    res = ops.stft(
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        frame_len=_STFT_FL,
+        hop=_STFT_HOP,
+        window="hann",
+    )
+    return res.select(
+        "user_id",
+        "frame",
+        "bin",
+        _r(F.col("re") * F.col("re") + F.col("im") * F.col("im"), 4, "pow4"),
+    )
+
+
 _RFFT_PAD_N = 64
 
 
@@ -1470,6 +1504,71 @@ def q_tpch_q1(spark, sf_dir):
         .cast("double")
         .alias("sum_charge"),
         F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_Q5_REGION = "ASIA"
+
+
+@_q(
+    "tpch_q5",
+    "SELECT n_name, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4))) AS DOUBLE) AS revenue, "
+    "count(*) AS n "
+    "FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    f"WHERE r.r_name = '{_Q5_REGION}' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n_name",
+)
+def q_tpch_q5(spark, sf_dir):
+    """Local-supplier-volume (TPC-H Q5 shape): six tables, one fact
+    scan. Every dimension chain (region→nation→customer→orders,
+    nation→supplier) collapses into broadcast hash joins against the
+    lineitem scan — no fact-table shuffle until the final per-nation
+    aggregate, which is map-side partial."""
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == _Q5_REGION
+    )
+    nation = load_table(spark, "nation", sf_dir).join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    customer = load_table(spark, "customer", sf_dir).join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    co = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey", "n_name")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("o_orderkey", "c_nationkey", "n_name")
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+                "decimal(22,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
