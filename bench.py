@@ -52,6 +52,7 @@ HEADLINE = [
     "text_token_stats",
     "text_quality",
     "tpch_q1",
+    "tpch_q5",
     "sessionize",
 ]
 
