@@ -1337,6 +1337,54 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+_CURATE_MIN_Q = 0.5
+
+
+def _curation_oracle() -> str:
+    quality = (
+        "0.4 * least(n_tok / 100.0, 1.0) "
+        "+ least(0.3, 0.6 * n_stop / greatest(n_tok, 1)) "
+        "+ 0.3 * least(mean_len / 8.0, 1.0)"
+    )
+    return (
+        f"WITH {_TOKS}, "
+        "c AS (SELECT doc_id, len(tk) AS n_tok, "
+        f"  len(list_filter(tk, x -> {_STOP_SQL})) AS n_stop, "
+        "  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) "
+        "    / greatest(len(tk), 1) AS mean_len "
+        "FROM toks), "
+        f"q AS (SELECT doc_id, {quality} AS quality FROM c), "
+        "keepers AS (SELECT md5(text) AS h, min(doc_id) AS keep_id "
+        "FROM documents GROUP BY md5(text)), "
+        "exact_drop AS (SELECT d.doc_id FROM documents d "
+        "JOIN keepers k ON md5(d.text) = k.h WHERE d.doc_id <> k.keep_id), "
+        f"near AS ({_minhash_oracle().strip()}), "  # nested WITH: inner CTE names shadow the outer ones
+        "near_drop AS (SELECT DISTINCT b_id AS doc_id FROM near) "
+        "SELECT q.doc_id, round(q.quality, 6) + 0.0 AS quality6, "
+        f"CASE WHEN q.quality < {_CURATE_MIN_Q} THEN 'dropped_quality' "
+        "WHEN q.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'dropped_exact' "
+        "WHEN q.doc_id IN (SELECT doc_id FROM near_drop) THEN 'dropped_neardup' "
+        "ELSE 'kept' END AS status "
+        "FROM q"
+    )
+
+
+@_q("curation_report", _curation_oracle())
+def q_curation_report(spark, sf_dir):
+    """The pipeline composed end-to-end: per-document curation verdict
+    (quality gate -> exact dedup -> MinHash near-dup, deterministic
+    precedence) built from the already-verified primitives; oracle
+    composes the same verified CTEs."""
+    res = pl.curation_report(
+        _docs(spark, sf_dir),
+        min_quality=_CURATE_MIN_Q,
+        minhash_threshold=_MINHASH_THRESHOLD,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+    )
+    return res.select("doc_id", _r("quality", 6, "quality6"), "status")
+
+
 def _lang_filter_sql(lang_words) -> str:
     return "(" + " OR ".join(f"x = '{w}'" for w in lang_words) + ")"
 

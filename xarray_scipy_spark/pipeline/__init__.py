@@ -33,6 +33,7 @@ from .dedup import (
 )
 from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh, kmeans_cells
 from .text import token_stats, quality_score, lang_id, fingerprint, tfidf_top_tokens
+from .curate import curation_report
 from .multimodal import (
     decode_features,
     frame_sample,
@@ -62,4 +63,5 @@ __all__ = [
     "decode_features",
     "frame_sample",
     "resize_payload",
+    "curation_report",
 ]
