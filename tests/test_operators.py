@@ -648,3 +648,29 @@ def test_sosfilt_chunked_equals_whole_series(spark):
         got = out[out.ch == ch].sort_values("idx")["value"].to_numpy()
         x = pdf[pdf.ch == ch].sort_values("t")["value"].to_numpy()
         np.testing.assert_array_equal(got, sosfilt_1d(sos, x))
+
+
+@pytest.mark.parametrize("kind", ["constant", "linear"])
+def test_detrend_matches_numpy(spark, kind):
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    n, nch = 80, 3
+    frames = []
+    for ch in range(nch):
+        x = 0.5 * ch + 0.03 * np.arange(n) + rng.standard_normal(n)
+        frames.append(pd.DataFrame({"ch": ch, "t": np.arange(n, dtype=float), "value": x}))
+    pdf = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=4)
+    out = xss.detrend(
+        spark.createDataFrame(pdf), by=["ch"], dim="t", kind=kind
+    ).toPandas()
+    for ch in range(nch):
+        got = out[out.ch == ch].sort_values("t")["value_detrended"].to_numpy()
+        x = pdf[pdf.ch == ch].sort_values("t")["value"].to_numpy()
+        if kind == "constant":
+            ref = x - x.mean()
+        else:
+            p = np.arange(len(x))
+            coef = np.polyfit(p, x, 1)
+            ref = x - np.polyval(coef, p)
+        np.testing.assert_allclose(got, ref, atol=1e-9)

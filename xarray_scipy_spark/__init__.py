@@ -15,6 +15,7 @@ Public surface mirrors ``xarray_scipy.signal`` operator-for-operator
 from .operators import (
     asof_join,
     convolve,
+    detrend,
     range_join,
     convolve_fir,
     decimate,
@@ -70,4 +71,5 @@ __all__ = [
     "welch",
     "asof_join",
     "range_join",
+    "detrend",
 ]

@@ -591,6 +591,30 @@ def q_rfft_n_ortho(spark, sf_dir):
     )
 
 
+@_q(
+    "detrend",
+    f"WITH {_S}, "
+    "m AS (SELECT user_id, avg(x) AS ex, avg(j) AS ep, avg(j * x) AS epx, "
+    "avg(j * j) AS epp FROM s GROUP BY user_id), "
+    "fit AS (SELECT user_id, ex, ep, (epx - ep * ex) / (epp - ep * ep) AS slope "
+    "FROM m) "
+    "SELECT s.user_id, s.j AS idx, "
+    "CAST(floor((s.x - (f.ex - f.slope * f.ep) - f.slope * s.j) * 1000 + 0.5 + 1e-6) AS BIGINT) AS resid_q "
+    "FROM s JOIN fit f USING (user_id)",
+)
+def q_detrend(spark, sf_dir):
+    """Linear detrend — pure Catalyst closed-form least squares (no
+    kernel, one window exchange); oracle = the same moment formulas as
+    group aggregates. Epsilon-floor quantized: the two engines
+    accumulate the moments in different orders."""
+    res = ops.detrend(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    res = res.withColumn("idx", F.row_number().over(w) - 1)
+    return res.select(
+        "user_id", "idx", _q3_col(F.col("value_detrended")).alias("resid_q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # hilbert
 # ---------------------------------------------------------------------------

@@ -2,6 +2,7 @@
 (SURVEY.md §2.2 #1-17) plus engine-native fast paths."""
 
 from .convolve import convolve, convolve_fir, fftconvolve, fftconvolve_nd
+from .detrend import detrend
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
@@ -36,4 +37,5 @@ __all__ = [
     "welch",
     "asof_join",
     "range_join",
+    "detrend",
 ]
