@@ -674,3 +674,42 @@ def test_detrend_matches_numpy(spark, kind):
             coef = np.polyfit(p, x, 1)
             ref = x - np.polyval(coef, p)
         np.testing.assert_allclose(got, ref, atol=1e-9)
+
+
+def test_csd_and_coherence_match_numpy(spark, sine_df, sine_pdf):
+    fl, hop = 32, 16
+    base = sine_pdf[sine_pdf.channel == 0].sort_values("time")["value"].to_numpy()
+    # y = x delayed by one sample (zero-filled) per channel
+    y_df = sine_df.withColumn(
+        "value",
+        F.lag("value", 1, 0.0).over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("channel").orderBy("time")
+        ),
+    )
+    out = xss.csd(
+        sine_df, y_df, by=["channel"], dim="time", frame_len=fl, hop=hop, window="hann"
+    )
+    rows = out.filter(F.col("channel") == 1).orderBy("idx").collect()
+    taps = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(fl) / fl)
+    ybase = np.r_[0.0, base[:-1]]
+    fx = _np_stft(base, fl, hop, taps)
+    fy = _np_stft(ybase, fl, hop, taps)
+    fold = np.full(fl // 2 + 1, 2.0)
+    fold[0] = fold[-1] = 1.0
+    ref = (np.conj(fx) * fy).mean(axis=0) * fold / np.sum(taps**2)
+    got = np.array([r["re"] + 1j * r["im"] for r in rows])
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+    coh = xss.coherence(
+        sine_df, y_df, by=["channel"], dim="time", frame_len=fl, hop=hop
+    )
+    crows = coh.filter(F.col("channel") == 1).orderBy("idx").collect()
+    pxx = (np.abs(fx) ** 2).mean(axis=0)
+    pyy = (np.abs(fy) ** 2).mean(axis=0)
+    pxy = (np.conj(fx) * fy).mean(axis=0)
+    cref = np.abs(pxy) ** 2 / (pxx * pyy)
+    np.testing.assert_allclose([r["coherence"] for r in crows], cref, atol=1e-9)
+    # a pure delay of a sine keeps full coherence at the tone bin
+    tone_bin = int(round(F0 / (FS / fl)))
+    assert crows[tone_bin]["coherence"] > 0.99

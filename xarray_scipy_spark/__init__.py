@@ -14,7 +14,9 @@ Public surface mirrors ``xarray_scipy.signal`` operator-for-operator
 
 from .operators import (
     asof_join,
+    coherence,
     convolve,
+    csd,
     detrend,
     range_join,
     convolve_fir,
@@ -72,4 +74,6 @@ __all__ = [
     "asof_join",
     "range_join",
     "detrend",
+    "csd",
+    "coherence",
 ]

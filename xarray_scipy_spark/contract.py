@@ -80,6 +80,20 @@ def _r(col, digits: int, alias: str):
     return (F.round(col, digits) + F.lit(0.0)).alias(alias)
 
 
+# Values landing EXACTLY on rounding half-boundaries (lattice-quantized
+# inputs through exact ±1/0 coefficients) flip round() on 1e-10
+# cross-engine noise at any digit count. Quantize with an
+# epsilon-shifted floor instead: floor(x*1000 + 0.5 + 1e-6) is
+# deterministic for any value on the half-boundary lattice (the 1e-6
+# shift dominates the noise but is far below the lattice spacing).
+def _q3(expr_sql: str) -> str:
+    return f"CAST(floor(({expr_sql}) * 1000 + 0.5 + 1e-6) AS BIGINT)"
+
+
+def _q3_col(col):
+    return F.floor(col * 1000 + F.lit(0.5) + F.lit(1e-6)).cast("bigint")
+
+
 # ---------------------------------------------------------------------------
 # shared oracle CTE: one row per (user, sample position) with 0-based j,
 # the value as DOUBLE, and the series length n
@@ -507,6 +521,104 @@ def q_welch(spark, sf_dir):
     return res.select("user_id", "idx", _r("power", 4, "power4"))
 
 
+# shared CTE for two-signal spectral queries: y = one-sample-lagged x
+_XY = (
+    "xy AS (SELECT user_id, j, x, "
+    "coalesce(lag(x) OVER (PARTITION BY user_id ORDER BY j), 0.0) AS yv, n "
+    "FROM s)"
+)
+
+
+def _cross_spec_sql() -> str:
+    """Windowed framed DFTs of x and its lagged copy y, per
+    (user, frame, bin)."""
+    win = f"(0.5 - 0.5 * cos(2 * pi() * (a.j - fr.f * {_STFT_HOP}) / {_STFT_FL}))"
+    ang = f"2 * pi() * (a.j - fr.f * {_STFT_HOP}) * b.k / {_STFT_FL}"
+    return (
+        "spec AS ("
+        "  SELECT fr.user_id, fr.f, b.k,"
+        f"    sum(a.x * {win} * cos({ang})) AS xre,"
+        f"    sum(-a.x * {win} * sin({ang})) AS xim,"
+        f"    sum(a.yv * {win} * cos({ang})) AS yre,"
+        f"    sum(-a.yv * {win} * sin({ang})) AS yim"
+        "  FROM fr "
+        f"  JOIN xy a ON a.user_id = fr.user_id AND a.j BETWEEN fr.f * {_STFT_HOP} AND fr.f * {_STFT_HOP} + {_STFT_FL - 1} "
+        "  JOIN b ON b.user_id = fr.user_id "
+        "  GROUP BY fr.user_id, fr.f, b.k"
+        ")"
+    )
+
+
+def _lagged(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.withColumn("value", F.lag("value", 1, 0.0).over(w))
+
+
+def _csd_oracle() -> str:
+    from .operators.spectral import window_taps
+
+    u = float(np.sum(window_taps("hann", _STFT_FL) ** 2))
+    fold = f"(CASE WHEN k = 0 OR k = {_STFT_FL // 2} THEN 1.0 ELSE 2.0 END)"
+    return (
+        f"WITH {_S}, {_XY}, {_STFT_FRAMES}, {_STFT_BINS}, {_cross_spec_sql()} "
+        "SELECT user_id, k AS idx, "
+        + _q3(f"{fold} * avg(xre * yre + xim * yim) / {u!r}")
+        + " AS re_q, "
+        + _q3(f"{fold} * avg(xre * yim - xim * yre) / {u!r}")
+        + " AS im_q "
+        "FROM spec GROUP BY user_id, k"
+    )
+
+
+@_q("csd", _csd_oracle())
+def q_csd(spark, sf_dir):
+    """Cross-spectral density of each series against its one-sample lag
+    (cogrouped two-input framed spectra); oracle = the same windowed
+    cross products in SQL."""
+    res = ops.csd(
+        _events(spark, sf_dir),
+        _lagged(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        frame_len=_STFT_FL,
+        hop=_STFT_HOP,
+        window="hann",
+    )
+    return res.select(
+        "user_id",
+        "idx",
+        _q3_col(F.col("re")).alias("re_q"),
+        _q3_col(F.col("im")).alias("im_q"),
+    )
+
+
+@_q(
+    "coherence",
+    f"WITH {_S}, {_XY}, {_STFT_FRAMES}, {_STFT_BINS}, {_cross_spec_sql()}, "
+    "m AS (SELECT user_id, k, avg(xre * xre + xim * xim) AS sxx, "
+    "avg(yre * yre + yim * yim) AS syy, "
+    "avg(xre * yre + xim * yim) AS sre, avg(xre * yim - xim * yre) AS sim "
+    "FROM spec GROUP BY user_id, k) "
+    "SELECT user_id, k AS idx, "
+    "round(CASE WHEN sxx * syy > 0 THEN (sre * sre + sim * sim) / (sxx * syy) "
+    "ELSE 0.0 END, 6) + 0.0 AS coh6 FROM m",
+)
+def q_coherence(spark, sf_dir):
+    """Magnitude-squared coherence against the one-sample lag (window
+    energy and fold cancel); oracle = the same frame-averaged ratio."""
+    res = ops.coherence(
+        _events(spark, sf_dir),
+        _lagged(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        frame_len=_STFT_FL,
+        hop=_STFT_HOP,
+        window="hann",
+    )
+    return res.select("user_id", "idx", _r("coherence", 6, "coh6"))
+
+
 def _spectrogram_oracle() -> str:
     win = f"(0.5 - 0.5 * cos(2 * pi() * (a.j - fr.f * {_STFT_HOP}) / {_STFT_FL}))"
     return (
@@ -545,20 +657,9 @@ _RFFT_PAD_N = 64
 
 
 # Bins k=0 and k=16 of a 64-point DFT have cos/sin terms of exactly
-# 0/±1, so with lattice-quantized inputs the sums land EXACTLY on
-# rounding half-boundaries and round() flips on 1e-10 cross-engine
-# noise at any digit count. Quantize with an epsilon-shifted floor
-# instead: floor(x*1000 + 0.5 + 1e-6) is deterministic for any value on
-# the half-boundary lattice (the 1e-6 shift dominates the noise but is
-# far below the lattice spacing).
-def _q3(expr_sql: str) -> str:
-    return f"CAST(floor(({expr_sql}) * 1000 + 0.5 + 1e-6) AS BIGINT)"
-
-
-def _q3_col(col) -> F.Column:
-    return F.floor(col * 1000 + F.lit(0.5) + F.lit(1e-6)).cast("bigint")
-
-
+# 0/±1, so with lattice-quantized inputs the sums land exactly on
+# rounding half-boundaries — the epsilon-floor quantizer (module top)
+# is required here.
 @_q(
     "rfft_n_ortho",
     f"WITH {_S}, "

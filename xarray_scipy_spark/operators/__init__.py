@@ -9,7 +9,7 @@ from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join
 from .peaks import peak_widths
 from .resample import decimate, resample
-from .spectral import stft, welch
+from .spectral import coherence, csd, stft, welch
 
 __all__ = [
     "convolve",
@@ -38,4 +38,6 @@ __all__ = [
     "asof_join",
     "range_join",
     "detrend",
+    "csd",
+    "coherence",
 ]

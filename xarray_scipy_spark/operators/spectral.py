@@ -30,9 +30,9 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from ..core import apply_series_kernel, resolve_keep_attrs
+from ..core import apply_cogrouped_kernel, apply_series_kernel, resolve_keep_attrs
 
-__all__ = ["stft", "welch", "window_taps"]
+__all__ = ["stft", "welch", "csd", "coherence", "window_taps"]
 
 
 def window_taps(window: str | Sequence[float] | None, frame_len: int) -> np.ndarray:
@@ -189,3 +189,115 @@ def welch(
         "frequency",
         F.col("idx").cast("double") / (F.lit(float(frame_len)) * F.col("delta")),
     ).withColumn("psd", F.col("power") * F.col("delta"))
+
+
+def _framed_ffts(x, y, frame_len, hop, taps):
+    if len(x) != len(y):
+        raise ValueError(
+            f"csd/coherence need aligned equal-length series, got {len(x)}/{len(y)}"
+        )
+    fx = _frames(x[None, :], frame_len, hop)[0] * taps
+    fy = _frames(y[None, :], frame_len, hop)[0] * taps
+    return np.fft.rfft(fx, axis=-1), np.fft.rfft(fy, axis=-1)
+
+
+def csd(
+    df1: DataFrame,
+    df2: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    frame_len: int,
+    hop: int | None = None,
+    window: str | Sequence[float] | None = "hann",
+    value1: str = "value",
+    value2: str = "value",
+    keep_attrs: bool | None = None,
+) -> DataFrame:
+    """Welch cross-spectral density of two aligned series per group:
+    ``Pxy[k] = c_k · mean_over_frames conj(X_f[k])·Y_f[k] / sum(w²)``
+    (one-sided fold like :func:`welch`; multiply by the sample spacing
+    for the literal density). Both inputs co-locate through ONE
+    cogrouped shuffle; output is twin ``re``/``im`` per bin.
+    """
+    hop = frame_len // 2 if hop is None else hop
+    taps = window_taps(window, frame_len)
+    u = float(np.sum(taps**2))
+    n_bins = frame_len // 2 + 1
+    fold = np.full(n_bins, 2.0)
+    fold[0] = 1.0
+    if frame_len % 2 == 0:
+        fold[-1] = 1.0
+
+    def kernel(coords1, x, coords2, y):
+        fx, fy = _framed_ffts(x, y, frame_len, hop, taps)
+        if fx.shape[0] == 0:
+            z = np.zeros(0)
+            return {"re": z, "im": z}
+        pxy = (np.conj(fx) * fy).mean(axis=0) * (fold / u)
+        return {"re": pxy.real.astype(float), "im": pxy.imag.astype(float)}
+
+    res = apply_cogrouped_kernel(
+        df1,
+        df2,
+        kernel,
+        by=by,
+        order1=dim,
+        order2=dim,
+        values1=[value1],
+        values2=[value2],
+        out_fields="re double, im double",
+        keep=resolve_keep_attrs(df1, keep_attrs),
+    )
+    return res.withColumn(
+        "frequency",
+        F.col("idx").cast("double") / (F.lit(float(frame_len)) * F.col("delta")),
+    )
+
+
+def coherence(
+    df1: DataFrame,
+    df2: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    frame_len: int,
+    hop: int | None = None,
+    window: str | Sequence[float] | None = "hann",
+    value1: str = "value",
+    value2: str = "value",
+) -> DataFrame:
+    """Magnitude-squared coherence
+    ``γ²[k] = |mean conj(X)·Y|² / (mean|X|² · mean|Y|²)`` — the window
+    energy and one-sided fold cancel, so γ² ∈ [0, 1] needs no scaling.
+    Requires several frames per series (a single frame gives γ² ≡ 1).
+    """
+    hop = frame_len // 2 if hop is None else hop
+    taps = window_taps(window, frame_len)
+
+    def kernel(coords1, x, coords2, y):
+        fx, fy = _framed_ffts(x, y, frame_len, hop, taps)
+        if fx.shape[0] == 0:
+            return {"coherence": np.zeros(0)}
+        pxx = (fx.real**2 + fx.imag**2).mean(axis=0)
+        pyy = (fy.real**2 + fy.imag**2).mean(axis=0)
+        pxy = (np.conj(fx) * fy).mean(axis=0)
+        denom = pxx * pyy
+        coh = np.where(denom > 0, np.abs(pxy) ** 2 / np.where(denom > 0, denom, 1.0), 0.0)
+        return {"coherence": coh.astype(float)}
+
+    res = apply_cogrouped_kernel(
+        df1,
+        df2,
+        kernel,
+        by=by,
+        order1=dim,
+        order2=dim,
+        values1=[value1],
+        values2=[value2],
+        out_fields="coherence double",
+    )
+    return res.withColumn(
+        "frequency",
+        F.col("idx").cast("double") / (F.lit(float(frame_len)) * F.col("delta")),
+    )
