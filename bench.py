@@ -81,22 +81,26 @@ def main() -> int:
         fn = qs.get(name)
         if fn is None:
             continue
-        # best of 2: the first execution of a query compiles its
-        # whole-stage-codegen methods (seconds for wide plans); the
-        # second run measures steady-state throughput, which is what a
-        # long-lived 100 TB job sees. One-time costs stay visible in
-        # stderr via the first-run number.
+        # one warmup run (compiles the plan's whole-stage-codegen
+        # methods — seconds for wide plans) then MEDIAN OF 3 timed
+        # runs, matching BASELINE.md's own measurement protocol.
+        # best-of-2 (rounds 1-3) produced 2-3x round-over-round swings
+        # on identical code (VERDICT r3); the median is robust to a
+        # single GC/compilation hiccup in either direction. All runs
+        # stay visible in stderr.
         samples = []
         try:
-            for _ in range(2):
+            for i in range(4):
                 t0 = time.time()
                 fn(spark, SF_DIR).count()
-                samples.append(time.time() - t0)
+                dt_i = time.time() - t0
+                if i > 0:  # drop the warmup
+                    samples.append(dt_i)
         except Exception as ex:  # a failing query must not kill the bench
             print(f"# bench error {name}: {ex}", file=sys.stderr)
             times[name] = -1.0
             continue
-        dt = round(min(samples), 3)
+        dt = round(sorted(samples)[len(samples) // 2], 3)
         times[name] = dt
         total += dt
         print(

@@ -1,0 +1,53 @@
+"""Integration smoke against the driver's real parquet (TESTDATA.md).
+
+Round 2 shipped three queries that planned fine on synthetic bigint
+fixtures but threw AnalysisException on the actual testdata, whose time
+columns are timestamp[us] → TIMESTAMP_NTZ (VERDICT r3 "What's wrong").
+This module closes that gap: every contract query must at least PLAN
+AND EXECUTE against the real tables at the smallest scale factor. No
+oracle here — value correctness is the driver's DuckDB gate
+(tools/check_correctness.py locally); this is the cheap local tripwire
+for schema/type drift between the engine and its inputs.
+
+Skipped wholesale if the testdata directory is absent (e.g. running the
+suite outside the driver container).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from xarray_scipy_spark.contract import ORACLES, QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"driver testdata not present at {SF_DIR}"
+)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs_on_driver_parquet(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    # a full count (not just planning) so runtime type errors inside
+    # UDFs/streaming sinks surface too
+    assert df.count() >= 0
+    assert df.columns, f"{name} returned no columns"
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.entry(spark)
+    assert out.count() >= 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import operators as ops
 from . import pipeline as pl
+from .functions import timeutil
 from .functions.complexsql import magnitude
 from .kernels.dsp import sosfilt_1d
 from .kernels.filter_design import butter_sos, cheby1_sos, firwin, sosfilt_zi
@@ -1635,8 +1636,9 @@ def q_multimodal_resize(spark, sf_dir):
 # relational demos: the Catalyst-built-in surface over the same tables
 # ---------------------------------------------------------------------------
 
-# lineitem timestamps are micros-precision parquet -> Spark reads
-# timestamp_ntz (nanosAsLong only affects nanos columns like events.ts)
+# all testdata time columns are micros-precision parquet -> Spark reads
+# timestamp_ntz; wall-clock literal comparisons below are zone-free on
+# both engines
 _Q1_CUTOFF = "2024-06-01 00:00:00"
 
 
@@ -1781,7 +1783,8 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
-_SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+_SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # oracle side: DuckDB epoch_ns
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # Spark side: epoch_us(ts) integers
 
 
 @_q(
@@ -1807,10 +1810,14 @@ def q_sessionize(spark, sf_dir):
     window): new session when the gap to the previous event exceeds 30
     minutes."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts") - F.lag("ts").over(w)
+    # ts is timestamp_ntz in the parquet: gap arithmetic needs epoch
+    # integers (µs here, ns in the oracle — the >30min predicate is
+    # identical in either unit since the parquet is µs-precision)
+    ev = ev.withColumn("t", timeutil.epoch_us(ev, "ts"))
+    w = Window.partitionBy("user_id").orderBy("t")
+    gap = F.col("t") - F.lag("t").over(w)
     sess = ev.withColumn(
-        "new_sess", F.when(gap > _SESSION_GAP_NS, 1).otherwise(0)
+        "new_sess", F.when(gap > _SESSION_GAP_US, 1).otherwise(0)
     ).withColumn(
         "sess_id",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -2070,8 +2077,8 @@ _ASOF_EVERY = 7  # every 7th event per user is an "anchor"
 @_q(
     "asof_join",
     f"WITH {_S}, "
-    # epoch_us: Spark reads the nanos column as int64 ns while DuckDB
-    # truncates to micros — compare at the shared micros precision
+    # epoch_us on both sides: Spark projects the timestamp_ntz column
+    # through timeutil.epoch_us, DuckDB uses its native epoch_us()
     "ev AS (SELECT user_id, j, epoch_us(ts) AS t, x FROM ("
     "  SELECT user_id, ts, value AS x,"
     "  row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS j FROM events)"
@@ -2087,6 +2094,10 @@ def q_asof_join(spark, sf_dir):
     DuckDB's native ASOF LEFT JOIN; the Spark side is the union+window
     formulation (one shuffle, no join node — operators/joins.py)."""
     ev = _events(spark, sf_dir)
+    # project the timestamp_ntz column to epoch-µs BIGINT up front so
+    # the as-of arithmetic (and the output) is integer, matching the
+    # oracle's epoch_us(ts)
+    ev = ev.withColumn("ts", timeutil.epoch_us(ev, "ts"))
     w = Window.partitionBy("user_id").orderBy("ts")
     ev = ev.withColumn("j", F.row_number().over(w) - 1)
     anchors = ev.filter(F.col("j") % _ASOF_EVERY == 0).select(
@@ -2102,8 +2113,8 @@ def q_asof_join(spark, sf_dir):
     )
     return res.select(
         F.col("user_id"),
-        F.expr("ts div 1000").alias("t"),  # integer div: ns -> us exactly
-        F.expr("at div 1000").alias("anchor_t"),
+        F.col("ts").alias("t"),
+        F.col("at").alias("anchor_t"),
         _r("av", 6, "anchor_value6"),
     )
 
@@ -2139,15 +2150,15 @@ def q_range_join(spark, sf_dir):
     orders = load_table(spark, "orders", sf_dir).filter(
         F.col("o_orderkey") % _RANGE_MOD == 0
     )
+    odate = timeutil.epoch_us(orders, "o_orderdate")
     iv = orders.select(
         "o_orderkey",
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("lo"),
-        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + _RANGE_DAYS_US).alias(
-            "hi"
-        ),
+        odate.alias("lo"),
+        (odate + _RANGE_DAYS_US).alias("hi"),
     )
-    pts = load_table(spark, "lineitem", sf_dir).select(
-        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = li.select(
+        timeutil.epoch_us(li, "l_shipdate").alias("ship_us"),
         "l_quantity",
     )
     j = ops.range_join(

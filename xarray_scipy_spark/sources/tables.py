@@ -37,12 +37,13 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    # TESTDATA parquet stores time columns as timestamp[us], which Spark
+    # reads as TIMESTAMP_NTZ (no zone). DuckDB reads the same bytes as a
+    # naive timestamp, so wall-clock comparisons agree byte-for-byte;
+    # queries doing EPOCH ARITHMETIC must go through
+    # functions.timeutil.epoch_us, whose NTZ subtraction matches DuckDB's
+    # epoch_us() independently of the session timezone.
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
-    # TESTDATA parquet carries TIMESTAMP(NANOS) columns, which Spark only
-    # reads as int64 nanoseconds (runtime-settable legacy conf). Timestamp
-    # columns therefore surface as bigint epoch-nanos; DuckDB's epoch_ns()
-    # yields the identical integers, which keeps oracle comparison exact.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

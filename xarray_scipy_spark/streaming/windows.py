@@ -23,6 +23,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.timeutil import event_time
+
 __all__ = ["windowed_stats"]
 
 
@@ -38,22 +40,21 @@ def windowed_stats(
 ) -> DataFrame:
     """Per-key tumbling (or sliding) event-time window statistics.
 
-    ``dim`` may be a timestamp column or epoch-nanosecond bigint (the
-    engine's internal representation for nanos parquet — truncation to
-    microseconds cannot move an event across a whole-second window
-    boundary). Output per (key, window): ``window_start`` (epoch
-    seconds), ``n``, ``sum``, ``avg``, ``min``, ``max``.
+    ``dim`` may be timestamp, timestamp_ntz (the testdata parquet's
+    type — interpreted naive-as-UTC, matching DuckDB's epoch
+    bucketing), or epoch-nanosecond bigint (the engine's internal
+    integer convention — truncation to microseconds cannot move an
+    event across a whole-second window boundary). All are normalized
+    to a proper TIMESTAMP on the absolute epoch timeline, the type the
+    watermark machinery requires. Output per (key, window):
+    ``window_start`` (epoch seconds), ``n``, ``sum``, ``avg``,
+    ``min``, ``max``.
 
     Works on both streaming and static DataFrames (identical plan
     semantics); the watermark only takes effect on streams.
     """
     by = list(by)
-    ts = F.col(dim)
-    if dict(sdf.dtypes)[dim] in ("bigint", "long"):
-        # integer div, not float: ns magnitudes (~1.7e18) lose the last
-        # microsecond digit under double division
-        ts = F.timestamp_micros(F.expr(f"`{dim}` div 1000"))
-    work = sdf.withColumn("__event_time__", ts)
+    work = sdf.withColumn("__event_time__", event_time(sdf, dim))
     if work.isStreaming:
         work = work.withWatermark("__event_time__", watermark)
     win = (
