@@ -191,3 +191,70 @@ def test_kmeans_cells_matches_numpy_lloyd(spark):
                 cents[j] = np.round(sel.mean(axis=0), 6)
     np.testing.assert_array_equal(got, cell)
     assert len(np.unique(got)) > 1  # actually clustered
+
+
+def test_cosine_topk_query_side_guard(spark):
+    """The broadcast×corpus cross join must refuse a query side beyond
+    the broadcast threshold instead of silently planning a Q·N product
+    (the 100 TB hazard VERDICT r3 flagged)."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(5)
+    n, d = 64, 8
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"),
+         "embedding": [list(map(float, v)) for v in rng.standard_normal((n, d))]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        pl.cosine_topk(corpus, corpus, k=3, max_broadcast_queries=16)
+    # under the limit (or with the guard disabled) the plan still runs
+    small = corpus.filter("vec_id < 4")
+    assert pl.cosine_topk(corpus, small, k=3).count() == 12
+    assert pl.cosine_topk(corpus, small, k=3, max_broadcast_queries=None).count() == 12
+    # and the physical plan broadcasts the query side — no CartesianProduct
+    plan = (
+        pl.cosine_topk(corpus, small, k=3, max_broadcast_queries=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_embedding_dup_auto_gates_to_lsh(spark):
+    """method='auto' (the default) must switch from exact all-pairs to
+    SRP-LSH candidate generation once the corpus exceeds
+    exact_max_rows — the exact path is O(N²) and must never be the
+    silent default at scale. LSH output must be a subset of the exact
+    pairs with identical scores."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    n, d = 150, 16
+    vecs = rng.standard_normal((n, d))
+    vecs[40] = vecs[7] * 1.5 + 0.02  # planted near-dup, cos ~ 1
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"),
+         "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    exact = pl.embedding_dup_pairs(df, threshold=0.6, method="exact").toPandas()
+    # auto with a tiny gate must produce the LSH plan's (subset) result
+    auto_lsh = pl.embedding_dup_pairs(
+        df, threshold=0.6, method="auto", exact_max_rows=10, lsh_planes=6
+    ).toPandas()
+    lsh = pl.embedding_dup_pairs(
+        df, threshold=0.6, method="lsh", lsh_planes=6
+    ).toPandas()
+    e = set(zip(exact["a_id"], exact["b_id"]))
+    assert set(zip(lsh["a_id"], lsh["b_id"])) <= e
+    assert set(zip(auto_lsh["a_id"], auto_lsh["b_id"])) == set(
+        zip(lsh["a_id"], lsh["b_id"])
+    )
+    # the planted near-identical pair survives bucketing (θ≈0 ⇒ all
+    # plane signs agree)
+    assert (7, 40) in set(zip(lsh["a_id"], lsh["b_id"]))
+    with pytest.raises(ValueError, match="method"):
+        pl.embedding_dup_pairs(df, method="nope")

@@ -455,21 +455,37 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    lsh_planes: int | None = None,
+    method: str = "auto",
+    lsh_planes: int = 16,
+    exact_max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs by cosine similarity.
 
-    ``lsh_planes=None``: exact all-pairs (the verification baseline —
-    only for modest candidate sets). With ``lsh_planes=p``: signed
-    random projections — each vector gets a ``p``-bit bucket from the
-    signs of ``p`` deterministic hyperplane dots (:func:`srp_plane`
-    literals, JVM-evaluated); pairs must share the bucket before the
-    exact cosine check. At scale the bucket join replaces the O(N²)
-    cross join; near-identical vectors agree on every sign with
-    probability ``1 − θ/π`` per plane.
+    ``method`` picks the physical strategy; the default ``"auto"`` is
+    the scale gate — exact for small corpora, bucketed above:
+
+    - ``"exact"``: all-pairs via blocked numpy matmul
+      (:func:`_blocked_allpairs_cosine`). O(N²) work regardless of
+      blocking — the verification baseline, NOT a 100 TB plan.
+    - ``"lsh"``: signed random projections — each vector gets an
+      ``lsh_planes``-bit bucket from the signs of deterministic
+      hyperplane dots (:func:`srp_plane` literals, JVM-evaluated);
+      pairs must share the bucket before the exact cosine check. The
+      bucket equi-join replaces the O(N²) cross join; near-identical
+      vectors agree on every sign with probability ``1 − θ/π`` per
+      plane, so true near-dups (θ≈0) are kept with high probability
+      while the candidate volume drops by ~2^planes. Approximate by
+      construction — the scale path.
+    - ``"auto"``: exact while the corpus has ≤ ``exact_max_rows``
+      vectors (one cheap count against parquet metadata), LSH beyond —
+      so the default NEVER silently runs O(N²) on a large corpus.
 
     Output ``(a_id, b_id, cos_sim)`` with ``a_id < b_id``.
     """
+    if method not in ("auto", "exact", "lsh"):
+        raise ValueError(f"method must be auto|exact|lsh, got {method!r}")
+    if method == "auto":
+        method = "exact" if df.count() <= exact_max_rows else "lsh"
     v = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -477,7 +493,7 @@ def embedding_dup_pairs(
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
     v = v.withColumn("nrm", norm)
 
-    if lsh_planes:
+    if method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         def plane_lit(p):
             return F.array(*[F.lit(srp_plane(p, d)) for d in range(dim)])

@@ -49,6 +49,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_broadcast_queries: int | None = 65_536,
 ) -> DataFrame:
     """Exact top-k nearest neighbors by cosine for each query vector.
 
@@ -56,8 +57,26 @@ def cosine_topk(
     deterministic — ties broken by neighbor id on the similarity
     rounded to ``round_digits`` (so independent engines agree).
 
+    The broadcast×corpus plan is only correct-at-scale while the query
+    side fits an executor broadcast: the guard counts the query side
+    (one cheap action) and refuses beyond ``max_broadcast_queries``
+    rather than silently building a Q·N cross product — route large
+    query sets to :func:`cosine_topk_ivf` (cell-pruned, needs a coarse
+    quantizer column) or :func:`cosine_topk_lsh` (bucketed,
+    approximate) instead. ``max_broadcast_queries=None`` disables the
+    guard (and its count) for callers that already know the size.
+
     Output: ``(query_id, rank, neighbor_id, cos_sim)``.
     """
+    if max_broadcast_queries is not None:
+        nq = queries.count()
+        if nq > max_broadcast_queries:
+            raise ValueError(
+                f"query side has {nq} rows > max_broadcast_queries="
+                f"{max_broadcast_queries}: a broadcast cross join at this "
+                "size is a scale hazard — use cosine_topk_ivf / "
+                "cosine_topk_lsh, or raise the limit explicitly"
+            )
     c = _normed(spread(corpus, id_col), id_col, vec_col, []).alias("c")
     q = _normed(queries, id_col, vec_col, []).alias("q")
     scored = (
