@@ -52,6 +52,7 @@ _CHECK_LAST = (
     "sosfilt_chunked",  # small-data exact variant; sosfilt row covers it
     "ann_cosine_topk_kmeans",  # ivf + lsh ANN strategies stay checked
     "multimodal_resize",  # features + frame_sample stay checked
+    "tpch_q6",  # plain filter+agg; q1/q3/q5 cover the TPC-H surface
 )
 
 

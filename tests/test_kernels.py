@@ -44,8 +44,12 @@ def test_fftconvolve_sizes():
     x, y = np.ones(50), np.ones(7)
     assert len(fftconvolve_1d(x, y, "full")) == 56
     assert len(fftconvolve_1d(x, y, "same")) == 50
-    with pytest.raises(NotImplementedError):
-        fftconvolve_1d(x, y, "valid")
+    # valid: max-min+1 fully-overlapped lags (numpy semantics; the
+    # reference's valid path is broken, signal.py:77)
+    v = fftconvolve_1d(x, y, "valid")
+    np.testing.assert_allclose(v, np.convolve(x, y, mode="valid"), atol=1e-10)
+    with pytest.raises(ValueError):
+        fftconvolve_1d(x, y, "bogus")
 
 
 # ---------- hilbert ----------

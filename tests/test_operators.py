@@ -3,6 +3,7 @@ over long-form DataFrames (SURVEY.md §5 "our strategy"), plus
 numpy-oracle comparisons (collect → compare within tolerance)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -136,9 +137,27 @@ def test_fftconvolve_sizes_and_values(sine_df, sine_pdf):
         np.testing.assert_allclose(got[ch][:, 0], ref, atol=1e-7)
 
 
-def test_convolve_valid_unsupported(sine_df):
-    with pytest.raises(NotImplementedError):
-        xss.convolve(sine_df, sine_df, by=["channel"], dim="time", mode="valid")
+def test_convolve_valid_mode(spark, sine_df, sine_pdf):
+    """mode='valid' — implemented properly where the reference is broken
+    (signal.py:77 returns the NotImplemented constant as a size):
+    output = fully-overlapped lags only, length max-min+1."""
+    taps = [0.2, 0.5, 0.3, -0.1]
+    tap_pdf = pd.concat(
+        [
+            pd.DataFrame({"channel": ch, "time": np.arange(len(taps), dtype=float), "value": taps})
+            for ch in range(NCHAN)
+        ],
+        ignore_index=True,
+    )
+    tap_df = spark.createDataFrame(tap_pdf)
+    out = xss.convolve(sine_df, tap_df, by=["channel"], dim="time", mode="valid")
+    rows = out.filter(F.col("channel") == 1).orderBy("idx").collect()
+    base = sine_pdf[sine_pdf.channel == 1].sort_values("time")["value"].to_numpy()
+    ref = np.convolve(base, taps, mode="valid")
+    assert len(rows) == NSAMP - len(taps) + 1
+    np.testing.assert_allclose([r["value"] for r in rows], ref, atol=1e-9)
+    with pytest.raises(ValueError, match="mode"):
+        xss.convolve(sine_df, sine_df, by=["channel"], dim="time", mode="nope")
 
 
 def test_convolve_fir_matches_numpy(sine_df, sine_pdf):

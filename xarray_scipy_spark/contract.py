@@ -293,6 +293,45 @@ def q_convolve(spark, sf_dir):
     return res.select("user_id", "idx", _r("value", 4, "conv4"))
 
 
+_VALID_TAPS = (0.2, 0.5, 0.3, -0.1, 0.1)
+_VALID_TAPS_VALUES = ", ".join(f"({j}, {h!r})" for j, h in enumerate(_VALID_TAPS))
+
+
+@_q(
+    "convolve_valid",
+    f"WITH {_S}, "
+    "full_conv AS ("
+    "  SELECT s.user_id, s.j + k.j2 AS k, s.n, sum(s.x * k.h) AS y"
+    f"  FROM s CROSS JOIN (SELECT * FROM (VALUES {_VALID_TAPS_VALUES}) AS t(j2, h)) k"
+    "  GROUP BY s.user_id, s.j + k.j2, s.n"
+    ") "
+    f"SELECT user_id, CAST(k - {len(_VALID_TAPS) - 1} AS BIGINT) AS idx, "
+    "round(y, 6) + 0.0 AS conv6 "
+    f"FROM full_conv WHERE k BETWEEN {len(_VALID_TAPS) - 1} AND n - 1",
+)
+def q_convolve_valid(spark, sf_dir):
+    """mode='valid' convolution of each user's series with a fixed
+    5-tap kernel — only fully-overlapped lags, length n-m+1. The
+    reference's valid path is broken (signal.py:77 returns the
+    NotImplemented constant as a size); implemented properly here, so
+    this query is coverage the reference itself cannot run. The kernel
+    side is a broadcast of a 5-row literal frame replicated per user
+    (same shape as the fftconvolve_2d kernel feed)."""
+    ev = _events(spark, sf_dir)
+    ker = spark.createDataFrame(
+        [(int(j), float(h)) for j, h in enumerate(_VALID_TAPS)],
+        "j bigint, value double",
+    )
+    ker = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(ker))
+        .select("user_id", F.col("j").alias("ts"), "value")
+    )
+    res = ops.convolve(ev, ker, by=["user_id"], dim="ts", mode="valid")
+    return res.select("user_id", "idx", _r("value", 6, "conv6"))
+
+
 _FIR_TAPS = (0.1, 0.2, 0.4, 0.2, 0.1)
 
 

@@ -35,18 +35,18 @@ def fftconvolve_1d(x: np.ndarray, y: np.ndarray, mode: str = "full") -> np.ndarr
 
     Mirrors ``scipy.signal.fftconvolve`` semantics used at
     reference signal.py:84-105: ``full`` -> n1+n2-1, ``same`` -> n1
-    (centered), ``valid`` unsupported exactly like the reference
-    (signal.py:77 returns NotImplemented for it). Inputs may be
-    ``(n,)`` or batched ``(k, n)`` (broadcast rules apply: a batched
-    signal against one shared 1-D kernel is the common case).
+    (centered), ``valid`` -> max-min+1 (only fully-overlapped lags —
+    the reference's valid path is broken, signal.py:77 returns the
+    NotImplemented constant as a size; implemented properly here).
+    Inputs may be ``(n,)`` or batched ``(k, n)`` (broadcast rules
+    apply: a batched signal against one shared 1-D kernel is the
+    common case).
     """
     x = np.asarray(x, dtype=float)
     y = np.asarray(y, dtype=float)
     n1, n2 = x.shape[-1], y.shape[-1]
-    if mode not in ("full", "same"):
-        raise NotImplementedError(
-            "mode='valid' is unsupported (reference parity, signal.py:77)"
-        )
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
     nfull = n1 + n2 - 1
     nfft = 1 << (nfull - 1).bit_length()  # next power of two
     out = np.fft.irfft(
@@ -55,6 +55,9 @@ def fftconvolve_1d(x: np.ndarray, y: np.ndarray, mode: str = "full") -> np.ndarr
     if mode == "same":
         start = (n2 - 1) // 2
         out = out[..., start : start + n1]
+    elif mode == "valid":
+        start = min(n1, n2) - 1
+        out = out[..., start : start + abs(n1 - n2) + 1]
     return out
 
 
@@ -64,16 +67,23 @@ def fftconvolve_nd(x: np.ndarray, y: np.ndarray, mode: str = "full") -> np.ndarr
     ``dims`` spanning several dimensions, signal.py:62-63, 81-105).
 
     ``full`` -> per-axis n1+n2-1; ``same`` -> centered crop to ``x``'s
-    shape (scipy ``_centered``); ``valid`` unsupported (reference
-    parity, signal.py:77).
+    shape (scipy ``_centered``); ``valid`` -> per-axis max-min+1 and
+    requires one input to cover the other on EVERY axis (scipy's
+    ok-shape rule; the reference's valid path is broken, signal.py:77).
     """
     x = np.asarray(x, dtype=float)
     y = np.asarray(y, dtype=float)
     if x.ndim != y.ndim:
         raise ValueError("inputs must have the same number of core dims")
-    if mode not in ("full", "same"):
-        raise NotImplementedError(
-            "mode='valid' is unsupported (reference parity, signal.py:77)"
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+    if mode == "valid" and not (
+        all(a >= b for a, b in zip(x.shape, y.shape))
+        or all(b >= a for a, b in zip(x.shape, y.shape))
+    ):
+        raise ValueError(
+            "valid mode needs one input at least as large as the other "
+            f"in every dimension, got {x.shape} vs {y.shape}"
         )
     fshape = tuple(a + b - 1 for a, b in zip(x.shape, y.shape))
     out = np.fft.irfftn(
@@ -82,6 +92,13 @@ def fftconvolve_nd(x: np.ndarray, y: np.ndarray, mode: str = "full") -> np.ndarr
     if mode == "same":
         starts = tuple((f - s) // 2 for f, s in zip(fshape, x.shape))
         out = out[tuple(slice(st, st + s) for st, s in zip(starts, x.shape))]
+    elif mode == "valid":
+        out = out[
+            tuple(
+                slice(min(a, b) - 1, min(a, b) - 1 + abs(a - b) + 1)
+                for a, b in zip(x.shape, y.shape)
+            )
+        ]
     return out
 
 

@@ -57,13 +57,14 @@ def fftconvolve(
     """FFT-based convolution of two long-form signals per group.
 
     Output: ``[*by, idx, value, n_in, offset, delta]``; length per group
-    is n1+n2-1 (full) or n1 (same). ``keep_attrs`` propagates input 1's
-    ``attrs`` sidecar (reference signal.py:10-13 semantics).
+    is n1+n2-1 (full), n1 (same), or max-min+1 (valid — the reference's
+    own valid path is broken, signal.py:77 returns the NotImplemented
+    constant as a size; here it computes the fully-overlapped lags).
+    ``keep_attrs`` propagates input 1's ``attrs`` sidecar (reference
+    signal.py:10-13 semantics).
     """
-    if mode not in ("full", "same"):
-        raise NotImplementedError(
-            "mode='valid' is unsupported (reference parity, signal.py:77)"
-        )
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
 
     def kernel(coords1, x, coords2, y):
         return {"value": fftconvolve_1d(x, y, mode=mode)}
@@ -106,10 +107,8 @@ def fftconvolve_nd(
     indices, not coordinates.
     """
     dims = list(dims)
-    if mode not in ("full", "same"):
-        raise NotImplementedError(
-            "mode='valid' is unsupported (reference parity, signal.py:77)"
-        )
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
     k = len(dims)
 
     def kernel(*args):
