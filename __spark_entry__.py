@@ -53,6 +53,7 @@ _CHECK_LAST = (
     "ann_cosine_topk_kmeans",  # ivf + lsh ANN strategies stay checked
     "multimodal_resize",  # features + frame_sample stay checked
     "tpch_q6",  # plain filter+agg; q1/q3/q5 cover the TPC-H surface
+    "welch",  # averaged |stft|² reduction; stft + coherence stay checked
 )
 
 

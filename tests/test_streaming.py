@@ -143,3 +143,79 @@ def test_windowed_stats_stream_equals_batch(spark, tmp_path):
         )
     # window starts are whole minutes aligned to the epoch
     assert (got["window_start"].to_numpy() % 60 == 0).all()
+
+
+def test_session_stats_stream_subset_of_batch(spark, tmp_path):
+    """Native session windows on a multi-batch stream (update mode is
+    unsupported for memory+session; append emits only watermark-closed
+    sessions): every emitted session must match the batch run of the
+    same plan exactly, and sessions clearly older than the final
+    watermark must all have been emitted."""
+    import uuid
+
+    from xarray_scipy_spark.streaming import session_stats
+
+    rng = np.random.default_rng(13)
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    frames = []
+    for i in range(NCHUNKS):
+        # bursts ~100 s apart with 1 hour between batches: gap=10 minutes
+        # splits sessions inside AND across micro-batches
+        base = i * 3600
+        ts = (base + np.sort(rng.integers(0, 300, size=40))) * 1_000_000_000
+        pdf = pd.DataFrame(
+            {
+                "ch": rng.integers(0, NCH, size=40),
+                "ts": ts.astype("int64"),
+                "value": rng.standard_normal(40),
+            }
+        )
+        frames.append(pdf)
+        pdf.to_parquet(src / f"chunk_{i}.parquet")
+        time.sleep(1.1)
+    allpdf = pd.concat(frames, ignore_index=True)
+
+    schema = "ch bigint, ts bigint, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = session_stats(
+        stream, by=["ch"], dim="ts", gap="10 minutes", watermark="30 minutes"
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name).toPandas()
+
+    want = session_stats(
+        spark.createDataFrame(allpdf, schema=schema),
+        by=["ch"],
+        dim="ts",
+        gap="10 minutes",
+    ).toPandas()
+
+    wkey = want.set_index(["ch", "session_start"])
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        w = wkey.loc[(r["ch"], r["session_start"])]
+        assert w["session_end"] == r["session_end"]
+        assert w["n"] == r["n"]
+        np.testing.assert_allclose(w["sum"], r["sum"], atol=1e-9)
+    # the final watermark trails max event time by 30 min; every session
+    # closed >30 min (plus slack) before the end must have been emitted
+    max_us = int(allpdf["ts"].max()) // 1000
+    horizon = max_us - 45 * 60 * 1_000_000
+    must_emit = want[want["session_end"] < horizon]
+    got_keys = set(zip(got["ch"], got["session_start"]))
+    for _, r in must_emit.iterrows():
+        assert (r["ch"], r["session_start"]) in got_keys

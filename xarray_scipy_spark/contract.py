@@ -2065,16 +2065,28 @@ def q_tpch_q3(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# streaming (rows-only: stateful streaming is not SQL-expressible)
+# streaming
 # ---------------------------------------------------------------------------
 
-@_q("sosfilt_stream")
+@_q(
+    "sosfilt_stream",
+    # the stream is the causal filter from zero state — bit-identical to
+    # batch sosfilt over the materialized series — so the SAME
+    # impulse-response-convolution oracle verifies it (the streaming
+    # RUNTIME is what differs, and that's exactly what the comparison
+    # exercises: state carry across the micro-batch boundary must
+    # reproduce the batch recursion)
+    f"WITH {_S}, {_impulse_response_sql(_SOSFILT_SOS)} "
+    "SELECT xi.user_id, xi.j AS idx, round(sum(h.hv * xj.x), 4) + 0.0 AS val4 "
+    "FROM s xi JOIN h ON h.m <= xi.j "
+    "JOIN s xj ON xj.user_id = xi.user_id AND xj.j = xi.j - h.m "
+    "GROUP BY xi.user_id, xi.j",
+)
 def q_sosfilt_stream(spark, sf_dir):
     """Stateful streaming sosfilt (applyInPandasWithState): filter the
     events stream per user with carried zi, AvailableNow trigger, and
-    return the materialized result. Rows-only check — custom stateful
-    streaming has no SQL equivalent (the batch `sosfilt` query IS the
-    hash-verified twin of this kernel)."""
+    return the materialized result. Oracle = the batch impulse-response
+    convolution (the stream must equal batch sosfilt sample-for-sample)."""
     import os
     import tempfile
     import uuid
@@ -2272,6 +2284,53 @@ def q_stream_window_stats(spark, sf_dir):
         _q3_col(F.col("avg")).alias("avg_q"),
         _r("min", 4, "min4"),
         _r("max", 4, "max4"),
+    )
+
+
+_SESSW_GAP_US = 30 * 60 * 1_000_000
+
+
+@_q(
+    "session_window_stats",
+    "WITH e AS ("
+    "  SELECT user_id, epoch_us(ts) AS t, value AS x,"
+    "         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    f"           (PARTITION BY user_id ORDER BY ts) >= {_SESSW_GAP_US} "
+    "           THEN 1 ELSE 0 END AS new_sess"
+    "  FROM events"
+    "), sess AS ("
+    "  SELECT user_id, t, x, sum(new_sess) OVER (PARTITION BY user_id ORDER BY t "
+    "    ROWS UNBOUNDED PRECEDING) AS sid FROM e"
+    ") "
+    "SELECT user_id, min(t) AS session_start, "
+    f"max(t) + {_SESSW_GAP_US} AS session_end, "
+    "count(*) AS n, "
+    "CAST(floor(sum(x) * 1000 + 0.5 + 1e-6) AS BIGINT) AS sum_q, "
+    "CAST(floor(avg(x) * 1000 + 0.5 + 1e-6) AS BIGINT) AS avg_q "
+    "FROM sess GROUP BY user_id, sid",
+)
+def q_session_window_stats(spark, sf_dir):
+    """Per-session statistics via the NATIVE session-window operator
+    (F.session_window — dynamic-gap windows merged incrementally in the
+    state store on streams; identical plan semantics on this static
+    frame). Oracle = lag-based session reconstruction: a session breaks
+    exactly when the inter-event gap reaches the 30-minute gap duration
+    (session ends are exclusive), session_end = last event + gap. The
+    lag-window `sessionize` demo is the hand-rolled batch equivalent;
+    this is the operator a streaming pipeline would actually deploy
+    (tests/test_streaming.py drives it on a real stream)."""
+    from .streaming import session_stats
+
+    out = session_stats(
+        _events(spark, sf_dir), by=["user_id"], dim="ts", gap="30 minutes"
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n",
+        _q3_col(F.col("sum")).alias("sum_q"),
+        _q3_col(F.col("avg")).alias("avg_q"),
     )
 
 

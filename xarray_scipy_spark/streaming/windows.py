@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.timeutil import event_time
 
-__all__ = ["windowed_stats"]
+__all__ = ["windowed_stats", "session_stats"]
 
 
 def windowed_stats(
@@ -72,6 +72,57 @@ def windowed_stats(
     return agg.select(
         *by,
         F.col("w.start").cast("long").alias("window_start"),
+        "n",
+        "sum",
+        "avg",
+        "min",
+        "max",
+    )
+
+
+def session_stats(
+    sdf: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key SESSION-window statistics via the native
+    ``F.session_window`` operator: a session extends while consecutive
+    events arrive within ``gap`` of the previous session end, then
+    closes. The dynamic-window analog of :func:`windowed_stats`; the
+    batch analog is the lag-based ``sessionize`` demo — a new session
+    starts exactly when the inter-event gap reaches ``gap``
+    (session-window ends are exclusive, so ``diff >= gap`` splits).
+
+    Incremental on streams: Spark merges per-key candidate sessions in
+    the state store and the watermark closes (and evicts) sessions whose
+    end is older than the event-time horizon — state is
+    O(keys × open-sessions), not stream length. The same plan runs on a
+    static DataFrame for batch/stream parity.
+
+    Output per (key, session): ``session_start``/``session_end`` (epoch
+    µs, the window bounds), ``n``, ``sum``, ``avg``, ``min``, ``max``.
+    """
+    by = list(by)
+    work = sdf.withColumn("__event_time__", event_time(sdf, dim))
+    if work.isStreaming:
+        work = work.withWatermark("__event_time__", watermark)
+    agg = work.groupBy(
+        F.session_window("__event_time__", gap).alias("w"), *by
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value).alias("sum"),
+        F.avg(value).alias("avg"),
+        F.min(value).alias("min"),
+        F.max(value).alias("max"),
+    )
+    return agg.select(
+        *by,
+        F.unix_micros(F.col("w.start")).alias("session_start"),
+        F.unix_micros(F.col("w.end")).alias("session_end"),
         "n",
         "sum",
         "avg",
