@@ -1,0 +1,105 @@
+"""Physical-plan regression tests: the scale-shape claims the engine
+makes (SURVEY.md §2.4 scale notes, BASELINE.md plan audit) asserted
+against the actual Catalyst output, so a refactor that silently
+degrades a plan — a broadcast that becomes a sort-merge, a reused
+exchange that starts recomputing, a pruned scan that widens — fails
+the suite instead of surfacing as a 100 TB incident.
+
+AQE note: ReusedExchange only appears in the FINAL adaptive plan, so
+the reuse assertions execute the query first (sf0.001 — milliseconds)
+and then read ``isFinalPlan=true`` output.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+
+from xarray_scipy_spark.contract import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+_JOIN_NODES = (
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "ShuffledHashJoin",
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+)
+
+
+def _static_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    s = buf.getvalue()
+    assert "isFinalPlan=true" in s, "query did not produce a final AQE plan"
+    return s
+
+
+def test_tpch_q5_is_all_broadcast_joins(spark):
+    """Every dimension chain in Q5 is broadcast-sized; the only big
+    table is lineitem. A SortMergeJoin here means a dimension stopped
+    broadcasting — at 100 TB that is a full lineitem shuffle."""
+    plan = _static_plan(QUERIES["tpch_q5"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_has_no_join_node(spark):
+    """The as-of join is the union+ordered-window formulation: ONE
+    shuffle on (key, time), zero join nodes (operators/joins.py)."""
+    plan = _static_plan(QUERIES["asof_join"](spark, SF_DIR))
+    assert not any(j in plan for j in _JOIN_NODES), plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """Interval containment via chunk-explode + equi hash join; a naive
+    range predicate would plan BroadcastNestedLoopJoin/CartesianProduct
+    — quadratic at scale."""
+    plan = _static_plan(QUERIES["range_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_self_joins_reuse_one_exchange(spark):
+    """The minhash/simhash self-joins must compute their signature
+    subtree ONCE (shuffle-hash on both sides -> canonically identical
+    exchanges -> ReusedExchange). Broadcasting a side would materialize
+    the whole subtree a second time through the driver (measured ~2x on
+    these queries, BASELINE.md round-2 notes)."""
+    for name in ("dedup_simhash", "dedup_minhash"):
+        s = _final_plan(QUERIES[name](spark, SF_DIR))
+        assert s.count("ReusedExchange") >= 1, f"{name} lost exchange reuse"
+
+
+def test_kernel_query_single_shuffle(spark):
+    """A per-series kernel op is one groupBy exchange + Arrow UDF; a
+    second exchange before the UDF means the bucketing regressed."""
+    plan = _static_plan(QUERIES["rfft"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+    # exchanges: the kernel groupBy, plus (acceptably) AQE reads; the
+    # pre-UDF pipeline must not chain two hash exchanges
+    pre_udf = plan.split("FlatMapGroupsInPandas")[-1]
+    assert pre_udf.count("Exchange hashpartitioning") <= 2
+
+
+def test_session_window_is_native_operator(spark):
+    """session_window_stats must plan Spark's native session-window
+    aggregate (incremental, mergeable state) — not a window-function
+    rewrite (full per-key sort + single-partition risk)."""
+    plan = _static_plan(QUERIES["session_window_stats"](spark, SF_DIR))
+    assert "session_window" in plan
