@@ -1,0 +1,104 @@
+"""Property-based kernel invariants (hypothesis).
+
+The reference tests fixed sizes only (tests/test_signal.py sweeps
+n ∈ {None,99,100,101,102}); these generate arbitrary lengths/values so
+off-by-one slicing (mode crops, DFT defaults, padding) is probed across
+the whole small-size lattice instead of five points. Kernels only — no
+Spark session, so the module runs in seconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from xarray_scipy_spark.kernels.dsp import (
+    decimate_1d,
+    fftconvolve_1d,
+    hilbert_1d,
+    resample_fourier,
+    sosfilt_1d,
+)
+from xarray_scipy_spark.kernels.filter_design import butter_sos, sosfilt_zi
+
+_f64 = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
+)
+
+
+def _arr(min_size: int, max_size: int = 64):
+    return st.lists(_f64, min_size=min_size, max_size=max_size).map(
+        lambda v: np.asarray(v, dtype=float)
+    )
+
+
+@settings(max_examples=80, deadline=None)
+@given(x=_arr(1), y=_arr(1))
+def test_fftconvolve_matches_numpy_all_modes(x, y):
+    # FFT round-off is relative to the largest PRODUCT magnitude, not
+    # the output element (cancellation can leave a tiny value with
+    # absolute error ~eps·max|x|·max|y|·n)
+    atol = 1e-9 * (
+        1.0 + float(np.abs(x).max(initial=0.0) * np.abs(y).max(initial=0.0)) * len(x)
+    )
+    np.testing.assert_allclose(
+        fftconvolve_1d(x, y, "full"), np.convolve(x, y, "full"), atol=atol
+    )
+    np.testing.assert_allclose(
+        fftconvolve_1d(x, y, "same"),
+        # numpy 'same' returns max(M,N); scipy (the reference's kernel)
+        # returns len(in1) — emulate scipy by cropping the full output
+        # centered on x
+        np.convolve(x, y, "full")[(len(y) - 1) // 2 : (len(y) - 1) // 2 + len(x)],
+        atol=atol,
+    )
+    np.testing.assert_allclose(
+        fftconvolve_1d(x, y, "valid"), np.convolve(x, y, "valid"), atol=atol
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=_arr(1, 128), n=st.integers(1, 160))
+def test_hilbert_real_part_and_length(x, n):
+    out = hilbert_1d(x, n=n)
+    assert out.shape[-1] == n
+    # real part of the analytic signal is the (padded/truncated) input
+    padded = np.zeros(n)
+    take = min(n, len(x))
+    padded[:take] = x[:take]
+    np.testing.assert_allclose(np.real(out), padded, atol=1e-6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=_arr(2, 128))
+def test_resample_identity_and_length(x):
+    # resampling to the same length is the identity (Fourier method)
+    np.testing.assert_allclose(resample_fourier(x, len(x)), x, atol=1e-6)
+    # any target length is honored exactly
+    num = max(1, len(x) // 2)
+    assert resample_fourier(x, num).shape[-1] == num
+
+
+@settings(max_examples=40, deadline=None)
+@given(x=_arr(8, 256), q=st.integers(2, 8))
+def test_decimate_length_rule(x, q):
+    # reference invariant: len//q (ceil division in scipy is n//q when
+    # slicing [::q] from 0), tested at arbitrary (n, q)
+    out = decimate_1d(x, q, ftype="fir")
+    assert out.shape[-1] == int(np.ceil(len(x) / q))
+
+
+@settings(max_examples=40, deadline=None)
+@given(x=_arr(4, 128), a=_f64, data=st.data())
+def test_sosfilt_linearity_and_state_composition(x, a, data):
+    sos = butter_sos(4, 0.3)
+    # linearity: filter(a·x) == a·filter(x) from zero state
+    y1 = sosfilt_1d(sos, x)
+    y2 = sosfilt_1d(sos, a * x)
+    np.testing.assert_allclose(y2, a * y1, atol=max(1.0, abs(a)) * 1e-6)
+    # state composition: filtering in two chunks with zi handoff equals
+    # one pass (the exact property sosfilt_chunked/sosfilt_stream rely on)
+    split = data.draw(st.integers(1, len(x) - 1))
+    ya, zf = sosfilt_1d(sos, x[:split], zi=sosfilt_zi(sos) * 0.0)
+    yb, _ = sosfilt_1d(sos, x[split:], zi=zf)
+    np.testing.assert_allclose(np.concatenate([ya, yb]), y1, atol=1e-6)
