@@ -54,6 +54,8 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q5",
     "sessionize",
+    "session_window_stats",
+    "convolve_valid",
 ]
 
 
