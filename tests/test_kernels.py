@@ -282,3 +282,57 @@ def test_decimate_large_q_analytic_tone():
         sos = cheby1_sos(8, 0.05, 0.8 / q)
         for s in sos:
             assert np.all(np.abs(np.roots(s[3:])) < 1.0)
+
+
+# ---------- ragged batching (the bucket-level recursion path) ----------
+
+def test_ragged_kernels_match_per_row():
+    """sosfilt/sosfiltfilt/decimate over a right-zero-padded ragged
+    batch must be sample-exact vs the per-row kernels — including the
+    per-row final state captured at each row's own last sample (what
+    makes chunk handoff exact for mixed-length batches)."""
+    from xarray_scipy_spark.kernels.dsp import (
+        decimate_1d,
+        decimate_ragged,
+        sosfilt_1d,
+        sosfilt_ragged,
+        sosfiltfilt_1d,
+        sosfiltfilt_ragged,
+    )
+    from xarray_scipy_spark.kernels.filter_design import butter_sos, sosfilt_zi
+
+    rng = np.random.default_rng(5)
+    sos = butter_sos(4, 0.25)
+    lengths = rng.integers(40, 120, size=23)
+    n_max = lengths.max()
+    rows = [rng.standard_normal(n) for n in lengths]
+    xpad = np.zeros((len(rows), n_max))
+    for i, r in enumerate(rows):
+        xpad[i, : len(r)] = r
+
+    zi0 = sosfilt_zi(sos) * 0.9
+    y, zf = sosfilt_ragged(sos, xpad, lengths, zi=zi0)
+    yff = sosfiltfilt_ragged(sos, xpad, lengths)
+    yd, ol = decimate_ragged(xpad, lengths, 4, ftype="iir", zero_phase=True)
+    for i, r in enumerate(rows):
+        yr, zr = sosfilt_1d(sos, r, zi=zi0)
+        np.testing.assert_allclose(y[i, : len(r)], yr, atol=1e-12)
+        np.testing.assert_allclose(zf[i], zr, atol=1e-12)
+        np.testing.assert_allclose(
+            yff[i, : len(r)], sosfiltfilt_1d(sos, r), atol=1e-10
+        )
+        ref = decimate_1d(r, 4, ftype="iir", zero_phase=True)
+        assert ol[i] == len(ref)
+        np.testing.assert_allclose(yd[i, : ol[i]], ref, atol=1e-9)
+
+
+def test_ragged_padlen_guard():
+    from xarray_scipy_spark.kernels.dsp import sosfiltfilt_ragged
+    from xarray_scipy_spark.kernels.filter_design import butter_sos
+
+    sos = butter_sos(4, 0.25)
+    x = np.zeros((2, 40))
+    x[:, :] = 1.0
+    with pytest.raises(ValueError, match="padlen"):
+        # one row shorter than padlen must raise, like the 1-D kernel
+        sosfiltfilt_ragged(sos, x, np.array([40, 10]))

@@ -138,7 +138,17 @@ def apply_series_kernel(
         block is a ``(n_series, n)`` float64 matrix (one row per series,
         equal length ``n`` within a call) and every returned array is
         ``(n_series, m)`` — the kernel must be vectorized across rows
-        (numpy ops on the last axis are).
+        (numpy ops on the last axis are). A kernel with attribute
+        ``batch_ragged = True`` instead receives ONE call per bucket:
+        ``kernel(*blocks, lengths=...)`` with right-zero-padded
+        ``(n_series, n_max)`` blocks and the per-row true lengths, and
+        must return padded ``(n_series, m_max)`` arrays plus a
+        ``"__lengths__"`` entry of per-row output lengths (the tail
+        beyond each row's length is discarded). This is the mode for
+        recursion kernels (IIR filters), where a per-sample Python loop
+        per distinct length would dominate: causality makes the zero
+        padding exact, and the loop then runs once per bucket no matter
+        how many lengths the bucket mixes.
     by : broadcast-dim columns (the series key — reference's loop dims).
     order : core-dim coordinate column (+ optional tie-break columns);
         the first entry supplies offset/delta (datetime ok — epoch-ns).
@@ -174,6 +184,31 @@ def apply_series_kernel(
             lengths > 1, np.abs(lasts - offsets) / np.maximum(lengths - 1, 1), 0.0
         )
         vals = [pdf[v].to_numpy(dtype=float) for v in values]
+
+        if getattr(kernel, "batch_ragged", False) and len(starts):
+            n_max = int(lengths.max())
+            jj = np.arange(n_max)
+            gather = np.minimum(starts[:, None] + jj[None, :], ends[:, None] - 1)
+            mask = jj[None, :] < lengths[:, None]
+            blocks = [np.where(mask, v[gather], 0.0) for v in vals]
+            out = kernel(*blocks, lengths=lengths)
+            out_lens = np.asarray(out.pop("__lengths__"), dtype=np.int64)
+            m_max = np.atleast_2d(next(iter(out.values()))).shape[1]
+            sel = np.arange(m_max)[None, :] < out_lens[:, None]
+            rep = np.repeat(starts, out_lens)
+            res = pd.DataFrame(index=np.arange(len(rep)))
+            for c in by + keep:
+                res[c] = pdf[c].to_numpy()[rep]
+            if emit_idx:
+                res["idx"] = np.broadcast_to(
+                    np.arange(m_max, dtype=np.int64), sel.shape
+                )[sel]
+            for name in out_names:
+                res[name] = np.atleast_2d(out[name])[sel]
+            res["n_in"] = np.repeat(lengths, out_lens)
+            res["offset"] = np.repeat(offsets, out_lens)
+            res["delta"] = np.repeat(deltas, out_lens)
+            return res
 
         pieces: list[dict[str, np.ndarray]] = []
         for n in np.unique(lengths):

@@ -25,8 +25,11 @@ __all__ = [
     "hilbert_1d",
     "resample_fourier",
     "decimate_1d",
+    "decimate_ragged",
     "sosfilt_1d",
+    "sosfilt_ragged",
     "sosfiltfilt_1d",
+    "sosfiltfilt_ragged",
 ]
 
 
@@ -195,6 +198,148 @@ def sosfilt_1d(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
         y = y[0]
         state = state[0]
     return (y, state) if return_zi else y
+
+
+def sosfilt_ragged(
+    sos: np.ndarray,
+    x: np.ndarray,
+    lengths: np.ndarray,
+    zi: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Causal SOS filter over a RAGGED batch: ``x`` is ``(k, n_max)``
+    right-zero-padded, ``lengths[i]`` the true sample count of row
+    ``i``. One per-sample loop for the whole batch regardless of how
+    many distinct lengths it mixes — the padding is exact because the
+    filter is causal (``y[:, :lengths[i]]`` depends only on
+    ``x[:, :lengths[i]]``); the tail beyond each row's length is
+    garbage the caller must mask.
+
+    Returns ``(y, zf)`` where ``zf[i]`` is the section state captured
+    at row ``i``'s own last sample (NOT after the padded tail), so
+    chunk handoff stays exact for mixed-length batches.
+    """
+    sos = np.atleast_2d(np.asarray(sos, dtype=float))
+    y = np.atleast_2d(np.asarray(x, dtype=float)).copy()
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n_series, n = y.shape
+    n_sections = sos.shape[0]
+    if zi is None:
+        state = np.zeros((n_series, n_sections, 2))
+    else:
+        state = np.broadcast_to(
+            np.asarray(zi, dtype=float), (n_series, n_sections, 2)
+        ).copy()
+    final = state.copy()
+    last = lengths - 1
+    for s in range(n_sections):
+        b0, b1, b2, a0, a1, a2 = sos[s]
+        b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+        z1 = state[:, s, 0].copy()
+        z2 = state[:, s, 1].copy()
+        for i in range(n):
+            xi = y[:, i].copy()
+            yi = b0 * xi + z1
+            z1, z2 = b1 * xi - a1 * yi + z2, b2 * xi - a2 * yi
+            y[:, i] = yi
+            hit = last == i
+            if hit.any():
+                final[hit, s, 0] = z1[hit]
+                final[hit, s, 1] = z2[hit]
+        state[:, s, 0] = z1
+        state[:, s, 1] = z2
+    return y, final
+
+
+def sosfiltfilt_ragged(
+    sos: np.ndarray,
+    x: np.ndarray,
+    lengths: np.ndarray,
+    padlen: int | None = None,
+) -> np.ndarray:
+    """Zero-phase forward-backward filter over a ragged right-padded
+    batch — per-row odd extension, per-row reversal about each row's
+    own extended length, one batched recursion per pass. Sample-exact
+    vs :func:`sosfiltfilt_1d` applied per row (asserted in
+    tests/test_kernels.py); output padded to ``(k, n_max)`` with the
+    tail beyond each row's length zeroed."""
+    sos = np.atleast_2d(np.asarray(sos, dtype=float))
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    lengths = np.asarray(lengths, dtype=np.int64)
+    k, n_max = x.shape
+    if padlen is None:
+        padlen = 3 * (2 * sos.shape[0] + 1)
+    p = int(padlen)
+    if p >= int(lengths.min()):
+        raise ValueError(
+            f"The length of the input vector x must be greater than padlen, "
+            f"which is {p}."
+        )
+    lens = lengths[:, None]
+    L = n_max + 2 * p
+    j = np.arange(L)[None, :]
+    x0 = x[:, :1]
+    xlast = np.take_along_axis(x, lens - 1, axis=1)
+    head = j < p
+    body = (j >= p) & (j < p + lens)
+    tail = (j >= p + lens) & (j < lens + 2 * p)
+    src = np.where(
+        head, p - j, np.where(body, j - p, 2 * lens - 2 + p - j)
+    )
+    gathered = np.take_along_axis(x, np.clip(src, 0, n_max - 1), axis=1)
+    ext = np.where(
+        head,
+        2 * x0 - gathered,
+        np.where(body, gathered, np.where(tail, 2 * xlast - gathered, 0.0)),
+    )
+    ext_lens = lengths + 2 * p
+    zi = sosfilt_zi(sos)
+    y, _ = sosfilt_ragged(sos, ext, ext_lens, zi=zi[None] * ext[:, :1][..., None])
+    ridx = np.clip(ext_lens[:, None] - 1 - j, 0, L - 1)
+    rev = np.where(j < ext_lens[:, None], np.take_along_axis(y, ridx, axis=1), 0.0)
+    y2, _ = sosfilt_ragged(sos, rev, ext_lens, zi=zi[None] * rev[:, :1][..., None])
+    t = np.arange(n_max)[None, :]
+    oidx = np.clip(lens + p - 1 - t, 0, L - 1)
+    return np.where(t < lens, np.take_along_axis(y2, oidx, axis=1), 0.0)
+
+
+def decimate_ragged(
+    x: np.ndarray,
+    lengths: np.ndarray,
+    q: int,
+    n: int | None = None,
+    ftype: str = "iir",
+    zero_phase: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`decimate_1d` over a ragged right-padded batch. Exact per
+    row: the IIR paths use the ragged causal/zero-phase kernels; the
+    FIR path convolves the padded matrix directly — linear convolution
+    implicitly zero-pads past each signal's end, so the padded rows
+    compute the identical values. Returns ``(y_padded, out_lengths)``
+    with ``out_lengths = ceil(lengths / q)``."""
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    if ftype == "iir":
+        order = 8 if n is None else n
+        sos = cheby1_sos(order, 0.05, 0.8 / q)
+        if zero_phase:
+            y = sosfiltfilt_ragged(sos, x, lengths)
+        else:
+            y, _ = sosfilt_ragged(sos, x, lengths)
+    elif ftype == "fir":
+        numtaps = (30 * q if n is None else n) + 1
+        if zero_phase and numtaps % 2 == 0:
+            numtaps += 1
+        h = firwin(numtaps, 1.0 / q)
+        if zero_phase:
+            y = fftconvolve_1d(x, h, mode="same") if numtaps > 1 else x
+        else:
+            full = fftconvolve_1d(x, h, mode="full")
+            y = full[..., : x.shape[-1]]
+    else:
+        raise ValueError(f"ftype must be 'iir' or 'fir', got {ftype!r}")
+    return y[..., ::q], (lengths + q - 1) // q
 
 
 def _odd_ext(x: np.ndarray, n: int) -> np.ndarray:

@@ -46,7 +46,7 @@ from ..core import (
     resolve_keep_attrs,
 )
 from ..functions.coords import linear_coord, restore_coord_dtype
-from ..kernels.dsp import sosfilt_1d, sosfiltfilt_1d
+from ..kernels.dsp import sosfilt_1d, sosfilt_ragged, sosfiltfilt_ragged
 
 __all__ = ["sosfilt", "sosfiltfilt", "sosfilt_chunked", "sos_from_dataframe"]
 
@@ -101,11 +101,13 @@ def sosfilt(
                 f"got {zi.shape}"
             )
 
-    def kernel(x):
-        if zi is None:
-            return {"value": sosfilt_1d(sos, x)}
-        y, _zf = sosfilt_1d(sos, x, zi=zi)
-        return {"value": y}
+    # ragged batch (core.apply_series_kernel): one recursion pass per
+    # bucket over a right-zero-padded matrix — exact by causality
+    def kernel(x, lengths):
+        y, _zf = sosfilt_ragged(sos, x, lengths, zi=zi)
+        return {"value": y, "__lengths__": lengths}
+
+    kernel.batch_ragged = True
 
     res = apply_series_kernel(
         df,
@@ -136,8 +138,16 @@ def sosfiltfilt(
         raise NotImplementedError("only padtype='odd' is supported")
     sos = _as_sos(sos)
 
-    def kernel(x):
-        return {"value": sosfiltfilt_1d(sos, x, padlen=padlen)}
+    # ragged batch: odd extension, both recursion passes, and the
+    # per-row reversals all run once per bucket (kernels.dsp
+    # sosfiltfilt_ragged), sample-exact vs the per-series kernel
+    def kernel(x, lengths):
+        return {
+            "value": sosfiltfilt_ragged(sos, x, lengths, padlen=padlen),
+            "__lengths__": lengths,
+        }
+
+    kernel.batch_ragged = True
 
     res = apply_series_kernel(
         df,

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..core import apply_series_kernel, resolve_keep_attrs
 from ..functions.coords import linear_coord, restore_coord_dtype
-from ..kernels.dsp import decimate_1d, resample_fourier
+from ..kernels.dsp import decimate_ragged, resample_fourier
 
 __all__ = ["decimate", "resample"]
 
@@ -41,8 +41,17 @@ def decimate(
     signal.py:143-145 which silently truncates — divergence documented).
     """
 
-    def kernel(x):
-        return {"value": decimate_1d(x, q, n=n, ftype=ftype, zero_phase=zero_phase)}
+    # ragged batch: ONE recursion (or FIR convolution) per bucket over a
+    # right-zero-padded matrix, however many series lengths the bucket
+    # mixes — exact by causality / implicit conv zero-padding
+    # (kernels.dsp.decimate_ragged)
+    def kernel(x, lengths):
+        y, out_lens = decimate_ragged(
+            x, lengths, q, n=n, ftype=ftype, zero_phase=zero_phase
+        )
+        return {"value": y, "__lengths__": out_lens}
+
+    kernel.batch_ragged = True
 
     res = apply_series_kernel(
         df,
