@@ -54,6 +54,7 @@ _CHECK_LAST = (
     "multimodal_resize",  # features + frame_sample stay checked
     "tpch_q6",  # plain filter+agg; q1/q3/q5 cover the TPC-H surface
     "welch",  # averaged |stft|² reduction; stft + coherence stay checked
+    "text_fingerprint",  # token_stats/quality/lang_id/tfidf stay checked
 )
 
 

@@ -732,3 +732,22 @@ def test_csd_and_coherence_match_numpy(spark, sine_df, sine_pdf):
     # a pure delay of a sine keeps full coherence at the tone bin
     tone_bin = int(round(F0 / (FS / fl)))
     assert crows[tone_bin]["coherence"] > 0.99
+
+
+# ---------------- istft ----------------
+
+def test_istft_roundtrip_reconstructs(spark, sine_df, sine_pdf):
+    """stft -> istft (Hann, overlap-add as a native aggregation) must
+    reproduce the original samples exactly on the covered positions:
+    t=0 drops (periodic Hann w[0]=0), the unframed tail drops."""
+    fl, hop = 32, 16
+    spec = xss.stft(sine_df, by=["channel"], dim="time", frame_len=fl, hop=hop, window="hann")
+    rec = xss.istft(spec, by=["channel"], frame_len=fl, hop=hop, window="hann")
+    got = rec.filter(F.col("channel") == 2).orderBy("t").collect()
+    base = sine_pdf[sine_pdf.channel == 2].sort_values("time")["value"].to_numpy()
+    n_frames = (NSAMP - fl) // hop + 1
+    covered_hi = (n_frames - 1) * hop + fl - 1
+    assert [r["t"] for r in got] == list(range(1, covered_hi + 1))
+    np.testing.assert_allclose(
+        [r["value"] for r in got], base[1 : covered_hi + 1], atol=1e-9
+    )

@@ -32,6 +32,7 @@ from .operators import (
     ifftshift,
     ihfft,
     irfft,
+    istft,
     peak_widths,
     resample,
     rfft,
@@ -69,6 +70,7 @@ __all__ = [
     "sosfiltfilt",
     "sosfilt_chunked",
     "sos_from_dataframe",
+    "istft",
     "stft",
     "welch",
     "asof_join",

@@ -522,6 +522,36 @@ def q_stft(spark, sf_dir):
     return res.select("user_id", "frame", "bin", _r("re", 4, "re4"), _r("im", 4, "im4"))
 
 
+@_q(
+    "istft_roundtrip",
+    # the windowed least-squares overlap-add reproduces the original
+    # samples exactly wherever any covering Hann tap is nonzero: t=0 is
+    # dropped (periodic Hann w[0]=0) and the tail beyond the last full
+    # frame was never framed
+    f"WITH {_S} "
+    "SELECT user_id, j AS t, round(x, 4) + 0.0 AS val4 "
+    f"FROM s WHERE n >= {_STFT_FL} AND j >= 1 "
+    f"AND j <= ((n - {_STFT_FL}) // {_STFT_HOP}) * {_STFT_HOP} + {_STFT_FL - 1}",
+)
+def q_istft_roundtrip(spark, sf_dir):
+    """stft → istft round trip (Hann, frame 16, hop 8): per-frame irfft
+    through the grouped kernel, then the overlap-add as a NATIVE
+    groupBy(t) aggregation — Σ w·y / Σ w² — entirely in whole-stage
+    codegen. Oracle = the original series on the covered positions."""
+    spec = ops.stft(
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        frame_len=_STFT_FL,
+        hop=_STFT_HOP,
+        window="hann",
+    )
+    rec = ops.istft(
+        spec, by=["user_id"], frame_len=_STFT_FL, hop=_STFT_HOP, window="hann"
+    )
+    return rec.select("user_id", "t", _r("value", 4, "val4"))
+
+
 def _welch_oracle() -> str:
     from .operators.spectral import window_taps
 

@@ -9,7 +9,7 @@ from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join
 from .peaks import peak_widths
 from .resample import decimate, resample
-from .spectral import coherence, csd, stft, welch
+from .spectral import coherence, csd, istft, stft, welch
 
 __all__ = [
     "convolve",
@@ -33,6 +33,7 @@ __all__ = [
     "sosfiltfilt",
     "sosfilt_chunked",
     "sos_from_dataframe",
+    "istft",
     "stft",
     "welch",
     "asof_join",

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..core import apply_cogrouped_kernel, apply_series_kernel, resolve_keep_attrs
 
-__all__ = ["stft", "welch", "csd", "coherence", "window_taps"]
+__all__ = ["stft", "istft", "welch", "csd", "coherence", "window_taps"]
 
 
 def window_taps(window: str | Sequence[float] | None, frame_len: int) -> np.ndarray:
@@ -130,6 +130,76 @@ def stft(
         .withColumn(
             "frequency", bin_.cast("double") / (F.lit(float(frame_len)) * F.col("delta"))
         )
+    )
+
+
+def istft(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    frame_len: int,
+    hop: int | None = None,
+    window: str | Sequence[float] | None = "hann",
+    frame_col: str = "frame",
+    bin_col: str = "bin",
+    re_col: str = "re",
+    im_col: str = "im",
+    out: str = "value",
+    weight_eps: float = 1e-12,
+) -> DataFrame:
+    """Inverse STFT by windowed least-squares overlap-add.
+
+    Input: :func:`stft` output (one row per (series, frame, bin) with
+    twin ``re``/``im``); ``frame_len``/``hop``/``window`` must match the
+    forward transform. Two-stage plan, Spark-first:
+
+    1. per-frame ``irfft`` through the grouped kernel with
+       ``(by, frame)`` as the series key and ``bin`` as the core dim —
+       one bucket shuffle, one FFT call per block of frames;
+    2. the overlap-add itself is a NATIVE aggregation: each frame
+       sample lands at ``t = frame·hop + i`` with window weight
+       ``w[i]``, and ``x[t] = Σ_f w·y_f / Σ_f w²`` — a groupBy(t) with
+       two sums, entirely inside whole-stage codegen. No Python touches
+       the reconstruction.
+
+    Since ``y_f = w·x`` exactly, the quotient reproduces the original
+    samples exactly wherever any covering window tap is nonzero;
+    positions with total weight ≤ ``weight_eps`` (e.g. t=0 under a
+    periodic Hann whose first tap is 0, and the tail beyond the last
+    full frame) are dropped rather than emitted as garbage.
+
+    Output: ``[*by, t, <out>]`` with ``t`` the 0-based sample position
+    of the original series.
+    """
+    hop = frame_len // 2 if hop is None else hop
+    taps = window_taps(window, frame_len)
+    by = list(by)
+
+    def kernel(re_block, im_block):
+        seg = np.fft.irfft(re_block + 1j * im_block, n=frame_len, axis=-1)
+        return {"seg": seg.astype(float)}
+
+    segs = apply_series_kernel(
+        df,
+        kernel,
+        by=[*by, frame_col],
+        order=bin_col,
+        values=[re_col, im_col],
+        out_fields="seg double",
+    )
+    w_arr = F.array(*[F.lit(float(t)) for t in taps])
+    wi = F.element_at(w_arr, (F.col("idx") + 1).cast("int"))
+    rec = segs.select(
+        *by,
+        (F.col(frame_col) * hop + F.col("idx")).alias("t"),
+        (wi * F.col("seg")).alias("__num__"),
+        (wi * wi).alias("__den__"),
+    )
+    return (
+        rec.groupBy(*by, "t")
+        .agg(F.sum("__num__").alias("__num__"), F.sum("__den__").alias("__den__"))
+        .filter(F.col("__den__") > weight_eps)
+        .select(*by, "t", (F.col("__num__") / F.col("__den__")).alias(out))
     )
 
 
