@@ -55,6 +55,8 @@ _CHECK_LAST = (
     "tpch_q6",  # plain filter+agg; q1/q3/q5 cover the TPC-H surface
     "welch",  # averaged |stft|² reduction; stft + coherence stay checked
     "text_fingerprint",  # token_stats/quality/lang_id/tfidf stay checked
+    "multimodal_frame_sample",  # multimodal_features (same Arrow-batched
+    # mapInPandas plumbing) stays checked
 )
 
 

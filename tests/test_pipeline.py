@@ -258,3 +258,52 @@ def test_embedding_dup_auto_gates_to_lsh(spark):
     assert (7, 40) in set(zip(lsh["a_id"], lsh["b_id"]))
     with pytest.raises(ValueError, match="method"):
         pl.embedding_dup_pairs(df, method="nope")
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    pdf = pd.DataFrame({"doc_id": range(5000), "lang": ["en", "de"] * 2500})
+    df = spark.createDataFrame(pdf)
+    out = pl.split_assign(df, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    # deterministic: identical assignment on rerun and under repartition
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in pl.split_assign(
+            df.repartition(7), weights={"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+    # a different salt re-splits independently (some ids move)
+    c = {r["doc_id"]: r["split"] for r in pl.split_assign(
+        df, weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt="other"
+    ).collect()}
+    assert a != c
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sum to 1"):
+        pl.split_assign(df, weights={"train": 0.5, "val": 0.1})
+
+
+def test_stratified_sample_exact_by_id(spark):
+    pdf = pd.DataFrame({"doc_id": range(4000), "lang": ["en", "de"] * 2000})
+    df = spark.createDataFrame(pdf)
+    out = pl.stratified_sample(
+        df, fractions={"en": 0.5, "de": 0.1}, stratum_col="lang"
+    ).toPandas()
+    en = (out["lang"] == "en").sum()
+    de = (out["lang"] == "de").sum()
+    assert abs(en / 2000 - 0.5) < 0.05
+    assert abs(de / 2000 - 0.1) < 0.03
+    # subset property: halving the fraction yields a subset of the kept ids
+    half = pl.stratified_sample(
+        df, fractions={"en": 0.25, "de": 0.05}, stratum_col="lang"
+    ).toPandas()
+    assert set(half["doc_id"]) <= set(out["doc_id"])
+    # flat sample
+    flat = pl.stratified_sample(df, fractions="0.2")
+    assert abs(flat.count() / 4000 - 0.2) < 0.05

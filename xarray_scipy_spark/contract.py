@@ -1580,6 +1580,34 @@ def q_curation_report(spark, sf_dir):
     return res.select("doc_id", _r("quality", 6, "quality6"), "status")
 
 
+_SPLIT_W = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+@_q(
+    "dataset_split",
+    # hash_uniform reproduced literally: first 15 hex chars of
+    # md5('split|' || id) over 16^15
+    "WITH u AS ("
+    "  SELECT doc_id, lang,"
+    "    (('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    "      / 16.0^15) AS u"
+    "  FROM documents"
+    ") "
+    "SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' "
+    "ELSE 'test' END AS split, lang, count(*) AS n "
+    "FROM u GROUP BY split, lang",
+)
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (salted-hash uniform,
+    pure projection — no shuffle, no sampling state, stable under any
+    partitioning and rerun; pipeline/sample.py). Grouped counts per
+    (split, lang) so the oracle checks the whole assignment."""
+    res = pl.split_assign(
+        _docs(spark, sf_dir), weights=dict(_SPLIT_W), salt="split"
+    )
+    return res.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _lang_filter_sql(lang_words) -> str:
     return "(" + " OR ".join(f"x = '{w}'" for w in lang_words) + ")"
 

@@ -34,6 +34,7 @@ from .dedup import (
 from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh, kmeans_cells
 from .text import token_stats, quality_score, lang_id, fingerprint, tfidf_top_tokens
 from .curate import curation_report
+from .sample import hash_uniform, split_assign, stratified_sample
 from .multimodal import (
     decode_features,
     frame_sample,
@@ -64,4 +65,7 @@ __all__ = [
     "frame_sample",
     "resize_payload",
     "curation_report",
+    "hash_uniform",
+    "split_assign",
+    "stratified_sample",
 ]

@@ -1,0 +1,105 @@
+"""Deterministic dataset splitting and stratified sampling.
+
+A training-data pipeline needs train/val/test assignment that is (a)
+stable across reruns and cluster layouts — an id always lands in the
+same split, so re-processing never leaks val documents into train —
+(b) computable without any global state, and (c) auditable by an
+independent engine. A salted-hash uniform gives all three: the split
+is a pure per-row expression (scale-free, no shuffle, no sampling
+state), and the md5 construction reproduces bit-for-bit in DuckDB
+(pipeline/hashes.py design note).
+
+No reference analog (the reference has no datasets, SURVEY.md §2.3);
+this is engine-extension surface like the rest of the pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashes import _c
+
+__all__ = ["hash_uniform", "split_assign", "stratified_sample"]
+
+# 16^15 — the number of 15-hex-char values; dividing the h60 hash by
+# this maps it to [0, 1) with ~2^-60 granularity
+_H60_SPAN = float(16**15)
+
+
+def hash_uniform(col, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1) from ``md5(salt|value)``.
+
+    DuckDB equivalent (the oracle recomputes it exactly)::
+
+        ('0x' || substring(md5(salt || '|' || x), 1, 15))::BIGINT / 16.0^15
+    """
+    seeded = F.concat_ws("|", F.lit(salt), _c(col))
+    h = F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("bigint")
+    return h / F.lit(_H60_SPAN)
+
+
+def split_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative weight ranges
+    over the salted-hash uniform — e.g. ``{"train": .98, "val": .01,
+    "test": .01}`` sends u < 0.98 to train, u < 0.99 to val, the rest
+    to test. Weights must sum to 1 (±1e-9). Pure projection: no
+    shuffle, no state, stable under any partitioning, and changing the
+    salt produces an independent re-split.
+    """
+    weights = dict(weights or {"train": 0.98, "val": 0.01, "test": 0.01})
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    u = hash_uniform(id_col, salt=salt)
+    names = list(weights)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        conds.append((name, cum))
+    for name, hi in reversed(conds):
+        expr = F.when(u < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fractions: Mapping[str, float] | str,
+    stratum_col: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its salted-
+    hash uniform falls below its stratum's fraction. ``fractions`` maps
+    stratum value → keep fraction (rows whose stratum is unlisted are
+    dropped); pass a single float-able string with ``stratum_col=None``
+    for a flat sample. Unlike ``DataFrame.sample`` this is exact-by-id:
+    the same ids survive every rerun, any partitioning, any engine.
+    """
+    u = hash_uniform(id_col, salt=salt)
+    if stratum_col is None:
+        frac = float(fractions)  # type: ignore[arg-type]
+        return df.filter(u < F.lit(frac))
+    frac_col = None
+    for value, frac in fractions.items():  # type: ignore[union-attr]
+        cond = F.col(stratum_col) == F.lit(value)
+        frac_col = (
+            F.when(cond, F.lit(float(frac)))
+            if frac_col is None
+            else frac_col.when(cond, F.lit(float(frac)))
+        )
+    frac_col = frac_col.otherwise(F.lit(0.0))
+    return df.filter(u < frac_col)
