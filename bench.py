@@ -56,6 +56,8 @@ HEADLINE = [
     "sessionize",
     "session_window_stats",
     "convolve_valid",
+    "istft_roundtrip",
+    "dataset_split",
 ]
 
 
