@@ -103,3 +103,40 @@ def test_session_window_is_native_operator(spark):
     rewrite (full per-key sort + single-partition risk)."""
     plan = _static_plan(QUERIES["session_window_stats"](spark, SF_DIR))
     assert "session_window" in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """write_bucketed's contract: two tables bucketed on the same key
+    and count join WITHOUT a shuffle — the plan must contain no
+    Exchange hashpartitioning (the point of pre-bucketing 100 TB
+    inputs). Broadcast is disabled so the test can't pass via a
+    broadcast join."""
+    import pandas as pd
+
+    from xarray_scipy_spark.sources import write_bucketed
+
+    pdf = pd.DataFrame({"k": range(500), "v": range(500)})
+    df = spark.createDataFrame(pdf)
+    write_bucketed(
+        df, "bt_left", bucket_by=["k"], n_buckets=4,
+        path=str(tmp_path / "l"), mode="overwrite",
+    )
+    write_bucketed(
+        df, "bt_right", bucket_by=["k"], n_buckets=4,
+        path=str(tmp_path / "r"), mode="overwrite",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_left").join(spark.table("bt_right"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == 500
+        # groupBy on the bucket key likewise aggregates in place
+        agg = spark.table("bt_left").groupBy("k").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in aplan, aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
