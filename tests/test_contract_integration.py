@@ -51,3 +51,38 @@ def test_entry_smoke(spark):
     out = mod.entry(spark)
     assert out.count() >= 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_time_queries_are_session_timezone_independent(spark):
+    """The driver runs the contract on ITS OWN session, whose timezone
+    we don't control. Every epoch conversion goes through
+    functions.timeutil (pure NTZ arithmetic), so results must be
+    byte-identical under any session timezone — this runs the
+    time-arithmetic queries under a hostile zone and compares to the
+    UTC run."""
+    from xarray_scipy_spark.contract import QUERIES
+
+    names = [
+        "sessionize",
+        "session_window_stats",
+        "asof_join",
+        "range_join",
+        "stream_window_stats",
+    ]
+    old = spark.conf.get("spark.sql.session.timeZone")
+
+    def run_all():
+        return {
+            n: sorted(map(tuple, QUERIES[n](spark, SF_DIR).collect()))
+            for n in names
+        }
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = run_all()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = run_all()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    for n in names:
+        assert utc[n] == ny[n], f"{n} drifted with the session timezone"
