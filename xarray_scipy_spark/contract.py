@@ -316,8 +316,16 @@ def q_convolve_valid(spark, sf_dir):
     NotImplemented constant as a size); implemented properly here, so
     this query is coverage the reference itself cannot run. The kernel
     side is a broadcast of a 5-row literal frame replicated per user
-    (same shape as the fftconvolve_2d kernel feed)."""
+    (same shape as the fftconvolve_2d kernel feed).
+
+    Users with fewer events than taps are filtered out on BOTH sides:
+    the oracle's ``k BETWEEN m-1 AND n-1`` emits nothing for n < m,
+    while mode='valid' swap semantics would emit |n-m|+1 rows — a
+    latent divergence at scale factors with short series (ADVICE r4)."""
     ev = _events(spark, sf_dir)
+    ev = ev.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    ).filter(F.col("__n") >= len(_VALID_TAPS)).drop("__n")
     ker = spark.createDataFrame(
         [(int(j), float(h)) for j, h in enumerate(_VALID_TAPS)],
         "j bigint, value double",
@@ -1308,7 +1316,12 @@ _EMB_DOT = (
     f") WHERE cos_sim >= {_EMB_THRESHOLD}",
 )
 def q_dedup_embedding(spark, sf_dir):
-    res = pl.embedding_dup_pairs(_emb(spark, sf_dir), threshold=_EMB_THRESHOLD)
+    # method pinned to 'exact': the oracle is exact all-pairs, while the
+    # 'auto' default switches to approximate LSH above 100k vectors —
+    # a guaranteed hash mismatch at larger scale factors (ADVICE r4).
+    res = pl.embedding_dup_pairs(
+        _emb(spark, sf_dir), threshold=_EMB_THRESHOLD, method="exact"
+    )
     return res.select(
         "a_id", "b_id", _r("cos_sim", 6, "cos_sim")
     ).filter(F.col("cos_sim") >= _EMB_THRESHOLD)

@@ -48,7 +48,9 @@ def epoch_us(df: DataFrame, col: str) -> Column:
     if dtype in ("bigint", "long"):
         return F.expr(f"`{col}` div 1000")
     if dtype == "date":
-        return F.col(col).cast("bigint") * F.lit(86_400_000_000)
+        # DATE→BIGINT cast is disallowed on Spark 4.x; unix_date gives
+        # days-since-epoch as INT, which is safe to widen.
+        return F.unix_date(F.col(col)).cast("bigint") * F.lit(86_400_000_000)
     raise TypeError(f"column {col!r} has non-time dtype {dtype}")
 
 
