@@ -409,12 +409,31 @@ def simhash_pairs(
     # computes the fingerprints ONCE (measured ~2x on this query).
     a = buckets.hint("shuffle_hash").alias("a")
     b = buckets.hint("shuffle_hash").alias("b")
+    # A pair sharing k chunks would surface k times; instead of a
+    # distinct() (a full extra shuffle of the pair set), emit each pair
+    # exactly once — from its SMALLEST shared chunk — by requiring every
+    # earlier chunk to differ. Both sides carry the full fingerprint, so
+    # "chunk c' of a != chunk c' of b" is plain shift/mask arithmetic
+    # inside the same codegen stage as the join.
+    earlier_chunks_differ = None
+    for c in range(_SIMHASH_CHUNKS - 1):
+        av = F.shiftright(F.col("a.simhash"), c * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        )
+        bv = F.shiftright(F.col("b.simhash"), c * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        )
+        cond = (F.col("a.chunk") <= F.lit(c)) | (av != bv)
+        earlier_chunks_differ = (
+            cond if earlier_chunks_differ is None else earlier_chunks_differ & cond
+        )
     return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & earlier_chunks_differ,
         )
         .select(
             F.col(f"a.{id_col}").alias("a_id"),
@@ -423,11 +442,7 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        # filter BEFORE distinct: the hamming predicate is evaluated
-        # per candidate row anyway, and dropping failures first shrinks
-        # the distinct's shuffle to the (much smaller) true-pair set
         .filter(F.col("hamming") <= max_distance)
-        .distinct()
     )
 
 
