@@ -104,17 +104,21 @@ def _series_bounds(pdf: pd.DataFrame, by: Sequence[str]) -> tuple[np.ndarray, np
 
 
 def _default_buckets(df: DataFrame) -> int:
-    """2x shuffle partitions (the classic tasks ≈ 2-3x cores rule).
+    """One bucket per shuffle partition (one task wave).
 
-    Fewer, larger buckets amortize the per-invocation Arrow+pandas cost
-    (measured 2x wall at sf0.1 vs an 8x multiplier); a bucket must
-    still fit one worker's memory, which holds as long as
-    ``spark.sql.shuffle.partitions`` is sized to the data — the same
-    rule every shuffle in the job already lives by. Pass ``buckets=``
-    explicitly to override per call.
+    The kernel exchange is an explicit fixed-width repartition (AQE's
+    byte-based coalescing is the wrong heuristic for a CPU-bound Python
+    stage), so every bucket pays real Arrow+pandas+scheduling overhead —
+    a 2x multiplier measured ~40% slower at sf0.1 on two-pass pipelines
+    (stft→istft) with no straggler benefit on uniform kernel work. One
+    bucket per shuffle partition keeps the per-bucket memory bound
+    identical to every other shuffle in the job (the user already sizes
+    ``spark.sql.shuffle.partitions`` so a partition fits an executor).
+    Pass ``buckets=`` explicitly to override per call.
     """
-    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(2 * parts, 64)
+    sess = df.sparkSession
+    parts = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(parts, sess.sparkContext.defaultParallelism)
 
 
 def apply_series_kernel(
@@ -166,6 +170,12 @@ def apply_series_kernel(
     order = [order] if isinstance(order, str) else list(order)
     by = list(by)
     keep = list(keep)
+    # prune to the columns the kernel actually reads BEFORE the bucket
+    # exchange — upstream operators often hand over frames with derived
+    # coordinate columns (frame_time/frequency/n_in/...) that would
+    # otherwise ride the shuffle for nothing
+    needed = list(dict.fromkeys(by + keep + order + list(values)))
+    df = df.select(*needed)
     idx_field = "idx bigint, " if emit_idx else ""
     keep_ddl = (_ddl_of(df, keep) + ", ") if keep else ""
     by_ddl = (_ddl_of(df, by) + ", ") if by else ""
@@ -253,11 +263,18 @@ def apply_series_kernel(
     bucket = (
         F.pmod(F.xxhash64(*by), F.lit(n_buckets)) if by else F.lit(0)
     )
-    return (
-        df.withColumn(_BUCKET, bucket)
-        .groupBy(_BUCKET)
-        .applyInPandas(run, schema=schema)
-    )
+    out = df.withColumn(_BUCKET, bucket)
+    if by:
+        # Explicit fixed-width exchange instead of the groupBy's implicit
+        # one: the kernel stage is CPU-bound Python whose work-per-byte is
+        # far above a SQL stage's, so AQE's byte-based partition
+        # coalescing (which would fold a small-but-expensive shuffle onto
+        # 1-3 cores) is the wrong heuristic here. HashPartitioning on the
+        # bucket column satisfies the grouping distribution, so no second
+        # exchange is inserted; n_buckets already scales with the session's
+        # shuffle sizing at real scale.
+        out = out.repartition(n_buckets, F.col(_BUCKET))
+    return out.groupBy(_BUCKET).applyInPandas(run, schema=schema)
 
 
 def apply_cogrouped_kernel(
@@ -293,10 +310,13 @@ def apply_cogrouped_kernel(
     order2 = [order2] if isinstance(order2, str) else list(order2)
     by = list(by)
     keep = list(keep)
+    # prune both sides to what the kernel reads (see apply_series_kernel)
+    df1 = df1.select(*dict.fromkeys(by + keep + order1 + list(values1)))
     # Fresh attribute IDs on the right side: when both inputs share lineage
     # (self-convolution, two filters of one cache), Spark's self-join
     # dedup otherwise prunes the right cogroup input down to the key.
-    df2 = df2.select(*[F.col(c).alias(c) for c in df2.columns])
+    needed2 = list(dict.fromkeys(by + order2 + list(values2)))
+    df2 = df2.select(*[F.col(c).alias(c) for c in needed2])
     idx_field = "idx bigint, " if emit_idx else ""
     keep_ddl = (_ddl_of(df1, keep) + ", ") if keep else ""
     by_ddl = (_ddl_of(df1, by) + ", ") if by else ""
@@ -375,9 +395,16 @@ def apply_cogrouped_kernel(
     bucket_expr = (
         F.pmod(F.xxhash64(*by), F.lit(n_buckets)) if by else F.lit(0)
     )
+    left = df1.withColumn(_BUCKET, bucket_expr)
+    right = df2.withColumn(_BUCKET, bucket_expr)
+    if by:
+        # same explicit exchange as apply_series_kernel: keep the
+        # CPU-bound cogrouped kernel stage at full width instead of
+        # letting byte-based AQE coalescing serialize it
+        left = left.repartition(n_buckets, F.col(_BUCKET))
+        right = right.repartition(n_buckets, F.col(_BUCKET))
     return (
-        df1.withColumn(_BUCKET, bucket_expr)
-        .groupBy(_BUCKET)
-        .cogroup(df2.withColumn(_BUCKET, bucket_expr).groupBy(_BUCKET))
+        left.groupBy(_BUCKET)
+        .cogroup(right.groupBy(_BUCKET))
         .applyInPandas(run, schema=schema)
     )

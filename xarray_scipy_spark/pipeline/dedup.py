@@ -348,27 +348,35 @@ def simhash_fingerprints(
     codegen'd (a nested higher-order-function formulation is
     interpreted per element and orders of magnitude slower).
     """
-    toks = spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("toks"))
-    tok = (
-        toks.select(F.col(id_col), F.explode_outer("toks").alias("tok"))
-        .filter(F.col("tok").isNotNull())
-        .withColumn("h", h48(F.col("tok")))
+    # One parameterized spark.sql call for the whole explode→vote→pack
+    # pipeline: the equivalent Column-API construction is ~100s of Py4J
+    # roundtrips and cost ~1 s of driver time PER PLAN BUILD (measured —
+    # bench counts plan build); the resolved plan is identical, and the
+    # JVM parses the ~5 KB statement in milliseconds.
+    votes = ", ".join(
+        f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIMHASH_BITS)
     )
-    votes = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col("h").bitwiseAND(F.lit(1 << b)) != F.lit(0), 1
-                ).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(_SIMHASH_BITS)
-        ]
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
     )
-    fp = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+    return df.sparkSession.sql(
+        f"""
+        WITH tok AS (
+          SELECT {id_col},
+                 CAST(conv(substring(md5(tok), 1, 12), 16, 10) AS BIGINT) AS h
+          FROM (
+            SELECT {id_col}, tok
+            FROM {{src}} LATERAL VIEW explode(split({text_col}, ' ')) AS tok
+            WHERE tok != ''
+          )
+        ),
+        v AS (SELECT {id_col}, {votes} FROM tok GROUP BY {id_col})
+        SELECT {id_col}, CAST({fp} AS BIGINT) AS simhash FROM v
+        """,
+        src=spread(df, id_col).select(id_col, text_col),
+    )
 
 
 def simhash_pairs(
@@ -388,61 +396,48 @@ def simhash_pairs(
     """
     fps = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
     chunk_bits = _SIMHASH_BITS // _SIMHASH_CHUNKS
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * chunk_bits)
-                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                .alias("chunk_val"),
-            )
-            for c in range(_SIMHASH_CHUNKS)
-        ]
+    mask = (1 << chunk_bits) - 1
+    # One spark.sql statement (same Py4J-roundtrip rationale as
+    # simhash_fingerprints — the Column-API version of this join was
+    # ~1000 driver roundtrips ≈ 0.5 s per plan build). Semantics:
+    #
+    # - shuffle-hash, NOT broadcast: broadcasting one side of a
+    #   self-join materializes the whole fingerprint subtree a second
+    #   time (and collects it to the driver). With both sides shuffled
+    #   on the same keys the plans canonicalize identically and
+    #   ReusedExchange computes the fingerprints ONCE (measured ~2x).
+    # - a pair sharing k chunks would surface k times; instead of a
+    #   distinct() (a full extra shuffle of the pair set), emit each
+    #   pair exactly once — from its SMALLEST shared chunk — by
+    #   requiring every earlier chunk to differ. Both sides carry the
+    #   full fingerprint, so that is shift/mask arithmetic inside the
+    #   same codegen stage as the join.
+    chunk_structs = ", ".join(
+        f"named_struct('chunk', {c}, 'chunk_val',"
+        f" shiftright(simhash, {c * chunk_bits}) & {mask})"
+        for c in range(_SIMHASH_CHUNKS)
     )
-    buckets = fps.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("cc")
-    ).select(id_col, "simhash", "cc.chunk", "cc.chunk_val")
-    # shuffle-hash, NOT broadcast: broadcasting one side of a self-join
-    # materializes the whole fingerprint subtree a second time (and
-    # collects it to the driver). With both sides shuffled on the same
-    # keys the plans canonicalize identically and ReusedExchange
-    # computes the fingerprints ONCE (measured ~2x on this query).
-    a = buckets.hint("shuffle_hash").alias("a")
-    b = buckets.hint("shuffle_hash").alias("b")
-    # A pair sharing k chunks would surface k times; instead of a
-    # distinct() (a full extra shuffle of the pair set), emit each pair
-    # exactly once — from its SMALLEST shared chunk — by requiring every
-    # earlier chunk to differ. Both sides carry the full fingerprint, so
-    # "chunk c' of a != chunk c' of b" is plain shift/mask arithmetic
-    # inside the same codegen stage as the join.
-    earlier_chunks_differ = None
-    for c in range(_SIMHASH_CHUNKS - 1):
-        av = F.shiftright(F.col("a.simhash"), c * chunk_bits).bitwiseAND(
-            F.lit((1 << chunk_bits) - 1)
+    earlier_differ = " AND ".join(
+        f"(a.chunk <= {c} OR (shiftright(a.simhash, {c * chunk_bits}) & {mask})"
+        f" != (shiftright(b.simhash, {c * chunk_bits}) & {mask}))"
+        for c in range(_SIMHASH_CHUNKS - 1)
+    )
+    return df.sparkSession.sql(
+        f"""
+        WITH buckets AS (
+          SELECT {id_col}, simhash, cc.chunk, cc.chunk_val
+          FROM {{fps}} LATERAL VIEW explode(array({chunk_structs})) AS cc
         )
-        bv = F.shiftright(F.col("b.simhash"), c * chunk_bits).bitwiseAND(
-            F.lit((1 << chunk_bits) - 1)
-        )
-        cond = (F.col("a.chunk") <= F.lit(c)) | (av != bv)
-        earlier_chunks_differ = (
-            cond if earlier_chunks_differ is None else earlier_chunks_differ & cond
-        )
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & earlier_chunks_differ,
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_distance)
+        SELECT a_id, b_id, hamming FROM (
+          SELECT /*+ SHUFFLE_HASH(a, b) */
+                 a.{id_col} AS a_id, b.{id_col} AS b_id,
+                 bit_count(a.simhash ^ b.simhash) AS hamming
+          FROM buckets a JOIN buckets b
+            ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+           AND a.{id_col} < b.{id_col} AND {earlier_differ}
+        ) WHERE hamming <= {int(max_distance)}
+        """,
+        fps=fps,
     )
 
 

@@ -47,7 +47,37 @@ def spread(df, *cols):
     per-row pipeline serially.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Decide from the scan's file footprint, NOT df.rdd.getNumPartitions():
+    # materializing the RDD compiles the physical plan on the driver
+    # (~1 s per call — it dominated bench plan-build time). inputFiles()
+    # only touches the analyzed plan's file index. A frame that is not a
+    # file scan (or whose files already split into >= target partitions
+    # under maxPartitionBytes) is left alone — at full scale inputs
+    # arrive pre-split and this stays a no-op.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df
+    max_bytes = int(
+        str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        .rstrip("b")
+    )
+    import os
+
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            total = -1  # remote store: size unknown, fall back to file count
+            break
+        try:
+            total += os.path.getsize(f[len("file:"):])
+        except OSError:
+            total = -1
+            break
+    est = max(len(files), -(-total // max_bytes)) if total >= 0 else len(files)
+    if est >= target:
         return df
     return df.repartition(target, *[_c(c) for c in cols]) if cols else df.repartition(target)
 
