@@ -326,6 +326,44 @@ def test_ragged_kernels_match_per_row():
         np.testing.assert_allclose(yd[i, : ol[i]], ref, atol=1e-9)
 
 
+def test_sosfiltfilt_padtypes_match_per_row():
+    """every padtype ('odd'/'even'/'constant'/None) must be sample-exact
+    between the ragged batch kernel and the per-row kernel, and the
+    padtypes must actually differ from one another at the edges."""
+    from xarray_scipy_spark.kernels.dsp import sosfiltfilt_1d, sosfiltfilt_ragged
+    from xarray_scipy_spark.kernels.filter_design import butter_sos
+
+    rng = np.random.default_rng(11)
+    sos = butter_sos(4, 0.25)
+    lengths = rng.integers(40, 120, size=17)
+    rows = [rng.standard_normal(n) + np.linspace(0, 3, n) for n in lengths]
+    xpad = np.zeros((len(rows), lengths.max()))
+    for i, r in enumerate(rows):
+        xpad[i, : len(r)] = r
+
+    results = {}
+    for padtype in ("odd", "even", "constant", None):
+        ypad = sosfiltfilt_ragged(sos, xpad, lengths, padtype=padtype)
+        for i, r in enumerate(rows):
+            ref = sosfiltfilt_1d(sos, r, padtype=padtype)
+            np.testing.assert_allclose(ypad[i, : len(r)], ref, atol=1e-10)
+        results[padtype] = ypad
+    # the edge treatment must differ between padtypes (same interior)
+    for a, b in (("odd", "even"), ("even", "constant"), ("constant", None)):
+        assert np.max(np.abs(results[a][:, :5] - results[b][:, :5])) > 1e-9
+
+
+def test_sosfiltfilt_bad_padtype():
+    from xarray_scipy_spark.kernels.dsp import sosfiltfilt_1d, sosfiltfilt_ragged
+    from xarray_scipy_spark.kernels.filter_design import butter_sos
+
+    sos = butter_sos(2, 0.3)
+    with pytest.raises(ValueError, match="padtype"):
+        sosfiltfilt_1d(sos, np.ones(50), padtype="mirror")
+    with pytest.raises(ValueError, match="padtype"):
+        sosfiltfilt_ragged(sos, np.ones((1, 50)), np.array([50]), padtype="wrap")
+
+
 def test_ragged_padlen_guard():
     from xarray_scipy_spark.kernels.dsp import sosfiltfilt_ragged
     from xarray_scipy_spark.kernels.filter_design import butter_sos

@@ -910,24 +910,31 @@ def _state_response_sql(sos: np.ndarray, name: str, length: int = 200) -> str:
     return f"{name}(m, gv) AS (SELECT * FROM (VALUES {rows}))"
 
 
-def _filtfilt_chain_sql(sos: np.ndarray, length: int = 200) -> str:
-    """CTE chain (odd extension + impulse/state-response convolution,
+def _filtfilt_chain_sql(
+    sos: np.ndarray, length: int = 200, padtype: str = "odd"
+) -> str:
+    """CTE chain (edge extension + impulse/state-response convolution,
     forward and backward) ending in ``ff(user_id, idx, y)`` — the
     zero-phase filtfilt of the ``s`` series with the kernel's default
-    ``padlen = 3*(2*n_sections+1)``."""
+    ``padlen = 3*(2*n_sections+1)`` and the given scipy ``padtype``."""
     p = 3 * (2 * sos.shape[0] + 1)
     hs = _impulse_response_sql(sos, length=length)
     gs = _state_response_sql(sos, "g", length=length)
+    head_expr, tail_expr = {
+        "odd": ("2 * f.x - a.x", "2 * l.x - a.x"),
+        "even": ("a.x", "a.x"),
+        "constant": ("f.x", "l.x"),
+    }[padtype]
     return f"""{hs}, {gs},
 ext AS (
-  -- odd extension: positions 0..n+2p-1 over the padded series
+  -- {padtype} extension: positions 0..n+2p-1 over the padded series
   SELECT user_id, j + {p} AS i, x, n FROM s
   UNION ALL
-  SELECT a.user_id, {p} - a.j AS i, 2 * f.x - a.x, a.n
+  SELECT a.user_id, {p} - a.j AS i, {head_expr}, a.n
   FROM s a JOIN s f ON f.user_id = a.user_id AND f.j = 0
   WHERE a.j BETWEEN 1 AND {p}
   UNION ALL
-  SELECT a.user_id, 2 * (a.n - 1) + {p} - a.j AS i, 2 * l.x - a.x, a.n
+  SELECT a.user_id, 2 * (a.n - 1) + {p} - a.j AS i, {tail_expr}, a.n
   FROM s a JOIN s l ON l.user_id = a.user_id AND l.j = a.n - 1
   WHERE a.j BETWEEN a.n - 1 - {p} AND a.n - 2
 ),
@@ -976,6 +983,21 @@ def _sosfiltfilt_oracle_sql() -> str:
 def q_sosfiltfilt(spark, sf_dir):
     res = ops.sosfiltfilt(
         _SFF_SOS, _events(spark, sf_dir), by=["user_id"], dim="ts"
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+@_q(
+    "sosfiltfilt_even",
+    f"WITH {_S}, {_filtfilt_chain_sql(_SFF_SOS, padtype='even')} "
+    "SELECT user_id, idx, round(y, 4) + 0.0 AS value4 FROM ff",
+)
+def q_sosfiltfilt_even(spark, sf_dir):
+    """padtype='even' variant (scipy's mirror-without-sign-flip edge
+    extension; the reference forwards padtype to scipy, signal.py:449).
+    Oracle = the same filtfilt CTE chain with the even-extension ext."""
+    res = ops.sosfiltfilt(
+        _SFF_SOS, _events(spark, sf_dir), by=["user_id"], dim="ts", padtype="even"
     )
     return res.select("user_id", "idx", _r("value", 4, "value4"))
 

@@ -255,18 +255,23 @@ def sosfiltfilt_ragged(
     x: np.ndarray,
     lengths: np.ndarray,
     padlen: int | None = None,
+    padtype: str | None = "odd",
 ) -> np.ndarray:
     """Zero-phase forward-backward filter over a ragged right-padded
-    batch — per-row odd extension, per-row reversal about each row's
-    own extended length, one batched recursion per pass. Sample-exact
-    vs :func:`sosfiltfilt_1d` applied per row (asserted in
+    batch — per-row edge extension (``padtype`` ∈ odd/even/constant/
+    None, scipy semantics), per-row reversal about each row's own
+    extended length, one batched recursion per pass. Sample-exact vs
+    :func:`sosfiltfilt_1d` applied per row (asserted in
     tests/test_kernels.py); output padded to ``(k, n_max)`` with the
     tail beyond each row's length zeroed."""
+    _validate_padtype(padtype)
     sos = np.atleast_2d(np.asarray(sos, dtype=float))
     x = np.atleast_2d(np.asarray(x, dtype=float))
     lengths = np.asarray(lengths, dtype=np.int64)
     k, n_max = x.shape
-    if padlen is None:
+    if padtype is None:
+        padlen = 0
+    elif padlen is None:
         padlen = 3 * (2 * sos.shape[0] + 1)
     p = int(padlen)
     if p >= int(lengths.min()):
@@ -286,10 +291,16 @@ def sosfiltfilt_ragged(
         head, p - j, np.where(body, j - p, 2 * lens - 2 + p - j)
     )
     gathered = np.take_along_axis(x, np.clip(src, 0, n_max - 1), axis=1)
+    if padtype == "even":
+        head_v, tail_v = gathered, gathered
+    elif padtype == "constant":
+        head_v = np.broadcast_to(x0, gathered.shape)
+        tail_v = np.broadcast_to(xlast, gathered.shape)
+    else:  # odd (padtype=None never reaches the pad branches: p == 0)
+        head_v = 2 * x0 - gathered
+        tail_v = 2 * xlast - gathered
     ext = np.where(
-        head,
-        2 * x0 - gathered,
-        np.where(body, gathered, np.where(tail, 2 * xlast - gathered, 0.0)),
+        head, head_v, np.where(body, gathered, np.where(tail, tail_v, 0.0))
     )
     ext_lens = lengths + 2 * p
     zi = sosfilt_zi(sos)
@@ -342,30 +353,62 @@ def decimate_ragged(
     return y[..., ::q], (lengths + q - 1) // q
 
 
-def _odd_ext(x: np.ndarray, n: int) -> np.ndarray:
-    """Odd extension at both ends along the last axis (scipy ``odd_ext``)."""
-    if n == 0:
+_PADTYPES = ("odd", "even", "constant", None)
+
+
+def _validate_padtype(padtype) -> None:
+    if padtype not in _PADTYPES:
+        raise ValueError(
+            f"Unknown value {padtype!r} given to padtype. padtype must be "
+            "'even', 'odd', 'constant', or None."
+        )
+
+
+def _pad_ext(x: np.ndarray, n: int, padtype: str | None) -> np.ndarray:
+    """Edge extension at both ends along the last axis (scipy
+    ``odd_ext`` / ``even_ext`` / ``const_ext``; ``None`` -> no pad)."""
+    if n == 0 or padtype is None:
         return x
-    left = 2 * x[..., :1] - x[..., n:0:-1]
-    right = 2 * x[..., -1:] - x[..., -2 : -(n + 2) : -1]
+    mleft, mright = x[..., n:0:-1], x[..., -2 : -(n + 2) : -1]
+    if padtype == "odd":
+        left = 2 * x[..., :1] - mleft
+        right = 2 * x[..., -1:] - mright
+    elif padtype == "even":
+        left, right = mleft, mright
+    else:  # constant
+        left = np.repeat(x[..., :1], n, axis=-1)
+        right = np.repeat(x[..., -1:], n, axis=-1)
     return np.concatenate([left, x, right], axis=-1)
 
 
+def _odd_ext(x: np.ndarray, n: int) -> np.ndarray:
+    """Odd extension at both ends along the last axis (scipy ``odd_ext``)."""
+    return _pad_ext(x, n, "odd")
+
+
 def sosfiltfilt_1d(
-    sos: np.ndarray, x: np.ndarray, padlen: int | None = None
+    sos: np.ndarray,
+    x: np.ndarray,
+    padlen: int | None = None,
+    padtype: str | None = "odd",
 ) -> np.ndarray:
     """Zero-phase forward-backward IIR filter
-    (``scipy.signal.sosfiltfilt`` with padtype='odd';
-    reference signal.py:433-461).
+    (``scipy.signal.sosfiltfilt``; reference signal.py:433-461, which
+    forwards ``padtype``/``padlen`` straight to scipy).
 
-    Odd-extends the edges, seeds each pass with steady-state initial
-    conditions scaled by the first sample, filters forward then backward,
-    and trims the padding. Output length equals input length.
+    Edge-extends per ``padtype`` ('odd'/'even'/'constant'/None), seeds
+    each pass with steady-state initial conditions scaled by the first
+    sample, filters forward then backward, and trims the padding.
+    Output length equals input length. ``padtype=None`` means no
+    extension (scipy forces ``padlen = 0``).
     """
+    _validate_padtype(padtype)
     sos = np.atleast_2d(np.asarray(sos, dtype=float))
     x = np.asarray(x, dtype=float)
     n = x.shape[-1]
-    if padlen is None:
+    if padtype is None:
+        padlen = 0
+    elif padlen is None:
         ntaps = 2 * sos.shape[0] + 1
         padlen = 3 * ntaps
     if padlen >= n:
@@ -374,7 +417,7 @@ def sosfiltfilt_1d(
             f"The length of the input vector x must be greater than padlen, "
             f"which is {padlen}."
         )
-    ext = _odd_ext(x, padlen)
+    ext = _pad_ext(x, padlen, padtype)
     zi = sosfilt_zi(sos)  # (n_sections, 2)
     x0 = ext[..., :1]
     y, _ = sosfilt_1d(sos, ext, zi=zi[None] * x0[..., None] if ext.ndim == 2 else zi * x0)

@@ -46,7 +46,12 @@ from ..core import (
     resolve_keep_attrs,
 )
 from ..functions.coords import linear_coord, restore_coord_dtype
-from ..kernels.dsp import sosfilt_1d, sosfilt_ragged, sosfiltfilt_ragged
+from ..kernels.dsp import (
+    _validate_padtype,
+    sosfilt_1d,
+    sosfilt_ragged,
+    sosfiltfilt_ragged,
+)
 
 __all__ = ["sosfilt", "sosfiltfilt", "sosfilt_chunked", "sos_from_dataframe"]
 
@@ -129,21 +134,26 @@ def sosfiltfilt(
     by: Sequence[str],
     dim: str,
     value: str = "value",
-    padtype: str = "odd",
+    padtype: str | None = "odd",
     padlen: int | None = None,
     keep_attrs: bool | None = None,
 ) -> DataFrame:
-    """Zero-phase forward-backward IIR filter (signal.py:433-461)."""
-    if padtype != "odd":
-        raise NotImplementedError("only padtype='odd' is supported")
+    """Zero-phase forward-backward IIR filter (signal.py:433-461).
+
+    ``padtype``/``padlen`` follow scipy: 'odd' (default), 'even',
+    'constant', or None (no edge extension, padlen forced to 0) — the
+    reference forwards both kwargs to scipy verbatim."""
+    _validate_padtype(padtype)  # fail at call time, not inside the UDF
     sos = _as_sos(sos)
 
-    # ragged batch: odd extension, both recursion passes, and the
+    # ragged batch: edge extension, both recursion passes, and the
     # per-row reversals all run once per bucket (kernels.dsp
     # sosfiltfilt_ragged), sample-exact vs the per-series kernel
     def kernel(x, lengths):
         return {
-            "value": sosfiltfilt_ragged(sos, x, lengths, padlen=padlen),
+            "value": sosfiltfilt_ragged(
+                sos, x, lengths, padlen=padlen, padtype=padtype
+            ),
             "__lengths__": lengths,
         }
 
