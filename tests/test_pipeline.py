@@ -307,3 +307,39 @@ def test_stratified_sample_exact_by_id(spark):
     # flat sample
     flat = pl.stratified_sample(df, fractions="0.2")
     assert abs(flat.count() / 4000 - 0.2) < 0.05
+
+
+def test_decode_ppm_parses_netpbm_headers():
+    """pure-numpy P6 parsing: comments, multi-whitespace, value checks,
+    and the failure modes (bad magic, 16-bit maxval, compressed data)."""
+    import numpy as np
+    import pytest
+
+    from xarray_scipy_spark.pipeline import decode_ppm, image_decoder
+
+    raster = bytes(range(2 * 2 * 3))
+    px, w, h = decode_ppm(b"P6\n2 2\n255\n" + raster)
+    assert (w, h) == (2, 2)
+    np.testing.assert_array_equal(px.ravel(), np.arange(12))
+    # comments between any header fields + arbitrary whitespace
+    px2, w2, h2 = decode_ppm(
+        b"P6 # c1\n# full comment line\n 2\t2 # dims\n 255\n" + raster
+    )
+    np.testing.assert_array_equal(px2, px)
+    # features: channel means then dims, padded to n_features
+    f = image_decoder(b"P6\n2 2\n255\n" + raster, 6)
+    assert f[3:] == [2.0, 2.0, 0.0]
+    np.testing.assert_allclose(f[:3], raster_means(raster), atol=1e-12)
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P5\n2 2\n255\n" + raster)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + raster)
+    with pytest.raises(NotImplementedError, match="PPM"):
+        image_decoder(b"\x89PNG\r\n\x1a\n....", 4)
+
+
+def raster_means(raster: bytes):
+    import numpy as np
+
+    a = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
+    return a.mean(axis=0, dtype=np.float64)

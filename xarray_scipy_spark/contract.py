@@ -1764,6 +1764,61 @@ def q_multimodal_resize(spark, sf_dir):
     return res.select("doc_id", "n_bytes", "digest")
 
 
+# PPM fixture geometry: single-digit dims (w 4-8, h 3-6) keep the
+# header a fixed 31 bytes ("P6\n" + 20-byte comment + "w h\n" + "255\n")
+_PPM_HEADER_BYTES = 31
+
+
+@_q(
+    "multimodal_real_decode",
+    "WITH dims AS ("
+    "  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents"
+    ") "
+    f"SELECT doc_id, CAST({_PPM_HEADER_BYTES} + 3 * w * h AS INTEGER) AS n_bytes, "
+    + ", ".join(
+        "round(list_aggregate(list_transform(range(0, w * h), "
+        f"p -> CAST((doc_id * 31 + (3 * p + {c}) * 7) % 256 AS DOUBLE)), 'avg'), 4)"
+        f" + 0.0 AS f{c}_4"
+        for c in range(3)
+    )
+    + ", CAST(w AS DOUBLE) AS f3, CAST(h AS DOUBLE) AS f4 FROM dims",
+)
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL image decode path: each doc gets a synthetic binary PPM (P6)
+    payload — header with a comment line, then 3·w·h raster bytes from
+    the arithmetic formula ``(doc_id·31 + i·7) mod 256`` — and
+    ``image_decoder`` (pure-numpy netpbm parsing, pipeline/multimodal
+    .py) extracts per-channel means + dimensions. The oracle recomputes
+    the expected features from the same formula, so header tokenizing,
+    comment handling, raster decode, and the feature math are all
+    value-verified without any imaging library."""
+    import pandas as _pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        # fixture generator (production payloads arrive from storage)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                header = f"P6\n# synthetic fixture\n{w} {h}\n255\n".encode()
+                data = bytes((d * 31 + i * 7) % 256 for i in range(3 * w * h))
+                payloads.append(header + data)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    res = pl.decode_features(with_payload, n_features=5, decoder=pl.image_decoder)
+    return res.select(
+        "doc_id",
+        "n_bytes",
+        *[_r(f"f{c}", 4, f"f{c}_4") for c in range(3)],
+        "f3",
+        "f4",
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational demos: the Catalyst-built-in surface over the same tables
 # ---------------------------------------------------------------------------

@@ -37,7 +37,9 @@ from .curate import curation_report
 from .sample import hash_uniform, split_assign, stratified_sample
 from .multimodal import (
     decode_features,
+    decode_ppm,
     frame_sample,
+    image_decoder,
     resize_payload,
     with_binary,
 )
@@ -62,6 +64,8 @@ __all__ = [
     "fingerprint",
     "with_binary",
     "decode_features",
+    "decode_ppm",
+    "image_decoder",
     "frame_sample",
     "resize_payload",
     "curation_report",

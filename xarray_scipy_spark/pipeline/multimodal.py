@@ -29,6 +29,7 @@ __all__ = [
     "with_binary",
     "decode_features",
     "fake_decoder",
+    "decode_ppm",
     "image_decoder",
     "frame_sample",
     "video_frame_decoder",
@@ -68,12 +69,55 @@ def fake_decoder(payload: bytes, n_features: int) -> list[float]:
     return [float(digest[i % 16]) for i in range(n_features)]
 
 
+def decode_ppm(payload: bytes):
+    """Pure-numpy decoder for binary PPM (P6, maxval <= 255) — a public
+    uncompressed format needing no imaging library. Returns
+    ``(pixels, width, height)`` with ``pixels`` an ``(h, w, 3)`` uint8
+    array. Handles ``#`` comments and arbitrary whitespace in the
+    header per the netpbm spec."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    # header tokenizer: magic, width, height, maxval; '#' starts a
+    # comment running to end-of-line; a single whitespace byte ends the
+    # header and the raster follows immediately
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM maxval {maxval} (16-bit not supported)")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=pos)
+    return raster.reshape(h, w, 3), w, h
+
+
 def image_decoder(payload: bytes, n_features: int) -> list[float]:
-    """Real image decode/resize/feature path — requires an imaging
-    library this container does not ship. STUB."""
+    """Image feature extraction with a REAL pure-numpy decode path for
+    binary PPM (P6) payloads: features are the per-channel means
+    followed by width and height (zero-padded / truncated to
+    ``n_features``). Compressed formats (PNG/JPEG/...) require an
+    imaging library this container does not ship and raise."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        px, w, h = decode_ppm(payload)
+        means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+        feats = [float(means[0]), float(means[1]), float(means[2]), float(w), float(h)]
+        return (feats + [0.0] * n_features)[:n_features]
     raise NotImplementedError(
-        "image decode requires an imaging library (PIL/cv2) not present "
-        "in this environment; use fake_decoder for plumbing tests"
+        "only uncompressed PPM (P6) decodes without an imaging library; "
+        "PNG/JPEG/... require PIL/cv2, not present in this environment"
     )
 
 
