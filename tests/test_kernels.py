@@ -374,3 +374,19 @@ def test_ragged_padlen_guard():
     with pytest.raises(ValueError, match="padlen"):
         # one row shorter than padlen must raise, like the 1-D kernel
         sosfiltfilt_ragged(sos, x, np.array([40, 10]))
+
+
+def test_resample_freq_matches_time_domain():
+    """domain='freq' (spectrum input) must reproduce the time-domain
+    resample when fed fft(x), for both down- and up-sampling, and
+    return complex output with ~0 imaginary part for real signals."""
+    from xarray_scipy_spark.kernels.dsp import resample_fourier, resample_fourier_freq
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 48))
+    for num in (20, 21, 48, 64, 97):
+        yt = resample_fourier(x, num)
+        yf = resample_fourier_freq(np.fft.fft(x, axis=-1), num)
+        assert yf.shape == (5, num) and np.iscomplexobj(yf)
+        np.testing.assert_allclose(yf.real, yt, atol=1e-10)
+        np.testing.assert_allclose(yf.imag, 0.0, atol=1e-10)

@@ -491,6 +491,42 @@ def q_resample(spark, sf_dir):
     return res.select("user_id", "idx", _r("value", 4, "value4"))
 
 
+@_q(
+    "resample_freq",
+    f"WITH {_S}, {_SPEC}, "
+    # identical kept-bin construction as `resample` (num=32 < n always)
+    "kept AS ("
+    "  SELECT user_id, n, 16 AS kt, re, im FROM spec WHERE k = n - 16"
+    "  UNION ALL"
+    "  SELECT user_id, n, k AS kt, re, im FROM spec WHERE k <= 16"
+    "  UNION ALL"
+    "  SELECT user_id, n, k - n + 32 AS kt, re, im FROM spec WHERE k >= n - 15"
+    "), "
+    "m_pos AS (SELECT user_id, j AS m, n FROM s WHERE j < 32) "
+    "SELECT p.user_id, p.m AS idx, "
+    "round(sum((k.re * cos(2 * pi() * k.kt * p.m / 32) "
+    "         - k.im * sin(2 * pi() * k.kt * p.m / 32)) / p.n), 4) + 0.0 AS re4, "
+    "round(sum((k.re * sin(2 * pi() * k.kt * p.m / 32) "
+    "         + k.im * cos(2 * pi() * k.kt * p.m / 32)) / p.n), 4) + 0.0 AS im4 "
+    "FROM m_pos p JOIN kept k ON k.user_id = p.user_id "
+    "GROUP BY p.user_id, p.m",
+)
+def q_resample_freq(spark, sf_dir):
+    """scipy's ``domain='freq'`` path: the input is the series' full
+    complex FFT spectrum (ops.fft output) and resampling happens
+    straight on the bins — fft → resize spectrum → complex ifft. The
+    oracle is the same kept-bin inverse DFT as `resample`, emitting
+    both the real part (equal to `resample`'s output) and the ~0
+    imaginary part."""
+    spec = ops.fft(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    res = ops.resample(
+        spec, _RESAMPLE_NUM, by=["user_id"], dim="idx", domain="freq"
+    )
+    return res.select(
+        "user_id", "idx", _r("re", 4, "re4"), _r("im", 4, "im4")
+    )
+
+
 # ---------------------------------------------------------------------------
 # stft / welch (framed spectral analysis)
 # ---------------------------------------------------------------------------

@@ -142,8 +142,15 @@ def resample_fourier(x: np.ndarray, num: int) -> np.ndarray:
     n = x.shape[-1]
     if num == n:
         return x.copy()
-    xf = np.fft.fft(x, axis=-1)
-    yf = np.zeros((*x.shape[:-1], num), dtype=complex)
+    yf = _resample_spectrum(np.fft.fft(x, axis=-1), num)
+    return np.fft.ifft(yf, axis=-1).real * (num / float(n))
+
+
+def _resample_spectrum(xf: np.ndarray, num: int) -> np.ndarray:
+    """Truncate/zero-pad a full FFT spectrum to ``num`` bins with the
+    band-edge (Nyquist) fold/split that keeps a real signal real."""
+    n = xf.shape[-1]
+    yf = np.zeros((*xf.shape[:-1], num), dtype=complex)
     m = min(n, num)
     nyq = m // 2 + 1
     yf[..., :nyq] = xf[..., :nyq]
@@ -155,7 +162,20 @@ def resample_fourier(x: np.ndarray, num: int) -> np.ndarray:
         else:  # upsample: split the Nyquist bin symmetrically
             yf[..., m // 2] *= 0.5
             yf[..., num - m // 2] = yf[..., m // 2]
-    return np.fft.ifft(yf, axis=-1).real * (num / float(n))
+    return yf
+
+
+def resample_fourier_freq(xf: np.ndarray, num: int) -> np.ndarray:
+    """``scipy.signal.resample(..., domain='freq')``: the input is
+    already the full complex FFT spectrum of each series; resize it and
+    inverse-transform. Complex in, complex out (scipy returns complex
+    for complex input; for the spectrum of a real signal the imaginary
+    part is numerically zero)."""
+    xf = np.asarray(xf, dtype=complex)
+    n = xf.shape[-1]
+    if num == n:
+        return np.fft.ifft(xf, axis=-1)
+    return np.fft.ifft(_resample_spectrum(xf, num), axis=-1) * (num / float(n))
 
 
 def sosfilt_1d(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..core import apply_series_kernel, resolve_keep_attrs
 from ..functions.coords import linear_coord, restore_coord_dtype
-from ..kernels.dsp import decimate_ragged, resample_fourier
+from ..kernels.dsp import decimate_ragged, resample_fourier, resample_fourier_freq
 
 __all__ = ["decimate", "resample"]
 
@@ -82,16 +82,43 @@ def resample(
 
     ``window`` is accepted for signature parity and not forwarded —
     the reference has the identical quirk (signal.py:374-400 accepts
-    ``window`` and never passes it to scipy). Only ``domain='time'`` is
-    meaningful for long-form real input.
+    ``window`` and never passes it to scipy).
 
-    Output coordinate: ``offset + idx·(n_in·delta/num)`` — the sample
-    spacing scales by n/num over the same span (fixes the reference's
+    ``domain='time'`` (default): ``value`` holds real time samples;
+    output ``[*by, idx, value, <dim>, ...]`` with the recomputed
+    coordinate ``offset + idx·(n_in·delta/num)`` — the sample spacing
+    scales by n/num over the same span (fixes the reference's
     ``TODO: support t=None``, signal.py:383).
+
+    ``domain='freq'`` (scipy signature parity, signal.py:374 forwards
+    it): the input is already each series' FULL complex FFT spectrum in
+    long form — twin ``re``/``im`` columns ordered by ``dim`` (e.g. the
+    ``idx`` output of :func:`~xarray_scipy_spark.operators.fft`). The
+    spectrum is resized with the same Nyquist fold/split and
+    inverse-transformed; output ``[*by, idx, re, im, ...]`` is the
+    complex time signal (imaginary part ~0 when the spectrum came from
+    a real series). No time coordinate is emitted — the input's
+    offset/delta describe the frequency axis, and scipy's freq-domain
+    path likewise returns samples without a time vector.
     """
     del window  # reference-parity quirk: accepted, not forwarded
-    if domain != "time":
-        raise NotImplementedError("only domain='time' is supported")
+    if domain not in ("time", "freq"):
+        raise ValueError(f"domain must be 'time' or 'freq', got {domain!r}")
+    if domain == "freq":
+
+        def fkernel(re_b, im_b):
+            y = resample_fourier_freq(re_b + 1j * im_b, num)
+            return {"re": y.real, "im": y.imag}
+
+        return apply_series_kernel(
+            df,
+            fkernel,
+            by=by,
+            order=dim,
+            values=["re", "im"],
+            out_fields="re double, im double",
+            keep=resolve_keep_attrs(df, keep_attrs),
+        )
 
     def kernel(x):
         return {"value": resample_fourier(x, num)}
