@@ -41,6 +41,65 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def _tail_names():
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return [n for n in mod._CHECK_LAST if n in ORACLES]
+
+
+@pytest.mark.parametrize("name", _tail_names())
+def test_tail_queries_match_oracle(spark, name):
+    """Queries rotated out of the driver's 50-slot oracle window keep
+    VALUE-level verification here: Spark result vs DuckDB oracle at
+    sf0.001, byte-exact after the same normalization the local
+    check_correctness tool applies (sorted columns, sorted rows,
+    widened numeric dtypes)."""
+    import duckdb
+    import numpy as np
+
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    odf = con.sql(ORACLES[name]).df()
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            k = df[c].dtype.kind
+            if k in "iu":
+                df[c] = df[c].astype("int64")
+            elif k == "f":
+                df[c] = df[c].astype("float64")
+            else:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    a, b = norm(sdf), norm(odf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert av.tobytes() == bv.tobytes(), (
+                f"{name}.{c}: max_abs_diff="
+                f"{float(np.nanmax(np.abs(av - bv))) if len(av) else 0}"
+            )
+        else:
+            assert (av == bv).all(), f"{name}.{c} differs"
+
+
 def test_entry_smoke(spark):
     import importlib.util
 
