@@ -194,8 +194,8 @@ def test_kmeans_cells_matches_numpy_lloyd(spark):
 
 
 def test_cosine_topk_query_side_guard(spark):
-    """The broadcast×corpus cross join must refuse a query side beyond
-    the broadcast threshold instead of silently planning a Q·N product
+    """The driver-collected query side must refuse to grow beyond the
+    broadcast threshold instead of silently materializing a huge matrix
     (the 100 TB hazard VERDICT r3 flagged)."""
     import numpy as np
     import pytest
@@ -213,13 +213,26 @@ def test_cosine_topk_query_side_guard(spark):
     small = corpus.filter("vec_id < 4")
     assert pl.cosine_topk(corpus, small, k=3).count() == 12
     assert pl.cosine_topk(corpus, small, k=3, max_broadcast_queries=None).count() == 12
-    # and the physical plan broadcasts the query side — no CartesianProduct
+    # physical shape: one Arrow-batched matmul stage over the corpus,
+    # never a Q·N row explosion (no join of any kind in the plan)
     plan = (
         pl.cosine_topk(corpus, small, k=3, max_broadcast_queries=None)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
-    assert "Broadcast" in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+    # correctness of the blocked path vs a direct numpy ranking
+    out = pl.cosine_topk(corpus, small, k=3).toPandas()
+    vecs = np.array(pdf["embedding"].tolist())
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(vn @ vn.T, 6)
+    for q in range(4):
+        s = sims[:, q].copy()
+        s[q] = -np.inf
+        order = sorted(range(n), key=lambda i: (-s[i], i))[:3]
+        got = out[out.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == order, (q, got, order)
 
 
 def test_embedding_dup_auto_gates_to_lsh(spark):

@@ -53,51 +53,96 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k nearest neighbors by cosine for each query vector.
 
-    ``queries`` is broadcast (it must be the small side); ranking is
-    deterministic — ties broken by neighbor id on the similarity
-    rounded to ``round_digits`` (so independent engines agree).
+    Physical plan (the blocked-matmul shape that makes the exact path
+    competitive, same design as ``embedding_dup_pairs``'s exact mode):
+    the query side is collected to the driver (bounded by
+    ``max_broadcast_queries`` — the moral broadcast) and rides into an
+    Arrow-batched ``mapInPandas`` over the corpus, where one BLAS
+    matmul per batch scores every (corpus row, query) pair — no
+    interpreted per-element lambdas, no Q·N row explosion. Each batch
+    emits only its top-k candidates per query (with a
+    ``10^-round_digits`` tie slack so post-UDF rounding cannot change
+    the global winner set); the final exact ranking is a window over
+    ~partitions·Q·k candidate rows.
 
-    The broadcast×corpus plan is only correct-at-scale while the query
-    side fits an executor broadcast: the guard counts the query side
-    (one cheap action) and refuses beyond ``max_broadcast_queries``
-    rather than silently building a Q·N cross product — route large
-    query sets to :func:`cosine_topk_ivf` (cell-pruned, needs a coarse
-    quantizer column) or :func:`cosine_topk_lsh` (bucketed,
-    approximate) instead. ``max_broadcast_queries=None`` disables the
-    guard (and its count) for callers that already know the size.
+    Ranking is deterministic — ties broken by neighbor id on the
+    similarity rounded to ``round_digits`` (so independent engines
+    agree; the rounding itself happens JVM-side with Spark's
+    HALF_UP ``round``, matching the SQL oracle).
+
+    Large query sets don't fit a driver/executor broadcast: beyond
+    ``max_broadcast_queries`` this refuses rather than degrade — route
+    those to :func:`cosine_topk_ivf` (cell-pruned) or
+    :func:`cosine_topk_lsh` (bucketed, approximate).
+    ``max_broadcast_queries=None`` lifts the cap for callers that know
+    their size (the collect itself is inherent to the strategy).
 
     Output: ``(query_id, rank, neighbor_id, cos_sim)``.
     """
-    if max_broadcast_queries is not None:
-        nq = queries.count()
-        if nq > max_broadcast_queries:
-            raise ValueError(
-                f"query side has {nq} rows > max_broadcast_queries="
-                f"{max_broadcast_queries}: a broadcast cross join at this "
-                "size is a scale hazard — use cosine_topk_ivf / "
-                "cosine_topk_lsh, or raise the limit explicitly"
-            )
-    c = _normed(spread(corpus, id_col), id_col, vec_col, []).alias("c")
-    q = _normed(queries, id_col, vec_col, []).alias("q")
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
-        .select(
-            F.col(f"q.{id_col}").alias("query_id"),
-            F.col(f"c.{id_col}").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("q.v"), F.col("c.v"))
-                / (F.col("q.nrm") * F.col("c.nrm")),
-                round_digits,
-            ).alias("cos_sim"),
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if max_broadcast_queries is not None and len(qrows) > max_broadcast_queries:
+        raise ValueError(
+            f"query side has {len(qrows)} rows > max_broadcast_queries="
+            f"{max_broadcast_queries}: a broadcast cross join at this "
+            "size is a scale hazard — use cosine_topk_ivf / "
+            "cosine_topk_lsh, or raise the limit explicitly"
         )
-    )
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"query_id {id_type}, rank int, neighbor_id {id_type}, cos_sim double"
+        )
+    q_ids = np.array([r[0] for r in qrows])
+    qm = np.array([r[1] for r in qrows], dtype=float)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    eps = 2.0 * 10.0 ** (-round_digits)
+    q_block = 4096  # bounds the per-batch (B × Qblock) score matrix
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cm = np.array(pdf[vec_col].tolist(), dtype=float)
+            cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
+            outs = []
+            for j0 in range(0, len(q_ids), q_block):
+                qi = q_ids[j0 : j0 + q_block]
+                sims = cm @ qm[j0 : j0 + q_block].T  # (B, Qblock)
+                sims[ids[:, None] == qi[None, :]] = -np.inf
+                if sims.shape[0] > k:
+                    kth = np.partition(sims, -k, axis=0)[-k, :]
+                else:
+                    kth = np.full(sims.shape[1], -np.inf)
+                ii, jj = np.nonzero(sims >= kth[None, :] - eps)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi[jj],
+                            "neighbor_id": ids[ii],
+                            "cos_sim": sims[ii, jj],
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            )
+
+    # no spread() here: matmul work scales with BYTES (unlike the
+    # tokenize/hash pipelines whose per-row fan-out dwarfs their input),
+    # so Spark's own maxPartitionBytes file splitting yields the right
+    # parallelism at scale, and a forced 32-way exchange on a small
+    # corpus only adds a shuffle + per-task Python overhead
+    candidates = corpus.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("cos_sim", F.round("cos_sim", round_digits))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
