@@ -61,6 +61,8 @@ _CHECK_LAST = (
     "dedup_ngram_jaccard",  # minhash/simhash/embedding/clusters in head
     "ann_cosine_topk_lsh",  # exact + ivf + kmeans strategies in head
     "text_token_stats",  # quality/lang_id/tfidf/fingerprint in head
+    "dataset_split",  # pure salted-hash projection, green r4; the new
+    # decontaminate query takes its head slot in r5
 )
 
 

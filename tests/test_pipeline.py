@@ -356,3 +356,33 @@ def raster_means(raster: bytes):
 
     a = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
     return a.mean(axis=0, dtype=np.float64)
+
+
+def test_decontaminate_flags_overlap(spark):
+    """docs sharing a word 3-gram with the benchmark set are flagged
+    with the exact distinct-overlap count; clean docs appear zeroed."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps",   # shares "the quick brown"+1
+                    "totally unrelated sample words here",
+                    "quick brown fox again",       # shares "quick brown fox"
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": ["the quick brown fox leaps"]})
+    )
+    out = (
+        pl.decontaminate(docs, bench)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1 shares "the quick brown" and "quick brown fox" (distinct 3-grams)
+    assert out.loc[1, "n_shared_ngrams"] == 2 and bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "n_shared_ngrams"] == 0 and not bool(out.loc[2, "contaminated"])
+    assert out.loc[3, "n_shared_ngrams"] == 1 and bool(out.loc[3, "contaminated"])

@@ -1732,6 +1732,35 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+_DECON_BENCH_MOD = 50  # doc_id % 50 == 0 -> the "benchmark" eval set
+
+
+@_q(
+    "decontaminate",
+    f"WITH {_TOKS}, {_SHINGLES}, "
+    f"bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh "
+    f"WHERE doc_id % {_DECON_BENCH_MOD} = 0), "
+    f"corpus_sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh "
+    f"WHERE doc_id % {_DECON_BENCH_MOD} <> 0), "
+    "hits AS (SELECT c.doc_id, count(*) AS n_shared FROM corpus_sh c "
+    "JOIN bench b ON b.s = c.s GROUP BY c.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams, "
+    "coalesce(h.n_shared, 0) > 0 AS contaminated "
+    "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id "
+    f"WHERE d.doc_id % {_DECON_BENCH_MOD} <> 0",
+)
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: every 50th document plays the eval
+    suite; the rest of the corpus is scored for distinct shared word
+    3-grams against it (pipeline/text.py decontaminate — broadcast
+    benchmark shingles, one corpus-side shuffle). Oracle rebuilds the
+    same shingle sets with DuckDB list lambdas."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    return pl.decontaminate(corpus, bench)
+
+
 _MM_FEATURES = 4
 
 

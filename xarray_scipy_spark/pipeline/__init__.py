@@ -32,7 +32,14 @@ from .dedup import (
     duplicate_clusters,
 )
 from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh, kmeans_cells
-from .text import token_stats, quality_score, lang_id, fingerprint, tfidf_top_tokens
+from .text import (
+    decontaminate,
+    fingerprint,
+    lang_id,
+    quality_score,
+    tfidf_top_tokens,
+    token_stats,
+)
 from .curate import curation_report
 from .sample import hash_uniform, split_assign, stratified_sample
 from .multimodal import (
@@ -62,6 +69,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "decontaminate",
     "with_binary",
     "decode_features",
     "decode_ppm",

@@ -18,6 +18,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "tfidf_top_tokens",
+    "decontaminate",
     "LANG_MARKERS",
 ]
 
@@ -150,6 +151,62 @@ def fingerprint(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         F.expr(expr).alias("fingerprint"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Test-set decontamination: for every training document, count the
+    distinct word ``n``-grams it shares with a benchmark/eval corpus
+    and flag any overlap — the standard guard against evaluation
+    leakage in a training-data pipeline.
+
+    Scale design (100 TB corpus vs a tiny eval suite): the benchmark's
+    distinct shingle set is built once and BROADCAST — the corpus side
+    streams through shingle-explode → broadcast hash join → one
+    groupBy(doc) count, so the only corpus-wide shuffle is the per-doc
+    aggregation and the eval suite never causes a corpus repartition.
+    Contamination is judged on raw shingle strings (no hashing), so
+    there are no false positives to reason about.
+
+    Output: ``(id_col, n_shared_ngrams, contaminated)`` — one row per
+    input document, zero-filled for clean docs.
+    """
+    from .hashes import word_shingles
+
+    bench_text_col = text_col if bench_text_col is None else bench_text_col
+    bench_sh = (
+        benchmark.select(tokens(bench_text_col).alias("toks"))
+        .select(F.explode(word_shingles(F.col("toks"), k=n)).alias("sh"))
+        .distinct()
+    )
+    doc_sh = (
+        spread(docs, id_col)
+        .select(F.col(id_col), tokens(text_col).alias("toks"))
+        .select(F.col(id_col), F.explode(word_shingles(F.col("toks"), k=n)).alias("sh"))
+    )
+    # word_shingles emits DISTINCT grams per doc and bench_sh is
+    # distinct, so a plain post-join count is the distinct overlap
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shared_ngrams"), F.lit(0)).alias("n_shared_ngrams"),
+            (F.coalesce(F.col("n_shared_ngrams"), F.lit(0)) > 0).alias("contaminated"),
+        )
     )
 
 
