@@ -58,6 +58,8 @@ HEADLINE = [
     "convolve_valid",
     "istft_roundtrip",
     "dataset_split",
+    "decontaminate",
+    "multimodal_real_decode",
 ]
 
 
