@@ -121,11 +121,16 @@ def minhash_signatures(
         .filter(F.col("sh").isNotNull())
         .withColumn("x", h32(F.col("sh")))
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+    # aggregates as one parameterized SQL statement — the Column-API
+    # loop over num_hashes permutations is hundreds of Py4J roundtrips
+    # of plan-build time per bench run (same lesson as simhash)
+    aggs = ", ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS mh_{i}"
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    )
+    return hashed.sparkSession.sql(
+        f"SELECT {id_col}, {aggs} FROM {{src}} GROUP BY {id_col}", src=hashed
+    )
 
 
 def minhash_pairs(
@@ -157,44 +162,45 @@ def minhash_pairs(
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, "bb.band", "bb.band_hash")
+    # One SQL statement for band-explode + self-join (Py4J build cost,
+    # same as simhash). Semantics:
+    # - shuffle-hash, NOT broadcast: broadcasting a side of the
+    #   self-join would compute the signature subtree twice and pull
+    #   one copy through the driver; with both sides shuffled on the
+    #   bucket keys the exchanges canonicalize identically and are
+    #   computed once (ReusedExchange);
+    # - a pair sharing several bands is emitted ONCE — from its
+    #   smallest shared band (every earlier band hash must differ) —
+    #   replacing the distinct() and its extra shuffle of the
+    #   candidate set. Each side carries the 4 band hashes as an array.
+    def band_md5(b: int) -> str:
+        cols = ", ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        return f"md5(concat_ws('|', {cols}))"
 
-    # shuffle-hash, NOT broadcast: broadcasting a side of the self-join
-    # would compute the signature subtree twice and pull one copy
-    # through the driver; with both sides shuffled on the bucket keys
-    # the exchanges canonicalize identically and are computed once.
-    a = buckets.hint("shuffle_hash").alias("a")
-    b = buckets.hint("shuffle_hash").alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'band_hash', {band_md5(b)})"
+        for b in range(bands)
+    )
+    bhs = ", ".join(band_md5(b) for b in range(bands))
+    earlier_differ = " AND ".join(
+        f"(a.band <= {c} OR a.bhs[{c}] != b.bhs[{c}])" for c in range(bands - 1)
+    )
+    earlier_differ = f" AND {earlier_differ}" if earlier_differ else ""
+    cand = df.sparkSession.sql(
+        f"""
+        WITH buckets AS (
+          SELECT {id_col}, array({bhs}) AS bhs, bb.band, bb.band_hash
+          FROM {{sigs}} LATERAL VIEW explode(array({band_structs})) AS bb
         )
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
-        )
-        .distinct()
+        SELECT /*+ SHUFFLE_HASH(a, b) */
+               a.{id_col} AS a_id, b.{id_col} AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.{id_col} < b.{id_col}{earlier_differ}
+        """,
+        sigs=sigs,
     )
 
     sh = _with_shingles(df, id_col, text_col, k)
