@@ -63,6 +63,7 @@ _CHECK_LAST = (
     "text_token_stats",  # quality/lang_id/tfidf/fingerprint in head
     "dataset_split",  # pure salted-hash projection, green r4; the new
     # decontaminate query takes its head slot in r5
+    "text_quality",  # green r3+r4; find_peaks takes its head slot in r5
 )
 
 

@@ -751,3 +751,30 @@ def test_istft_roundtrip_reconstructs(spark, sine_df, sine_pdf):
     np.testing.assert_allclose(
         [r["value"] for r in got], base[1 : covered_hi + 1], atol=1e-9
     )
+
+
+def test_find_peaks_filters_and_contract(spark):
+    """strict maxima only; height/threshold filters; output frame feeds
+    peak_widths directly."""
+    import pandas as pd
+
+    import xarray_scipy_spark.operators as ops
+
+    pdf = pd.DataFrame(
+        {
+            "ch": [0] * 9,
+            "t": list(range(9)),
+            #      edge  peak   low-prom peak        big peak      plateau
+            "value": [5.0, 0.0, 1.0, 0.5, 0.52, 0.5, 3.0, 3.0, 1.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = ops.find_peaks(df, by=["ch"], dim="t").toPandas()
+    # index 0 is an edge, 4 is a peak (0.52), plateau at 6-7 is NOT strict
+    assert sorted(out["index"].tolist()) == [2, 4]
+    assert out.sort_values("index")["peak"].tolist() == [0, 1]
+    # height filter removes the 0.52 peak; threshold removes low prominence
+    high = ops.find_peaks(df, by=["ch"], dim="t", height=0.9).toPandas()
+    assert sorted(high["index"].tolist()) == [2]
+    th = ops.find_peaks(df, by=["ch"], dim="t", threshold=0.1).toPandas()
+    assert sorted(th["index"].tolist()) == [2]

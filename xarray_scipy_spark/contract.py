@@ -1137,18 +1137,8 @@ def q_peak_widths(spark, sf_dir):
     prominence. Peaks are detected in pure SQL (strict local maxima);
     width measurement runs through the cogrouped kernel."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts")
-    ser = ev.withColumn("idx0", F.row_number().over(w) - 1)
-    lagv = F.lag("value", 1).over(w)
-    leadv = F.lead("value", 1).over(w)
-    peaks = (
-        ser.withColumn("is_peak", (F.col("value") > lagv) & (F.col("value") > leadv))
-        .filter(F.col("is_peak"))
-        .select(
-            "user_id",
-            (F.row_number().over(Window.partitionBy("user_id").orderBy("idx0")) - 1).alias("peak"),
-            F.col("idx0").alias("index"),
-        )
+    peaks = ops.find_peaks(ev, by=["user_id"], dim="ts").select(
+        "user_id", "peak", "index"
     )
     res = ops.peak_widths(
         ev, peaks, by=["user_id"], dim="ts", peak="peak", index="index"
@@ -1160,6 +1150,47 @@ def q_peak_widths(spark, sf_dir):
         _q3_col(F.col("width_height")).alias("wh_q"),
         _q3_col(F.col("left_ip")).alias("lip_q"),
         _q3_col(F.col("right_ip")).alias("rip_q"),
+    )
+
+
+_FP_HEIGHT = 0.0
+_FP_THRESHOLD = 0.05
+
+
+@_q(
+    "find_peaks",
+    f"WITH {_S}, "
+    "nb AS ("
+    "  SELECT user_id, j, x,"
+    "         lag(x) OVER (PARTITION BY user_id ORDER BY j) AS xl,"
+    "         lead(x) OVER (PARTITION BY user_id ORDER BY j) AS xr"
+    "  FROM s"
+    "), "
+    "pk AS ("
+    "  SELECT user_id, j, x FROM nb"
+    f"  WHERE x > xl AND x > xr AND x >= {_FP_HEIGHT}"
+    f"  AND least(x - xl, x - xr) >= {_FP_THRESHOLD}"
+    ") "
+    "SELECT user_id, "
+    "CAST(row_number() OVER (PARTITION BY user_id ORDER BY j) - 1 AS BIGINT) AS peak, "
+    "j AS index, round(x, 4) + 0.0 AS val4 FROM pk",
+)
+def q_find_peaks(spark, sf_dir):
+    """In-engine peak detection (strict local maxima + scipy-style
+    height/threshold filters) — the producer side of peak_widths. Pure
+    Catalyst windows; the oracle is the same logic in DuckDB."""
+    res = ops.find_peaks(
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        height=_FP_HEIGHT,
+        threshold=_FP_THRESHOLD,
+    )
+    return res.select(
+        "user_id",
+        F.col("peak").cast("bigint").alias("peak"),
+        F.col("index").cast("bigint").alias("index"),
+        _r("value", 4, "val4"),
     )
 
 

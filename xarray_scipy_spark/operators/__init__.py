@@ -7,7 +7,7 @@ from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join
-from .peaks import peak_widths
+from .peaks import find_peaks, peak_widths
 from .resample import decimate, resample
 from .spectral import coherence, csd, istft, stft, welch
 
@@ -27,6 +27,7 @@ __all__ = [
     "ifftshift",
     "hilbert",
     "envelope",
+    "find_peaks",
     "peak_widths",
     "resample",
     "sosfilt",

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from ..core import apply_cogrouped_kernel, resolve_keep_attrs
 from ..kernels.peaks import peak_widths as _peak_widths_np
 
-__all__ = ["peak_widths"]
+__all__ = ["find_peaks", "peak_widths"]
 
 
 def peak_widths(
@@ -76,4 +76,56 @@ def peak_widths(
         out_fields="peak bigint, width double, width_height double, "
         "left_ip double, right_ip double",
         keep=resolve_keep_attrs(xdf, keep_attrs),
+    )
+
+
+def find_peaks(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    height: float | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Detect strict local maxima per series — the upstream producer for
+    :func:`peak_widths` (the reference leaves detection to callers, who
+    run ``scipy.signal.find_peaks``; an engine user needs it in-engine).
+
+    Pure Catalyst windows, no UDF, one shuffle (the window sort on the
+    series key): a sample is a peak when it exceeds BOTH neighbors
+    (scipy's strict-inequality core; plateaus are not peaks here, and
+    series edges never qualify — both match scipy). Optional scipy-style
+    filters: ``height`` keeps peaks with ``value >= height``;
+    ``threshold`` additionally requires ``min(value - left, value -
+    right) >= threshold``.
+
+    Output: ``[*by, peak, index, <dim>, <value>]`` with ``peak`` the
+    0-based rank of the peak within its series (the ``"peak"`` core dim
+    of the reference's contract) and ``index`` its 0-based sample
+    position along ``dim`` — exactly the frame :func:`peak_widths`
+    consumes.
+    """
+    from pyspark.sql import Window, functions as F
+
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(dim)
+    lagv = F.lag(value, 1).over(w)
+    leadv = F.lead(value, 1).over(w)
+    cond = (F.col(value) > lagv) & (F.col(value) > leadv)
+    if height is not None:
+        cond = cond & (F.col(value) >= F.lit(float(height)))
+    if threshold is not None:
+        cond = cond & (
+            F.least(F.col(value) - lagv, F.col(value) - leadv)
+            >= F.lit(float(threshold))
+        )
+    ser = df.withColumn("index", F.row_number().over(w) - 1).withColumn(
+        "__is_peak__", cond
+    )
+    wp = Window.partitionBy(*by).orderBy("index")
+    return (
+        ser.filter(F.col("__is_peak__"))
+        .withColumn("peak", F.row_number().over(wp) - 1)
+        .select(*by, "peak", "index", dim, value)
     )
