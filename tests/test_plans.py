@@ -140,3 +140,44 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_kernel_exchange_keeps_full_width(spark):
+    """The kernel bucket exchange must be an explicit fixed-width
+    repartition (REPARTITION_BY_NUM): AQE's byte-based coalescing would
+    otherwise fold a small-but-CPU-heavy Python stage onto 1-3 cores
+    (measured: the r4 istft_roundtrip ran its FFT kernels on a single
+    task). The final executed plan must run the grouped-map UDF over
+    exactly the bucket count, not a coalesced handful of partitions."""
+    from pyspark.sql import functions as F
+
+    from xarray_scipy_spark.core import _default_buckets, apply_series_kernel
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+
+    def ident(x):
+        return {"y": x}
+
+    out = apply_series_kernel(
+        ev, ident, by=["user_id"], order="ts", values=["value"], out_fields="y double"
+    )
+    out.collect()  # materialize so the AQE plan is final
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
+    n_parts = (
+        out.withColumn("p", F.spark_partition_id()).select("p").distinct().count()
+    )
+    # every occupied bucket maps to its OWN partition: no AQE
+    # coalescing, and no murmur-on-bucket-id collisions folding two
+    # buckets onto one core (the collision-free value remap)
+    n_buckets = _default_buckets(ev)
+    occupied = (
+        ev.select(
+            F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_parts == occupied, (n_parts, occupied)

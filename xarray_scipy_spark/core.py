@@ -59,6 +59,44 @@ GROUP_ATTR_FIELDS = "n_in bigint, offset double, delta double"
 
 _BUCKET = "__bucket__"
 
+# bucket id -> exchange value such that hashpartitioning sends value i
+# to partition i. Plain `repartition(n, bucket)` murmur-hashes the
+# bucket id AGAIN, so n bucket values land on ~n(1-1/e) ≈ 0.63n
+# partitions (balls-in-bins) and the worst partition carries 3-4
+# buckets — a third of the cluster idles through every kernel stage.
+# The probe job below asks Spark's own hash (Murmur3, the exact
+# function HashPartitioning applies to a BIGINT column) for
+# representative values, one per target partition; cached per n for
+# the session's lifetime.
+_BUCKET_REPS: dict[int, list[int]] = {}
+
+
+def _collision_free_bucket_values(spark, n: int) -> list[int]:
+    reps = _BUCKET_REPS.get(n)
+    if reps is None:
+        span = 64 * n
+        byp: dict[int, int] = {}
+        while len(byp) < n:
+            rows = spark.range(0, span).selectExpr(
+                "id", f"pmod(hash(id), {n}) AS p"
+            ).collect()
+            for r in rows:
+                byp.setdefault(r["p"], r["id"])
+            span *= 2
+        reps = [int(byp[i]) for i in range(n)]
+        _BUCKET_REPS[n] = reps
+    return reps
+
+
+def _bucket_expr(spark, by: Sequence[str], n_buckets: int):
+    """hash(series key) -> one of n_buckets collision-free exchange
+    values (BIGINT), so the explicit repartition gives exactly one
+    bucket per partition."""
+    reps = _collision_free_bucket_values(spark, n_buckets)
+    arr = F.array(*[F.lit(v).cast("bigint") for v in reps])
+    idx = (F.pmod(F.xxhash64(*by), F.lit(n_buckets)) + 1).cast("int")
+    return F.element_at(arr, idx)
+
 
 def _ddl_of(df: DataFrame, cols: Sequence[str]) -> str:
     by_field = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -261,7 +299,7 @@ def apply_series_kernel(
     # tests/test_signal.py:36-38): the whole frame is ONE series — one
     # bucket, exactly the reference's single-block concession
     bucket = (
-        F.pmod(F.xxhash64(*by), F.lit(n_buckets)) if by else F.lit(0)
+        _bucket_expr(df.sparkSession, by, n_buckets) if by else F.lit(0)
     )
     out = df.withColumn(_BUCKET, bucket)
     if by:
@@ -393,7 +431,7 @@ def apply_cogrouped_kernel(
         return res
 
     bucket_expr = (
-        F.pmod(F.xxhash64(*by), F.lit(n_buckets)) if by else F.lit(0)
+        _bucket_expr(df1.sparkSession, by, n_buckets) if by else F.lit(0)
     )
     left = df1.withColumn(_BUCKET, bucket_expr)
     right = df2.withColumn(_BUCKET, bucket_expr)
