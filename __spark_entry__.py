@@ -64,6 +64,8 @@ _CHECK_LAST = (
     "dataset_split",  # pure salted-hash projection, green r4; the new
     # decontaminate query takes its head slot in r5
     "text_quality",  # green r3+r4; find_peaks takes its head slot in r5
+    "fftshift_2d",  # green r4; text_redact takes its head slot in r5
+    # (fftconvolve_2d keeps the 2-D family fresh in the head)
 )
 
 

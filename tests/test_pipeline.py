@@ -386,3 +386,26 @@ def test_decontaminate_flags_overlap(spark):
     assert out.loc[1, "n_shared_ngrams"] == 2 and bool(out.loc[1, "contaminated"])
     assert out.loc[2, "n_shared_ngrams"] == 0 and not bool(out.loc[2, "contaminated"])
     assert out.loc[3, "n_shared_ngrams"] == 1 and bool(out.loc[3, "contaminated"])
+
+
+def test_redact_masks_and_counts(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "mail a@b.io and c.d+x@e.org, host 10.0.0.1, call +44 20 7946 0958",
+                    "no pii here",
+                ],
+            }
+        )
+    )
+    out = pl.redact(docs).toPandas().set_index("doc_id")
+    r1 = out.loc[1]
+    assert r1["n_email"] == 2 and r1["n_ip"] == 1 and r1["n_phone"] == 1
+    assert "<EMAIL>" in r1["redacted"] and "<IP>" in r1["redacted"]
+    assert "<PHONE>" in r1["redacted"]
+    assert "a@b.io" not in r1["redacted"] and "10.0.0.1" not in r1["redacted"]
+    r2 = out.loc[2]
+    assert r2["redacted"] == "no pii here"
+    assert r2["n_email"] == r2["n_ip"] == r2["n_phone"] == 0

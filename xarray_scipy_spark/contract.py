@@ -1763,6 +1763,48 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def _redact_oracle() -> str:
+    from .pipeline.text import PII_PATTERNS
+
+    aug = (
+        "text || ' contact: user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or 192.168.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.1 tel +1 (555) 000-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    )
+    cur, cols = aug, []
+    for kind in ("email", "ip", "phone"):
+        pat, token = PII_PATTERNS[kind]
+        cols.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{kind}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    return (
+        f"SELECT doc_id, {cur} AS redacted, {', '.join(cols)} FROM documents"
+    )
+
+
+@_q("text_redact", _redact_oracle())
+def q_text_redact(spark, sf_dir):
+    """PII redaction over documents whose text is augmented (on BOTH
+    sides, same SQL arithmetic) with a synthetic email, IPv4, and phone
+    per doc — so every pattern fires and the chained replace-all +
+    per-kind counts are value-verified. Patterns sit in the Java/RE2
+    common regex subset (pipeline/text.py PII_PATTERNS)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 tel +1 (555) 000-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ),
+    )
+    return pl.redact(docs)
+
+
 _DECON_BENCH_MOD = 50  # doc_id % 50 == 0 -> the "benchmark" eval set
 
 

@@ -37,6 +37,7 @@ from .text import (
     fingerprint,
     lang_id,
     quality_score,
+    redact,
     tfidf_top_tokens,
     token_stats,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "decontaminate",
+    "redact",
     "with_binary",
     "decode_features",
     "decode_ppm",

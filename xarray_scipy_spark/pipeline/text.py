@@ -8,6 +8,8 @@ DuckDB oracle can reproduce results byte-for-byte; no Python UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 from .hashes import spread, tokens
@@ -19,6 +21,8 @@ __all__ = [
     "fingerprint",
     "tfidf_top_tokens",
     "decontaminate",
+    "redact",
+    "PII_PATTERNS",
     "LANG_MARKERS",
 ]
 
@@ -208,6 +212,54 @@ def decontaminate(
             (F.coalesce(F.col("n_shared_ngrams"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# PII patterns shared by the operator and its oracle. Kept inside the
+# common subset of Java regex (Spark) and RE2 (DuckDB): no lookaround,
+# no backreferences, POSIX-safe classes.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # local@domain.tld
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # 7+ digit runs with optional separators after an optional +CC
+    "phone": (r"\+?[0-9][0-9()\-\. ]{6,}[0-9]", "<PHONE>"),
+    # dotted-quad IPv4
+    "ip": (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def redact(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kinds: Sequence[str] = ("email", "ip", "phone"),
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII redaction: mask emails / IPv4 addresses / phone numbers with
+    typed placeholder tokens, and count the replacements per kind — the
+    standard scrub pass of a training-data pipeline.
+
+    Pure Catalyst ``regexp_count`` + ``regexp_replace`` chain (one
+    projection, zero shuffle, zero UDFs) — scale-free map-side work.
+    Patterns live in :data:`PII_PATTERNS` and are restricted to the
+    regex subset Java and RE2 agree on, so the DuckDB oracle reproduces
+    the output byte-for-byte. Replacements apply in ``kinds`` order and
+    each count is taken on the text as the PREVIOUS replacements left
+    it; the default order runs ``ip`` before ``phone`` because a
+    dotted-quad also matches the looser phone pattern.
+
+    Output: ``(id_col, <out_col>, n_<kind>... )``.
+    """
+    out = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat, token = PII_PATTERNS[kind]
+        counts.append(F.regexp_count(out, F.lit(pat)))
+        out = F.regexp_replace(out, pat, token)
+    sel = [F.col(id_col), out.alias(out_col)] + [
+        c.cast("bigint").alias(f"n_{k}") for k, c in zip(kinds, counts)
+    ]
+    return spread(df, id_col).select(*sel)
 
 
 def tfidf_top_tokens(
