@@ -66,6 +66,8 @@ _CHECK_LAST = (
     "text_quality",  # green r3+r4; find_peaks takes its head slot in r5
     "fftshift_2d",  # green r4; text_redact takes its head slot in r5
     # (fftconvolve_2d keeps the 2-D family fresh in the head)
+    "lineitem_rollup",  # green r4; multimodal_audio_decode takes its
+    # head slot in r5 (tpch_q1/q3/q5/q6 keep the relational surface)
 )
 
 

@@ -409,3 +409,38 @@ def test_redact_masks_and_counts(spark):
     r2 = out.loc[2]
     assert r2["redacted"] == "no pii here"
     assert r2["n_email"] == r2["n_ip"] == r2["n_phone"] == 0
+
+
+def test_decode_wav_parses_riff_pcm():
+    """pure-numpy RIFF/WAVE parsing: 16-bit scaling, stereo interleave,
+    extra chunks before data, and the failure modes."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from xarray_scipy_spark.pipeline import audio_decoder, decode_wav
+
+    frames = [(-32768, 32767), (0, -1), (100, -100)]
+    data = struct.pack("<6h", *[s for fr in frames for s in fr])
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    x, sr = decode_wav(hdr + data)
+    assert sr == 44100 and x.shape == (3, 2)
+    np.testing.assert_allclose(x[0], [-1.0, 32767 / 32768])
+    np.testing.assert_allclose(x[2], [100 / 32768, -100 / 32768])
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(NotImplementedError, match="WAVE"):
+        audio_decoder(b"\xff\xfb\x90\x00mp3frame", 4)
+    # non-PCM format code refuses
+    bad = (
+        b"RIFF" + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt " + struct.pack("<IHHIIHH", 16, 3, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bad)

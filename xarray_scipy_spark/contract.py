@@ -1957,6 +1957,71 @@ def q_multimodal_real_decode(spark, sf_dir):
     )
 
 
+_WAV_SR = 8000
+
+
+@_q(
+    "multimodal_audio_decode",
+    "WITH dims AS ("
+    "  SELECT doc_id, 64 + doc_id % 32 AS n FROM documents"
+    "), vals AS ("
+    "  SELECT doc_id, n, list_transform(range(0, n), "
+    "    i -> (CAST((doc_id * 13 + i * 7) % 2048 AS DOUBLE) - 1024) / 32768) AS v"
+    "  FROM dims"
+    ") "
+    "SELECT doc_id, CAST(44 + 2 * n AS INTEGER) AS n_bytes, "
+    "round(sqrt(list_aggregate(list_transform(v, x -> x * x), 'avg')), 6) + 0.0 AS rms6, "
+    "round(list_aggregate(v, 'avg'), 6) + 0.0 AS mean6, "
+    "CAST(n AS DOUBLE) AS n_frames, "
+    f"CAST({_WAV_SR} AS DOUBLE) AS sample_rate FROM vals",
+)
+def q_multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decode path: each doc gets a synthetic 44-byte-header
+    RIFF/WAVE PCM16 mono payload whose samples follow
+    ``((doc_id·13 + i·7) mod 2048) − 1024``; ``audio_decoder``
+    (pure-numpy RIFF chunk walk, pipeline/multimodal.py) extracts
+    rms/mean/frame-count/sample-rate. The oracle recomputes the
+    features from the same sample formula, so header parsing, PCM16
+    scaling, and the feature math are all value-verified without any
+    audio library."""
+    import struct
+
+    import pandas as _pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 32
+                data = struct.pack(
+                    f"<{n}h", *(((d * 13 + i * 7) % 2048) - 1024 for i in range(n))
+                )
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_SR, _WAV_SR * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    res = pl.decode_features(with_payload, n_features=4, decoder=pl.audio_decoder)
+    return res.select(
+        "doc_id",
+        "n_bytes",
+        _r("f0", 6, "rms6"),
+        _r("f1", 6, "mean6"),
+        F.col("f2").alias("n_frames"),
+        F.col("f3").alias("sample_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational demos: the Catalyst-built-in surface over the same tables
 # ---------------------------------------------------------------------------

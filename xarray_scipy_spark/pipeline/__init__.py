@@ -44,8 +44,10 @@ from .text import (
 from .curate import curation_report
 from .sample import hash_uniform, split_assign, stratified_sample
 from .multimodal import (
+    audio_decoder,
     decode_features,
     decode_ppm,
+    decode_wav,
     frame_sample,
     image_decoder,
     resize_payload,
@@ -75,7 +77,9 @@ __all__ = [
     "with_binary",
     "decode_features",
     "decode_ppm",
+    "decode_wav",
     "image_decoder",
+    "audio_decoder",
     "frame_sample",
     "resize_payload",
     "curation_report",

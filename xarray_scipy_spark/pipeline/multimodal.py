@@ -8,11 +8,14 @@ invocation, so the Python decode cost is amortized across the batch
 and the operator composes with any upstream filter/projection (Catalyst
 prunes the payload column until the decode actually needs it).
 
-The container has no image/audio libraries, so the *real* decoders are
-stubbed behind clearly-marked ``NotImplementedError`` gates; the
-deterministic fallback decoder (md5-derived features) keeps the whole
-Spark-side contract — schema, batching, partitioning — real and
-testable, and is reproducible in SQL for the correctness oracle.
+Decoders: image (PPM/P6) and audio (RIFF/WAVE PCM) have REAL pure-numpy
+decode paths for the public uncompressed formats — header tokenizing,
+raster/PCM scaling, feature math, all value-verified by arithmetic
+oracles (``multimodal_real_decode`` / ``multimodal_audio_decode``).
+Compressed formats (PNG/JPEG, mp3/ogg) and video containers need
+libraries this container does not ship and stay behind clearly-marked
+``NotImplementedError`` gates; the deterministic fallback decoder
+(md5-derived features) keeps that plumbing testable and SQL-reproducible.
 """
 
 from __future__ import annotations
@@ -31,6 +34,8 @@ __all__ = [
     "fake_decoder",
     "decode_ppm",
     "image_decoder",
+    "decode_wav",
+    "audio_decoder",
     "frame_sample",
     "video_frame_decoder",
     "resize_payload",
@@ -118,6 +123,71 @@ def image_decoder(payload: bytes, n_features: int) -> list[float]:
     raise NotImplementedError(
         "only uncompressed PPM (P6) decodes without an imaging library; "
         "PNG/JPEG/... require PIL/cv2, not present in this environment"
+    )
+
+
+def decode_wav(payload: bytes):
+    """Pure-numpy decoder for RIFF/WAVE PCM (8/16-bit, any channel
+    count) — a public uncompressed format needing no audio library.
+    Walks the RIFF chunk list (handles extra chunks like LIST/fact
+    before data). Returns ``(samples, sample_rate)`` with ``samples``
+    an ``(n_frames, n_channels)`` float64 array scaled to [-1, 1)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"only PCM (format 1) supported, got {audio_format}")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:  # unsigned in WAV
+        raw = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    n_frames = len(raw) // n_channels
+    return raw[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
+def audio_decoder(payload: bytes, n_features: int) -> list[float]:
+    """Audio feature extraction with a REAL pure-numpy decode path for
+    RIFF/WAVE PCM payloads: features are ``[rms_ch0, mean_ch0,
+    n_frames, sample_rate, n_channels]`` (zero-padded / truncated to
+    ``n_features``). Compressed codecs (mp3/ogg/aac) require an audio
+    library this container does not ship and raise."""
+    import numpy as np
+
+    if payload[:4] == b"RIFF":
+        x, sr = decode_wav(payload)
+        ch0 = x[:, 0] if x.size else np.zeros(1)
+        return (
+            [
+                float(np.sqrt(np.mean(ch0 * ch0))),
+                float(np.mean(ch0)),
+                float(x.shape[0]),
+                float(sr),
+                float(x.shape[1]),
+            ]
+            + [0.0] * n_features
+        )[:n_features]
+    raise NotImplementedError(
+        "only uncompressed RIFF/WAVE PCM decodes without an audio library; "
+        "mp3/ogg/aac require ffmpeg/librosa, not present in this environment"
     )
 
 
