@@ -68,6 +68,8 @@ _CHECK_LAST = (
     # (fftconvolve_2d keeps the 2-D family fresh in the head)
     "lineitem_rollup",  # green r4; multimodal_audio_decode takes its
     # head slot in r5 (tpch_q1/q3/q5/q6 keep the relational surface)
+    "curation_report",  # green r3+r4, composes already-checked
+    # primitives; text_repetition takes its head slot in r5
 )
 
 

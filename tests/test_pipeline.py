@@ -444,3 +444,26 @@ def test_decode_wav_parses_riff_pcm():
     )
     with pytest.raises(ValueError, match="PCM"):
         decode_wav(bad)
+
+
+def test_repetition_stats_known_values(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b a b a b",        # 6 tokens, 2 distinct; "a b" x3 of 5
+                    "all words unique here",
+                    "solo",               # one token: no bigrams
+                ],
+            }
+        )
+    )
+    out = pl.repetition_stats(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 6
+    assert abs(out.loc[1, "dup_token_frac"] - (1 - 2 / 6)) < 1e-12
+    assert abs(out.loc[1, "top_bigram_share"] - 3 / 5) < 1e-12
+    assert out.loc[2, "dup_token_frac"] == 0.0
+    assert abs(out.loc[2, "top_bigram_share"] - 1 / 3) < 1e-12
+    assert out.loc[3, "n_tokens"] == 1
+    assert out.loc[3, "top_bigram_share"] == 0.0

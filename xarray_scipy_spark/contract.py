@@ -1763,6 +1763,36 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+@_q(
+    "text_repetition",
+    f"WITH {_TOKS}, "
+    "u AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS d "
+    "FROM toks WHERE len(tk) > 0), "
+    "b AS (SELECT doc_id, len(tk) - 1 AS n_bi, "
+    "unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg "
+    "FROM toks WHERE len(tk) >= 2), "
+    "bc AS (SELECT doc_id, bg, count(*) AS c, any_value(n_bi) AS n_bi "
+    "FROM b GROUP BY doc_id, bg), "
+    "tb AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / any_value(n_bi) AS share "
+    "FROM bc GROUP BY doc_id) "
+    "SELECT u.doc_id, CAST(u.n AS BIGINT) AS n_tokens, "
+    "round(1.0 - CAST(u.d AS DOUBLE) / u.n, 6) + 0.0 AS dupfrac6, "
+    "round(coalesce(tb.share, 0.0), 6) + 0.0 AS topbi6 "
+    "FROM u LEFT JOIN tb ON tb.doc_id = u.doc_id",
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-token
+    fraction + top-bigram share per doc (pipeline/text.py
+    repetition_stats). Oracle rebuilds both with DuckDB list lambdas."""
+    res = pl.repetition_stats(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        _r("dup_token_frac", 6, "dupfrac6"),
+        _r("top_bigram_share", 6, "topbi6"),
+    )
+
+
 def _redact_oracle() -> str:
     from .pipeline.text import PII_PATTERNS
 

@@ -38,6 +38,7 @@ from .text import (
     lang_id,
     quality_score,
     redact,
+    repetition_stats,
     tfidf_top_tokens,
     token_stats,
 )
@@ -74,6 +75,7 @@ __all__ = [
     "fingerprint",
     "decontaminate",
     "redact",
+    "repetition_stats",
     "with_binary",
     "decode_features",
     "decode_ppm",

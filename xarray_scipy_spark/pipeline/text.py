@@ -22,6 +22,7 @@ __all__ = [
     "tfidf_top_tokens",
     "decontaminate",
     "redact",
+    "repetition_stats",
     "PII_PATTERNS",
     "LANG_MARKERS",
 ]
@@ -155,6 +156,70 @@ def fingerprint(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         F.expr(expr).alias("fingerprint"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-style quality
+    filters :func:`quality_score` doesn't cover): per document,
+
+    - ``dup_token_frac`` — ``1 − distinct_tokens / n_tokens`` (what
+      fraction of the text is repeated words);
+    - ``top_bigram_share`` — occurrences of the most frequent word
+      bigram over all ``n_tokens − 1`` bigrams (catches boilerplate
+      loops that unique-token ratios miss).
+
+    Docs with one token (no bigrams) report share 0. Pure Catalyst:
+    two explode→aggregate chains joined on the doc id; everything
+    partial-aggregates map-side, so the shuffles carry per-doc
+    partials, not token rows.
+
+    Output: ``(id_col, n_tokens, dup_token_frac, top_bigram_share)``.
+    """
+    toks = spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("tk"))
+    tok = toks.select(
+        F.col(id_col), F.size("tk").alias("n"), F.explode_outer("tk").alias("t")
+    ).filter(F.col("t").isNotNull())
+    uniq = tok.groupBy(id_col).agg(
+        F.first("n").alias("n_tokens"),
+        F.count_distinct("t").alias("n_distinct"),
+    )
+    # explode_outer + null filter, NOT plain explode: explode's inferred
+    # size()>0 filter gets pushed below the spread() repartition with
+    # the tokenizer re-inlined, re-running it serially on the unsplit
+    # scan (same trap dedup._with_shingles documents)
+    bigrams = toks.filter(F.size("tk") >= 2).select(
+        F.col(id_col),
+        (F.size("tk") - 1).alias("n_bi"),
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    ).filter(F.col("bg").isNotNull())
+    top_bi = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("n_bi").alias("n_bi"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.first("n_bi")).alias("top_bigram_share"))
+    )
+    return (
+        uniq.join(top_bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")
+            ).alias("dup_token_frac"),
+            F.coalesce(F.col("top_bigram_share"), F.lit(0.0)).alias(
+                "top_bigram_share"
+            ),
+        )
     )
 
 
