@@ -102,3 +102,40 @@ def test_sosfilt_linearity_and_state_composition(x, a, data):
     ya, zf = sosfilt_1d(sos, x[:split], zi=sosfilt_zi(sos) * 0.0)
     yb, _ = sosfilt_1d(sos, x[split:], zi=zf)
     np.testing.assert_allclose(np.concatenate([ya, yb]), y1, atol=1e-6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(x=_arr(60, 128), data=st.data())
+def test_sosfiltfilt_padtype_invariants(x, data):
+    """For every padtype: constant input passes through unchanged (the
+    extension of a constant is the constant under odd/even/constant
+    alike), and batched-vs-1D stay sample-exact on arbitrary input."""
+    from xarray_scipy_spark.kernels.dsp import sosfiltfilt_1d, sosfiltfilt_ragged
+
+    sos = butter_sos(4, 0.3)
+    padtype = data.draw(st.sampled_from(["odd", "even", "constant", None]))
+    c = data.draw(_f64)
+    const = np.full(len(x), c)
+    y = sosfiltfilt_1d(sos, const, padtype=padtype)
+    np.testing.assert_allclose(y, c, atol=1e-8 * max(1.0, abs(c)) + 1e-8)
+    ragged = sosfiltfilt_ragged(
+        sos, x[None, :], np.array([len(x)]), padtype=padtype
+    )
+    np.testing.assert_allclose(
+        ragged[0], sosfiltfilt_1d(sos, x, padtype=padtype), atol=1e-9
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=_arr(8, 96), num=st.integers(4, 200))
+def test_resample_freq_agrees_with_time_domain(x, num):
+    """domain='freq' on fft(x) == domain='time' on x, for every (n, num)
+    combination — and the output is complex with ~0 imaginary part."""
+    from xarray_scipy_spark.kernels.dsp import resample_fourier, resample_fourier_freq
+
+    yt = resample_fourier(x, num)
+    yf = resample_fourier_freq(np.fft.fft(x), num)
+    assert yf.shape[-1] == num
+    scale = max(1.0, np.abs(x).max())
+    np.testing.assert_allclose(yf.real, yt, atol=1e-9 * scale)
+    np.testing.assert_allclose(yf.imag, 0.0, atol=1e-9 * scale)
