@@ -72,6 +72,8 @@ _CHECK_LAST = (
     # head slot in r5 (tpch_q1/q3/q5/q6 keep the relational surface)
     "curation_report",  # green r3+r4, composes already-checked
     # primitives; text_repetition takes its head slot in r5
+    "resample",  # green r3+r4; resample_freq keeps the family fresh
+    # while dataset_mix takes this head slot in r5
 )
 
 

@@ -467,3 +467,31 @@ def test_repetition_stats_known_values(spark):
     assert abs(out.loc[2, "top_bigram_share"] - 1 / 3) < 1e-12
     assert out.loc[3, "n_tokens"] == 1
     assert out.loc[3, "top_bigram_share"] == 0.0
+
+
+def test_mix_datasets_rates_and_determinism(spark):
+    import numpy as np
+
+    pdf = pd.DataFrame({"doc_id": np.arange(4000, dtype="int64")})
+    a = spark.createDataFrame(pdf)
+    b = spark.createDataFrame(pdf)
+    out = pl.mix_datasets({"a": a, "b": b}, {"a": 1.0, "b": 0.25}).toPandas()
+    na = (out["source"] == "a").sum()
+    nb = (out["source"] == "b").sum()
+    assert na == 4000  # rate 1.0 keeps everything
+    assert abs(nb / 4000 - 0.25) < 0.03
+    # rerun-stable: the exact same ids survive
+    again = pl.mix_datasets({"a": a, "b": b}, {"a": 1.0, "b": 0.25}).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
+    # sources sample INDEPENDENTLY (different salts): b's survivors are
+    # not just "the first 25% of a's hash order" shared across names
+    c = pl.mix_datasets({"c": b}, {"c": 0.25}).toPandas()
+    assert set(c["doc_id"]) != set(out.loc[out["source"] == "b", "doc_id"])
+    import pytest
+
+    with pytest.raises(ValueError, match="rate"):
+        pl.mix_datasets({"a": a}, {"a": 1.5})
+    with pytest.raises(KeyError, match="unknown"):
+        pl.mix_datasets({"a": a}, {"zzz": 0.5})

@@ -1710,6 +1710,39 @@ def q_dataset_split(spark, sf_dir):
     return res.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
 
 
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
+
+
+@_q(
+    "dataset_mix",
+    "WITH m AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS source FROM documents WHERE lang = '{lang}' "
+        f"AND (('0x' || substring(md5('mix|{lang}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" / 16.0^15) < {rate}"
+        for lang, rate in _MIX_RATES.items()
+    )
+    + ") SELECT source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id "
+    "FROM m GROUP BY source",
+)
+def q_dataset_mix(spark, sf_dir):
+    """Weighted domain mixture (pipeline/sample.py mix_datasets): the
+    documents table split by lang plays three sources sampled at
+    1.0/0.5/0.25; grouped counts + id extrema pin the exact survivor
+    set. Deterministic salted-hash Bernoulli per source — pure
+    projection, rerun-stable, no shuffle before the audit aggregate."""
+    docs = _docs(spark, sf_dir)
+    sources = {
+        lang: docs.filter(F.col("lang") == lang) for lang in _MIX_RATES
+    }
+    mixed = pl.mix_datasets(sources, _MIX_RATES)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def _lang_filter_sql(lang_words) -> str:
     return "(" + " OR ".join(f"x = '{w}'" for w in lang_words) + ")"
 

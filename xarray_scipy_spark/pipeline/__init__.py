@@ -43,7 +43,7 @@ from .text import (
     token_stats,
 )
 from .curate import curation_report
-from .sample import hash_uniform, split_assign, stratified_sample
+from .sample import hash_uniform, mix_datasets, split_assign, stratified_sample
 from .multimodal import (
     audio_decoder,
     decode_features,
@@ -86,6 +86,7 @@ __all__ = [
     "resize_payload",
     "curation_report",
     "hash_uniform",
+    "mix_datasets",
     "split_assign",
     "stratified_sample",
 ]

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .hashes import _c
 
-__all__ = ["hash_uniform", "split_assign", "stratified_sample"]
+__all__ = ["hash_uniform", "split_assign", "stratified_sample", "mix_datasets"]
 
 # 16^15 — the number of 15-hex-char values; dividing the h60 hash by
 # this maps it to [0, 1) with ~2^-60 granularity
@@ -72,6 +72,44 @@ def split_assign(
     for name, hi in reversed(conds):
         expr = F.when(u < F.lit(hi), F.lit(name)).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def mix_datasets(
+    sources: Mapping[str, DataFrame],
+    rates: Mapping[str, float],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted domain mixture: the corpus-assembly step that samples
+    each source dataset at its own rate and unions the survivors,
+    tagging provenance — e.g. ``rates={"web": 0.3, "code": 1.0}``
+    keeps 30% of web docs and all code docs.
+
+    Deterministic and rerun-stable like everything in this module: the
+    keep decision is ``hash_uniform(id, salt|source) < rate`` — a pure
+    per-row expression, no shuffle, no sampling state, reproducible in
+    DuckDB. A rate > 1 raises (upsampling/duplication is a different
+    operation — repeat the source in ``sources`` under distinct names
+    if oversampling is intended).
+
+    Output: the common columns of all sources plus ``source_col``.
+    """
+    if set(rates) - set(sources):
+        raise KeyError(f"rates for unknown sources: {sorted(set(rates) - set(sources))}")
+    out = None
+    for name, df in sources.items():
+        rate = float(rates.get(name, 1.0))
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {rate}")
+        part = df.filter(
+            hash_uniform(id_col, salt=f"{salt}|{name}") < F.lit(rate)
+        ).withColumn(source_col, F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("no sources given")
+    return out
 
 
 def stratified_sample(
