@@ -93,12 +93,16 @@ def find_peaks(
     run ``scipy.signal.find_peaks``; an engine user needs it in-engine).
 
     Pure Catalyst windows, no UDF, one shuffle (the window sort on the
-    series key): a sample is a peak when it exceeds BOTH neighbors
-    (scipy's strict-inequality core; plateaus are not peaks here, and
-    series edges never qualify — both match scipy). Optional scipy-style
-    filters: ``height`` keeps peaks with ``value >= height``;
-    ``threshold`` additionally requires ``min(value - left, value -
-    right) >= threshold``.
+    series key): a sample is a peak when it exceeds BOTH immediate
+    neighbors. NOTE this is stricter than ``scipy.signal.find_peaks``,
+    which also detects flat-top peaks (plateau midpoints via its
+    ``_local_maxima_1d``); here plateaus are intentionally NOT peaks —
+    a deliberate divergence kept because the single-lag window plan is
+    shuffle-minimal and the testdata series are strictly-varying floats
+    where plateaus don't occur. Series edges never qualify (matches
+    scipy). Optional scipy-style filters: ``height`` keeps peaks with
+    ``value >= height``; ``threshold`` additionally requires
+    ``min(value - left, value - right) >= threshold``.
 
     Output: ``[*by, peak, index, <dim>, <value>]`` with ``peak`` the
     0-based rank of the peak within its series (the ``"peak"`` core dim

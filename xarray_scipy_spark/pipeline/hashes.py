@@ -14,6 +14,8 @@ engines. Seeded variants prepend ``"<seed>|"`` to the input.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
 
 __all__ = [
@@ -60,9 +62,8 @@ def spread(df, *cols):
         files = []
     if not files:
         return df
-    max_bytes = int(
-        str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-        .rstrip("b")
+    max_bytes = _size_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     import os
 
@@ -80,6 +81,22 @@ def spread(df, *cols):
     if est >= target:
         return df
     return df.repartition(target, *[_c(c) for c in cols]) if cols else df.repartition(target)
+
+
+_SIZE_UNITS = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+
+
+def _size_bytes(v, default: int = 134_217_728) -> int:
+    """Parse Spark's human-readable byte-size strings (``128m``,
+    ``256MB``, ``134217728``) the way Spark itself accepts them:
+    optional 1024-based suffix b/k(b)/m(b)/g(b)/t(b)/p(b), any case.
+    Falls back to ``default`` on anything unparseable — this feeds a
+    partitioning heuristic, which must never turn into a hard failure."""
+    s = str(v).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?", s)
+    if not m:
+        return default
+    return int(m.group(1)) * _SIZE_UNITS[m.group(2)]
 
 
 def tokens(text) -> Column:

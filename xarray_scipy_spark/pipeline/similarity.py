@@ -82,14 +82,21 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, vec_col).collect()
-    if max_broadcast_queries is not None and len(qrows) > max_broadcast_queries:
-        raise ValueError(
-            f"query side has {len(qrows)} rows > max_broadcast_queries="
-            f"{max_broadcast_queries}: a broadcast cross join at this "
-            "size is a scale hazard — use cosine_topk_ivf / "
-            "cosine_topk_lsh, or raise the limit explicitly"
-        )
+    qside = queries.select(id_col, vec_col)
+    if max_broadcast_queries is not None:
+        # Count BEFORE collect: the guard must refuse without ever
+        # materializing an oversized query set on the driver. limit(cap+1)
+        # bounds the count job itself — Spark stops scanning once cap+1
+        # rows exist, so even a pathological query side costs O(cap).
+        probe = qside.limit(max_broadcast_queries + 1).count()
+        if probe > max_broadcast_queries:
+            raise ValueError(
+                f"query side exceeds max_broadcast_queries="
+                f"{max_broadcast_queries}: a broadcast cross join at this "
+                "size is a scale hazard — use cosine_topk_ivf / "
+                "cosine_topk_lsh, or raise the limit explicitly"
+            )
+    qrows = qside.collect()
     id_type = dict(corpus.dtypes)[id_col]
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
     spark = corpus.sparkSession
@@ -118,6 +125,11 @@ def cosine_topk(
                 else:
                     kth = np.full(sims.shape[1], -np.inf)
                 ii, jj = np.nonzero(sims >= kth[None, :] - eps)
+                # When a batch has <= k rows, kth is -inf and the masked
+                # self-similarities (-inf) pass `-inf >= -inf` — drop all
+                # non-finite candidates so self-matches never surface.
+                finite = np.isfinite(sims[ii, jj])
+                ii, jj = ii[finite], jj[finite]
                 outs.append(
                     pd.DataFrame(
                         {
