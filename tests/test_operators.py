@@ -753,6 +753,69 @@ def test_istft_roundtrip_reconstructs(spark, sine_df, sine_pdf):
     )
 
 
+def test_istft_fused_and_spectral_apply_match_native(spark, sine_df):
+    """The three physical strategies for the inverse — native OLA
+    (frame-parallel), fused istft (one exchange on the spectrum), and
+    spectral_apply's single-kernel roundtrip — must produce identical
+    rows: same plan semantics, different exchanges."""
+    fl, hop = 32, 16
+    spec = xss.stft(
+        sine_df, by=["channel"], dim="time", frame_len=fl, hop=hop, window="hann"
+    )
+    native = xss.istft(
+        spec, by=["channel"], frame_len=fl, hop=hop, window="hann"
+    ).toPandas().sort_values(["channel", "t"], ignore_index=True)
+    fused = xss.istft(
+        spec, by=["channel"], frame_len=fl, hop=hop, window="hann",
+        reconstruct="fused",
+    ).toPandas().sort_values(["channel", "t"], ignore_index=True)
+    one_pass = xss.spectral_apply(
+        sine_df, by=["channel"], dim="time", frame_len=fl, hop=hop, window="hann"
+    ).toPandas().sort_values(["channel", "t"], ignore_index=True)
+    assert native[["channel", "t"]].equals(fused[["channel", "t"]])
+    assert native[["channel", "t"]].equals(one_pass[["channel", "t"]])
+    np.testing.assert_allclose(fused["value"], native["value"], atol=1e-9)
+    np.testing.assert_allclose(one_pass["value"], native["value"], atol=1e-9)
+
+
+def test_spectral_apply_transform_masks_bins(spark, sine_df, sine_pdf):
+    """A zero-everything transform returns (near-)zero signal; a
+    band-keep mask around the tone bin preserves the sine — the
+    modify-resynthesize contract actually applies the transform."""
+    fl, hop = 32, 16
+
+    def zero_all(spec):
+        return np.zeros_like(spec)
+
+    z = xss.spectral_apply(
+        sine_df, by=["channel"], dim="time", frame_len=fl, hop=hop,
+        window="hann", transform=zero_all,
+    ).toPandas()
+    assert (z["value"].abs() < 1e-12).all()
+
+    tone_bin = int(round(F0 / (FS / fl)))
+
+    def keep_tone(spec):
+        out = np.zeros_like(spec)
+        out[:, :, tone_bin] = spec[:, :, tone_bin]
+        return out
+
+    kept = (
+        xss.spectral_apply(
+            sine_df, by=["channel"], dim="time", frame_len=fl, hop=hop,
+            window="hann", transform=keep_tone,
+        )
+        .filter(F.col("channel") == 2)
+        .orderBy("t")
+        .toPandas()
+    )
+    base = sine_pdf[sine_pdf.channel == 2].sort_values("time")["value"].to_numpy()
+    # interior samples (away from OLA edges) keep the tone's energy
+    mid = slice(fl, len(kept) - fl)
+    corr = np.corrcoef(kept["value"].to_numpy()[mid], base[1 : len(kept) + 1][mid])[0, 1]
+    assert corr > 0.95
+
+
 def test_find_peaks_filters_and_contract(spark):
     """strict maxima only; height/threshold filters; output frame feeds
     peak_widths directly."""

@@ -40,6 +40,7 @@ from .operators import (
     sosfilt,
     sosfilt_chunked,
     sosfiltfilt,
+    spectral_apply,
     stft,
     welch,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "sosfilt_chunked",
     "sos_from_dataframe",
     "istft",
+    "spectral_apply",
     "stft",
     "welch",
     "asof_join",

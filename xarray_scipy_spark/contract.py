@@ -578,10 +578,44 @@ def q_stft(spark, sf_dir):
     f"AND j <= ((n - {_STFT_FL}) // {_STFT_HOP}) * {_STFT_HOP} + {_STFT_FL - 1}",
 )
 def q_istft_roundtrip(spark, sf_dir):
-    """stft → istft round trip (Hann, frame 16, hop 8): per-frame irfft
-    through the grouped kernel, then the overlap-add as a NATIVE
-    groupBy(t) aggregation — Σ w·y / Σ w² — entirely in whole-stage
-    codegen. Oracle = the original series on the covered positions."""
+    """stft → istft round trip (Hann, frame 16, hop 8) through
+    :func:`operators.spectral_apply` with the identity transform — the
+    fused analysis/resynthesis pass: frame, rfft, irfft and the
+    least-squares overlap-add all run inside ONE grouped kernel, so the
+    roundtrip pays a single bucket exchange (the two-operator
+    composition pays two Python stages for the same math; each costs
+    ~0.5 s of fixed stage latency locally regardless of data size).
+    Oracle = the original series on the covered positions. The
+    compositional stft→istft plans stay driver-verified against the
+    SAME oracle as ``istft_native``."""
+    rec = ops.spectral_apply(
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        frame_len=_STFT_FL,
+        hop=_STFT_HOP,
+        window="hann",
+        transform=None,
+    )
+    return rec.select("user_id", "t", _r("value", 4, "val4"))
+
+
+@_q(
+    "istft_native",
+    # same reconstruction semantics as istft_roundtrip, hence the same
+    # oracle: the windowed least-squares overlap-add reproduces the
+    # original samples on every covered position with nonzero weight
+    f"WITH {_S} "
+    "SELECT user_id, j AS t, round(x, 4) + 0.0 AS val4 "
+    f"FROM s WHERE n >= {_STFT_FL} AND j >= 1 "
+    f"AND j <= ((n - {_STFT_FL}) // {_STFT_HOP}) * {_STFT_HOP} + {_STFT_FL - 1}",
+)
+def q_istft_native(spark, sf_dir):
+    """stft → istft with the frame-parallel NATIVE overlap-add plan
+    (per-frame irfft keyed by (series, frame), then reconstruction as a
+    groupBy(t) aggregation in whole-stage codegen — the scale path for
+    series longer than one worker's memory). Same oracle as the fused
+    roundtrip: both strategies must reproduce the original series."""
     spec = ops.stft(
         _events(spark, sf_dir),
         by=["user_id"],

@@ -9,7 +9,7 @@ from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join
 from .peaks import find_peaks, peak_widths
 from .resample import decimate, resample
-from .spectral import coherence, csd, istft, stft, welch
+from .spectral import coherence, csd, istft, spectral_apply, stft, welch
 
 __all__ = [
     "convolve",
@@ -35,6 +35,7 @@ __all__ = [
     "sosfilt_chunked",
     "sos_from_dataframe",
     "istft",
+    "spectral_apply",
     "stft",
     "welch",
     "asof_join",

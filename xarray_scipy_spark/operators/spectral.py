@@ -25,14 +25,22 @@ Design notes (100 TB):
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..core import apply_cogrouped_kernel, apply_series_kernel, resolve_keep_attrs
 
-__all__ = ["stft", "istft", "welch", "csd", "coherence", "window_taps"]
+__all__ = [
+    "stft",
+    "istft",
+    "spectral_apply",
+    "welch",
+    "csd",
+    "coherence",
+    "window_taps",
+]
 
 
 def window_taps(window: str | Sequence[float] | None, frame_len: int) -> np.ndarray:
@@ -146,12 +154,15 @@ def istft(
     im_col: str = "im",
     out: str = "value",
     weight_eps: float = 1e-12,
+    reconstruct: str = "native",
 ) -> DataFrame:
     """Inverse STFT by windowed least-squares overlap-add.
 
     Input: :func:`stft` output (one row per (series, frame, bin) with
     twin ``re``/``im``); ``frame_len``/``hop``/``window`` must match the
-    forward transform. Two-stage plan, Spark-first:
+    forward transform. Two physical strategies, same result:
+
+    ``reconstruct="native"`` (default) — two-stage plan:
 
     1. per-frame ``irfft`` through the grouped kernel with
        ``(by, frame)`` as the series key and ``bin`` as the core dim —
@@ -160,7 +171,18 @@ def istft(
        sample lands at ``t = frame·hop + i`` with window weight
        ``w[i]``, and ``x[t] = Σ_f w·y_f / Σ_f w²`` — a groupBy(t) with
        two sums, entirely inside whole-stage codegen. No Python touches
-       the reconstruction.
+       the reconstruction. This is the scale path for very LONG series:
+       frames parallelize across partitions, so no worker ever holds a
+       whole series.
+
+    ``reconstruct="fused"`` — one-stage plan: series key is ``by``
+    alone and the kernel does irfft AND the overlap-add in one
+    vectorized pass over each ``(series, frame, bin)`` block. ONE
+    bucket exchange total, no reconstruction shuffle — strictly fewer
+    exchanges when a whole series (the same bound every other grouped
+    kernel here assumes) fits a worker. Per-block drop positions are
+    geometry-constant (they depend only on ``n``, ``hop``, ``taps``),
+    so equal-length blocks stay rectangular.
 
     Since ``y_f = w·x`` exactly, the quotient reproduces the original
     samples exactly wherever any covering window tap is nonzero;
@@ -174,6 +196,42 @@ def istft(
     hop = frame_len // 2 if hop is None else hop
     taps = window_taps(window, frame_len)
     by = list(by)
+    n_bins = frame_len // 2 + 1
+    if reconstruct not in ("native", "fused"):
+        raise ValueError(f"reconstruct must be 'native' or 'fused', got {reconstruct!r}")
+
+    if reconstruct == "fused":
+
+        def fused_kernel(re_block, im_block):
+            n_series, n = re_block.shape
+            n_frames = n // n_bins
+            spec = (re_block + 1j * im_block).reshape(n_series, n_frames, n_bins)
+            seg = np.fft.irfft(spec, n=frame_len, axis=-1)  # (s, f, frame_len)
+            t_len = (n_frames - 1) * hop + frame_len
+            num = np.zeros((n_series, t_len))
+            den = np.zeros(t_len)
+            f_off = hop * np.arange(n_frames)
+            for i in range(frame_len):
+                # positions i + hop*f are distinct across frames for
+                # fixed i (stride hop), so fancy-index += is collision-free
+                pos = f_off + i
+                num[:, pos] += taps[i] * seg[:, :, i]
+                den[pos] += taps[i] * taps[i]
+            kept = np.flatnonzero(den > weight_eps)
+            val = num[:, kept] / den[kept]
+            t_out = np.broadcast_to(kept.astype(np.int64), (n_series, len(kept)))
+            return {"t": t_out, "val": val.astype(float)}
+
+        res = apply_series_kernel(
+            df,
+            fused_kernel,
+            by=by,
+            order=[frame_col, bin_col],
+            values=[re_col, im_col],
+            out_fields="t bigint, val double",
+            emit_idx=False,
+        )
+        return res.select(*by, "t", F.col("val").alias(out))
 
     def kernel(re_block, im_block):
         seg = np.fft.irfft(re_block + 1j * im_block, n=frame_len, axis=-1)
@@ -201,6 +259,95 @@ def istft(
         .filter(F.col("__den__") > weight_eps)
         .select(*by, "t", (F.col("__num__") / F.col("__den__")).alias(out))
     )
+
+
+def spectral_apply(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    frame_len: int,
+    hop: int | None = None,
+    window: str | Sequence[float] | None = "hann",
+    transform: Callable[[np.ndarray], np.ndarray] | None = None,
+    values: Sequence[str] = ("value",),
+    order: str | Sequence[str] | None = None,
+    out: str = "value",
+    weight_eps: float = 1e-12,
+) -> DataFrame:
+    """STFT-domain processing in ONE kernel exchange: frame → window →
+    ``rfft`` → ``transform(spectrum)`` → ``irfft`` → least-squares
+    overlap-add, all inside a single grouped kernel pass.
+
+    The analysis/modify/resynthesize pattern (spectral masking, noise
+    gating, per-bin filtering) normally composes :func:`stft` +
+    :func:`istft`, which pays two bucket exchanges — correct, but the
+    intermediate (series, frame, bin) frame is pure plumbing when the
+    caller only wants the reconstructed signal. Here the spectrum never
+    leaves the kernel: one shuffle of the raw samples, one Python
+    stage, numpy-vectorized across series. Per-worker memory bound is
+    one series plus its spectrum — the same contract as every other
+    grouped kernel.
+
+    ``transform`` maps the complex spectrum block ``(n_series,
+    n_frames, n_bins)`` to a same-shape array; ``None`` is the
+    identity, making this the fused ``istft(stft(x))`` roundtrip —
+    bitwise the same semantics as the two-operator composition (the
+    ``istft_roundtrip``/``istft_native`` contract queries pin both
+    executions to one oracle).
+
+    Output: ``[*by, t, <out>]`` like :func:`istft`; positions whose
+    total window weight ≤ ``weight_eps`` are dropped, and the tail
+    beyond the last full frame was never framed.
+    """
+    hop = frame_len // 2 if hop is None else hop
+    if hop < 1 or frame_len < 1:
+        raise ValueError("frame_len and hop must be >= 1")
+    taps = window_taps(window, frame_len)
+    n_bins = frame_len // 2 + 1
+    by = list(by)
+    values = list(values)
+
+    def kernel(*blocks):
+        x = blocks[0]
+        n_series = x.shape[0]
+        fr = _frames(x, frame_len, hop) * taps
+        n_frames = fr.shape[1]
+        if n_frames == 0:
+            z = np.zeros((n_series, 0))
+            return {"t": z.astype(np.int64), "val": z}
+        spec = np.fft.rfft(fr, axis=-1)
+        if transform is not None:
+            spec = np.asarray(transform(spec))
+            if spec.shape != (n_series, n_frames, n_bins):
+                raise ValueError(
+                    f"transform must preserve the spectrum shape "
+                    f"{(n_series, n_frames, n_bins)}, got {spec.shape}"
+                )
+        seg = np.fft.irfft(spec, n=frame_len, axis=-1)
+        t_len = (n_frames - 1) * hop + frame_len
+        num = np.zeros((n_series, t_len))
+        den = np.zeros(t_len)
+        f_off = hop * np.arange(n_frames)
+        for i in range(frame_len):
+            pos = f_off + i  # distinct across frames for fixed i
+            num[:, pos] += taps[i] * seg[:, :, i]
+            den[pos] += taps[i] * taps[i]
+        kept = np.flatnonzero(den > weight_eps)
+        val = num[:, kept] / den[kept]
+        t_out = np.broadcast_to(kept.astype(np.int64), (n_series, len(kept)))
+        return {"t": t_out, "val": val.astype(float)}
+
+    res = apply_series_kernel(
+        df,
+        kernel,
+        by=by,
+        order=order or dim,
+        values=values,
+        out_fields="t bigint, val double",
+        emit_idx=False,
+    )
+    return res.select(*by, "t", F.col("val").alias(out))
 
 
 def welch(
