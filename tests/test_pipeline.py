@@ -347,8 +347,41 @@ def test_decode_ppm_parses_netpbm_headers():
         decode_ppm(b"P5\n2 2\n255\n" + raster)
     with pytest.raises(ValueError, match="maxval"):
         decode_ppm(b"P6\n2 2\n65535\n" + raster)
-    with pytest.raises(NotImplementedError, match="PPM"):
-        image_decoder(b"\x89PNG\r\n\x1a\n....", 4)
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        image_decoder(b"\xff\xd8\xff\xe0jpeg-ish", 4)  # JPEG magic: no lib
+
+
+def test_png_encode_decode_roundtrip_all_filters():
+    """Pure-stdlib PNG codec: encode (rows cycle filter types 0-4) then
+    decode must reproduce pixels exactly for gray/GA/RGB/RGBA, odd
+    dims, and degenerate 1-pixel-wide shapes; error paths raise."""
+    import numpy as np
+    import pytest
+
+    from xarray_scipy_spark.pipeline import decode_png, encode_png, image_decoder
+
+    rng = np.random.default_rng(7)
+    for shape in [(3, 4), (7, 5, 1), (11, 9, 2), (6, 13, 3), (23, 17, 4), (1, 1, 3), (12, 1, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        dec, w, h = decode_png(encode_png(px))
+        ref = px[:, :, None] if px.ndim == 2 else px
+        np.testing.assert_array_equal(dec, ref)
+        assert (w, h) == (ref.shape[1], ref.shape[0])
+    # smooth gradient: filter-friendly content, 50 rows => 10 full cycles
+    yy, xx = np.mgrid[0:50, 0:40]
+    px = np.stack(
+        [(yy * 3 + xx) % 256, (yy + xx * 2) % 256, (yy * 2 + xx * 5) % 256], axis=-1
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(px))[0], px)
+    feats = image_decoder(encode_png(px), 5)
+    np.testing.assert_allclose(
+        feats[:3], px.reshape(-1, 3).mean(axis=0, dtype=np.float64), atol=1e-12
+    )
+    assert feats[3:] == [40.0, 50.0]
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"nope")
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"XXXX")
 
 
 def raster_means(raster: bytes):

@@ -47,8 +47,10 @@ from .sample import hash_uniform, mix_datasets, split_assign, stratified_sample
 from .multimodal import (
     audio_decoder,
     decode_features,
+    decode_png,
     decode_ppm,
     decode_wav,
+    encode_png,
     frame_sample,
     image_decoder,
     resize_payload,
@@ -81,6 +83,8 @@ __all__ = [
     "decode_ppm",
     "decode_wav",
     "image_decoder",
+    "decode_png",
+    "encode_png",
     "audio_decoder",
     "frame_sample",
     "resize_payload",

@@ -33,6 +33,8 @@ __all__ = [
     "decode_features",
     "fake_decoder",
     "decode_ppm",
+    "decode_png",
+    "encode_png",
     "image_decoder",
     "decode_wav",
     "audio_decoder",
@@ -40,6 +42,9 @@ __all__ = [
     "video_frame_decoder",
     "resize_payload",
 ]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
 
 
 def with_binary(
@@ -107,23 +112,181 @@ def decode_ppm(payload: bytes):
     return raster.reshape(h, w, 3), w, h
 
 
+def decode_png(payload: bytes):
+    """Pure-stdlib PNG decoder: ``zlib`` inflate (ships with CPython) +
+    numpy scanline unfilter — no imaging library. Supports the common
+    web-corpus shape: 8-bit depth, color types 0 (gray) / 2 (RGB) /
+    4 (gray+alpha) / 6 (RGBA), non-interlaced. Palette (3) and 16-bit
+    images raise. Returns ``(pixels, width, height)`` with ``pixels``
+    an ``(h, w, channels)`` uint8 array.
+
+    The five PNG filter types (spec §6): None and Up vectorize across
+    the whole row; Sub is a per-lane running sum (``cumsum mod 256`` —
+    mod commutes with addition); Average and Paeth carry a true
+    left-neighbor recursion, so those rows walk pixel columns with the
+    channel lanes vectorized. Chunk CRCs are not verified (decode is
+    value-checked downstream; a corrupt stream fails the zlib inflate
+    or the length checks)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + tag + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNGs supported, got depth {depth}")
+    if interlace:
+        raise ValueError("Adam7 interlaced PNGs not supported")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color} (palette?)")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("PNG raster truncated")
+    arr = np.frombuffer(raw, dtype=np.uint8, count=(stride + 1) * h).reshape(
+        h, stride + 1
+    )
+    ftypes = arr[:, 0]
+    data = arr[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    zeros_lane = np.zeros(channels, dtype=np.int64)
+    for y in range(h):
+        row = data[y]
+        f = int(ftypes[y])
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: per-lane running sum, mod commutes with +
+            rec = (np.cumsum(row.reshape(w, channels), axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: left recursion, lanes vectorized
+            rec = np.empty(stride, dtype=np.int64)
+            for x0 in range(0, stride, channels):
+                a = rec[x0 - channels : x0] if x0 else zeros_lane
+                b = prev[x0 : x0 + channels]
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[x0 - channels : x0] if x0 else zeros_lane
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                rec[x0 : x0 + channels] = (row[x0 : x0 + channels] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, channels), w, h
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal non-interlaced 8-bit PNG writer (fixture generator and
+    binary-sink utility; pure stdlib ``zlib`` + numpy). Accepts an
+    ``(h, w)`` gray or ``(h, w, channels)`` array with 1/2/3/4
+    channels. Rows cycle filter types 0→4, so a decode of this
+    encoder's output exercises every unfilter path — all five filters
+    vectorize on the encode side because the predictors read the
+    original (= reconstructed) neighbors."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    shift = np.zeros(ch, dtype=np.int64)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int64)
+        left = np.concatenate([shift, row[:-ch]]) if w > 1 else np.zeros_like(row)
+        f = y % 5
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - left) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = (row - (left + prev) // 2) % 256
+        else:
+            ul = np.concatenate([shift, prev[:-ch]]) if w > 1 else np.zeros_like(row)
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (row - pred) % 256
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def image_decoder(payload: bytes, n_features: int) -> list[float]:
-    """Image feature extraction with a REAL pure-numpy decode path for
-    binary PPM (P6) payloads: features are the per-channel means
+    """Image feature extraction with REAL pure-numpy decode paths for
+    binary PPM (P6) and 8-bit non-interlaced PNG payloads: features are
+    the per-channel means (first three channels; gray fills one)
     followed by width and height (zero-padded / truncated to
-    ``n_features``). Compressed formats (PNG/JPEG/...) require an
-    imaging library this container does not ship and raise."""
+    ``n_features``). Other compressed formats (JPEG/WebP/...) require
+    an imaging library this container does not ship and raise."""
     import numpy as np
 
     if payload[:2] == b"P6":
         px, w, h = decode_ppm(payload)
-        means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
-        feats = [float(means[0]), float(means[1]), float(means[2]), float(w), float(h)]
-        return (feats + [0.0] * n_features)[:n_features]
-    raise NotImplementedError(
-        "only uncompressed PPM (P6) decodes without an imaging library; "
-        "PNG/JPEG/... require PIL/cv2, not present in this environment"
-    )
+    elif payload[:8] == _PNG_SIG:
+        px, w, h = decode_png(payload)
+    else:
+        raise NotImplementedError(
+            "only PPM (P6) and 8-bit non-interlaced PNG decode without an "
+            "imaging library; JPEG/WebP/... require PIL/cv2, not present "
+            "in this environment"
+        )
+    means = px.reshape(-1, px.shape[-1]).mean(axis=0, dtype=np.float64)
+    feats = [float(m) for m in means[:3]]
+    feats += [0.0] * (3 - len(feats)) if len(feats) < 3 else []
+    feats += [float(w), float(h)]
+    return (feats + [0.0] * n_features)[:n_features]
 
 
 def decode_wav(payload: bytes):
