@@ -58,6 +58,37 @@ def test_fftconvolve_matches_numpy_all_modes(x, y):
 
 
 @settings(max_examples=60, deadline=None)
+@given(xr=_arr(1, 48), xi=_arr(1, 48), yr=_arr(1, 48), yi=_arr(1, 48))
+def test_fftconvolve_complex_matches_numpy(xr, xi, yr, yi):
+    """Complex inputs pass through (no silent float cast): the fft/ifft
+    branch must equal numpy's complex convolve on every mode, and a
+    complex-vs-real mix must work too."""
+    n = min(len(xr), len(xi))
+    m = min(len(yr), len(yi))
+    x = xr[:n] + 1j * xi[:n]
+    y = yr[:m] + 1j * yi[:m]
+    atol = 1e-9 * (
+        1.0 + float(np.abs(x).max(initial=0.0) * np.abs(y).max(initial=0.0)) * n
+    )
+    for mode in ("full", "valid"):
+        got = fftconvolve_1d(x, y, mode)
+        assert np.iscomplexobj(got)
+        np.testing.assert_allclose(got, np.convolve(x, y, mode), atol=atol)
+    np.testing.assert_allclose(
+        fftconvolve_1d(x, y, "same"),
+        np.convolve(x, y, "full")[(m - 1) // 2 : (m - 1) // 2 + n],
+        atol=atol,
+    )
+    # mixed complex x, real y (full-length yr: its own tolerance)
+    atol_mixed = 1e-9 * (
+        1.0 + float(np.abs(x).max(initial=0.0) * np.abs(yr).max(initial=0.0)) * n
+    )
+    np.testing.assert_allclose(
+        fftconvolve_1d(x, yr, "full"), np.convolve(x, yr, "full"), atol=atol_mixed
+    )
+
+
+@settings(max_examples=60, deadline=None)
 @given(x=_arr(1, 128), n=st.integers(1, 160))
 def test_hilbert_real_part_and_length(x, n):
     out = hilbert_1d(x, n=n)

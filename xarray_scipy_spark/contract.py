@@ -677,6 +677,37 @@ _XY = (
 )
 
 
+@_q(
+    "fftconvolve_complex",
+    # complex self-convolution of a = x + i*lag(x):
+    # re[k] = sum(x1*x2 - y1*y2), im[k] = sum(x1*y2 + y1*x2) over j1+j2=k
+    f"WITH {_S}, {_XY} "
+    "SELECT a.user_id, a.j + b.j AS idx, "
+    "round(sum(a.x * b.x - a.yv * b.yv), 4) + 0.0 AS re4, "
+    "round(sum(a.x * b.yv + a.yv * b.x), 4) + 0.0 AS im4 "
+    "FROM xy a JOIN xy b USING (user_id) "
+    "GROUP BY a.user_id, a.j + b.j",
+)
+def q_fftconvolve_complex(spark, sf_dir):
+    """COMPLEX-input convolution (twin re/im columns, the engine's
+    complex convention): each user's analytic-ish signal
+    ``a = value + i·lag(value)`` self-convolved in full mode. The
+    reference feeds complex128 straight through scipy
+    (signal.py:84); r5 kernels silently cast to float — this query
+    pins the complex path end-to-end (kernels/dsp.py fft/ifft branch +
+    the operator's twin-column plumbing) against the expanded
+    (re·re − im·im, re·im + im·re) oracle."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ca = ev.withColumn("im", F.lag("value", 1, 0.0).over(w))
+    res = ops.fftconvolve(
+        ca, ca, by=["user_id"], dim="ts", mode="full", im1="im", im2="im"
+    )
+    return res.select(
+        "user_id", "idx", _r("re", 4, "re4"), _r("im", 4, "im4")
+    )
+
+
 def _cross_spec_sql() -> str:
     """Windowed framed DFTs of x and its lagged copy y, per
     (user, frame, bin)."""

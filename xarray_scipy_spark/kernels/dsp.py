@@ -43,18 +43,27 @@ def fftconvolve_1d(x: np.ndarray, y: np.ndarray, mode: str = "full") -> np.ndarr
     NotImplemented constant as a size; implemented properly here).
     Inputs may be ``(n,)`` or batched ``(k, n)`` (broadcast rules
     apply: a batched signal against one shared 1-D kernel is the
-    common case).
+    common case). Complex inputs pass through like the reference
+    (scipy accepts complex at signal.py:84): if either input is
+    complex the transform pair is ``fft``/``ifft`` and the output is
+    complex; real inputs keep the cheaper ``rfft`` path.
     """
-    x = np.asarray(x, dtype=float)
-    y = np.asarray(y, dtype=float)
+    cplx = np.iscomplexobj(x) or np.iscomplexobj(y)
+    x = np.asarray(x, dtype=complex if cplx else float)
+    y = np.asarray(y, dtype=complex if cplx else float)
     n1, n2 = x.shape[-1], y.shape[-1]
     if mode not in ("full", "same", "valid"):
         raise ValueError(f"mode must be full|same|valid, got {mode!r}")
     nfull = n1 + n2 - 1
     nfft = 1 << (nfull - 1).bit_length()  # next power of two
-    out = np.fft.irfft(
-        np.fft.rfft(x, nfft, axis=-1) * np.fft.rfft(y, nfft, axis=-1), nfft, axis=-1
-    )[..., :nfull]
+    if cplx:
+        out = np.fft.ifft(
+            np.fft.fft(x, nfft, axis=-1) * np.fft.fft(y, nfft, axis=-1), nfft, axis=-1
+        )[..., :nfull]
+    else:
+        out = np.fft.irfft(
+            np.fft.rfft(x, nfft, axis=-1) * np.fft.rfft(y, nfft, axis=-1), nfft, axis=-1
+        )[..., :nfull]
     if mode == "same":
         start = (n2 - 1) // 2
         out = out[..., start : start + n1]
@@ -73,9 +82,11 @@ def fftconvolve_nd(x: np.ndarray, y: np.ndarray, mode: str = "full") -> np.ndarr
     shape (scipy ``_centered``); ``valid`` -> per-axis max-min+1 and
     requires one input to cover the other on EVERY axis (scipy's
     ok-shape rule; the reference's valid path is broken, signal.py:77).
+    Complex inputs pass through (``fftn``/``ifftn``) like the 1-D path.
     """
-    x = np.asarray(x, dtype=float)
-    y = np.asarray(y, dtype=float)
+    cplx = np.iscomplexobj(x) or np.iscomplexobj(y)
+    x = np.asarray(x, dtype=complex if cplx else float)
+    y = np.asarray(y, dtype=complex if cplx else float)
     if x.ndim != y.ndim:
         raise ValueError("inputs must have the same number of core dims")
     if mode not in ("full", "same", "valid"):
@@ -89,9 +100,12 @@ def fftconvolve_nd(x: np.ndarray, y: np.ndarray, mode: str = "full") -> np.ndarr
             f"in every dimension, got {x.shape} vs {y.shape}"
         )
     fshape = tuple(a + b - 1 for a, b in zip(x.shape, y.shape))
-    out = np.fft.irfftn(
-        np.fft.rfftn(x, fshape) * np.fft.rfftn(y, fshape), fshape
-    )
+    if cplx:
+        out = np.fft.ifftn(np.fft.fftn(x, fshape) * np.fft.fftn(y, fshape), fshape)
+    else:
+        out = np.fft.irfftn(
+            np.fft.rfftn(x, fshape) * np.fft.rfftn(y, fshape), fshape
+        )
     if mode == "same":
         starts = tuple((f - s) // 2 for f, s in zip(fshape, x.shape))
         out = out[tuple(slice(st, st + s) for st, s in zip(starts, x.shape))]

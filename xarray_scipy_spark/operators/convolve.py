@@ -53,6 +53,8 @@ def fftconvolve(
     value2: str = "value",
     mode: str = "full",
     keep_attrs: bool | None = None,
+    im1: str | None = None,
+    im2: str | None = None,
 ) -> DataFrame:
     """FFT-based convolution of two long-form signals per group.
 
@@ -62,9 +64,42 @@ def fftconvolve(
     constant as a size; here it computes the fully-overlapped lags).
     ``keep_attrs`` propagates input 1's ``attrs`` sidecar (reference
     signal.py:10-13 semantics).
+
+    Complex inputs: pass the imaginary-part column as ``im1``/``im2``
+    (twin re/im columns, the engine's complex convention — same as the
+    FFT family). The reference feeds ``complex128`` arrays straight
+    through scipy (signal.py:84); here either side may be complex
+    independently, and the output switches to twin ``re``/``im``
+    columns whenever one is.
     """
     if mode not in ("full", "same", "valid"):
         raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+    cplx = im1 is not None or im2 is not None
+
+    if cplx:
+
+        def kernel(coords1, *rest):
+            n1 = 2 if im1 is not None else 1
+            a1 = rest[:n1]
+            coords2 = rest[n1]
+            a2 = rest[n1 + 1 :]
+            x = a1[0] + 1j * a1[1] if im1 is not None else a1[0]
+            y = a2[0] + 1j * a2[1] if im2 is not None else a2[0]
+            out = fftconvolve_1d(x, y, mode=mode)
+            return {"re": out.real.astype(float), "im": out.imag.astype(float)}
+
+        return apply_cogrouped_kernel(
+            df1,
+            df2,
+            kernel,
+            by=by,
+            order1=dim,
+            order2=dim,
+            values1=[value1] + ([im1] if im1 is not None else []),
+            values2=[value2] + ([im2] if im2 is not None else []),
+            out_fields="re double, im double",
+            keep=resolve_keep_attrs(df1, keep_attrs),
+        )
 
     def kernel(coords1, x, coords2, y):
         return {"value": fftconvolve_1d(x, y, mode=mode)}
@@ -159,6 +194,8 @@ def convolve(
     mode: str = "full",
     method: str = "auto",
     keep_attrs: bool | None = None,
+    im1: str | None = None,
+    im2: str | None = None,
 ) -> DataFrame:
     """Reference-parity ``convolve`` (signal.py:34-38): a shim over the
     FFT path. ``method`` is accepted for signature parity and ignored,
@@ -166,7 +203,7 @@ def convolve(
     del method  # always FFT-based, like the reference actually is
     return fftconvolve(
         df1, df2, by=by, dim=dim, value1=value1, value2=value2, mode=mode,
-        keep_attrs=keep_attrs,
+        keep_attrs=keep_attrs, im1=im1, im2=im2,
     )
 
 
