@@ -145,6 +145,98 @@ def test_windowed_stats_stream_equals_batch(spark, tmp_path):
     assert (got["window_start"].to_numpy() % 60 == 0).all()
 
 
+def test_windowed_stats_steady_state_eviction_and_late_drop(spark, tmp_path):
+    """Steady-state evidence for the streaming window agg (append mode,
+    3 micro-batches): the watermark must actually EVICT closed windows
+    from the state store (stateOperators.numRowsRemoved > 0, state size
+    bounded below the total window count), DROP a too-late row (behind
+    the watermark; the emitted window must NOT count it), and ACCEPT a
+    late-but-inside-watermark row (its window must count it)."""
+    import uuid
+
+    from xarray_scipy_spark.streaming import windowed_stats
+
+    SEC = 1_000_000_000
+    src = tmp_path / "steady_src"
+    src.mkdir()
+    # window=60s, watermark=60s. Batch timeline (event-time seconds):
+    #   b0: 10, 30, 100, 950, 990  -> wm for b1 = 990-60 = 930
+    #   b1: 1500, 1510, late 910 (win [900,960) still in state: ACCEPTED)
+    #       -> end of b1 evicts+emits windows ending <= 930 ([0,60),[60,120))
+    #   b2: 2000, 2010, late 30 -> [0,60) was evicted in b1, so this row
+    #       is DROPPED (numRowsDroppedByWatermark) — Spark's actual drop
+    #       boundary is eviction, not the wm alone: a late row whose
+    #       window state is still live merges into it instead
+    #   final [1980,2040) window stays open (never emitted in append)
+    batch_ts = [
+        [10, 30, 100, 950, 990],
+        [1500, 1510, 910],
+        [2000, 2010, 30],
+    ]
+    for i, tss in enumerate(batch_ts):
+        pd.DataFrame(
+            {
+                "ch": [0] * len(tss),
+                "ts": [t * SEC for t in tss],
+                "value": [float(t) for t in tss],
+            }
+        ).to_parquet(src / f"chunk_{i}.parquet")
+        time.sleep(1.1)
+
+    schema = "ch bigint, ts bigint, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windowed_stats(
+        stream, by=["ch"], dim="ts", window="60 seconds", watermark="60 seconds"
+    )
+    name = f"steady_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "steady_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) >= 3  # one micro-batch per file, state carried
+
+    # state-store eviction actually fired: rows were removed when the
+    # watermark closed their windows, and the final state holds only
+    # the still-open windows (far fewer than the 6 distinct windows seen)
+    removed = sum(
+        s.get("numRowsRemoved", 0) for p in progress for s in p["stateOperators"]
+    )
+    assert removed > 0
+    final_state = sum(s["numRowsTotal"] for s in q.lastProgress["stateOperators"])
+    assert final_state < 6
+    # the too-late row (evicted window) was dropped and metered
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for s in p["stateOperators"]
+    )
+    assert dropped >= 1
+
+    got = spark.table(name).toPandas().sort_values("window_start", ignore_index=True)
+    # append emits exactly the watermark-closed windows, once each
+    assert got["window_start"].tolist() == [0, 60, 900, 960, 1500]
+    by_start = got.set_index("window_start")
+    # [0,60): the b2 late duplicate of t=30 was dropped -> NOT counted,
+    # and crucially the window was not re-emitted after its eviction
+    assert by_start.loc[0, "n"] == 2 and by_start.loc[0, "sum"] == 40.0
+    # [900,960): late-but-state-still-live row t=910 IS counted
+    assert by_start.loc[900, "n"] == 2 and by_start.loc[900, "sum"] == 950.0 + 910.0
+    assert by_start.loc[960, "n"] == 1 and by_start.loc[960, "sum"] == 990.0
+    # [1500,1560) closed by batch 2's watermark advance
+    assert by_start.loc[1500, "n"] == 2
+    # the final [1980,2040) window is still open -> withheld by append
+
+
 def test_session_stats_stream_subset_of_batch(spark, tmp_path):
     """Native session windows on a multi-batch stream (update mode is
     unsupported for memory+session; append emits only watermark-closed
