@@ -41,6 +41,30 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_driver_head_is_exactly_50():
+    """The driver's correctness gate checks the FIRST 50 queries()
+    entries. Registering a query without a matching _CHECK_LAST update
+    would silently push another query out of the checked window — this
+    pins head size to exactly 50 so the rotation stays deliberate."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = list(mod.queries())
+    tail = [n for n in mod._CHECK_LAST if n in qs]
+    assert len(qs) - len(tail) == 50, (
+        f"driver head is {len(qs) - len(tail)} (registered {len(qs)}, "
+        f"tail {len(tail)}) — update _CHECK_LAST to keep the head at 50"
+    )
+    # every tail name must actually be registered (a typo would silently
+    # shrink the tail and push a stale query into the unchecked zone)
+    assert set(mod._CHECK_LAST) <= set(qs)
+
+
 def _tail_names():
     import importlib.util
 

@@ -16,9 +16,16 @@ median of 3, plan build included) and their ``oracle_sql`` on DuckDB
 (same protocol, scan inside the timed region) over the SAME parquet,
 and prints per-query ratios next to the sf0.1 ones.
 
-Usage: python tools/scale_evidence.py [name ...]
+Usage: python tools/scale_evidence.py [--tier N] [name ...]
 (default: the 5 worst sf0.1 ratios + dedup_simhash + the fftshift
 floor probe). The tier builds once into .bench_sf1/ (gitignored).
+
+``--tier 100`` builds a 100x tier (.bench_sf10/, ~sf10-equivalent:
+10 M events, 100x embeddings) for the queries whose 10x ratios were
+still floor-dominated; documents stay at the 10x build recipe (the
+alphabet rotation has 25 distinct non-identity shifts, so beyond ~26
+replicas dedup pair structure degrades — the 100x tier targets the
+events/embeddings-driven queries only).
 """
 
 from __future__ import annotations
@@ -133,10 +140,21 @@ def spark_median(spark, fn) -> float:
 
 
 def main() -> int:
+    global REPLICAS, DST
     from xarray_scipy_spark.contract import ORACLES, QUERIES
     from xarray_scipy_spark.session import get_spark
 
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    tier = 10
+    if args[:1] == ["--tier"]:
+        tier = int(args[1])
+        args = args[2:]
+        REPLICAS = tier
+        DST = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f".bench_sf{tier // 10}",
+        )
+    names = args or DEFAULT
     spark = get_spark("scale-evidence")
     build_tier(spark)
     # the same python-worker warmup bench.py uses
@@ -155,7 +173,7 @@ def main() -> int:
         }
         print(f"# {name}: spark {t_spark:.3f}s oracle {t_oracle:.3f}s "
               f"ratio {t_spark / t_oracle:.2f}x", file=sys.stderr)
-    print(json.dumps({"tier": "10x sf0.1", "dir": DST, "results": out}))
+    print(json.dumps({"tier": f"{REPLICAS}x sf0.1", "dir": DST, "results": out}))
     return 0
 
 
