@@ -88,15 +88,17 @@ def main() -> int:
         if fn is None:
             continue
         # one warmup run (compiles the plan's whole-stage-codegen
-        # methods — seconds for wide plans) then MEDIAN OF 3 timed
+        # methods — seconds for wide plans) then MEDIAN OF 5 timed
         # runs, matching BASELINE.md's own measurement protocol.
         # best-of-2 (rounds 1-3) produced 2-3x round-over-round swings
-        # on identical code (VERDICT r3); the median is robust to a
-        # single GC/compilation hiccup in either direction. All runs
-        # stay visible in stderr.
+        # on identical code (VERDICT r3); r6's host showed multi-second
+        # steal spikes on single runs of pure-JVM queries (tpch_q5:
+        # 0.9/1.9/5.9 s for identical plans), so the median is taken
+        # over 5 runs — robust to two hiccups. All runs stay visible in
+        # stderr.
         samples = []
         try:
-            for i in range(4):
+            for i in range(6):
                 t0 = time.time()
                 fn(spark, SF_DIR).count()
                 dt_i = time.time() - t0

@@ -65,9 +65,9 @@ def build_tier(spark) -> None:
     os.makedirs(DST, exist_ok=True)
     alpha = "abcdefghijklmnopqrstuvwxyz"
 
-    def replicate(df, id_col, jitter_text=False):
+    def replicate(df, id_col, jitter_text=False, replicas=None):
         parts = []
-        for k in range(REPLICAS):
+        for k in range(replicas if replicas is not None else REPLICAS):
             p = df.withColumn(id_col, F.col(id_col) + F.lit(k * ID_OFFSET))
             if jitter_text and k > 0:
                 rot = alpha[k:] + alpha[:k]
@@ -93,17 +93,22 @@ def build_tier(spark) -> None:
         os.replace(part, dst)
         shutil.rmtree(tmp)
 
+    # documents cap at 10 replicas regardless of tier: the alphabet
+    # rotation has only 25 distinct non-identity shifts, so beyond ~26
+    # replicas dedup pair structure degrades into exact copies (see
+    # module docstring) — the >10x tiers target events/embeddings-driven
+    # queries.
     jobs = {
-        "events": ("user_id", False),
-        "documents": ("doc_id", True),
-        "embeddings": ("vec_id", False),
+        "events": ("user_id", False, REPLICAS),
+        "documents": ("doc_id", True, min(REPLICAS, 10)),
+        "embeddings": ("vec_id", False, REPLICAS),
     }
-    for table, (id_col, jitter) in jobs.items():
+    for table, (id_col, jitter, reps) in jobs.items():
         dst = os.path.join(DST, f"{table}.parquet")
         if os.path.exists(dst):
             continue
         df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
-        write_single(replicate(df, id_col, jitter), dst)
+        write_single(replicate(df, id_col, jitter, reps), dst)
         print(f"# built {dst}", file=sys.stderr)
     # small relational tables: plain copies so every query resolves
     for table in TABLES:

@@ -141,22 +141,55 @@ def _series_bounds(pdf: pd.DataFrame, by: Sequence[str]) -> tuple[np.ndarray, np
     return starts, ends
 
 
-def _default_buckets(df: DataFrame) -> int:
-    """One bucket per shuffle partition (one task wave).
+# Per-bucket input-volume target for the kernel exchange width
+# heuristic (Catalyst-estimated bytes of the PRUNED kernel input, not
+# raw file bytes). Tunable per session for unusual work-per-byte
+# kernels; the default was measured across the operator families at
+# sf0.1 and the 10x tier.
+_BUCKET_TARGET_CONF = "spark.xarray_scipy_spark.kernel.bucketTargetBytes"
+_BUCKET_TARGET_DEFAULT = 96 * 1024
+# Catalyst reports Long.MaxValue-ish sizes for relations it cannot
+# estimate (e.g. RDD-backed local relations): treat those as unknown.
+_SIZE_UNKNOWN = 1 << 60
 
-    The kernel exchange is an explicit fixed-width repartition (AQE's
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimizer estimate of the frame's size in bytes
+    (column-pruned — the caller selects the kernel columns first).
+    None when the estimate is unavailable or a sentinel 'unknown'."""
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+    return est if 0 < est < _SIZE_UNKNOWN else None
+
+
+def _default_buckets(df: DataFrame) -> int:
+    """Kernel-exchange width: one bucket per shuffle partition, reduced
+    when the input is too small to amortize per-bucket Python overhead.
+
+    The exchange itself stays an explicit fixed-width repartition (AQE's
     byte-based coalescing is the wrong heuristic for a CPU-bound Python
-    stage), so every bucket pays real Arrow+pandas+scheduling overhead —
-    a 2x multiplier measured ~40% slower at sf0.1 on two-pass pipelines
-    (stft→istft) with no straggler benefit on uniform kernel work. One
-    bucket per shuffle partition keeps the per-bucket memory bound
-    identical to every other shuffle in the job (the user already sizes
-    ``spark.sql.shuffle.partitions`` so a partition fits an executor).
+    stage — measured folding FFT kernels onto 1-3 cores in r4), but the
+    WIDTH is sized to the data: every bucket pays real per-task costs
+    (python-worker attach, Arrow stream setup, scheduling — measured
+    25-60 ms/task on contended hosts), so a bucket should carry at
+    least ``bucketTargetBytes`` of input before another one is worth
+    opening. At real scale the estimate far exceeds
+    ``width * target`` and the exchange is always full-width (capped at
+    shuffle partitions, which the user sizes so a partition fits an
+    executor); the reduction only engages on small inputs, exactly the
+    regime where per-bucket overhead dominates kernel work.
     Pass ``buckets=`` explicitly to override per call.
     """
     sess = df.sparkSession
     parts = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(parts, sess.sparkContext.defaultParallelism)
+    width = max(parts, sess.sparkContext.defaultParallelism)
+    target = int(sess.conf.get(_BUCKET_TARGET_CONF, str(_BUCKET_TARGET_DEFAULT)))
+    est = _plan_size_bytes(df)
+    if est is not None and target > 0:
+        width = min(width, max(1, -(-est // target)))
+    return width
 
 
 def apply_series_kernel(

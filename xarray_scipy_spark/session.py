@@ -42,6 +42,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # Pin BLAS/OpenMP pools inside python workers to one thread each: a
+    # worker owns exactly one task core, and N workers x M-thread BLAS
+    # oversubscribes the host N*M-fold (measured 10-20x wall-clock blowup
+    # on 32-core hosts once every grouped-map task spun its own OpenBLAS
+    # pool). Kernels batch across series instead — parallelism comes from
+    # partitions, the design that holds on a real cluster where executors
+    # share nodes. spark.executorEnv.* reaches python workers in both
+    # local and cluster mode.
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
