@@ -528,3 +528,58 @@ def test_mix_datasets_rates_and_determinism(spark):
         pl.mix_datasets({"a": a}, {"a": 1.5})
     with pytest.raises(KeyError, match="unknown"):
         pl.mix_datasets({"a": a}, {"zzz": 0.5})
+
+
+def test_vocabulary_tf_df(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a c"),
+            (1, "b b d"),
+            (2, "a"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["token"]: (r["tf"], r["df"])
+        for r in pl.vocabulary(docs).collect()
+    }
+    assert got == {"a": (3, 2), "b": (3, 2), "c": (1, 1), "d": (1, 1)}
+    # min_tf filter
+    got2 = {r["token"] for r in pl.vocabulary(docs, min_tf=2).collect()}
+    assert got2 == {"a", "b"}
+
+
+def test_gzip_text_roundtrip(spark):
+    """The REAL compressed-text path: gzip (RFC 1952/1951) encode on the
+    fixture side, stdlib inflate through the Arrow-batched decode_text
+    plumbing; text must roundtrip byte-exactly and n_bytes must report
+    the COMPRESSED payload size."""
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "päällekkäisyys — unicode résumé ✓"),
+        (2, ""),
+        (3, "x" * 10_000),  # compresses far below its raw size
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    import pandas as _pd
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        pl.gzip_text_encoder(t) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    out = {
+        r["doc_id"]: (r["text"], r["n_bytes"])
+        for r in pl.decode_text(payloads).collect()
+    }
+    for doc_id, text in rows:
+        assert out[doc_id][0] == text
+        assert out[doc_id][1] == len(pl.gzip_text_encoder(text))
+    assert out[3][1] < 200  # 10k run-length text compresses ~100x

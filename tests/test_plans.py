@@ -181,3 +181,39 @@ def test_kernel_exchange_keeps_full_width(spark):
         .count()
     )
     assert n_parts == occupied, (n_parts, occupied)
+
+
+def test_kernel_exchange_width_scales_with_input(spark):
+    """The kernel-exchange width heuristic: full task-wave width when
+    the (pruned) input is large enough to amortize per-bucket Python
+    overhead, proportionally narrower when it is not, never below 1 —
+    and the conf knob overrides the target."""
+    from xarray_scipy_spark.core import (
+        _BUCKET_TARGET_CONF,
+        _default_buckets,
+        _plan_size_bytes,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    est = _plan_size_bytes(ev)
+    assert est is not None and est > 0
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(parts, spark.sparkContext.defaultParallelism)
+
+    got = _default_buckets(ev)
+    assert 1 <= got <= width
+    # tiny target -> the cap binds (full width, the 100 TB regime)
+    spark.conf.set(_BUCKET_TARGET_CONF, "1")
+    try:
+        assert _default_buckets(ev) == width
+        # huge target -> single bucket (the floor)
+        spark.conf.set(_BUCKET_TARGET_CONF, str(1 << 40))
+        assert _default_buckets(ev) == 1
+    finally:
+        spark.conf.unset(_BUCKET_TARGET_CONF)
+    # consistency: the un-overridden width is ceil(est / default target)
+    from xarray_scipy_spark.core import _BUCKET_TARGET_DEFAULT
+
+    assert got == min(width, max(1, -(-est // _BUCKET_TARGET_DEFAULT)))

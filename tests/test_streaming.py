@@ -311,3 +311,77 @@ def test_session_stats_stream_subset_of_batch(spark, tmp_path):
     got_keys = set(zip(got["ch"], got["session_start"]))
     for _, r in must_emit.iterrows():
         assert (r["ch"], r["session_start"]) in got_keys
+
+
+def test_stream_distinct_exact_and_watermarked(spark, tmp_path):
+    """stream_distinct in both state regimes across 3 micro-batches:
+
+    - exact mode (no watermark): every distinct key emitted exactly
+      once regardless of how far apart duplicates arrive — equals batch
+      SELECT DISTINCT over the concatenated input.
+    - watermarked mode: a duplicate arriving within the event-time
+      horizon is dropped; a re-arrival far beyond it (state evicted) is
+      emitted again — the documented recall/state trade.
+    """
+    import uuid
+
+    from xarray_scipy_spark.streaming import stream_distinct
+
+    SEC = 1_000_000_000
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    # key k1 repeats within 30s (inside the 60s watermark horizon);
+    # key k2 re-appears 10_000s later (far beyond it). Two timing
+    # subtleties of the state machinery, pinned deliberately: the
+    # watermark only advances at batch END (so b2 pushes it past k2's
+    # expiry = 20s + 60s delay), and expired state is removed at the
+    # END of the batch that first runs under that watermark, AFTER its
+    # own rows were deduped (so b3 performs the eviction and the
+    # re-arrival must land in b4 to see the evicted state).
+    batches = [
+        [("k1", 10), ("k2", 20)],
+        [("k1", 40), ("k3", 100)],
+        [("k4", 5_000)],
+        [("k5", 5_010)],
+        [("k2", 10_100)],
+    ]
+    for i, rows in enumerate(batches):
+        pd.DataFrame(
+            {
+                "key": [k for k, _ in rows],
+                "ts": [t * SEC for _, t in rows],
+            }
+        ).to_parquet(src / f"b{i}.parquet")
+        time.sleep(1.1)
+
+    def run(watermark):
+        name = f"sd_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema("key string, ts bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        out = stream_distinct(
+            stream,
+            cols=["key"],
+            dim="ts" if watermark else None,
+            watermark=watermark,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r["key"] for r in spark.table(name).collect()]
+
+    exact = run(None)
+    assert sorted(exact) == ["k1", "k2", "k3", "k4", "k5"]  # each once
+
+    wm = run("60 seconds")
+    # k1's 40s re-arrival is within the horizon -> dropped; k2 at
+    # 10_100s is beyond it -> state evicted, emitted AGAIN
+    assert sorted(wm) == ["k1", "k2", "k2", "k3", "k4", "k5"]

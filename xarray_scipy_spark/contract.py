@@ -2983,3 +2983,110 @@ SELECT doc_id, rank, tok, tfidf + 0.0 AS tfidf FROM (
 )
 def q_text_tfidf(spark, sf_dir):
     return pl.tfidf_top_tokens(_docs(spark, sf_dir), k=_TFIDF_K)
+
+
+# ---------------------------------------------------------------------------
+# text analysis: corpus vocabulary (term + document frequency)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_vocab",
+    f"WITH {_TOKS}, tok AS (SELECT doc_id, unnest(tk) AS token FROM toks) "
+    "SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df "
+    "FROM tok GROUP BY token",
+)
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary (token, tf, df) — explode + one aggregate
+    shuffle with map-side partials (pipeline/text.py:vocabulary)."""
+    return pl.vocabulary(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: REAL compressed-text decode (gzip/DEFLATE roundtrip)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_gzip_decode",
+    "SELECT doc_id, md5(text) AS text_md5, "
+    "octet_length(encode(text)) AS text_bytes FROM documents",
+)
+def q_multimodal_gzip_decode(spark, sf_dir):
+    """REAL compressed-text decode: each doc's text is gzip-compressed
+    into a binary payload (fixture side, ``gzip_text_encoder``) and
+    decoded back through the Arrow-batched ``decode_text`` plumbing
+    with the pure-stdlib DEFLATE decoder (``gzip_text_decoder``) — the
+    wire format of web-crawl corpora (WARC records, .jsonl.gz shards).
+    The oracle hashes the ORIGINAL text, so framing, inflate, and utf-8
+    decode are all value-verified end to end."""
+    import pandas as _pd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def synth(batches):
+        # fixture generator (production payloads arrive from storage)
+        from xarray_scipy_spark.pipeline.multimodal import gzip_text_encoder
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [gzip_text_encoder(t) for t in pdf["text"]],
+                }
+            )
+
+    with_payload = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    res = pl.decode_text(with_payload)
+    return res.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.octet_length("text").cast("bigint").alias("text_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming: exact dedup (append-mode dropDuplicates state)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events",
+)
+def q_stream_dedup(spark, sf_dir):
+    """LIVE Structured-Streaming exact deduplication: readStream ->
+    project to the dedup key -> ``stream_distinct`` (dropDuplicates —
+    one state entry per distinct key, append mode emits each key once,
+    on first arrival) -> AvailableNow into a memory sink. The batch
+    analog is SELECT DISTINCT — the oracle. The watermarked
+    bounded-state variant (``dropDuplicatesWithinWatermark``) is
+    exercised by tests/test_streaming.py (its semantics are
+    arrival-order-dependent by design, so it is test-verified rather
+    than oracle-verified)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import stream_distinct
+
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    schema = load_table(spark, "events", sf_dir).schema
+    src_dir = tempfile.mkdtemp(prefix="dedup_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+    )
+    out = stream_distinct(stream, cols=["user_id", "day"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -41,12 +41,16 @@ from .text import (
     repetition_stats,
     tfidf_top_tokens,
     token_stats,
+    vocabulary,
 )
 from .curate import curation_report
 from .sample import hash_uniform, mix_datasets, split_assign, stratified_sample
 from .multimodal import (
     audio_decoder,
     decode_features,
+    decode_text,
+    gzip_text_decoder,
+    gzip_text_encoder,
     decode_png,
     decode_ppm,
     decode_wav,
@@ -78,6 +82,10 @@ __all__ = [
     "decontaminate",
     "redact",
     "repetition_stats",
+    "vocabulary",
+    "decode_text",
+    "gzip_text_decoder",
+    "gzip_text_encoder",
     "with_binary",
     "decode_features",
     "decode_ppm",

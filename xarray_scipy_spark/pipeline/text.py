@@ -23,6 +23,7 @@ __all__ = [
     "decontaminate",
     "redact",
     "repetition_stats",
+    "vocabulary",
     "PII_PATTERNS",
     "LANG_MARKERS",
 ]
@@ -375,3 +376,35 @@ def tfidf_top_tokens(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "tok", (F.col("tfidf") + F.lit(0.0)).alias("tfidf"))
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tf: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: term frequency and document frequency per
+    token — the first artifact of any corpus-curation pass (stopword
+    discovery, tokenizer coverage audits, frequency-based filters).
+
+    Pure Catalyst: explode whitespace tokens, ONE shuffle on the token.
+    ``df`` (documents containing the token) rides the same aggregate as
+    a distinct-count — Catalyst plans it as a two-phase expand+agg with
+    map-side partials, so the shuffle carries (token, doc_id) partials,
+    never row-per-occurrence. Both metrics are associative, so the plan
+    scales with map-side combining; token skew (stopwords dominating a
+    partition) is AQE skew-split territory and, unlike a join, a skewed
+    AGGREGATE key still combines map-side first.
+
+    Output: ``(token, tf, df)`` filtered to ``tf >= min_tf``.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+    return agg.filter(F.col("tf") >= min_tf)

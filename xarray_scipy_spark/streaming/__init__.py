@@ -6,6 +6,6 @@ kernels, applied incrementally with explicit carried state.
 """
 
 from .stateful import sosfilt_stream
-from .windows import session_stats, windowed_stats
+from .windows import session_stats, stream_distinct, windowed_stats
 
-__all__ = ["sosfilt_stream", "session_stats", "windowed_stats"]
+__all__ = ["sosfilt_stream", "session_stats", "stream_distinct", "windowed_stats"]

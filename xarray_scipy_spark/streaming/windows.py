@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.timeutil import event_time
 
-__all__ = ["windowed_stats", "session_stats"]
+__all__ = ["windowed_stats", "session_stats", "stream_distinct"]
 
 
 def windowed_stats(
@@ -129,3 +129,42 @@ def session_stats(
         "min",
         "max",
     )
+
+
+def stream_distinct(
+    sdf: DataFrame,
+    *,
+    cols: Sequence[str],
+    dim: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication — first occurrence of each distinct key.
+
+    Two state regimes, chosen by ``watermark``:
+
+    - ``watermark=None``: EXACT global dedup via ``dropDuplicates``.
+      State holds one entry per distinct key for the lifetime of the
+      stream — the unavoidable cost of exact global semantics (the
+      batch analog is ``SELECT DISTINCT``). Right for bounded backfills
+      and key spaces that fit the state store (dedup keys are typically
+      a hash, ~16 bytes/entry; RocksDB state store for big key spaces).
+    - ``watermark + dim``: ``dropDuplicatesWithinWatermark`` — dedups
+      re-arrivals within the event-time watermark horizon and EVICTS
+      keys older than it, so state is O(keys-per-horizon) regardless of
+      stream length. The scale path for unbounded streams where
+      duplicates cluster in time (retries, at-least-once sources);
+      duplicates farther apart than the horizon pass through — a
+      recall/state trade the caller makes explicitly.
+
+    Emits in append mode (a row is emitted exactly once, on first
+    arrival). The projection to ``cols`` happens BEFORE the dedup so
+    state keys carry only the dedup columns, not the full row.
+    """
+    cols = list(cols)
+    if watermark is not None:
+        if dim is None:
+            raise ValueError("watermark requires dim (the event-time column)")
+        work = sdf.select(*dict.fromkeys(cols + [dim]))
+        work = work.withColumn(dim, event_time(work, dim))
+        return work.withWatermark(dim, watermark).dropDuplicatesWithinWatermark(cols)
+    return sdf.select(*cols).dropDuplicates(cols)
