@@ -131,12 +131,16 @@ def oracle_median(sql: str) -> float:
         return dt
 
     once()  # warmup
-    return statistics.median(once() for _ in range(3))
+    return statistics.median(once() for _ in range(5))
 
 
 def spark_median(spark, fn) -> float:
+    # median of 5 timed runs after one warmup — the same protocol as
+    # bench.py (r6: the host shows multi-second JVM-pause/steal spikes
+    # on single runs of identical plans; a 3-run median still caught
+    # one 8.8 s outlier as its middle element)
     samples = []
-    for i in range(4):
+    for i in range(6):
         t0 = time.time()
         fn(spark, DST).count()
         if i > 0:
