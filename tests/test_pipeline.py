@@ -347,8 +347,12 @@ def test_decode_ppm_parses_netpbm_headers():
         decode_ppm(b"P5\n2 2\n255\n" + raster)
     with pytest.raises(ValueError, match="maxval"):
         decode_ppm(b"P6\n2 2\n65535\n" + raster)
+    with pytest.raises(ValueError):
+        # JPEG magic now routes to the REAL baseline decoder (r6),
+        # which rejects this truncated stream instead of gating
+        image_decoder(b"\xff\xd8\xff\xe0jpeg-ish", 4)
     with pytest.raises(NotImplementedError, match="imaging library"):
-        image_decoder(b"\xff\xd8\xff\xe0jpeg-ish", 4)  # JPEG magic: no lib
+        image_decoder(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 4)  # WebP: no lib
 
 
 def test_png_encode_decode_roundtrip_all_filters():
@@ -583,3 +587,91 @@ def test_gzip_text_roundtrip(spark):
         assert out[doc_id][0] == text
         assert out[doc_id][1] == len(pl.gzip_text_encoder(text))
     assert out[3][1] < 200  # 10k run-length text compresses ~100x
+
+
+def test_jpeg_dc_only_roundtrip_exact():
+    """Constant 8x8 blocks + all-ones quant table: the DC coefficient
+    8*(v-128) is integral and AC are analytically zero, so the full
+    encode->decode pipeline (huffman, DC prediction, dequant, IDCT)
+    must reproduce every pixel EXACTLY — the property the arithmetic
+    oracle of multimodal_jpeg_decode leans on."""
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, (3, 4))
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    dec, w, h = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (32, 24)
+    assert (dec == img).all()
+
+
+def test_jpeg_general_roundtrips_and_errors():
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    # arbitrary gray content, quant ones: only IDCT/DCT float rounding,
+    # error bound 1; odd (non multiple-of-8) dims crop correctly
+    img = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    dec, w, h = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (21, 13) and dec.shape == (13, 21)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+    # a REAL lossy quant table: decode succeeds, error bounded but nonzero
+    quant = np.clip((np.arange(64) + 2) * 2, 2, 96)
+    smooth = np.linspace(40, 200, 16 * 24).reshape(16, 24).astype(np.uint8)
+    dec2, _, _ = decode_jpeg(encode_jpeg(smooth, quant=quant))
+    assert np.abs(dec2.astype(int) - smooth.astype(int)).max() <= 32
+
+    # color: 4:4:4 and 4:2:0 on smooth chroma (subsampling-lossless)
+    color = np.zeros((16, 16, 3), np.uint8)
+    color[..., 0], color[..., 1], color[..., 2] = 90, 160, 210
+    for sub in (False, True):
+        dec3, _, _ = decode_jpeg(encode_jpeg(color, subsample=sub))
+        assert dec3.shape == (16, 16, 3)
+        assert np.abs(dec3.astype(int) - color.astype(int)).max() <= 2
+
+    # error paths: not a JPEG; truncated stream; progressive marker
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG")
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+    with _pytest.raises(ValueError):
+        # SOF2 (progressive) must be refused, not mis-decoded
+        payload = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        payload[payload.index(b"\xff\xc0") + 1] = 0xC2
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_through_image_decoder(spark):
+    """image_decoder sniffs the FFD8 signature and routes through
+    decode_jpeg inside the Arrow-batched decode_features plumbing."""
+    import numpy as np
+    import pandas as _pd
+
+    from xarray_scipy_spark.pipeline.jpeg import encode_jpeg
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id bigint")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(np.full((8, 16), 50 + 10 * int(d), np.uint8))
+                for d in pdf["doc_id"]
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    out = {
+        r["doc_id"]: (r["f0"], r["f3"], r["f4"])
+        for r in pl.decode_features(
+            payloads, n_features=5, decoder=pl.image_decoder
+        ).collect()
+    }
+    for d in range(4):
+        assert out[d] == (50.0 + 10 * d, 16.0, 8.0)

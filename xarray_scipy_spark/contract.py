@@ -3090,3 +3090,63 @@ def q_stream_dedup(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# multimodal: REAL baseline-JPEG decode (huffman + dequant + IDCT)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_jpeg_decode",
+    "WITH dims AS ("
+    "  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh FROM documents"
+    ") "
+    "SELECT doc_id, "
+    "round(list_aggregate(list_transform(range(0, bw * bh), "
+    "b -> CAST((doc_id * 37 + b * 11) % 256 AS DOUBLE)), 'avg'), 4) + 0.0 AS f0_4, "
+    "0.0 AS f1, 0.0 AS f2, "
+    "CAST(bw * 8 AS DOUBLE) AS f3, CAST(bh * 8 AS DOUBLE) AS f4 FROM dims",
+)
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode path (pipeline/jpeg.py — marker
+    segmentation, stream-carried huffman tables, DC-differential +
+    run-length AC entropy decode, dequantization, vectorized IDCT).
+    Each doc gets a grayscale JPEG of constant 8×8 blocks whose values
+    follow an arithmetic formula; with the all-ones quantization table
+    a DC-only image roundtrips EXACTLY (the DC coefficient 8·(v−128)
+    is integral, AC are analytically zero), so the oracle recomputes
+    the expected image mean from the formula — the entire entropy +
+    transform pipeline is value-verified without any imaging library.
+    Lossy-by-construction content (nonzero AC under real quant tables)
+    is covered with error bounds by tests/test_pipeline.py instead."""
+    import numpy as _np
+    import pandas as _pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        from xarray_scipy_spark.pipeline.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                vals = (d * 37 + _np.arange(bw * bh) * 11) % 256
+                img = _np.repeat(
+                    _np.repeat(vals.reshape(bh, bw), 8, axis=0), 8, axis=1
+                ).astype(_np.uint8)
+                payloads.append(encode_jpeg(img))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    res = pl.decode_features(with_payload, n_features=5, decoder=pl.image_decoder)
+    return res.select(
+        "doc_id",
+        _r("f0", 4, "f0_4"),
+        F.col("f1"),
+        F.col("f2"),
+        "f3",
+        "f4",
+    )

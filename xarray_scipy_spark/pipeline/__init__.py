@@ -48,7 +48,9 @@ from .sample import hash_uniform, mix_datasets, split_assign, stratified_sample
 from .multimodal import (
     audio_decoder,
     decode_features,
+    decode_jpeg,
     decode_text,
+    encode_jpeg,
     gzip_text_decoder,
     gzip_text_encoder,
     decode_png,
@@ -84,6 +86,8 @@ __all__ = [
     "repetition_stats",
     "vocabulary",
     "decode_text",
+    "decode_jpeg",
+    "encode_jpeg",
     "gzip_text_decoder",
     "gzip_text_encoder",
     "with_binary",

@@ -1,0 +1,526 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81, public spec).
+
+No imaging library ships in this container, so — like the PNG path
+(pipeline/multimodal.py) — the decoder is written from the published
+standard: marker segmentation, stream-carried huffman tables (DHT),
+quantization tables (DQT), baseline sequential DCT scan decode with
+byte-stuffing and restart markers, dequantization, a vectorized 8×8
+inverse DCT (one einsum over all blocks of a component), chroma
+upsampling for subsampled scans, and JFIF/BT.601 YCbCr→RGB for
+3-component images. The encoder exists for fixtures and tests:
+grayscale or 4:4:4 / 4:2:0 color, any quantization table (all-ones by
+default so DC-only images roundtrip EXACTLY — the property the
+arithmetic oracle uses), standard Annex K huffman tables.
+
+Scale note: this module is the per-payload kernel; the Spark side
+(``decode_features`` / ``decode_text`` plumbing in multimodal.py)
+amortizes it over Arrow batches, one batch per task — decode
+parallelism comes from partitions, exactly like every other kernel in
+the engine.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+
+def _zigzag() -> np.ndarray:
+    """The T.81 zigzag scan order as (index-in-block) per scan position."""
+    order = []
+    for s in range(15):
+        cells = [(i, s - i) for i in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 0:
+            cells.reverse()  # even diagonals run bottom-left -> top-right
+        order.extend(cells)
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_ZZ = _zigzag()  # zigzag position -> raster index
+_ZZ_INV = np.argsort(_ZZ)  # raster index -> zigzag position
+
+# 8x8 DCT-II basis with orthonormal scaling: C[u, x] = a(u) cos((2x+1)u pi/16),
+# a(0)=sqrt(1/8), a(u>0)=sqrt(2/8). pixels = C.T @ coeffs @ C (T.81 uses the
+# 1/4 * Cu * Cv convention; this matrix folds the constants in).
+_DCT = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# Annex K (K.3.1/K.3.2) standard huffman tables: (BITS[1..16], HUFFVAL).
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    # fmt: off
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+    # fmt: on
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    # fmt: off
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+    # fmt: on
+)
+
+
+def _canonical_codes(bits, values):
+    """T.81 Annex C: canonical huffman — codes assigned in symbol order,
+    incrementing within a length, doubling at each length step. Returns
+    {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    stuffing; stops at (and reports) marker bytes."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(0xFF00 | nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return out
+
+    def huffman(self, table) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG scan")
+
+    def align(self):
+        self.nbits = 0
+        self.acc = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline sequential JPEG decode -> ``(pixels, width, height)``
+    with pixels ``(h, w)`` uint8 for grayscale or ``(h, w, 3)`` RGB.
+
+    Supported: SOF0 (baseline DCT), 8-bit precision, 1 or 3 components,
+    any sampling factors whose MCU tiling is rectangular (4:4:4, 4:2:2,
+    4:2:0 in practice), stream-carried DQT/DHT tables, DRI restart
+    intervals. Progressive (SOF2), arithmetic coding, and 12-bit
+    precision raise ``ValueError`` — decode is value-checked downstream.
+    """
+    buf = bytes(payload)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        size = struct.unpack(">H", buf[pos : pos + 2])[0]
+        body = buf[pos + 2 : pos + size]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                q = np.frombuffer(body, dtype=np.uint8, count=64, offset=off + 1)
+                qtables[tq] = q.astype(np.int64)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htables[(tc, th)] = _canonical_codes(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported, got {prec}")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"unsupported JPEG process (SOF{marker - 0xC0}); baseline only"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan_tabs = {}
+            for i in range(ns):
+                cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tabs[cs] = (td_ta >> 4, td_ta & 0x0F)
+            pixels = _decode_scan(
+                buf, pos + size, frame, scan_tabs, qtables, htables, restart_interval
+            )
+            return pixels, frame["w"], frame["h"]
+        elif marker == 0xD9:  # EOI before any scan
+            break
+        pos += size
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(buf, pos, frame, scan_tabs, qtables, htables, restart_interval):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component zigzag coefficient store, MCU-block order
+    blocks = {c["id"]: [] for c in comps}
+    pred = {c["id"]: 0 for c in comps}
+    rd = _BitReader(buf, pos)
+    n_mcu = mcus_x * mcus_y
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            rd.align()
+            # consume the RSTn marker between intervals
+            try:
+                rd._fill()
+            except _MarkerHit as hit:
+                if not (0xFFD0 <= hit.marker <= 0xFFD7):
+                    raise ValueError(f"expected RSTn, got {hit.marker:04x}")
+                rd.pos += 1  # step past the marker byte pair's second byte
+                rd.acc = 0
+                rd.nbits = 0
+            for cid in pred:
+                pred[cid] = 0
+        for c in comps:
+            td, ta = scan_tabs[c["id"]]
+            dc_tab = htables.get((0, td))
+            ac_tab = htables.get((1, ta))
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("missing huffman table referenced by scan")
+            for _ in range(c["h"] * c["v"]):
+                zz = np.zeros(64, dtype=np.int64)
+                t = rd.huffman(dc_tab)
+                diff = _extend(rd.bits(t), t) if t else 0
+                pred[c["id"]] += diff
+                zz[0] = pred[c["id"]]
+                k = 1
+                while k < 64:
+                    rs = rd.huffman(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(rd.bits(s), s)
+                    k += 1
+                blocks[c["id"]].append(zz)
+    planes = {}
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        arr = np.stack(blocks[c["id"]]) if blocks[c["id"]] else np.zeros((0, 64))
+        coeffs = (arr * q[None, :])[:, _ZZ_INV].reshape(-1, 8, 8).astype(float)
+        # vectorized IDCT over every block of the component at once
+        pix = np.einsum("ux,nuv,vy->nxy", _DCT, coeffs, _DCT)
+        bw = mcus_x * c["h"]  # blocks per row in this component's plane
+        bh = mcus_y * c["v"]
+        plane = np.zeros((bh * 8, bw * 8))
+        # blocks arrive MCU by MCU, row-major within the MCU
+        i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = pix[i]
+                        i += 1
+        # upsample to full resolution (sample replication) and crop
+        plane = np.repeat(np.repeat(plane, hmax // c["h"], axis=1), vmax // c["v"], axis=0)
+        planes[c["id"]] = plane[:h, :w] + 128.0
+    if len(comps) == 1:
+        out = np.clip(np.rint(planes[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        return out
+    if len(comps) != 3:
+        raise ValueError(f"unsupported component count {len(comps)}")
+    y, cb, cr = (planes[c["id"]] for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, value: int, n: int):
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            self.bits((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-fill pad
+
+
+def _encode_tables(bits, values):
+    """symbol -> (length, code) for the encoder side."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_component_blocks(wr, blocks_zz, dc_tab, ac_tab, pred):
+    for zz in blocks_zz:
+        diff = int(zz[0]) - pred[0]
+        pred[0] = int(zz[0])
+        t = _category(diff)
+        length, code = dc_tab[t]
+        wr.bits(code, length)
+        if t:
+            wr.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if k > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_tab[0xF0]  # ZRL
+                wr.bits(code, length)
+                run -= 16
+            s = _category(v)
+            length, code = ac_tab[(run << 4) | s]
+            wr.bits(code, length)
+            wr.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            length, code = ac_tab[0x00]  # EOB
+            wr.bits(code, length)
+
+
+def _dct_blocks(plane, quant):
+    """(h, w) float plane -> list of quantized zigzag blocks (row-major)."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    tiles = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ux,nmxy,vy->nmuv", _DCT, tiles, _DCT)
+    q = coeffs.reshape(-1, 64)[:, _ZZ]
+    return np.rint(q / quant[None, :]).astype(np.int64)
+
+
+def encode_jpeg(pixels, quant=None, subsample: bool = False) -> bytes:
+    """Baseline JPEG encoder (fixture generator and binary-sink
+    utility). ``pixels``: ``(h, w)`` gray or ``(h, w, 3)`` RGB uint8.
+    ``quant``: 64 zigzag-ordered divisors (default all ones — with a
+    DC-only image this makes decode(encode(x)) EXACT, the property the
+    arithmetic oracle leans on). ``subsample=True`` writes 4:2:0 chroma
+    (2×2 box-filtered); only meaningful for color inputs."""
+    px = np.asarray(pixels, dtype=float)
+    quant = np.ones(64, dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "plane": px}]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            def ds(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            comps = [
+                {"id": 1, "h": 2, "v": 2, "plane": y},
+                {"id": 2, "h": 1, "v": 1, "plane": ds(cb)},
+                {"id": 3, "h": 1, "v": 1, "plane": ds(cr)},
+            ]
+        else:
+            comps = [
+                {"id": 1, "h": 1, "v": 1, "plane": y},
+                {"id": 2, "h": 1, "v": 1, "plane": cb},
+                {"id": 3, "h": 1, "v": 1, "plane": cr},
+            ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component quantized blocks in PLANE row-major order, then
+    # re-gathered in MCU order during the scan write
+    for c in comps:
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        plane = c["plane"]
+        # pad the plane so its block grid is exactly (bh, bw)
+        plane = np.pad(
+            plane,
+            ((0, bh * 8 - plane.shape[0]), (0, bw * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        c["zz"] = _dct_blocks(plane, quant).reshape(bh, bw, 64)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes(int(v) for v in quant))  # DQT id 0
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
+    seg(0xC0, bytes(sof))
+    tabs = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
+    if not gray:
+        tabs += [(0, 1, _DC_CHR), (1, 1, _AC_CHR)]
+    for tc, th, (bits, vals) in tabs:
+        seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+    sos = bytearray([len(comps)])
+    for i, c in enumerate(comps):
+        td_ta = 0 if i == 0 or gray else 0x11
+        sos += bytes([c["id"], td_ta])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    wr = _BitWriter()
+    enc_tabs = {
+        0: (_encode_tables(*_DC_LUM), _encode_tables(*_AC_LUM)),
+        1: (_encode_tables(*_DC_CHR), _encode_tables(*_AC_CHR)),
+    }
+    preds = {c["id"]: [0] for c in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for i, c in enumerate(comps):
+                dc_tab, ac_tab = enc_tabs[0 if i == 0 or gray else 1]
+                rows = []
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        rows.append(c["zz"][my * c["v"] + by, mx * c["h"] + bx])
+                _encode_component_blocks(wr, rows, dc_tab, ac_tab, preds[c["id"]])
+    wr.flush()
+    out.extend(wr.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -12,8 +12,11 @@ Decoders: image (PPM/P6) and audio (RIFF/WAVE PCM) have REAL pure-numpy
 decode paths for the public uncompressed formats — header tokenizing,
 raster/PCM scaling, feature math, all value-verified by arithmetic
 oracles (``multimodal_real_decode`` / ``multimodal_audio_decode``).
-Compressed formats (PNG/JPEG, mp3/ogg) and video containers need
-libraries this container does not ship and stay behind clearly-marked
+Compressed formats with pure-numpy decode paths: PNG (stdlib zlib
+inflate + scanline unfilter) and baseline JPEG (stream-carried huffman
+tables, dequant, vectorized IDCT — pipeline/jpeg.py). WebP,
+progressive JPEG, mp3/ogg and video containers need libraries this
+container does not ship and stay behind clearly-marked
 ``NotImplementedError`` gates; the deterministic fallback decoder
 (md5-derived features) keeps that plumbing testable and SQL-reproducible.
 """
@@ -27,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .hashes import spread
+from .jpeg import decode_jpeg, encode_jpeg
 
 __all__ = [
     "with_binary",
@@ -35,6 +39,8 @@ __all__ = [
     "decode_ppm",
     "decode_png",
     "encode_png",
+    "decode_jpeg",
+    "encode_jpeg",
     "image_decoder",
     "decode_wav",
     "audio_decoder",
@@ -268,22 +274,28 @@ def encode_png(pixels) -> bytes:
 
 def image_decoder(payload: bytes, n_features: int) -> list[float]:
     """Image feature extraction with REAL pure-numpy decode paths for
-    binary PPM (P6) and 8-bit non-interlaced PNG payloads: features are
-    the per-channel means (first three channels; gray fills one)
-    followed by width and height (zero-padded / truncated to
-    ``n_features``). Other compressed formats (JPEG/WebP/...) require
-    an imaging library this container does not ship and raise."""
+    binary PPM (P6), 8-bit non-interlaced PNG, and baseline JPEG
+    payloads: features are the per-channel means (first three channels;
+    gray fills one) followed by width and height (zero-padded /
+    truncated to ``n_features``). Remaining formats (WebP, progressive
+    JPEG, ...) have no pure-numpy path and raise."""
     import numpy as np
 
     if payload[:2] == b"P6":
         px, w, h = decode_ppm(payload)
     elif payload[:8] == _PNG_SIG:
         px, w, h = decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        px, w, h = decode_jpeg(payload)
+        if px.ndim == 2:
+            px = px[:, :, None]
     else:
         raise NotImplementedError(
-            "only PPM (P6) and 8-bit non-interlaced PNG decode without an "
-            "imaging library; JPEG/WebP/... require PIL/cv2, not present "
-            "in this environment"
+            "only PPM (P6), 8-bit non-interlaced PNG, and baseline JPEG "
+            "decode without an imaging library; WebP/progressive-JPEG/... "
+            "require PIL/cv2, not present in this environment"
         )
     means = px.reshape(-1, px.shape[-1]).mean(axis=0, dtype=np.float64)
     feats = [float(m) for m in means[:3]]
