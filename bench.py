@@ -60,6 +60,9 @@ HEADLINE = [
     "dataset_split",
     "decontaminate",
     "multimodal_real_decode",
+    "text_vocab",
+    "multimodal_gzip_decode",
+    "multimodal_jpeg_decode",
 ]
 
 

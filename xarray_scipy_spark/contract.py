@@ -3022,7 +3022,9 @@ def q_multimodal_gzip_decode(spark, sf_dir):
     decode are all value-verified end to end."""
     import pandas as _pd
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    from xarray_scipy_spark.pipeline.hashes import spread as _spread
+
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
 
     def synth(batches):
         # fixture generator (production payloads arrive from storage)
@@ -3123,7 +3125,12 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     import numpy as _np
     import pandas as _pd
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    from xarray_scipy_spark.pipeline.hashes import spread as _spread
+
+    # fixture ENCODE is itself per-payload python work — spread it
+    # across the task waves like the decode side (a single small
+    # parquet file otherwise scans as one partition and serializes it)
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"), "doc_id")
 
     def synth(batches):
         from xarray_scipy_spark.pipeline.jpeg import encode_jpeg

@@ -111,7 +111,13 @@ _AC_CHR = (
 def _canonical_codes(bits, values):
     """T.81 Annex C: canonical huffman — codes assigned in symbol order,
     incrementing within a length, doubling at each length step. Returns
-    {(length, code): symbol}."""
+    {(length, code): symbol}. Memoized on the (BITS, HUFFVAL) pair:
+    corpus payloads overwhelmingly share tables (every JFIF encoder
+    ships Annex K), so per-payload decode skips the ~400 dict inserts."""
+    key = (tuple(bits), tuple(values))
+    cached = _CODE_CACHE.get(key)
+    if cached is not None:
+        return cached
     table = {}
     code = 0
     k = 0
@@ -121,7 +127,12 @@ def _canonical_codes(bits, values):
             code += 1
             k += 1
         code <<= 1
+    if len(_CODE_CACHE) < 64:
+        _CODE_CACHE[key] = table
     return table
+
+
+_CODE_CACHE: dict = {}
 
 
 class _BitReader:
@@ -506,10 +517,7 @@ def encode_jpeg(pixels, quant=None, subsample: bool = False) -> bytes:
     seg(0xDA, bytes(sos))
 
     wr = _BitWriter()
-    enc_tabs = {
-        0: (_encode_tables(*_DC_LUM), _encode_tables(*_AC_LUM)),
-        1: (_encode_tables(*_DC_CHR), _encode_tables(*_AC_CHR)),
-    }
+    enc_tabs = _ENC_TABS
     preds = {c["id"]: [0] for c in comps}
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -524,3 +532,10 @@ def encode_jpeg(pixels, quant=None, subsample: bool = False) -> bytes:
     out.extend(wr.out)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+
+# encoder tables are fixed (Annex K): build once at import
+_ENC_TABS = {
+    0: (_encode_tables(*_DC_LUM), _encode_tables(*_AC_LUM)),
+    1: (_encode_tables(*_DC_CHR), _encode_tables(*_AC_CHR)),
+}
