@@ -675,3 +675,19 @@ def test_jpeg_through_image_decoder(spark):
     }
     for d in range(4):
         assert out[d] == (50.0 + 10 * d, 16.0, 8.0)
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")],
+        "doc_id bigint, text string",
+    )
+    # corpus: a:3, b:1, c:1, total 5
+    out = {r["doc_id"]: r for r in pl.unigram_logprob(docs).collect()}
+    p = {"a": 3 / 5, "b": 1 / 5, "c": 1 / 5}
+    exp0 = -(math.log(p["a"]) * 2 + math.log(p["b"])) / 3
+    exp1 = -(math.log(p["a"]) + math.log(p["c"])) / 2
+    assert out[0]["n_tokens"] == 3 and abs(out[0]["avg_nll"] - exp0) < 1e-12
+    assert out[1]["n_tokens"] == 2 and abs(out[1]["avg_nll"] - exp1) < 1e-12

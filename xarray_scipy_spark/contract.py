@@ -3157,3 +3157,31 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
         "f3",
         "f4",
     )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: per-doc unigram negative log-likelihood (quality proxy)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_logprob",
+    f"WITH {_TOKS}, "
+    "tok AS (SELECT doc_id, unnest(tk) AS token FROM toks), "
+    "vocab AS (SELECT token, count(*) AS tf FROM tok GROUP BY token), "
+    "total AS (SELECT sum(tf) AS n_total FROM vocab), "
+    "j AS (SELECT t.doc_id, -ln(v.tf / total.n_total) AS nll "
+    "      FROM tok t JOIN vocab v USING (token) CROSS JOIN total) "
+    "SELECT doc_id, count(*) AS n_tokens, "
+    + _q3("avg(nll)")
+    + " AS nll_q FROM j GROUP BY doc_id",
+)
+def q_text_logprob(spark, sf_dir):
+    """Per-doc mean unigram NLL under the corpus's own LM
+    (pipeline/text.py:unigram_logprob) — the cheap perplexity proxy a
+    quality-filter pass runs corpus-wide. Quantized at 1e-3 (ln +
+    divide summation order differs between engines)."""
+    res = pl.unigram_logprob(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id", "n_tokens", _q3_col(F.col("avg_nll")).alias("nll_q")
+    )

@@ -41,6 +41,7 @@ from .text import (
     repetition_stats,
     tfidf_top_tokens,
     token_stats,
+    unigram_logprob,
     vocabulary,
 )
 from .curate import curation_report
@@ -85,6 +86,7 @@ __all__ = [
     "redact",
     "repetition_stats",
     "vocabulary",
+    "unigram_logprob",
     "decode_text",
     "decode_jpeg",
     "encode_jpeg",

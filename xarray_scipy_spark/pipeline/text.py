@@ -24,6 +24,7 @@ __all__ = [
     "redact",
     "repetition_stats",
     "vocabulary",
+    "unigram_logprob",
     "PII_PATTERNS",
     "LANG_MARKERS",
 ]
@@ -408,3 +409,44 @@ def vocabulary(
         F.countDistinct(id_col).alias("df"),
     )
     return agg.filter(F.col("tf") >= min_tf)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram LM — the classic cheap perplexity proxy for quality
+    filtering (a doc of rare/garbled tokens scores high, boilerplate
+    scores low). ``p(token) = tf / total_tokens`` over the corpus.
+
+    Plan: explode tokens once; aggregate the vocabulary (one shuffle,
+    map-side partials); total token count rides a 1-row broadcast
+    cross join; tokens re-join the vocabulary on ``token`` (Spark
+    broadcasts it under ``autoBroadcastJoinThreshold`` when small; at
+    corpus scale it is a shuffle join where the skewed stopword keys
+    are exactly what AQE skew-split handles, and the join is followed
+    by a per-doc aggregate so no row amplification survives); final
+    groupBy(doc) is the last shuffle.
+
+    Output: ``(id_col, n_tokens, avg_nll)`` with ``avg_nll`` in nats.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (-F.log(F.col("tf").cast("double") / F.col("n_total"))).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("nll").alias("avg_nll"),
+    )
