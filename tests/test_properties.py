@@ -170,3 +170,40 @@ def test_resample_freq_agrees_with_time_domain(x, num):
     scale = max(1.0, np.abs(x).max())
     np.testing.assert_allclose(yf.real, yt, atol=1e-9 * scale)
     np.testing.assert_allclose(yf.imag, 0.0, atol=1e-9 * scale)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_error_bound(h, w, seed):
+    """Baseline JPEG with the all-ones quantization table: for ANY
+    uint8 grayscale image (any dims — including non-multiples of 8),
+    decode(encode(x)) differs from x by at most 3 per pixel: the only
+    loss is coefficient quantization rounding (|e_uv| <= 0.5 per
+    coefficient, and |IDCT(E)| <= 0.5·(sum_u |a(u)cos|)^2 ≈ 3 in the
+    worst case); huffman/entropy/dequant are lossless. Probes MCU
+    padding, odd crops, and multi-category DC diffs across the whole
+    small-size lattice."""
+    from xarray_scipy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    dec, ww, hh = decode_jpeg(encode_jpeg(img))
+    assert (ww, hh) == (w, h)
+    assert dec.shape == (h, w)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=_arr(1, 48), y=_arr(1, 48))
+def test_correlate_kernel_equals_numpy(x, y):
+    """correlate(x, y) == convolve(x, y[::-1]) == np.correlate across
+    arbitrary lengths (both operand orders, all from the same
+    fftconvolve kernel the operator wraps)."""
+    got = fftconvolve_1d(x, y[::-1], mode="full")
+    ref = np.correlate(x, y, mode="full")
+    scale = max(1.0, np.abs(x).max() * np.abs(y).max() * len(x))
+    np.testing.assert_allclose(got, ref, atol=1e-9 * scale)

@@ -3185,3 +3185,25 @@ def q_text_logprob(spark, sf_dir):
     return res.select(
         "doc_id", "n_tokens", _q3_col(F.col("avg_nll")).alias("nll_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-correlation (scipy surface beyond the reference's convolution pair)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "correlate",
+    # self-correlation: z[idx] = sum over j1-j2 = idx-(n-1) of x[j1]*x[j2]
+    f"WITH {_S} "
+    "SELECT a.user_id, a.j - b.j + a.n - 1 AS idx, "
+    "round(sum(a.x * b.x), 4) + 0.0 AS corr4 "
+    "FROM s a JOIN s b USING (user_id) "
+    "GROUP BY a.user_id, a.j - b.j + a.n - 1",
+)
+def q_correlate(spark, sf_dir):
+    """Self cross-correlation (mode=full) of each user's series through
+    the cogrouped FFT kernel (operators/convolve.py:correlate)."""
+    ev = _events(spark, sf_dir)
+    res = ops.correlate(ev, ev, by=["user_id"], dim="ts", mode="full")
+    return res.select("user_id", "idx", _r("value", 4, "corr4"))

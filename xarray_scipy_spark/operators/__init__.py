@@ -1,7 +1,7 @@
 """Operator inventory — one public entry per reference operator
 (SURVEY.md §2.2 #1-17) plus engine-native fast paths."""
 
-from .convolve import convolve, convolve_fir, fftconvolve, fftconvolve_nd
+from .convolve import convolve, convolve_fir, correlate, fftconvolve, fftconvolve_nd
 from .detrend import detrend
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
@@ -13,6 +13,7 @@ from .spectral import coherence, csd, istft, spectral_apply, stft, welch
 
 __all__ = [
     "convolve",
+    "correlate",
     "fftconvolve",
     "fftconvolve_nd",
     "convolve_fir",

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..core import apply_cogrouped_kernel, resolve_keep_attrs
 from ..kernels.dsp import fftconvolve_1d, fftconvolve_nd as _fftconvolve_nd_kernel
 
-__all__ = ["convolve", "fftconvolve", "fftconvolve_nd", "convolve_fir"]
+__all__ = ["convolve", "correlate", "fftconvolve", "fftconvolve_nd", "convolve_fir"]
 
 
 def fftconvolve(
@@ -236,3 +236,75 @@ def convolve_fir(
             shifted = F.col(value)
         acc = acc + F.lit(h) * shifted
     return df.withColumn(out, acc)
+
+
+def correlate(
+    df1: DataFrame,
+    df2: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value1: str = "value",
+    value2: str = "value",
+    mode: str = "full",
+    keep_attrs: bool | None = None,
+    im1: str | None = None,
+    im2: str | None = None,
+) -> DataFrame:
+    """Cross-correlation of two long-form signals per group — the scipy
+    ``signal.correlate`` surface the reference stops short of (it wraps
+    only the convolution pair, signal.py:34-106; correlation is the
+    same kernel family: ``correlate(x, y) = convolve(x, conj(y[::-1]))``).
+
+    Same physical plan as :func:`fftconvolve` — ONE co-locating shuffle
+    of both inputs on the broadcast dims, FFT kernel per group, no
+    broadcast/collect of either side — so the scale story is identical.
+    Output lag ``idx`` runs 0..n1+n2-2 for ``mode='full'`` (lag
+    ``idx-(n2-1)`` in signal terms), matching scipy's output ordering.
+    Complex inputs via twin re/im columns (``im1``/``im2``); the second
+    input is conjugated, as scipy does.
+    """
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+    cplx = im1 is not None or im2 is not None
+
+    if cplx:
+
+        def kernel(coords1, *rest):
+            n1 = 2 if im1 is not None else 1
+            a1 = rest[:n1]
+            coords2 = rest[n1]
+            a2 = rest[n1 + 1 :]
+            x = a1[0] + 1j * a1[1] if im1 is not None else a1[0]
+            y = a2[0] + 1j * a2[1] if im2 is not None else a2[0]
+            out = fftconvolve_1d(x, np.conj(y[::-1]), mode=mode)
+            return {"re": out.real.astype(float), "im": out.imag.astype(float)}
+
+        return apply_cogrouped_kernel(
+            df1,
+            df2,
+            kernel,
+            by=by,
+            order1=dim,
+            order2=dim,
+            values1=[value1] + ([im1] if im1 is not None else []),
+            values2=[value2] + ([im2] if im2 is not None else []),
+            out_fields="re double, im double",
+            keep=resolve_keep_attrs(df1, keep_attrs),
+        )
+
+    def kernel(coords1, x, coords2, y):
+        return {"value": fftconvolve_1d(x, y[::-1], mode=mode)}
+
+    return apply_cogrouped_kernel(
+        df1,
+        df2,
+        kernel,
+        by=by,
+        order1=dim,
+        order2=dim,
+        values1=[value1],
+        values2=[value2],
+        out_fields="value double",
+        keep=resolve_keep_attrs(df1, keep_attrs),
+    )
