@@ -691,3 +691,53 @@ def test_unigram_logprob_known_values(spark):
     exp1 = -(math.log(p["a"]) + math.log(p["c"])) / 2
     assert out[0]["n_tokens"] == 3 and abs(out[0]["avg_nll"] - exp0) < 1e-12
     assert out[1]["n_tokens"] == 2 and abs(out[1]["avg_nll"] - exp1) < 1e-12
+
+
+def test_jsonl_roundtrip_gzip_and_corrupt_records(spark, tmp_path):
+    """JSONL source/sink: gzip shards roundtrip the documents shape
+    exactly; a malformed line under PERMISSIVE mode lands in
+    _corrupt_record instead of being silently dropped; partitioned
+    writes produce the key=value layout readers prune on."""
+    import gzip
+    import os
+
+    from xarray_scipy_spark.sources.jsonl import (
+        DOCUMENTS_JSONL_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    rows = [
+        (0, "alpha beta", "en", "web"),
+        (1, "gamma", "de", "books"),
+        (2, "delta epsilon zeta", "en", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, out, partition_by=("source",))
+    # key=value partition layout on disk, shards gzip'd
+    assert os.path.isdir(os.path.join(out, "source=web"))
+    shard = [
+        f
+        for f in os.listdir(os.path.join(out, "source=web"))
+        if f.endswith(".json.gz")
+    ]
+    assert shard, os.listdir(os.path.join(out, "source=web"))
+
+    back = read_jsonl(spark, out, DOCUMENTS_JSONL_SCHEMA)
+    got = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"])
+        for r in back.collect()
+    }
+    assert got == {d: (t, l, s) for d, t, l, s in rows}
+
+    # corrupt line: quarantined, not dropped
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    with gzip.open(bad / "shard.jsonl.gz", "wt") as f:
+        f.write('{"doc_id": 7, "text": "ok", "lang": "en", "source": "web"}\n')
+        f.write("{not json at all\n")
+    parsed = read_jsonl(spark, str(bad), DOCUMENTS_JSONL_SCHEMA).collect()
+    assert len(parsed) == 2
+    corrupt = [r for r in parsed if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and "not json" in corrupt[0]["_corrupt_record"]

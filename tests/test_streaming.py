@@ -385,3 +385,72 @@ def test_stream_distinct_exact_and_watermarked(spark, tmp_path):
     # k1's 40s re-arrival is within the horizon -> dropped; k2 at
     # 10_100s is beyond it -> state evicted, emitted AGAIN
     assert sorted(wm) == ["k1", "k2", "k2", "k3", "k4", "k5"]
+
+
+def test_decode_features_on_stream_equals_batch(spark, tmp_path):
+    """The multimodal decode plumbing composes with Structured
+    Streaming unchanged: mapInPandas is stateless, so readStream ->
+    synth payload -> decode_features over micro-batches must produce
+    exactly the batch result (the 100 TB ingest shape: decode as the
+    corpus streams in, no separate batch pass)."""
+    import uuid
+
+    import numpy as np
+    import pytest
+
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    import xarray_scipy_spark.pipeline as pl
+
+    src = tmp_path / "ids"
+    src.mkdir()
+    for i in range(2):  # two files -> two micro-batches
+        pq.write_table(
+            pa.table({"doc_id": list(range(i * 4, i * 4 + 4))}),
+            src / f"part{i}.parquet",
+        )
+        time.sleep(1.1)
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 2 + d % 3, 2
+                header = f"P6\n{w} {h}\n255\n".encode()
+                data = bytes((d * 31 + i * 7) % 256 for i in range(3 * w * h))
+                payloads.append(header + data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def pipeline_of(df):
+        payloads = df.mapInPandas(synth, "doc_id bigint, payload binary")
+        return pl.decode_features(
+            payloads, n_features=5, decoder=pl.image_decoder
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    name = f"mm_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        pipeline_of(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["f0"], r["f3"], r["f4"])
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_bytes"], r["f0"], r["f3"], r["f4"])
+        for r in pipeline_of(spark.read.parquet(str(src))).collect()
+    }
+    assert got == batch and len(got) == 8

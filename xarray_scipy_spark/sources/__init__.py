@@ -1,7 +1,11 @@
 from .tables import TABLES, load_table, load_tables, register_views
 from .write import read_series, write_bucketed, write_partitioned, write_series
+from .jsonl import DOCUMENTS_JSONL_SCHEMA, read_jsonl, write_jsonl
 
 __all__ = [
+    "read_jsonl",
+    "write_jsonl",
+    "DOCUMENTS_JSONL_SCHEMA",
     "TABLES",
     "load_table",
     "load_tables",
