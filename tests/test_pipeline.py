@@ -741,3 +741,25 @@ def test_jsonl_roundtrip_gzip_and_corrupt_records(spark, tmp_path):
     assert len(parsed) == 2
     corrupt = [r for r in parsed if r["_corrupt_record"] is not None]
     assert len(corrupt) == 1 and "not json" in corrupt[0]["_corrupt_record"]
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn restart intervals: DC predictors reset at every marker,
+    padding + byte-stuffing before the marker is skipped correctly, and
+    the roundtrip error bound is unchanged for any interval — including
+    intervals that split an MCU row and the color/subsampled scan."""
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img))[0]
+    for ri in (1, 2, 5, 7):
+        dec, w, h = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+        assert (w, h) == (48, 48)
+        # restart markers change packetization, not values
+        np.testing.assert_array_equal(dec, base)
+    col = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    dec2, _, _ = decode_jpeg(encode_jpeg(col, subsample=True, restart_interval=2))
+    assert dec2.shape == (32, 32, 3)

@@ -283,16 +283,16 @@ def _decode_scan(buf, pos, frame, scan_tabs, qtables, htables, restart_interval)
     n_mcu = mcus_x * mcus_y
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
+            # between intervals: drop partial-byte padding, skip any
+            # stuffed 0xFF00 pad bytes, then consume the byte-aligned
+            # RSTn marker and reset the DC predictors
             rd.align()
-            # consume the RSTn marker between intervals
-            try:
-                rd._fill()
-            except _MarkerHit as hit:
-                if not (0xFFD0 <= hit.marker <= 0xFFD7):
-                    raise ValueError(f"expected RSTn, got {hit.marker:04x}")
-                rd.pos += 1  # step past the marker byte pair's second byte
-                rd.acc = 0
-                rd.nbits = 0
+            while rd.buf[rd.pos] != 0xFF or rd.buf[rd.pos + 1] == 0x00:
+                rd.pos += 2 if rd.buf[rd.pos] == 0xFF else 1
+            nxt = rd.buf[rd.pos + 1]
+            if not (0xD0 <= nxt <= 0xD7):
+                raise ValueError(f"expected RSTn between intervals, got ff{nxt:02x}")
+            rd.pos += 2
             for cid in pred:
                 pred[cid] = 0
         for c in comps:
@@ -442,13 +442,18 @@ def _dct_blocks(plane, quant):
     return np.rint(q / quant[None, :]).astype(np.int64)
 
 
-def encode_jpeg(pixels, quant=None, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    pixels, quant=None, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
     """Baseline JPEG encoder (fixture generator and binary-sink
     utility). ``pixels``: ``(h, w)`` gray or ``(h, w, 3)`` RGB uint8.
     ``quant``: 64 zigzag-ordered divisors (default all ones — with a
     DC-only image this makes decode(encode(x)) EXACT, the property the
     arithmetic oracle leans on). ``subsample=True`` writes 4:2:0 chroma
-    (2×2 box-filtered); only meaningful for color inputs."""
+    (2×2 box-filtered); only meaningful for color inputs.
+    ``restart_interval``: emit DRI + RSTn markers every N MCUs (real
+    encoders use them for error resilience and parallel decode; here
+    they exercise the decoder's restart path)."""
     px = np.asarray(pixels, dtype=float)
     quant = np.ones(64, dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
     gray = px.ndim == 2
@@ -500,6 +505,8 @@ def encode_jpeg(pixels, quant=None, subsample: bool = False) -> bytes:
         out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
 
     seg(0xDB, bytes([0]) + bytes(int(v) for v in quant))  # DQT id 0
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for c in comps:
         sof += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
@@ -519,8 +526,17 @@ def encode_jpeg(pixels, quant=None, subsample: bool = False) -> bytes:
     wr = _BitWriter()
     enc_tabs = _ENC_TABS
     preds = {c["id"]: [0] for c in comps}
+    n_done = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                wr.flush()  # byte-align (1-padded, stuffed if 0xFF)
+                wr.out.extend(
+                    bytes([0xFF, 0xD0 + (n_done // restart_interval - 1) % 8])
+                )
+                for p in preds.values():
+                    p[0] = 0
+            n_done += 1
             for i, c in enumerate(comps):
                 dc_tab, ac_tab = enc_tabs[0 if i == 0 or gray else 1]
                 rows = []
