@@ -889,3 +889,85 @@ def test_correlate_matches_direct_and_conjugates(spark):
     directc = np.correlate(x + 1j * xi, y + 1j * yi, mode="full")
     np.testing.assert_allclose(gotc["re"].to_numpy(), directc.real, atol=1e-9)
     np.testing.assert_allclose(gotc["im"].to_numpy(), directc.imag, atol=1e-9)
+
+
+def _medfilt_ref(x: np.ndarray, k: int) -> np.ndarray:
+    """scipy.signal.medfilt semantics: zero-padded sliding median."""
+    h = k // 2
+    xp = np.concatenate([np.zeros(h), x, np.zeros(h)])
+    return np.array([np.median(xp[i : i + k]) for i in range(len(x))])
+
+
+def _wiener_ref(x: np.ndarray, k: int) -> np.ndarray:
+    """scipy.signal.wiener semantics (1-D, noise=None): zero-padded
+    local mean/variance, noise = mean local variance."""
+    h = k // 2
+    xp = np.concatenate([np.zeros(h), x, np.zeros(h)])
+    lmean = np.array([xp[i : i + k].sum() for i in range(len(x))]) / k
+    lsq = np.array([(xp[i : i + k] ** 2).sum() for i in range(len(x))]) / k
+    lvar = lsq - lmean**2
+    noise = lvar.mean()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        res = lmean + (x - lmean) * (1.0 - noise / lvar)
+    return np.where(lvar < noise, lmean, res)
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_medfilt_matches_zero_padded_reference(spark, k):
+    rng = np.random.default_rng(11)
+    frames = []
+    refs = {}
+    for ch in ("a", "b"):
+        # mix of signs and exact zeros so every CASE branch fires
+        x = np.round(rng.standard_normal(53), 3)
+        x[rng.integers(0, 53, 6)] = 0.0
+        frames.append(
+            pd.DataFrame({"ch": ch, "t": np.arange(len(x)), "value": x})
+        )
+        refs[ch] = _medfilt_ref(x, k)
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    got = (
+        xss.operators.medfilt(df, by=["ch"], dim="t", kernel_size=k)
+        .orderBy("ch", "t")
+        .toPandas()
+    )
+    for ch in ("a", "b"):
+        np.testing.assert_array_equal(
+            got[got["ch"] == ch]["value_med"].to_numpy(), refs[ch]
+        )
+
+
+def test_medfilt_rejects_even_kernel(spark, sine_df):
+    with pytest.raises(ValueError, match="odd"):
+        xss.operators.medfilt(sine_df, by=["channel"], dim="time", kernel_size=4)
+
+
+def test_wiener_matches_zero_padded_reference(spark):
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(101) + 0.2
+    df = spark.createDataFrame(
+        pd.DataFrame({"ch": "a", "t": np.arange(len(x)), "value": x})
+    )
+    got = (
+        xss.operators.wiener(df, by=["ch"], dim="t", mysize=5)
+        .orderBy("t")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        got["value_wiener"].to_numpy(), _wiener_ref(x, 5), atol=1e-9
+    )
+    # explicit noise level bypasses the estimate
+    got2 = (
+        xss.operators.wiener(df, by=["ch"], dim="t", mysize=5, noise=0.5)
+        .orderBy("t")
+        .toPandas()
+    )
+    h = 2
+    xp = np.concatenate([np.zeros(h), x, np.zeros(h)])
+    lmean = np.array([xp[i : i + 5].sum() for i in range(len(x))]) / 5
+    lvar = (
+        np.array([(xp[i : i + 5] ** 2).sum() for i in range(len(x))]) / 5
+        - lmean**2
+    )
+    res = np.where(lvar < 0.5, lmean, lmean + (x - lmean) * (1 - 0.5 / lvar))
+    np.testing.assert_allclose(got2["value_wiener"].to_numpy(), res, atol=1e-9)

@@ -895,6 +895,73 @@ def q_detrend(spark, sf_dir):
     )
 
 
+_MEDFILT_K = 5
+# zero-padded sliding median (scipy.signal.medfilt): with the m present
+# window values sorted and z = k - m implicit edge zeros, the median at
+# 0-based position p sits before the negatives end (a[p]), inside the
+# zero run (0.0), or z places earlier in the array (a[p - z]).
+_MEDFILT_CASE = (
+    f"CASE WHEN {( _MEDFILT_K - 1) // 2} < neg THEN a[{(_MEDFILT_K - 1) // 2 + 1}] "
+    f"WHEN {(_MEDFILT_K - 1) // 2} < neg + ({_MEDFILT_K} - len(a)) THEN 0.0 "
+    f"ELSE a[{(_MEDFILT_K - 1) // 2 + 1} - ({_MEDFILT_K} - len(a))] END"
+)
+
+
+@_q(
+    "medfilt",
+    f"WITH {_S}, "
+    "m AS (SELECT user_id, j, list_sort(list(x) OVER w) AS a FROM s "
+    f"WINDOW w AS (PARTITION BY user_id ORDER BY j ROWS BETWEEN "
+    f"{_MEDFILT_K // 2} PRECEDING AND {_MEDFILT_K // 2} FOLLOWING)), "
+    "c AS (SELECT user_id, j, a, len(list_filter(a, v -> v < 0)) AS neg FROM m) "
+    f"SELECT user_id, j AS idx, round({_MEDFILT_CASE}, 6) + 0.0 AS med6 FROM c",
+)
+def q_medfilt(spark, sf_dir):
+    """Sliding median with scipy's zero-padded edges — pure Catalyst
+    (array_sort + closed-form position CASE, operators/smooth.py); the
+    oracle rebuilds the identical multiset arithmetic in DuckDB list
+    functions. The median is a passed-through input value, so both
+    engines agree bit-for-bit (round only normalizes -0.0)."""
+    res = ops.medfilt(
+        _events(spark, sf_dir), by=["user_id"], dim="ts", kernel_size=_MEDFILT_K
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    res = res.withColumn("idx", F.row_number().over(w) - 1)
+    return res.select("user_id", "idx", _r(F.col("value_med"), 6, "med6"))
+
+
+_WIENER_K = 5
+
+
+@_q(
+    "wiener",
+    f"WITH {_S}, "
+    f"l AS (SELECT user_id, j, x, sum(x) OVER w / {_WIENER_K}.0 AS lm, "
+    f"sum(x * x) OVER w / {_WIENER_K}.0 - (sum(x) OVER w / {_WIENER_K}.0) * "
+    f"(sum(x) OVER w / {_WIENER_K}.0) AS lv FROM s "
+    f"WINDOW w AS (PARTITION BY user_id ORDER BY j ROWS BETWEEN "
+    f"{_WIENER_K // 2} PRECEDING AND {_WIENER_K // 2} FOLLOWING)), "
+    "n AS (SELECT *, avg(lv) OVER (PARTITION BY user_id) AS nz FROM l) "
+    "SELECT user_id, j AS idx, "
+    "CAST(floor((CASE WHEN lv < nz THEN lm ELSE lm + (x - lm) * (1 - nz / lv) END) "
+    "* 1000 + 0.5 + 1e-6) AS BIGINT) AS wiener_q FROM n",
+)
+def q_wiener(spark, sf_dir):
+    """Adaptive Wiener filter (scipy.signal.wiener semantics, noise
+    estimated from the series-mean local variance) — two window
+    aggregates sharing one exchange, zero Python
+    (operators/smooth.py). Epsilon-floor quantized: the moving sums
+    accumulate in engine-specific orders."""
+    res = ops.wiener(
+        _events(spark, sf_dir), by=["user_id"], dim="ts", mysize=_WIENER_K
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    res = res.withColumn("idx", F.row_number().over(w) - 1)
+    return res.select(
+        "user_id", "idx", _q3_col(F.col("value_wiener")).alias("wiener_q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # hilbert
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join
 from .peaks import find_peaks, peak_widths
 from .resample import decimate, resample
+from .smooth import medfilt, wiener
 from .spectral import coherence, csd, istft, spectral_apply, stft, welch
 
 __all__ = [
@@ -44,4 +45,6 @@ __all__ = [
     "detrend",
     "csd",
     "coherence",
+    "medfilt",
+    "wiener",
 ]
