@@ -390,3 +390,56 @@ def test_resample_freq_matches_time_domain():
         assert yf.shape == (5, num) and np.iscomplexobj(yf)
         np.testing.assert_allclose(yf.real, yt, atol=1e-10)
         np.testing.assert_allclose(yf.imag, 0.0, atol=1e-10)
+
+
+def test_lfilter_matches_sos_cascade_and_fir():
+    import numpy as np
+    from xarray_scipy_spark.kernels import (
+        butter_sos,
+        lfilter_1d,
+        lfilter_ragged,
+        lfilter_zi,
+        sos2tf,
+        sosfilt_1d,
+    )
+
+    sos = butter_sos(4, 0.25)
+    b, a = sos2tf(sos)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 120))
+    np.testing.assert_allclose(lfilter_1d(b, a, x), sosfilt_1d(sos, x), atol=1e-9)
+    # pure FIR (a = [1]) degenerates to convolution
+    taps = np.array([0.5, 0.3, 0.2])
+    got = lfilter_1d(taps, [1.0], x[0])
+    want = np.convolve(x[0], taps)[: x.shape[1]]
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # steady-state zi keeps a constant input constant from sample 0
+    zi = lfilter_zi(b, a)
+    y, zf = lfilter_1d(b, a, np.full(60, 2.5), zi=zi * 2.5)
+    np.testing.assert_allclose(y, 2.5, atol=1e-9)
+    np.testing.assert_allclose(zf, zi * 2.5, atol=1e-9)
+    # ragged zf captured at each row's own last sample
+    lens = np.array([50, 120, 80, 120])
+    yr, zfr = lfilter_ragged(b, a, x, lens)
+    for i, L in enumerate(lens):
+        yi, zfi = lfilter_1d(b, a, x[i, :L], zi=np.zeros(len(zi)))
+        np.testing.assert_allclose(yr[i, :L], yi, atol=1e-9)
+        np.testing.assert_allclose(zfr[i], zfi, atol=1e-9)
+
+
+def test_filtfilt_ragged_matches_sos_form():
+    import numpy as np
+    from xarray_scipy_spark.kernels import butter_sos, filtfilt_ragged, sos2tf
+    from xarray_scipy_spark.kernels.dsp import sosfiltfilt_ragged
+
+    sos = butter_sos(4, 0.3)
+    b, a = sos2tf(sos)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, 90))
+    lens = np.array([90, 60, 75])
+    x[1, 60:] = 0.0
+    x[2, 75:] = 0.0
+    for padtype in ("odd", "even", "constant", None):
+        got = filtfilt_ragged(b, a, x, lens, padlen=20, padtype=padtype)
+        want = sosfiltfilt_ragged(sos, x, lens, padlen=20, padtype=padtype)
+        np.testing.assert_allclose(got, want, atol=1e-7)

@@ -971,3 +971,135 @@ def test_wiener_matches_zero_padded_reference(spark):
     )
     res = np.where(lvar < 0.5, lmean, lmean + (x - lmean) * (1 - 0.5 / lvar))
     np.testing.assert_allclose(got2["value_wiener"].to_numpy(), res, atol=1e-9)
+
+
+def test_lfilter_and_filtfilt_operators(spark, sine_df, sine_pdf):
+    from xarray_scipy_spark.kernels import (
+        butter_sos,
+        filtfilt_ragged,
+        lfilter_1d,
+        sos2tf,
+    )
+
+    b, a = sos2tf(butter_sos(4, 0.2))
+    x = sine_pdf[sine_pdf["channel"] == 0]["value"].to_numpy()
+
+    got = (
+        xss.operators.lfilter(b, a, sine_df, by=["channel"], dim="time")
+        .filter(F.col("channel") == 0)
+        .orderBy("idx")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        got["value"].to_numpy(), lfilter_1d(b, a, x), atol=1e-9
+    )
+    # coordinate passthrough survives the kernel exchange
+    np.testing.assert_allclose(
+        got["time"].to_numpy(), np.arange(NSAMP) / FS, atol=1e-9
+    )
+
+    got2 = (
+        xss.operators.filtfilt(b, a, sine_df, by=["channel"], dim="time")
+        .filter(F.col("channel") == 0)
+        .orderBy("idx")
+        .toPandas()
+    )
+    want2 = filtfilt_ragged(
+        b, a, x[None, :], np.array([len(x)])
+    )[0]
+    np.testing.assert_allclose(got2["value"].to_numpy(), want2, atol=1e-9)
+
+    with pytest.raises(ValueError, match="nonzero"):
+        xss.operators.lfilter([1.0], [0.0, 1.0], sine_df, by=["channel"], dim="time")
+    with pytest.raises(ValueError, match="padtype"):
+        xss.operators.filtfilt(
+            b, a, sine_df, by=["channel"], dim="time", padtype="bogus"
+        )
+
+
+def test_savgol_filter_matches_interp_reference(spark):
+    from xarray_scipy_spark.operators.savgol import savgol_coeff_matrices
+
+    rng = np.random.default_rng(21)
+    w, m = 7, 3
+    h = w // 2
+    frames, refs = [], {}
+    for ch in ("a", "b"):
+        x = rng.standard_normal(40)
+        interior, head, tail = savgol_coeff_matrices(w, m)
+        n = len(x)
+        ref = np.empty(n)
+        for i in range(n):
+            if i < h:
+                ref[i] = head[i] @ x[:w]
+            elif i >= n - h:
+                ref[n - 1 - (n - 1 - i)] = ref[i] = tail[n - 1 - i] @ x[-w:]
+            else:
+                ref[i] = interior @ x[i - h : i + h + 1]
+        refs[ch] = ref
+        frames.append(pd.DataFrame({"ch": ch, "t": np.arange(n), "value": x}))
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    got = (
+        xss.operators.savgol_filter(
+            df, by=["ch"], dim="t", window_length=w, polyorder=m
+        )
+        .orderBy("ch", "t")
+        .toPandas()
+    )
+    for ch in ("a", "b"):
+        np.testing.assert_allclose(
+            got[got["ch"] == ch]["value_sg"].to_numpy(), refs[ch], atol=1e-9
+        )
+
+
+def test_savgol_reproduces_polynomials_exactly(spark):
+    # the defining interp-mode property: a polynomial of degree <=
+    # polyorder passes through unchanged (including at the edges), and
+    # deriv=1 returns its exact derivative
+    t = np.arange(50, dtype=float)
+    x = 0.5 - 1.2 * t + 0.03 * t**2
+    df = spark.createDataFrame(pd.DataFrame({"ch": "a", "t": t, "value": x}))
+    got = (
+        xss.operators.savgol_filter(
+            df, by=["ch"], dim="t", window_length=9, polyorder=2
+        )
+        .orderBy("t")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got["value_sg"].to_numpy(), x, atol=1e-7)
+    gotd = (
+        xss.operators.savgol_filter(
+            df, by=["ch"], dim="t", window_length=9, polyorder=2, deriv=1
+        )
+        .orderBy("t")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        gotd["value_sg"].to_numpy(), -1.2 + 0.06 * t, atol=1e-7
+    )
+    # delta rescales the derivative (scipy): d/dt with dt=0.5 doubles it
+    gotd2 = (
+        xss.operators.savgol_filter(
+            df, by=["ch"], dim="t", window_length=9, polyorder=2, deriv=1, delta=0.5
+        )
+        .orderBy("t")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        gotd2["value_sg"].to_numpy(), 2 * (-1.2 + 0.06 * t), atol=1e-7
+    )
+
+
+def test_savgol_validates_arguments(spark, sine_df):
+    with pytest.raises(ValueError, match="odd"):
+        xss.operators.savgol_filter(
+            sine_df, by=["channel"], dim="time", window_length=6
+        )
+    with pytest.raises(ValueError, match="polyorder"):
+        xss.operators.savgol_filter(
+            sine_df, by=["channel"], dim="time", window_length=5, polyorder=5
+        )
+    with pytest.raises(ValueError, match="deriv"):
+        xss.operators.savgol_filter(
+            sine_df, by=["channel"], dim="time", window_length=7, polyorder=2, deriv=3
+        )

@@ -44,8 +44,15 @@ from . import operators as ops
 from . import pipeline as pl
 from .functions import timeutil
 from .functions.complexsql import magnitude
-from .kernels.dsp import sosfilt_1d
-from .kernels.filter_design import butter_sos, cheby1_sos, firwin, sosfilt_zi
+from .kernels.dsp import lfilter_1d, sosfilt_1d
+from .kernels.filter_design import (
+    butter_sos,
+    cheby1_sos,
+    firwin,
+    lfilter_zi,
+    sos2tf,
+    sosfilt_zi,
+)
 from .sources.tables import load_table
 
 __all__ = ["QUERIES", "ORACLES", "flagship"]
@@ -422,15 +429,19 @@ def q_decimate_fir(spark, sf_dir):
     return res.select("user_id", "idx", _r("value", 4, "value4"))
 
 
+def _values_cte(name: str, col: str, arr: np.ndarray) -> str:
+    """VALUES list ``name(m, col)`` from a 1-D float array."""
+    rows = ", ".join(f"({m}, {float(v)!r})" for m, v in enumerate(arr))
+    return f"{name}(m, {col}) AS (SELECT * FROM (VALUES {rows}))"
+
+
 def _impulse_response_sql(sos: np.ndarray, length: int = 160) -> str:
     """VALUES list h(m, hv): the cascade's impulse response, computed by
     this package's own sosfilt kernel. A causal IIR from zero state is
     exactly conv(x, h) for any input shorter than `length`."""
     imp = np.zeros(length)
     imp[0] = 1.0
-    h = sosfilt_1d(sos, imp)
-    rows = ", ".join(f"({m}, {float(v)!r})" for m, v in enumerate(h))
-    return f"h(m, hv) AS (SELECT * FROM (VALUES {rows}))"
+    return _values_cte("h", "hv", sosfilt_1d(sos, imp))
 
 
 _DEC_IIR_SOS = cheby1_sos(8, 0.05, 0.8 / _DECIMATE_Q)
@@ -1074,20 +1085,35 @@ def _state_response_sql(sos: np.ndarray, name: str, length: int = 200) -> str:
     zi = sosfilt_zi(sos)
     zeros = np.zeros(length)
     g, _ = sosfilt_1d(sos, zeros, zi=zi)
-    rows = ", ".join(f"({m}, {float(v)!r})" for m, v in enumerate(g))
-    return f"{name}(m, gv) AS (SELECT * FROM (VALUES {rows}))"
+    return _values_cte(name, "gv", g)
 
 
 def _filtfilt_chain_sql(
-    sos: np.ndarray, length: int = 200, padtype: str = "odd"
+    sos: np.ndarray | None = None,
+    length: int = 200,
+    padtype: str = "odd",
+    ba: tuple | None = None,
 ) -> str:
     """CTE chain (edge extension + impulse/state-response convolution,
     forward and backward) ending in ``ff(user_id, idx, y)`` — the
     zero-phase filtfilt of the ``s`` series with the kernel's default
-    ``padlen = 3*(2*n_sections+1)`` and the given scipy ``padtype``."""
-    p = 3 * (2 * sos.shape[0] + 1)
-    hs = _impulse_response_sql(sos, length=length)
-    gs = _state_response_sql(sos, "g", length=length)
+    padlen and the given scipy ``padtype``. ``sos`` takes the cascade
+    form (padlen 3·(2·n_sections+1)); ``ba`` the transfer-function
+    form (padlen 3·max(len(b), len(a))) — the chain itself only needs
+    the impulse/state responses, which linearity makes sufficient for
+    the seeded forward and backward passes regardless of form."""
+    if ba is not None:
+        b, a = ba
+        p = 3 * max(len(np.atleast_1d(b)), len(np.atleast_1d(a)))
+        imp = np.zeros(length)
+        imp[0] = 1.0
+        hs = _values_cte("h", "hv", lfilter_1d(b, a, imp))
+        g, _ = lfilter_1d(b, a, np.zeros(length), zi=lfilter_zi(b, a))
+        gs = _values_cte("g", "gv", g)
+    else:
+        p = 3 * (2 * sos.shape[0] + 1)
+        hs = _impulse_response_sql(sos, length=length)
+        gs = _state_response_sql(sos, "g", length=length)
     head_expr, tail_expr = {
         "odd": ("2 * f.x - a.x", "2 * l.x - a.x"),
         "even": ("a.x", "a.x"),
@@ -1168,6 +1194,126 @@ def q_sosfiltfilt_even(spark, sf_dir):
         _SFF_SOS, _events(spark, sf_dir), by=["user_id"], dim="ts", padtype="even"
     )
     return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+# transfer-function (b, a) form: 5-tap numerator/denominator from the
+# cascaded butter(4, 0.2) — exercises the general direct-form-II-
+# transposed recursion, not the biquad special case
+_LF_B, _LF_A = sos2tf(butter_sos(4, 0.2))
+_LF_H = lfilter_1d(_LF_B, _LF_A, np.eye(1, 160, 0).ravel())
+
+
+@_q(
+    "lfilter",
+    f"WITH {_S}, {_values_cte('h', 'hv', _LF_H)} "
+    "SELECT xi.user_id, xi.j AS idx, round(sum(h.hv * xj.x), 4) + 0.0 AS value4 "
+    "FROM s xi JOIN h ON h.m <= xi.j "
+    "JOIN s xj ON xj.user_id = xi.user_id AND xj.j = xi.j - h.m "
+    "GROUP BY xi.user_id, xi.j",
+)
+def q_lfilter(spark, sf_dir):
+    """Causal (b, a) transfer-function filter (scipy.signal.lfilter —
+    the surface the reference's sos-only wrappers stop short of);
+    oracle = the same impulse-response-convolution identity as sosfilt,
+    with h computed by this package's own lfilter kernel."""
+    res = ops.lfilter(
+        _LF_B, _LF_A, _events(spark, sf_dir), by=["user_id"], dim="ts"
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+@_q(
+    "filtfilt",
+    f"WITH {_S}, {_filtfilt_chain_sql(ba=(_LF_B, _LF_A))} "
+    "SELECT user_id, idx, round(y, 4) + 0.0 AS value4 FROM ff",
+)
+def q_filtfilt(spark, sf_dir):
+    """Zero-phase (b, a) filtfilt (scipy pad-method semantics, default
+    odd extension, padlen 3·max(len(b), len(a))); oracle = the filtfilt
+    CTE chain seeded with lfilter_zi-derived state responses."""
+    res = ops.filtfilt(
+        _LF_B, _LF_A, _events(spark, sf_dir), by=["user_id"], dim="ts"
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+def _savgol_oracle_sql(w: int, m: int, deriv: int, digits: int, alias: str) -> str:
+    """Mirror of operators/savgol.py: the same driver-computed
+    coefficient rows emitted as the same left-fold lead/lag dot
+    products, with the head/tail/interior position CASE."""
+    from .operators.savgol import savgol_coeff_matrices
+
+    interior, head, tail = savgol_coeff_matrices(w, m, deriv)
+    h = w // 2
+
+    def dot(pairs) -> str:
+        acc = "0.0"
+        for off, c in pairs:
+            if off > 0:
+                term = f"lead(x, {off}, 0.0) OVER w0"
+            elif off < 0:
+                term = f"lag(x, {-off}, 0.0) OVER w0"
+            else:
+                term = "x"
+            acc = f"({acc} + {float(c)!r} * {term})"
+        return acc
+
+    branches = []
+    for i in range(h):
+        branches.append(
+            f"WHEN j = {i} THEN {dot([(jj - i, head[i][jj]) for jj in range(w)])}"
+        )
+    for i in range(h):
+        branches.append(
+            f"WHEN j = n - 1 - {i} THEN "
+            f"{dot([(jj - w + 1 + i, tail[i][jj]) for jj in range(w)])}"
+        )
+    interior_sql = dot([(jj - h, interior[jj]) for jj in range(w)])
+    case = f"CASE {' '.join(branches)} ELSE {interior_sql} END"
+    return (
+        f"WITH {_S} "
+        f"SELECT user_id, j AS idx, round({case}, {digits}) + 0.0 AS {alias} "
+        "FROM s WINDOW w0 AS (PARTITION BY user_id ORDER BY j)"
+    )
+
+
+_SG_W, _SG_M = 7, 3
+
+
+@_q("savgol", _savgol_oracle_sql(_SG_W, _SG_M, 0, 6, "sg6"))
+def q_savgol(spark, sf_dir):
+    """Savitzky–Golay smoothing with scipy's mode='interp' edges
+    (polynomial fit to the first/last window, evaluated at the edge
+    positions) — pure Catalyst lead/lag dot products + position CASE
+    (operators/savgol.py); the oracle emits the identical coefficient
+    rows and fold order in DuckDB."""
+    res = ops.savgol_filter(
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        window_length=_SG_W,
+        polyorder=_SG_M,
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    res = res.withColumn("idx", F.row_number().over(w) - 1)
+    return res.select("user_id", "idx", _r(F.col("value_sg"), 6, "sg6"))
+
+
+@_q("savgol_deriv", _savgol_oracle_sql(9, 4, 1, 6, "sgd6"))
+def q_savgol_deriv(spark, sf_dir):
+    """First-derivative Savitzky–Golay (deriv=1, the numerically-stable
+    slope estimator) — same plan, derivative-basis coefficient rows."""
+    res = ops.savgol_filter(
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        window_length=9,
+        polyorder=4,
+        deriv=1,
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    res = res.withColumn("idx", F.row_number().over(w) - 1)
+    return res.select("user_id", "idx", _r(F.col("value_sg"), 6, "sgd6"))
 
 
 @_q(

@@ -8,12 +8,22 @@ touches Spark.
 from .dsp import (
     decimate_1d,
     fftconvolve_1d,
+    filtfilt_ragged,
     hilbert_1d,
+    lfilter_1d,
+    lfilter_ragged,
     resample_fourier,
     sosfilt_1d,
     sosfiltfilt_1d,
 )
-from .filter_design import butter_sos, cheby1_sos, firwin, sosfilt_zi
+from .filter_design import (
+    butter_sos,
+    cheby1_sos,
+    firwin,
+    lfilter_zi,
+    sos2tf,
+    sosfilt_zi,
+)
 from .peaks import peak_prominences, peak_widths
 
 __all__ = [
@@ -23,6 +33,11 @@ __all__ = [
     "resample_fourier",
     "sosfilt_1d",
     "sosfiltfilt_1d",
+    "lfilter_1d",
+    "lfilter_ragged",
+    "filtfilt_ragged",
+    "lfilter_zi",
+    "sos2tf",
     "butter_sos",
     "cheby1_sos",
     "firwin",

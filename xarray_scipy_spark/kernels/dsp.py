@@ -26,6 +26,9 @@ __all__ = [
     "resample_fourier",
     "decimate_1d",
     "decimate_ragged",
+    "lfilter_1d",
+    "lfilter_ragged",
+    "filtfilt_ragged",
     "sosfilt_1d",
     "sosfilt_ragged",
     "sosfiltfilt_1d",
@@ -284,6 +287,44 @@ def sosfilt_ragged(
     return y, final
 
 
+def _edge_ext_ragged(
+    x: np.ndarray, lengths: np.ndarray, p: int, padtype: str | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row scipy edge extension over a ragged right-padded batch:
+    returns ``(ext, ext_lens)`` where ``ext`` is ``(k, n_max + 2p)``
+    with each row's ``padtype`` head/tail extension in place and the
+    region beyond ``ext_lens[i] = lengths[i] + 2p`` zeroed. Shared by
+    the sos- and (b, a)-form zero-phase filters."""
+    k, n_max = x.shape
+    if p >= int(lengths.min()):
+        raise ValueError(
+            f"The length of the input vector x must be greater than padlen, "
+            f"which is {p}."
+        )
+    lens = lengths[:, None]
+    L = n_max + 2 * p
+    j = np.arange(L)[None, :]
+    x0 = x[:, :1]
+    xlast = np.take_along_axis(x, lens - 1, axis=1)
+    head = j < p
+    body = (j >= p) & (j < p + lens)
+    tail = (j >= p + lens) & (j < lens + 2 * p)
+    src = np.where(head, p - j, np.where(body, j - p, 2 * lens - 2 + p - j))
+    gathered = np.take_along_axis(x, np.clip(src, 0, n_max - 1), axis=1)
+    if padtype == "even":
+        head_v, tail_v = gathered, gathered
+    elif padtype == "constant":
+        head_v = np.broadcast_to(x0, gathered.shape)
+        tail_v = np.broadcast_to(xlast, gathered.shape)
+    else:  # odd (padtype=None never reaches the pad branches: p == 0)
+        head_v = 2 * x0 - gathered
+        tail_v = 2 * xlast - gathered
+    ext = np.where(
+        head, head_v, np.where(body, gathered, np.where(tail, tail_v, 0.0))
+    )
+    return ext, lengths + 2 * p
+
+
 def sosfiltfilt_ragged(
     sos: np.ndarray,
     x: np.ndarray,
@@ -302,41 +343,16 @@ def sosfiltfilt_ragged(
     sos = np.atleast_2d(np.asarray(sos, dtype=float))
     x = np.atleast_2d(np.asarray(x, dtype=float))
     lengths = np.asarray(lengths, dtype=np.int64)
-    k, n_max = x.shape
     if padtype is None:
         padlen = 0
     elif padlen is None:
         padlen = 3 * (2 * sos.shape[0] + 1)
     p = int(padlen)
-    if p >= int(lengths.min()):
-        raise ValueError(
-            f"The length of the input vector x must be greater than padlen, "
-            f"which is {p}."
-        )
+    ext, ext_lens = _edge_ext_ragged(x, lengths, p, padtype)
+    k, n_max = x.shape
     lens = lengths[:, None]
     L = n_max + 2 * p
     j = np.arange(L)[None, :]
-    x0 = x[:, :1]
-    xlast = np.take_along_axis(x, lens - 1, axis=1)
-    head = j < p
-    body = (j >= p) & (j < p + lens)
-    tail = (j >= p + lens) & (j < lens + 2 * p)
-    src = np.where(
-        head, p - j, np.where(body, j - p, 2 * lens - 2 + p - j)
-    )
-    gathered = np.take_along_axis(x, np.clip(src, 0, n_max - 1), axis=1)
-    if padtype == "even":
-        head_v, tail_v = gathered, gathered
-    elif padtype == "constant":
-        head_v = np.broadcast_to(x0, gathered.shape)
-        tail_v = np.broadcast_to(xlast, gathered.shape)
-    else:  # odd (padtype=None never reaches the pad branches: p == 0)
-        head_v = 2 * x0 - gathered
-        tail_v = 2 * xlast - gathered
-    ext = np.where(
-        head, head_v, np.where(body, gathered, np.where(tail, tail_v, 0.0))
-    )
-    ext_lens = lengths + 2 * p
     zi = sosfilt_zi(sos)
     y, _ = sosfilt_ragged(sos, ext, ext_lens, zi=zi[None] * ext[:, :1][..., None])
     ridx = np.clip(ext_lens[:, None] - 1 - j, 0, L - 1)
@@ -506,3 +522,126 @@ def decimate_1d(
     else:
         raise ValueError(f"ftype must be 'iir' or 'fir', got {ftype!r}")
     return y[..., ::q]
+
+
+def _norm_ba(b, a) -> tuple[np.ndarray, np.ndarray, int]:
+    """Zero-pad b/a to a common length n and normalize a[0] to 1."""
+    b = np.atleast_1d(np.asarray(b, dtype=float))
+    a = np.atleast_1d(np.asarray(a, dtype=float))
+    if a[0] == 0.0:
+        raise ValueError("a[0] must be nonzero")
+    n = max(len(a), len(b))
+    bb = np.zeros(n)
+    bb[: len(b)] = b / a[0]
+    aa = np.zeros(n)
+    aa[: len(a)] = a / a[0]
+    return bb, aa, n
+
+
+def lfilter_1d(b, a, x: np.ndarray, zi: np.ndarray | None = None):
+    """Transfer-function IIR/FIR filter, direct-form II transposed
+    (``scipy.signal.lfilter`` semantics — the (b, a) surface the
+    reference's sos-only wrappers skip). ``x`` is ``(n,)`` or batched
+    ``(n_series, n)``; sequential along samples, numpy-vectorized
+    across series. With ``zi`` (shape ``(n-1,)`` per series or
+    broadcastable) returns ``(y, zf)``, else ``y``.
+    """
+    bb, aa, n = _norm_ba(b, a)
+    x = np.asarray(x, dtype=float)
+    squeeze = x.ndim == 1
+    y = np.atleast_2d(x).astype(float).copy()
+    k, n_max = y.shape
+    ns = n - 1
+    return_zi = zi is not None
+    if ns == 0:
+        out = y * bb[0]
+        if squeeze:
+            out = out[0]
+        return (out, np.zeros((k, 0))) if return_zi else out
+    if zi is None:
+        state = np.zeros((k, ns))
+    else:
+        state = np.broadcast_to(np.asarray(zi, dtype=float), (k, ns)).copy()
+    for i in range(n_max):
+        xi = y[:, i].copy()
+        yi = bb[0] * xi + state[:, 0]
+        for s in range(ns - 1):
+            state[:, s] = bb[s + 1] * xi + state[:, s + 1] - aa[s + 1] * yi
+        state[:, ns - 1] = bb[ns] * xi - aa[ns] * yi
+        y[:, i] = yi
+    if squeeze:
+        y = y[0]
+        state = state[0]
+    return (y, state) if return_zi else y
+
+
+def lfilter_ragged(
+    b, a, x: np.ndarray, lengths: np.ndarray, zi: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Causal (b, a) filter over a RAGGED right-zero-padded batch —
+    the transfer-function twin of :func:`sosfilt_ragged`: one
+    per-sample loop for the whole batch, exact by causality, with
+    ``zf`` captured at each row's own last sample."""
+    bb, aa, n = _norm_ba(b, a)
+    y = np.atleast_2d(np.asarray(x, dtype=float)).copy()
+    lengths = np.asarray(lengths, dtype=np.int64)
+    k, n_max = y.shape
+    ns = n - 1
+    if ns == 0:
+        return y * bb[0], np.zeros((k, 0))
+    if zi is None:
+        state = np.zeros((k, ns))
+    else:
+        state = np.broadcast_to(np.asarray(zi, dtype=float), (k, ns)).copy()
+    final = state.copy()
+    last = lengths - 1
+    for i in range(n_max):
+        xi = y[:, i].copy()
+        yi = bb[0] * xi + state[:, 0]
+        for s in range(ns - 1):
+            state[:, s] = bb[s + 1] * xi + state[:, s + 1] - aa[s + 1] * yi
+        state[:, ns - 1] = bb[ns] * xi - aa[ns] * yi
+        y[:, i] = yi
+        hit = last == i
+        if hit.any():
+            final[hit] = state[hit]
+    return y, final
+
+
+def filtfilt_ragged(
+    b,
+    a,
+    x: np.ndarray,
+    lengths: np.ndarray,
+    padlen: int | None = None,
+    padtype: str | None = "odd",
+) -> np.ndarray:
+    """Zero-phase forward-backward (b, a) filter over a ragged batch
+    (``scipy.signal.filtfilt`` pad-method semantics): per-row edge
+    extension, steady-state ``lfilter_zi`` seeding scaled by each
+    row's first extended sample, both passes batched. Output padded to
+    ``(k, n_max)`` with each row's tail zeroed."""
+    from .filter_design import lfilter_zi
+
+    _validate_padtype(padtype)
+    bb, aa, n = _norm_ba(b, a)
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if padtype is None:
+        padlen = 0
+    elif padlen is None:
+        padlen = 3 * max(len(np.atleast_1d(a)), len(np.atleast_1d(b)))
+    p = int(padlen)
+    ext, ext_lens = _edge_ext_ragged(x, lengths, p, padtype)
+    k, n_max = x.shape
+    lens = lengths[:, None]
+    L = n_max + 2 * p
+    j = np.arange(L)[None, :]
+    zi = lfilter_zi(b, a)
+    y, _ = lfilter_ragged(bb, aa, ext, ext_lens, zi=zi[None] * ext[:, :1])
+    ridx = np.clip(ext_lens[:, None] - 1 - j, 0, L - 1)
+    rev = np.where(j < ext_lens[:, None], np.take_along_axis(y, ridx, axis=1), 0.0)
+    y2, _ = lfilter_ragged(bb, aa, rev, ext_lens, zi=zi[None] * rev[:, :1])
+    t = np.arange(n_max)[None, :]
+    oidx = np.clip(lens + p - 1 - t, 0, L - 1)
+    return np.where(t < lens, np.take_along_axis(y2, oidx, axis=1), 0.0)

@@ -28,6 +28,8 @@ __all__ = [
     "butter_sos",
     "cheby1_sos",
     "firwin",
+    "lfilter_zi",
+    "sos2tf",
     "sosfilt_zi",
 ]
 
@@ -204,3 +206,42 @@ def sosfilt_zi(sos: np.ndarray) -> np.ndarray:
         zi[s] = scale * np.linalg.solve(np.eye(2) - big_a, rhs)
         scale *= b.sum() / a.sum()  # section DC gain
     return zi
+
+
+def lfilter_zi(b, a) -> np.ndarray:
+    """Steady-state initial conditions for a unit-step input in
+    transfer-function form (scipy ``lfilter_zi`` equivalent): with the
+    direct-form-II-transposed state recursion ``z = A^T z + B x`` at
+    steady state, ``zi = (I - A^T) \\ B`` where ``A`` is the companion
+    matrix of the normalized denominator and
+    ``B = b[1:] - a[1:] * b[0]``. Length ``max(len(a), len(b)) - 1``.
+    """
+    b = np.atleast_1d(np.asarray(b, dtype=float))
+    a = np.atleast_1d(np.asarray(a, dtype=float))
+    if a[0] == 0.0:
+        raise ValueError("a[0] must be nonzero")
+    n = max(len(a), len(b))
+    bb = np.zeros(n)
+    bb[: len(b)] = b / a[0]
+    aa = np.zeros(n)
+    aa[: len(a)] = a / a[0]
+    if n == 1:
+        return np.zeros(0)
+    comp_t = np.zeros((n - 1, n - 1))
+    comp_t[:, 0] = -aa[1:]
+    comp_t[:-1, 1:] = np.eye(n - 2)
+    rhs = bb[1:] - aa[1:] * bb[0]
+    return np.linalg.solve(np.eye(n - 1) - comp_t, rhs)
+
+
+def sos2tf(sos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cascade a second-order-sections matrix into one (b, a) pair by
+    polynomial multiplication of the per-section numerators and
+    denominators (scipy ``sos2tf`` equivalent)."""
+    sos = np.atleast_2d(np.asarray(sos, dtype=float))
+    b = np.array([1.0])
+    a = np.array([1.0])
+    for s in range(sos.shape[0]):
+        b = np.convolve(b, sos[s, :3])
+        a = np.convolve(a, sos[s, 3:])
+    return b, a

@@ -4,11 +4,12 @@
 from .convolve import convolve, convolve_fir, correlate, fftconvolve, fftconvolve_nd
 from .detrend import detrend
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
-from .filters import sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
+from .filters import filtfilt, lfilter, sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join
 from .peaks import find_peaks, peak_widths
 from .resample import decimate, resample
+from .savgol import savgol_filter
 from .smooth import medfilt, wiener
 from .spectral import coherence, csd, istft, spectral_apply, stft, welch
 
@@ -47,4 +48,7 @@ __all__ = [
     "coherence",
     "medfilt",
     "wiener",
+    "lfilter",
+    "filtfilt",
+    "savgol_filter",
 ]

@@ -48,12 +48,21 @@ from ..core import (
 from ..functions.coords import linear_coord, restore_coord_dtype
 from ..kernels.dsp import (
     _validate_padtype,
+    filtfilt_ragged,
+    lfilter_ragged,
     sosfilt_1d,
     sosfilt_ragged,
     sosfiltfilt_ragged,
 )
 
-__all__ = ["sosfilt", "sosfiltfilt", "sosfilt_chunked", "sos_from_dataframe"]
+__all__ = [
+    "sosfilt",
+    "sosfiltfilt",
+    "sosfilt_chunked",
+    "sos_from_dataframe",
+    "lfilter",
+    "filtfilt",
+]
 
 
 def sos_from_dataframe(sos_df: DataFrame) -> np.ndarray:
@@ -288,3 +297,96 @@ def sosfilt_chunked(
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+def lfilter(
+    b,
+    a,
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    zi=None,
+    keep_attrs: bool | None = None,
+) -> DataFrame:
+    """Causal IIR/FIR filter in transfer-function (b, a) form along
+    ``dim`` (``scipy.signal.lfilter`` semantics — the (b, a) surface
+    the reference's sos-only wrappers stop short of). Same bucketed
+    ragged-batch plan as :func:`sosfilt`: one co-locating exchange,
+    the direct-form-II-transposed recursion numpy-vectorized across
+    every series of a bucket. ``zi``: optional length
+    ``max(len(a), len(b)) - 1`` initial state applied to each series.
+    """
+    b = np.atleast_1d(np.asarray(b, dtype=float))
+    a = np.atleast_1d(np.asarray(a, dtype=float))
+    if a[0] == 0.0:
+        raise ValueError("a[0] must be nonzero")
+    ns = max(len(a), len(b)) - 1
+    if zi is not None:
+        zi = np.asarray(zi, dtype=float)
+        if zi.shape != (ns,):
+            raise ValueError(f"zi must have shape ({ns},), got {zi.shape}")
+
+    def kernel(x, lengths):
+        y, _zf = lfilter_ragged(b, a, x, lengths, zi=zi)
+        return {"value": y, "__lengths__": lengths}
+
+    kernel.batch_ragged = True
+
+    res = apply_series_kernel(
+        df,
+        kernel,
+        by=by,
+        order=dim,
+        values=[value],
+        out_fields="value double",
+        keep=resolve_keep_attrs(df, keep_attrs),
+    )
+    coord = linear_coord("idx", "offset", "delta")
+    return res.withColumn(dim, restore_coord_dtype(df, dim, coord))
+
+
+def filtfilt(
+    b,
+    a,
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    padtype: str | None = "odd",
+    padlen: int | None = None,
+    keep_attrs: bool | None = None,
+) -> DataFrame:
+    """Zero-phase forward-backward (b, a) filter
+    (``scipy.signal.filtfilt`` pad-method semantics: odd/even/constant/
+    None edge extension, steady-state ``lfilter_zi`` seeding). Same
+    one-exchange ragged-batch plan as :func:`sosfiltfilt`."""
+    _validate_padtype(padtype)
+    b = np.atleast_1d(np.asarray(b, dtype=float))
+    a = np.atleast_1d(np.asarray(a, dtype=float))
+    if a[0] == 0.0:
+        raise ValueError("a[0] must be nonzero")
+
+    def kernel(x, lengths):
+        return {
+            "value": filtfilt_ragged(
+                b, a, x, lengths, padlen=padlen, padtype=padtype
+            ),
+            "__lengths__": lengths,
+        }
+
+    kernel.batch_ragged = True
+
+    res = apply_series_kernel(
+        df,
+        kernel,
+        by=by,
+        order=dim,
+        values=[value],
+        out_fields="value double",
+        keep=resolve_keep_attrs(df, keep_attrs),
+    )
+    coord = linear_coord("idx", "offset", "delta")
+    return res.withColumn(dim, restore_coord_dtype(df, dim, coord))
