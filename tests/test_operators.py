@@ -1103,3 +1103,30 @@ def test_savgol_validates_arguments(spark, sine_df):
         xss.operators.savgol_filter(
             sine_df, by=["channel"], dim="time", window_length=7, polyorder=2, deriv=3
         )
+
+
+def test_periodogram_matches_numpy(spark, sine_df, sine_pdf):
+    x = sine_pdf[sine_pdf["channel"] == 0]["value"].to_numpy()
+    got = (
+        xss.operators.periodogram(sine_df, by=["channel"], dim="time")
+        .filter(F.col("channel") == 0)
+        .orderBy("idx")
+        .toPandas()
+    )
+    n = len(x)
+    spec = np.fft.rfft(x - x.mean())
+    fold = np.full(n // 2 + 1, 2.0)
+    fold[0] = 1.0
+    if n % 2 == 0:
+        fold[-1] = 1.0
+    want = (spec.real**2 + spec.imag**2) * fold / n
+    np.testing.assert_allclose(got["power"].to_numpy(), want, atol=1e-8)
+    # frequency coord: bin k at k/(n*dt); the sine's energy sits at F0
+    peak = got.loc[got["power"].idxmax(), "frequency"]
+    assert abs(peak - F0) < FS / n
+    # Parseval (boxcar, demeaned): sum(power)/n == variance
+    assert abs(got["power"].sum() / n - x.var()) < 1e-9
+    with pytest.raises(ValueError, match="detrend"):
+        xss.operators.periodogram(
+            sine_df, by=["channel"], dim="time", detrend="linear"
+        )

@@ -680,6 +680,33 @@ def q_welch(spark, sf_dir):
     return res.select("user_id", "idx", _r("power", 4, "power4"))
 
 
+@_q(
+    "periodogram",
+    f"WITH {_S}, "
+    "sd AS (SELECT user_id, j, x - avg(x) OVER (PARTITION BY user_id) AS x, n "
+    "FROM s), "
+    "spec AS ("
+    "  SELECT a.user_id, b.j AS k, a.n,"
+    "    sum(a.x * cos(2 * pi() * a.j * b.j / a.n)) AS re,"
+    "    sum(-a.x * sin(2 * pi() * a.j * b.j / a.n)) AS im"
+    "  FROM sd a JOIN sd b ON a.user_id = b.user_id AND b.j <= a.n // 2"
+    "  GROUP BY a.user_id, b.j, a.n"
+    ") "
+    "SELECT user_id, k AS idx, "
+    f"{_q3('(re * re + im * im) * (CASE WHEN k = 0 OR (n % 2 = 0 AND k = n // 2) THEN 1.0 ELSE 2.0 END) / n')} "
+    "AS power_q FROM spec",
+)
+def q_periodogram(spark, sf_dir):
+    """Whole-series single-segment periodogram (scipy boxcar window,
+    detrend='constant'); oracle = literal DFT of the demeaned series
+    over the one-sided bins with the fold and 1/n scaling inline.
+    Epsilon-floor quantized: the demeaning + O(n²) DFT accumulate in
+    engine-specific orders, and round() flips on boundary-adjacent
+    bins at sf0.01."""
+    res = ops.periodogram(_events(spark, sf_dir), by=["user_id"], dim="ts")
+    return res.select("user_id", "idx", _q3_col(F.col("power")).alias("power_q"))
+
+
 # shared CTE for two-signal spectral queries: y = one-sample-lagged x
 _XY = (
     "xy AS (SELECT user_id, j, x, "

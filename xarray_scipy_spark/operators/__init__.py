@@ -11,7 +11,7 @@ from .peaks import find_peaks, peak_widths
 from .resample import decimate, resample
 from .savgol import savgol_filter
 from .smooth import medfilt, wiener
-from .spectral import coherence, csd, istft, spectral_apply, stft, welch
+from .spectral import coherence, csd, istft, periodogram, spectral_apply, stft, welch
 
 __all__ = [
     "convolve",
@@ -51,4 +51,5 @@ __all__ = [
     "lfilter",
     "filtfilt",
     "savgol_filter",
+    "periodogram",
 ]

@@ -37,6 +37,7 @@ __all__ = [
     "istft",
     "spectral_apply",
     "welch",
+    "periodogram",
     "csd",
     "coherence",
     "window_taps",
@@ -405,6 +406,58 @@ def welch(
     return res.withColumn(
         "frequency",
         F.col("idx").cast("double") / (F.lit(float(frame_len)) * F.col("delta")),
+    ).withColumn("psd", F.col("power") * F.col("delta"))
+
+
+def periodogram(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    detrend: str | None = "constant",
+    values: Sequence[str] = ("value",),
+    order: str | Sequence[str] | None = None,
+    keep_attrs: bool | None = None,
+) -> DataFrame:
+    """Single-segment periodogram per series (``scipy.signal.
+    periodogram`` with the default boxcar window: one rfft over the
+    WHOLE series, ``detrend='constant'`` subtracting the series mean
+    first). Same units convention as :func:`welch` (scipy density × fs
+    — multiply by the sample spacing via the provided ``psd`` column):
+    ``power[k] = c_k · |X[k]|² / n`` with the one-sided fold ``c_k``.
+
+    Unlike :func:`welch` the output size is ``n//2+1`` rows per
+    series — fine for bounded series; for unbounded ones use welch,
+    whose map-side frame averaging keeps output size fixed.
+    """
+    if detrend not in (None, "constant"):
+        raise ValueError(f"detrend must be None or 'constant', got {detrend!r}")
+    values = list(values)
+
+    def kernel(x):
+        n = x.shape[1]
+        if detrend == "constant":
+            x = x - x.mean(axis=1, keepdims=True)
+        spec = np.fft.rfft(x, axis=-1)
+        n_bins = n // 2 + 1
+        fold = np.full(n_bins, 2.0)
+        fold[0] = 1.0
+        if n % 2 == 0:
+            fold[-1] = 1.0
+        return {"power": (spec.real**2 + spec.imag**2) * (fold / n)}
+
+    res = apply_series_kernel(
+        df,
+        kernel,
+        by=by,
+        order=order or dim,
+        values=values,
+        out_fields="power double",
+        keep=resolve_keep_attrs(df, keep_attrs),
+    )
+    return res.withColumn(
+        "frequency",
+        F.col("idx").cast("double") / (F.col("n_in").cast("double") * F.col("delta")),
     ).withColumn("psd", F.col("power") * F.col("delta"))
 
 
