@@ -4,6 +4,7 @@ checks; these pin the local semantics without a Spark↔DuckDB pair)."""
 import hashlib
 
 import pandas as pd
+import pytest
 
 import xarray_scipy_spark.pipeline as pl
 
@@ -763,3 +764,39 @@ def test_jpeg_restart_markers_roundtrip():
     col = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
     dec2, _, _ = decode_jpeg(encode_jpeg(col, subsample=True, restart_interval=2))
     assert dec2.shape == (32, 32, 3)
+
+
+def test_bmp_codec_roundtrip_and_dispatch():
+    import struct
+
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline import decode_bmp, encode_bmp, image_decoder
+
+    rng = np.random.default_rng(5)
+    # widths exercising every stride-padding remainder (w*3 mod 4)
+    for w, h in [(4, 3), (5, 7), (1, 1), (6, 2), (3, 4)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dec, dw, dh = decode_bmp(encode_bmp(px))
+        assert (dw, dh) == (w, h)
+        np.testing.assert_array_equal(dec, px)
+    # top-down (negative height) order
+    px = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    b = bytearray(encode_bmp(px))
+    struct.pack_into("<i", b, 22, -3)
+    stride = (5 * 3 + 3) // 4 * 4
+    raster = np.frombuffer(bytes(b[54:]), dtype=np.uint8).reshape(3, stride)
+    b[54:] = raster[::-1].tobytes()
+    np.testing.assert_array_equal(decode_bmp(bytes(b))[0], px)
+    # image_decoder dispatches on the BM magic
+    feats = image_decoder(encode_bmp(px), 5)
+    np.testing.assert_allclose(feats[:3], px.reshape(-1, 3).mean(axis=0), atol=1e-9)
+    assert feats[3:] == [5.0, 3.0]
+    # unsupported shapes refuse instead of decoding garbage
+    with pytest.raises(ValueError, match="24-bit"):
+        hdr = struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 0, 0, 0, 0
+        )
+        decode_bmp(hdr + b"\x00" * 16)
+    with pytest.raises(ValueError, match="BMP"):
+        decode_bmp(b"P6 1 1 255 xxx")

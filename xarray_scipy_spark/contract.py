@@ -2378,6 +2378,58 @@ def q_multimodal_png_decode(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_bmp_decode",
+    "WITH dims AS ("
+    "  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents"
+    ") "
+    "SELECT doc_id, "
+    "CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes, "
+    + ", ".join(
+        "round(list_aggregate(list_transform(range(0, w * h), "
+        f"p -> CAST((doc_id * 31 + (3 * p + {c}) * 7) % 256 AS DOUBLE)), 'avg'), 4)"
+        f" + 0.0 AS f{c}_4"
+        for c in range(3)
+    )
+    + ", CAST(w AS DOUBLE) AS f3, CAST(h AS DOUBLE) AS f4 FROM dims",
+)
+def q_multimodal_bmp_decode(spark, sf_dir):
+    """REAL BMP decode path: each doc gets a synthetic 24-bit BI_RGB
+    bottom-up BMP (``encode_bmp``) whose logical RGB pixels follow the
+    same arithmetic formula as the PPM/PNG fixtures, and
+    ``image_decoder`` decodes it back through ``decode_bmp`` (header
+    parse, stride-padded rows, bottom-up flip, BGR swap). Unlike PNG
+    the payload size IS closed-form (54 + stride·h), so the oracle
+    checks ``n_bytes`` too, pinning the writer's framing alongside the
+    decoded pixel means."""
+    import numpy as _np
+    import pandas as _pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                px = (
+                    (d * 31 + _np.arange(3 * w * h) * 7) % 256
+                ).astype(_np.uint8).reshape(h, w, 3)
+                payloads.append(pl.encode_bmp(px))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    res = pl.decode_features(with_payload, n_features=5, decoder=pl.image_decoder)
+    return res.select(
+        "doc_id",
+        "n_bytes",
+        *[_r(f"f{c}", 4, f"f{c}_4") for c in range(3)],
+        "f3",
+        "f4",
+    )
+
+
 _WAV_SR = 8000
 
 

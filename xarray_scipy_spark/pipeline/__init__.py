@@ -54,9 +54,11 @@ from .multimodal import (
     encode_jpeg,
     gzip_text_decoder,
     gzip_text_encoder,
+    decode_bmp,
     decode_png,
     decode_ppm,
     decode_wav,
+    encode_bmp,
     encode_png,
     frame_sample,
     image_decoder,
@@ -99,6 +101,8 @@ __all__ = [
     "image_decoder",
     "decode_png",
     "encode_png",
+    "decode_bmp",
+    "encode_bmp",
     "audio_decoder",
     "frame_sample",
     "resize_payload",

@@ -272,6 +272,58 @@ def encode_png(pixels) -> bytes:
     )
 
 
+def decode_bmp(payload: bytes):
+    """Pure-numpy decoder for uncompressed 24-bit Windows BMP
+    (BITMAPINFOHEADER, BI_RGB) — the third public uncompressed image
+    format after PPM and WAV. Handles both bottom-up (positive height,
+    the common case) and top-down (negative height) row orders and the
+    4-byte row stride padding. Returns ``(pixels, width, height)`` with
+    ``pixels`` an ``(h, w, 3)`` RGB uint8 array (BMP stores BGR)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_raw, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size} (need >= 40)")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP: {bpp}-bit compression={comp} (24-bit BI_RGB only)"
+        )
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:  # bottom-up: last file row is the top image row
+        raster = raster[::-1]
+    return raster[:, :, ::-1].copy(), w, h  # BGR -> RGB
+
+
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up, BITMAPINFOHEADER)
+    for ``(h, w, 3)`` RGB uint8 pixels — the fixture-side inverse of
+    :func:`decode_bmp`."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _c = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
 def image_decoder(payload: bytes, n_features: int) -> list[float]:
     """Image feature extraction with REAL pure-numpy decode paths for
     binary PPM (P6), 8-bit non-interlaced PNG, and baseline JPEG
@@ -283,6 +335,8 @@ def image_decoder(payload: bytes, n_features: int) -> list[float]:
 
     if payload[:2] == b"P6":
         px, w, h = decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        px, w, h = decode_bmp(payload)
     elif payload[:8] == _PNG_SIG:
         px, w, h = decode_png(payload)
     elif payload[:2] == b"\xff\xd8":
