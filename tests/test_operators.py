@@ -1130,3 +1130,83 @@ def test_periodogram_matches_numpy(spark, sine_df, sine_pdf):
         xss.operators.periodogram(
             sine_df, by=["channel"], dim="time", detrend="linear"
         )
+
+
+@pytest.mark.parametrize("up,down", [(3, 2), (2, 3), (5, 1)])
+def test_resample_poly_matches_kernel_and_coords(spark, up, down):
+    from math import gcd
+
+    from xarray_scipy_spark.kernels.dsp import resample_poly_ragged
+
+    rng = np.random.default_rng(31)
+    frames, refs = [], {}
+    for ch, n in (("a", 80), ("b", 57)):
+        x = rng.standard_normal(n)
+        frames.append(
+            pd.DataFrame({"ch": ch, "t": np.arange(n) * 0.5, "value": x})
+        )
+        y, ol = resample_poly_ragged(x[None, :], np.array([n]), up, down)
+        refs[ch] = y[0, : ol[0]]
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    got = (
+        xss.operators.resample_poly(df, up, down, by=["ch"], dim="t")
+        .orderBy("ch", "idx")
+        .toPandas()
+    )
+    g = gcd(up, down)
+    for ch, n in (("a", 80), ("b", 57)):
+        sub = got[got["ch"] == ch]
+        assert len(sub) == -(-n * (up // g) // (down // g))
+        np.testing.assert_allclose(sub["value"].to_numpy(), refs[ch], atol=1e-9)
+        # coordinate: spacing rescaled by down/up over the same origin
+        np.testing.assert_allclose(
+            sub["t"].to_numpy(),
+            np.arange(len(sub)) * 0.5 * (down // g) / (up // g),
+            atol=1e-9,
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        xss.operators.resample_poly(df, 0, 2, by=["ch"], dim="t")
+
+
+def test_cwt_ricker_matches_direct_convolution(spark):
+    from xarray_scipy_spark.operators.cwt import ricker_taps
+
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal(64)
+    widths = [1.0, 2.0, 4.0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"ch": "a", "t": np.arange(64) * 0.25, "value": x})
+    )
+    got = (
+        xss.operators.cwt_ricker(df, widths, by=["ch"], dim="t")
+        .orderBy("width_idx", "pos")
+        .toPandas()
+    )
+    assert len(got) == 3 * 64
+    for wi, w in enumerate(widths):
+        taps = ricker_taps(int(10 * w), w)
+        want = np.convolve(x, taps[::-1], mode="same")
+        sub = got[got["width_idx"] == wi]
+        np.testing.assert_allclose(sub["value"].to_numpy(), want, atol=1e-9)
+        assert (sub["width"] == w).all()
+        np.testing.assert_allclose(
+            sub["t"].to_numpy(), np.arange(64) * 0.25, atol=1e-12
+        )
+    # scale-selectivity sanity: a blob of width ~4 peaks at the width-4 row
+    blob = np.exp(-((np.arange(64) - 32.0) ** 2) / (2 * 4.0**2))
+    dfb = spark.createDataFrame(
+        pd.DataFrame({"ch": "a", "t": np.arange(64.0), "value": blob})
+    )
+    gb = (
+        xss.operators.cwt_ricker(dfb, widths, by=["ch"], dim="t")
+        .orderBy("width_idx", "pos")
+        .toPandas()
+    )
+    peak_by_width = gb.groupby("width_idx")["value"].max()
+    assert peak_by_width.idxmax() == 2
+    # short-series refusal instead of silent per-series tap clipping
+    short = spark.createDataFrame(
+        pd.DataFrame({"ch": "a", "t": np.arange(20.0), "value": np.ones(20)})
+    )
+    with pytest.raises(Exception, match="shorter than the longest wavelet"):
+        xss.operators.cwt_ricker(short, widths, by=["ch"], dim="t").collect()

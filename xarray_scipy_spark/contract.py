@@ -680,6 +680,74 @@ def q_welch(spark, sf_dir):
     return res.select("user_id", "idx", _r("power", 4, "power4"))
 
 
+def _resample_poly_oracle() -> str:
+    """Oracle for resample_poly(up=3, down=2): the polyphase pipeline
+    is linear, so each output m is a join-sum over the padded filter —
+    y[m] = Σ_k h_pad[k]·x[j] where j = ((m+pre)·down − k)/up is an
+    integer in [0, n). Taps come from this package's own firwin, the
+    alignment constants from the same formulas as the kernel."""
+    up, down, half_len = 3, 2, 30
+    h = firwin(2 * half_len + 1, 1.0 / max(up, down)) * up
+    n_pre_pad = down - half_len % down
+    pre = (half_len + n_pre_pad) // down
+    hp = np.concatenate([np.zeros(n_pre_pad), h])
+    return (
+        f"WITH {_S}, {_values_cte('h', 'hv', hp)}, "
+        "outs AS (SELECT user_id, n, unnest(range(0, (n * 3 + 1) // 2)) AS m "
+        "FROM (SELECT DISTINCT user_id, n FROM s)) "
+        "SELECT o.user_id, o.m AS idx, round(sum(h.hv * x.x), 4) + 0.0 AS value4 "
+        f"FROM outs o JOIN h ON ((o.m + {pre}) * 2 - h.m) % 3 = 0 "
+        f"JOIN s x ON x.user_id = o.user_id AND x.j = ((o.m + {pre}) * 2 - h.m) // 3 "
+        "GROUP BY o.user_id, o.m"
+    )
+
+
+_CWT_WIDTHS = (1.0, 2.0, 4.0)
+
+
+def _cwt_oracle() -> str:
+    """Per width: a centered same-mode FIR with the ricker taps (the
+    ricker is symmetric, so scipy's tap reversal is a no-op), stacked
+    position-major (idx = j·W + width_idx) like the operator."""
+    from .operators.cwt import ricker_taps
+
+    parts = []
+    for wi, w in enumerate(_CWT_WIDTHS):
+        taps = tuple(float(t) for t in ricker_taps(int(10 * w), w))
+        parts.append(
+            f"SELECT user_id, j * {len(_CWT_WIDTHS)} + {wi} AS idx, "
+            f"round({_centered_fir_sql(taps, over=f'w_cw{wi}')}, 4) + 0.0 AS value4 "
+            # unique window names: DuckDB scopes WINDOW clauses across
+            # the whole set expression, so per-branch "w" collides
+            f"FROM s WINDOW w_cw{wi} AS (PARTITION BY user_id ORDER BY j)"
+        )
+    return f"WITH {_S} " + " UNION ALL ".join(parts)
+
+
+@_q("cwt_ricker", _cwt_oracle())
+def q_cwt_ricker(spark, sf_dir):
+    """Ricker continuous wavelet transform at three scales in ONE
+    kernel exchange (position-major flat layout, native width/time
+    coords — operators/cwt.py); oracle = per-width centered FIR
+    convolutions with the same driver-computed taps, unioned."""
+    res = ops.cwt_ricker(
+        _events(spark, sf_dir), _CWT_WIDTHS, by=["user_id"], dim="ts"
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
+@_q("resample_poly", _resample_poly_oracle())
+def q_resample_poly(spark, sf_dir):
+    """Rational-rate polyphase resampling (scipy resample_poly, up=3 /
+    down=2 — output LONGER than input, exercising the ragged path where
+    out_lengths exceed n_max). FIR pipeline, no FFT: the scale-path
+    rate changer (operators/resample.py)."""
+    res = ops.resample_poly(
+        _events(spark, sf_dir), 3, 2, by=["user_id"], dim="ts"
+    )
+    return res.select("user_id", "idx", _r("value", 4, "value4"))
+
+
 @_q(
     "periodogram",
     f"WITH {_S}, "

@@ -29,6 +29,8 @@ __all__ = [
     "lfilter_1d",
     "lfilter_ragged",
     "filtfilt_ragged",
+    "upfirdn_ragged",
+    "resample_poly_ragged",
     "sosfilt_1d",
     "sosfilt_ragged",
     "sosfiltfilt_1d",
@@ -645,3 +647,87 @@ def filtfilt_ragged(
     t = np.arange(n_max)[None, :]
     oidx = np.clip(lens + p - 1 - t, 0, L - 1)
     return np.where(t < lens, np.take_along_axis(y2, oidx, axis=1), 0.0)
+
+
+def _upfirdn_out_len(h_len: int, n_in, up: int, down: int):
+    """scipy ``upfirdn`` output length: ceil(((n_in-1)·up + h_len) / down)."""
+    return -(-((n_in - 1) * up + h_len) // down)
+
+
+def upfirdn_ragged(
+    h, x: np.ndarray, lengths: np.ndarray, up: int = 1, down: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Polyphase upsample-filter-downsample over a ragged batch
+    (``scipy.signal.upfirdn`` semantics): zero-stuff by ``up``, FULL
+    convolution with ``h``, take every ``down``-th sample. Vectorized
+    across series and signal positions; the only Python loop is over
+    the ``len(h)`` taps. Returns ``(y_padded, out_lengths)``.
+    """
+    h = np.atleast_1d(np.asarray(h, dtype=float))
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    lengths = np.asarray(lengths, dtype=np.int64)
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+    k_series, n_max = x.shape
+    out_lens = _upfirdn_out_len(len(h), lengths, up, down)
+    m_max = int(_upfirdn_out_len(len(h), n_max, up, down))
+    y = np.zeros((k_series, m_max))
+    j = np.arange(n_max)
+    # tap k of h contributes x[j] to upsampled position j*up + k; it
+    # survives downsampling when that position is a multiple of down
+    for k in range(len(h)):
+        t = j * up + k
+        sel = t % down == 0
+        m = t[sel] // down
+        keep = m < m_max
+        y[:, m[keep]] += h[k] * x[:, j[sel][keep]]
+    # zero each row's region beyond its own output length (its inputs
+    # were zero-padded, but shared-position adds may still land there)
+    t_idx = np.arange(m_max)[None, :]
+    y[t_idx >= out_lens[:, None]] = 0.0
+    return y, out_lens
+
+
+def resample_poly_ragged(
+    x: np.ndarray, lengths: np.ndarray, up: int, down: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rational-rate polyphase resampling over a ragged batch
+    (``scipy.signal.resample_poly`` with the default Hamming-window
+    anti-aliasing filter and zero padding — ``padtype='constant'``,
+    ``cval=None``): gcd reduction, ``firwin(2·10·max(up,down)+1,
+    1/max(up,down)) · up``, polyphase-alignment zero padding of the
+    filter, ``upfirdn``, and the ``n_pre_remove`` trim to exactly
+    ``ceil(n·up/down)`` output samples per row."""
+    from math import gcd
+
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    lengths = np.asarray(lengths, dtype=np.int64)
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+    g = gcd(up, down)
+    up //= g
+    down //= g
+    if up == down:
+        return x.copy(), lengths.copy()
+    n_out = (lengths * up + down - 1) // down
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    h = firwin(2 * half_len + 1, 1.0 / max_rate) * up
+    n_pre_pad = down - half_len % down
+    n_post_pad = 0
+    n_pre_remove = (half_len + n_pre_pad) // down
+    n_max = int(lengths.max()) if len(lengths) else 0
+    want = int((n_max * up + down - 1) // down) + n_pre_remove
+    while (
+        _upfirdn_out_len(len(h) + n_pre_pad + n_post_pad, n_max, up, down) < want
+    ):
+        n_post_pad += 1
+    hp = np.concatenate([np.zeros(n_pre_pad), h, np.zeros(n_post_pad)])
+    y, _ = upfirdn_ragged(hp, x, lengths, up, down)
+    y = y[:, n_pre_remove:]
+    m_idx = np.arange(y.shape[1])[None, :]
+    y = np.where(m_idx < n_out[:, None], y, 0.0)
+    max_out = int(n_out.max()) if len(n_out) else 0
+    return y[:, :max_out], n_out

@@ -2,13 +2,14 @@
 (SURVEY.md §2.2 #1-17) plus engine-native fast paths."""
 
 from .convolve import convolve, convolve_fir, correlate, fftconvolve, fftconvolve_nd
+from .cwt import cwt_ricker, ricker_taps
 from .detrend import detrend
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import filtfilt, lfilter, sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join
 from .peaks import find_peaks, peak_widths
-from .resample import decimate, resample
+from .resample import decimate, resample, resample_poly
 from .savgol import savgol_filter
 from .smooth import medfilt, wiener
 from .spectral import coherence, csd, istft, periodogram, spectral_apply, stft, welch
@@ -52,4 +53,7 @@ __all__ = [
     "filtfilt",
     "savgol_filter",
     "periodogram",
+    "resample_poly",
+    "cwt_ricker",
+    "ricker_taps",
 ]

@@ -15,9 +15,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..core import apply_series_kernel, resolve_keep_attrs
 from ..functions.coords import linear_coord, restore_coord_dtype
-from ..kernels.dsp import decimate_ragged, resample_fourier, resample_fourier_freq
+from ..kernels.dsp import (
+    decimate_ragged,
+    resample_fourier,
+    resample_fourier_freq,
+    resample_poly_ragged,
+)
 
-__all__ = ["decimate", "resample"]
+__all__ = ["decimate", "resample", "resample_poly"]
 
 
 def decimate(
@@ -133,5 +138,55 @@ def resample(
         keep=resolve_keep_attrs(df, keep_attrs),
     )
     new_delta = F.col("n_in").cast("double") * F.col("delta") / F.lit(float(num))
+    coord = linear_coord("idx", "offset", new_delta)
+    return res.withColumn(dim, restore_coord_dtype(df, dim, coord))
+
+
+def resample_poly(
+    df: DataFrame,
+    up: int,
+    down: int,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    keep_attrs: bool | None = None,
+) -> DataFrame:
+    """Rational-rate polyphase resampling (``scipy.signal.
+    resample_poly`` with the default Hamming anti-aliasing filter and
+    zero padding). Unlike the Fourier :func:`resample` this is a pure
+    FIR pipeline — O(n·len(h)) per series, no length restriction, and
+    streaming-friendly (the filter has finite support), which is the
+    rate changer you want at 100 TB: the kernel cost is a short FIR
+    per sample, not an FFT over the whole series.
+
+    Output ``[*by, idx, value, <dim>, ...]`` with exactly
+    ``ceil(n·up/down)`` rows per series and the recomputed coordinate
+    ``offset + idx·delta·down/up`` (the reference's resample leaves
+    coordinates TODO, signal.py:383).
+    """
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+
+    def kernel(x, lengths):
+        y, out_lens = resample_poly_ragged(x, lengths, up, down)
+        return {"value": y, "__lengths__": out_lens}
+
+    kernel.batch_ragged = True
+
+    res = apply_series_kernel(
+        df,
+        kernel,
+        by=by,
+        order=dim,
+        values=[value],
+        out_fields="value double",
+        keep=resolve_keep_attrs(df, keep_attrs),
+    )
+    from math import gcd
+
+    g = gcd(up, down)
+    new_delta = F.col("delta") * F.lit(float(down // g)) / F.lit(float(up // g))
     coord = linear_coord("idx", "offset", new_delta)
     return res.withColumn(dim, restore_coord_dtype(df, dim, coord))
