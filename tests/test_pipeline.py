@@ -800,3 +800,29 @@ def test_bmp_codec_roundtrip_and_dispatch():
         decode_bmp(hdr + b"\x00" * 16)
     with pytest.raises(ValueError, match="BMP"):
         decode_bmp(b"P6 1 1 255 xxx")
+
+
+def test_url_stats_extraction(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "plain text, no links",
+                    "see https://a.example.com/x and http://b.example.org "
+                    "then https://a.example.com again",
+                    "edge: https://c.example.net/path/with_%20escape?nope",
+                ],
+            }
+        )
+    )
+    got = pl.url_stats(df).orderBy("doc_id").toPandas()
+    assert got["n_urls"].tolist() == [0, 3, 1]
+    assert got["n_domains"].tolist() == [0, 2, 1]
+    assert got["first_domain"].tolist() == [
+        "",
+        "a.example.com",
+        "c.example.net",
+    ]

@@ -2241,6 +2241,50 @@ def q_text_redact(spark, sf_dir):
     return pl.redact(docs)
 
 
+_URL_AUG_SQL = (
+    "text || ' see https://site' || (doc_id % 7) || '.example.com/p/' || doc_id"
+    " || ' and http://cdn.example.org/lib.js again https://site' || "
+    "(doc_id % 7) || '.example.com'"
+)
+
+
+@_q(
+    "text_url_stats",
+    f"WITH aug AS (SELECT doc_id, {_URL_AUG_SQL} AS text FROM documents) "
+    "SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(text, '{pl.text.URL_PATTERN}')) AS BIGINT) AS n_urls, "
+    f"CAST(len(list_distinct(regexp_extract_all(text, '{pl.text.URL_DOMAIN_PATTERN}', 1))) AS BIGINT) AS n_domains, "
+    f"coalesce(regexp_extract_all(text, '{pl.text.URL_DOMAIN_PATTERN}', 1)[1], '') AS first_domain "
+    "FROM aug",
+)
+def q_text_url_stats(spark, sf_dir):
+    """URL/domain inventory over documents whose text is augmented (on
+    BOTH sides, same SQL arithmetic) with three synthetic URLs per doc
+    — two distinct domains, one repeated — so counting, distincting,
+    and first-match extraction are all value-verified. Patterns sit in
+    the Java/RE2 common subset (pipeline/text.py URL_PATTERN)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn.example.org/lib.js again https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ),
+    )
+    res = pl.url_stats(docs)
+    return res.select(
+        "doc_id",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_domains").cast("long").alias("n_domains"),
+        "first_domain",
+    )
+
+
 _DECON_BENCH_MOD = 50  # doc_id % 50 == 0 -> the "benchmark" eval set
 
 

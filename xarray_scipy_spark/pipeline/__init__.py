@@ -38,6 +38,7 @@ from .text import (
     lang_id,
     quality_score,
     redact,
+    url_stats,
     repetition_stats,
     tfidf_top_tokens,
     token_stats,
@@ -86,6 +87,7 @@ __all__ = [
     "fingerprint",
     "decontaminate",
     "redact",
+    "url_stats",
     "repetition_stats",
     "vocabulary",
     "unigram_logprob",

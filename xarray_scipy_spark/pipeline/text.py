@@ -27,6 +27,7 @@ __all__ = [
     "unigram_logprob",
     "PII_PATTERNS",
     "LANG_MARKERS",
+    "url_stats",
 ]
 
 # Distinctive high-frequency marker tokens per language. A doc's
@@ -449,4 +450,34 @@ def unigram_logprob(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("nll").alias("avg_nll"),
+    )
+
+
+# URL/domain patterns in the Java/RE2 common subset (same discipline as
+# PII_PATTERNS: no lookarounds, no backrefs, ASCII classes only)
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/%-]*)?"
+URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document URL inventory: how many URLs, how many distinct
+    domains, and the first domain seen — the inputs to domain-level
+    corpus filtering (blocklists, per-domain caps, source mixing).
+
+    Pure Catalyst ``regexp_extract_all`` projections (no shuffle, no
+    UDFs) — scale-free map-side work, like every text-analysis op
+    here. Output: ``(id, n_urls, n_domains, first_domain)``.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    domains = F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_PATTERN), 1)
+    return df.select(
+        F.col(id_col),
+        F.size(urls).alias("n_urls"),
+        F.size(F.array_distinct(domains)).alias("n_domains"),
+        F.coalesce(F.get(domains, 0), F.lit("")).alias("first_domain"),
     )
