@@ -217,3 +217,26 @@ def test_kernel_exchange_width_scales_with_input(spark):
     from xarray_scipy_spark.core import _BUCKET_TARGET_DEFAULT
 
     assert got == min(width, max(1, -(-est // _BUCKET_TARGET_DEFAULT)))
+
+
+def test_pure_catalyst_smoothers_have_no_python_and_one_exchange(spark):
+    """medfilt / wiener / savgol / detrend claim zero-Python single-
+    exchange plans (SURVEY §2.4): one hash exchange on the series key,
+    window operators, no Arrow/Python eval node anywhere."""
+    for name in ("medfilt", "wiener", "savgol", "savgol_deriv", "detrend"):
+        plan = _static_plan(QUERIES[name](spark, SF_DIR))
+        assert "Python" not in plan and "Arrow" not in plan, (name, plan)
+        assert plan.count("Exchange hashpartitioning") <= 1, (name, plan)
+
+
+def test_text_url_stats_is_shuffle_free(spark):
+    """url_stats is a pure map-side projection: no exchange at all."""
+    plan = _static_plan(QUERIES["text_url_stats"](spark, SF_DIR))
+    assert "Python" not in plan and "Exchange" not in plan, plan
+
+
+def test_cwt_single_kernel_exchange(spark):
+    """All CWT widths ride ONE kernel exchange (position-major layout),
+    not one exchange per width."""
+    plan = _static_plan(QUERIES["cwt_ricker"](spark, SF_DIR))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
