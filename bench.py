@@ -63,6 +63,16 @@ HEADLINE = [
     "text_vocab",
     "multimodal_gzip_decode",
     "multimodal_jpeg_decode",
+    # round-6 second wave: smoothers, (b, a) filters, polyphase, CWT
+    "medfilt",
+    "wiener",
+    "savgol",
+    "lfilter",
+    "filtfilt",
+    "periodogram",
+    "resample_poly",
+    "cwt_ricker",
+    "text_url_stats",
 ]
 
 

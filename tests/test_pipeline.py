@@ -826,3 +826,43 @@ def test_url_stats_extraction(spark):
         "a.example.com",
         "c.example.net",
     ]
+
+
+def test_stratified_sample_flat_and_unlisted_strata(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(200),
+                "lang": (["en"] * 120 + ["de"] * 50 + ["fr"] * 30),
+            }
+        )
+    )
+    got = (
+        pl.stratified_sample(
+            df, fractions={"en": 0.5, "de": 0.2}, stratum_col="lang", salt="t"
+        )
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    assert "fr" not in got.index  # unlisted strata drop entirely
+    assert 30 <= got.get("en", 0) <= 90 and 2 <= got.get("de", 0) <= 25
+    # flat sample: same ids survive a rerun (determinism by id)
+    flat1 = set(
+        r[0]
+        for r in pl.stratified_sample(df, fractions="0.3", salt="t")
+        .select("doc_id")
+        .collect()
+    )
+    flat2 = set(
+        r[0]
+        for r in pl.stratified_sample(
+            df.repartition(7), fractions="0.3", salt="t"
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert flat1 == flat2 and 30 <= len(flat1) <= 90

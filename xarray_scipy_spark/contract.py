@@ -2058,6 +2058,43 @@ def q_curation_report(spark, sf_dir):
 _SPLIT_W = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 
 
+_STRAT_FRACS = {"en": 0.5, "de": 0.25}  # other langs dropped
+
+
+@_q(
+    "dataset_stratified",
+    "WITH u AS ("
+    "  SELECT doc_id, lang,"
+    "    (('0x' || substring(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    "      / 16.0^15) AS u"
+    "  FROM documents"
+    ") "
+    "SELECT lang, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_id, "
+    "CAST(max(doc_id) AS BIGINT) AS max_id, "
+    "CAST(sum(doc_id) AS BIGINT) AS sum_id FROM u "
+    "WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.0 END "
+    "GROUP BY lang",
+)
+def q_dataset_stratified(spark, sf_dir):
+    """Per-stratum deterministic subsample (salted-hash uniform vs a
+    per-language fraction; unlisted strata drop — pipeline/sample.py
+    stratified_sample). Exact-by-id: the oracle recomputes the same
+    md5 arithmetic, and min/max/sum of surviving ids pin the EXACT
+    kept set per stratum, not just its size."""
+    res = pl.stratified_sample(
+        _docs(spark, sf_dir),
+        fractions=dict(_STRAT_FRACS),
+        stratum_col="lang",
+        salt="strat",
+    )
+    return res.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.sum("doc_id").cast("long").alias("sum_id"),
+    )
+
+
 @_q(
     "dataset_split",
     # hash_uniform reproduced literally: first 15 hex chars of
