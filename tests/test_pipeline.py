@@ -866,3 +866,39 @@ def test_stratified_sample_flat_and_unlisted_strata(spark):
         .collect()
     )
     assert flat1 == flat2 and 30 <= len(flat1) <= 90
+
+
+def test_quantize_embeddings_roundtrip_error_and_clamp(spark):
+    import numpy as np
+
+    import xarray_scipy_spark.pipeline as pl
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    vecs[0, 0] = 5.0  # per-dim max -> quantizes to exactly +127
+    vecs[:, 3] = 0.0  # identically-zero dim -> scale pinned to 1
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"emb_id": range(40), "vec": [v.tolist() for v in vecs]}
+        )
+    )
+    got = (
+        pl.quantize_embeddings(df, id_col="emb_id", vec_col="vec")
+        .orderBy("emb_id")
+        .toPandas()
+    )
+    q = np.array(got["qvec"].tolist(), dtype=np.int32)
+    s = np.array(got["scales"].tolist())[0]  # identical on every row
+    assert q.max() <= 127 and q.min() >= -128
+    assert q[0, 0] == 127
+    assert (q[:, 3] == 0).all() and s[3] == 1.0
+    expected_scales = np.abs(vecs).max(axis=0).astype(float)
+    expected_scales[3] = 1.0  # zero dim pinned
+    np.testing.assert_allclose(s, expected_scales, rtol=1e-6)
+    # dequantized reconstruction error bounded by half a quantization step
+    deq = q / 127.0 * s[None, :]
+    err = np.abs(deq - vecs.astype(float))
+    step = s / 127.0
+    assert (err <= step[None, :] / 2 + 1e-12).all()
+    with pytest.raises(ValueError, match="bits"):
+        pl.quantize_embeddings(df, id_col="emb_id", vec_col="vec", bits=1)

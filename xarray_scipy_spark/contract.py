@@ -2058,6 +2058,60 @@ def q_curation_report(spark, sf_dir):
 _SPLIT_W = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 
 
+_EMB_D = 64
+
+
+def _quantize_oracle() -> str:
+    """Symmetric int8 quantization replayed dimension-by-dimension:
+    64 max(abs()) aggregates give the per-dim scales, then each probe
+    coordinate re-derives q_i with the identical double arithmetic
+    (DuckDB and Spark both round half away from zero, and the operands
+    are bitwise-equal doubles, so the rounding agrees exactly)."""
+    maxs = ", ".join(
+        f"max(abs(CAST(embedding[{i + 1}] AS DOUBLE))) AS m{i + 1}"
+        for i in range(_EMB_D)
+    )
+
+    def scale(i: int) -> str:
+        return f"(CASE WHEN s.m{i + 1} > 0 THEN s.m{i + 1} ELSE 1.0 END)"
+
+    def q(i: int) -> str:
+        return (
+            f"CAST(greatest(-128.0, least(127.0, "
+            f"round(CAST(e.embedding[{i + 1}] AS DOUBLE) / {scale(i)} * 127.0, 0)"
+            f")) AS INT)"
+        )
+
+    sum_q = " + ".join(q(i) for i in range(_EMB_D))
+    return (
+        f"WITH s AS (SELECT {maxs} FROM embeddings) "
+        f"SELECT e.vec_id, {q(0)} AS q0, {q(1)} AS q1, {q(2)} AS q2, {q(3)} AS q3, "
+        f"CAST({sum_q} AS BIGINT) AS sum_q, "
+        f"round({scale(0)}, 6) + 0.0 AS scale0_6 "
+        "FROM embeddings e CROSS JOIN s"
+    )
+
+
+@_q("embedding_quantize", _quantize_oracle())
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric per-dimension int8 scalar quantization of the corpus
+    embeddings (the 4× memory/bandwidth lever for vector search at
+    scale — pipeline/similarity.py quantize_embeddings): two-pass plan
+    whose scale aggregation moves ≤ d rows per task. Probed on four
+    coordinates + the full-vector sum + one scale."""
+    res = pl.quantize_embeddings(
+        _emb(spark, sf_dir), id_col="vec_id", vec_col="embedding"
+    )
+    return res.select(
+        "vec_id",
+        *[F.get("qvec", i).alias(f"q{i}") for i in range(4)],
+        F.aggregate(
+            "qvec", F.lit(0).cast("bigint"), lambda acc, v: acc + v.cast("bigint")
+        ).alias("sum_q"),
+        _r(F.get("scales", 0), 6, "scale0_6"),
+    )
+
+
 _STRAT_FRACS = {"en": 0.5, "de": 0.25}  # other langs dropped
 
 

@@ -31,7 +31,13 @@ from .dedup import (
     embedding_dup_pairs,
     duplicate_clusters,
 )
-from .similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh, kmeans_cells
+from .similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    kmeans_cells,
+    quantize_embeddings,
+)
 from .text import (
     decontaminate,
     fingerprint,
@@ -78,6 +84,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_dup_pairs",
     "cosine_topk",
+    "quantize_embeddings",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "kmeans_cells",

@@ -24,7 +24,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashes import spread
 
-__all__ = ["cosine_topk", "cosine_topk_ivf", "cosine_topk_lsh", "kmeans_cells"]
+__all__ = [
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "kmeans_cells",
+    "quantize_embeddings",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -355,3 +361,53 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "emb_id",
+    vec_col: str = "vec",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-dimension scalar quantization of an embedding
+    column — the standard 4× (int8) memory/bandwidth lever for
+    vector search at corpus scale. Two-pass plan:
+
+    1. one aggregation computes the per-dimension max |x| over the
+       corpus: posexplode to (dim, |x|) then ``groupBy(dim).max`` —
+       the hash aggregate's map-side combine reduces every task to
+       ≤ d rows before the shuffle, so only d·n_tasks tiny rows move
+       and d doubles reach the driver, broadcast back as a literal;
+    2. a pure projection emits ``q[i] = round(x[i] / scale[i] ·
+       (2^(bits−1) − 1))`` clamped to the signed range, plus the
+       per-dim scales so consumers can dequantize.
+
+    Everything is Catalyst array arithmetic (zip_with / transform) —
+    no Python, no shuffle beyond the one scale aggregation. Output:
+    ``(id, qvec array<int>, scales array<double>)``. Dimensions that
+    are identically zero quantize to zero (scale pinned to 1 to avoid
+    0/0).
+    """
+    if not (2 <= bits <= 16):
+        raise ValueError(f"bits must be in [2, 16], got {bits}")
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    rows = (
+        df.select(F.posexplode(v).alias("pos", "a"))
+        .groupBy("pos")
+        .agg(F.max("a").alias("m"))
+        .collect()
+    )
+    absmax = [m for _, m in sorted((r["pos"], r["m"]) for r in rows)]
+    scales = [m if m and m > 0 else 1.0 for m in absmax]
+    sc = F.array(*[F.lit(float(s)) for s in scales])
+    q = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        sc,
+        lambda x, s: F.greatest(
+            F.lit(-qmax - 1.0),
+            F.least(F.lit(qmax), F.round(x / s * F.lit(qmax), 0)),
+        ).cast("int"),
+    )
+    return df.select(F.col(id_col), q.alias("qvec"), sc.alias("scales"))
