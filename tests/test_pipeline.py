@@ -902,3 +902,49 @@ def test_quantize_embeddings_roundtrip_error_and_clamp(spark):
     assert (err <= step[None, :] / 2 + 1e-12).all()
     with pytest.raises(ValueError, match="bits"):
         pl.quantize_embeddings(df, id_col="emb_id", vec_col="vec", bits=1)
+
+
+def test_embedding_pca_matches_numpy(spark):
+    import numpy as np
+
+    import xarray_scipy_spark.pipeline as pl
+
+    rng = np.random.default_rng(13)
+    # anisotropic cloud so the component order is unambiguous
+    base = rng.standard_normal((300, 6)) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    rot, _ = np.linalg.qr(rng.standard_normal((6, 6)))
+    vecs = (base @ rot + np.array([1.0, -2.0, 0.5, 0.0, 3.0, -1.0])).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"emb_id": range(300), "vec": [v.tolist() for v in vecs]})
+    ).repartition(5)
+    vals, comps, mean = pl.fit_pca(df, 3, vec_col="vec")
+    x = vecs.astype(float)
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    np.testing.assert_allclose(vals, evals[order], rtol=1e-9)
+    for i, col in enumerate(order):
+        ref = evecs[:, col]
+        j = int(np.argmax(np.abs(comps[i])))
+        if ref[j] * comps[i][j] < 0:
+            ref = -ref
+        np.testing.assert_allclose(comps[i], ref, atol=1e-8)
+    got = (
+        pl.embedding_pca(df, 3, id_col="emb_id", vec_col="vec")
+        .orderBy("emb_id")
+        .toPandas()
+    )
+    want = (x - x.mean(axis=0)) @ comps.T
+    np.testing.assert_allclose(
+        got[["pc0", "pc1", "pc2"]].to_numpy(), want, atol=1e-8
+    )
+    # scores are uncorrelated with variance = eigenvalues
+    sc = got[["pc0", "pc1", "pc2"]].to_numpy()
+    np.testing.assert_allclose(
+        np.cov(sc, rowvar=False, bias=True), np.diag(vals), atol=1e-6
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        pl.fit_pca(df, 7, vec_col="vec")

@@ -2112,6 +2112,25 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+@_q("embedding_pca")  # no SQL oracle: eigendecomposition isn't
+# SQL-expressible — the driver records the weaker rows-only check;
+# value-level verification lives in tests/test_pipeline.py, which
+# matches the full pipeline against numpy PCA on the collected corpus
+def q_embedding_pca(spark, sf_dir):
+    """Top-4 principal-component scores for every embedding
+    (pipeline/similarity.py embedding_pca): fit = ONE partial-agg pass
+    (each partition emits d + d² floats, never rows), transform = pure
+    Catalyst dot-product folds. Deterministic: eigh + sign
+    canonicalization, epsilon-floor quantized scores."""
+    res = pl.embedding_pca(
+        _emb(spark, sf_dir), 4, id_col="vec_id", vec_col="embedding"
+    )
+    return res.select(
+        "vec_id",
+        *[_q3_col(F.col(f"pc{i}")).alias(f"pc{i}_q") for i in range(4)],
+    )
+
+
 _STRAT_FRACS = {"en": 0.5, "de": 0.25}  # other langs dropped
 
 

@@ -37,6 +37,8 @@ from .similarity import (
     cosine_topk_lsh,
     kmeans_cells,
     quantize_embeddings,
+    fit_pca,
+    embedding_pca,
 )
 from .text import (
     decontaminate,
@@ -85,6 +87,8 @@ __all__ = [
     "embedding_dup_pairs",
     "cosine_topk",
     "quantize_embeddings",
+    "fit_pca",
+    "embedding_pca",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "kmeans_cells",

@@ -30,6 +30,8 @@ __all__ = [
     "cosine_topk_lsh",
     "kmeans_cells",
     "quantize_embeddings",
+    "fit_pca",
+    "embedding_pca",
 ]
 
 
@@ -411,3 +413,92 @@ def quantize_embeddings(
         ).cast("int"),
     )
     return df.select(F.col(id_col), q.alias("qvec"), sc.alias("scales"))
+
+
+def fit_pca(
+    df: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "vec",
+):
+    """Fit a PCA basis over an embedding column at corpus scale.
+
+    One ``mapInPandas`` pass computes per-batch partials of (count,
+    Σx, ΣxxT) — each partition contributes ONE row of d + d² doubles
+    regardless of its row count, so the driver combine handles
+    d=64 · n_partitions floats, never the corpus. The d×d covariance
+    eigendecomposition runs on the driver (closed over d, not n) with
+    deterministic sign canonicalization (largest-|component| positive).
+
+    Returns ``(eigvals, components, mean)``: top-``k`` eigenvalues
+    (descending), a (k, d) component matrix, and the d-vector mean.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=float)
+            if not len(m):
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partial, "n bigint, s array<double>, g array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot fit PCA on an empty corpus")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]) for r in rows], axis=0)
+    d = len(s)
+    if not (1 <= k <= d):
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    vals = eigvals[order]
+    comps = eigvecs[:, order].T  # (k, d)
+    for i in range(k):  # deterministic sign: largest |component| positive
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return vals, comps, mean
+
+
+def embedding_pca(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "emb_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    Fit via :func:`fit_pca` (one partial-aggregation pass), then the
+    projection ``Wᵀ(x − μ) = Wᵀx − Wᵀμ`` is emitted as ``k`` pure-
+    Catalyst dot-product folds with literal coefficients — no Python in
+    the transform, no shuffle at all. Output: ``(id, pc0..pc{k-1})``.
+    """
+    _vals, comps, mean = fit_pca(df, k, vec_col=vec_col)
+    bias = comps @ mean
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    outs = []
+    for i in range(len(comps)):
+        w = F.array(*[F.lit(float(c)) for c in comps[i]])
+        dot = F.aggregate(
+            F.zip_with(x, w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        outs.append((dot - F.lit(float(bias[i]))).alias(f"pc{i}"))
+    return df.select(F.col(id_col), *outs)
