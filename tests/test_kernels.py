@@ -443,3 +443,27 @@ def test_filtfilt_ragged_matches_sos_form():
         got = filtfilt_ragged(b, a, x, lens, padlen=20, padtype=padtype)
         want = sosfiltfilt_ragged(sos, x, lens, padlen=20, padtype=padtype)
         np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_window_taps_periodic_forms():
+    import numpy as np
+
+    from xarray_scipy_spark.operators.spectral import window_taps
+
+    n = 16
+    m = np.arange(n)
+    np.testing.assert_allclose(
+        window_taps("blackman", n),
+        0.42 - 0.5 * np.cos(2 * np.pi * m / n) + 0.08 * np.cos(4 * np.pi * m / n),
+    )
+    bart = window_taps("bartlett", n)
+    # periodic triangle: symmetric (n+1)-point bartlett truncated
+    full = 1.0 - np.abs(2.0 * np.arange(n + 1) / n - 1.0)
+    np.testing.assert_allclose(bart, full[:n])
+    # all periodic windows satisfy the COLA-friendly periodicity
+    # w[0] == symmetric-window endpoint (0 for hann/bartlett)
+    assert bart[0] == 0.0 and window_taps("hann", n)[0] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="blackman"):
+        window_taps("kaiser", n)

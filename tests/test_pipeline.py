@@ -948,3 +948,39 @@ def test_embedding_pca_matches_numpy(spark):
     )
     with pytest.raises(ValueError, match="k must be"):
         pl.fit_pca(df, 7, vec_col="vec")
+
+
+def test_duplicated_ngram_spans(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"alpha beta {shared} gamma delta",
+                f"one two three {shared} four",
+                "totally unrelated words that appear nowhere else at all",
+                "tiny",
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    got = (
+        pl.duplicated_ngram_spans(df, k=4, min_docs=2)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 1: 13 tokens, shared block covers positions 2..10 (9 tokens)
+    assert got.loc[1, "n_tokens"] == 13 and got.loc[1, "n_grams"] == 10
+    assert got.loc[1, "n_dup_grams"] == 6  # 9-token run -> 6 shared 4-grams
+    assert abs(got.loc[1, "dup_token_frac"] - 9 / 13) < 1e-9
+    assert got.loc[2, "n_dup_grams"] == 6
+    # doc 2: "one two three" + 9 shared + "four" = 13 tokens
+    assert abs(got.loc[2, "dup_token_frac"] - 9 / 13) < 1e-9
+    # unrelated doc: zero duplication; short doc: zero grams
+    assert got.loc[3, "n_dup_grams"] == 0 and got.loc[3, "dup_token_frac"] == 0.0
+    assert got.loc[4, "n_grams"] == 0 and got.loc[4, "dup_token_frac"] == 0.0
+    with pytest.raises(ValueError, match="min_docs"):
+        pl.duplicated_ngram_spans(df, k=4, min_docs=1)

@@ -641,11 +641,17 @@ def q_istft_native(spark, sf_dir):
     return rec.select("user_id", "t", _r("value", 4, "val4"))
 
 
-def _welch_oracle() -> str:
+def _welch_oracle(window: str = "hann") -> str:
     from .operators.spectral import window_taps
 
-    u = float(np.sum(window_taps("hann", _STFT_FL) ** 2))
-    win = f"(0.5 - 0.5 * cos(2 * pi() * (a.j - fr.f * {_STFT_HOP}) / {_STFT_FL}))"
+    u = float(np.sum(window_taps(window, _STFT_FL) ** 2))
+    phase = f"2 * pi() * (a.j - fr.f * {_STFT_HOP}) / {_STFT_FL}"
+    if window == "hann":
+        win = f"(0.5 - 0.5 * cos({phase}))"
+    elif window == "blackman":
+        win = f"(0.42 - 0.5 * cos({phase}) + 0.08 * cos(2 * ({phase})))"
+    else:
+        raise ValueError(f"no SQL form for window {window!r}")
     return (
         f"WITH {_S}, {_STFT_FRAMES}, {_STFT_BINS}, "
         "spec AS ("
@@ -664,6 +670,10 @@ def _welch_oracle() -> str:
     )
 
 
+# NOTE(r7): register q_welch_blackman (ops.welch window="blackman" vs
+# _welch_oracle("blackman")) when the rotation frees a head slot — the
+# r6 tail candidate pool (r5-green + r6-unchanged) is exhausted at
+# exactly head=50, and a new query must be driver-checked, not tailed.
 @_q("welch", _welch_oracle())
 def q_welch(spark, sf_dir):
     """Hann-windowed Welch averaged periodogram; oracle = the identical

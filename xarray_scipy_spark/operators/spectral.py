@@ -60,7 +60,20 @@ def window_taps(window: str | Sequence[float] | None, frame_len: int) -> np.ndar
             return 0.5 - 0.5 * np.cos(2.0 * np.pi * m / frame_len)
         if window == "hamming":
             return 0.54 - 0.46 * np.cos(2.0 * np.pi * m / frame_len)
-        raise ValueError(f"unknown window {window!r} (None | 'hann' | 'hamming' | taps)")
+        if window == "blackman":
+            return (
+                0.42
+                - 0.5 * np.cos(2.0 * np.pi * m / frame_len)
+                + 0.08 * np.cos(4.0 * np.pi * m / frame_len)
+            )
+        if window == "bartlett":
+            # periodic form: the (frame_len+1)-point symmetric triangle
+            # truncated, matching scipy get_window(..., fftbins=True)
+            return 1.0 - np.abs(2.0 * m / frame_len - 1.0)
+        raise ValueError(
+            f"unknown window {window!r} "
+            "(None | 'hann' | 'hamming' | 'blackman' | 'bartlett' | taps)"
+        )
     taps = np.asarray(window, dtype=float)
     if taps.shape != (frame_len,):
         raise ValueError(f"window taps must have shape ({frame_len},), got {taps.shape}")

@@ -30,6 +30,7 @@ from .dedup import (
     simhash_pairs,
     embedding_dup_pairs,
     duplicate_clusters,
+    duplicated_ngram_spans,
 )
 from .similarity import (
     cosine_topk,
@@ -80,6 +81,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_pairs",
     "duplicate_clusters",
+    "duplicated_ngram_spans",
     "tfidf_top_tokens",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",

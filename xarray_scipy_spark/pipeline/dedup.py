@@ -32,6 +32,7 @@ from .hashes import (
     MINHASH_P,
     h32,
     h48,
+    h60,
     minhash_coeffs,
     spread,
     tokens,
@@ -48,6 +49,7 @@ __all__ = [
     "embedding_dup_pairs",
     "duplicate_clusters",
     "srp_plane",
+    "duplicated_ngram_spans",
 ]
 
 
@@ -609,4 +611,93 @@ def _blocked_allpairs_cosine(
         left.groupBy("pid")
         .cogroup(right.groupBy("pid"))
         .applyInPandas(lambda l, r: score(l, r), schema=out_schema)
+    )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplication at word-``k``-gram granularity
+    — the pass that catches repeated PASSAGES (boilerplate, licenses,
+    templated spam) that document-level dedup misses because the
+    surrounding text differs.
+
+    Plan: positional k-grams per doc (position kept, unlike the
+    distinct shingles of minhash) → h60 gram hash → one hash-aggregate
+    shuffle counts distinct docs per gram (map-side combine) → grams
+    seen in ≥ ``min_docs`` docs join back by hash → per-doc coverage:
+    the union of [i, i+k) over duplicated gram starts, as Catalyst
+    array algebra. No all-pairs stage anywhere; the widest shuffle is
+    one row per (doc, gram position).
+
+    Output: ``(id, n_tokens, n_grams, n_dup_grams, dup_token_frac)``
+    with ``dup_token_frac`` = fraction of the doc's tokens covered by
+    at least one shared k-gram. Docs shorter than ``k`` tokens emit
+    zero grams and frac 0.
+    """
+    if k < 1 or min_docs < 2:
+        raise ValueError("k must be >= 1 and min_docs >= 2")
+    tok = spread(df, id_col).select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    )
+    base = tok.select(
+        F.col(id_col),
+        F.size("toks").alias("n_tokens"),
+        F.when(F.size("toks") >= k, F.size("toks") - k + 1)
+        .otherwise(F.lit(0))
+        .alias("n_grams"),
+        F.col("toks"),
+    )
+    grams = base.filter(F.col("n_grams") > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_grams") - 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + j + 1) for j in range(k)]
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(id_col, "pos", h60(F.col("gram")).alias("gh"))
+    dup_hashes = (
+        hashed.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    dup_starts = (
+        hashed.join(dup_hashes, "gh")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    cover = F.size(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("starts"), lambda s: F.sequence(s, s + F.lit(k - 1))
+                )
+            )
+        )
+    )
+    return (
+        base.drop("toks")
+        .join(dup_starts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.size("starts"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(cover, F.lit(0)).cast("double") / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_frac"),
+        )
     )
