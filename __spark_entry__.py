@@ -73,7 +73,14 @@ _CHECK_LAST = (
     "sosfilt_chunked",  # sosfilt returns to head; sosfilt_stream in head
     "sosfiltfilt",
     "sosfiltfilt_even",
-    "find_peaks",  # peak_widths stays in head (r6 batching candidate)
+    # r6 exception, documented: find_peaks gained scipy plateau-midpoint
+    # parity late in r6. On the driver's continuous-float data plateaus
+    # cannot occur, so the change is OUTPUT-IDENTICAL at every gate
+    # scale (verified: sf0.001 + sf0.01 row-for-row equal pre/post, and
+    # the per-pytest tail oracle re-values it every run); the head was full
+    # with queries that have no green row at all, which need the slot
+    # more than an output-identical refactor does.
+    "find_peaks",
     # dedup (exact + ngram_jaccard return to head)
     "dedup_minhash",
     "dedup_simhash",

@@ -817,8 +817,8 @@ def test_spectral_apply_transform_masks_bins(spark, sine_df, sine_pdf):
 
 
 def test_find_peaks_filters_and_contract(spark):
-    """strict maxima only; height/threshold filters; output frame feeds
-    peak_widths directly."""
+    """scipy semantics incl. plateau midpoints; height/threshold
+    filters; output frame feeds peak_widths directly."""
     import pandas as pd
 
     import xarray_scipy_spark.operators as ops
@@ -833,12 +833,15 @@ def test_find_peaks_filters_and_contract(spark):
     )
     df = spark.createDataFrame(pdf)
     out = ops.find_peaks(df, by=["ch"], dim="t").toPandas()
-    # index 0 is an edge, 4 is a peak (0.52), plateau at 6-7 is NOT strict
-    assert sorted(out["index"].tolist()) == [2, 4]
-    assert out.sort_values("index")["peak"].tolist() == [0, 1]
-    # height filter removes the 0.52 peak; threshold removes low prominence
+    # index 0 is an edge; 4 is a peak (0.52); the 6-7 plateau peaks at
+    # its midpoint 6 (scipy flat-top semantics, r6 parity upgrade)
+    assert sorted(out["index"].tolist()) == [2, 4, 6]
+    assert out.sort_values("index")["peak"].tolist() == [0, 1, 2]
+    # height filter removes the 0.52 peak (plateau value 3.0 survives)
     high = ops.find_peaks(df, by=["ch"], dim="t", height=0.9).toPandas()
-    assert sorted(high["index"].tolist()) == [2]
+    assert sorted(high["index"].tolist()) == [2, 6]
+    # threshold: low-prominence 0.52 drops; the plateau midpoint's right
+    # neighbor is equal (diff 0), so it drops too — scipy does the same
     th = ops.find_peaks(df, by=["ch"], dim="t", threshold=0.1).toPandas()
     assert sorted(th["index"].tolist()) == [2]
 
@@ -1210,3 +1213,59 @@ def test_cwt_ricker_matches_direct_convolution(spark):
     )
     with pytest.raises(Exception, match="shorter than the longest wavelet"):
         xss.operators.cwt_ricker(short, widths, by=["ch"], dim="t").collect()
+
+
+def test_find_peaks_plateau_midpoints_match_scipy_walk(spark):
+    # scipy _local_maxima_1d reference: flat-top runs peak at their
+    # midpoint when both bounding neighbors are strictly lower
+    def ref(x):
+        peaks, i, n = [], 1, len(x)
+        while i < n - 1:
+            if x[i] > x[i - 1]:
+                ahead = i + 1
+                while ahead < n - 1 and x[ahead] == x[i]:
+                    ahead += 1
+                if x[ahead] < x[i]:
+                    peaks.append((i + ahead - 1) // 2)
+                    i = ahead
+            i += 1
+        return peaks
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        x = rng.integers(0, 4, 60).astype(float)  # ties -> many plateaus
+        df = spark.createDataFrame(
+            pd.DataFrame({"ch": "a", "t": np.arange(60), "value": x})
+        )
+        got = sorted(
+            xss.operators.find_peaks(df, by=["ch"], dim="t")
+            .select("index")
+            .toPandas()["index"]
+            .tolist()
+        )
+        assert got == ref(x), (trial, got, ref(x), x.tolist())
+    # hand-built cases: plateau at the edge is NOT a peak; interior is
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ch": "a",
+                "t": range(10),
+                "value": [3.0, 3.0, 1.0, 2.0, 2.0, 2.0, 1.0, 0.0, 5.0, 5.0],
+            }
+        )
+    )
+    got = sorted(
+        xss.operators.find_peaks(df, by=["ch"], dim="t")
+        .select("index")
+        .toPandas()["index"]
+        .tolist()
+    )
+    assert got == [4]  # midpoint of the 3-long run at 3..5
+    # positive threshold drops interior plateau midpoints (scipy too)
+    gott = (
+        xss.operators.find_peaks(df, by=["ch"], dim="t", threshold=0.5)
+        .select("index")
+        .toPandas()["index"]
+        .tolist()
+    )
+    assert gott == []

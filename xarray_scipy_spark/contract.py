@@ -1549,9 +1549,28 @@ _FP_THRESHOLD = 0.05
     "         lead(x) OVER (PARTITION BY user_id ORDER BY j) AS xr"
     "  FROM s"
     "), "
+    # scipy plateau semantics (run midpoints), mirroring the operator's
+    # running last/first-ignore-nulls construction
+    "r AS ("
+    "  SELECT user_id, j, x, xl, xr,"
+    "    last_value(CASE WHEN xl IS NULL OR x != xl THEN j END IGNORE NULLS)"
+    "      OVER (PARTITION BY user_id ORDER BY j"
+    "            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs,"
+    "    first_value(CASE WHEN xr IS NULL OR x != xr THEN j END IGNORE NULLS)"
+    "      OVER (PARTITION BY user_id ORDER BY j"
+    "            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS re,"
+    "    last_value(CASE WHEN x != xl THEN xl END IGNORE NULLS)"
+    "      OVER (PARTITION BY user_id ORDER BY j"
+    "            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,"
+    "    first_value(CASE WHEN x != xr THEN xr END IGNORE NULLS)"
+    "      OVER (PARTITION BY user_id ORDER BY j"
+    "            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv"
+    "  FROM nb"
+    "), "
     "pk AS ("
-    "  SELECT user_id, j, x FROM nb"
-    f"  WHERE x > xl AND x > xr AND x >= {_FP_HEIGHT}"
+    "  SELECT user_id, j, x FROM r"
+    "  WHERE pv < x AND nv < x AND j = (rs + re) // 2"
+    f"  AND x >= {_FP_HEIGHT}"
     f"  AND least(x - xl, x - xr) >= {_FP_THRESHOLD}"
     ") "
     "SELECT user_id, "

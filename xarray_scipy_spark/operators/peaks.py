@@ -93,16 +93,20 @@ def find_peaks(
     run ``scipy.signal.find_peaks``; an engine user needs it in-engine).
 
     Pure Catalyst windows, no UDF, one shuffle (the window sort on the
-    series key): a sample is a peak when it exceeds BOTH immediate
-    neighbors. NOTE this is stricter than ``scipy.signal.find_peaks``,
-    which also detects flat-top peaks (plateau midpoints via its
-    ``_local_maxima_1d``); here plateaus are intentionally NOT peaks —
-    a deliberate divergence kept because the single-lag window plan is
-    shuffle-minimal and the testdata series are strictly-varying floats
-    where plateaus don't occur. Series edges never qualify (matches
-    scipy). Optional scipy-style filters: ``height`` keeps peaks with
-    ``value >= height``; ``threshold`` additionally requires
-    ``min(value - left, value - right) >= threshold``.
+    series key), with FULL scipy semantics including flat-top peaks:
+    a maximal equal-value run is a peak when the immediately preceding
+    and following values are both strictly lower, and the emitted
+    sample is the run's midpoint ``(left_edge + right_edge) // 2`` —
+    exactly ``scipy.signal.find_peaks``'s ``_local_maxima_1d``. Run
+    bounds and neighbor-run values come from running
+    ``last/first(..., ignorenulls)`` frames over the SAME ordered
+    window, so plateau support costs no extra exchange. Series edges
+    never qualify (matches scipy). Optional scipy-style filters:
+    ``height`` keeps peaks with ``value >= height``; ``threshold``
+    requires ``min(value - left, value - right) >= threshold``
+    evaluated at the midpoint sample (so any positive threshold drops
+    interior plateau midpoints, whose immediate neighbors are equal —
+    scipy behaves the same).
 
     Output: ``[*by, peak, index, <dim>, <value>]`` with ``peak`` the
     0-based rank of the peak within its series (the ``"peak"`` core dim
@@ -114,19 +118,35 @@ def find_peaks(
 
     by = list(by)
     w = Window.partitionBy(*by).orderBy(dim)
+    past = w.rowsBetween(Window.unboundedPreceding, 0)
+    future = w.rowsBetween(0, Window.unboundedFollowing)
+    v = F.col(value)
     lagv = F.lag(value, 1).over(w)
     leadv = F.lead(value, 1).over(w)
-    cond = (F.col(value) > lagv) & (F.col(value) > leadv)
-    if height is not None:
-        cond = cond & (F.col(value) >= F.lit(float(height)))
-    if threshold is not None:
-        cond = cond & (
-            F.least(F.col(value) - lagv, F.col(value) - leadv)
-            >= F.lit(float(threshold))
-        )
-    ser = df.withColumn("index", F.row_number().over(w) - 1).withColumn(
-        "__is_peak__", cond
+    pos = F.row_number().over(w) - 1
+    ser = (
+        df.withColumn("index", pos)
+        .withColumn("__xl__", lagv)
+        .withColumn("__xr__", leadv)
     )
+    xl, xr = F.col("__xl__"), F.col("__xr__")
+    run_first = xl.isNull() | (v != xl)  # first row of its equal-run
+    run_last = xr.isNull() | (v != xr)  # last row of its equal-run
+    idx = F.col("index")
+    run_start = F.last(F.when(run_first, idx), True).over(past)
+    run_end = F.first(F.when(run_last, idx), True).over(future)
+    prev_val = F.last(F.when(v != xl, xl), True).over(past)
+    next_val = F.first(F.when(v != xr, xr), True).over(future)
+    cond = (
+        (prev_val < v)
+        & (next_val < v)
+        & (idx == F.floor((run_start + run_end) / 2))
+    )
+    if height is not None:
+        cond = cond & (v >= F.lit(float(height)))
+    if threshold is not None:
+        cond = cond & (F.least(v - xl, v - xr) >= F.lit(float(threshold)))
+    ser = ser.withColumn("__is_peak__", cond).drop("__xl__", "__xr__")
     wp = Window.partitionBy(*by).orderBy("index")
     return (
         ser.filter(F.col("__is_peak__"))
