@@ -2424,6 +2424,49 @@ def q_text_url_stats(spark, sf_dir):
     )
 
 
+_DUPNG_K = 8
+
+
+def _dup_ngram_oracle() -> str:
+    """DuckDB mirror of pipeline.dedup.duplicated_ngram_spans (k=8,
+    min_docs=2): positional word-8-grams, h60 gram hash, distinct-doc
+    counts, per-doc covered-token fraction via list algebra.
+
+    NOTE(r7): registered-in-waiting — validated green against the Spark
+    side at sf0.001 and sf0.01 during r6, but the r6 head is full (every
+    slot holds a query with no green row yet). Register as
+    ``@_q("dedup_ngram_spans", _dup_ngram_oracle())`` in the r7
+    rotation.
+    """
+    k = _DUPNG_K
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), t -> t != '') AS toks "
+        "FROM documents), "
+        "base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        f"CAST(greatest(len(toks) - {k} + 1, 0) AS BIGINT) AS n_grams, toks "
+        "FROM toks), "
+        "grams AS (SELECT doc_id, unnest(range(0, n_grams)) AS pos, toks "
+        "FROM base WHERE n_grams > 0), "
+        "gh AS (SELECT doc_id, pos, ('0x' || substring(md5("
+        f"array_to_string(toks[pos + 1 : pos + {k}], ' ')), 1, 15))::BIGINT AS gh "
+        "FROM grams), "
+        "dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd "
+        "FROM gh GROUP BY gh) WHERE nd >= 2), "
+        "starts AS (SELECT g.doc_id, list(g.pos) AS starts FROM gh g "
+        "JOIN dup USING (gh) GROUP BY g.doc_id), "
+        "cov AS (SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_dup_grams, "
+        "CAST(len(list_distinct(flatten(list_transform(starts, "
+        f"s -> range(s, s + {k}))))) AS BIGINT) AS covered FROM starts) "
+        "SELECT b.doc_id, b.n_tokens, b.n_grams, "
+        "coalesce(c.n_dup_grams, 0) AS n_dup_grams, "
+        "CAST(floor((CASE WHEN b.n_tokens > 0 THEN "
+        "coalesce(c.covered, 0) * 1.0 / b.n_tokens ELSE 0.0 END) * 1000 "
+        "+ 0.5 + 1e-6) AS BIGINT) AS frac_q "
+        "FROM base b LEFT JOIN cov c USING (doc_id)"
+    )
+
+
 _DECON_BENCH_MOD = 50  # doc_id % 50 == 0 -> the "benchmark" eval set
 
 
