@@ -207,3 +207,59 @@ def test_correlate_kernel_equals_numpy(x, y):
     ref = np.correlate(x, y, mode="full")
     scale = max(1.0, np.abs(x).max() * np.abs(y).max() * len(x))
     np.testing.assert_allclose(got, ref, atol=1e-9 * scale)
+
+
+def test_round6_operator_invariants(spark):
+    """Cheap structural invariants for the second-wave operators."""
+    import numpy as np
+    import pandas as pd
+
+    import xarray_scipy_spark as xss
+    from xarray_scipy_spark.kernels.dsp import resample_poly_ragged
+
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal(64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"ch": "a", "t": np.arange(64.0), "value": x})
+    )
+    # resample_poly with up == down is the identity (gcd reduction)
+    y, ol = resample_poly_ragged(x[None, :], np.array([64]), 6, 6)
+    np.testing.assert_array_equal(y[0, : ol[0]], x)
+    # medfilt is idempotent on a constant series and preserves it
+    cdf = spark.createDataFrame(
+        pd.DataFrame({"ch": "a", "t": np.arange(20.0), "value": 3.25})
+    )
+    med = (
+        xss.operators.medfilt(cdf, by=["ch"], dim="t", kernel_size=3)
+        .orderBy("t")
+        .toPandas()["value_med"]
+        .to_numpy()
+    )
+    # interior stays constant; zero-padded edges see the implicit zeros
+    assert (med[1:-1] == 3.25).all() and med[0] == 3.25 and med[-1] == 3.25
+    # wiener with an explicit huge noise floor returns the local mean
+    w = (
+        xss.operators.wiener(cdf, by=["ch"], dim="t", mysize=3, noise=1e9)
+        .orderBy("t")
+        .toPandas()["value_wiener"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(w[1:-1], 3.25, atol=1e-12)
+    # savgol deriv=1 of any constant series is identically zero
+    sg = (
+        xss.operators.savgol_filter(
+            cdf, by=["ch"], dim="t", window_length=5, polyorder=2, deriv=1
+        )
+        .orderBy("t")
+        .toPandas()["value_sg"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(sg, 0.0, atol=1e-9)
+    # lfilter with b=[1], a=[1] is the identity
+    ident = (
+        xss.operators.lfilter([1.0], [1.0], df, by=["ch"], dim="t")
+        .orderBy("idx")
+        .toPandas()["value"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(ident, x, atol=1e-12)
