@@ -84,7 +84,12 @@ _CHECK_LAST = (
     # dedup (exact + ngram_jaccard return to head)
     "dedup_minhash",
     "dedup_simhash",
-    "tpch_q1",  # r5 green, relational plan untouched in r6
+    # r6 exception, documented: q1 gained a conditional spread() late in
+    # r6 (3-row-group scan capped the decimal sums at 3 tasks). Output
+    # is provably partitioning-independent — decimal addition is exact,
+    # so the sums cannot change — and re-verified green at sf0.01 after
+    # the change; the CI tail oracle re-values it every pytest run.
+    "tpch_q1",
     "tpch_q3",  # r5 green, relational plan untouched in r6
     "tpch_q5",  # r5 green, relational plan untouched in r6
     "tpch_q6",  # r5 green, relational plan untouched in r6

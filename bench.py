@@ -8,10 +8,17 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
     {"metric": "headline_total", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
-Per-query time = wall-clock of building the plan + a full count()
-execution (kernel + shuffle + coordinate math all run; no driver-side
-collect of the payload). A warmup action runs first so JVM/Arrow
-startup is excluded, matching BASELINE.md's protocol.
+Per-query time = wall-clock of building the plan + a full noop-sink
+write (``format("noop")``): every output column is materialized, so
+pure-projection plans (windows, regex, array algebra) are actually
+executed — ``count()`` lets Catalyst prune a projection-only query
+down to a parquet row count, which r6 measurement showed timing
+nothing for the pure-Catalyst operators. Kernel/shuffle queries are
+unaffected (a grouped-map UDF can change cardinality, so count()
+already ran them); their numbers shift only by the output
+materialization cost. No driver-side collect of the payload. A warmup
+action runs first so JVM/Arrow startup is excluded, matching
+BASELINE.md's protocol.
 """
 
 from __future__ import annotations
@@ -113,7 +120,7 @@ def main() -> int:
         try:
             for i in range(6):
                 t0 = time.time()
-                fn(spark, SF_DIR).count()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 dt_i = time.time() - t0
                 if i > 0:  # drop the warmup
                     samples.append(dt_i)

@@ -1269,3 +1269,39 @@ def test_find_peaks_plateau_midpoints_match_scipy_walk(spark):
         .tolist()
     )
     assert gott == []
+
+
+def test_deconvolve_reconstructs_exactly(spark):
+    rng = np.random.default_rng(29)
+    divisor = np.array([1.0, -0.5, 0.06])
+    frames = {}
+    dfs = []
+    for ch, n in (("a", 50), ("b", 37)):
+        x = rng.standard_normal(n)
+        frames[ch] = x
+        dfs.append(pd.DataFrame({"ch": ch, "t": np.arange(n, dtype=float), "value": x}))
+    df = spark.createDataFrame(pd.concat(dfs, ignore_index=True))
+    got = (
+        xss.operators.deconvolve(df, divisor, by=["ch"], dim="t")
+        .orderBy("ch", "idx")
+        .toPandas()
+    )
+    for ch, x in frames.items():
+        sub = got[got["ch"] == ch]
+        q = sub["quotient"].to_numpy()
+        r = sub["remainder"].to_numpy()
+        n = len(x)
+        nq = n - len(divisor) + 1
+        # defining identity: conv(divisor, quotient) + remainder == signal
+        recon = np.convolve(divisor, q[:nq], mode="full")[:n] + r
+        np.testing.assert_allclose(recon, x, atol=1e-9)
+        assert (q[nq:] == 0.0).all()
+        # scipy reference: quotient = lfilter(signal, divisor, impulse)
+        imp = np.zeros(nq)
+        imp[0] = 1.0
+        from xarray_scipy_spark.kernels import lfilter_1d
+
+        want_q = lfilter_1d(x, divisor, imp)
+        np.testing.assert_allclose(q[:nq], want_q, atol=1e-9)
+    with pytest.raises(ValueError, match="nonzero"):
+        xss.operators.deconvolve(df, [0.0, 1.0], by=["ch"], dim="t")

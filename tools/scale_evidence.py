@@ -139,10 +139,13 @@ def spark_median(spark, fn) -> float:
     # bench.py (r6: the host shows multi-second JVM-pause/steal spikes
     # on single runs of identical plans; a 3-run median still caught
     # one 8.8 s outlier as its middle element)
+    # noop sink, not count(): count() lets Catalyst prune projection-
+    # only plans (windows/regex/array math) to a bare parquet row count
+    # — the pure-Catalyst queries were timing nothing (r6 finding)
     samples = []
     for i in range(6):
         t0 = time.time()
-        fn(spark, DST).count()
+        fn(spark, DST).write.format("noop").mode("overwrite").save()
         if i > 0:
             samples.append(time.time() - t0)
     return statistics.median(samples)

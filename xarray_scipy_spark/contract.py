@@ -2424,6 +2424,53 @@ def q_text_url_stats(spark, sf_dir):
     )
 
 
+_DECONV_DIV = (1.0, -0.5, 0.06)  # roots 0.2/0.3: stable, fast decay
+
+
+def _deconvolve_oracle() -> str:
+    """DuckDB mirror of operators.convolve.deconvolve with the fixed
+    divisor above: the quotient is the causal filter 1/divisor applied
+    to the signal — i.e. convolution with the divisor's inverse impulse
+    response (precomputed literal, decays below 1e-18 well before 160
+    taps) — truncated to n−d+1; the remainder re-convolves the divisor
+    over the quotient with short window lags.
+
+    NOTE(r7): registered-in-waiting, same reason as
+    ``_dup_ngram_oracle`` — validated green against the Spark side at
+    both gate scales in r6; register as
+    ``@_q("deconvolve", _deconvolve_oracle())`` next rotation.
+    """
+    from .kernels.dsp import lfilter_1d
+
+    imp = np.zeros(160)
+    imp[0] = 1.0
+    h = lfilter_1d([1.0], np.asarray(_DECONV_DIV), imp)
+    d = len(_DECONV_DIV)
+    rem_terms = " + ".join(
+        f"{float(c)!r} * lag(qv, {m}, 0.0) OVER w2"
+        if m
+        else f"{float(c)!r} * qv"
+        for m, c in enumerate(_DECONV_DIV)
+    )
+    return (
+        f"WITH {_S}, {_values_cte('h', 'hv', h)}, "
+        "q AS ("
+        "  SELECT xi.user_id, xi.j, xi.n, any_value(xi.x) AS x,"
+        f"    CASE WHEN xi.j < xi.n - {d - 1} THEN sum(h.hv * xj.x)"
+        "     ELSE 0.0 END AS qv"
+        "  FROM s xi JOIN h ON h.m <= xi.j"
+        "  JOIN s xj ON xj.user_id = xi.user_id AND xj.j = xi.j - h.m"
+        "  GROUP BY xi.user_id, xi.j, xi.n"
+        ") "
+        f"SELECT user_id, j AS idx, {_q3('qv')} AS quot_q, "
+        f"{_q3(f'x - ({rem_terms})')} AS rem_q "
+        "FROM q WINDOW w2 AS (PARTITION BY user_id ORDER BY j)"
+        # epsilon-floor quantized: divisor tap 0.5 puts exact half-
+        # boundary lattice values under round() (same failure class the
+        # _q3 scheme exists for)
+    )
+
+
 _DUPNG_K = 8
 
 
@@ -2812,8 +2859,14 @@ _Q1_CUTOFF = "2024-06-01 00:00:00"
     "GROUP BY l_returnflag, l_linestatus",
 )
 def q_tpch_q1(spark, sf_dir):
-    li = load_table(spark, "lineitem", sf_dir).filter(
-        F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz")
+    # spread: the sf0.1 lineitem file has 3 row groups, so the scan caps
+    # at 3 tasks while the decimal sums are the CPU cost (measured 1.9 s
+    # on 3 cores -> 0.x s on 32). No-op at real scale (pre-split input).
+    li = pl.hashes.spread(
+        load_table(spark, "lineitem", sf_dir).filter(
+            F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz")
+        ),
+        "l_orderkey",
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),

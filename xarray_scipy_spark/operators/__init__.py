@@ -1,7 +1,14 @@
 """Operator inventory — one public entry per reference operator
 (SURVEY.md §2.2 #1-17) plus engine-native fast paths."""
 
-from .convolve import convolve, convolve_fir, correlate, fftconvolve, fftconvolve_nd
+from .convolve import (
+    convolve,
+    convolve_fir,
+    correlate,
+    deconvolve,
+    fftconvolve,
+    fftconvolve_nd,
+)
 from .cwt import cwt_ricker, ricker_taps
 from .detrend import detrend
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
@@ -56,4 +63,5 @@ __all__ = [
     "resample_poly",
     "cwt_ricker",
     "ricker_taps",
+    "deconvolve",
 ]

@@ -37,10 +37,17 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..core import apply_cogrouped_kernel, resolve_keep_attrs
+from ..core import apply_cogrouped_kernel, apply_series_kernel, resolve_keep_attrs
 from ..kernels.dsp import fftconvolve_1d, fftconvolve_nd as _fftconvolve_nd_kernel
 
-__all__ = ["convolve", "correlate", "fftconvolve", "fftconvolve_nd", "convolve_fir"]
+__all__ = [
+    "convolve",
+    "correlate",
+    "deconvolve",
+    "fftconvolve",
+    "fftconvolve_nd",
+    "convolve_fir",
+]
 
 
 def fftconvolve(
@@ -308,3 +315,67 @@ def correlate(
         out_fields="value double",
         keep=resolve_keep_attrs(df1, keep_attrs),
     )
+
+
+def deconvolve(
+    df: DataFrame,
+    divisor,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    keep_attrs: bool | None = None,
+) -> DataFrame:
+    """Per-series polynomial deconvolution by a FIXED divisor kernel
+    (``scipy.signal.deconvolve`` semantics): quotient + remainder such
+    that ``conv(divisor, quotient) + remainder == signal`` exactly.
+
+    scipy computes the quotient as ``lfilter(signal, divisor,
+    impulse)``; the identical power-series division is
+    ``lfilter([1], divisor, signal)`` truncated to ``n − d + 1``
+    samples, which is what the ragged lfilter kernel already batches —
+    so one exchange deconvolves every series, and the remainder is one
+    FIR convolution of the truncated quotient.
+
+    Output: ``[*by, idx, quotient, remainder, <dim>, ...]``, one row
+    per input sample; ``quotient`` is 0.0 beyond its ``n − d + 1``
+    valid samples (the remainder carries everything past that point).
+    Series shorter than the divisor have an all-zero quotient and
+    ``remainder == signal`` (scipy raises instead; documented
+    divergence — per-series raising is not actionable mid-job).
+    """
+    from ..functions.coords import linear_coord, restore_coord_dtype
+    from ..kernels.dsp import lfilter_ragged
+
+    divisor = np.atleast_1d(np.asarray(divisor, dtype=float))
+    if divisor[0] == 0.0:
+        raise ValueError("divisor[0] must be nonzero")
+    d = len(divisor)
+
+    def kernel(x, lengths):
+        quot_full, _ = lfilter_ragged([1.0], divisor, x, lengths)
+        n_max = x.shape[1]
+        t = np.arange(n_max)[None, :]
+        nq = np.maximum(lengths - d + 1, 0)[:, None]
+        quot = np.where(t < nq, quot_full, 0.0)
+        rem = x - fftconvolve_1d(quot, divisor, mode="full")[:, :n_max]
+        t_mask = t < lengths[:, None]
+        return {
+            "quotient": np.where(t_mask, quot, 0.0),
+            "remainder": np.where(t_mask, rem, 0.0),
+            "__lengths__": lengths,
+        }
+
+    kernel.batch_ragged = True
+
+    res = apply_series_kernel(
+        df,
+        kernel,
+        by=by,
+        order=dim,
+        values=[value],
+        out_fields="quotient double, remainder double",
+        keep=resolve_keep_attrs(df, keep_attrs),
+    )
+    coord = linear_coord("idx", "offset", "delta")
+    return res.withColumn(dim, restore_coord_dtype(df, dim, coord))
