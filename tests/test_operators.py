@@ -1305,3 +1305,42 @@ def test_deconvolve_reconstructs_exactly(spark):
         np.testing.assert_allclose(q[:nq], want_q, atol=1e-9)
     with pytest.raises(ValueError, match="nonzero"):
         xss.operators.deconvolve(df, [0.0, 1.0], by=["ch"], dim="t")
+
+
+def test_order_filter_ranks(spark):
+    rng = np.random.default_rng(37)
+    x = np.round(rng.standard_normal(40), 3)
+    x[5:8] = 0.0
+    df = spark.createDataFrame(
+        pd.DataFrame({"ch": "a", "t": np.arange(40), "value": x})
+    )
+    k, h = 5, 2
+    xp = np.concatenate([np.zeros(h), x, np.zeros(h)])
+    wins = np.lib.stride_tricks.sliding_window_view(xp, k)
+    for rank in (0, 2, 4):
+        got = (
+            xss.operators.order_filter(
+                df, by=["ch"], dim="t", kernel_size=k, rank=rank
+            )
+            .orderBy("t")
+            .toPandas()["value_ord"]
+            .to_numpy()
+        )
+        want = np.sort(wins, axis=1)[:, rank]
+        np.testing.assert_array_equal(got, want)
+    # rank (k-1)//2 IS medfilt
+    med = (
+        xss.operators.medfilt(df, by=["ch"], dim="t", kernel_size=k)
+        .orderBy("t")
+        .toPandas()["value_med"]
+        .to_numpy()
+    )
+    mid = (
+        xss.operators.order_filter(df, by=["ch"], dim="t", kernel_size=k, rank=2)
+        .orderBy("t")
+        .toPandas()["value_ord"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(med, mid)
+    with pytest.raises(ValueError, match="rank"):
+        xss.operators.order_filter(df, by=["ch"], dim="t", kernel_size=5, rank=5)

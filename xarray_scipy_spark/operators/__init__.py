@@ -18,7 +18,7 @@ from .joins import asof_join, range_join
 from .peaks import find_peaks, peak_widths
 from .resample import decimate, resample, resample_poly
 from .savgol import savgol_filter
-from .smooth import medfilt, wiener
+from .smooth import medfilt, order_filter, wiener
 from .spectral import coherence, csd, istft, periodogram, spectral_apply, stft, welch
 
 __all__ = [
@@ -55,6 +55,7 @@ __all__ = [
     "csd",
     "coherence",
     "medfilt",
+    "order_filter",
     "wiener",
     "lfilter",
     "filtfilt",

@@ -36,7 +36,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["medfilt", "wiener"]
+__all__ = ["medfilt", "order_filter", "wiener"]
 
 
 def _odd(k: int, name: str) -> int:
@@ -44,6 +44,36 @@ def _odd(k: int, name: str) -> int:
     if k < 1 or k % 2 == 0:
         raise ValueError(f"{name} must be a positive odd integer, got {k}")
     return k
+
+
+def _ranked_window(
+    df: DataFrame,
+    by: Sequence[str],
+    dim: str,
+    value: str,
+    k: int,
+    p: int,
+    out: str,
+) -> DataFrame:
+    """Shared zero-padded order-statistic machinery: the ``p``-th
+    (0-based) smallest of each length-``k`` window's multiset — the m
+    present values plus ``k − m`` implicit edge zeros, located by the
+    closed-form position CASE against the sorted array's negative
+    count."""
+    h = k // 2
+    w = Window.partitionBy(*by).orderBy(dim).rowsBetween(-h, h)
+    arr = F.array_sort(F.collect_list(F.col(value).cast("double")).over(w))
+    work = df.withColumn("__a__", arr)
+    a = F.col("__a__")
+    m = F.size(a)
+    z = F.lit(k) - m  # implicit zero-pad count
+    neg = F.size(F.filter(a, lambda v: v < F.lit(0.0)))
+    sel = (
+        F.when(F.lit(p) < neg, F.element_at(a, F.lit(p + 1)))
+        .when(F.lit(p) < neg + z, F.lit(0.0))
+        .otherwise(F.element_at(a, (F.lit(p + 1) - z).cast("int")))
+    )
+    return work.withColumn(out, sel).drop("__a__")
 
 
 def medfilt(
@@ -62,21 +92,30 @@ def medfilt(
     filter-count + CASE), fully codegen'd.
     """
     k = _odd(kernel_size, "kernel_size")
-    h = k // 2
-    p = (k - 1) // 2  # 0-based median position in the padded multiset
-    w = Window.partitionBy(*by).orderBy(dim).rowsBetween(-h, h)
-    arr = F.array_sort(F.collect_list(F.col(value).cast("double")).over(w))
-    work = df.withColumn("__a__", arr)
-    a = F.col("__a__")
-    m = F.size(a)
-    z = F.lit(k) - m  # implicit zero-pad count
-    neg = F.size(F.filter(a, lambda v: v < F.lit(0.0)))
-    med = (
-        F.when(F.lit(p) < neg, F.element_at(a, F.lit(p + 1)))
-        .when(F.lit(p) < neg + z, F.lit(0.0))
-        .otherwise(F.element_at(a, (F.lit(p + 1) - z).cast("int")))
-    )
-    return work.withColumn(out, med).drop("__a__")
+    return _ranked_window(df, list(by), dim, value, k, (k - 1) // 2, out)
+
+
+def order_filter(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    kernel_size: int = 3,
+    rank: int = 0,
+    out: str = "value_ord",
+) -> DataFrame:
+    """Rank-order filter along ``dim`` (``scipy.signal.order_filter``
+    with a contiguous 1-D domain): the ``rank``-th smallest value of
+    each zero-padded length-``kernel_size`` window. ``rank=0`` is a
+    running min, ``kernel_size-1`` a running max, ``(k-1)//2`` the
+    median (= :func:`medfilt`). Same single-exchange pure-Catalyst
+    plan."""
+    k = _odd(kernel_size, "kernel_size")  # centered window needs odd k
+    rank = int(rank)
+    if not (0 <= rank < k):
+        raise ValueError(f"rank must be in [0, {k - 1}], got {rank}")
+    return _ranked_window(df, list(by), dim, value, k, rank, out)
 
 
 def wiener(
