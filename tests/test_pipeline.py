@@ -984,3 +984,65 @@ def test_duplicated_ngram_spans(spark):
     assert got.loc[4, "n_grams"] == 0 and got.loc[4, "dup_token_frac"] == 0.0
     with pytest.raises(ValueError, match="min_docs"):
         pl.duplicated_ngram_spans(df, k=4, min_docs=1)
+
+
+def test_csv_roundtrip_quarantine_and_partitioning(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from xarray_scipy_spark.sources import read_csv, write_csv
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "lang": ["en", "de", "en", "fr"],
+                # quoting stress: delimiter and RFC-4180 doubled quote
+                "n": [10, 20, 30, 40],
+            }
+        )
+    )
+    out = str(tmp_path / "csv_out")
+    write_csv(df, out, partition_by=("lang",))
+    import os
+
+    assert any("lang=en" in d for d in os.listdir(out))
+    back = read_csv(spark, out, schema).drop("_corrupt_record")
+    got = back.orderBy("doc_id").toPandas()
+    # partition column comes back from the directory layout
+    assert got["doc_id"].tolist() == [1, 2, 3, 4]
+    assert got["lang"].tolist() == ["en", "de", "en", "fr"]
+    assert got["n"].tolist() == [10, 20, 30, 40]
+    # quarantine: malformed numeric lands in _corrupt_record, not a crash
+    bad = tmp_path / "bad.csv"
+    bad.write_text("doc_id,lang,n\n7,en,42\nnot_a_number,de,1\n8,fr,oops\n")
+    parsed = (
+        read_csv(spark, str(bad), schema)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(parsed) == 3
+    good = [r for r in parsed if r["_corrupt_record"] is None]
+    quarantined = [r for r in parsed if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["doc_id"] == 7 and good[0]["n"] == 42
+    assert len(quarantined) == 2
+    # RFC-4180 quoting roundtrip: embedded delimiter + doubled quote
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "lang": ['say "hi", ok'], "n": [1]})
+    )
+    qout = str(tmp_path / "quoted")
+    write_csv(qdf, qout)
+    qback = read_csv(spark, qout, schema).collect()[0]
+    assert qback["lang"] == 'say "hi", ok'
