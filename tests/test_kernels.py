@@ -467,3 +467,45 @@ def test_window_taps_periodic_forms():
 
     with _pytest.raises(ValueError, match="blackman"):
         window_taps("kaiser", n)
+
+
+def test_iir_band_forms_frequency_responses():
+    import numpy as np
+
+    from xarray_scipy_spark.kernels import butter_sos, cheby1_sos
+
+    def resp(sos, w):
+        z = np.exp(-1j * np.pi * np.asarray(w, dtype=float))
+        h = np.ones_like(z, dtype=complex)
+        for b0, b1, b2, a0, a1, a2 in sos:
+            h *= (b0 + b1 * z + b2 * z**2) / (a0 + a1 * z + a2 * z**2)
+        return np.abs(h)
+
+    # highpass: ~0 at DC, ~1 at Nyquist, -3dB at cutoff
+    r = resp(butter_sos(4, 0.5, "high"), [0.001, 0.5, 0.999])
+    assert r[0] < 1e-8 and abs(r[1] - 2**-0.5) < 1e-6 and abs(r[2] - 1) < 1e-6
+    # bandpass: ~0 at both ends, ~1 mid-band, -3dB at the band edges
+    r = resp(butter_sos(3, (0.3, 0.6), "bandpass"), [0.001, 0.3, 0.45, 0.6, 0.999])
+    assert r[0] < 1e-6 and r[4] < 1e-6
+    assert abs(r[1] - 2**-0.5) < 1e-6 and abs(r[3] - 2**-0.5) < 1e-6
+    assert r[2] > 0.97
+    # bandstop: unity outside, deep notch inside (the exact null sits at
+    # the pre-warped analog center, not the digital midpoint)
+    bs = butter_sos(3, (0.3, 0.6), "bandstop")
+    r = resp(bs, [0.001, 0.999])
+    assert abs(r[0] - 1) < 1e-6 and abs(r[1] - 1) < 1e-6
+    band = np.linspace(0.40, 0.50, 2000)
+    assert resp(bs, band).min() < 1e-6  # a fine grid brackets the null
+    assert resp(bs, [0.45])[0] < 1e-3  # deep attenuation at mid-band
+    # cheby1 highpass: equiripple within [1-rp dB, 1] in its passband
+    r = resp(cheby1_sos(5, 0.5, 0.4, "high"), np.linspace(0.45, 0.99, 50))
+    assert r.max() <= 1.0 + 1e-9 and r.min() >= 10 ** (-0.5 / 20) - 1e-6
+    # low-pass regression: the original two-arg call is unchanged
+    r = resp(butter_sos(4, 0.3), [0.001, 0.3, 0.999])
+    assert abs(r[0] - 1) < 1e-9 and abs(r[1] - 2**-0.5) < 1e-6 and r[2] < 1e-8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="band edges"):
+        butter_sos(3, (0.6, 0.3), "bandpass")
+    with _pytest.raises(ValueError, match="btype"):
+        butter_sos(3, 0.5, "notch")

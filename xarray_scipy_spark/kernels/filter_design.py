@@ -146,27 +146,103 @@ def _zpk2sos(z: np.ndarray, p: np.ndarray, k: float) -> np.ndarray:
     return sos
 
 
-def _iir_lowpass_sos(proto_z, proto_p, proto_k, wn: float) -> np.ndarray:
-    """Digital low-pass from an analog prototype, Wn in (0, 1) (Nyquist=1)."""
-    if not 0.0 < wn < 1.0:
-        raise ValueError(f"Wn must be in (0, 1), got {wn}")
+def _lp2hp_zpk(z, p, k, wo):
+    """Analog low-pass -> high-pass: s -> wo/s (scipy lp2hp_zpk)."""
+    degree = len(p) - len(z)
+    z_hp = wo / z if len(z) else np.array([], dtype=complex)
+    p_hp = wo / p
+    z_hp = np.append(z_hp, np.zeros(degree))
+    k_hp = k * np.real(np.prod(-z) / np.prod(-p))
+    return z_hp, p_hp, k_hp
+
+
+def _lp2bp_zpk(z, p, k, wo, bw):
+    """Analog low-pass -> band-pass: s -> (s² + wo²)/(bw·s)."""
+    degree = len(p) - len(z)
+    z_lp = z.astype(complex) * bw / 2
+    p_lp = p.astype(complex) * bw / 2
+    z_bp = np.concatenate(
+        [z_lp + np.sqrt(z_lp**2 - wo**2), z_lp - np.sqrt(z_lp**2 - wo**2)]
+    )
+    p_bp = np.concatenate(
+        [p_lp + np.sqrt(p_lp**2 - wo**2), p_lp - np.sqrt(p_lp**2 - wo**2)]
+    )
+    z_bp = np.append(z_bp, np.zeros(degree))
+    k_bp = k * bw**degree
+    return z_bp, p_bp, k_bp
+
+
+def _lp2bs_zpk(z, p, k, wo, bw):
+    """Analog low-pass -> band-stop: s -> (bw·s)/(s² + wo²)."""
+    degree = len(p) - len(z)
+    z_hp = (bw / 2) / z if len(z) else np.array([], dtype=complex)
+    p_hp = (bw / 2) / p.astype(complex)
+    z_bs = np.concatenate(
+        [z_hp + np.sqrt(z_hp**2 - wo**2), z_hp - np.sqrt(z_hp**2 - wo**2)]
+    )
+    p_bs = np.concatenate(
+        [p_hp + np.sqrt(p_hp**2 - wo**2), p_hp - np.sqrt(p_hp**2 - wo**2)]
+    )
+    z_bs = np.append(z_bs, np.full(degree, 1j * wo))
+    z_bs = np.append(z_bs, np.full(degree, -1j * wo))
+    k_bs = k * np.real(np.prod(-z) / np.prod(-p))
+    return z_bs, p_bs, k_bs
+
+
+_BTYPES = ("low", "high", "bandpass", "bandstop")
+
+
+def _iir_sos(proto_z, proto_p, proto_k, wn, btype: str) -> np.ndarray:
+    """Digital IIR from an analog low-pass prototype: pre-warp Wn
+    (Nyquist = 1), apply the band transform, bilinear-transform, pair
+    into second-order sections (scipy ``iirfilter`` design chain)."""
+    if btype not in _BTYPES:
+        raise ValueError(f"btype must be one of {_BTYPES}, got {btype!r}")
     fs = 2.0
-    warped = 2.0 * fs * np.tan(np.pi * wn / fs)
-    z, p, k = _lp2lp_zpk(proto_z, proto_p, proto_k, warped)
+    if btype in ("low", "high"):
+        wn = float(np.squeeze(np.asarray(wn)))
+        if not 0.0 < wn < 1.0:
+            raise ValueError(f"Wn must be in (0, 1), got {wn}")
+        warped = 2.0 * fs * np.tan(np.pi * wn / fs)
+        if btype == "low":
+            z, p, k = _lp2lp_zpk(proto_z, proto_p, proto_k, warped)
+        else:
+            z, p, k = _lp2hp_zpk(proto_z, proto_p, proto_k, warped)
+    else:
+        lo, hi = (float(w) for w in np.asarray(wn).ravel())
+        if not 0.0 < lo < hi < 1.0:
+            raise ValueError(
+                f"band edges must satisfy 0 < lo < hi < 1, got ({lo}, {hi})"
+            )
+        w1 = 2.0 * fs * np.tan(np.pi * lo / fs)
+        w2 = 2.0 * fs * np.tan(np.pi * hi / fs)
+        bw, wo = w2 - w1, np.sqrt(w1 * w2)
+        if btype == "bandpass":
+            z, p, k = _lp2bp_zpk(proto_z, proto_p, proto_k, wo, bw)
+        else:
+            z, p, k = _lp2bs_zpk(proto_z, proto_p, proto_k, wo, bw)
     z, p, k = _bilinear_zpk(z, p, k, fs)
     return _zpk2sos(z, p, k)
 
 
-def butter_sos(n: int, wn: float) -> np.ndarray:
-    """Digital Butterworth low-pass in SOS form (scipy ``butter(n, wn,
-    output='sos')`` equivalent; reference fixture tests/test_signal.py:590-595)."""
-    return _iir_lowpass_sos(*_buttap(n), wn)
+def _iir_lowpass_sos(proto_z, proto_p, proto_k, wn: float) -> np.ndarray:
+    """Digital low-pass from an analog prototype, Wn in (0, 1) (Nyquist=1)."""
+    return _iir_sos(proto_z, proto_p, proto_k, wn, "low")
 
 
-def cheby1_sos(n: int, rp: float, wn: float) -> np.ndarray:
-    """Digital Chebyshev-I low-pass in SOS form (scipy ``cheby1``), the
-    default anti-aliasing filter of ``decimate`` (signal.py:109-152)."""
-    return _iir_lowpass_sos(*_cheb1ap(n, rp), wn)
+def butter_sos(n: int, wn, btype: str = "low") -> np.ndarray:
+    """Digital Butterworth in SOS form (scipy ``butter(n, wn, btype,
+    output='sos')`` equivalent; reference fixture tests/test_signal.py:
+    590-595 uses the low-pass form). ``btype``: low | high | bandpass |
+    bandstop (band forms take ``wn = (lo, hi)``, poles double to 2n)."""
+    return _iir_sos(*_buttap(n), wn, btype)
+
+
+def cheby1_sos(n: int, rp: float, wn, btype: str = "low") -> np.ndarray:
+    """Digital Chebyshev-I in SOS form (scipy ``cheby1``), the default
+    anti-aliasing filter of ``decimate`` (signal.py:109-152); same
+    ``btype`` surface as :func:`butter_sos`."""
+    return _iir_sos(*_cheb1ap(n, rp), wn, btype)
 
 
 def firwin(numtaps: int, cutoff: float) -> np.ndarray:
