@@ -1344,3 +1344,29 @@ def test_order_filter_ranks(spark):
     np.testing.assert_array_equal(med, mid)
     with pytest.raises(ValueError, match="rank"):
         xss.operators.order_filter(df, by=["ch"], dim="t", kernel_size=5, rank=5)
+
+
+def test_peak_prominences_operator_matches_kernel(spark):
+    from xarray_scipy_spark.kernels import peak_prominences as prom_np
+
+    rng = np.random.default_rng(43)
+    t = np.arange(200)
+    x = np.sin(2 * np.pi * t / 40) * (1 + 0.3 * np.sin(2 * np.pi * t / 95)) \
+        + 0.05 * rng.standard_normal(200)
+    df = spark.createDataFrame(pd.DataFrame({"ch": "a", "t": t, "value": x}))
+    peaks = xss.operators.find_peaks(df, by=["ch"], dim="t")
+    got = (
+        xss.operators.peak_prominences(df, peaks, by=["ch"], dim="t")
+        .orderBy("peak")
+        .toPandas()
+    )
+    idxs = (
+        peaks.orderBy("peak").select("index").toPandas()["index"].to_numpy()
+    )
+    proms, lbs, rbs = prom_np(x, idxs)
+    np.testing.assert_allclose(got["prominence"].to_numpy(), proms, atol=1e-12)
+    np.testing.assert_array_equal(got["left_base"].to_numpy(), lbs)
+    np.testing.assert_array_equal(got["right_base"].to_numpy(), rbs)
+    # prominences are positive and bounded by the signal range
+    assert (got["prominence"] > 0).all()
+    assert got["prominence"].max() <= x.max() - x.min() + 1e-12

@@ -15,7 +15,7 @@ from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import filtfilt, lfilter, sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join
-from .peaks import find_peaks, peak_widths
+from .peaks import find_peaks, peak_prominences, peak_widths
 from .resample import decimate, resample, resample_poly
 from .savgol import savgol_filter
 from .smooth import medfilt, order_filter, wiener
@@ -39,6 +39,7 @@ __all__ = [
     "hilbert",
     "envelope",
     "find_peaks",
+    "peak_prominences",
     "peak_widths",
     "resample",
     "sosfilt",

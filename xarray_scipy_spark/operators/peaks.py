@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from ..core import apply_cogrouped_kernel, resolve_keep_attrs
 from ..kernels.peaks import peak_widths as _peak_widths_np
 
-__all__ = ["find_peaks", "peak_widths"]
+__all__ = ["find_peaks", "peak_prominences", "peak_widths"]
 
 
 def peak_widths(
@@ -152,4 +152,49 @@ def find_peaks(
         ser.filter(F.col("__is_peak__"))
         .withColumn("peak", F.row_number().over(wp) - 1)
         .select(*by, "peak", "index", dim, value)
+    )
+
+
+def peak_prominences(
+    xdf: DataFrame,
+    peaks_df: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    peak: str = "peak",
+    index: str = "index",
+    wlen: int | None = None,
+    keep_attrs: bool | None = None,
+) -> DataFrame:
+    """Prominence of each listed peak plus its left/right base
+    positions (``scipy.signal.peak_prominences`` — the third member of
+    the peaks trio, which ``peak_widths`` consumes internally; exposed
+    because prominence is the standard peak-ranking signal on its
+    own). Same cogrouped one-shuffle plan and input contract as
+    :func:`peak_widths`; output one row per peak:
+    ``[*by, idx, peak, prominence, left_base, right_base, ...]``."""
+    from ..kernels.peaks import peak_prominences as _prom_np
+
+    def kernel(coords_x, x, coords_p, peak_ids, indices):
+        proms, lbs, rbs = _prom_np(x, indices.astype(np.intp), wlen=wlen)
+        return {
+            "peak": peak_ids.astype(np.int64),
+            "prominence": proms,
+            "left_base": np.asarray(lbs, dtype=np.int64),
+            "right_base": np.asarray(rbs, dtype=np.int64),
+        }
+
+    return apply_cogrouped_kernel(
+        xdf,
+        peaks_df,
+        kernel,
+        by=by,
+        order1=dim,
+        order2=peak,
+        values1=[value],
+        values2=[peak, index],
+        out_fields="peak bigint, prominence double, left_base bigint, "
+        "right_base bigint",
+        keep=resolve_keep_attrs(xdf, keep_attrs),
     )
