@@ -1370,3 +1370,47 @@ def test_peak_prominences_operator_matches_kernel(spark):
     # prominences are positive and bounded by the signal range
     assert (got["prominence"] > 0).all()
     assert got["prominence"].max() <= x.max() - x.min() + 1e-12
+
+
+def test_welch_nfft_and_kaiser_window(spark, sine_df, sine_pdf):
+    from xarray_scipy_spark.operators.spectral import window_taps
+
+    x = sine_pdf[sine_pdf["channel"] == 0]["value"].to_numpy()
+    # nfft zero-padding: 4x finer bins, peak still lands on F0
+    got = (
+        xss.operators.welch(
+            sine_df, by=["channel"], dim="time", frame_len=64, hop=32, nfft=256
+        )
+        .filter(F.col("channel") == 0)
+        .orderBy("idx")
+        .toPandas()
+    )
+    assert len(got) == 256 // 2 + 1
+    taps = window_taps("hann", 64)
+    fr = np.lib.stride_tricks.sliding_window_view(x, 64)[::32] * taps
+    spec = np.fft.rfft(fr, n=256, axis=-1)
+    fold = np.full(129, 2.0)
+    fold[0] = fold[-1] = 1.0
+    want = (spec.real**2 + spec.imag**2).mean(axis=0) * fold / (taps**2).sum()
+    np.testing.assert_allclose(got["power"].to_numpy(), want, atol=1e-9)
+    peak_f = got.loc[got["power"].idxmax(), "frequency"]
+    assert abs(peak_f - F0) <= FS / 256
+    # kaiser window: matches the truncated symmetric numpy form and
+    # drives welch end to end
+    kt = window_taps(("kaiser", 8.0), 64)
+    m = np.arange(65.0)
+    ref = np.i0(8.0 * np.sqrt(1 - (2 * m / 64 - 1) ** 2)) / np.i0(8.0)
+    np.testing.assert_allclose(kt, ref[:64], atol=1e-12)
+    gk = xss.operators.welch(
+        sine_df,
+        by=["channel"],
+        dim="time",
+        frame_len=64,
+        hop=32,
+        window=("kaiser", 8.0),
+    ).count()
+    assert gk == NCHAN * 33
+    with pytest.raises(ValueError, match="nfft"):
+        xss.operators.welch(
+            sine_df, by=["channel"], dim="time", frame_len=64, nfft=32
+        )

@@ -71,9 +71,23 @@ def window_taps(window: str | Sequence[float] | None, frame_len: int) -> np.ndar
             # truncated, matching scipy get_window(..., fftbins=True)
             return 1.0 - np.abs(2.0 * m / frame_len - 1.0)
         raise ValueError(
-            f"unknown window {window!r} "
-            "(None | 'hann' | 'hamming' | 'blackman' | 'bartlett' | taps)"
+            f"unknown window {window!r} (None | 'hann' | 'hamming' | "
+            "'blackman' | 'bartlett' | ('kaiser', beta) | taps)"
         )
+    if (
+        isinstance(window, tuple)
+        and len(window) == 2
+        and window[0] == "kaiser"
+    ):
+        # periodic kaiser: the (frame_len+1)-point symmetric window
+        # truncated (scipy get_window(("kaiser", beta), fftbins=True));
+        # I0 is numpy's modized Bessel np.i0 — no scipy needed
+        beta = float(window[1])
+        m = np.arange(frame_len + 1, dtype=float)
+        w = np.i0(
+            beta * np.sqrt(1.0 - (2.0 * m / frame_len - 1.0) ** 2)
+        ) / np.i0(beta)
+        return w[:frame_len]
     taps = np.asarray(window, dtype=float)
     if taps.shape != (frame_len,):
         raise ValueError(f"window taps must have shape ({frame_len},), got {taps.shape}")
@@ -372,11 +386,17 @@ def welch(
     frame_len: int,
     hop: int | None = None,
     window: str | Sequence[float] | None = "hann",
+    nfft: int | None = None,
     values: Sequence[str] = ("value",),
     order: str | Sequence[str] | None = None,
     keep_attrs: bool | None = None,
 ) -> DataFrame:
     """Welch averaged periodogram per series (one row per bin).
+
+    ``nfft`` (scipy parity): zero-pad each windowed frame to ``nfft``
+    points before the rfft for finer bin spacing (``nfft >=
+    frame_len``; default = frame_len). Frequencies become
+    ``bin / (nfft·delta)``.
 
     ``power[k] = c_k * mean_over_frames |X_f[k]|^2 / sum(w^2)`` with the
     one-sided fold ``c_k = 2`` except DC and (even ``frame_len``) the
@@ -389,13 +409,16 @@ def welch(
     reduction happens map-side, before any further aggregation.
     """
     hop = frame_len // 2 if hop is None else hop
+    nfft = frame_len if nfft is None else int(nfft)
+    if nfft < frame_len:
+        raise ValueError(f"nfft ({nfft}) must be >= frame_len ({frame_len})")
     taps = window_taps(window, frame_len)
     u = float(np.sum(taps**2))
     values = list(values)
-    n_bins = frame_len // 2 + 1
+    n_bins = nfft // 2 + 1
     fold = np.full(n_bins, 2.0)
     fold[0] = 1.0
-    if frame_len % 2 == 0:
+    if nfft % 2 == 0:
         fold[-1] = 1.0
 
     def kernel(*blocks):
@@ -403,7 +426,7 @@ def welch(
         fr = _frames(x, frame_len, hop) * taps
         if fr.shape[1] == 0:  # series shorter than one frame: no rows
             return {"power": np.zeros((x.shape[0], 0))}
-        spec = np.fft.rfft(fr, axis=-1)
+        spec = np.fft.rfft(fr, n=nfft, axis=-1)  # zero-pads to nfft
         pxx = (spec.real**2 + spec.imag**2).mean(axis=1) * (fold / u)
         return {"power": pxx.astype(float)}
 
@@ -418,7 +441,7 @@ def welch(
     )
     return res.withColumn(
         "frequency",
-        F.col("idx").cast("double") / (F.lit(float(frame_len)) * F.col("delta")),
+        F.col("idx").cast("double") / (F.lit(float(nfft)) * F.col("delta")),
     ).withColumn("psd", F.col("power") * F.col("delta"))
 
 
