@@ -1414,3 +1414,55 @@ def test_welch_nfft_and_kaiser_window(spark, sine_df, sine_pdf):
         xss.operators.welch(
             sine_df, by=["channel"], dim="time", frame_len=64, nfft=32
         )
+
+
+def test_welch_detrend_constant_and_upfirdn(spark):
+    from xarray_scipy_spark.kernels.dsp import _upfirdn_out_len
+    from xarray_scipy_spark.operators.spectral import window_taps
+
+    rng = np.random.default_rng(47)
+    x = rng.standard_normal(256) + 5.0  # big DC offset
+    df = spark.createDataFrame(
+        pd.DataFrame({"ch": "a", "t": np.arange(256.0), "value": x})
+    )
+    w0 = (
+        xss.operators.welch(df, by=["ch"], dim="t", frame_len=64, hop=32)
+        .orderBy("idx")
+        .toPandas()["power"]
+        .to_numpy()
+    )
+    wc = (
+        xss.operators.welch(
+            df, by=["ch"], dim="t", frame_len=64, hop=32, detrend="constant"
+        )
+        .orderBy("idx")
+        .toPandas()["power"]
+        .to_numpy()
+    )
+    # detrending kills the huge DC bin, leaves the broadband floor alone
+    assert wc[0] < w0[0] * 1e-3
+    taps = window_taps("hann", 64)
+    fr = np.lib.stride_tricks.sliding_window_view(x, 64)[::32]
+    fr = (fr - fr.mean(axis=-1, keepdims=True)) * taps
+    spec = np.fft.rfft(fr, axis=-1)
+    fold = np.full(33, 2.0)
+    fold[0] = fold[-1] = 1.0
+    want = (spec.real**2 + spec.imag**2).mean(axis=0) * fold / (taps**2).sum()
+    np.testing.assert_allclose(wc, want, atol=1e-9)
+
+    # upfirdn operator vs the direct zero-stuff construction
+    h = rng.standard_normal(9)
+    up, down = 3, 2
+    got = (
+        xss.operators.upfirdn(df, h, by=["ch"], dim="t", up=up, down=down)
+        .orderBy("idx")
+        .toPandas()
+    )
+    xu = np.zeros(256 * up)
+    xu[::up] = x
+    want_u = np.convolve(xu, h, mode="full")[::down][
+        : int(_upfirdn_out_len(len(h), 256, up, down))
+    ]
+    np.testing.assert_allclose(got["value"].to_numpy(), want_u, atol=1e-9)
+    # coordinate spacing scales by down/up
+    np.testing.assert_allclose(np.diff(got["t"].to_numpy())[:5], down / up, atol=1e-12)

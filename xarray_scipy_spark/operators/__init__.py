@@ -16,7 +16,7 @@ from .filters import filtfilt, lfilter, sos_from_dataframe, sosfilt, sosfilt_chu
 from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join
 from .peaks import find_peaks, peak_prominences, peak_widths
-from .resample import decimate, resample, resample_poly
+from .resample import decimate, resample, resample_poly, upfirdn
 from .savgol import savgol_filter
 from .smooth import medfilt, order_filter, wiener
 from .spectral import coherence, csd, istft, periodogram, spectral_apply, stft, welch
@@ -63,6 +63,7 @@ __all__ = [
     "savgol_filter",
     "periodogram",
     "resample_poly",
+    "upfirdn",
     "cwt_ricker",
     "ricker_taps",
     "deconvolve",

@@ -22,7 +22,7 @@ from ..kernels.dsp import (
     resample_poly_ragged,
 )
 
-__all__ = ["decimate", "resample", "resample_poly"]
+__all__ = ["decimate", "resample", "resample_poly", "upfirdn"]
 
 
 def decimate(
@@ -188,5 +188,53 @@ def resample_poly(
 
     g = gcd(up, down)
     new_delta = F.col("delta") * F.lit(float(down // g)) / F.lit(float(up // g))
+    coord = linear_coord("idx", "offset", new_delta)
+    return res.withColumn(dim, restore_coord_dtype(df, dim, coord))
+
+
+def upfirdn(
+    df: DataFrame,
+    h,
+    *,
+    by: Sequence[str],
+    dim: str,
+    up: int = 1,
+    down: int = 1,
+    value: str = "value",
+    keep_attrs: bool | None = None,
+) -> DataFrame:
+    """Polyphase upsample-filter-downsample with an ARBITRARY FIR
+    (``scipy.signal.upfirdn``): zero-stuff by ``up``, FULL convolution
+    with ``h``, keep every ``down``-th sample — the primitive under
+    :func:`resample_poly`, exposed for callers bringing their own
+    filter (matched filters, fractional-delay banks). Output length
+    ``ceil(((n-1)·up + len(h)) / down)`` per series; coordinate
+    ``offset + idx·delta·down/up`` (the upsampled grid spacing).
+    """
+    import numpy as np
+
+    from ..kernels.dsp import upfirdn_ragged
+
+    h = np.atleast_1d(np.asarray(h, dtype=float))
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+
+    def kernel(x, lengths):
+        y, out_lens = upfirdn_ragged(h, x, lengths, up, down)
+        return {"value": y, "__lengths__": out_lens}
+
+    kernel.batch_ragged = True
+
+    res = apply_series_kernel(
+        df,
+        kernel,
+        by=by,
+        order=dim,
+        values=[value],
+        out_fields="value double",
+        keep=resolve_keep_attrs(df, keep_attrs),
+    )
+    new_delta = F.col("delta") * F.lit(float(down)) / F.lit(float(up))
     coord = linear_coord("idx", "offset", new_delta)
     return res.withColumn(dim, restore_coord_dtype(df, dim, coord))

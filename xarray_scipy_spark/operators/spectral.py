@@ -387,6 +387,7 @@ def welch(
     hop: int | None = None,
     window: str | Sequence[float] | None = "hann",
     nfft: int | None = None,
+    detrend: str | None = None,
     values: Sequence[str] = ("value",),
     order: str | Sequence[str] | None = None,
     keep_attrs: bool | None = None,
@@ -397,6 +398,12 @@ def welch(
     points before the rfft for finer bin spacing (``nfft >=
     frame_len``; default = frame_len). Frequencies become
     ``bin / (nfft·delta)``.
+
+    ``detrend``: ``'constant'`` subtracts each frame's mean BEFORE
+    windowing (scipy's welch default); the engine default stays
+    ``None`` for now because the registered oracle pins the
+    no-detrend output — pass ``'constant'`` for strict scipy-default
+    parity (the default flips with the next contract rotation).
 
     ``power[k] = c_k * mean_over_frames |X_f[k]|^2 / sum(w^2)`` with the
     one-sided fold ``c_k = 2`` except DC and (even ``frame_len``) the
@@ -421,11 +428,17 @@ def welch(
     if nfft % 2 == 0:
         fold[-1] = 1.0
 
+    if detrend not in (None, "constant"):
+        raise ValueError(f"detrend must be None or 'constant', got {detrend!r}")
+
     def kernel(*blocks):
         x = blocks[0]
-        fr = _frames(x, frame_len, hop) * taps
+        fr = _frames(x, frame_len, hop)
         if fr.shape[1] == 0:  # series shorter than one frame: no rows
             return {"power": np.zeros((x.shape[0], 0))}
+        if detrend == "constant":
+            fr = fr - fr.mean(axis=-1, keepdims=True)
+        fr = fr * taps
         spec = np.fft.rfft(fr, n=nfft, axis=-1)  # zero-pads to nfft
         pxx = (spec.real**2 + spec.imag**2).mean(axis=1) * (fold / u)
         return {"power": pxx.astype(float)}
