@@ -454,3 +454,47 @@ def test_decode_features_on_stream_equals_batch(spark, tmp_path):
         for r in pipeline_of(spark.read.parquet(str(src))).collect()
     }
     assert got == batch and len(got) == 8
+
+
+def test_stft_stream_matches_batch(spark, chunked_dir, tmp_path):
+    """Streaming STFT with partial-frame carry must emit exactly the
+    frames the batch transform produces, once each, across batch
+    boundaries."""
+    from xarray_scipy_spark.operators.spectral import window_taps
+    from xarray_scipy_spark.streaming import stft_stream
+
+    src, full = chunked_dir
+    frame_len, hop = 32, 16
+    schema = "ch bigint, t double, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stft_stream(stream, by=["ch"], dim="t", frame_len=frame_len, hop=hop)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stft_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_stft"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= NCHUNKS
+    rows = spark.sql("select * from stft_stream_out").collect()
+    taps = window_taps("hann", frame_len)
+    for ch in range(NCH):
+        x = full[ch]
+        fr = (
+            np.lib.stride_tricks.sliding_window_view(x, frame_len)[::hop]
+            * taps
+        )
+        want = np.fft.rfft(fr, axis=-1)
+        got = sorted(
+            ((r["frame"], r["bin"], r["re"], r["im"]) for r in rows if r["ch"] == ch)
+        )
+        n_bins = frame_len // 2 + 1
+        assert len(got) == want.shape[0] * n_bins  # every frame exactly once
+        for f, b, re, im in got:
+            assert abs(re - want[f, b].real) < 1e-9
+            assert abs(im - want[f, b].imag) < 1e-9

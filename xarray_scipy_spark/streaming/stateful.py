@@ -33,7 +33,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..kernels.dsp import sosfilt_1d
 
-__all__ = ["sosfilt_stream"]
+__all__ = ["sosfilt_stream", "stft_stream"]
 
 
 def sosfilt_stream(
@@ -100,4 +100,110 @@ def sosfilt_stream(
         stateStructType=state_ddl,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stft_stream(
+    sdf: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    frame_len: int,
+    hop: int | None = None,
+    window="hann",
+    value: str = "value",
+) -> DataFrame:
+    """Short-time Fourier transform over a streaming DataFrame,
+    carrying the partial trailing frame between micro-batches.
+
+    The batch :func:`~xarray_scipy_spark.operators.spectral.stft`
+    needs each whole series co-located; on an unbounded stream that is
+    impossible, but STFT state is tiny — the next frame's start is at
+    ``frames_emitted·hop``, so only the samples at or past that
+    position (< frame_len of them after each emit) must survive the
+    batch boundary. State per key: ``(carry values, carry coords,
+    frames_emitted)``. Frames are emitted exactly once, with the same
+    (frame, bin, re, im) values the batch operator produces — the
+    stream-equals-batch test pins that equality.
+
+    Output per row: ``[*by, frame, bin, re, im, frame_time]`` with
+    ``frame`` the global frame index since the stream began and
+    ``frame_time`` the coordinate of the frame's first sample.
+    """
+    from ..operators.spectral import window_taps
+
+    hop = frame_len // 2 if hop is None else int(hop)
+    if hop < 1 or frame_len < 1:
+        raise ValueError("frame_len and hop must be >= 1")
+    taps = window_taps(window, frame_len)
+    n_bins = frame_len // 2 + 1
+    by = list(by)
+    by_fields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out_ddl = ", ".join(
+        [f"{c} {by_fields[c]}" for c in by]
+        + [
+            "frame bigint",
+            "bin bigint",
+            "re double",
+            "im double",
+            f"frame_time {by_fields[dim]}",
+        ]
+    )
+    state_ddl = "carry array<double>, carry_t array<double>, frames bigint"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cv, ct, frames_emitted = state.get
+            carry = np.asarray(cv, dtype=float)
+            carry_t = np.asarray(ct, dtype=float)
+        else:
+            carry = np.zeros(0)
+            carry_t = np.zeros(0)
+            frames_emitted = 0
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            dim, kind="mergesort"
+        )
+        a = np.concatenate([carry, pdf[value].to_numpy(dtype=float)])
+        at = np.concatenate([carry_t, pdf[dim].to_numpy(dtype=float)])
+        n_new = max(0, (len(a) - frame_len) // hop + 1) if len(a) >= frame_len else 0
+        if n_new:
+            fr = (
+                np.lib.stride_tricks.sliding_window_view(a, frame_len)[
+                    : (n_new - 1) * hop + 1 : hop
+                ]
+                * taps
+            )
+            spec = np.fft.rfft(fr, axis=-1)
+            out = pd.DataFrame(
+                {
+                    "frame": np.repeat(
+                        frames_emitted + np.arange(n_new, dtype=np.int64), n_bins
+                    ),
+                    "bin": np.tile(np.arange(n_bins, dtype=np.int64), n_new),
+                    "re": spec.real.ravel(),
+                    "im": spec.imag.ravel(),
+                    "frame_time": np.repeat(at[: n_new * hop : hop], n_bins),
+                }
+            )
+            for c, v in zip(by, key):
+                out.insert(0, c, v)
+            keep_from = n_new * hop
+            frames_emitted += n_new
+        else:
+            out = None
+            keep_from = 0
+        carry = a[keep_from:]
+        carry_t = at[keep_from:]
+        state.update((carry.tolist(), carry_t.tolist(), frames_emitted))
+        if out is not None:
+            yield out[by + ["frame", "bin", "re", "im", "frame_time"]]
+
+    return sdf.groupBy(*by).applyInPandasWithState(
+        fn,
+        outputStructType=out_ddl,
+        stateStructType=state_ddl,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
