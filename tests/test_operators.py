@@ -1466,3 +1466,45 @@ def test_welch_detrend_constant_and_upfirdn(spark):
     np.testing.assert_allclose(got["value"].to_numpy(), want_u, atol=1e-9)
     # coordinate spacing scales by down/up
     np.testing.assert_allclose(np.diff(got["t"].to_numpy())[:5], down / up, atol=1e-12)
+
+
+def test_welch_median_average_rejects_transient(spark):
+    rng = np.random.default_rng(53)
+    x = rng.standard_normal(512)
+    x[200:232] += 40.0  # one violent burst
+    df = spark.createDataFrame(
+        pd.DataFrame({"ch": "a", "t": np.arange(512.0), "value": x})
+    )
+    mean_p = (
+        xss.operators.welch(df, by=["ch"], dim="t", frame_len=64, hop=32)
+        .orderBy("idx")
+        .toPandas()["power"]
+        .to_numpy()
+    )
+    med_p = (
+        xss.operators.welch(
+            df, by=["ch"], dim="t", frame_len=64, hop=32, average="median"
+        )
+        .orderBy("idx")
+        .toPandas()["power"]
+        .to_numpy()
+    )
+    # numpy reference with scipy's bias correction
+    from xarray_scipy_spark.operators.spectral import window_taps
+
+    taps = window_taps("hann", 64)
+    fr = np.lib.stride_tricks.sliding_window_view(x, 64)[::32] * taps
+    per = np.abs(np.fft.rfft(fr, axis=-1)) ** 2
+    n = per.shape[0]
+    k = np.arange(1.0, (n - 1) // 2 + 1)
+    bias = 1.0 + np.sum(1.0 / (2 * k + 1) - 1.0 / (2 * k))
+    fold = np.full(33, 2.0)
+    fold[0] = fold[-1] = 1.0
+    want = np.median(per, axis=0) / bias * fold / (taps**2).sum()
+    np.testing.assert_allclose(med_p, want, atol=1e-9)
+    # robustness: the burst inflates the mean PSD way above the median
+    assert mean_p.sum() > 5 * med_p.sum()
+    with pytest.raises(ValueError, match="average"):
+        xss.operators.welch(
+            df, by=["ch"], dim="t", frame_len=64, average="mode"
+        )

@@ -388,11 +388,18 @@ def welch(
     window: str | Sequence[float] | None = "hann",
     nfft: int | None = None,
     detrend: str | None = None,
+    average: str = "mean",
     values: Sequence[str] = ("value",),
     order: str | Sequence[str] | None = None,
     keep_attrs: bool | None = None,
 ) -> DataFrame:
     """Welch averaged periodogram per series (one row per bin).
+
+    ``average='median'`` (scipy parity): median across frames instead
+    of the mean, divided by scipy's median-bias correction
+    ``1 + Σ_{k=1..(n-1)//2} (1/(2k+1) − 1/(2k))`` — the robust
+    estimator that shrugs off transient bursts a mean would smear
+    across the whole PSD.
 
     ``nfft`` (scipy parity): zero-pad each windowed frame to ``nfft``
     points before the rfft for finer bin spacing (``nfft >=
@@ -430,6 +437,8 @@ def welch(
 
     if detrend not in (None, "constant"):
         raise ValueError(f"detrend must be None or 'constant', got {detrend!r}")
+    if average not in ("mean", "median"):
+        raise ValueError(f"average must be 'mean' or 'median', got {average!r}")
 
     def kernel(*blocks):
         x = blocks[0]
@@ -440,7 +449,18 @@ def welch(
             fr = fr - fr.mean(axis=-1, keepdims=True)
         fr = fr * taps
         spec = np.fft.rfft(fr, n=nfft, axis=-1)  # zero-pads to nfft
-        pxx = (spec.real**2 + spec.imag**2).mean(axis=1) * (fold / u)
+        per = spec.real**2 + spec.imag**2
+        if average == "median":
+            # the median of n iid exponential periodogram bins biases
+            # low; scipy's published correction (_median_bias) is
+            # 1 + Σ_{k=1..(n-1)//2} (1/(2k+1) − 1/(2k))
+            n_fr = per.shape[1]
+            ii = np.arange(1.0, (n_fr - 1) // 2 + 1)
+            bias = 1.0 + np.sum(1.0 / (2 * ii + 1) - 1.0 / (2 * ii))
+            pxx = np.median(per, axis=1) / bias
+        else:
+            pxx = per.mean(axis=1)
+        pxx = pxx * (fold / u)
         return {"power": pxx.astype(float)}
 
     res = apply_series_kernel(
