@@ -263,3 +263,58 @@ def test_round6_operator_invariants(spark):
         .to_numpy()
     )
     np.testing.assert_allclose(ident, x, atol=1e-12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    refl=st.lists(st.floats(-0.95, 0.95), min_size=1, max_size=4),
+    taps=st.lists(st.floats(-2, 2), min_size=1, max_size=5),
+    data=st.lists(
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        min_size=40,
+        max_size=80,
+    ),
+)
+def test_lfilter_family_properties(refl, taps, data):
+    """Random STABLE filters (poles from reflection coefficients via
+    the Levinson recursion, so |poles| < 1 by construction):
+    superposition, impulse-response convolution identity, and the
+    filtfilt forward==backward symmetry."""
+    import numpy as np
+
+    from xarray_scipy_spark.kernels import lfilter_1d
+    from xarray_scipy_spark.kernels.dsp import filtfilt_ragged
+
+    # reflection -> AR polynomial (Levinson step-up): always minimum phase
+    a = np.array([1.0])
+    for kk in refl:
+        a = np.concatenate([a, [0.0]]) + kk * np.concatenate([[0.0], a[::-1]])
+    b = np.asarray(taps, dtype=float)
+    x = np.asarray(data, dtype=float)
+    n = len(x)
+    # superposition: L(x + 2y) == L(x) + 2 L(y)
+    y2 = x[::-1].copy()
+    lhs = lfilter_1d(b, a, x + 2 * y2)
+    rhs = lfilter_1d(b, a, x) + 2 * lfilter_1d(b, a, y2)
+    scale = max(1.0, np.abs(lhs).max())
+    np.testing.assert_allclose(lhs / scale, rhs / scale, rtol=0, atol=1e-9)
+    # causal LTI == conv with impulse response (zero state)
+    imp = np.zeros(n)
+    imp[0] = 1.0
+    h = lfilter_1d(b, a, imp)
+    want = np.array([np.dot(h[: j + 1][::-1], x[: j + 1]) for j in range(n)])
+    got = lfilter_1d(b, a, x)
+    scale = max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=1e-7)
+    # filtfilt of a constant is exactly const·(DC gain)² from sample 0:
+    # the steady-state zi seeding puts both passes in equilibrium, so no
+    # transient ever appears (the property scipy's zi construction exists
+    # to guarantee)
+    pad = min(3 * max(len(a), len(b)), n - 1)
+    c = 2.5
+    dc = b.sum() / a.sum()
+    ffc = filtfilt_ragged(b, a, np.full((1, n), c), np.array([n]), padlen=pad)[0]
+    scale = max(1.0, abs(c * dc * dc))
+    np.testing.assert_allclose(
+        ffc / scale, np.full(n, c * dc * dc) / scale, rtol=0, atol=1e-8
+    )
