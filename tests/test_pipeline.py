@@ -1046,3 +1046,54 @@ def test_csv_roundtrip_quarantine_and_partitioning(spark, tmp_path):
     write_csv(qdf, qout)
     qback = read_csv(spark, qout, schema).collect()[0]
     assert qback["lang"] == 'say "hi", ok'
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [words, "a b c", ""],
+            }
+        )
+    )
+    # no overlap: 10 tokens in windows of 4 -> 4,4,2
+    got = (
+        pl.chunk_documents(df, chunk_tokens=4)
+        .orderBy("doc_id", "chunk_id")
+        .toPandas()
+    )
+    d1 = got[got["doc_id"] == 1]
+    assert d1["n_tokens"].tolist() == [4, 4, 2]
+    assert (d1["n_chunks"] == 3).all()
+    assert d1["chunk_text"].tolist() == [
+        "w0 w1 w2 w3",
+        "w4 w5 w6 w7",
+        "w8 w9",
+    ]
+    # short doc: one chunk, its own length; empty doc: no rows
+    d2 = got[got["doc_id"] == 2]
+    assert d2["chunk_text"].tolist() == ["a b c"] and d2["n_tokens"].tolist() == [3]
+    assert (got["doc_id"] == 3).sum() == 0
+    # overlap 2, window 4 -> ceil((10-2)/2) = 4 starts (0,2,4,6): the
+    # last window reaches the end, so no redundant tail start is added
+    ov = (
+        pl.chunk_documents(df, chunk_tokens=4, overlap=2)
+        .orderBy("doc_id", "chunk_id")
+        .toPandas()
+    )
+    d1o = ov[ov["doc_id"] == 1]
+    assert len(d1o) == 4
+    assert d1o["chunk_text"].iloc[0] == "w0 w1 w2 w3"
+    assert d1o["chunk_text"].iloc[1] == "w2 w3 w4 w5"
+    assert d1o["chunk_text"].iloc[-1] == "w6 w7 w8 w9"
+    # reconstruction property (no overlap): concatenation restores the doc
+    rec = " ".join(
+        got[got["doc_id"] == 1].sort_values("chunk_id")["chunk_text"]
+    )
+    assert rec == words
+    with pytest.raises(ValueError, match="overlap"):
+        pl.chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -48,6 +48,7 @@ from .text import (
     quality_score,
     redact,
     url_stats,
+    chunk_documents,
     repetition_stats,
     tfidf_top_tokens,
     token_stats,
@@ -101,6 +102,7 @@ __all__ = [
     "decontaminate",
     "redact",
     "url_stats",
+    "chunk_documents",
     "repetition_stats",
     "vocabulary",
     "unigram_logprob",

@@ -28,6 +28,7 @@ __all__ = [
     "PII_PATTERNS",
     "LANG_MARKERS",
     "url_stats",
+    "chunk_documents",
 ]
 
 # Distinctive high-frequency marker tokens per language. A doc's
@@ -480,4 +481,56 @@ def url_stats(
         F.size(urls).alias("n_urls"),
         F.size(F.array_distinct(domains)).alias("n_domains"),
         F.coalesce(F.get(domains, 0), F.lit("")).alias("first_domain"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with optional
+    overlap — the context-window preparation step between curation and
+    sequence packing. Pure Catalyst: tokenize once, slice windows with
+    ``sequence``/``slice``/``array_join`` (no UDF, no shuffle beyond
+    the conditional spread of the scan).
+
+    Chunks start every ``chunk_tokens − overlap`` tokens; the last
+    chunk keeps its tail even when shorter (dropping remainders loses
+    corpus mass — callers can filter on ``n_tokens`` if they want
+    exact-length windows only). Empty documents produce no rows.
+
+    Output: ``(id, chunk_id, n_chunks, chunk_text, n_tokens)`` with
+    ``chunk_id`` 0-based in document order.
+    """
+    chunk_tokens = int(chunk_tokens)
+    overlap = int(overlap)
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    step = chunk_tokens - overlap
+    tok = spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("toks"))
+    n = F.size("toks")
+    # number of windows: ceil(max(n - overlap, 0) / step), min 1 if n > 0
+    n_chunks = F.when(
+        n > 0, F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1))
+    ).otherwise(F.lit(0)).cast("int")
+    work = tok.withColumn("__nc__", n_chunks).filter(F.col("__nc__") > 0)
+    chunk = F.posexplode(F.sequence(F.lit(0), F.col("__nc__") - 1))
+    exploded = work.select(F.col(id_col), F.col("toks"), F.col("__nc__"), chunk)
+    piece = F.slice(
+        F.col("toks"), F.col("pos") * step + 1, chunk_tokens
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("chunk_id"),
+        F.col("__nc__").cast("long").alias("n_chunks"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
     )
