@@ -1097,3 +1097,47 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert rec == words
     with pytest.raises(ValueError, match="overlap"):
         pl.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_ffd_invariants(spark):
+    import numpy as np
+
+    import xarray_scipy_spark.pipeline as pl
+
+    rng = np.random.default_rng(61)
+    n = 300
+    sizes = rng.integers(50, 900, n)
+    sizes[0] = 3000  # oversize -> singleton overflow pack
+    df = spark.createDataFrame(
+        pd.DataFrame({"chunk_id": range(n), "n_tokens": sizes})
+    )
+    got = pl.pack_sequences(
+        df, budget=2048, partitions=4
+    ).toPandas()
+    assert len(got) == n  # every chunk placed exactly once
+    # no pack exceeds the budget except flagged oversize singletons
+    by_pack = got.merge(
+        pd.DataFrame({"chunk_id": range(n), "n_tokens": sizes}), on="chunk_id"
+    ).groupby("pack_id")
+    for pid, grp in by_pack:
+        total = grp["n_tokens"].sum()
+        if grp["overflow"].any():
+            assert len(grp) == 1
+        else:
+            assert total <= 2048
+            assert (grp["pack_fill"] == total).all()
+        # pack positions are 0..k-1
+        assert sorted(grp["pack_pos"].tolist()) == list(range(len(grp)))
+    # packing efficiency: FFD should fill packs well above naive layout
+    normal = got[~got["overflow"]]
+    fills = normal.drop_duplicates("pack_id")["pack_fill"]
+    assert fills.mean() > 0.7 * 2048
+    # determinism: identical assignment under a different partitioning
+    again = pl.pack_sequences(
+        df.repartition(7), budget=2048, partitions=4
+    ).toPandas()
+    a = got.sort_values("chunk_id").reset_index(drop=True)
+    b = again.sort_values("chunk_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="budget"):
+        pl.pack_sequences(df, budget=0)

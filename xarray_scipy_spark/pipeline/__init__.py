@@ -56,7 +56,13 @@ from .text import (
     vocabulary,
 )
 from .curate import curation_report
-from .sample import hash_uniform, mix_datasets, split_assign, stratified_sample
+from .sample import (
+    hash_uniform,
+    mix_datasets,
+    pack_sequences,
+    split_assign,
+    stratified_sample,
+)
 from .multimodal import (
     audio_decoder,
     decode_features,
@@ -128,4 +134,5 @@ __all__ = [
     "mix_datasets",
     "split_assign",
     "stratified_sample",
+    "pack_sequences",
 ]

@@ -21,7 +21,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .hashes import _c
 
-__all__ = ["hash_uniform", "split_assign", "stratified_sample", "mix_datasets"]
+__all__ = [
+    "hash_uniform",
+    "split_assign",
+    "stratified_sample",
+    "mix_datasets",
+    "pack_sequences",
+]
 
 # 16^15 — the number of 15-hex-char values; dividing the h60 hash by
 # this maps it to [0, 1) with ~2^-60 granularity
@@ -141,3 +147,95 @@ def stratified_sample(
         )
     frac_col = frac_col.otherwise(F.lit(0.0))
     return df.filter(u < frac_col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    partitions: int | None = None,
+    salt: str = "pack",
+) -> DataFrame:
+    """Pack variable-length chunks into fixed token budgets — the
+    sequence-packing step that turns curated chunks into dense training
+    rows (padding waste is the metric: a naive one-chunk-per-row
+    layout wastes ``1 − mean(len)/budget`` of every batch).
+
+    Distributed shape: chunks hash into ``partitions`` independent
+    packing domains (deterministic salted md5 — rerun/partitioning
+    stable), and each domain runs first-fit-decreasing in one Arrow
+    batch. FFD is within 22% of optimal in the worst case and ~5% in
+    practice; cross-domain packing would need a global sort whose
+    coordination cost buys almost nothing at corpus scale, so domains
+    ARE the parallelism. Chunks longer than ``budget`` get their own
+    singleton pack (flagged by ``overflow``) rather than being dropped.
+
+    Output: ``(id, pack_id, pack_pos, pack_fill, overflow)`` —
+    ``pack_id`` is globally unique (domain-prefixed), ``pack_fill``
+    the pack's total tokens, one row per input chunk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    budget = int(budget)
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    spark_df = df.select(
+        F.col(id_col), F.col(tokens_col).cast("long").alias("__nt__")
+    )
+    n_dom = (
+        int(partitions)
+        if partitions is not None
+        else spark_df.sparkSession.sparkContext.defaultParallelism
+    )
+    dom = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_dom),
+    )
+    work = spark_df.withColumn("__dom__", dom)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, pack_id bigint, pack_pos int, "
+        "pack_fill bigint, overflow boolean"
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (domain,) = key
+        # first-fit-decreasing, ties broken by id for determinism
+        pdf = pdf.sort_values(
+            ["__nt__", id_col], ascending=[False, True], kind="mergesort"
+        )
+        sizes = pdf["__nt__"].to_numpy()
+        fills: list[int] = []
+        assign = np.empty(len(pdf), dtype=np.int64)
+        pos = np.empty(len(pdf), dtype=np.int32)
+        for i, s in enumerate(sizes):
+            for j, f0 in enumerate(fills):
+                if f0 + s <= budget:
+                    assign[i] = j
+                    pos[i] = int(round(fills[j]))  # placeholder, fixed below
+                    fills[j] = f0 + s
+                    break
+            else:
+                assign[i] = len(fills)
+                fills.append(int(s))
+        # positions within each pack in assignment order
+        counters: dict[int, int] = {}
+        for i in range(len(pdf)):
+            j = int(assign[i])
+            pos[i] = counters.get(j, 0)
+            counters[j] = pos[i] + 1
+        fill_arr = np.array([fills[j] for j in assign], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "pack_id": int(domain) * 1_000_000_000 + assign,
+                "pack_pos": pos,
+                "pack_fill": fill_arr,
+                "overflow": sizes > budget,
+            }
+        )
+
+    return work.groupBy("__dom__").applyInPandas(pack, schema=out_schema)
