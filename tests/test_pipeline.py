@@ -1141,3 +1141,66 @@ def test_pack_sequences_ffd_invariants(spark):
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(ValueError, match="budget"):
         pl.pack_sequences(df, budget=0)
+
+
+def test_full_training_pipeline_end_to_end(spark):
+    """Capstone: the whole curation chain composed on real testdata —
+    quality/url stats -> exact + passage dedup -> decontaminate ->
+    chunk -> pack -> split. Asserts mass conservation and contract
+    invariants at every stage boundary."""
+    from pyspark.sql import functions as F
+
+    import xarray_scipy_spark.pipeline as pl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+
+    # 1. signals
+    quality = pl.quality_score(docs)
+    urls = pl.url_stats(docs)
+    assert quality.count() == n_docs and urls.count() == n_docs
+
+    # 2. exact dedup: keep one representative per content hash
+    groups = pl.exact_duplicates(docs)
+    keep_ids = groups.select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep_ids, "doc_id")
+    n_kept = kept.count()
+    assert n_kept == groups.count() <= n_docs
+
+    # 3. passage-level duplication signal on the kept set
+    spans = pl.duplicated_ngram_spans(kept, k=8)
+    assert spans.count() == n_kept
+
+    # 4. decontaminate against the benchmark slice
+    bench = kept.filter(F.col("doc_id") % 50 == 0)
+    corpus = kept.filter(F.col("doc_id") % 50 != 0)
+    decon = pl.decontaminate(corpus, bench)
+    clean = corpus.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    n_clean = clean.count()
+    assert 0 < n_clean <= corpus.count()
+
+    # 5. chunk -> pack: every chunk lands in exactly one pack, fills
+    # respect the budget
+    chunks = pl.chunk_documents(clean, chunk_tokens=32).withColumn(
+        "cid",
+        F.concat_ws("_", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")),
+    )
+    n_chunks = chunks.count()
+    assert n_chunks > n_clean  # docs are longer than one window
+    packs = pl.pack_sequences(
+        chunks, id_col="cid", tokens_col="n_tokens", budget=128, partitions=4
+    )
+    assert packs.count() == n_chunks
+    bad = packs.filter((~F.col("overflow")) & (F.col("pack_fill") > 128)).count()
+    assert bad == 0
+
+    # 6. deterministic split of the packs' chunks
+    split = pl.split_assign(
+        packs.select(F.col("cid").alias("doc_id")), weights={"train": 0.9, "val": 0.1}
+    )
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n_chunks
+    assert counts.get("train", 0) > counts.get("val", 0)
