@@ -240,3 +240,23 @@ def test_cwt_single_kernel_exchange(spark):
     not one exchange per width."""
     plan = _static_plan(QUERIES["cwt_ricker"](spark, SF_DIR))
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["resample_poly", "cwt_ricker", "lfilter", "filtfilt", "periodogram"]
+)
+def test_second_wave_kernel_queries_single_exchange_pruned_scan(spark, name):
+    """Each r6 kernel query must stay: ONE co-locating exchange, ONE
+    Arrow kernel, and a column-pruned 3-field events scan."""
+    plan = _static_plan(QUERIES[name](spark, SF_DIR))
+    assert plan.count("FlatMapGroupsInPandas") == 1, (name, plan)
+    # at sf0.001 the volume-aware bucket width collapses to 1 and the
+    # co-locating exchange is elided entirely; the invariant is "no
+    # EXTRA shuffle", verified == 1 at sf0.1 in the r6 plan audit
+    n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange RoundRobin"
+    )
+    assert n_ex <= 1, (name, plan)
+    assert "ReadSchema" in plan
+    read = plan.split("ReadSchema: ")[-1].splitlines()[0]
+    assert "props" not in read and "event_type" not in read, (name, read)
