@@ -172,6 +172,11 @@ def pack_sequences(
     ARE the parallelism. Chunks longer than ``budget`` get their own
     singleton pack (flagged by ``overflow``) rather than being dropped.
 
+    Cost note: FFD's first-fit scan is O(chunks · open packs) per
+    domain — size ``partitions`` so a domain holds ~10⁵ chunks (at
+    corpus scale that means partitions in the thousands, which is
+    exactly what the cluster wants anyway).
+
     Output: ``(id, pack_id, pack_pos, pack_fill, overflow)`` —
     ``pack_id`` is globally unique (domain-prefixed), ``pack_fill``
     the pack's total tokens, one row per input chunk.
@@ -215,7 +220,6 @@ def pack_sequences(
             for j, f0 in enumerate(fills):
                 if f0 + s <= budget:
                     assign[i] = j
-                    pos[i] = int(round(fills[j]))  # placeholder, fixed below
                     fills[j] = f0 + s
                     break
             else:
