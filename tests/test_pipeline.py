@@ -1204,3 +1204,48 @@ def test_full_training_pipeline_end_to_end(spark):
         F.count(F.lit(1)).alias("n")).collect()}
     assert sum(counts.values()) == n_chunks
     assert counts.get("train", 0) > counts.get("val", 0)
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """The bigram NLL must (a) match a hand-rolled reference exactly
+    and (b) score scrambled word order worse than natural order —
+    the property unigram statistics cannot see."""
+    import math
+    from collections import Counter
+
+    import xarray_scipy_spark.pipeline as pl
+
+    base = "the cat sat on the mat"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, base, base, "mat the on sat cat the"],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    got = (
+        pl.bigram_logprob(df, alpha=0.1)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # reference
+    toks = [t.split() for t in docs["text"]]
+    uni = Counter(w for d in toks for w in d)
+    n_total = sum(uni.values())
+    v = len(uni)
+    bg = Counter((d[i], d[i + 1]) for d in toks for i in range(len(d) - 1))
+    ctx = Counter(d[i] for d in toks for i in range(len(d) - 1))
+    a = 0.1
+    for did, d in zip(docs["doc_id"], toks):
+        nlls = [-math.log(uni[d[0]] / n_total)]
+        for i in range(len(d) - 1):
+            p = (bg[(d[i], d[i + 1])] + a) / (ctx[d[i]] + a * v)
+            nlls.append(-math.log(p))
+        assert abs(got.loc[did, "avg_nll"] - sum(nlls) / len(nlls)) < 1e-9
+        assert got.loc[did, "n_tokens"] == len(d)
+    # order sensitivity: the scrambled doc scores strictly worse than
+    # the natural one, even though its unigram profile is identical
+    assert got.loc[4, "avg_nll"] > got.loc[1, "avg_nll"] + 0.3
+    with pytest.raises(ValueError, match="alpha"):
+        pl.bigram_logprob(df, alpha=0.0)

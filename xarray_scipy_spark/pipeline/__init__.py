@@ -49,6 +49,7 @@ from .text import (
     redact,
     url_stats,
     chunk_documents,
+    bigram_logprob,
     repetition_stats,
     tfidf_top_tokens,
     token_stats,
@@ -109,6 +110,7 @@ __all__ = [
     "redact",
     "url_stats",
     "chunk_documents",
+    "bigram_logprob",
     "repetition_stats",
     "vocabulary",
     "unigram_logprob",

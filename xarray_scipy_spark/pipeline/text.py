@@ -29,6 +29,7 @@ __all__ = [
     "LANG_MARKERS",
     "url_stats",
     "chunk_documents",
+    "bigram_logprob",
 ]
 
 # Distinctive high-frequency marker tokens per language. A doc's
@@ -533,4 +534,75 @@ def chunk_documents(
         F.col("__nc__").cast("long").alias("n_chunks"),
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    add-α-smoothed bigram LM — a sharper perplexity proxy than
+    :func:`unigram_logprob` (it penalizes scrambled word ORDER, which
+    unigram statistics cannot see).
+
+    ``p(w₂ | w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·V)`` with ``V`` the
+    unigram vocabulary size; the first token of each doc is scored
+    under the unigram model, so every token contributes and short docs
+    stay comparable.
+
+    Plan: one explode builds positional tokens; self-join on
+    ``(doc, pos+1)`` forms bigrams (a co-partitioned equi-join — both
+    sides hash on the same key); bigram and context counts are two
+    hash aggregates with map-side partials; the scoring join is on the
+    bigram key, skew handled by AQE as in the unigram pass.
+
+    Output: ``(id_col, n_tokens, avg_nll)`` in nats.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    nxt = tok.select(
+        F.col(id_col), (F.col("pos") - 1).alias("pos"), F.col("token").alias("w2")
+    )
+    bigrams = tok.join(nxt, [id_col, "pos"]).select(
+        id_col, F.col("token").alias("w1"), "w2"
+    )
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    a = float(alpha)
+    scored_bg = (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.col("c12") + F.lit(a))
+                    / (F.col("c1") + F.lit(a) * F.col("v_size"))
+                )
+            ).alias("nll"),
+        )
+    )
+    first = tok.filter(F.col("pos") == 0).join(vocab, "token").crossJoin(
+        F.broadcast(totals)
+    ).select(
+        id_col,
+        (-F.log(F.col("tf").cast("double") / F.col("n_total"))).alias("nll"),
+    )
+    return (
+        scored_bg.unionByName(first)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("nll").alias("avg_nll"))
     )
