@@ -57,13 +57,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROTATION MATH FOR r7+: with a 50-slot head, N registered queries get
 # driver-checked every ceil(N/50) rounds — the two-round freshness bar
-# holds only while N <= 100. Registrations queued for r7
-# (welch_blackman, dedup_ngram_spans, deconvolve — oracles
-# pre-validated in contract.py) bring N to 100, the sustainable cap.
-# Beyond that, freshness becomes "driver-checked within two rounds OR
-# value-verified by the per-pytest CI tail oracle" — the CI check runs
-# far more often than the driver's, so prefer retiring redundant
-# variants over weakening either bar.
+# holds only while N <= 100. The r7 registration queue lives in
+# contract._QUEUED (7 new queries + 4 variant-pair merges that retire
+# 4 redundant names), every entry CI-verified byte-exactly at sf0.001
+# on each pytest run (tests/test_queued_contract.py) and hand-verified
+# at sf0.01; executing the recipe in contract.py ("r7 registration
+# queue" section) lands N at exactly 100 with a 50-name head (43
+# surviving r6-tail + 7 new). Beyond 100, freshness would become
+# "driver-checked within two rounds OR value-verified by the
+# per-pytest CI oracle" — the CI check runs far more often than the
+# driver's, so prefer retiring redundant variants over weakening
+# either bar.
 _CHECK_LAST = (
     # FFT family (r5 green; hfft/ifft/irfft/ihfft/fftshift/ifftshift
     # rotate back into the head this round)

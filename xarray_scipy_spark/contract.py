@@ -3846,3 +3846,384 @@ def q_correlate(spark, sf_dir):
     ev = _events(spark, sf_dir)
     res = ops.correlate(ev, ev, by=["user_id"], dim="ts", mode="full")
     return res.select("user_id", "idx", _r("value", 4, "corr4"))
+
+
+# ---------------------------------------------------------------------------
+# r7 registration queue
+# ---------------------------------------------------------------------------
+# The driver checks the FIRST 50 registered queries each round, and the
+# two-round freshness bar caps the registry at 100 names (see
+# __spark_entry__.py). The r7 head budget is exhausted by the 47
+# r6-tail names due back — so every NEW query below is held here,
+# fully implemented and CI-verified (tests/test_queued_contract.py runs
+# each (query, oracle) pair byte-exactly at sf0.001 on every pytest
+# run), until the four variant-pair MERGES below free head slots.
+#
+# r7 registration recipe (do all of it in one edit, before the first
+# driver check of the round):
+#   1. Replace @_q("rfft", ...) with q_rfft_merged / _rfft_merged_oracle
+#      and DELETE q_rfft_n_ortho (its variant now lives inside the
+#      merged query).
+#   2. Same for decimate_iir (+ delete decimate_iir_zerophase),
+#      sosfiltfilt (+ delete sosfiltfilt_even), text_lang_id (+ delete
+#      text_fingerprint — merged as q_text_lang_fp).
+#   3. Register every _QUEUED entry with @_q under its queue name.
+#   4. Rebuild _CHECK_LAST: tail = the 50 r6-head names; head = the 43
+#      surviving r6-tail names + the 7 new registrations = 50 exactly.
+#   5. Re-run tools/check_correctness.py (full) before committing.
+
+
+def q_welch_blackman(spark, sf_dir):
+    """ops.welch window='blackman' — the window-shape surface beyond
+    the hann default (queued since r6; oracle = the same windowed DFT
+    with the blackman taps inline)."""
+    res = ops.welch(
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        frame_len=_STFT_FL,
+        hop=_STFT_HOP,
+        window="blackman",
+    )
+    return res.select("user_id", "idx", _r("power", 4, "power4"))
+
+
+def q_dedup_ngram_spans(spark, sf_dir):
+    """Passage-level duplication: per-doc fraction of tokens covered by
+    word-8-grams shared with >= 2 docs (pipeline/dedup.py
+    duplicated_ngram_spans; oracle pre-validated in r6)."""
+    res = pl.duplicated_ngram_spans(_docs(spark, sf_dir), k=_DUPNG_K, min_docs=2)
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        "n_dup_grams",
+        _q3_col(F.col("dup_token_frac")).alias("frac_q"),
+    )
+
+
+def q_deconvolve(spark, sf_dir):
+    """scipy-style polynomial deconvolution by the fixed stable divisor
+    (operators/convolve.py deconvolve; oracle pre-validated in r6)."""
+    res = ops.deconvolve(
+        _events(spark, sf_dir), list(_DECONV_DIV), by=["user_id"], dim="ts"
+    )
+    return res.select(
+        "user_id",
+        "idx",
+        _q3_col(F.col("quotient")).alias("quot_q"),
+        _q3_col(F.col("remainder")).alias("rem_q"),
+    )
+
+
+# --- probabilistic sketches (pipeline/sketches.py) -------------------------
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_oracle() -> str:
+    """DuckDB twin of pipeline.sketches.hll_state(p=12) over
+    CAST(l_orderkey AS VARCHAR) grouped by l_returnflag: identical
+    hex-split bucket/rank layout, identical integer comparison ladder,
+    BIGINT register sum (sum() goes HUGEINT in DuckDB — cast back)."""
+    hi_bits = 60 - _HLL_P
+    ladder = " ".join(
+        f"WHEN hi >= {1 << (hi_bits - r)} THEN {r}" for r in range(1, hi_bits + 1)
+    )
+    return (
+        "WITH v AS (SELECT l_returnflag AS rf, "
+        "md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem), "
+        "br AS (SELECT rf, "
+        f"('0x' || substring(hx, {15 - _HLL_P // 4 + 1}, {_HLL_P // 4}))::BIGINT AS bucket, "
+        f"('0x' || substring(hx, 1, {15 - _HLL_P // 4}))::BIGINT AS hi FROM v), "
+        f"rk AS (SELECT rf, bucket, (CASE {ladder} ELSE {hi_bits + 1} END) AS rank "
+        "FROM br), "
+        "regs AS (SELECT rf, bucket, max(rank) AS mj FROM rk GROUP BY rf, bucket) "
+        f"SELECT rf, {_HLL_M} AS m, count(*) AS present, "
+        f"{_HLL_M} - count(*) AS zeros, "
+        "CAST(sum(1::BIGINT << (49 - mj)) "
+        f"+ ({_HLL_M} - count(*)) * (1::BIGINT << 49) AS BIGINT) AS register_sum, "
+        "CAST(sum(mj) AS BIGINT) AS rank_checksum "
+        "FROM regs GROUP BY rf"
+    )
+
+
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog register state for distinct(l_orderkey) per
+    l_returnflag (pipeline/sketches.py hll_state): the contract
+    compares the EXACT integer sketch state — register sum is exact
+    2^-rank arithmetic scaled to BIGINT, so approximation noise never
+    enters the correctness gate."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_orderkey").cast("string").alias("k"),
+    )
+    return pl.hll_state(li, "k", by="rf", p=_HLL_P)
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+_CM_TOPN = 20
+
+
+def _countmin_oracle() -> str:
+    """DuckDB twin of countmin_sketch + countmin_lookup over
+    CAST(l_partkey AS VARCHAR): same 'cm<j>|' seeded h60 cells, probe
+    set = deterministic exact top-20 (count DESC, tok ASC)."""
+    cell = (
+        "('0x' || substring(md5('cm' || CAST(u.j AS VARCHAR) || '|' || {t}), 1, 15))"
+        f"::BIGINT % {_CM_WIDTH}"
+    )
+    return (
+        "WITH v AS (SELECT CAST(l_partkey AS VARCHAR) AS tok FROM lineitem), "
+        "cnt AS (SELECT tok, count(*) AS exact_cnt FROM v GROUP BY tok), "
+        "probes AS (SELECT tok, exact_cnt FROM cnt "
+        f"ORDER BY exact_cnt DESC, tok LIMIT {_CM_TOPN}), "
+        "cells AS (SELECT u.j, " + cell.format(t="v.tok") + " AS cell, "
+        "count(*) AS cnt "
+        f"FROM v CROSS JOIN (SELECT unnest(range({_CM_DEPTH})) AS j) u "
+        "GROUP BY u.j, " + cell.format(t="v.tok") + "), "
+        "pc AS (SELECT p.tok, p.exact_cnt, u.j, "
+        + cell.format(t="p.tok")
+        + " AS cell "
+        f"FROM probes p CROSS JOIN (SELECT unnest(range({_CM_DEPTH})) AS j) u) "
+        "SELECT pc.tok, any_value(pc.exact_cnt) AS exact_cnt, "
+        "CAST(min(c.cnt) AS BIGINT) AS est "
+        "FROM pc JOIN cells c ON c.j = pc.j AND c.cell = pc.cell "
+        "GROUP BY pc.tok"
+    )
+
+
+def q_sketch_countmin(spark, sf_dir):
+    """Count-min frequency sketch (depth 4 × width 1024) of l_partkey
+    occurrences, probed at the exact top-20 keys
+    (pipeline/sketches.py countmin_sketch/countmin_lookup). width <
+    distinct keys, so real cell collisions occur and the est >=
+    exact_cnt upper-bound property is exercised on collided cells —
+    both engines reproduce the identical collided counters."""
+    v = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_partkey").cast("string").alias("tok")
+    )
+    cnt = v.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = cnt.orderBy(F.desc("exact_cnt"), "tok").limit(_CM_TOPN)
+    sk = pl.countmin_sketch(v, "tok", depth=_CM_DEPTH, width=_CM_WIDTH)
+    est = pl.countmin_lookup(
+        sk, probes.select("tok"), "tok", depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+    return probes.join(est, "tok").select("tok", "exact_cnt", "est")
+
+
+_BLOOM_M = 1 << 18
+_BLOOM_K = 3
+
+
+def _bloom_oracle() -> str:
+    """DuckDB twin of bloom_decontaminate on the decontaminate split:
+    the filter's set-bit positions from the benchmark shingles, then
+    every corpus shingle probes its k positions with IN-subqueries."""
+    pos = (
+        "('0x' || substring(md5('bloom{i}|' || {s}), 1, 15))::BIGINT % "
+        f"{_BLOOM_M}"
+    )
+    probe = " AND ".join(
+        pos.format(i=i, s="c.s") + " IN (SELECT pos FROM bits)"
+        for i in range(_BLOOM_K)
+    )
+    sets = ", ".join(
+        pos.format(i=i, s="b.s") + f" AS p{i}" for i in range(_BLOOM_K)
+    )
+    unions = " UNION ".join(f"SELECT p{i} AS pos FROM bp" for i in range(_BLOOM_K))
+    return (
+        f"WITH {_TOKS}, {_SHINGLES}, "
+        "bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh "
+        f"WHERE doc_id % {_DECON_BENCH_MOD} = 0), "
+        f"bp AS (SELECT {sets} FROM bench b), "
+        f"bits AS ({unions}), "
+        "corpus_sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh "
+        f"WHERE doc_id % {_DECON_BENCH_MOD} <> 0), "
+        f"hits AS (SELECT c.doc_id, count(*) AS nf FROM corpus_sh c "
+        f"WHERE {probe} GROUP BY c.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(h.nf, 0) AS BIGINT) AS n_flagged_shingles, "
+        "coalesce(h.nf, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id "
+        f"WHERE d.doc_id % {_DECON_BENCH_MOD} <> 0"
+    )
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """decontaminate with a 32 KiB Bloom filter in place of the raw
+    benchmark shingle broadcast (pipeline/sketches.py
+    bloom_decontaminate): constant-size guard set, zero false
+    negatives by construction; the oracle rebuilds the identical
+    filter so even the false-positive flags match byte-for-byte."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    return pl.bloom_decontaminate(
+        corpus, bench, m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+
+
+# --- variant-pair merges (free one head slot each at r7) -------------------
+
+
+def _rfft_merged_oracle() -> str:
+    return (
+        "SELECT * FROM ("
+        f"WITH {_S}, {_SPEC} "
+        "SELECT 'default' AS variant, user_id, k AS idx, "
+        f"{_q3('re')} AS re_q, {_q3('im')} AS im_q "
+        "FROM spec WHERE k <= n // 2"
+        ") UNION ALL SELECT * FROM ("
+        f"WITH {_S}, "
+        f"b AS (SELECT user_id, j AS k FROM s WHERE j <= {_RFFT_PAD_N // 2}) "
+        "SELECT 'n64_ortho' AS variant, b.user_id, b.k AS idx, "
+        + _q3(
+            f"sum(CASE WHEN a.j < {_RFFT_PAD_N} THEN a.x * cos(2 * pi() * a.j * b.k / {_RFFT_PAD_N}) ELSE 0 END) / {float(np.sqrt(_RFFT_PAD_N))!r}"
+        )
+        + " AS re_q, "
+        + _q3(
+            f"sum(CASE WHEN a.j < {_RFFT_PAD_N} THEN -a.x * sin(2 * pi() * a.j * b.k / {_RFFT_PAD_N}) ELSE 0 END) / {float(np.sqrt(_RFFT_PAD_N))!r}"
+        )
+        + " AS im_q "
+        "FROM b JOIN s a USING (user_id) GROUP BY b.user_id, b.k)"
+    )
+
+
+def q_rfft_merged(spark, sf_dir):
+    """rfft default + (n=64, norm='ortho') variants in ONE query (a
+    variant-tag union): both parameter surfaces stay value-verified
+    while holding a single head slot. Replaces rfft + rfft_n_ortho."""
+    ev = _events(spark, sf_dir)
+    base = ops.rfft(ev, by=["user_id"], dim="ts").select(
+        F.lit("default").alias("variant"),
+        "user_id",
+        "idx",
+        _q3_col(F.col("re")).alias("re_q"),
+        _q3_col(F.col("im")).alias("im_q"),
+    )
+    ortho = ops.rfft(
+        ev, by=["user_id"], dim="ts", n=_RFFT_PAD_N, norm="ortho"
+    ).select(
+        F.lit("n64_ortho").alias("variant"),
+        "user_id",
+        "idx",
+        _q3_col(F.col("re")).alias("re_q"),
+        _q3_col(F.col("im")).alias("im_q"),
+    )
+    return base.unionAll(ortho)
+
+
+def _decimate_iir_merged_oracle() -> str:
+    return (
+        "SELECT * FROM ("
+        f"WITH {_S}, {_impulse_response_sql(_DEC_IIR_SOS)}, "
+        "filt AS ("
+        "  SELECT xi.user_id, xi.j AS i, sum(h.hv * xj.x) AS y"
+        "  FROM s xi JOIN h ON h.m <= xi.j"
+        "  JOIN s xj ON xj.user_id = xi.user_id AND xj.j = xi.j - h.m"
+        "  GROUP BY xi.user_id, xi.j"
+        ") "
+        f"SELECT 'causal' AS variant, user_id, i // {_DECIMATE_Q} AS idx, "
+        f"round(y, 4) + 0.0 AS value4 FROM filt WHERE i % {_DECIMATE_Q} = 0"
+        ") UNION ALL SELECT * FROM ("
+        f"WITH {_S}, {_filtfilt_chain_sql(_DEC_IIR_SOS)} "
+        f"SELECT 'zerophase' AS variant, user_id, idx // {_DECIMATE_Q} AS idx, "
+        f"round(y, 4) + 0.0 AS value4 FROM ff WHERE idx % {_DECIMATE_Q} = 0)"
+    )
+
+
+def q_decimate_iir_merged(spark, sf_dir):
+    """decimate ftype='iir' causal + zero-phase variants in one
+    variant-tag union. Replaces decimate_iir + decimate_iir_zerophase."""
+    ev = _events(spark, sf_dir)
+    out = []
+    for tag, zp in (("causal", False), ("zerophase", True)):
+        res = ops.decimate(
+            ev, _DECIMATE_Q, by=["user_id"], dim="ts", ftype="iir", zero_phase=zp
+        )
+        out.append(
+            res.select(
+                F.lit(tag).alias("variant"),
+                "user_id",
+                "idx",
+                _r("value", 4, "value4"),
+            )
+        )
+    return out[0].unionAll(out[1])
+
+
+def _sosfiltfilt_merged_oracle() -> str:
+    return (
+        "SELECT 'odd' AS variant, user_id, idx, value4 FROM ("
+        + _sosfiltfilt_oracle_sql()
+        + ") UNION ALL SELECT * FROM ("
+        f"WITH {_S}, {_filtfilt_chain_sql(_SFF_SOS, padtype='even')} "
+        "SELECT 'even' AS variant, user_id, idx, round(y, 4) + 0.0 AS value4 "
+        "FROM ff)"
+    )
+
+
+def q_sosfiltfilt_merged(spark, sf_dir):
+    """sosfiltfilt padtype='odd' (scipy default) + 'even' variants in
+    one variant-tag union. Replaces sosfiltfilt + sosfiltfilt_even."""
+    ev = _events(spark, sf_dir)
+    out = []
+    for tag in ("odd", "even"):
+        res = ops.sosfiltfilt(_SFF_SOS, ev, by=["user_id"], dim="ts", padtype=tag)
+        out.append(
+            res.select(
+                F.lit(tag).alias("variant"),
+                "user_id",
+                "idx",
+                _r("value", 4, "value4"),
+            )
+        )
+    return out[0].unionAll(out[1])
+
+
+def _text_lang_fp_oracle() -> str:
+    return (
+        "SELECT l.doc_id, l.score_en, l.score_de, l.score_fr, l.score_es, "
+        "l.score_zh, l.pred_lang, f.n_chars, f.fingerprint "
+        f"FROM ({_lang_id_oracle()}) l JOIN ("
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1), "
+        "i -> md5(substring(text, i, 8)))) AS fingerprint "
+        "FROM documents) f USING (doc_id)"
+    )
+
+
+def q_text_lang_fp(spark, sf_dir):
+    """lang_id + rolling-hash fingerprint joined per doc — two text
+    operators, one head slot. Replaces text_lang_id + text_fingerprint."""
+    docs = _docs(spark, sf_dir)
+    lang = pl.lang_id(docs).select(
+        "doc_id",
+        *[
+            F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}")
+            for lang in ("en", "de", "fr", "es", "zh")
+        ],
+        "pred_lang",
+    )
+    fp = pl.fingerprint(docs).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), "fingerprint"
+    )
+    return lang.join(fp, "doc_id")
+
+
+# name -> (query fn, oracle sql). CI-verified every pytest run
+# (tests/test_queued_contract.py); registered per the recipe above.
+_QUEUED: dict = {
+    "welch_blackman": (q_welch_blackman, _welch_oracle("blackman")),
+    "dedup_ngram_spans": (q_dedup_ngram_spans, _dup_ngram_oracle()),
+    "deconvolve": (q_deconvolve, _deconvolve_oracle()),
+    "sketch_hll": (q_sketch_hll, _hll_oracle()),
+    "sketch_countmin": (q_sketch_countmin, _countmin_oracle()),
+    "bloom_decontaminate": (q_bloom_decontaminate, _bloom_oracle()),
+    "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
+    "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
+    "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),
+    "text_lang_id@merged": (q_text_lang_fp, _text_lang_fp_oracle()),
+}

@@ -57,6 +57,15 @@ from .text import (
     vocabulary,
 )
 from .curate import curation_report
+from .sketches import (
+    bloom_bits,
+    bloom_decontaminate,
+    countmin_lookup,
+    countmin_sketch,
+    hll_distinct,
+    hll_estimate,
+    hll_state,
+)
 from .sample import (
     hash_uniform,
     mix_datasets,

@@ -1,0 +1,369 @@
+"""Mergeable probabilistic sketches with engine-portable determinism.
+
+At 100 TB, exact answers to "how many distinct tokens", "how often does
+this n-gram appear", and "is this shingle in the eval suite" stop being
+free: exact distinct is a full shuffle of every distinct value, exact
+frequency tables don't fit an executor, and an exact decontamination
+set can be gigabytes of strings where a Bloom filter is kilobytes.
+These sketches bound that cost: each one is a FIXED-size state computed
+with one map-side-combinable aggregation (partial aggregation does the
+compression on the mappers; the shuffle moves at most
+``registers × groups`` rows, never data-proportional rows), and states
+from disjoint partitions/days/shards merge associatively — the property
+that makes them incremental at scale.
+
+Determinism design (same trick as :mod:`.hashes`): every hash is "first
+15 hex chars of md5, base-16" and every state value is kept in BIGINT
+arithmetic, so the identical state is reproducible in DuckDB and the
+contract oracle compares sketch states BYTE-exactly — no "approximately
+equal" hand-waving in the correctness gate. Floating point appears only
+in the final estimate formula, computed from the integer state.
+
+No reference analog (the reference has no aggregates at all,
+SURVEY.md §2.3); public-knowledge constructions: HyperLogLog (Flajolet,
+Fusy, Gandouet, Meunier 2007), count-min (Cormode, Muthukrishnan 2005),
+Bloom (1970).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashes import _c, spread, tokens, word_shingles
+
+__all__ = [
+    "hll_state",
+    "hll_estimate",
+    "hll_distinct",
+    "countmin_sketch",
+    "countmin_lookup",
+    "bloom_bits",
+    "bloom_decontaminate",
+]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+# 60-bit md5 hash = p low bits of bucket index + (60 - p) high bits of
+# rank material. With the default p=12: 4096 registers, ranks 1..49
+# (rank 49 = all 48 high bits zero). Register terms are stored as
+# 2^(RANK_SCALE - rank) BIGINTs so the sum of 2^-rank over registers is
+# EXACT integer arithmetic (associative — safe under any partial-agg
+# order, unlike float sums whose rounding is order-dependent).
+_RANK_SCALE = 49
+
+
+def _hll_bucket_rank(col, p: int) -> tuple[Column, Column]:
+    """(bucket, rank) Columns from the md5 hex digest.
+
+    ``p`` must be a multiple of 4 so the bucket is EXACTLY the last
+    p/4 hex chars of the 15-char (60-bit) hash window and the rank
+    material the first 15 − p/4 chars — two independent base-16 parses,
+    no division (a 2^60 value does not survive a double-precision
+    divide, and integer-div syntax differs between engines; substring
+    arithmetic is exact and identical in both).
+
+    rank = leading zeros of the high (60 − p) bits + 1, found with an
+    integer comparison ladder — log2() would be libm-dependent and can
+    round differently across engines at power-of-two boundaries, which
+    would silently desync the oracle. The DuckDB oracle rebuilds the
+    identical ladder from the same (p, threshold) constants."""
+    hi_bits = 60 - p
+    hexd = F.md5(_c(col))
+    bucket = F.conv(F.substring(hexd, 15 - p // 4 + 1, p // 4), 16, 10).cast(
+        "bigint"
+    )
+    hi = F.conv(F.substring(hexd, 1, 15 - p // 4), 16, 10).cast("bigint")
+    rank = F.lit(hi_bits + 1)
+    # build the ladder from the bottom up so the first true WHEN
+    # (largest threshold) wins, mirroring the SQL CASE order
+    for r in range(hi_bits, 0, -1):
+        rank = F.when(hi >= F.lit(1 << (hi_bits - r)), F.lit(r)).otherwise(rank)
+    return bucket.alias("bucket"), rank
+
+
+def hll_state(
+    df: DataFrame,
+    col,
+    *,
+    by: str | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """HyperLogLog register state for ``approx distinct(col)`` (per
+    ``by`` group when given), as pure BIGINTs.
+
+    Two hash aggregations, both map-side combinable: (1) per
+    ``(group, bucket)`` max rank — partial max on the mappers means the
+    shuffle carries at most ``groups × 2^p`` rows no matter how many
+    input rows there are; (2) per group, fold the ≤2^p register rows
+    into the fixed-size state. At 100 TB this is the difference between
+    shuffling every distinct value and shuffling a 4096-row state.
+
+    Output per group: ``m`` (register count), ``present`` (non-zero
+    registers), ``zeros``, ``register_sum`` = Σ 2^(49 − M_j) over ALL m
+    registers (empty registers contribute 2^49) — exact integer, the
+    harmonic-mean denominator scaled by 2^49 — and ``rank_checksum`` =
+    Σ M_j (a cheap cross-engine state digest).
+    """
+    if p not in (4, 8, 12):
+        # multiples of 4 -> the bucket is a clean hex-char split (see
+        # _hll_bucket_rank); p <= 12 keeps register_sum <= 2^(p + 49)
+        # < 2^63 (no BIGINT overflow)
+        raise ValueError(f"p must be 4, 8, or 12, got {p}")
+    m = 1 << p
+    keys = [by] if by else []
+    bucket, rank = _hll_bucket_rank(col, p)
+    regs = (
+        df.select(*keys, bucket, rank.alias("rank"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rank").alias("mj"))
+    )
+    # present-register terms + 2^49 for each of the (m - present) empty
+    # registers; shiftleft keeps it integer end to end (mj <= 49 <= the
+    # BIGINT range for any p >= 4)
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({_RANK_SCALE} - mj AS INT))"
+    )
+    return regs.groupBy(*keys).agg(
+        F.lit(m).alias("m"),
+        F.count(F.lit(1)).alias("present"),
+        (F.lit(m) - F.count(F.lit(1))).alias("zeros"),
+        (
+            F.sum(term)
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << _RANK_SCALE)
+        ).alias("register_sum"),
+        F.sum("mj").alias("rank_checksum"),
+    )
+
+
+def _alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(m: int, zeros: int, register_sum: int) -> float:
+    """Distinct-count estimate from one integer state row — the only
+    floating-point step, applied AFTER the exact state (Flajolet et al.
+    2007 raw estimate + small-range linear counting)."""
+    raw = _alpha(m) * m * m * float(1 << _RANK_SCALE) / float(register_sum)
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw
+
+
+def hll_distinct(
+    df: DataFrame,
+    col,
+    *,
+    by: str | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """``hll_state`` plus the float ``estimate`` column (computed from
+    the state row-locally — no extra pass)."""
+    state = hll_state(df, col, by=by, p=p)
+    raw = (
+        F.lit(_alpha(1 << p) * (1 << p) * (1 << p) * float(1 << _RANK_SCALE))
+        / F.col("register_sum").cast("double")
+    )
+    linear = F.lit(float(1 << p)) * F.log(F.lit(float(1 << p)) / F.col("zeros"))
+    est = F.when((raw <= F.lit(2.5 * (1 << p))) & (F.col("zeros") > 0), linear).otherwise(
+        raw
+    )
+    return state.withColumn("estimate", est)
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+
+def _cm_cell(col, j: int, width: int) -> Column:
+    """Row-``j`` cell index: h60("cm<j>|" || value) % width."""
+    from .hashes import h60
+
+    return h60(F.concat_ws("|", F.lit(f"cm{j}"), _c(col))) % F.lit(width)
+
+
+def countmin_sketch(
+    df: DataFrame,
+    col,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    weight=None,
+) -> DataFrame:
+    """Count-min frequency sketch of ``col``: ``depth`` hash rows ×
+    ``width`` counters, as rows ``(j, cell, cnt)``.
+
+    ONE aggregation: each input row expands to ``depth`` (j, cell)
+    pairs via an inline array (no shuffle for the expand), then a
+    map-side-combinable sum — the shuffle carries at most
+    ``depth × width`` cells. States merge by adding cnt cell-wise, so
+    per-shard sketches roll up without touching row data again.
+    ``weight`` (optional Column) turns it into a weighted frequency
+    sketch.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1, width >= 2")
+    w = F.lit(1).cast("bigint") if weight is None else _c(weight).cast("bigint")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cm_cell(col, j, width).alias("cell"))
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"), w.alias("w"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate frequencies for ``probes[probe_col]``: min over
+    the ``depth`` rows of each probe's cell counter (the count-min
+    upper-bound estimate; never below the true count).
+
+    The sketch side is at most ``depth × width`` rows → broadcast; the
+    probe side joins without moving. Output: ``(probe_col, est)``.
+    """
+    exprs = [
+        F.struct(F.lit(j).alias("j"), _cm_cell(probe_col, j, width).alias("cell"))
+        for j in range(depth)
+    ]
+    cells = probes.select(
+        _c(probe_col).alias(probe_col), F.explode(F.array(*exprs)).alias("p")
+    ).select(probe_col, F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+    joined = cells.join(F.broadcast(sketch), ["j", "cell"], "left").fillna(
+        {"cnt": 0}
+    )
+    return joined.groupBy(probe_col).agg(F.min("cnt").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter decontamination
+# ---------------------------------------------------------------------------
+
+
+def bloom_bits(
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """The SET bit positions of a Bloom filter over the benchmark's
+    distinct word ``n``-grams: each shingle sets ``k`` md5-derived
+    positions in ``[0, m_bits)``. Output: distinct ``(pos)`` rows —
+    at most ``m_bits`` of them regardless of benchmark size, which is
+    what makes the filter broadcastable where the raw shingle set is
+    not.
+    """
+    from .hashes import h60
+
+    sh = (
+        benchmark.select(tokens(text_col).alias("toks"))
+        .select(F.explode(word_shingles(F.col("toks"), k=n)).alias("sh"))
+        .distinct()
+    )
+    pos = F.array(
+        *[
+            h60(F.concat_ws("|", F.lit(f"bloom{i}"), F.col("sh"))) % F.lit(m_bits)
+            for i in range(k)
+        ]
+    )
+    return sh.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`~xarray_scipy_spark.pipeline.text.decontaminate` with a
+    Bloom filter standing in for the exact benchmark shingle set.
+
+    Scale story: exact decontamination broadcasts the benchmark's raw
+    shingle STRINGS — fine for one eval suite, but a combined
+    many-benchmark guard set can reach gigabytes. The Bloom filter caps
+    the broadcast at ``m_bits`` bits (2^18 bits = 32 KiB) with a known
+    false-positive rate ≈ (1 − e^(−k·s/m))^k, and NO false negatives:
+    every truly contaminated document is flagged (the property the
+    guard actually needs — a few clean docs over-dropped is the cheap
+    direction). A doc shingle counts as a hit only when ALL ``k`` of
+    its positions are set; the k membership probes are k broadcast hash
+    joins against the ≤``m_bits``-row position set (no corpus
+    repartition, same shuffle shape as the exact path).
+
+    Output: ``(id_col, n_flagged_shingles, contaminated)`` — one row
+    per document, zero-filled for clean docs.
+    """
+    from .hashes import h60
+
+    bench_text_col = text_col if bench_text_col is None else bench_text_col
+    bits = bloom_bits(
+        benchmark, text_col=bench_text_col, n=n, m_bits=m_bits, k=k
+    )
+    doc_sh = (
+        spread(docs, id_col)
+        .select(F.col(id_col), tokens(text_col).alias("toks"))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col("toks"), k=n)).alias("sh"),
+        )
+    )
+    probed = doc_sh
+    flag = F.lit(True)
+    for i in range(k):
+        pcol = f"_p{i}"
+        hit = f"_hit{i}"
+        probed = probed.withColumn(
+            pcol,
+            h60(F.concat_ws("|", F.lit(f"bloom{i}"), F.col("sh"))) % F.lit(m_bits),
+        ).join(
+            F.broadcast(bits.withColumnRenamed("pos", pcol).withColumn(hit, F.lit(True))),
+            pcol,
+            "left",
+        )
+        flag = flag & F.col(hit).isNotNull()
+    hits = (
+        probed.select(F.col(id_col), flag.alias("flagged"))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("flagged").cast("bigint")).alias("n_flagged_shingles"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_flagged_shingles"), F.lit(0)).alias(
+                "n_flagged_shingles"
+            ),
+            (F.coalesce(F.col("n_flagged_shingles"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
