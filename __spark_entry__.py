@@ -58,8 +58,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROTATION MATH FOR r7+: with a 50-slot head, N registered queries get
 # driver-checked every ceil(N/50) rounds — the two-round freshness bar
 # holds only while N <= 100. The r7 registration queue lives in
-# contract._QUEUED (7 new queries + 4 variant-pair merges that retire
-# 4 redundant names), every entry CI-verified byte-exactly at sf0.001
+# contract._QUEUED (7 r7-bound new queries + 4 variant-pair merges
+# that retire 4 redundant names, plus skew_join queued for r8 behind
+# a multimodal-decode-trio merge), every entry CI-verified byte-exactly at sf0.001
 # on each pytest run (tests/test_queued_contract.py) and hand-verified
 # at sf0.01; executing the recipe in contract.py ("r7 registration
 # queue" section) lands N at exactly 100 with a 50-name head (43

@@ -153,7 +153,7 @@ def spark_median(spark, fn) -> float:
 
 def main() -> int:
     global REPLICAS, DST
-    from xarray_scipy_spark.contract import ORACLES, QUERIES
+    from xarray_scipy_spark.contract import ORACLES, QUERIES, _QUEUED
     from xarray_scipy_spark.session import get_spark
 
     args = sys.argv[1:]
@@ -176,8 +176,11 @@ def main() -> int:
 
     out = {}
     for name in names:
-        t_spark = spark_median(spark, QUERIES[name])
-        t_oracle = oracle_median(ORACLES[name])
+        # r7-queued queries (contract._QUEUED) measure the same way
+        qfn = QUERIES.get(name) or _QUEUED[name][0]
+        osql = ORACLES.get(name) or _QUEUED[name][1]
+        t_spark = spark_median(spark, qfn)
+        t_oracle = oracle_median(osql)
         out[name] = {
             "spark_sec": round(t_spark, 3),
             "oracle_sec": round(t_oracle, 3),

@@ -4213,6 +4213,113 @@ def q_text_lang_fp(spark, sf_dir):
     return lang.join(fp, "doc_id")
 
 
+# --- gap-fill / regular-grid resampling ------------------------------------
+
+_GF_DT_S = 21_600  # 6-hour grid over the ~29-day event span (~117/user)
+
+
+def _gapfill_oracle() -> str:
+    """DuckDB twin of operators.timegrid.gapfill on events (6 h grid):
+    the same union-of-grid-and-observations + one ordered window with
+    running last/first-ignore-nulls brackets, identical interpolation
+    op order ((v1-v0) * dt_num / dt_den, diff ratio last)."""
+    step = _GF_DT_S * 1_000_000
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v FROM events), "
+        "rng AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM e GROUP BY user_id), "
+        f"grid AS (SELECT user_id, unnest(range(t0, t1 + 1, {step})) AS t FROM rng), "
+        "u AS (SELECT user_id, t, v, 1 AS obs FROM e "
+        "UNION ALL SELECT user_id, t, CAST(NULL AS DOUBLE) AS v, 0 AS obs FROM grid), "
+        "f AS (SELECT user_id, t, obs, "
+        "last_value(v IGNORE NULLS) OVER w_back AS v0, "
+        "last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_back AS pt, "
+        "first_value(v IGNORE NULLS) OVER w_fwd AS v1, "
+        "first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_fwd AS nt "
+        "FROM u WINDOW "
+        "w_back AS (PARTITION BY user_id ORDER BY t, obs DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+        "w_fwd AS (PARTITION BY user_id ORDER BY t, obs DESC "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), "
+        "sel AS (SELECT user_id, t, "
+        "CASE WHEN t = pt THEN v0 WHEN nt IS NULL THEN v0 "
+        "ELSE v0 + (v1 - v0) * CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) "
+        "END AS lin, v0 AS ff FROM f WHERE obs = 0) "
+        "SELECT 'linear' AS variant, user_id, t AS t_us, "
+        + _q3("lin")
+        + " AS v_q FROM sel "
+        "UNION ALL SELECT 'ffill' AS variant, user_id, t AS t_us, "
+        + _q3("ff")
+        + " AS v_q FROM sel"
+    )
+
+
+def q_gapfill(spark, sf_dir):
+    """Regular-grid resampling of the irregular event series (6 h
+    grid): linear interpolation + last-observation-carried-forward in
+    one variant-tag union (operators/timegrid.py gapfill — union +
+    single ordered window, no join node)."""
+    ev = _events(spark, sf_dir)
+    out = []
+    for tag in ("linear", "ffill"):
+        res = ops.gapfill(
+            ev, by=["user_id"], dim="ts", value="value", dt=_GF_DT_S, method=tag
+        )
+        out.append(
+            res.select(
+                F.lit(tag).alias("variant"),
+                "user_id",
+                timeutil.epoch_us(res, "ts").alias("t_us"),
+                _q3_col(F.col("value")).alias("v_q"),
+            )
+        )
+    return out[0].unionAll(out[1])
+
+
+# --- skew-diffused join (r8 queue: r7's head budget is already exact;
+# free the slot by merging the multimodal png/bmp/jpeg decode trio) ---
+
+_SKEW_PIVOT = 75  # user_id <= pivot collapses to key 0 -> ~half the rows
+
+
+def _skew_join_oracle() -> str:
+    """Plain-join DuckDB mirror: salting must be invisible in the
+    result — the oracle IS the unsalted join."""
+    return (
+        "WITH l AS (SELECT event_id, "
+        f"CASE WHEN user_id <= {_SKEW_PIVOT} THEN 0 ELSE user_id END AS k, "
+        "value FROM events), "
+        "r AS (SELECT k, count(*) AS k_n, avg(value) AS k_avg FROM l GROUP BY k) "
+        "SELECT l.event_id, l.k, r.k_n, "
+        + _q3("r.k_avg")
+        + " AS k_avg_q FROM l JOIN r USING (k)"
+    )
+
+
+def q_skew_join(spark, sf_dir):
+    """Hot-key-salted equi-join (operators/joins.py skew_join): half
+    the events collapse onto key 0 (the pathological sentinel-key
+    shape), the join right side is the per-key profile, and the salted
+    plan must reproduce the plain join row-for-row while spreading
+    key 0 across 8 salt buckets."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    left = ev.select(
+        "event_id",
+        F.when(F.col("user_id") <= _SKEW_PIVOT, 0)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    right = left.groupBy("k").agg(
+        F.count(F.lit(1)).alias("k_n"), F.avg("value").alias("k_avg")
+    )
+    res = ops.skew_join(
+        left, right, on=["k"], left_id="event_id", salt=8, hot_threshold=1000
+    )
+    return res.select(
+        "event_id", "k", "k_n", _q3_col(F.col("k_avg")).alias("k_avg_q")
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4222,6 +4329,8 @@ _QUEUED: dict = {
     "sketch_hll": (q_sketch_hll, _hll_oracle()),
     "sketch_countmin": (q_sketch_countmin, _countmin_oracle()),
     "bloom_decontaminate": (q_bloom_decontaminate, _bloom_oracle()),
+    "gapfill": (q_gapfill, _gapfill_oracle()),
+    "skew_join": (q_skew_join, _skew_join_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),

@@ -14,7 +14,8 @@ from .detrend import detrend
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import filtfilt, lfilter, sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
-from .joins import asof_join, range_join
+from .joins import asof_join, range_join, skew_join
+from .timegrid import gapfill
 from .peaks import find_peaks, peak_prominences, peak_widths
 from .resample import decimate, resample, resample_poly, upfirdn
 from .savgol import savgol_filter
@@ -25,6 +26,8 @@ __all__ = [
     "convolve",
     "correlate",
     "fftconvolve",
+    "gapfill",
+    "skew_join",
     "fftconvolve_nd",
     "convolve_fir",
     "decimate",

@@ -21,7 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "skew_join"]
 
 
 def asof_join(
@@ -140,3 +140,88 @@ def range_join(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("__chunk__")
+
+
+def skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_id: str,
+    how: str = "inner",
+    salt: int = 16,
+    hot_keys: DataFrame | None = None,
+    hot_threshold: int = 100_000,
+) -> DataFrame:
+    """Equi-join that survives hot keys: ``left ⋈ right`` on ``on``
+    with the skewed keys SALTED so no single task owns a hot key's
+    whole partition.
+
+    The classic failure at scale: a handful of keys carry 100-1000x
+    the median row count (the null-ish sentinel user, the default
+    domain, the empty-string hash), and a plain shuffle join stalls on
+    the straggler tasks holding them — AQE's skew split helps the SORT
+    side but cannot split a single grouped hash bucket mid-join. The
+    standard fix is salting, done here only where it pays:
+
+    - hot keys are found with ONE aggregation on the left side (keys
+      with ``count >= hot_threshold``), or supplied via ``hot_keys``
+      (a DataFrame of key columns) when the caller already knows them
+      — e.g. from a :func:`~xarray_scipy_spark.pipeline.sketches.
+      countmin_sketch` maintained by an upstream pass;
+    - the hot-key frame is tiny by construction and is BROADCAST to
+      tag both sides — the big sides never reshuffle for detection;
+    - ``right`` rows under hot keys replicate ``salt`` ways (explode;
+      extra shuffle volume = salt x hot right rows only), ``left``
+      rows under hot keys pick ONE deterministic salt from
+      ``md5(left_id)`` — every matched pair meets in exactly one
+      bucket, so the result is row-for-row the plain join, just
+      diffused across ``salt`` tasks per hot key;
+    - cold keys pass through with salt 0 on both sides — zero
+      replication, identical plan to the unsalted join.
+
+    ``how``: ``"inner"`` or ``"left"``. ``left_id`` names a left
+    column whose values decide the salt bucket (any column works;
+    a high-cardinality id spreads best, and determinism makes reruns
+    and retries produce identical assignments).
+
+    Output: the joined frame (key columns once, salt bookkeeping
+    dropped).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if salt < 2:
+        raise ValueError(f"salt must be >= 2, got {salt}")
+    on = list(on)
+    if hot_keys is None:
+        hot_keys = (
+            left.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= hot_threshold)
+            .select(*on)
+        )
+    hot = F.broadcast(hot_keys.select(*on).distinct().withColumn("_hot", F.lit(True)))
+
+    from ..pipeline.hashes import h60
+
+    lsalt = F.when(
+        F.col("_hot").isNotNull(),
+        h60(F.concat_ws("|", F.lit("skewsalt"), F.col(left_id).cast("string")))
+        % F.lit(salt),
+    ).otherwise(F.lit(0))
+    lt = (
+        left.join(hot, on, "left")
+        .withColumn("_salt", lsalt.cast("int"))
+        .drop("_hot")
+    )
+    rsalts = F.sequence(
+        F.lit(0),
+        F.when(F.col("_hot").isNotNull(), F.lit(salt - 1)).otherwise(F.lit(0)),
+    )
+    rt = (
+        right.join(hot, on, "left")
+        .withColumn("_salts", rsalts)
+        .withColumn("_salt", F.explode("_salts"))
+        .drop("_hot", "_salts")
+    )
+    return lt.join(rt, on=[*on, "_salt"], how=how).drop("_salt")

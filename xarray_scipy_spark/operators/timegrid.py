@@ -1,0 +1,142 @@
+"""Regular-grid resampling of irregular time series (gap-fill).
+
+Sensor/event streams arrive at irregular instants; most downstream DSP
+(every kernel in this engine that assumes an equispaced ``dim``) and
+most feature pipelines want a regular grid. ``gapfill`` snaps each
+series onto ``[min(t), max(t)]`` stepped by ``dt`` and fills every grid
+instant from its bracketing observations — linear interpolation or
+last-observation-carried-forward.
+
+No reference analog: the reference assumes its inputs already sit on
+an equispaced coordinate (its `_compute_delta` takes the MEAN spacing,
+signal.py:17, silently mis-labelling irregular inputs); regularizing
+is the step its users must do upstream in xarray. An engine over raw
+event tables needs it in-engine.
+
+Plan shape (scale notes): one tiny per-series min/max aggregation
+(shuffle #1, one row per series), a generative ``sequence`` explode
+for the grid (no shuffle — rows produced where the series lives), a
+union with the observations, and ONE ordered window over
+``(by, t)`` (shuffle #2) computing the bracketing neighbours with
+running ``last/first(..., ignorenulls)`` frames — no join node
+anywhere, so there is nothing to skew and nothing to broadcast. Cost
+is linear in observations + grid points; partitioning is per-series,
+the same key layout every kernel operator here uses. Spark's
+``sequence`` caps one series' grid at ~2^31 points; pick ``dt``
+accordingly (a 100-year span at 1 s is 3.2e9 — split such series by
+epoch first).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence as _Seq
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["gapfill"]
+
+
+def gapfill(
+    df: DataFrame,
+    *,
+    by: _Seq[str],
+    dim: str,
+    value: str = "value",
+    dt,
+    method: str = "linear",
+) -> DataFrame:
+    """Resample each series onto the regular grid ``min(t) .. max(t)``
+    step ``dt`` along ``dim``, filling values by ``method``:
+
+    - ``"linear"``: ``v0 + (v1 − v0) · (t − t0)/(t1 − t0)`` from the
+      bracketing observations; an observation exactly on a grid
+      instant passes through bit-identically; past the last
+      observation (only the series max itself, by construction) the
+      last value carries.
+    - ``"ffill"``: last observation at or before the grid instant.
+
+    ``dim`` may be numeric (``dt`` in the same units) or a timestamp
+    (``dt`` in SECONDS; the grid is computed on exact epoch
+    microseconds — integer arithmetic, no float timestamp round-trip —
+    and restored to a timestamp column on output).
+
+    Output: ``[*by, <dim>, <value>]``, one row per grid instant.
+    """
+    from ..functions.timeutil import _NTZ_EPOCH, epoch_us
+
+    if method not in ("linear", "ffill"):
+        raise ValueError(f"method must be 'linear' or 'ffill', got {method!r}")
+    by = list(by)
+    in_dtype = dict(df.dtypes)[dim]
+    is_ts = in_dtype.startswith("timestamp")
+    if is_ts:
+        # epoch_us handles TIMESTAMP and TIMESTAMP_NTZ (naive-as-UTC),
+        # keeping grid arithmetic in exact integer microseconds
+        tcol = epoch_us(df, dim)
+        step = int(round(float(dt) * 1_000_000))
+        if step <= 0:
+            raise ValueError(f"dt must be a positive number of seconds, got {dt!r}")
+    else:
+        tcol = F.col(dim)
+        step = dt
+
+    obs = df.select(
+        *by,
+        tcol.alias("_t"),
+        F.col(value).cast("double").alias("_v"),
+        F.lit(1).alias("_obs"),
+    )
+    rng = obs.groupBy(*by).agg(
+        F.min("_t").alias("_t0"), F.max("_t").alias("_t1")
+    )
+    grid = rng.select(
+        *by,
+        F.explode(F.sequence(F.col("_t0"), F.col("_t1"), F.lit(step))).alias(
+            "_t"
+        ),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(0).alias("_obs"),
+    )
+    # observations sort BEFORE the grid row at the same instant
+    # (_obs desc), so the backward frame sees a collocated observation
+    # and the forward frame (which starts at the current row) does not
+    # double-count it
+    w = Window.partitionBy(*by).orderBy(F.col("_t").asc(), F.col("_obs").desc())
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_t = F.when(F.col("_v").isNotNull(), F.col("_t"))
+    both = obs.unionAll(grid).select(
+        *by,
+        "_t",
+        "_obs",
+        F.last("_v", ignorenulls=True).over(back).alias("_v0"),
+        F.last(obs_t, ignorenulls=True).over(back).alias("_pt"),
+        F.first("_v", ignorenulls=True).over(fwd).alias("_v1"),
+        F.first(obs_t, ignorenulls=True).over(fwd).alias("_nt"),
+    )
+    if method == "ffill":
+        filled = F.col("_v0")
+    else:
+        # exact-hit and trailing-edge cases short-circuit so the
+        # formula never divides by zero; the arithmetic order is fixed
+        # (diff ratio last) and mirrored by the contract oracle
+        filled = (
+            F.when(F.col("_t") == F.col("_pt"), F.col("_v0"))
+            .when(F.col("_nt").isNull(), F.col("_v0"))
+            .otherwise(
+                F.col("_v0")
+                + (F.col("_v1") - F.col("_v0"))
+                * (F.col("_t") - F.col("_pt")).cast("double")
+                / (F.col("_nt") - F.col("_pt")).cast("double")
+            )
+        )
+    if not is_ts:
+        out_dim = F.col("_t").alias(dim)
+    elif in_dtype == "timestamp_ntz":
+        out_dim = F.expr(f"timestampadd(MICROSECOND, _t, {_NTZ_EPOCH})").alias(dim)
+    else:
+        out_dim = F.timestamp_micros(F.col("_t")).alias(dim)
+    return (
+        both.filter(F.col("_obs") == 0)
+        .select(*by, out_dim, filled.alias(value))
+    )
