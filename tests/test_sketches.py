@@ -201,3 +201,89 @@ def test_bloom_disjoint_corpus_mostly_clean(spark):
     )
     res = pl.bloom_decontaminate(corpus, bench)
     assert res.filter("contaminated").count() == 0
+
+
+def test_histogram_counts_and_overflow_bins(spark):
+    df = spark.createDataFrame(
+        [(float(x),) for x in [-5, 0, 0.5, 1, 2.5, 9.99, 10, 42]], "x double"
+    )
+    rows = {
+        r["bin"]: r["cnt"]
+        for r in pl.histogram_sketch(df, "x", lo=0.0, hi=10.0, bins=10).collect()
+    }
+    # -5 underflows; 10 and 42 overflow; 0/0.5 -> bin 0; 1 -> 1;
+    # 2.5 -> 2; 9.99 -> 9
+    assert rows == {-1: 1, 0: 2, 1: 1, 2: 1, 9: 1, 10: 2}
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    import numpy as np
+
+    vals = np.linspace(0.0, 100.0, 10_001)  # uniform grid
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    hist = pl.histogram_sketch(df, "x", lo=0.0, hi=100.0, bins=200).collect()
+    got = pl.quantile_from_histogram(
+        hist, (0.1, 0.5, 0.9), lo=0.0, hi=100.0, bins=200
+    )
+    for g, expect in zip(got, (10.0, 50.0, 90.0)):
+        assert abs(g - expect) <= 100.0 / 200  # one bin width
+
+
+def test_histogram_mergeable_and_partitioning_independent(spark):
+    import numpy as np
+
+    rng_vals = [float(v) for v in np.arange(1000) * 0.37 % 50]
+    df = spark.createDataFrame([(v,) for v in rng_vals], "x double")
+    a = sorted(
+        map(
+            tuple,
+            pl.histogram_sketch(df.coalesce(1), "x", lo=0.0, hi=50.0, bins=64).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pl.histogram_sketch(
+                df.repartition(16), "x", lo=0.0, hi=50.0, bins=64
+            ).collect(),
+        )
+    )
+    assert a == b
+    # shard merge: hist(A) + hist(B) bin-wise == hist(A union B)
+    h1 = pl.histogram_sketch(df.limit(500), "x", lo=0.0, hi=50.0, bins=64)
+    h2 = pl.histogram_sketch(
+        df.subtract(df.limit(500)), "x", lo=0.0, hi=50.0, bins=64
+    )
+    merged = sorted(
+        map(
+            tuple,
+            h1.unionAll(h2).groupBy("bin").agg(F.sum("cnt").alias("cnt")).collect(),
+        )
+    )
+    # subtract() dedups; rebuild the whole from the same dedup'd frame
+    whole = sorted(
+        map(
+            tuple,
+            pl.histogram_sketch(
+                df.limit(500).unionAll(df.subtract(df.limit(500))),
+                "x",
+                lo=0.0,
+                hi=50.0,
+                bins=64,
+            ).collect(),
+        )
+    )
+    assert merged == whole
+
+
+def test_histogram_validates(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="lo < hi"):
+        pl.histogram_sketch(df, "x", lo=1.0, hi=1.0)
+    with pytest.raises(ValueError, match="bins"):
+        pl.histogram_sketch(df, "x", lo=0.0, hi=1.0, bins=1)
+    with pytest.raises(ValueError, match="empty"):
+        pl.quantile_from_histogram([], (0.5,), lo=0.0, hi=1.0)
+    hist = pl.histogram_sketch(df, "x", lo=0.0, hi=2.0).collect()
+    with pytest.raises(ValueError, match="quantile"):
+        pl.quantile_from_histogram(hist, (1.5,), lo=0.0, hi=2.0)

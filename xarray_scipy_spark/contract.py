@@ -3925,19 +3925,19 @@ _HLL_M = 1 << _HLL_P
 def _hll_oracle() -> str:
     """DuckDB twin of pipeline.sketches.hll_state(p=12) over
     CAST(l_orderkey AS VARCHAR) grouped by l_returnflag: identical
-    hex-split bucket/rank layout, identical integer comparison ladder,
-    BIGINT register sum (sum() goes HUGEINT in DuckDB — cast back)."""
-    hi_bits = 60 - _HLL_P
-    ladder = " ".join(
-        f"WHEN hi >= {1 << (hi_bits - r)} THEN {r}" for r in range(1, hi_bits + 1)
-    )
+    hex-split bucket/rank layout, the rank ladder spliced in VERBATIM
+    from the same generator the Spark plan uses
+    (sketches._hll_rank_ladder_sql — one source of truth), BIGINT
+    register sum (sum() goes HUGEINT in DuckDB — cast back)."""
+    from .pipeline.sketches import _hll_rank_ladder_sql
+
     return (
         "WITH v AS (SELECT l_returnflag AS rf, "
         "md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem), "
         "br AS (SELECT rf, "
         f"('0x' || substring(hx, {15 - _HLL_P // 4 + 1}, {_HLL_P // 4}))::BIGINT AS bucket, "
         f"('0x' || substring(hx, 1, {15 - _HLL_P // 4}))::BIGINT AS hi FROM v), "
-        f"rk AS (SELECT rf, bucket, (CASE {ladder} ELSE {hi_bits + 1} END) AS rank "
+        f"rk AS (SELECT rf, bucket, ({_hll_rank_ladder_sql(_HLL_P)}) AS rank "
         "FROM br), "
         "regs AS (SELECT rf, bucket, max(rank) AS mj FROM rk GROUP BY rf, bucket) "
         f"SELECT rf, {_HLL_M} AS m, count(*) AS present, "
@@ -4320,6 +4320,35 @@ def q_skew_join(spark, sf_dir):
     )
 
 
+_HG_LO, _HG_HI, _HG_BINS = 0.0, 500.0, 256
+
+
+def _histogram_oracle() -> str:
+    """DuckDB twin of pipeline.sketches.histogram_sketch over event
+    values per event_type: identical floor((x-lo)*bins/(hi-lo)) bin
+    arithmetic, BIGINT counts only."""
+    raw = f"floor((value - {_HG_LO!r}) * {float(_HG_BINS)!r} / {_HG_HI - _HG_LO!r})"
+    return (
+        "WITH b AS (SELECT event_type, CAST(CASE "
+        f"WHEN {raw} < 0 THEN -1 "
+        f"WHEN {raw} > {_HG_BINS} THEN {_HG_BINS} "
+        f"ELSE {raw} END AS INTEGER) AS bin FROM events) "
+        "SELECT event_type, bin, count(*) AS cnt FROM b "
+        "GROUP BY event_type, bin"
+    )
+
+
+def q_sketch_histogram(spark, sf_dir):
+    """Fixed-bin histogram state per event_type (pipeline/sketches.py
+    histogram_sketch) — the one-pass bounded-state quantile machinery;
+    the contract compares the exact BIGINT bin counts. Queued r8 with
+    skew_join."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    return pl.histogram_sketch(
+        ev, "value", lo=_HG_LO, hi=_HG_HI, bins=_HG_BINS, by="event_type"
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4331,6 +4360,7 @@ _QUEUED: dict = {
     "bloom_decontaminate": (q_bloom_decontaminate, _bloom_oracle()),
     "gapfill": (q_gapfill, _gapfill_oracle()),
     "skew_join": (q_skew_join, _skew_join_oracle()),
+    "sketch_histogram": (q_sketch_histogram, _histogram_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),

@@ -62,9 +62,11 @@ from .sketches import (
     bloom_decontaminate,
     countmin_lookup,
     countmin_sketch,
+    histogram_sketch,
     hll_distinct,
     hll_estimate,
     hll_state,
+    quantile_from_histogram,
 )
 from .sample import (
     hash_uniform,

@@ -28,6 +28,7 @@ Bloom (1970).
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence as _HQSeq
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -38,6 +39,8 @@ __all__ = [
     "hll_estimate",
     "hll_distinct",
     "countmin_sketch",
+    "histogram_sketch",
+    "quantile_from_histogram",
     "countmin_lookup",
     "bloom_bits",
     "bloom_decontaminate",
@@ -57,33 +60,25 @@ __all__ = [
 _RANK_SCALE = 49
 
 
-def _hll_bucket_rank(col, p: int) -> tuple[Column, Column]:
-    """(bucket, rank) Columns from the md5 hex digest.
-
-    ``p`` must be a multiple of 4 so the bucket is EXACTLY the last
-    p/4 hex chars of the 15-char (60-bit) hash window and the rank
-    material the first 15 − p/4 chars — two independent base-16 parses,
-    no division (a 2^60 value does not survive a double-precision
-    divide, and integer-div syntax differs between engines; substring
-    arithmetic is exact and identical in both).
+def _hll_rank_ladder_sql(p: int, hi_expr: str = "hi") -> str:
+    """The rank CASE ladder as SQL TEXT, shared verbatim by the Spark
+    plan (``selectExpr``) and the DuckDB oracle.
 
     rank = leading zeros of the high (60 − p) bits + 1, found with an
     integer comparison ladder — log2() would be libm-dependent and can
     round differently across engines at power-of-two boundaries, which
-    would silently desync the oracle. The DuckDB oracle rebuilds the
-    identical ladder from the same (p, threshold) constants."""
+    would silently desync the oracle. Text construction matters for a
+    second reason: 48 nested ``F.when`` calls cost ~1 s of Py4J
+    round-trips PER PLAN BUILD (the dedup-simhash lesson); one
+    ``CASE`` string is a single call. Average evaluation cost is ~2
+    comparisons/row (rank r needs r comparisons, P(rank=r) = 2^-r).
+    """
     hi_bits = 60 - p
-    hexd = F.md5(_c(col))
-    bucket = F.conv(F.substring(hexd, 15 - p // 4 + 1, p // 4), 16, 10).cast(
-        "bigint"
+    cases = " ".join(
+        f"WHEN {hi_expr} >= {1 << (hi_bits - r)} THEN {r}"
+        for r in range(1, hi_bits + 1)
     )
-    hi = F.conv(F.substring(hexd, 1, 15 - p // 4), 16, 10).cast("bigint")
-    rank = F.lit(hi_bits + 1)
-    # build the ladder from the bottom up so the first true WHEN
-    # (largest threshold) wins, mirroring the SQL CASE order
-    for r in range(hi_bits, 0, -1):
-        rank = F.when(hi >= F.lit(1 << (hi_bits - r)), F.lit(r)).otherwise(rank)
-    return bucket.alias("bucket"), rank
+    return f"CASE {cases} ELSE {hi_bits + 1} END"
 
 
 def hll_state(
@@ -116,9 +111,25 @@ def hll_state(
         raise ValueError(f"p must be 4, 8, or 12, got {p}")
     m = 1 << p
     keys = [by] if by else []
-    bucket, rank = _hll_bucket_rank(col, p)
+    # p a multiple of 4 -> the bucket is EXACTLY the last p/4 hex chars
+    # of the 15-char (60-bit) hash window and the rank material the
+    # first 15 - p/4 chars: two independent base-16 parses, no division
+    # (a 2^60 value does not survive a double-precision divide, and
+    # integer-div syntax differs between engines; substring arithmetic
+    # is exact and identical in both). A small single-file scan arrives
+    # as ONE partition; hashing/the rank ladder would run serial
+    # without the spread (no-op at scale).
+    nhex = 15 - p // 4
+    src = spread(df, col).select(
+        *keys, _c(col).cast("string").alias("_hv")
+    )
     regs = (
-        df.select(*keys, bucket, rank.alias("rank"))
+        src.selectExpr(
+            *keys,
+            f"CAST(conv(substring(md5(_hv), {nhex + 1}, {p // 4}), 16, 10) AS BIGINT) AS bucket",
+            f"CAST(conv(substring(md5(_hv), 1, {nhex}), 16, 10) AS BIGINT) AS hi",
+        )
+        .selectExpr(*keys, "bucket", _hll_rank_ladder_sql(p) + " AS rank")
         .groupBy(*keys, "bucket")
         .agg(F.max("rank").alias("mj"))
     )
@@ -222,7 +233,7 @@ def countmin_sketch(
         ]
     )
     return (
-        df.select(F.explode(pairs).alias("p"), w.alias("w"))
+        spread(df, col).select(F.explode(pairs).alias("p"), w.alias("w"))
         .groupBy(F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
         .agg(F.sum("w").alias("cnt"))
     )
@@ -367,3 +378,96 @@ def bloom_decontaminate(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# one-pass histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+    by: str | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram of ``col`` over ``[lo, hi)``: one
+    map-side-combinable aggregation producing at most ``bins + 2``
+    BIGINT rows per group (the two extras catch underflow/overflow, so
+    nothing is silently dropped and a bad ``[lo, hi)`` guess is
+    visible in the state).
+
+    This is the quantile machinery that works at 100 TB: an exact
+    percentile needs a full sort (or a per-group ``percentile`` agg
+    whose state grows with distinct values), while the histogram's
+    state is FIXED at ``bins`` counters regardless of input size, the
+    partial aggregation compresses on the mappers, and per-shard
+    histograms merge by adding counts bin-wise. Bin index arithmetic is
+    pure integer-from-float flooring, reproduced exactly by the DuckDB
+    oracle — the contract compares bin COUNTS, all BIGINT.
+
+    Output per group: ``(bin, cnt)`` with ``bin = -1`` for
+    ``x < lo`` and ``bin = bins`` for ``x >= hi``.
+    """
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    keys = [by] if by else []
+    df = spread(df, col)
+    x = _c(col).cast("double")
+    # floor((x - lo) * bins / (hi - lo)) with the SAME op order as the
+    # oracle; clamp into [-1, bins]
+    raw = F.floor(
+        (x - F.lit(float(lo))) * F.lit(float(bins)) / F.lit(float(hi - lo))
+    )
+    b = (
+        F.when(raw < 0, F.lit(-1))
+        .when(raw > F.lit(bins), F.lit(bins))
+        .otherwise(raw)
+        .cast("int")
+    )
+    return (
+        df.select(*keys, b.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_from_histogram(
+    hist, qs: _HQSeq = (0.5,), *, lo: float, hi: float, bins: int = 1024
+) -> list[float]:
+    """Quantile estimates from one group's histogram rows (driver-side;
+    the state is <= bins + 2 rows by construction). Each quantile is
+    located by cumulative count and linearly interpolated inside its
+    bin — error is bounded by one bin width (hi - lo) / bins.
+    Underflow/overflow rows clamp to lo / hi."""
+    rows = {int(r["bin"]): int(r["cnt"]) for r in hist}
+    n = sum(rows.values())
+    if n == 0:
+        raise ValueError("empty histogram")
+    width = (hi - lo) / bins
+    out = []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+        target = q * n
+        acc = 0
+        val = hi
+        for b in sorted(rows):
+            c = rows[b]
+            if acc + c >= target:
+                if b < 0:
+                    val = lo
+                elif b >= bins:
+                    val = hi
+                else:
+                    frac = (target - acc) / c if c else 0.0
+                    val = lo + (b + frac) * width
+                break
+            acc += c
+        out.append(val)
+    return out
