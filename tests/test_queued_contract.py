@@ -34,6 +34,12 @@ def test_queued_query_matches_oracle(spark, name):
 
     fn, oracle = _QUEUED[name]
     sdf = fn(spark, SF_DIR).toPandas()
+    if oracle is None:
+        # rows-only queue entries (iterative algorithms with no SQL
+        # twin) get their value verification elsewhere — e.g. the BPE
+        # reference-parity test — and a non-empty smoke here
+        assert len(sdf) > 0
+        return
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "

@@ -4349,6 +4349,23 @@ def q_sketch_histogram(spark, sf_dir):
     )
 
 
+# --- BPE vocabulary training (r8 queue; rows-only like embedding_pca:
+# an iterative driver-argmax loop has no single-statement SQL twin —
+# value verification is the pure-Python reference parity run on every
+# pytest (tests/test_bpe.py, incl. on the driver's own documents) ---
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """10-merge BPE vocabulary learned from the documents corpus
+    (pipeline/bpe.py train_bpe): per-word final segmentation + count.
+    Deterministic — ties in the pair argmax break lexicographically,
+    so the merge sequence is partitioning- and rerun-stable."""
+    merges, vocab = pl.train_bpe(_docs(spark, sf_dir), num_merges=10)
+    return vocab.select(
+        "word", "cnt", F.concat_ws(" ", F.col("pieces")).alias("pieces")
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4361,6 +4378,7 @@ _QUEUED: dict = {
     "gapfill": (q_gapfill, _gapfill_oracle()),
     "skew_join": (q_skew_join, _skew_join_oracle()),
     "sketch_histogram": (q_sketch_histogram, _histogram_oracle()),
+    "bpe_vocab": (q_bpe_vocab, None),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),

@@ -56,6 +56,7 @@ from .text import (
     unigram_logprob,
     vocabulary,
 )
+from .bpe import apply_bpe, train_bpe, word_counts
 from .curate import curation_report
 from .sketches import (
     bloom_bits,

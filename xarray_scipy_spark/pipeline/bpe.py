@@ -1,0 +1,188 @@
+"""Corpus-scale byte-pair-encoding vocabulary training.
+
+The tokenizer-training step of a training-data pipeline: learn the
+merge table from the corpus itself (Sennrich, Haddow, Birch 2016 —
+public algorithm), then segment text with it. The standard scale
+observation makes this Spark-friendly: BPE training never needs the
+corpus after the first pass — only the WORD FREQUENCY table (vocab
+rows × counts), which is many orders of magnitude smaller and stays
+distributed here. Each merge iteration is then:
+
+1. explode adjacent symbol pairs per word, weighted by word count →
+   one hash-aggregate shuffle over ~vocab × avg_word_len rows
+   (map-side combined);
+2. ONE row collected to the driver (the argmax pair, ties broken
+   lexicographically so training is deterministic across partitionings
+   and reruns — same justification as the k-means Lloyd collect:
+   iteration state stays distributed, only the decision crosses);
+3. the merge applied to every word's symbol array with a single
+   Catalyst ``aggregate`` fold (greedy left-to-right, exactly the
+   reference scan), no Python in the pass.
+
+Lineage is truncated with ``localCheckpoint`` every few iterations so
+the plan does not grow with the merge count. ``apply_bpe`` segments a
+corpus by broadcast-joining the trained word→pieces table (every
+training word is covered by construction; unseen words fall back to
+character pieces, documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashes import spread, tokens
+
+__all__ = ["train_bpe", "word_counts", "apply_bpe"]
+
+_END = "</w>"  # end-of-word marker, as in the reference algorithm
+
+
+def word_counts(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The one corpus pass: whitespace words → ``(word, cnt)``."""
+    return (
+        spread(docs, id_col)
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _initial_symbols(word_col) -> F.Column:
+    """chars + the end-of-word marker: ['l','o','w','</w>']."""
+    return F.concat(
+        F.split(word_col, ""), F.array(F.lit(_END))
+    )
+
+
+def _merge_fold(syms, a: str, b: str) -> F.Column:
+    """Greedy left-to-right application of merge (a, b) to a symbol
+    array, as one Catalyst ``aggregate`` fold — carry holds the last
+    unmerged symbol; a carry==a meeting s==b emits the merged token
+    and clears (so 'aaa' under (a,a) gives [aa, a], the reference
+    scan's skip-2 behavior)."""
+    merged = F.lit(a + b)
+    empty = F.array().cast("array<string>")
+    init = F.struct(
+        empty.alias("arr"), F.lit(None).cast("string").alias("carry")
+    )
+
+    def step(acc, s):
+        hit = acc.carry.isNotNull() & (acc.carry == F.lit(a)) & (s == F.lit(b))
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc.arr, F.array(merged)).alias("arr"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc.carry.isNull(), acc.arr
+                ).otherwise(F.concat(acc.arr, F.array(acc.carry))).alias("arr"),
+                s.alias("carry"),
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc.carry.isNull(), acc.arr).otherwise(
+            F.concat(acc.arr, F.array(acc.carry))
+        )
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def train_bpe(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, vocab)``: the ordered merge list, and the word
+    table ``(word, cnt, pieces)`` with each word's final segmentation
+    — the artifact :func:`apply_bpe` broadcasts. Training stops early
+    when the best pair's corpus count falls below ``min_pair_count``
+    (merging hapax pairs memorizes noise).
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    vocab = (
+        word_counts(docs, text_col=text_col, id_col=id_col)
+        .select("word", "cnt", _initial_symbols(F.col("word")).alias("pieces"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for it in range(num_merges):
+        pair_rows = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(slice(pieces, 1, size(pieces) - 1), "
+                        "(s, i) -> struct(s AS a, pieces[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows or pair_rows[0]["n"] < min_pair_count:
+            break
+        a, b = pair_rows[0]["a"], pair_rows[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            "word", "cnt", _merge_fold(F.col("pieces"), a, b).alias("pieces")
+        )
+        if (it + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges, vocab.localCheckpoint()
+
+
+def apply_bpe(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "bpe_pieces",
+) -> DataFrame:
+    """Segment every document with a trained vocab: words broadcast-
+    join the ``(word, pieces)`` table; unseen words (possible only on
+    data outside the training corpus) fall back to character pieces.
+    Output: input columns + ``out`` = the flattened piece array."""
+    pieces_by_word = F.broadcast(vocab.select("word", "pieces"))
+    exploded = (
+        spread(docs, id_col)
+        .select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word"))
+        .join(pieces_by_word, "word", "left")
+        .select(
+            id_col,
+            "pos",
+            F.coalesce(
+                F.col("pieces"), _initial_symbols(F.col("word"))
+            ).alias("pieces"),
+        )
+    )
+    rebuilt = (
+        exploded.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "pieces"))
+                    ),
+                    lambda s: s.pieces,
+                )
+            ).alias(out)
+        )
+    )
+    return docs.join(rebuilt, id_col, "left")
