@@ -260,3 +260,62 @@ def test_second_wave_kernel_queries_single_exchange_pruned_scan(spark, name):
     assert "ReadSchema" in plan
     read = plan.split("ReadSchema: ")[-1].splitlines()[0]
     assert "props" not in read and "event_type" not in read, (name, read)
+
+
+def test_gapfill_has_no_join_node(spark):
+    """gapfill is union + one ordered window — a join node appearing
+    means the bracketing logic regressed to an asof-style join that
+    skews on hot series."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    plan = _static_plan(_QUEUED["gapfill"][0](spark, SF_DIR))
+    for node in _JOIN_NODES:
+        assert node not in plan, node
+    assert "Window" in plan
+
+
+def test_bloom_probes_are_broadcast_joins(spark):
+    """The Bloom position set must BROADCAST to the corpus side (its
+    whole point is constant-size membership); a SortMergeJoin means
+    the corpus reshuffled for the guard set."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    plan = _static_plan(_QUEUED["bloom_decontaminate"][0](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # one per hash probe
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_join_hot_tagging_is_broadcast(spark):
+    """skew_join's hot-key tagging joins must broadcast the tiny
+    hot-key frame; if tagging itself shuffles the big sides, the
+    detection pass costs what the salting saves."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    plan = _static_plan(_QUEUED["skew_join"][0](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # left tag + right tag
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sketch_states_are_pure_catalyst(spark):
+    """Sketch state queries (hll / countmin / histogram) must stay
+    whole-stage-codegen JVM plans: no Python workers, no UDF eval
+    nodes — the 100 TB throughput claim rides on this."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    for name in ("sketch_hll", "sketch_countmin", "sketch_histogram"):
+        plan = _static_plan(_QUEUED[name][0](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_hll_shuffle_is_register_bounded(spark):
+    """The HLL register aggregation must partial-aggregate BEFORE the
+    exchange (shuffle rows <= groups x 2^p, never input rows): both
+    aggregations show a partial_ pass under AQE's final plan."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    plan = _final_plan(_QUEUED["sketch_hll"][0](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 stages
+    assert "partial_max" in plan  # the register max combines map-side
