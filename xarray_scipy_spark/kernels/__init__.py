@@ -18,6 +18,9 @@ from .dsp import (
 )
 from .filter_design import (
     butter_sos,
+    freqz,
+    group_delay,
+    sosfreqz,
     cheby1_sos,
     firwin,
     lfilter_zi,
@@ -39,6 +42,9 @@ __all__ = [
     "lfilter_zi",
     "sos2tf",
     "butter_sos",
+    "freqz",
+    "group_delay",
+    "sosfreqz",
     "cheby1_sos",
     "firwin",
     "sosfilt_zi",

@@ -321,3 +321,56 @@ def sos2tf(sos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         b = np.convolve(b, sos[s, :3])
         a = np.convolve(a, sos[s, 3:])
     return b, a
+
+
+def freqz(b, a=1.0, worN: int = 512):
+    """Frequency response of a (b, a) transfer function on ``worN``
+    equispaced points over [0, π) (``scipy.signal.freqz(b, a, worN)``
+    semantics, whole-unit-circle=False): returns ``(w, h)`` with
+    ``h = B(e^{-jw}) / A(e^{-jw})`` evaluated by direct polynomial
+    summation. Driver-side design introspection — O(worN · taps)
+    floats, never a cluster job."""
+    b = np.atleast_1d(np.asarray(b, dtype=complex))
+    a = np.atleast_1d(np.asarray(a, dtype=complex))
+    if worN < 1:
+        raise ValueError(f"worN must be >= 1, got {worN}")
+    w = np.pi * np.arange(worN) / worN
+    z = np.exp(-1j * np.outer(w, np.arange(max(len(b), len(a)))))
+    num = z[:, : len(b)] @ b
+    den = z[:, : len(a)] @ a
+    return w, num / den
+
+
+def sosfreqz(sos, worN: int = 512):
+    """Frequency response of an sos cascade: the product of each
+    biquad's ``freqz`` (``scipy.signal.sosfreqz`` semantics)."""
+    sos = np.atleast_2d(np.asarray(sos, dtype=float))
+    if sos.shape[1] != 6:
+        raise ValueError(f"sos must be (n, 6), got {sos.shape}")
+    h = None
+    w = None
+    for row in sos:
+        w, hi = freqz(row[:3], row[3:], worN=worN)
+        h = hi if h is None else h * hi
+    return w, h
+
+
+def group_delay(b, a=1.0, worN: int = 512):
+    """Group delay −dφ/dω of a (b, a) filter via the Shpak/Smith
+    identity used by ``scipy.signal.group_delay``: with
+    ``c = b * conj-reversed(a)`` (the numerator of H·conj(H) up to a
+    linear phase), ``gd = Re(C'(ω)/C(ω)) − (len(a) − 1)`` where
+    ``C' = Σ k·c_k e^{-jkω}``. Returns ``(w, gd)`` in samples."""
+    b = np.atleast_1d(np.asarray(b, dtype=float))
+    a = np.atleast_1d(np.asarray(a, dtype=float))
+    c = np.convolve(b, a[::-1])
+    k = np.arange(len(c))
+    w = np.pi * np.arange(worN) / worN
+    z = np.exp(-1j * np.outer(w, k))
+    num = z @ (c * k)
+    den = z @ c
+    small = np.abs(den) < 1e-300
+    gd = np.where(small, 0.0, np.real(num / np.where(small, 1.0, den))) - (
+        len(a) - 1
+    )
+    return w, gd
