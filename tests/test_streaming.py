@@ -498,3 +498,72 @@ def test_stft_stream_matches_batch(spark, chunked_dir, tmp_path):
         for f, b, re, im in got:
             assert abs(re - want[f, b].real) < 1e-9
             assert abs(im - want[f, b].imag) < 1e-9
+
+
+def test_gapfill_stream_matches_batch(spark, tmp_path):
+    """Irregular observations fed in 3 micro-batches: the streamed
+    grid must equal batch gapfill row-for-row, values BIT-equal
+    (same interpolation op order), for both methods."""
+    from xarray_scipy_spark.operators import gapfill
+    from xarray_scipy_spark.streaming import gapfill_stream
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for ch in range(2):
+        # irregular instants over [0, 300): sorted unique ints
+        ts = np.sort(rng.choice(np.arange(300), size=40, replace=False))
+        for t in ts:
+            rows.append((ch, float(t), float(np.sin(t / 7.0) + ch)))
+    pdf = pd.DataFrame(rows, columns=["ch", "t", "value"])
+    src = tmp_path / "gap_src"
+    src.mkdir()
+    # 3 time-sliced files -> 3 micro-batches (state carries across)
+    for i, hi in enumerate((100.0, 200.0, 300.0)):
+        lo = hi - 100.0
+        part = pdf[(pdf.t >= lo) & (pdf.t < hi)]
+        part.to_parquet(src / f"slice_{i}.parquet")
+        time.sleep(1.1)
+
+    batch_df = spark.createDataFrame(pdf)
+    for method in ("linear", "ffill"):
+        stream = (
+            spark.readStream.schema("ch bigint, t double, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = gapfill_stream(stream, by=["ch"], dim="t", dt=7, method=method)
+        name = f"gapfill_stream_{method}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{method}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(q.recentProgress) >= 3
+        got = {
+            (r["ch"], r["t"]): r["value"]
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+        expect = {
+            (r["ch"], float(r["t"])): r["value"]
+            for r in gapfill(
+                batch_df, by=["ch"], dim="t", dt=7.0, method=method
+            ).collect()
+        }
+        assert set(got) == set(expect)
+        for kk in expect:
+            assert got[kk] == expect[kk], (method, kk)  # bit-equal
+
+
+def test_gapfill_stream_validates(spark, tmp_path):
+    from xarray_scipy_spark.streaming import gapfill_stream
+
+    stream = spark.readStream.schema("ch bigint, t double, value double").parquet(
+        str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="method"):
+        gapfill_stream(stream, by=["ch"], dim="t", dt=1, method="cubic")
+    with pytest.raises(ValueError, match="dt"):
+        gapfill_stream(stream, by=["ch"], dim="t", dt=0)

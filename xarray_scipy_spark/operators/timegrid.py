@@ -89,14 +89,32 @@ def gapfill(
     rng = obs.groupBy(*by).agg(
         F.min("_t").alias("_t0"), F.max("_t").alias("_t1")
     )
-    grid = rng.select(
-        *by,
-        F.explode(F.sequence(F.col("_t0"), F.col("_t1"), F.lit(step))).alias(
-            "_t"
-        ),
-        F.lit(None).cast("double").alias("_v"),
-        F.lit(0).alias("_obs"),
-    )
+    if in_dtype in ("double", "float"):
+        # fractional dims: sequence() is integral-only, so build the
+        # grid as t0 + k·dt over an integer index (the identical
+        # arithmetic the streaming variant uses — no accumulated
+        # drift). floor((t1-t0)/dt) cannot mis-count: the quotient's
+        # double rounding error is orders below the 1-step gap.
+        nsteps = F.floor((F.col("_t1") - F.col("_t0")) / F.lit(float(step)))
+        grid = rng.select(
+            *by,
+            "_t0",
+            F.explode(F.sequence(F.lit(0), nsteps.cast("bigint"))).alias("_k"),
+        ).select(
+            *by,
+            (F.col("_t0") + F.col("_k") * F.lit(float(step))).alias("_t"),
+            F.lit(None).cast("double").alias("_v"),
+            F.lit(0).alias("_obs"),
+        )
+    else:
+        grid = rng.select(
+            *by,
+            F.explode(F.sequence(F.col("_t0"), F.col("_t1"), F.lit(step))).alias(
+                "_t"
+            ),
+            F.lit(None).cast("double").alias("_v"),
+            F.lit(0).alias("_obs"),
+        )
     # observations sort BEFORE the grid row at the same instant
     # (_obs desc), so the backward frame sees a collocated observation
     # and the forward frame (which starts at the current row) does not

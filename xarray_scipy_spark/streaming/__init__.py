@@ -5,7 +5,7 @@ package is the engine's scale path for *unbounded* series — the same
 kernels, applied incrementally with explicit carried state.
 """
 
-from .stateful import sosfilt_stream, stft_stream
+from .stateful import gapfill_stream, sosfilt_stream, stft_stream
 from .windows import session_stats, stream_distinct, windowed_stats
 
-__all__ = ["sosfilt_stream", "stft_stream", "session_stats", "stream_distinct", "windowed_stats"]
+__all__ = ["gapfill_stream", "sosfilt_stream", "stft_stream", "session_stats", "stream_distinct", "windowed_stats"]

@@ -207,3 +207,99 @@ def stft_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def gapfill_stream(
+    sdf: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    dt,
+    method: str = "linear",
+) -> DataFrame:
+    """Streaming regular-grid resampling: the batch
+    :func:`~xarray_scipy_spark.operators.timegrid.gapfill` semantics
+    over an unbounded stream, emitting each grid instant exactly once
+    as soon as its bracketing observation arrives.
+
+    State per key is four scalars — the series' grid anchor (its first
+    observed instant), the previous observation ``(t, v)``, and the
+    next grid index ``k`` — so state size is O(1) regardless of stream
+    length, and grid instants are computed as ``anchor + k·dt`` (k an
+    integer counter, mirroring the batch ``sequence`` arithmetic
+    exactly; no accumulated float drift). Values reproduce the batch
+    operator bit-for-bit: observed instants short-circuit to the
+    observed value, interior instants interpolate with the identical
+    ``v0 + ((v1 − v0)·(g − t0)) / (t1 − t0)`` op order (or carry
+    ``v0`` for ``method="ffill"``). The stream-equals-batch test pins
+    the equality.
+
+    ``dim`` must be numeric in stream mode (cast timestamps to epoch
+    first — the batch operator does this internally; a stream source
+    usually carries the epoch column already).
+
+    Output per row: ``[*by, <dim> double, <value> double]``.
+    """
+    if method not in ("linear", "ffill"):
+        raise ValueError(f"method must be 'linear' or 'ffill', got {method!r}")
+    step = float(dt)
+    if step <= 0:
+        raise ValueError(f"dt must be positive, got {dt!r}")
+    by = list(by)
+    by_fields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out_ddl = ", ".join(
+        [f"{c} {by_fields[c]}" for c in by] + [f"{dim} double", f"{value} double"]
+    )
+    state_ddl = "anchor double, prev_t double, prev_v double, k bigint"
+    linear = method == "linear"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            anchor, prev_t, prev_v, k = state.get
+        else:
+            anchor = None
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            dim, kind="mergesort"
+        )
+        ts = pdf[dim].to_numpy(dtype=float)
+        vs = pdf[value].to_numpy(dtype=float)
+        out_t: list[float] = []
+        out_v: list[float] = []
+        for t, v in zip(ts, vs):
+            if anchor is None:
+                anchor, prev_t, prev_v, k = t, t, v, 0
+                out_t.append(t)
+                out_v.append(v)
+                k = 1
+                continue
+            g = anchor + k * step
+            while g <= t:
+                if g == prev_t:
+                    out_v.append(prev_v)
+                elif g == t:
+                    out_v.append(v)
+                elif linear:
+                    out_v.append(prev_v + ((v - prev_v) * (g - prev_t)) / (t - prev_t))
+                else:
+                    out_v.append(prev_v)
+                out_t.append(g)
+                k += 1
+                g = anchor + k * step
+            prev_t, prev_v = t, v
+        state.update((anchor, prev_t, prev_v, k))
+        if out_t:
+            out = pd.DataFrame({dim: out_t, value: out_v})
+            for c, kv in zip(by, key):
+                out.insert(0, c, kv)
+            yield out[by + [dim, value]]
+
+    return sdf.groupBy(*by).applyInPandasWithState(
+        fn,
+        outputStructType=out_ddl,
+        stateStructType=state_ddl,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
