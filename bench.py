@@ -80,6 +80,17 @@ HEADLINE = [
     "resample_poly",
     "cwt_ricker",
     "text_url_stats",
+    # round-6 session 3: the r7/r8 registration queue (sketches, grid
+    # resampling, skew join) — benched pre-registration via _QUEUED
+    "sketch_hll",
+    "sketch_countmin",
+    "sketch_histogram",
+    "bloom_decontaminate",
+    "gapfill",
+    "skew_join",
+    "dedup_ngram_spans",
+    "deconvolve",
+    "welch_blackman",
 ]
 
 
@@ -103,8 +114,13 @@ def main() -> int:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
     total = 0.0
+    from xarray_scipy_spark.contract import _QUEUED
+
     for name in HEADLINE:
-        fn = qs.get(name)
+        # r7-queue entries bench exactly like registered ones (the
+        # driver's BENCH_r{N} then carries their sf0.1 numbers a round
+        # before their CORRECTNESS row exists)
+        fn = qs.get(name) or (_QUEUED[name][0] if name in _QUEUED else None)
         if fn is None:
             continue
         # one warmup run (compiles the plan's whole-stage-codegen

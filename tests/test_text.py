@@ -1,0 +1,60 @@
+"""Feature-hashed TF-IDF document vectors (pipeline/text.py
+hashed_tfidf_vectors): shape/norm guarantees, similarity behavior, and
+determinism — the model-free text -> embedding bridge."""
+
+from __future__ import annotations
+
+import pytest
+
+import xarray_scipy_spark.pipeline as pl
+
+def test_hashed_vectors_shape_and_norm(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(0, "red fox jumps"), (1, "red red red"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: list(r["vec"]) for r in
+            pl.hashed_tfidf_vectors(docs, dim=32).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(len(v) == 32 for v in rows.values())
+    assert abs(np.linalg.norm(rows[0]) - 1.0) < 1e-12
+    assert abs(np.linalg.norm(rows[1]) - 1.0) < 1e-12
+    assert np.linalg.norm(rows[2]) == 0.0  # empty doc -> zero vector
+
+
+def test_hashed_vectors_cosine_reflects_overlap(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "entirely different vocabulary about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    v = {r["doc_id"]: np.array(r["vec"]) for r in
+         pl.hashed_tfidf_vectors(docs, dim=256).collect()}
+    sim_near = float(v[0] @ v[1])
+    sim_far = float(v[0] @ v[2])
+    assert sim_near > 0.5 > sim_far
+
+
+def test_hashed_vectors_deterministic_and_unnormalized(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} shared") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: tuple(r["vec"]) for r in
+         pl.hashed_tfidf_vectors(docs.coalesce(1), dim=64).collect()}
+    b = {r["doc_id"]: tuple(r["vec"]) for r in
+         pl.hashed_tfidf_vectors(docs.repartition(8), dim=64).collect()}
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-15)
+    raw = pl.hashed_tfidf_vectors(docs, dim=64, normalize=False).collect()
+    import numpy as np
+    assert any(abs(np.linalg.norm(r["vec"]) - 1.0) > 1e-6 for r in raw)
+    with pytest.raises(ValueError, match="dim"):
+        pl.hashed_tfidf_vectors(docs, dim=1)

@@ -43,6 +43,7 @@ from .similarity import (
 )
 from .text import (
     decontaminate,
+    hashed_tfidf_vectors,
     fingerprint,
     lang_id,
     quality_score,

@@ -12,13 +12,14 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from .hashes import spread, tokens
+from .hashes import h60, spread, tokens
 
 __all__ = [
     "token_stats",
     "quality_score",
     "lang_id",
     "fingerprint",
+    "hashed_tfidf_vectors",
     "tfidf_top_tokens",
     "decontaminate",
     "redact",
@@ -605,4 +606,93 @@ def bigram_logprob(
         scored_bg.unionByName(first)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("nll").alias("avg_nll"))
+    )
+
+
+def hashed_tfidf_vectors(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 128,
+    normalize: bool = True,
+    out: str = "vec",
+) -> DataFrame:
+    """Dense document vectors via the feature-hashing trick: every
+    token lands in ``h60 % dim`` with an md5-derived ±1 sign (the
+    signed sum unbiases collisions — Weinberger et al. 2009), weighted
+    by smoothed TF-IDF (the :func:`tfidf_top_tokens` formula), then
+    optionally L2-normalized.
+
+    This is the model-free bridge from raw text into the embedding
+    stack: the output column feeds
+    :func:`~xarray_scipy_spark.pipeline.similarity.cosine_topk` /
+    ``embedding_dup_pairs`` unchanged, so text similarity search and
+    embedding dedup run end-to-end with zero external models. Pure
+    Catalyst: two hash aggregates (tf, df — both map-side partial), a
+    broadcast token-idf join, one per-doc aggregate folding
+    ``(slot, weight)`` pairs into the dense array. No vocabulary is
+    ever materialized driver-side — ``dim`` bounds the vector, not the
+    corpus.
+
+    Output: input ``id_col`` + ``out`` (``array<double>`` length
+    ``dim``); docs with no tokens get the zero vector.
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    toks = spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("tk"))
+    tok = toks.select(
+        F.col(id_col), F.explode_outer("tk").alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("n_tok"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
+    slot = h60(F.concat_ws("|", F.lit("fh"), F.col("tok"))) % F.lit(dim)
+    sign = F.when(
+        h60(F.concat_ws("|", F.lit("fhs"), F.col("tok"))) % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    weighted = (
+        tf.join(doclen, id_col)
+        .join(F.broadcast(dfreq), "tok")
+        .select(
+            F.col(id_col),
+            slot.alias("slot"),
+            (sign * (F.col("tf") / F.col("n_tok")) * idf).alias("w"),
+        )
+        .groupBy(id_col, "slot")
+        .agg(F.sum("w").alias("w"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(F.collect_list(F.struct("slot", "w"))),
+                i.cast("int"),
+            ),
+            F.lit(0.0),
+        ),
+    )
+    vecs = weighted.groupBy(id_col).agg(dense.alias("_raw"))
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        vec = F.transform(
+            F.col("_raw"),
+            lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)),
+        )
+    else:
+        vec = F.col("_raw")
+    zero = F.array_repeat(F.lit(0.0), dim)
+    return (
+        df.select(id_col)
+        .join(vecs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(vec, zero).alias(out),
+        )
     )
