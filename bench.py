@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_ngram_spans",
     "deconvolve",
     "welch_blackman",
+    "text_hash_vectors",
 ]
 
 

@@ -4366,6 +4366,56 @@ def q_bpe_vocab(spark, sf_dir):
     )
 
 
+_HV_DIM = 64
+
+
+def _hash_vectors_oracle() -> str:
+    """DuckDB twin of pipeline.text.hashed_tfidf_vectors(dim=64):
+    identical md5 slot/sign hashes and smoothed-idf weights; per-slot
+    sums and the L2 norm are group aggregates whose float summation
+    order differs between engines, so outputs are epsilon-floor
+    quantized (the text_logprob precedent)."""
+    d = _HV_DIM
+    slot = f"('0x' || substring(md5('fh|' || tf.tok), 1, 15))::BIGINT % {d}"
+    sign = (
+        f"(CASE WHEN ('0x' || substring(md5('fhs|' || tf.tok), 1, 15))::BIGINT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END)"
+    )
+    return (
+        f"WITH {_TOKS}, "
+        "tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok), "
+        "dl AS (SELECT doc_id, sum(tf) AS n_tok FROM tf GROUP BY doc_id), "
+        "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+        "nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents), "
+        f"w AS (SELECT tf.doc_id, {slot} AS slot, "
+        f"{sign} * (tf.tf / dl.n_tok) * (ln((nd.n + 1) / (dfq.df + 1)) + 1.0) AS w "
+        "FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN nd), "
+        "sw AS (SELECT doc_id, slot, sum(w) AS w FROM w GROUP BY doc_id, slot), "
+        "nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM sw GROUP BY doc_id), "
+        "slots AS (SELECT d.doc_id, u.slot FROM documents d "
+        f"CROSS JOIN (SELECT unnest(range({d})) AS slot) u) "
+        "SELECT s.doc_id, CAST(s.slot AS BIGINT) AS slot, "
+        + _q3(
+            "coalesce(CASE WHEN n.nn > 0 THEN sw.w / n.nn ELSE 0.0 END, 0.0)"
+        )
+        + " AS w_q "
+        "FROM slots s LEFT JOIN sw ON sw.doc_id = s.doc_id AND sw.slot = s.slot "
+        "LEFT JOIN nrm n ON n.doc_id = s.doc_id"
+    )
+
+
+def q_text_hash_vectors(spark, sf_dir):
+    """Feature-hashed TF-IDF document vectors (pipeline/text.py
+    hashed_tfidf_vectors, dim=64) exploded to (doc_id, slot, w_q) —
+    the model-free text→embedding bridge into the ANN/dedup stack.
+    Queued r8."""
+    res = pl.hashed_tfidf_vectors(_docs(spark, sf_dir), dim=_HV_DIM)
+    return res.select(
+        "doc_id", F.posexplode(F.col("vec")).alias("slot", "w")
+    ).select("doc_id", F.col("slot").cast("bigint").alias("slot"), _q3_col(F.col("w")).alias("w_q"))
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4379,6 +4429,7 @@ _QUEUED: dict = {
     "skew_join": (q_skew_join, _skew_join_oracle()),
     "sketch_histogram": (q_sketch_histogram, _histogram_oracle()),
     "bpe_vocab": (q_bpe_vocab, None),
+    "text_hash_vectors": (q_text_hash_vectors, _hash_vectors_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),
