@@ -1249,3 +1249,40 @@ def test_bigram_logprob_order_sensitivity(spark):
     assert got.loc[4, "avg_nll"] > got.loc[1, "avg_nll"] + 0.3
     with pytest.raises(ValueError, match="alpha"):
         pl.bigram_logprob(df, alpha=0.0)
+
+
+def test_model_free_similarity_capstone(spark):
+    """Text → feature-hashed vectors → cosine top-k → embedding dedup,
+    end to end with zero external models: near-duplicate paraphrase
+    pairs must surface as mutual top-1 neighbors AND as embedding-dup
+    candidates, while unrelated docs stay apart."""
+    pairs = [
+        ("the cat sat on the warm mat by the door", "the cat sat on the warm mat near the door"),
+        ("spark shuffles data between executor stages", "spark shuffles data across executor stages"),
+        ("completely unrelated text about mountain weather patterns", None),
+        ("a recipe for sourdough bread with rye flour", None),
+    ]
+    rows, did = [], 0
+    expected_pairs = []
+    for a, b in pairs:
+        rows.append((did, a))
+        if b is not None:
+            rows.append((did + 1, b))
+            expected_pairs.append((did, did + 1))
+            did += 2
+        else:
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = pl.hashed_tfidf_vectors(docs, dim=256, out="emb")
+    # ANN: each paraphrase is its twin's top-1 neighbor
+    topk = pl.cosine_topk(vecs, vecs, id_col="doc_id", vec_col="emb", k=1)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in topk.collect()}
+    for a, b in expected_pairs:
+        assert top1[a] == b and top1[b] == a
+    # embedding dedup: the same pairs at a 0.7 cosine threshold, and
+    # ONLY those pairs
+    dup = pl.embedding_dup_pairs(
+        vecs, id_col="doc_id", vec_col="emb", threshold=0.7, method="exact"
+    )
+    got = {tuple(sorted((r["a_id"], r["b_id"]))) for r in dup.collect()}
+    assert got == set(expected_pairs)

@@ -11,6 +11,7 @@ import time
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from xarray_scipy_spark.kernels.dsp import sosfilt_1d
 from xarray_scipy_spark.kernels.filter_design import butter_sos
@@ -567,3 +568,70 @@ def test_gapfill_stream_validates(spark, tmp_path):
         gapfill_stream(stream, by=["ch"], dim="t", dt=1, method="cubic")
     with pytest.raises(ValueError, match="dt"):
         gapfill_stream(stream, by=["ch"], dim="t", dt=0)
+
+
+def test_hll_stream_registers_equal_batch(spark, tmp_path):
+    """Distinct-count sketching as a native streaming aggregation:
+    after 3 micro-batches the register table must equal the batch
+    hll_state registers row-for-row, and the folded estimate must be
+    the batch estimate."""
+    import xarray_scipy_spark.pipeline as pl
+    from xarray_scipy_spark.streaming import hll_stream
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    all_rows = []
+    for i in range(3):
+        rows = pd.DataFrame(
+            {
+                "g": ["a" if k % 2 == 0 else "b" for k in range(400)],
+                "v": [f"user-{i * 350 + k}" for k in range(400)],  # overlap
+            }
+        )
+        all_rows.append(rows)
+        rows.to_parquet(src / f"b{i}.parquet")
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("g string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = hll_stream(stream, "v", by=["g"], p=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3
+    got = {
+        (r["g"], r["bucket"]): r["mj"]
+        for r in spark.sql("select * from hll_stream_out").collect()
+    }
+    batch_df = spark.createDataFrame(pd.concat(all_rows, ignore_index=True))
+    # batch registers from the same expressions
+    from xarray_scipy_spark.streaming import hll_stream as hs
+
+    expect = {
+        (r["g"], r["bucket"]): r["mj"] for r in hs(batch_df, "v", by=["g"], p=8).collect()
+    }
+    assert got == expect
+    # folded estimate equals the batch hll_state estimate per group
+    for g in ("a", "b"):
+        regs = [(b, mj) for (gg, b), mj in got.items() if gg == g]
+        m = 256
+        zeros = m - len(regs)
+        rsum = sum(1 << (49 - mj) for _, mj in regs) + zeros * (1 << 49)
+        est = pl.hll_estimate(m, zeros, rsum)
+        batch = {
+            r["g"]: r.asDict()
+            for r in pl.hll_state(batch_df, "v", by="g", p=8).collect()
+        }[g]
+        assert est == pl.hll_estimate(
+            batch["m"], batch["zeros"], batch["register_sum"]
+        )
+        exact = batch_df.filter(F.col("g") == g).select("v").distinct().count()
+        assert abs(est - exact) / exact < 0.2  # p=8 -> sigma ~6.5%

@@ -3867,10 +3867,20 @@ def q_correlate(spark, sf_dir):
 #   2. Same for decimate_iir (+ delete decimate_iir_zerophase),
 #      sosfiltfilt (+ delete sosfiltfilt_even), text_lang_id (+ delete
 #      text_fingerprint — merged as q_text_lang_fp).
-#   3. Register every _QUEUED entry with @_q under its queue name.
+#   3. Register the SEVEN r7-bound _QUEUED entries with @_q under
+#      their queue names: welch_blackman, dedup_ngram_spans,
+#      deconvolve, sketch_hll, sketch_countmin, bloom_decontaminate,
+#      gapfill. (The r8-bound four stay queued: skew_join,
+#      sketch_histogram, bpe_vocab, text_hash_vectors.)
 #   4. Rebuild _CHECK_LAST: tail = the 50 r6-head names; head = the 43
 #      surviving r6-tail names + the 7 new registrations = 50 exactly.
 #   5. Re-run tools/check_correctness.py (full) before committing.
+#
+# r8 plan (same mechanics, merges drawn from the then-due r7 tail =
+# today's r6 head): merge the multimodal decode trio
+# (png/bmp/jpeg -> one variant-tag union, frees 2), savgol +
+# savgol_deriv (frees 1), stream_window_stats + session_window_stats
+# (frees 1) -> 4 slots for the 4 r8-bound queue entries, N stays 100.
 
 
 def q_welch_blackman(spark, sf_dir):

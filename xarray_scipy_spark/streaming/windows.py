@@ -168,3 +168,49 @@ def stream_distinct(
         work = work.withColumn(dim, event_time(work, dim))
         return work.withWatermark(dim, watermark).dropDuplicatesWithinWatermark(cols)
     return sdf.select(*cols).dropDuplicates(cols)
+
+
+def hll_stream(
+    sdf: DataFrame,
+    col: str,
+    *,
+    by: Sequence[str] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Continuous distinct-count sketching over a stream: the
+    HyperLogLog REGISTER table (``[*by, bucket, mj]``) as a NATIVE
+    streaming aggregation.
+
+    The insight that makes this free: an HLL register is a running
+    ``max`` — exactly the aggregate Structured Streaming keeps
+    incrementally in the state store. No custom stateful operator, no
+    timeout logic; state is bounded at ``groups × 2^p`` rows FOREVER
+    (the sketch property), and the register max is monotone so late
+    data can never be wrong, only absorbed. Fold the emitted registers
+    into an estimate with
+    :func:`~xarray_scipy_spark.pipeline.sketches.hll_estimate`
+    (streaming queries cannot chain a second aggregation; the fold is
+    a cheap batch read of ≤2^p rows per group).
+
+    The bucket/rank expressions are the exact ones
+    :func:`~xarray_scipy_spark.pipeline.sketches.hll_state` uses, so a
+    stream's final register table over a bounded source equals the
+    batch sketch row-for-row — pinned by test.
+    """
+    from ..pipeline.sketches import _hll_rank_ladder_sql
+
+    if p not in (4, 8, 12):
+        raise ValueError(f"p must be 4, 8, or 12, got {p}")
+    by = list(by)
+    nhex = 15 - p // 4
+    return (
+        sdf.select(*by, F.col(col).cast("string").alias("_hv"))
+        .selectExpr(
+            *by,
+            f"CAST(conv(substring(md5(_hv), {nhex + 1}, {p // 4}), 16, 10) AS BIGINT) AS bucket",
+            f"CAST(conv(substring(md5(_hv), 1, {nhex}), 16, 10) AS BIGINT) AS hi",
+        )
+        .selectExpr(*by, "bucket", _hll_rank_ladder_sql(p) + " AS rank")
+        .groupBy(*by, "bucket")
+        .agg(F.max("rank").alias("mj"))
+    )
