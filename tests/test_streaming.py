@@ -635,3 +635,43 @@ def test_hll_stream_registers_equal_batch(spark, tmp_path):
         )
         exact = batch_df.filter(F.col("g") == g).select("v").distinct().count()
         assert abs(est - exact) / exact < 0.2  # p=8 -> sigma ~6.5%
+
+
+def test_countmin_stream_cells_equal_batch(spark, tmp_path):
+    """Frequency sketching as a native streaming SUM: after 3
+    micro-batches the cell table equals the batch countmin_sketch."""
+    import xarray_scipy_spark.pipeline as pl
+    from xarray_scipy_spark.streaming import countmin_stream
+
+    src = tmp_path / "cm_src"
+    src.mkdir()
+    frames = []
+    for i in range(3):
+        rows = pd.DataFrame({"tok": [f"k{(i * 7 + k) % 40}" for k in range(300)]})
+        frames.append(rows)
+        rows.to_parquet(src / f"b{i}.parquet")
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = countmin_stream(stream, "tok", depth=2, width=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cm_stream_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3
+    got = sorted(
+        map(tuple, spark.sql("select * from cm_stream_out").collect())
+    )
+    batch = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    expect = sorted(
+        map(tuple, pl.countmin_sketch(batch, "tok", depth=2, width=64).collect())
+    )
+    assert got == expect

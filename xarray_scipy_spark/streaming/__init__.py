@@ -6,6 +6,6 @@ kernels, applied incrementally with explicit carried state.
 """
 
 from .stateful import gapfill_stream, sosfilt_stream, stft_stream
-from .windows import hll_stream, session_stats, stream_distinct, windowed_stats
+from .windows import countmin_stream, hll_stream, session_stats, stream_distinct, windowed_stats
 
-__all__ = ["gapfill_stream", "hll_stream", "sosfilt_stream", "stft_stream", "session_stats", "stream_distinct", "windowed_stats"]
+__all__ = ["countmin_stream", "gapfill_stream", "hll_stream", "sosfilt_stream", "stft_stream", "session_stats", "stream_distinct", "windowed_stats"]

@@ -214,3 +214,42 @@ def hll_stream(
         .groupBy(*by, "bucket")
         .agg(F.max("rank").alias("mj"))
     )
+
+
+def countmin_stream(
+    sdf: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    weight=None,
+) -> DataFrame:
+    """Continuous frequency sketching over a stream: the count-min
+    cell table (``j, cell, cnt``) as a native streaming aggregation —
+    a cell is a running SUM, the other aggregate the state store keeps
+    incrementally for free. State is bounded at ``depth × width`` rows
+    forever; point estimates come from
+    :func:`~xarray_scipy_spark.pipeline.sketches.countmin_lookup` over
+    the emitted cells. Cell indexes are the exact expressions
+    :func:`~xarray_scipy_spark.pipeline.sketches.countmin_sketch`
+    uses, so the final stream state over a bounded source equals the
+    batch sketch row-for-row — pinned by test."""
+    from pyspark.sql import functions as FF
+
+    from ..pipeline.hashes import _c
+    from ..pipeline.sketches import _cm_cell
+
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1, width >= 2")
+    w = FF.lit(1).cast("bigint") if weight is None else _c(weight).cast("bigint")
+    pairs = FF.array(
+        *[
+            FF.struct(FF.lit(j).alias("j"), _cm_cell(col, j, width).alias("cell"))
+            for j in range(depth)
+        ]
+    )
+    return (
+        sdf.select(FF.explode(pairs).alias("p"), w.alias("w"))
+        .groupBy(FF.col("p.j").alias("j"), FF.col("p.cell").alias("cell"))
+        .agg(FF.sum("w").alias("cnt"))
+    )
