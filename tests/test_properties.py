@@ -318,3 +318,68 @@ def test_lfilter_family_properties(refl, taps, data):
     np.testing.assert_allclose(
         ffc / scale, np.full(n, c * dc * dc) / scale, rtol=0, atol=1e-8
     )
+
+
+# --- sketch + introspection invariants (driver-side pure functions) --------
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(-1, 16), st.integers(1, 10_000)),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_quantile_from_histogram_bounds_and_monotone(counts, q):
+    from xarray_scipy_spark.pipeline.sketches import quantile_from_histogram
+
+    bins, lo, hi = 16, 0.0, 32.0
+    hist = [{"bin": b, "cnt": c} for b, c in counts]
+    # dedupe bins (dict rows mimic Spark Row access by key)
+    merged: dict[int, int] = {}
+    for b, c in counts:
+        merged[b] = merged.get(b, 0) + c
+    hist = [{"bin": b, "cnt": c} for b, c in merged.items()]
+    (v,) = quantile_from_histogram(hist, (q,), lo=lo, hi=hi, bins=bins)
+    assert lo <= v <= hi
+    # monotone in q
+    (v2,) = quantile_from_histogram(
+        hist, (min(1.0, q + 0.25),), lo=lo, hi=hi, bins=bins
+    )
+    assert v2 >= v - 1e-12
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    m_exp=st.sampled_from([4, 8, 12]),
+    ranks=st.lists(st.integers(1, 45), min_size=1, max_size=64),
+)
+def test_hll_estimate_positive_and_scales_with_ranks(m_exp, ranks):
+    from xarray_scipy_spark.pipeline.sketches import _RANK_SCALE, hll_estimate
+
+    m = 1 << m_exp
+    ranks = ranks[: m - 1]  # leave at least one zero register
+    zeros = m - len(ranks)
+    rsum = sum(1 << (_RANK_SCALE - r) for r in ranks) + zeros * (1 << _RANK_SCALE)
+    est = hll_estimate(m, zeros, rsum)
+    assert est > 0
+    # raising every rank by 1 (halving each register term) must not
+    # decrease the estimate
+    rsum_hi = sum(1 << (_RANK_SCALE - (r + 1)) for r in ranks) + zeros * (
+        1 << _RANK_SCALE
+    )
+    assert hll_estimate(m, zeros, rsum_hi) >= est - 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(taps=_arr(1, 24))
+def test_freqz_dc_equals_tap_sum(taps):
+    from xarray_scipy_spark.kernels import freqz
+
+    _, h = freqz(taps, worN=4)
+    # H(0) = sum of FIR taps, exactly
+    np.testing.assert_allclose(
+        h[0], np.sum(taps), rtol=1e-12, atol=1e-9 * max(1.0, np.abs(taps).sum())
+    )

@@ -180,14 +180,15 @@ def main() -> int:
         qfn = QUERIES.get(name) or _QUEUED[name][0]
         osql = ORACLES.get(name) or _QUEUED[name][1]
         t_spark = spark_median(spark, qfn)
-        t_oracle = oracle_median(osql)
+        t_oracle = oracle_median(osql) if osql is not None else None
         out[name] = {
             "spark_sec": round(t_spark, 3),
-            "oracle_sec": round(t_oracle, 3),
-            "ratio": round(t_spark / t_oracle, 2) if t_oracle > 0 else None,
+            "oracle_sec": round(t_oracle, 3) if t_oracle is not None else None,
+            "ratio": round(t_spark / t_oracle, 2) if t_oracle else None,
         }
-        print(f"# {name}: spark {t_spark:.3f}s oracle {t_oracle:.3f}s "
-              f"ratio {t_spark / t_oracle:.2f}x", file=sys.stderr)
+        print(f"# {name}: spark {t_spark:.3f}s oracle "
+              f"{t_oracle if t_oracle is None else round(t_oracle, 3)} ",
+              file=sys.stderr)
     print(json.dumps({"tier": f"{REPLICAS}x sf0.1", "dir": DST, "results": out}))
     return 0
 
