@@ -287,3 +287,19 @@ def test_histogram_validates(spark):
     hist = pl.histogram_sketch(df, "x", lo=0.0, hi=2.0).collect()
     with pytest.raises(ValueError, match="quantile"):
         pl.quantile_from_histogram(hist, (1.5,), lo=0.0, hi=2.0)
+
+
+def test_multi_column_grouping(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("g1"),
+        (F.col("id") % 3).alias("g2"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") % 50).cast("double").alias("x"),
+    )
+    st = pl.hll_state(df, "v", by=["g1", "g2"], p=8).collect()
+    assert len(st) == 6
+    assert all(r["present"] + r["zeros"] == 256 for r in st)
+    hg = pl.histogram_sketch(df, "x", lo=0.0, hi=50.0, bins=10, by=["g1", "g2"])
+    assert {tuple(r)[:2] for r in hg.select("g1", "g2").distinct().collect()} == {
+        (a, b) for a in (0, 1) for b in (0, 1, 2)
+    }

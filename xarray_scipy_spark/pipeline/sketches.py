@@ -28,7 +28,7 @@ Bloom (1970).
 from __future__ import annotations
 
 import math
-from collections.abc import Sequence as _HQSeq
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -85,7 +85,7 @@ def hll_state(
     df: DataFrame,
     col,
     *,
-    by: str | None = None,
+    by: str | Sequence[str] | None = None,
     p: int = 12,
 ) -> DataFrame:
     """HyperLogLog register state for ``approx distinct(col)`` (per
@@ -110,7 +110,7 @@ def hll_state(
         # < 2^63 (no BIGINT overflow)
         raise ValueError(f"p must be 4, 8, or 12, got {p}")
     m = 1 << p
-    keys = [by] if by else []
+    keys = [by] if isinstance(by, str) else list(by or [])
     # p a multiple of 4 -> the bucket is EXACTLY the last p/4 hex chars
     # of the 15-char (60-bit) hash window and the rank material the
     # first 15 - p/4 chars: two independent base-16 parses, no division
@@ -175,7 +175,7 @@ def hll_distinct(
     df: DataFrame,
     col,
     *,
-    by: str | None = None,
+    by: str | Sequence[str] | None = None,
     p: int = 12,
 ) -> DataFrame:
     """``hll_state`` plus the float ``estimate`` column (computed from
@@ -392,7 +392,7 @@ def histogram_sketch(
     lo: float,
     hi: float,
     bins: int = 1024,
-    by: str | None = None,
+    by: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Fixed-bin histogram of ``col`` over ``[lo, hi)``: one
     map-side-combinable aggregation producing at most ``bins + 2``
@@ -416,7 +416,7 @@ def histogram_sketch(
         raise ValueError(f"need lo < hi, got [{lo}, {hi})")
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
-    keys = [by] if by else []
+    keys = [by] if isinstance(by, str) else list(by or [])
     df = spread(df, col)
     x = _c(col).cast("double")
     # floor((x - lo) * bins / (hi - lo)) with the SAME op order as the
@@ -438,7 +438,7 @@ def histogram_sketch(
 
 
 def quantile_from_histogram(
-    hist, qs: _HQSeq = (0.5,), *, lo: float, hi: float, bins: int = 1024
+    hist, qs: Sequence = (0.5,), *, lo: float, hi: float, bins: int = 1024
 ) -> list[float]:
     """Quantile estimates from one group's histogram rows (driver-side;
     the state is <= bins + 2 rows by construction). Each quantile is

@@ -664,29 +664,28 @@ def hashed_tfidf_vectors(
         .groupBy(id_col, "slot")
         .agg(F.sum("w").alias("w"))
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(
-            F.element_at(
-                F.map_from_entries(F.collect_list(F.struct("slot", "w"))),
-                i.cast("int"),
-            ),
-            F.lit(0.0),
-        ),
+    # The slot map and the L2 norm are AGGREGATE columns, not
+    # expressions referenced inside the densifying lambda: higher-order
+    # lambdas run interpreted, and Catalyst inlines outer expressions
+    # into the lambda body — a map_from_entries(collect_list(...))
+    # referenced per element rebuilt the map dim times per row (17x at
+    # the 10x tier before this split; the agg boundary is a hard
+    # materialization, so the lambda now only does map lookups).
+    vecs = weighted.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("slot", "w")))
+        ).alias("_m"),
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_n"),
     )
-    vecs = weighted.groupBy(id_col).agg(dense.alias("_raw"))
-    if normalize:
-        norm = F.sqrt(
-            F.aggregate(
-                F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        )
-        vec = F.transform(
-            F.col("_raw"),
-            lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)),
-        )
-    else:
-        vec = F.col("_raw")
+    div = F.col("_n") if normalize else F.lit(1.0)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            div > 0,
+            F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0))
+            / div,
+        ).otherwise(F.lit(0.0)),
+    )
     zero = F.array_repeat(F.lit(0.0), dim)
     return (
         df.select(id_col)
