@@ -1286,3 +1286,55 @@ def test_model_free_similarity_capstone(spark):
     )
     got = {tuple(sorted((r["a_id"], r["b_id"]))) for r in dup.collect()}
     assert got == set(expected_pairs)
+
+
+def test_orc_roundtrip_partition_pruning_and_schema_gate(spark, tmp_path):
+    """ORC source/sink: value-exact roundtrip, key=value partition
+    layout prunes at the scan, and the explicit-schema read fails
+    loudly on a missing column instead of silently accepting the file
+    schema."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from xarray_scipy_spark.sources import read_orc, write_orc
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("long").alias("shard"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        (F.col("id") * 0.5).alias("score"),
+    )
+    path = str(tmp_path / "orc_corpus")
+    write_orc(df, path, partition_by=("shard",))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("score", DoubleType()),
+            StructField("shard", LongType()),
+        ]
+    )
+    back = read_orc(spark, path, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.select("doc_id", "text", "score", "shard").collect())
+    )
+    # partition pruning reaches the scan
+    plan = (
+        back.filter(F.col("shard") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "shard" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    # schema gate: a column the files don't have fails at plan time
+    bad = StructType([StructField("nope", StringType())])
+    with pytest.raises(Exception, match="nope|UNRESOLVED"):
+        read_orc(spark, path, bad).collect()

@@ -303,3 +303,29 @@ def test_multi_column_grouping(spark):
     assert {tuple(r)[:2] for r in hg.select("g1", "g2").distinct().collect()} == {
         (a, b) for a in (0, 1) for b in (0, 1, 2)
     }
+
+
+def test_bloom_prebuilt_bits_reusable(spark, decon_docs, tmp_path):
+    bench = decon_docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = decon_docs.filter(F.col("doc_id") % 10 != 0)
+    bits = pl.bloom_bits(bench, m_bits=1 << 12, k=3)
+    p = str(tmp_path / "bits.parquet")
+    bits.write.parquet(p)  # the build-once / probe-many pattern
+    reloaded = spark.read.parquet(p)
+    a = sorted(
+        map(
+            tuple,
+            pl.bloom_decontaminate(
+                corpus, bench, m_bits=1 << 12, k=3
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pl.bloom_decontaminate(
+                corpus, bench, m_bits=1 << 12, k=3, bits=reloaded
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -279,6 +279,7 @@ def bloom_bits(
     n: int = 3,
     m_bits: int = 1 << 18,
     k: int = 3,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """The SET bit positions of a Bloom filter over the benchmark's
     distinct word ``n``-grams: each shingle sets ``k`` md5-derived
@@ -313,6 +314,7 @@ def bloom_decontaminate(
     n: int = 3,
     m_bits: int = 1 << 18,
     k: int = 3,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`~xarray_scipy_spark.pipeline.text.decontaminate` with a
     Bloom filter standing in for the exact benchmark shingle set.
@@ -335,9 +337,15 @@ def bloom_decontaminate(
     from .hashes import h60
 
     bench_text_col = text_col if bench_text_col is None else bench_text_col
-    bits = bloom_bits(
-        benchmark, text_col=bench_text_col, n=n, m_bits=m_bits, k=k
-    )
+    if bits is None:
+        bits = bloom_bits(
+            benchmark, text_col=bench_text_col, n=n, m_bits=m_bits, k=k
+        )
+    # a prebuilt (and persisted/written) ``bits`` frame is the
+    # real-world pattern: build the guard set ONCE from every
+    # benchmark, then probe each corpus shard/day without re-reading
+    # the benchmarks — pass the frame from bloom_bits (or a parquet
+    # round-trip of it) with the SAME (n, m_bits, k).
     doc_sh = (
         spread(docs, id_col)
         .select(F.col(id_col), tokens(text_col).alias("toks"))

@@ -2,11 +2,14 @@ from .tables import TABLES, load_table, load_tables, register_views
 from .write import read_series, write_bucketed, write_partitioned, write_series
 from .csvfile import read_csv, write_csv
 from .jsonl import DOCUMENTS_JSONL_SCHEMA, read_jsonl, write_jsonl
+from .orcfile import read_orc, write_orc
 
 __all__ = [
     "read_csv",
     "write_csv",
     "read_jsonl",
+    "read_orc",
+    "write_orc",
     "write_jsonl",
     "DOCUMENTS_JSONL_SCHEMA",
     "TABLES",
