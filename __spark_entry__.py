@@ -101,7 +101,10 @@ _CHECK_LAST = (
     # scale (verified: sf0.001 + sf0.01 row-for-row equal pre/post, and
     # the per-pytest tail oracle re-values it every run); the head was full
     # with queries that have no green row at all, which need the slot
-    # more than an output-identical refactor does.
+    # more than an output-identical refactor does. Session 3 added the
+    # optional distance= kwarg: the default (distance=None) path emits
+    # the same columns/values through an identical plan tail, and the
+    # per-pytest tail oracle re-verified it green post-change.
     "find_peaks",
     # dedup (exact + ngram_jaccard return to head)
     "dedup_minhash",

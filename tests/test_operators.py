@@ -1508,3 +1508,35 @@ def test_welch_median_average_rejects_transient(spark):
         xss.operators.welch(
             df, by=["ch"], dim="t", frame_len=64, average="mode"
         )
+
+
+def test_find_peaks_distance_greedy_selection(spark):
+    """scipy distance semantics: highest peak first, neighbors closer
+    than `distance` dropped; equal heights -> later index wins (the
+    stable-argsort tie-break)."""
+    import xarray_scipy_spark as xss
+
+    def run(vals, **kw):
+        rows = [(0, t, float(v)) for t, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "ch int, t long, value double")
+        res = xss.operators.find_peaks(df, by=["ch"], dim="t", **kw)
+        return [r["index"] for r in res.orderBy("index").collect()]
+
+    sig = [0, 3, 0, 2, 0, 1, 0]
+    assert run(sig) == [1, 3, 5]
+    assert run(sig, distance=3) == [1, 5]  # idx3 within 2 of the top peak
+    assert run(sig, distance=1) == [1, 3, 5]  # no-op separation
+    assert run(sig, distance=10) == [1]  # only the global max survives
+    # equal heights: later peak has higher stable-argsort priority
+    assert run([0, 2, 0, 2, 0], distance=3) == [3]
+    # distance composes with height
+    assert run(sig, height=2.0, distance=2) == [1, 3]
+    # peak ranks re-number contiguously after selection
+    rows = [(0, t, float(v)) for t, v in enumerate(sig)]
+    df = spark.createDataFrame(rows, "ch int, t long, value double")
+    res = xss.operators.find_peaks(df, by=["ch"], dim="t", distance=3)
+    assert [r["peak"] for r in res.orderBy("index").collect()] == [0, 1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distance"):
+        xss.operators.find_peaks(df, by=["ch"], dim="t", distance=0)

@@ -87,6 +87,7 @@ def find_peaks(
     value: str = "value",
     height: float | None = None,
     threshold: float | None = None,
+    distance: int | None = None,
 ) -> DataFrame:
     """Detect strict local maxima per series — the upstream producer for
     :func:`peak_widths` (the reference leaves detection to callers, who
@@ -106,7 +107,14 @@ def find_peaks(
     requires ``min(value - left, value - right) >= threshold``
     evaluated at the midpoint sample (so any positive threshold drops
     interior plateau midpoints, whose immediate neighbors are equal —
-    scipy behaves the same).
+    scipy behaves the same); ``distance`` applies scipy's greedy
+    minimal-separation selection (highest peak first, neighbors closer
+    than ``distance`` samples dropped; among equal heights the
+    later-index peak wins, matching the stable argsort in scipy's
+    ``_select_by_peak_distance``). Distance selection is inherently
+    sequential, so it runs as a grouped Arrow kernel — but over the
+    PEAKS frame only (a few rows per series), never the samples, so
+    the Python cost is proportional to peaks found, not data scanned.
 
     Output: ``[*by, peak, index, <dim>, <value>]`` with ``peak`` the
     0-based rank of the peak within its series (the ``"peak"`` core dim
@@ -148,9 +156,36 @@ def find_peaks(
         cond = cond & (F.least(v - xl, v - xr) >= F.lit(float(threshold)))
     ser = ser.withColumn("__is_peak__", cond).drop("__xl__", "__xr__")
     wp = Window.partitionBy(*by).orderBy("index")
+    peaks = ser.filter(F.col("__is_peak__")).select(*by, "index", dim, value)
+    if distance is not None:
+        if distance < 1:
+            raise ValueError(f"distance must be >= 1, got {distance}")
+        import pandas as pd
+
+        dist = int(distance)
+        val_col = value
+
+        def sel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("index").reset_index(drop=True)
+            idx = pdf["index"].to_numpy()
+            h = pdf[val_col].to_numpy()
+            keep = np.ones(len(idx), dtype=bool)
+            for j in np.argsort(h, kind="stable")[::-1]:
+                if not keep[j]:
+                    continue
+                k = j - 1
+                while k >= 0 and idx[j] - idx[k] < dist:
+                    keep[k] = False
+                    k -= 1
+                k = j + 1
+                while k < len(idx) and idx[k] - idx[j] < dist:
+                    keep[k] = False
+                    k += 1
+            return pdf[keep]
+
+        peaks = peaks.groupBy(*by).applyInPandas(sel, peaks.schema)
     return (
-        ser.filter(F.col("__is_peak__"))
-        .withColumn("peak", F.row_number().over(wp) - 1)
+        peaks.withColumn("peak", F.row_number().over(wp) - 1)
         .select(*by, "peak", "index", dim, value)
     )
 
