@@ -1540,3 +1540,32 @@ def test_find_peaks_distance_greedy_selection(spark):
 
     with _pytest.raises(ValueError, match="distance"):
         xss.operators.find_peaks(df, by=["ch"], dim="t", distance=0)
+
+
+def test_find_peaks_prominence_and_width_filters(spark):
+    """The remaining scipy filter surface: prominence/width compose
+    from the trio's own kernels on the survivor set."""
+    import xarray_scipy_spark as xss
+
+    # two prominent peaks (3 at idx2, 4 at idx8) and a shallow bump
+    # (1.2 at idx5 sitting on a 1.0 shelf -> prominence 0.2)
+    sig = [0, 1, 3, 1, 1, 1.2, 1, 2, 4, 2, 0]
+    rows = [(0, t, float(v)) for t, v in enumerate(sig)]
+    df = spark.createDataFrame(rows, "ch int, t long, value double")
+
+    def idxs(**kw):
+        res = xss.operators.find_peaks(df, by=["ch"], dim="t", **kw)
+        got = res.orderBy("index").collect()
+        assert [r["peak"] for r in got] == list(range(len(got)))
+        return [r["index"] for r in got]
+
+    assert idxs() == [2, 5, 8]
+    assert idxs(prominence=0.5) == [2, 8]  # the shallow bump drops
+    assert idxs(prominence=3.5) == [8]
+    # width at half prominence: the shallow bump is ~1 sample wide
+    # (analytically exactly 1.0 — float rounding can land a hair
+    # under, so probe at 0.9), the sharp peaks wider; 5 drops all
+    assert idxs(width=0.9) == [2, 5, 8]
+    assert idxs(width=5.0) == []
+    # filters compose in scipy order
+    assert idxs(prominence=0.5, width=0.9) == [2, 8]

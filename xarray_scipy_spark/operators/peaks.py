@@ -88,6 +88,10 @@ def find_peaks(
     height: float | None = None,
     threshold: float | None = None,
     distance: int | None = None,
+    prominence: float | None = None,
+    width: float | None = None,
+    wlen: int | None = None,
+    rel_height: float = 0.5,
 ) -> DataFrame:
     """Detect strict local maxima per series — the upstream producer for
     :func:`peak_widths` (the reference leaves detection to callers, who
@@ -184,10 +188,41 @@ def find_peaks(
             return pdf[keep]
 
         peaks = peaks.groupBy(*by).applyInPandas(sel, peaks.schema)
-    return (
-        peaks.withColumn("peak", F.row_number().over(wp) - 1)
-        .select(*by, "peak", "index", dim, value)
+    out = peaks.withColumn("peak", F.row_number().over(wp) - 1).select(
+        *by, "peak", "index", dim, value
     )
+    # scipy's remaining filters compose from the trio's own kernels,
+    # applied in scipy's order (prominence, then width) on the
+    # survivors of the cheaper filters above; each re-ranks so `peak`
+    # stays contiguous. Like `distance`, the kernels run over the
+    # peaks frame, not the samples.
+    if prominence is not None:
+        proms = peak_prominences(
+            df, out, by=by, dim=dim, value=value, wlen=wlen
+        ).select(*by, "peak", "prominence")
+        out = (
+            out.join(proms, [*by, "peak"])
+            .filter(F.col("prominence") >= F.lit(float(prominence)))
+            .drop("prominence")
+            .withColumn("peak", F.row_number().over(wp) - 1)
+        )
+    if width is not None:
+        widths = peak_widths(
+            df,
+            out,
+            by=by,
+            dim=dim,
+            value=value,
+            rel_height=rel_height,
+            wlen=wlen,
+        ).select(*by, "peak", "width")
+        out = (
+            out.join(widths, [*by, "peak"])
+            .filter(F.col("width") >= F.lit(float(width)))
+            .drop("width")
+            .withColumn("peak", F.row_number().over(wp) - 1)
+        )
+    return out.select(*by, "peak", "index", dim, value)
 
 
 def peak_prominences(
