@@ -92,6 +92,7 @@ HEADLINE = [
     "deconvolve",
     "welch_blackman",
     "text_hash_vectors",
+    "lombscargle",
 ]
 
 

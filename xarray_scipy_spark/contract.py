@@ -4426,6 +4426,71 @@ def q_text_hash_vectors(spark, sf_dir):
     ).select("doc_id", F.col("slot").cast("bigint").alias("slot"), _q3_col(F.col("w")).alias("w_q"))
 
 
+# --- Lomb-Scargle (r9 queue: r8's four slots are spoken for; the r9
+# merge candidate is welch + welch_blackman once both have fresh rows) ---
+
+_LS_FREQS = (1e-5, 5e-5, 1e-4, 5e-4)  # rad/s against the ~29-day span
+
+
+def _lombscargle_oracle() -> str:
+    """DuckDB twin of operators.lomb.lombscargle (precenter +
+    normalize): the same five trig sums per (user, freq) and the same
+    tau rotation, epsilon-floor quantized (libm sin/cos differ across
+    engines in ulps; the quantum is 11 orders above the noise)."""
+    freqs_sql = ", ".join(
+        f"({i}, {w!r})" for i, w in enumerate(_LS_FREQS)
+    )
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) / 1000000.0 AS t, value AS y "
+        "FROM events), "
+        "c AS (SELECT user_id, t, y - avg(y) OVER (PARTITION BY user_id) AS y "
+        "FROM e), "
+        f"f(idx, w) AS (VALUES {freqs_sql}), "
+        "s AS (SELECT user_id, idx, w, "
+        "sum(y * cos(w * t)) AS yc, sum(y * sin(w * t)) AS ys, "
+        "sum(cos(w * t) * cos(w * t)) AS cc, "
+        "sum(sin(w * t) * sin(w * t)) AS ss, "
+        "sum(sin(w * t) * cos(w * t)) AS sc, "
+        "sum(y * y) AS yy "
+        "FROM c CROSS JOIN f GROUP BY user_id, idx, w), "
+        "r AS (SELECT user_id, idx, w, yc, ys, cc, ss, sc, yy, "
+        "0.5 * atan2(2.0 * sc, cc - ss) AS wtau FROM s), "
+        "p AS (SELECT user_id, idx, "
+        "0.5 * ("
+        " pow(cos(wtau) * yc + sin(wtau) * ys, 2) / "
+        "  (cos(wtau) * cos(wtau) * cc + 2.0 * cos(wtau) * sin(wtau) * sc "
+        "   + sin(wtau) * sin(wtau) * ss) "
+        " + pow(cos(wtau) * ys - sin(wtau) * yc, 2) / "
+        "  (sin(wtau) * sin(wtau) * cc - 2.0 * cos(wtau) * sin(wtau) * sc "
+        "   + cos(wtau) * cos(wtau) * ss)"
+        ") / (0.5 * yy) AS power FROM r) "
+        "SELECT user_id, CAST(idx AS BIGINT) AS idx, "
+        + _q3("power")
+        + " AS power_q FROM p"
+    )
+
+
+def q_lombscargle(spark, sf_dir):
+    """Lomb-Scargle periodogram of the IRREGULAR event series at four
+    angular frequencies (operators/lomb.py — one aggregation per
+    (series, freq) via the angle-addition collapse; no gap-filling,
+    no equispaced assumption). precenter+normalize; power quantized at
+    1e-3 (trig libm noise is ~1e-14)."""
+    res = ops.lombscargle(
+        _events(spark, sf_dir),
+        list(_LS_FREQS),
+        by=["user_id"],
+        dim="ts",
+        precenter=True,
+        normalize=True,
+    )
+    return res.select(
+        "user_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        _q3_col(F.col("power")).alias("power_q"),
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4440,6 +4505,7 @@ _QUEUED: dict = {
     "sketch_histogram": (q_sketch_histogram, _histogram_oracle()),
     "bpe_vocab": (q_bpe_vocab, None),
     "text_hash_vectors": (q_text_hash_vectors, _hash_vectors_oracle()),
+    "lombscargle": (q_lombscargle, _lombscargle_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),

@@ -15,6 +15,7 @@ from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import filtfilt, lfilter, sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join, skew_join
+from .lomb import lombscargle
 from .timegrid import gapfill
 from .peaks import find_peaks, peak_prominences, peak_widths
 from .resample import decimate, resample, resample_poly, upfirdn
@@ -27,6 +28,7 @@ __all__ = [
     "correlate",
     "fftconvolve",
     "gapfill",
+    "lombscargle",
     "skew_join",
     "fftconvolve_nd",
     "convolve_fir",
