@@ -93,6 +93,8 @@ HEADLINE = [
     "welch_blackman",
     "text_hash_vectors",
     "lombscargle",
+    "acf",
+    "ewma",
 ]
 
 

@@ -4491,6 +4491,106 @@ def q_lombscargle(spark, sf_dir):
     )
 
 
+# --- classical time-series stats (r9 queue with lombscargle) ---------------
+
+_ACF_NLAGS = 8
+_EWMA_ALPHA = 0.3
+
+
+def _acf_oracle() -> str:
+    """DuckDB twin of operators.tsstats.acf (biased, mean-centered):
+    lag cross-products as window columns (DuckDB cannot nest a window
+    fn inside sum()), then one group aggregate; _q3 quantized
+    (summation order differs between engines)."""
+    k = _ACF_NLAGS
+    prods = ", ".join(
+        f"d * lag(d, {j}) OVER w AS p{j}" for j in range(1, k + 1)
+    )
+    unions = " UNION ALL ".join(
+        "SELECT user_id, "
+        + (
+            f"{j} AS lag, " + _q3(f"CASE WHEN c0 > 0 THEN c{j} / c0 ELSE 0.0 END")
+            if j
+            else f"{j} AS lag, " + _q3("1.0")
+        )
+        + " AS acf_q FROM g"
+        for j in range(0, k + 1)
+    )
+    return (
+        "WITH c AS (SELECT user_id, ts, "
+        "value - avg(value) OVER (PARTITION BY user_id) AS d FROM events), "
+        f"pr AS (SELECT user_id, d, {prods} FROM c "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "g AS (SELECT user_id, sum(d * d) AS c0, "
+        + ", ".join(f"sum(p{j}) AS c{j}" for j in range(1, k + 1))
+        + " FROM pr GROUP BY user_id) "
+        + unions
+    )
+
+
+def q_acf(spark, sf_dir):
+    """Per-series autocorrelation at lags 0..8 (operators/tsstats.py
+    acf — one ordered-window exchange, lag products as window columns,
+    one aggregate). Queued r9."""
+    res = ops.acf(_events(spark, sf_dir), by=["user_id"], dim="ts", nlags=_ACF_NLAGS)
+    return res.select(
+        "user_id",
+        F.col("lag").cast("bigint").alias("lag"),
+        _q3_col(F.col("acf")).alias("acf_q"),
+    )
+
+
+def _ewma_oracle() -> str:
+    """DuckDB twin of operators.tsstats.ewma, both adjust modes in one
+    variant union. The zero-state one-pole filter is the join-sum over
+    the geometric impulse response h[m] = α(1−α)^m (the lfilter oracle
+    pattern, truncated where the tap underflows quantization); the
+    adjust=False correction and the adjust=True weight normalization
+    are the same closed forms the Spark side projects."""
+    al = _EWMA_ALPHA
+    # (1-0.3)^m < 1e-12 after ~78 taps; 120 gives margin
+    h = al * (1.0 - al) ** np.arange(120)
+    return (
+        f"WITH {_S}, {_values_cte('h', 'hv', h)}, "
+        "z AS ("
+        "  SELECT xi.user_id, xi.j, any_value(xi.x) AS x, sum(h.hv * xj.x) AS zv"
+        "  FROM s xi JOIN h ON h.m <= xi.j"
+        "  JOIN s xj ON xj.user_id = xi.user_id AND xj.j = xi.j - h.m"
+        "  GROUP BY xi.user_id, xi.j"
+        "), "
+        "x0 AS (SELECT user_id, x AS x0 FROM s WHERE j = 0) "
+        "SELECT 'recursive' AS variant, z.user_id, z.j AS idx, "
+        + _q3(f"z.zv + pow({1.0 - al!r}, z.j) * {1.0 - al!r} * x0.x0")
+        + " AS ewma_q FROM z JOIN x0 ON x0.user_id = z.user_id "
+        "UNION ALL "
+        "SELECT 'adjust' AS variant, user_id, j AS idx, "
+        + _q3(
+            f"zv / ({al!r} * (1.0 - pow({1.0 - al!r}, j + 1)) / {al!r})"
+        )
+        + " AS ewma_q FROM z"
+    )
+
+
+def q_ewma(spark, sf_dir):
+    """Exponentially weighted moving average, recursive (pandas
+    adjust=False) + adjusted variants in one union
+    (operators/tsstats.py ewma — the verified ragged one-pole lfilter
+    kernel + closed-form projections). Queued r9."""
+    ev = _events(spark, sf_dir)
+    out = []
+    for tag, adj in (("recursive", False), ("adjust", True)):
+        res = ops.ewma(ev, _EWMA_ALPHA, by=["user_id"], dim="ts", adjust=adj)
+        out.append(
+            res.select(
+                F.lit(tag).alias("variant"),
+                "user_id",
+                "idx",
+                _q3_col(F.col("ewma")).alias("ewma_q"),
+            )
+        )
+    return out[0].unionAll(out[1])
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4506,6 +4606,8 @@ _QUEUED: dict = {
     "bpe_vocab": (q_bpe_vocab, None),
     "text_hash_vectors": (q_text_hash_vectors, _hash_vectors_oracle()),
     "lombscargle": (q_lombscargle, _lombscargle_oracle()),
+    "acf": (q_acf, _acf_oracle()),
+    "ewma": (q_ewma, _ewma_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),

@@ -17,6 +17,7 @@ from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join, skew_join
 from .lomb import lombscargle
 from .timegrid import gapfill
+from .tsstats import acf, ewma
 from .peaks import find_peaks, peak_prominences, peak_widths
 from .resample import decimate, resample, resample_poly, upfirdn
 from .savgol import savgol_filter
@@ -29,6 +30,8 @@ __all__ = [
     "fftconvolve",
     "gapfill",
     "lombscargle",
+    "acf",
+    "ewma",
     "skew_join",
     "fftconvolve_nd",
     "convolve_fir",
