@@ -95,6 +95,7 @@ HEADLINE = [
     "lombscargle",
     "acf",
     "ewma",
+    "seasonal_decompose",
 ]
 
 

@@ -71,3 +71,72 @@ def test_ewma_validates(spark, two_series):
         ewma(df, 0.0, by=["ch"], dim="t")
     with pytest.raises(ValueError, match="alpha"):
         ewma(df, 1.5, by=["ch"], dim="t")
+
+
+def ref_decompose(x, period, model="additive"):
+    x = np.asarray(x, float)
+    n = len(x)
+    half = period // 2
+    trend = np.full(n, np.nan)
+    if period % 2 == 0:
+        w = np.r_[0.5, np.ones(period - 1), 0.5] / period
+    else:
+        w = np.ones(period) / period
+    m = len(w) // 2
+    for i in range(m, n - m):
+        trend[i] = np.dot(w, x[i - m : i + m + 1])
+    detr = x - trend if model == "additive" else x / trend
+    pm = np.array(
+        [np.nanmean(detr[p::period]) for p in range(period)]
+    )
+    pm = pm - pm.mean() if model == "additive" else pm / pm.mean()
+    seasonal = np.array([pm[i % period] for i in range(n)])
+    resid = (
+        x - trend - seasonal if model == "additive" else x / trend / seasonal
+    )
+    return trend, seasonal, resid
+
+
+def test_seasonal_decompose_matches_reference(spark):
+    from xarray_scipy_spark.operators import seasonal_decompose
+
+    rng = np.random.default_rng(3)
+    n = 96
+    t = np.arange(n)
+    for period, model in ((12, "additive"), (7, "additive"), (12, "multiplicative")):
+        season = 1.0 + 0.3 * np.sin(2 * np.pi * t / period)
+        trend_true = 5 + 0.05 * t
+        noise = 1.0 + 0.02 * rng.standard_normal(n)
+        x = (
+            trend_true + 3 * (season - 1) + (noise - 1)
+            if model == "additive"
+            else trend_true * season * noise
+        )
+        df = spark.createDataFrame(
+            [(0, int(i), float(v)) for i, v in zip(t, x)],
+            "ch int, t long, value double",
+        )
+        res = seasonal_decompose(
+            df, period, by=["ch"], dim="t", model=model
+        ).orderBy("idx")
+        got = res.collect()
+        rt, rs, rr = ref_decompose(x, period, model)
+        for r in got:
+            i = r["idx"]
+            if np.isnan(rt[i]):
+                assert r["trend"] is None, i
+                assert r["resid"] is None or np.isnan(r["resid"])
+            else:
+                assert r["trend"] == pytest.approx(rt[i], abs=1e-10)
+                assert r["resid"] == pytest.approx(rr[i], abs=1e-10)
+            assert r["seasonal"] == pytest.approx(rs[i], abs=1e-10)
+
+
+def test_seasonal_decompose_validates(spark):
+    from xarray_scipy_spark.operators import seasonal_decompose
+
+    df = spark.createDataFrame([(0, 0, 1.0)], "ch int, t long, value double")
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, 1, by=["ch"], dim="t")
+    with pytest.raises(ValueError, match="model"):
+        seasonal_decompose(df, 4, by=["ch"], dim="t", model="robust")

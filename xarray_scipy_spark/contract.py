@@ -4591,6 +4591,60 @@ def q_ewma(spark, sf_dir):
     return out[0].unionAll(out[1])
 
 
+_SD_PERIOD = 12
+
+
+def _seasonal_oracle() -> str:
+    """DuckDB twin of operators.tsstats.seasonal_decompose (additive,
+    even period 12): the same centered [0.5, 1.., 0.5]/p window sum,
+    per-phase detrended means, re-centering, and residual; _q3
+    quantized (window/group summation order)."""
+    p2 = _SD_PERIOD
+    half = p2 // 2
+    return (
+        f"WITH {_S}, "
+        "t AS (SELECT user_id, j, x, CASE WHEN "
+        f"count(x) OVER wf = {2 * half + 1} THEN "
+        f"(sum(x) OVER wi + 0.5 * (lag(x, {half}) OVER wo + lead(x, {half}) OVER wo)) / {float(p2)!r} "
+        "END AS trend FROM s WINDOW "
+        f"wf AS (PARTITION BY user_id ORDER BY j ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING), "
+        f"wi AS (PARTITION BY user_id ORDER BY j ROWS BETWEEN {half - 1} PRECEDING AND {half - 1} FOLLOWING), "
+        "wo AS (PARTITION BY user_id ORDER BY j)), "
+        f"d AS (SELECT user_id, j, x, trend, x - trend AS detr, j % {p2} AS ph FROM t), "
+        "pm AS (SELECT user_id, ph, avg(detr) AS pmv FROM d GROUP BY user_id, ph), "
+        "pc AS (SELECT user_id, avg(pmv) AS pcv FROM pm GROUP BY user_id) "
+        "SELECT d.user_id, d.j AS idx, "
+        + _q3("pm.pmv - pc.pcv")
+        + " AS seasonal_q, "
+        + _q3("coalesce(d.trend, 0.0)")
+        + " AS trend_q, "
+        + _q3("coalesce(d.x - d.trend - (pm.pmv - pc.pcv), 0.0)")
+        + " AS resid_q, d.trend IS NULL AS edge "
+        "FROM d JOIN pm ON pm.user_id = d.user_id AND pm.ph = d.ph "
+        "JOIN pc ON pc.user_id = d.user_id"
+    )
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition at period 12
+    (operators/tsstats.py seasonal_decompose — one ordered-window
+    exchange for the centered-MA trend + one phase-mean aggregation,
+    zero Python). Edge rows (trend undefined within period/2 of either
+    end) are flagged and zero-coalesced in the quantized compare.
+    Queued r9."""
+    res = ops.seasonal_decompose(
+        _events(spark, sf_dir), _SD_PERIOD, by=["user_id"], dim="ts"
+    )
+    return res.select(
+        "user_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        _q3_col(F.col("seasonal")).alias("seasonal_q"),
+        _q3_col(F.coalesce(F.col("trend"), F.lit(0.0))).alias("trend_q"),
+        _q3_col(F.coalesce(F.col("resid"), F.lit(0.0))).alias("resid_q"),
+        F.col("trend").isNull().alias("edge"),
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4608,6 +4662,7 @@ _QUEUED: dict = {
     "lombscargle": (q_lombscargle, _lombscargle_oracle()),
     "acf": (q_acf, _acf_oracle()),
     "ewma": (q_ewma, _ewma_oracle()),
+    "seasonal_decompose": (q_seasonal_decompose, _seasonal_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),

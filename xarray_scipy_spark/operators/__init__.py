@@ -17,7 +17,7 @@ from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join, skew_join
 from .lomb import lombscargle
 from .timegrid import gapfill
-from .tsstats import acf, ewma
+from .tsstats import acf, ewma, seasonal_decompose
 from .peaks import find_peaks, peak_prominences, peak_widths
 from .resample import decimate, resample, resample_poly, upfirdn
 from .savgol import savgol_filter
@@ -32,6 +32,7 @@ __all__ = [
     "lombscargle",
     "acf",
     "ewma",
+    "seasonal_decompose",
     "skew_join",
     "fftconvolve_nd",
     "convolve_fir",
