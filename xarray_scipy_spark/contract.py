@@ -3880,7 +3880,15 @@ def q_correlate(spark, sf_dir):
 # today's r6 head): merge the multimodal decode trio
 # (png/bmp/jpeg -> one variant-tag union, frees 2), savgol +
 # savgol_deriv (frees 1), stream_window_stats + session_window_stats
-# (frees 1) -> 4 slots for the 4 r8-bound queue entries, N stays 100.
+# (frees 1) -> 4 slots for the 4 r8-bound queue entries (skew_join,
+# sketch_histogram, bpe_vocab, text_hash_vectors), N stays 100.
+#
+# r9 plan: 4 more variant merges from the then-due pool — candidates:
+# welch + welch_blackman, hilbert + hilbert_envelope, convolve_valid +
+# convolve_fir, sosfilt_chunked + sosfilt_stream's batch twin — free
+# slots for the 5 r9-bound entries (lombscargle, acf, ewma,
+# seasonal_decompose + one spare); every queued entry stays
+# CI-verified byte-exactly per pytest run until its round arrives.
 
 
 def q_welch_blackman(spark, sf_dir):
