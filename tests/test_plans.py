@@ -319,3 +319,39 @@ def test_hll_shuffle_is_register_bounded(spark):
     plan = _final_plan(_QUEUED["sketch_hll"][0](spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4  # partial+final x 2 stages
     assert "partial_max" in plan  # the register max combines map-side
+
+
+def test_lombscargle_single_aggregation_no_join(spark):
+    """lombscargle is explode + ONE map-side-combinable aggregation +
+    projection trig; a join or second exchange means the tau two-pass
+    crept back in."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    plan = _static_plan(_QUEUED["lombscargle"][0](spark, SF_DIR))
+    for node in _JOIN_NODES:
+        assert node not in plan, node
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_acf_single_window_exchange_no_python(spark):
+    """acf: one ordered-window exchange; every lag rides the same
+    sort — a per-lag shuffle or a Python node is a regression."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    plan = _final_plan(_QUEUED["acf"][0](spark, SF_DIR))
+    for node in _JOIN_NODES:
+        assert node not in plan, node
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the one sort for the lag window (AQE may add AQEShuffleRead
+    # wrappers; count actual sort operators instead of exchanges)
+    assert plan.count("Sort") >= 1
+
+
+def test_seasonal_decompose_is_pure_catalyst(spark):
+    from xarray_scipy_spark.contract import _QUEUED
+
+    plan = _static_plan(_QUEUED["seasonal_decompose"][0](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
