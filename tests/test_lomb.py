@@ -95,3 +95,34 @@ def test_validates(spark, irregular_sine):
         lombscargle(df, [], by=["ch"], dim="t")
     with pytest.raises(ValueError, match="positive"):
         lombscargle(df, [1.0, -2.0], by=["ch"], dim="t")
+
+
+def test_regular_grid_equals_dft_periodogram(spark):
+    """Cross-operator invariant: on a REGULAR grid at exact Fourier
+    frequencies, the (precentered, unnormalized) Lomb-Scargle power
+    equals |DFT|^2 / n from this engine's own rfft — two independent
+    implementations meeting on the classical identity."""
+    from xarray_scipy_spark.operators import rfft
+
+    n = 64
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(n)
+    rows = [(0, t, float(v)) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "ch int, t long, value double")
+    ks = [3, 7, 12]
+    freqs = [2 * np.pi * k / n for k in ks]
+    ls = {
+        r["idx"]: r["power"]
+        for r in lombscargle(
+            df, freqs, by=["ch"], dim="t", precenter=True
+        ).collect()
+    }
+    spec = rfft(df, by=["ch"], dim="t")
+    got = {r["idx"]: complex(r["re"], r["im"]) for r in spec.collect()}
+    xc = x - x.mean()
+    for i, k in enumerate(ks):
+        dft = np.sum(xc * np.exp(-2j * np.pi * k * np.arange(n) / n))
+        assert ls[i] == pytest.approx(abs(dft) ** 2 / n, rel=1e-9)
+        # and the engine's rfft agrees with that DFT on the raw series
+        raw_dft = np.sum(x * np.exp(-2j * np.pi * k * np.arange(n) / n))
+        assert got[k] == pytest.approx(raw_dft, rel=1e-9)
