@@ -509,3 +509,30 @@ def test_iir_band_forms_frequency_responses():
         butter_sos(3, (0.6, 0.3), "bandpass")
     with _pytest.raises(ValueError, match="btype"):
         butter_sos(3, 0.5, "notch")
+
+
+def test_window_taps_extended_family():
+    """blackmanharris / flattop / tukey: closed-form identities (scipy
+    coefficient forms; tukey limits collapse to boxcar and hann)."""
+    import numpy as np
+
+    from xarray_scipy_spark.operators.spectral import window_taps
+
+    n = 64
+    bh = window_taps("blackmanharris", n)
+    assert bh[0] == pytest.approx(0.35875 - 0.48829 + 0.14128 - 0.01168, abs=1e-12)
+    assert bh.max() <= 1.0 + 1e-12 and bh[n // 2] == pytest.approx(1.0, abs=1e-9)
+    ft = window_taps("flattop", n)
+    assert ft.min() < 0  # the flat-top's signature negative sidelobes
+    assert ft[n // 2] == pytest.approx(1.0, abs=1e-6)
+    assert np.allclose(window_taps(("tukey", 0.0), n), np.ones(n))
+    assert np.allclose(
+        window_taps(("tukey", 1.0), n), window_taps("hann", n), atol=1e-12
+    )
+    mid = window_taps(("tukey", 0.5), n)
+    flat = mid[n // 4 : 3 * n // 4]
+    assert np.allclose(flat, 1.0)  # the flat middle half
+    with pytest.raises(ValueError, match="alpha"):
+        window_taps(("tukey", 1.5), n)
+    with pytest.raises(ValueError, match="unknown window"):
+        window_taps("gauss", n)

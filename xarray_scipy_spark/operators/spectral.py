@@ -70,10 +70,65 @@ def window_taps(window: str | Sequence[float] | None, frame_len: int) -> np.ndar
             # periodic form: the (frame_len+1)-point symmetric triangle
             # truncated, matching scipy get_window(..., fftbins=True)
             return 1.0 - np.abs(2.0 * m / frame_len - 1.0)
+        if window == "blackmanharris":
+            # 4-term minimum-sidelobe window (scipy coefficients)
+            a = (0.35875, 0.48829, 0.14128, 0.01168)
+            ph = 2.0 * np.pi * m / frame_len
+            return (
+                a[0]
+                - a[1] * np.cos(ph)
+                + a[2] * np.cos(2 * ph)
+                - a[3] * np.cos(3 * ph)
+            )
+        if window == "flattop":
+            # scipy's 5-term flat-top (amplitude-accurate for tones)
+            a = (
+                0.21557895,
+                0.41663158,
+                0.277263158,
+                0.083578947,
+                0.006947368,
+            )
+            ph = 2.0 * np.pi * m / frame_len
+            return (
+                a[0]
+                - a[1] * np.cos(ph)
+                + a[2] * np.cos(2 * ph)
+                - a[3] * np.cos(3 * ph)
+                + a[4] * np.cos(4 * ph)
+            )
         raise ValueError(
             f"unknown window {window!r} (None | 'hann' | 'hamming' | "
-            "'blackman' | 'bartlett' | ('kaiser', beta) | taps)"
+            "'blackman' | 'bartlett' | 'blackmanharris' | 'flattop' | "
+            "('kaiser', beta) | ('tukey', alpha) | taps)"
         )
+    if (
+        isinstance(window, tuple)
+        and len(window) == 2
+        and window[0] == "tukey"
+    ):
+        # periodic tukey (tapered cosine): symmetric (n+1)-point form
+        # truncated; alpha=0 -> boxcar, alpha=1 -> hann
+        alpha = float(window[1])
+        if not 0.0 <= alpha <= 1.0:
+            raise ValueError(f"tukey alpha must be in [0, 1], got {alpha}")
+        n1 = frame_len + 1
+        mm = np.arange(n1, dtype=float)
+        w = np.ones(n1)
+        if alpha > 0:
+            edge = alpha * (n1 - 1) / 2.0
+            lo = mm < edge
+            hi = mm > (n1 - 1) - edge
+            w[lo] = 0.5 * (
+                1 + np.cos(np.pi * (2 * mm[lo] / (alpha * (n1 - 1)) - 1))
+            )
+            w[hi] = 0.5 * (
+                1
+                + np.cos(
+                    np.pi * (2 * mm[hi] / (alpha * (n1 - 1)) - 2 / alpha + 1)
+                )
+            )
+        return w[:frame_len]
     if (
         isinstance(window, tuple)
         and len(window) == 2
