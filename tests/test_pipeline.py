@@ -5,6 +5,7 @@ import hashlib
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 import xarray_scipy_spark.pipeline as pl
 
@@ -1338,3 +1339,46 @@ def test_orc_roundtrip_partition_pruning_and_schema_gate(spark, tmp_path):
     bad = StructType([StructField("nope", StringType())])
     with pytest.raises(Exception, match="nope|UNRESOLVED"):
         read_orc(spark, path, bad).collect()
+
+
+def test_minhash_pairs_cross_matches_self_join_restriction(spark):
+    """Cross-corpus LSH dedup: pairs(left x right) must equal the
+    cross-side subset of minhash_pairs on the union (same bands, same
+    verify), with NO self-side pairs and overlapping id spaces kept
+    apart."""
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different document about engine internals",
+        "rain in spain falls mainly on the plain every year",
+    ]
+    left_rows = [(i, t) for i, t in enumerate(base)]
+    right_rows = [
+        (0, base[0] + " indeed"),  # near-dup of left 0, SAME id value
+        (7, "unrelated text about mountain weather and snow packs"),
+        (8, base[2]),  # exact text of left 2
+    ]
+    left = spark.createDataFrame(left_rows, "doc_id long, text string")
+    right = spark.createDataFrame(right_rows, "doc_id long, text string")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in pl.minhash_pairs_cross(
+            left, right, num_hashes=16, bands=8, k=2, threshold=0.4
+        ).collect()
+    }
+    # expected: the union-frame self-join restricted to cross pairs
+    union = left.unionAll(
+        right.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    )
+    ref = {
+        (a, b - 100)
+        for a, b in (
+            (r["a_id"], r["b_id"])
+            for r in pl.minhash_pairs(
+                union, num_hashes=16, bands=8, k=2, threshold=0.4
+            ).collect()
+        )
+        if a < 100 <= b
+    }
+    assert got == ref
+    assert (2, 8) in got  # the exact-duplicate pair survives banding
+    assert all(l < 100 and r < 100 for l, r in got)  # sane id spaces

@@ -25,6 +25,7 @@ from .dedup import (
     exact_duplicates,
     minhash_signatures,
     minhash_pairs,
+    minhash_pairs_cross,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_pairs,

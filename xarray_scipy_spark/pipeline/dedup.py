@@ -43,6 +43,7 @@ __all__ = [
     "exact_duplicates",
     "minhash_signatures",
     "minhash_pairs",
+    "minhash_pairs_cross",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_pairs",
@@ -223,6 +224,96 @@ def minhash_pairs(
         .select("a_id", "b_id", "jaccard")
     )
     return verified
+
+
+def minhash_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    right_id_col: str | None = None,
+    right_text_col: str | None = None,
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs: every ``left`` document
+    matched against ``right`` via the same banded MinHash-LSH +
+    exact-Jaccard verify as :func:`minhash_pairs`.
+
+    This is the INCREMENTAL dedup shape a production pipeline needs:
+    dedup today's shard (``left``) against the accumulated corpus
+    snapshot (``right``) without re-pairing the snapshot against
+    itself — the join is constrained to cross-side pairs, so the heavy
+    side's self-pairs are never generated, and the snapshot's
+    signatures can be precomputed/persisted upstream. Same scale
+    properties: banded buckets, shuffle-hash join (never all-pairs),
+    each pair emitted once from its smallest shared band, candidates
+    broadcast into the shingle verify.
+
+    Output: ``(left_id, right_id, jaccard)`` — id spaces may overlap
+    freely (ids never compare across sides).
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    rid = right_id_col or id_col
+    rtext = right_text_col or text_col
+    sig_l = minhash_signatures(
+        left, id_col=id_col, text_col=text_col, num_hashes=num_hashes, k=k
+    ).select(F.col(id_col).alias("_id"), F.lit(0).alias("_side"), "*").drop(id_col)
+    sig_r = minhash_signatures(
+        right, id_col=rid, text_col=rtext, num_hashes=num_hashes, k=k
+    ).select(F.col(rid).alias("_id"), F.lit(1).alias("_side"), "*").drop(rid)
+    sigs = sig_l.unionByName(sig_r)
+
+    def band_md5(b: int) -> str:
+        cols = ", ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        return f"md5(concat_ws('|', {cols}))"
+
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'band_hash', {band_md5(b)})"
+        for b in range(bands)
+    )
+    bhs = ", ".join(band_md5(b) for b in range(bands))
+    earlier_differ = " AND ".join(
+        f"(a.band <= {c} OR a.bhs[{c}] != b.bhs[{c}])" for c in range(bands - 1)
+    )
+    earlier_differ = f" AND {earlier_differ}" if earlier_differ else ""
+    cand = left.sparkSession.sql(
+        f"""
+        WITH buckets AS (
+          SELECT _id, _side, array({bhs}) AS bhs, bb.band, bb.band_hash
+          FROM {{sigs}} LATERAL VIEW explode(array({band_structs})) AS bb
+        )
+        SELECT /*+ SHUFFLE_HASH(a, b) */
+               a._id AS left_id, b._id AS right_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a._side = 0 AND b._side = 1{earlier_differ}
+        """,
+        sigs=sigs,
+    )
+    sh_l = _with_shingles(left, id_col, text_col, k).select(
+        F.col(id_col).alias("left_id"), F.col("shingles").alias("sh_a")
+    )
+    sh_r = _with_shingles(right, rid, rtext, k).select(
+        F.col(rid).alias("right_id"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        sh_r.join(F.broadcast(sh_l.join(F.broadcast(cand), "left_id")), "right_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
