@@ -1382,3 +1382,32 @@ def test_minhash_pairs_cross_matches_self_join_restriction(spark):
     assert got == ref
     assert (2, 8) in got  # the exact-duplicate pair survives banding
     assert all(l < 100 and r < 100 for l, r in got)  # sane id spaces
+
+
+def test_cap_per_group_deterministic_and_stable_under_growth(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 5}") for i in range(200)], "doc_id long, domain string"
+    )
+    a = {r["doc_id"] for r in pl.cap_per_group(docs, by="domain", n=10).collect()}
+    b = {
+        r["doc_id"]
+        for r in pl.cap_per_group(docs.repartition(16), by="domain", n=10).collect()
+    }
+    assert a == b and len(a) == 50  # 5 domains x 10
+    # growth stability: adding rows never brings back a previously
+    # displaced id — the kept set of the grown corpus restricted to
+    # old ids is a SUBSET of the old kept set
+    grown = docs.unionAll(
+        spark.createDataFrame(
+            [(1000 + i, f"d{i % 5}") for i in range(100)],
+            "doc_id long, domain string",
+        )
+    )
+    g = {r["doc_id"] for r in pl.cap_per_group(grown, by="domain", n=10).collect()}
+    assert {i for i in g if i < 1000} <= a
+    # flag mode keeps every row and marks survivors
+    flagged = pl.cap_per_group(docs, by="domain", n=10, keep_col="kept")
+    assert flagged.count() == 200
+    assert flagged.filter("kept").count() == 50
+    with pytest.raises(ValueError, match="n must"):
+        pl.cap_per_group(docs, by="domain", n=0)

@@ -4653,6 +4653,34 @@ def q_seasonal_decompose(spark, sf_dir):
     )
 
 
+_CAP_GROUPS, _CAP_N = 7, 40
+
+
+def _cap_oracle() -> str:
+    """DuckDB twin of pipeline.sample.cap_per_group: identical salted
+    md5 ranking key (bit-exact uniform, the split_assign pattern), same
+    row_number window, BIGINT output only."""
+    u = "(('0x' || substring(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 16.0 ^ 15)"
+    return (
+        f"WITH g AS (SELECT doc_id, doc_id % {_CAP_GROUPS} AS grp FROM documents), "
+        "r AS (SELECT doc_id, grp, row_number() OVER ("
+        f"PARTITION BY grp ORDER BY {u} ASC, doc_id ASC) AS rk FROM g) "
+        f"SELECT grp, doc_id FROM r WHERE rk <= {_CAP_N}"
+    )
+
+
+def q_cap_per_group(spark, sf_dir):
+    """Per-group document caps (pipeline/sample.py cap_per_group):
+    synthetic 7-way grouping over documents, at most 40 kept per
+    group by the salted-hash uniform — deterministic, rerun- and
+    growth-stable. Queued r9 (the spare slot)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % _CAP_GROUPS).alias("grp")
+    )
+    res = pl.cap_per_group(docs, by="grp", n=_CAP_N)
+    return res.select("grp", "doc_id")
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4671,6 +4699,7 @@ _QUEUED: dict = {
     "acf": (q_acf, _acf_oracle()),
     "ewma": (q_ewma, _ewma_oracle()),
     "seasonal_decompose": (q_seasonal_decompose, _seasonal_oracle()),
+    "cap_per_group": (q_cap_per_group, _cap_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),

@@ -72,6 +72,7 @@ from .sketches import (
     quantile_from_histogram,
 )
 from .sample import (
+    cap_per_group,
     hash_uniform,
     mix_datasets,
     pack_sequences,

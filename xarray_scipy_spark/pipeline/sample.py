@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .hashes import _c
 
 __all__ = [
+    "cap_per_group",
     "hash_uniform",
     "split_assign",
     "stratified_sample",
@@ -243,3 +244,43 @@ def pack_sequences(
         )
 
     return work.groupBy("__dom__").applyInPandas(pack, schema=out_schema)
+
+
+def cap_per_group(
+    df: DataFrame,
+    *,
+    by,
+    id_col: str = "doc_id",
+    n: int,
+    salt: str = "cap",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by the salted-hash
+    uniform over ``id_col`` — the per-domain / per-source cap every
+    curation pipeline applies so one crawl host cannot dominate the
+    mixture.
+
+    Determinism contract (the same one ``split_assign`` makes): the
+    kept set depends only on (ids, salt, n) — stable across reruns,
+    partitionings, and INCREMENTAL growth in the sense that a row's
+    RANKING KEY never changes, so adding new rows to a group can only
+    displace the highest-keyed survivors, never reshuffle the order.
+    One window shuffle on the group keys; ties cannot occur (the
+    ranking key falls back to the id itself).
+
+    ``keep_col=None`` filters to the kept rows; a column name instead
+    FLAGS them (keep_col=True/False) so downstream stages can audit
+    what a cap dropped.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    by = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*by).orderBy(
+        hash_uniform(id_col, salt=salt).asc(), F.col(id_col).asc()
+    )
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    if keep_col is None:
+        return ranked.filter(F.col("_rk") <= n).drop("_rk")
+    return ranked.withColumn(keep_col, F.col("_rk") <= n).drop("_rk")
