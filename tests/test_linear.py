@@ -1,0 +1,79 @@
+"""Ridge regression (pipeline/linear.py) vs numpy closed forms."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import xarray_scipy_spark.pipeline as pl
+
+
+@pytest.fixture(scope="module")
+def lin_data(spark):
+    rng = np.random.default_rng(21)
+    n, d = 400, 3
+    X = rng.standard_normal((n, d)) * [1.0, 3.0, 0.5] + [0, 2, -1]
+    beta_true = np.array([2.0, -1.0, 0.5])
+    y = X @ beta_true + 4.0 + 0.05 * rng.standard_normal(n)
+    rows = [
+        (float(a), float(b), float(c), float(v))
+        for (a, b, c), v in zip(X, y)
+    ]
+    df = spark.createDataFrame(rows, "f0 double, f1 double, f2 double, y double")
+    return df, X, y
+
+
+def ref_ridge(X, y, l2, fit_intercept=True):
+    n, d = X.shape
+    if fit_intercept:
+        mx, my = X.mean(axis=0), y.mean()
+        Xc, yc = X - mx, y - my
+        b = np.linalg.solve(Xc.T @ Xc + l2 * np.eye(d), Xc.T @ yc)
+        return b, float(my - mx @ b)
+    b = np.linalg.solve(X.T @ X + l2 * np.eye(d), X.T @ y)
+    return b, 0.0
+
+
+def test_fit_matches_numpy_and_recovers_coefficients(spark, lin_data):
+    df, X, y = lin_data
+    for l2, fi in ((1e-6, True), (10.0, True), (1e-6, False)):
+        beta, b0 = pl.fit_ridge(
+            df, ["f0", "f1", "f2"], "y", l2=l2, fit_intercept=fi
+        )
+        rb, rb0 = ref_ridge(X, y, l2, fi)
+        np.testing.assert_allclose(beta, rb, rtol=1e-9)
+        assert b0 == pytest.approx(rb0, abs=1e-9)
+    beta, b0 = pl.fit_ridge(df, ["f0", "f1", "f2"], "y")
+    np.testing.assert_allclose(beta, [2.0, -1.0, 0.5], atol=0.02)
+    assert b0 == pytest.approx(4.0, abs=0.02)
+
+
+def test_fit_partitioning_independent(spark, lin_data):
+    df, _, _ = lin_data
+    b1, i1 = pl.fit_ridge(df.coalesce(1), ["f0", "f1", "f2"], "y")
+    b2, i2 = pl.fit_ridge(df.repartition(16), ["f0", "f1", "f2"], "y")
+    np.testing.assert_allclose(b1, b2, rtol=1e-12)
+    assert i1 == pytest.approx(i2, abs=1e-12)
+
+
+def test_predict_is_pure_projection(spark, lin_data):
+    df, X, y = lin_data
+    beta, b0 = pl.fit_ridge(df, ["f0", "f1", "f2"], "y")
+    scored = pl.predict_linear(df, beta, b0, feature_cols=["f0", "f1", "f2"])
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # scoring never leaves the JVM
+    got = scored.agg(
+        F.avg((F.col("score") - F.col("y")) ** 2).alias("mse")
+    ).collect()[0]["mse"]
+    assert got < 0.01  # the noise floor
+
+
+def test_validates(spark, lin_data):
+    df, _, _ = lin_data
+    with pytest.raises(ValueError, match="feature"):
+        pl.fit_ridge(df, [], "y")
+    with pytest.raises(ValueError, match="l2"):
+        pl.fit_ridge(df, ["f0"], "y", l2=-1)
+    with pytest.raises(ValueError, match="beta"):
+        pl.predict_linear(df, [1.0], feature_cols=["f0", "f1"])

@@ -60,6 +60,7 @@ from .text import (
 )
 from .bpe import apply_bpe, train_bpe, word_counts
 from .curate import curation_report
+from .linear import fit_ridge, predict_linear
 from .sketches import (
     bloom_bits,
     bloom_decontaminate,

@@ -1,0 +1,120 @@
+"""Corpus-scale ridge regression — learned calibration for quality
+signals.
+
+The curation pipeline produces per-document feature columns (token
+stats, repetition fractions, LM log-probs, hashed-vector components);
+turning a handful of labeled examples plus those features into a
+continuous quality score is a ridge fit. At 100 TB the only viable
+shape is the one :func:`~xarray_scipy_spark.pipeline.similarity.
+fit_pca` established: ONE pass accumulating the Gram partials
+(XᵀX, Xᵀy, n) — each partition contributes d² + d + 1 doubles
+regardless of row count — then a driver-side solve closed over d, and
+prediction as a pure-Catalyst dot-product projection (no Python in the
+scoring pass).
+
+No reference analog; the normal-equations construction is textbook
+(ridge: (XᵀX + λI)β = Xᵀy, intercept via mean-centering).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["fit_ridge", "predict_linear"]
+
+
+def fit_ridge(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    l2: float = 1e-6,
+    fit_intercept: bool = True,
+):
+    """Fit ``label ≈ features · β + b`` by ridge normal equations.
+
+    One ``mapInPandas`` pass emits per-batch partials of
+    ``(n, Σx, Σy, XᵀX, Xᵀy)``; the driver combine and the
+    ``(d × d)`` solve are closed over the feature count, never the
+    corpus. ``l2`` regularizes the (centered) Gram matrix —
+    the intercept is never penalized.
+
+    Returns ``(beta, intercept)``: a length-d numpy vector and a
+    float.
+    """
+    feature_cols = list(feature_cols)
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("need at least one feature column")
+    if l2 < 0:
+        raise ValueError(f"l2 must be >= 0, got {l2}")
+
+    def partial(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = pdf[feature_cols].to_numpy(dtype=float)
+            y = pdf["_label"].to_numpy(dtype=float)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "sx": [x.sum(axis=0).tolist()],
+                    "sy": [float(y.sum())],
+                    "g": [(x.T @ x).ravel().tolist()],
+                    "xy": [(x.T @ y).tolist()],
+                }
+            )
+
+    rows = (
+        df.select(*feature_cols, F.col(label_col).cast("double").alias("_label"))
+        .mapInPandas(
+            partial,
+            "n bigint, sx array<double>, sy double, g array<double>, xy array<double>",
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot fit on an empty frame")
+    n = sum(r["n"] for r in rows)
+    sx = np.sum([np.asarray(r["sx"]) for r in rows], axis=0)
+    sy = sum(r["sy"] for r in rows)
+    g = np.sum([np.asarray(r["g"]) for r in rows], axis=0).reshape(d, d)
+    xy = np.sum([np.asarray(r["xy"]) for r in rows], axis=0)
+    if fit_intercept:
+        mx = sx / n
+        my = sy / n
+        gc = g - n * np.outer(mx, mx)
+        xyc = xy - n * mx * my
+    else:
+        gc, xyc = g, xy
+    beta = np.linalg.solve(gc + l2 * np.eye(d), xyc)
+    intercept = float(my - mx @ beta) if fit_intercept else 0.0
+    return beta, intercept
+
+
+def predict_linear(
+    df: DataFrame,
+    beta,
+    intercept: float = 0.0,
+    *,
+    feature_cols: Sequence[str],
+    out: str = "score",
+) -> DataFrame:
+    """Score every row with a fitted linear model as a pure-Catalyst
+    projection — coefficients inline as literals, zero Python in the
+    scoring pass (the corpus-wide part of the job)."""
+    feature_cols = list(feature_cols)
+    beta = np.asarray(beta, dtype=float)
+    if beta.shape != (len(feature_cols),):
+        raise ValueError(
+            f"beta must have shape ({len(feature_cols)},), got {beta.shape}"
+        )
+    expr = F.lit(float(intercept))
+    for c, b in zip(feature_cols, beta):
+        expr = expr + F.col(c).cast("double") * F.lit(float(b))
+    return df.withColumn(out, expr)
