@@ -77,3 +77,56 @@ def test_validates(spark, lin_data):
         pl.fit_ridge(df, ["f0"], "y", l2=-1)
     with pytest.raises(ValueError, match="beta"):
         pl.predict_linear(df, [1.0], feature_cols=["f0", "f1"])
+
+
+def ref_logistic(X, y, l2, fit_intercept=True, max_iter=25, tol=1e-10):
+    n, d = X.shape
+    if fit_intercept:
+        X = np.hstack([X, np.ones((n, 1))])
+    da = X.shape[1]
+    reg = np.eye(da)
+    if fit_intercept:
+        reg[d, d] = 0.0
+    beta = np.zeros(da)
+    last = -np.inf
+    for _ in range(max_iter):
+        eta = np.clip(X @ beta, -35, 35)
+        p = 1 / (1 + np.exp(-eta))
+        w = p * (1 - p)
+        h = (X * w[:, None]).T @ X
+        g = X.T @ (y - p)
+        ll = float(np.sum(y * eta - np.logaddexp(0, eta))) - 0.5 * l2 * float(
+            beta[:d] @ beta[:d]
+        )
+        beta = beta + np.linalg.solve(
+            h + l2 * reg + 1e-12 * np.eye(da), g - l2 * (reg @ beta)
+        )
+        if abs(ll - last) < tol * (1 + abs(ll)):
+            break
+        last = ll
+    return (beta[:d], float(beta[d])) if fit_intercept else (beta, 0.0)
+
+
+def test_logistic_matches_reference_and_separates(spark):
+    rng = np.random.default_rng(31)
+    n = 600
+    X = rng.standard_normal((n, 2))
+    true_b = np.array([2.5, -1.5])
+    p = 1 / (1 + np.exp(-(X @ true_b + 0.5)))
+    y = (rng.uniform(size=n) < p).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(v)) for (a, b), v in zip(X, y)],
+        "f0 double, f1 double, y double",
+    )
+    beta, b0 = pl.fit_logistic(df, ["f0", "f1"], "y", l2=1e-3)
+    rb, rb0 = ref_logistic(X, y, 1e-3)
+    np.testing.assert_allclose(beta, rb, rtol=1e-6)
+    assert b0 == pytest.approx(rb0, rel=1e-6)
+    # sign/scale sanity vs the generating model
+    assert beta[0] > 1.0 and beta[1] < -0.5 and 0.0 < b0 < 1.5
+    # scored probabilities classify the training set well
+    scored = pl.predict_linear(df, beta, b0, feature_cols=["f0", "f1"])
+    acc = scored.select(
+        ((F.col("score") > 0).cast("double") == F.col("y")).cast("double").alias("ok")
+    ).agg(F.avg("ok")).collect()[0][0]
+    assert acc > 0.8

@@ -1411,3 +1411,40 @@ def test_cap_per_group_deterministic_and_stable_under_growth(spark):
     assert flagged.filter("kept").count() == 50
     with pytest.raises(ValueError, match="n must"):
         pl.cap_per_group(docs, by="domain", n=0)
+
+
+def test_robust_zscore_matches_numpy_and_flags_outliers(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal(199)
+    vals = np.append(base, 50.0)  # one gross outlier
+    df = spark.createDataFrame(
+        [(int(i % 2), float(v)) for i, v in enumerate(vals)],
+        "g int, value double",
+    )
+    res = pl.robust_zscore(df, "value", by="g", flag_col="is_out").collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["g"], []).append((r["value"], r["rz"], r["is_out"]))
+    for g in (0, 1):
+        sub = np.array([v for i, v in enumerate(vals) if i % 2 == g])
+        med = np.median(sub)
+        mad = np.median(np.abs(sub - med))
+        for v, rz, flag in got[g]:
+            expect = 0.6745 * (v - med) / mad
+            assert rz == pytest.approx(expect, rel=1e-12)
+            assert flag == (abs(expect) > 3.5)
+    # the gross outlier is flagged, almost everything else is not
+    flags = [f for rows in got.values() for _, _, f in rows]
+    assert sum(flags) <= 3 and any(
+        f for v, _, f in got[199 % 2] if v == 50.0
+    )
+
+
+def test_robust_zscore_zero_mad_and_global(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in [5.0] * 10 + [9.0]], "value double"
+    )
+    res = pl.robust_zscore(df, "value").collect()  # no grouping
+    assert all(r["rz"] == 0.0 for r in res)  # MAD 0 -> defined as 0

@@ -60,7 +60,7 @@ from .text import (
 )
 from .bpe import apply_bpe, train_bpe, word_counts
 from .curate import curation_report
-from .linear import fit_ridge, predict_linear
+from .linear import fit_logistic, fit_ridge, predict_linear
 from .sketches import (
     bloom_bits,
     bloom_decontaminate,
@@ -75,6 +75,7 @@ from .sketches import (
 from .sample import (
     cap_per_group,
     hash_uniform,
+    robust_zscore,
     mix_datasets,
     pack_sequences,
     split_assign,
