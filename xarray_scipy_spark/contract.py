@@ -3885,10 +3885,12 @@ def q_correlate(spark, sf_dir):
 #
 # r9 plan: 4 more variant merges from the then-due pool — candidates:
 # welch + welch_blackman, hilbert + hilbert_envelope, convolve_valid +
-# convolve_fir, sosfilt_chunked + sosfilt_stream's batch twin — free
-# slots for the 5 r9-bound entries (lombscargle, acf, ewma,
-# seasonal_decompose + one spare); every queued entry stays
-# CI-verified byte-exactly per pytest run until its round arrives.
+# convolve_fir, sosfilt_chunked + sosfilt_stream's batch twin, plus a
+# fifth (csd + spectrogram) — free slots for the 5 r9-bound entries
+# (lombscargle, acf, ewma, seasonal_decompose, cap_per_group);
+# robust_zscore is r10-bound behind one further merge. Every queued
+# entry stays CI-verified byte-exactly per pytest run until its round
+# arrives.
 
 
 def q_welch_blackman(spark, sf_dir):
@@ -4681,6 +4683,44 @@ def q_cap_per_group(spark, sf_dir):
     return res.select("grp", "doc_id")
 
 
+def _robust_z_oracle() -> str:
+    """DuckDB twin of pipeline.sample.robust_zscore on event values per
+    event_type: exact medians are order statistics — no summation-order
+    noise — so the scores match bit-for-bit without quantization...
+    except the 0.6745·(x−med)/MAD arithmetic itself, mirrored in the
+    same op order; _q3 guards the residual division rounding."""
+    return (
+        "WITH m AS (SELECT event_type, median(value) AS med FROM events "
+        "GROUP BY event_type), "
+        "j AS (SELECT e.event_id, e.event_type, e.value, m.med FROM events e "
+        "JOIN m USING (event_type)), "
+        "md AS (SELECT event_type, median(abs(value - med)) AS mad FROM j "
+        "GROUP BY event_type) "
+        "SELECT j.event_id, j.event_type, "
+        + _q3(
+            "CASE WHEN md.mad > 0 THEN 0.6745 * (j.value - j.med) / md.mad "
+            "ELSE 0.0 END"
+        )
+        + " AS rz_q, "
+        "CASE WHEN md.mad > 0 THEN abs(0.6745 * (j.value - j.med) / md.mad) > 3.5 "
+        "ELSE FALSE END AS is_out "
+        "FROM j JOIN md USING (event_type)"
+    )
+
+
+def q_robust_zscore(spark, sf_dir):
+    """Median/MAD robust outlier scores per event_type
+    (pipeline/sample.py robust_zscore — exact order-statistic medians,
+    3 group-key exchanges). Queued r10."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    res = pl.robust_zscore(ev, "value", by="event_type", flag_col="is_out")
+    return res.select(
+        "event_id", "event_type", _q3_col(F.col("rz")).alias("rz_q"), "is_out"
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4700,6 +4740,7 @@ _QUEUED: dict = {
     "ewma": (q_ewma, _ewma_oracle()),
     "seasonal_decompose": (q_seasonal_decompose, _seasonal_oracle()),
     "cap_per_group": (q_cap_per_group, _cap_oracle()),
+    "robust_zscore": (q_robust_zscore, _robust_z_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),
