@@ -96,6 +96,9 @@ HEADLINE = [
     "acf",
     "ewma",
     "seasonal_decompose",
+    "cap_per_group",
+    "robust_zscore",
+    "dedup_minhash_cross",
 ]
 
 

@@ -4721,6 +4721,69 @@ def q_robust_zscore(spark, sf_dir):
     )
 
 
+_MHX_MOD = 3  # doc_id % 3 == 0 -> the "snapshot" side; else the new shard
+
+
+def _minhash_cross_oracle() -> str:
+    """DuckDB twin of pipeline.dedup.minhash_pairs_cross on a 1/3-2/3
+    split of documents: the registered dedup_minhash oracle's banding,
+    with candidates restricted to cross-side pairs."""
+    from .pipeline.hashes import MINHASH_P, minhash_coeffs
+
+    rows = _MINHASH_N // _MINHASH_BANDS
+    mins = ", ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(_MINHASH_N))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, side, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + ") AS band_hash FROM sigs"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH {_TOKS}, {_SHINGLES},
+inv AS (SELECT doc_id, doc_id % {_MHX_MOD} = 0 AS side, sh,
+               ('0x' || substring(md5(sh), 1, 8))::BIGINT AS x
+        FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh)),
+sigs AS (SELECT doc_id, any_value(side) AS side, {mins} FROM inv GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND NOT a.side AND b.side
+)
+SELECT left_id, right_id, jaccard FROM (
+  SELECT c.left_id, c.right_id,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.left_id
+  JOIN sh sb ON sb.doc_id = c.right_id
+) WHERE jaccard >= {_MINHASH_THRESHOLD}
+"""
+
+
+def q_dedup_minhash_cross(spark, sf_dir):
+    """Incremental dedup: the 2/3 "new shard" of documents matched
+    against the 1/3 "snapshot" side via cross-corpus banded LSH
+    (pipeline/dedup.py minhash_pairs_cross — cross-side pairs only,
+    the snapshot never self-pairs). Queued r10."""
+    docs = _docs(spark, sf_dir)
+    left = docs.filter(F.col("doc_id") % _MHX_MOD != 0)
+    right = docs.filter(F.col("doc_id") % _MHX_MOD == 0)
+    return pl.minhash_pairs_cross(
+        left,
+        right,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4741,6 +4804,7 @@ _QUEUED: dict = {
     "seasonal_decompose": (q_seasonal_decompose, _seasonal_oracle()),
     "cap_per_group": (q_cap_per_group, _cap_oracle()),
     "robust_zscore": (q_robust_zscore, _robust_z_oracle()),
+    "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),
