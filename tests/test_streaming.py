@@ -675,3 +675,75 @@ def test_countmin_stream_cells_equal_batch(spark, tmp_path):
         map(tuple, pl.countmin_sketch(batch, "tok", depth=2, width=64).collect())
     )
     assert got == expect
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream bounded-lookback enrichment across 3 micro-batch
+    pairs equals the batch interval join row-for-row (inner), and the
+    join carries watermarks on BOTH sides (the state-bound
+    prerequisite)."""
+    from xarray_scipy_spark.streaming import stream_interval_join
+
+    lsrc = tmp_path / "ij_left"
+    rsrc = tmp_path / "ij_right"
+    lsrc.mkdir(); rsrc.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    lrows, rrows = [], []
+    for i in range(30):
+        lrows.append((i % 3, base + pd.Timedelta(seconds=20 * i), float(i)))
+    for j in range(10):
+        rrows.append((j % 3, base + pd.Timedelta(seconds=55 * j), f"ctx{j}"))
+    lpdf = pd.DataFrame(lrows, columns=["k", "lts", "v"])
+    rpdf = pd.DataFrame(rrows, columns=["k", "rts", "ctx"])
+    # parquet micros, not pandas' ns default (the declared read schema
+    # is Spark's microsecond timestamp)
+    lpdf["lts"] = lpdf["lts"].astype("datetime64[us]")
+    rpdf["rts"] = rpdf["rts"].astype("datetime64[us]")
+    for i in range(3):
+        lpdf.iloc[i * 10 : (i + 1) * 10].to_parquet(lsrc / f"l{i}.parquet")
+        rpdf.iloc[i * 4 : (i + 1) * 4].to_parquet(rsrc / f"r{i}.parquet")
+        time.sleep(1.1)
+    ls = (
+        spark.readStream.schema("k long, lts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(lsrc))
+    )
+    rs = (
+        spark.readStream.schema("k long, rts timestamp, ctx string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(rsrc))
+    )
+    out = stream_interval_join(
+        ls, rs, on=["k"], left_ts="lts", right_ts="rts", tolerance="90 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_out")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["k"], r["v"], r["ctx"])
+        for r in spark.sql("select * from ij_out").collect()
+    }
+    lb = spark.createDataFrame(lpdf)
+    rb = spark.createDataFrame(rpdf)
+    expect = {
+        (r["k"], r["v"], r["ctx"])
+        for r in lb.alias("l")
+        .join(
+            rb.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("r.rts") <= F.col("l.lts"))
+            & (F.col("r.rts") >= F.col("l.lts") - F.expr("INTERVAL 90 seconds")),
+        )
+        .select(F.col("l.k"), F.col("l.v"), F.col("r.ctx"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+    with pytest.raises(ValueError, match="how"):
+        stream_interval_join(
+            ls, rs, on=["k"], left_ts="lts", right_ts="rts", how="full"
+        )
