@@ -4784,6 +4784,47 @@ def q_dedup_minhash_cross(spark, sf_dir):
     )
 
 
+def _cube_oracle() -> str:
+    """DuckDB CUBE mirror: decimal sums are exact, so no quantization;
+    GROUPING() markers disambiguate real NULL groups from rollup rows
+    (both engines follow the standard)."""
+    return (
+        "SELECT coalesce(CAST(l_returnflag AS VARCHAR), '<all>') AS rf, "
+        "coalesce(CAST(l_linestatus AS VARCHAR), '<all>') AS ls, "
+        "CAST(grouping(l_returnflag) AS BIGINT) AS g_rf, "
+        "CAST(grouping(l_linestatus) AS BIGINT) AS g_ls, "
+        "count(*) AS n, sum(l_quantity) AS sum_qty, "
+        "sum(l_extendedprice) AS sum_price "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    )
+
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE aggregation over (returnflag, linestatus) — the grouping-
+    sets surface (§2.3 'aggregations: grouping sets/cube/rollup'),
+    with GROUPING() markers and exact decimal sums. Queued r10."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag").cast("string"), F.lit("<all>")).alias("rf"),
+            F.coalesce(F.col("l_linestatus").cast("string"), F.lit("<all>")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "n",
+            "sum_qty",
+            "sum_price",
+        )
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4805,6 +4846,7 @@ _QUEUED: dict = {
     "cap_per_group": (q_cap_per_group, _cap_oracle()),
     "robust_zscore": (q_robust_zscore, _robust_z_oracle()),
     "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
+    "cube_revenue": (q_cube_revenue, _cube_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),
