@@ -3888,9 +3888,9 @@ def q_correlate(spark, sf_dir):
 # convolve_fir, sosfilt_chunked + sosfilt_stream's batch twin, plus a
 # fifth (csd + spectrogram) — free slots for the 5 r9-bound entries
 # (lombscargle, acf, ewma, seasonal_decompose, cap_per_group);
-# robust_zscore is r10-bound behind one further merge. Every queued
-# entry stays CI-verified byte-exactly per pytest run until its round
-# arrives.
+# r10-bound behind three further merges: robust_zscore,
+# dedup_minhash_cross, cube_revenue. Every queued entry stays
+# CI-verified byte-exactly per pytest run until its round arrives.
 
 
 def q_welch_blackman(spark, sf_dir):
