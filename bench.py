@@ -99,6 +99,7 @@ HEADLINE = [
     "cap_per_group",
     "robust_zscore",
     "dedup_minhash_cross",
+    "filter_by_quantile",
 ]
 
 

@@ -329,3 +329,53 @@ def test_bloom_prebuilt_bits_reusable(spark, decon_docs, tmp_path):
         )
     )
     assert a == b
+
+
+def test_filter_by_quantile_threshold_matches_driver_fold(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    vals = rng.uniform(0, 100, size=2000)
+    df = spark.createDataFrame(
+        [(int(i % 3), float(v)) for i, v in enumerate(vals)],
+        "g int, x double",
+    )
+    q, lo, hi, bins = 0.9, 0.0, 100.0, 200
+    kept = pl.filter_by_quantile(
+        df, "x", q, lo=lo, hi=hi, bins=bins, by="g", threshold_col="thr"
+    )
+    rows = kept.collect()
+    # the in-plan threshold equals the driver-side fold from the same
+    # histogram state, per group
+    for g in (0, 1, 2):
+        hist = pl.histogram_sketch(
+            df.filter(F.col("g") == g), "x", lo=lo, hi=hi, bins=bins
+        ).collect()
+        (expect_thr,) = pl.quantile_from_histogram(
+            hist, (q,), lo=lo, hi=hi, bins=bins
+        )
+        grp = [r for r in rows if r["g"] == g]
+        assert grp, g
+        assert all(r["thr"] == pytest.approx(expect_thr, abs=1e-9) for r in grp)
+        assert all(r["x"] >= r["thr"] for r in grp)
+        # ~10% of the group's rows survive, within histogram error
+        n_g = sum(1 for i, _ in enumerate(vals) if i % 3 == g)
+        assert abs(len(grp) / n_g - (1 - q)) < 0.03
+    # keep="below" is the complement
+    below = pl.filter_by_quantile(
+        df, "x", q, lo=lo, hi=hi, bins=bins, by="g", keep="below"
+    )
+    assert below.count() + len(rows) == 2000
+
+
+def test_filter_by_quantile_edges_and_validation(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "x double")
+    # q=0 keeps everything (threshold at the first populated bin edge)
+    assert (
+        pl.filter_by_quantile(df, "x", 0.0, lo=0.0, hi=10.0, bins=10).count()
+        == 10
+    )
+    with pytest.raises(ValueError, match="keep"):
+        pl.filter_by_quantile(df, "x", 0.5, lo=0.0, hi=10.0, keep="between")
+    with pytest.raises(ValueError, match="q must"):
+        pl.filter_by_quantile(df, "x", 1.5, lo=0.0, hi=10.0)

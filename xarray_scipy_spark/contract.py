@@ -4825,6 +4825,68 @@ def q_cube_revenue(spark, sf_dir):
     )
 
 
+_FQ_Q, _FQ_LO, _FQ_HI, _FQ_BINS = 0.8, 0.0, 500.0, 256
+
+
+def _filter_quantile_oracle() -> str:
+    """DuckDB twin of pipeline.sketches.filter_by_quantile: the same
+    histogram state, windowed cumulative walk, and bin-edge
+    interpolation in the IDENTICAL float op order, so even the kept
+    row SET matches bit-for-bit; the threshold itself is _q3-emitted."""
+    q, lo, hi, b = _FQ_Q, _FQ_LO, _FQ_HI, _FQ_BINS
+    raw = f"floor((value - {lo!r}) * {float(b)!r} / {hi - lo!r})"
+    width = (hi - lo) / b
+    return (
+        "WITH h0 AS (SELECT event_type, CAST(CASE "
+        f"WHEN {raw} < 0 THEN -1 WHEN {raw} > {b} THEN {b} "
+        f"ELSE {raw} END AS INTEGER) AS bin FROM events), "
+        "hist AS (SELECT event_type, bin, count(*) AS cnt FROM h0 "
+        "GROUP BY event_type, bin), "
+        "ann AS (SELECT event_type, bin, cnt, "
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY bin "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY bin "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS prev, "
+        f"{q!r} * sum(cnt) OVER (PARTITION BY event_type) AS rawtgt, "
+        f"greatest({q!r} * sum(cnt) OVER (PARTITION BY event_type), 1e-12) AS tgt "
+        "FROM hist), "
+        "thr AS (SELECT event_type, CASE "
+        f"WHEN bin < 0 THEN {lo!r} WHEN bin >= {b} THEN {hi!r} "
+        f"ELSE {lo!r} + (bin + (CASE WHEN cnt > 0 THEN "
+        "greatest((rawtgt - prev) / cnt, 0.0) ELSE 0.0 END)) "
+        f"* {width!r} END AS t "
+        "FROM ann WHERE cum >= tgt AND prev < tgt) "
+        "SELECT e.event_id, e.event_type, "
+        + _q3("t.t")
+        + " AS thr_q "
+        "FROM events e JOIN thr t USING (event_type) WHERE e.value >= t.t"
+    )
+
+
+def q_filter_by_quantile(spark, sf_dir):
+    """Histogram-sketch quantile gate: keep events above their
+    event_type's 0.8 quantile (pipeline/sketches.py
+    filter_by_quantile — the no-sort percentile threshold; even the
+    kept row set reproduces byte-for-byte because the whole decision
+    is exact bin integers + one fixed float formula). Queued r10."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    res = pl.filter_by_quantile(
+        ev,
+        "value",
+        _FQ_Q,
+        lo=_FQ_LO,
+        hi=_FQ_HI,
+        bins=_FQ_BINS,
+        by="event_type",
+        threshold_col="thr",
+    )
+    return res.select(
+        "event_id", "event_type", _q3_col(F.col("thr")).alias("thr_q")
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4847,6 +4909,7 @@ _QUEUED: dict = {
     "robust_zscore": (q_robust_zscore, _robust_z_oracle()),
     "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
     "cube_revenue": (q_cube_revenue, _cube_oracle()),
+    "filter_by_quantile": (q_filter_by_quantile, _filter_quantile_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),

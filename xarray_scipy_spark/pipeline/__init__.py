@@ -66,6 +66,7 @@ from .sketches import (
     bloom_decontaminate,
     countmin_lookup,
     countmin_sketch,
+    filter_by_quantile,
     histogram_sketch,
     hll_distinct,
     hll_estimate,

@@ -40,6 +40,7 @@ __all__ = [
     "hll_distinct",
     "countmin_sketch",
     "histogram_sketch",
+    "filter_by_quantile",
     "quantile_from_histogram",
     "countmin_lookup",
     "bloom_bits",
@@ -479,3 +480,105 @@ def quantile_from_histogram(
             acc += c
         out.append(val)
     return out
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    col,
+    q: float,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+    by: str | None = None,
+    keep: str = "above",
+    threshold_col: str | None = None,
+) -> DataFrame:
+    """Keep the rows above/below the ``q`` quantile of ``col`` (per
+    ``by`` group) — the "drop the bottom 10% by quality score" gate —
+    with the threshold taken from the ONE-PASS histogram sketch
+    instead of a sort.
+
+    Why this is the 100 TB shape: an exact per-group quantile needs a
+    sort or a percentile aggregate whose state grows with distinct
+    values; the histogram threshold costs one bounded aggregation
+    (≤ bins+2 counters per group), the interpolation error is ≤ one
+    bin width of (hi − lo)/bins, and — because the bin arithmetic is
+    exact integers and the interpolation a fixed float formula — the
+    ENTIRE decision is deterministic and engine-portable, so even the
+    kept row set reproduces byte-for-byte in the DuckDB oracle.
+
+    ``keep``: ``"above"`` keeps ``x >= threshold``, ``"below"`` keeps
+    ``x < threshold``. ``threshold_col`` optionally emits the group's
+    threshold alongside the kept rows (audit trail).
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be above|below, got {keep!r}")
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    hist = histogram_sketch(df, col, lo=lo, hi=hi, bins=bins, by=by)
+    # per-group threshold from the ≤ bins+2 state rows; the rows are
+    # tiny by construction, so the per-group fold happens driver-free
+    # as a window cumulative — same arithmetic as
+    # quantile_from_histogram, expressed in Catalyst
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("bin")
+    total = F.sum("cnt").over(Window.partitionBy(*keys))
+    cum = F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    prev = cum - F.col("cnt")
+    # epsilon floor so q=0 still selects the first populated bin
+    # (prev < 0 is never true); matches quantile_from_histogram's
+    # "acc + c >= target" walk
+    # the epsilon floor only steers the HIT row selection (q=0 must
+    # still pick the first populated bin); the interpolation uses the
+    # RAW target so q=0 lands exactly on the bin edge
+    raw_target = F.lit(float(q)) * total
+    target = F.greatest(raw_target, F.lit(1e-12))
+    width = (hi - lo) / bins
+    # window expressions must be MATERIALIZED as columns before the
+    # hit filter — referencing them after it would re-evaluate the
+    # windows over the one-row filtered partitions (prev collapses to
+    # 0 and target to q·cnt, silently shifting every threshold)
+    ann = hist.select(
+        *keys,
+        "bin",
+        "cnt",
+        cum.alias("_cum"),
+        prev.alias("_prev"),
+        target.alias("_tgt"),
+        raw_target.alias("_rawtgt"),
+    )
+    val = (
+        F.when(F.col("bin") < 0, F.lit(float(lo)))
+        .when(F.col("bin") >= bins, F.lit(float(hi)))
+        .otherwise(
+            F.lit(float(lo))
+            + (
+                F.col("bin")
+                + F.when(
+                    F.col("cnt") > 0,
+                    F.greatest(
+                        (F.col("_rawtgt") - F.col("_prev")) / F.col("cnt"),
+                        F.lit(0.0),
+                    ),
+                ).otherwise(F.lit(0.0))
+            )
+            * F.lit(float(width))
+        )
+    )
+    thr = ann.filter(
+        (F.col("_cum") >= F.col("_tgt")) & (F.col("_prev") < F.col("_tgt"))
+    ).select(*keys, val.alias("_thr"))
+    x = _c(col).cast("double")
+    joined = (
+        df.join(F.broadcast(thr), keys)
+        if keys
+        else df.crossJoin(F.broadcast(thr))
+    )
+    cond = x >= F.col("_thr") if keep == "above" else x < F.col("_thr")
+    res = joined.filter(cond)
+    if threshold_col is not None:
+        return res.withColumnRenamed("_thr", threshold_col)
+    return res.drop("_thr")
