@@ -1448,3 +1448,39 @@ def test_robust_zscore_zero_mad_and_global(spark):
     )
     res = pl.robust_zscore(df, "value").collect()  # no grouping
     assert all(r["rz"] == 0.0 for r in res)  # MAD 0 -> defined as 0
+
+
+def test_write_clustered_tightens_file_ranges(spark, tmp_path):
+    """Range-clustered writes: each output file covers a DISJOINT key
+    range (tight min/max stats -> file/row-group skipping), and the
+    data round-trips exactly."""
+    import pyarrow.parquet as pq
+
+    from xarray_scipy_spark.sources import write_clustered
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") * 7919 % 10_000).alias("key")
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, cluster_by=["key"], num_files=8)
+    import glob
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["key"])["key"].to_pylist()
+        if t:
+            ranges.append((min(t), max(t)))
+    ranges.sort()
+    # disjoint: every file's max < next file's min (range partitioning)
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b
+    # round-trip
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("key")).collect()[0][0] == df.agg(
+        F.sum("key")
+    ).collect()[0][0]
+    with pytest.raises(ValueError, match="cluster_by"):
+        write_clustered(df, path, cluster_by=[])

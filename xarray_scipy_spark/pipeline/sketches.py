@@ -572,10 +572,11 @@ def filter_by_quantile(
         (F.col("_cum") >= F.col("_tgt")) & (F.col("_prev") < F.col("_tgt"))
     ).select(*keys, val.alias("_thr"))
     x = _c(col).cast("double")
+    probe = spread(df, col)  # the probe scan must not run single-core
     joined = (
-        df.join(F.broadcast(thr), keys)
+        probe.join(F.broadcast(thr), keys)
         if keys
-        else df.crossJoin(F.broadcast(thr))
+        else probe.crossJoin(F.broadcast(thr))
     )
     cond = x >= F.col("_thr") if keep == "above" else x < F.col("_thr")
     res = joined.filter(cond)

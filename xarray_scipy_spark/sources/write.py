@@ -22,7 +22,13 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["write_partitioned", "write_bucketed", "write_series", "read_series"]
+__all__ = [
+    "write_clustered",
+    "write_partitioned",
+    "write_bucketed",
+    "write_series",
+    "read_series",
+]
 
 
 def write_partitioned(
@@ -109,3 +115,35 @@ def read_series(
     return ex.select(
         *by, F.col("e.o").alias(dim), *[F.col(f"e.{v}").alias(v) for v in values]
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_by: Sequence[str],
+    num_files: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Write parquet with the rows RANGE-CLUSTERED on ``cluster_by``:
+    ``repartitionByRange`` assigns disjoint key ranges to files and
+    ``sortWithinPartitions`` orders rows inside each, so every file's
+    (and every row group's) min/max statistics for those columns are
+    TIGHT. Downstream range/equality predicates on the cluster keys
+    then skip whole files and row groups at the scan — the data-layout
+    lever that turns a 100 TB "scan everything" into reading the few
+    files that can match. (The poor-man's Z-order: one-dimensional,
+    exact, no library support needed; for two independent hot
+    predicate columns, cluster on the higher-selectivity one.)
+
+    ``num_files``: target file count (defaults to the session's
+    shuffle partitioning). Range boundaries come from Spark's sampled
+    range partitioner — deterministic for fixed input partitioning.
+    """
+    cluster_by = list(cluster_by)
+    if not cluster_by:
+        raise ValueError("cluster_by must name at least one column")
+    parts = df.repartitionByRange(
+        *([num_files] if num_files else []), *[F.col(c) for c in cluster_by]
+    ).sortWithinPartitions(*cluster_by)
+    parts.write.mode("overwrite").option("compression", compression).parquet(path)
