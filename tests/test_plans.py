@@ -355,3 +355,25 @@ def test_seasonal_decompose_is_pure_catalyst(spark):
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_filter_by_quantile_threshold_is_broadcast(spark):
+    """The per-group threshold frame must BROADCAST into the probe
+    scan; a sort-merge join would reshuffle the corpus for a
+    <= groups-row threshold table."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    plan = _static_plan(_QUEUED["filter_by_quantile"][0](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cube_is_native_expand(spark):
+    """CUBE must plan as the native Expand operator (one pass emitting
+    every grouping set), not a union of per-set aggregations."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    plan = _static_plan(_QUEUED["cube_revenue"][0](spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1  # one pass over lineitem
