@@ -3888,8 +3888,8 @@ def q_correlate(spark, sf_dir):
 # convolve_fir, sosfilt_chunked + sosfilt_stream's batch twin, plus a
 # fifth (csd + spectrogram) — free slots for the 5 r9-bound entries
 # (lombscargle, acf, ewma, seasonal_decompose, cap_per_group);
-# r10-bound behind three further merges: robust_zscore,
-# dedup_minhash_cross, cube_revenue. Every queued entry stays
+# r10-bound behind four further merges: robust_zscore,
+# dedup_minhash_cross, cube_revenue, filter_by_quantile. Every queued entry stays
 # CI-verified byte-exactly per pytest run until its round arrives.
 
 
