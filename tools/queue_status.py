@@ -1,0 +1,78 @@
+"""Print the contract registration queue and the rotation math.
+
+The driver checks the first 50 registered queries per round; the
+registry is capped at 100 under the two-round freshness bar, so new
+queries wait in ``contract._QUEUED`` (CI-verified byte-exactly every
+pytest run) until variant-pair merges free head slots. This tool shows
+the current ledger so a round-opening session can sanity-check the
+plan in one command.
+
+Usage: python tools/queue_status.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROUND_PLAN = {
+    "r7": [
+        "welch_blackman",
+        "dedup_ngram_spans",
+        "deconvolve",
+        "sketch_hll",
+        "sketch_countmin",
+        "bloom_decontaminate",
+        "gapfill",
+    ],
+    "r8": ["skew_join", "sketch_histogram", "bpe_vocab", "text_hash_vectors"],
+    "r9": ["lombscargle", "acf", "ewma", "seasonal_decompose", "cap_per_group"],
+    "r10": [
+        "robust_zscore",
+        "dedup_minhash_cross",
+        "cube_revenue",
+        "filter_by_quantile",
+    ],
+}
+
+
+def main() -> int:
+    import importlib.util
+
+    from xarray_scipy_spark.contract import ORACLES, QUERIES, _QUEUED
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tail = [n for n in mod._CHECK_LAST if n in QUERIES]
+    head = len(QUERIES) - len(tail)
+    print(f"registered: {len(QUERIES)} (head {head}, tail {len(tail)}; "
+          f"{len(QUERIES) - len(ORACLES)} rows-only)")
+    print(f"queued:     {len(_QUEUED)}")
+    planned = set()
+    for rnd, names in ROUND_PLAN.items():
+        missing = [n for n in names if n not in _QUEUED]
+        status = "" if not missing else f"  MISSING FROM _QUEUED: {missing}"
+        print(f"  {rnd}: {len(names)} new -> {', '.join(names)}{status}")
+        planned.update(names)
+    merges = [n for n in _QUEUED if n.endswith("@merged")]
+    print(f"  merges ready (r7): {', '.join(sorted(merges))}")
+    unplanned = sorted(set(_QUEUED) - planned - set(merges))
+    if unplanned:
+        print(f"  UNPLANNED queue entries: {unplanned}")
+    no_oracle = sorted(n for n, (_, o) in _QUEUED.items() if o is None)
+    print(f"  rows-only queue entries: {no_oracle}")
+    ok = not unplanned and all(
+        n in _QUEUED for names in ROUND_PLAN.values() for n in names
+    )
+    print("plan status:", "CONSISTENT" if ok else "INCONSISTENT — fix the ledger")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
