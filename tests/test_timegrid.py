@@ -99,3 +99,54 @@ def test_validates_args(spark, irregular):
     )
     with pytest.raises(ValueError, match="dt"):
         ops.gapfill(ts_df, by=["ch"], dim="ts", dt=0, method="linear")
+
+
+# --- interp_to (arbitrary target instants) ---------------------------------
+
+
+def test_interp_to_matches_numpy_interp_and_edges(spark, irregular):
+    from xarray_scipy_spark.operators import interp_to
+
+    # targets include: before-first (null), exact obs instants
+    # (bit-exact passthrough), interior points, after-last (carry)
+    tpts = [-5, 0, 2, 3, 7, 11, 15, 20]
+    targets = spark.createDataFrame(
+        [(ch, t) for ch in (0, 1) for t in tpts], "ch int, t long"
+    )
+    res = interp_to(irregular, targets, by=["ch"], dim="t").collect()
+    got = {(r["ch"], r["t"]): r["value"] for r in res}
+    assert len(got) == len(tpts) * 2
+    series = {
+        0: ([0, 3, 4, 9, 15], [1.0, 4.0, -2.0, 5.0, 5.5]),
+        1: ([2, 8], [10.0, -10.0]),
+    }
+    for ch, (ts, vs) in series.items():
+        for t in tpts:
+            v = got[(ch, t)]
+            if t < ts[0]:
+                assert v is None, (ch, t)
+            elif t > ts[-1]:
+                assert v == vs[-1], (ch, t)  # carry past the end
+            else:
+                assert v == pytest.approx(
+                    float(np.interp(t, ts, vs)), abs=1e-12
+                ), (ch, t)
+    # exact observation instants pass through bit-identically
+    assert got[(0, 3)] == 4.0 and got[(1, 2)] == 10.0
+
+
+def test_interp_to_ffill_and_validation(spark, irregular):
+    from xarray_scipy_spark.operators import interp_to
+
+    targets = spark.createDataFrame(
+        [(1, 5), (1, 9)], "ch int, t long"
+    )
+    res = {
+        r["t"]: r["value"]
+        for r in interp_to(
+            irregular.filter("ch = 1"), targets, by=["ch"], dim="t", method="ffill"
+        ).collect()
+    }
+    assert res == {5: 10.0, 9: -10.0}
+    with pytest.raises(ValueError, match="method"):
+        interp_to(irregular, targets, by=["ch"], dim="t", method="nearest")

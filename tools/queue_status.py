@@ -35,6 +35,7 @@ ROUND_PLAN = {
         "cube_revenue",
         "filter_by_quantile",
     ],
+    "r11": ["interp_to"],
 }
 
 

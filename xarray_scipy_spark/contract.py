@@ -3889,7 +3889,8 @@ def q_correlate(spark, sf_dir):
 # fifth (csd + spectrogram) — free slots for the 5 r9-bound entries
 # (lombscargle, acf, ewma, seasonal_decompose, cap_per_group);
 # r10-bound behind four further merges: robust_zscore,
-# dedup_minhash_cross, cube_revenue, filter_by_quantile. Every queued entry stays
+# dedup_minhash_cross, cube_revenue, filter_by_quantile; interp_to is
+# r11-bound. Every queued entry stays
 # CI-verified byte-exactly per pytest run until its round arrives.
 
 
@@ -4887,6 +4888,62 @@ def q_filter_by_quantile(spark, sf_dir):
     )
 
 
+_IT_SHIFT_US = 3_600_000_000  # evaluate each series one hour after each event
+
+
+def _interp_to_oracle() -> str:
+    """DuckDB twin of operators.timegrid.interp_to: the same
+    union-of-observations-and-targets + one ordered window, identical
+    interpolation op order; targets = every event instant shifted one
+    hour forward (so interior, exact-hit-free, and past-the-end cases
+    all occur)."""
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v FROM events), "
+        f"g AS (SELECT user_id, t + {_IT_SHIFT_US} AS t FROM e), "
+        "u AS (SELECT user_id, t, v, 1 AS obs FROM e "
+        "UNION ALL SELECT user_id, t, CAST(NULL AS DOUBLE), 0 FROM g), "
+        "f AS (SELECT user_id, t, obs, "
+        "last_value(v IGNORE NULLS) OVER w_back AS v0, "
+        "last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_back AS pt, "
+        "first_value(v IGNORE NULLS) OVER w_fwd AS v1, "
+        "first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_fwd AS nt "
+        "FROM u WINDOW "
+        "w_back AS (PARTITION BY user_id ORDER BY t, obs DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+        "w_fwd AS (PARTITION BY user_id ORDER BY t, obs DESC "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+        "SELECT user_id, t AS t_us, "
+        + _q3(
+            "coalesce(CASE WHEN t = pt THEN v0 WHEN nt IS NULL THEN v0 "
+            "WHEN pt IS NULL THEN NULL "
+            "ELSE v0 + (v1 - v0) * CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) "
+            "END, 0.0)"
+        )
+        + " AS v_q, pt IS NULL AS before_first "
+        "FROM f WHERE obs = 0"
+    )
+
+
+def q_interp_to(spark, sf_dir):
+    """Arbitrary-target interpolation (operators/timegrid.py
+    interp_to): every event series evaluated one hour after each of
+    its own events — union + one ordered window, no join node.
+    Null-before-first flagged and zero-coalesced in the quantized
+    compare. Queued r11."""
+    ev = _events(spark, sf_dir)
+    targets = ev.select(
+        "user_id",
+        F.expr("timestampadd(MICROSECOND, 3600000000, ts)").alias("ts"),
+    )
+    res = ops.interp_to(ev, targets, by=["user_id"], dim="ts")
+    return res.select(
+        "user_id",
+        timeutil.epoch_us(res, "ts").alias("t_us"),
+        _q3_col(F.coalesce(F.col("value"), F.lit(0.0))).alias("v_q"),
+        F.col("value").isNull().alias("before_first"),
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 _QUEUED: dict = {
@@ -4910,6 +4967,7 @@ _QUEUED: dict = {
     "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
     "cube_revenue": (q_cube_revenue, _cube_oracle()),
     "filter_by_quantile": (q_filter_by_quantile, _filter_quantile_oracle()),
+    "interp_to": (q_interp_to, _interp_to_oracle()),
     "rfft@merged": (q_rfft_merged, _rfft_merged_oracle()),
     "decimate_iir@merged": (q_decimate_iir_merged, _decimate_iir_merged_oracle()),
     "sosfiltfilt@merged": (q_sosfiltfilt_merged, _sosfiltfilt_merged_oracle()),

@@ -16,7 +16,7 @@ from .filters import filtfilt, lfilter, sos_from_dataframe, sosfilt, sosfilt_chu
 from .hilbert import envelope, hilbert
 from .joins import asof_join, range_join, skew_join
 from .lomb import lombscargle
-from .timegrid import gapfill
+from .timegrid import gapfill, interp_to
 from .tsstats import acf, ewma, seasonal_decompose
 from .peaks import find_peaks, peak_prominences, peak_widths
 from .resample import decimate, resample, resample_poly, upfirdn
@@ -29,6 +29,7 @@ __all__ = [
     "correlate",
     "fftconvolve",
     "gapfill",
+    "interp_to",
     "lombscargle",
     "acf",
     "ewma",

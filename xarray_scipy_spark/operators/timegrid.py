@@ -33,7 +33,7 @@ from collections.abc import Sequence as _Seq
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["gapfill"]
+__all__ = ["gapfill", "interp_to"]
 
 
 def gapfill(
@@ -158,3 +158,91 @@ def gapfill(
         both.filter(F.col("_obs") == 0)
         .select(*by, out_dim, filled.alias(value))
     )
+
+
+def interp_to(
+    df: DataFrame,
+    targets: DataFrame,
+    *,
+    by: _Seq[str],
+    dim: str,
+    value: str = "value",
+    method: str = "linear",
+) -> DataFrame:
+    """Interpolate each series onto CALLER-SUPPLIED target instants —
+    the generalization of :func:`gapfill` from a regular grid to any
+    alignment frame (sample sensor A at sensor B's timestamps, score a
+    model at event times, join two differently-clocked streams without
+    an asof tolerance).
+
+    ``targets``: ``[*by, <dim>]`` rows naming where to evaluate. Same
+    plan as gapfill — union the observations with the targets, ONE
+    ordered window computes the bracketing observations, no join node
+    — and the same value semantics: exact passthrough on observed
+    instants, ``linear`` interpolation between brackets, ``ffill``
+    carry-forward; targets before the first observation return null
+    (nothing to carry), targets after the last carry it
+    (:func:`gapfill` never sees either case because its grid spans
+    min..max).
+
+    Output: ``[*by, <dim>, <value>]`` — one row per target row.
+    """
+    if method not in ("linear", "ffill"):
+        raise ValueError(f"method must be 'linear' or 'ffill', got {method!r}")
+    by = list(by)
+    in_dtype = dict(df.dtypes)[dim]
+    is_ts = in_dtype.startswith("timestamp")
+    if is_ts:
+        from ..functions.timeutil import _NTZ_EPOCH, epoch_us
+
+        tcol = epoch_us(df, dim)
+        gcol = epoch_us(targets, dim)
+    else:
+        tcol = F.col(dim)
+        gcol = F.col(dim)
+    obs = df.select(
+        *by,
+        tcol.alias("_t"),
+        F.col(value).cast("double").alias("_v"),
+        F.lit(1).alias("_obs"),
+    )
+    tgt = targets.select(
+        *by,
+        gcol.alias("_t"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(0).alias("_obs"),
+    )
+    w = Window.partitionBy(*by).orderBy(F.col("_t").asc(), F.col("_obs").desc())
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_t = F.when(F.col("_v").isNotNull(), F.col("_t"))
+    both = obs.unionAll(tgt).select(
+        *by,
+        "_t",
+        "_obs",
+        F.last("_v", ignorenulls=True).over(back).alias("_v0"),
+        F.last(obs_t, ignorenulls=True).over(back).alias("_pt"),
+        F.first("_v", ignorenulls=True).over(fwd).alias("_v1"),
+        F.first(obs_t, ignorenulls=True).over(fwd).alias("_nt"),
+    )
+    if method == "ffill":
+        filled = F.col("_v0")
+    else:
+        filled = (
+            F.when(F.col("_t") == F.col("_pt"), F.col("_v0"))
+            .when(F.col("_nt").isNull(), F.col("_v0"))
+            .when(F.col("_pt").isNull(), F.lit(None).cast("double"))
+            .otherwise(
+                F.col("_v0")
+                + (F.col("_v1") - F.col("_v0"))
+                * (F.col("_t") - F.col("_pt")).cast("double")
+                / (F.col("_nt") - F.col("_pt")).cast("double")
+            )
+        )
+    if not is_ts:
+        out_dim = F.col("_t").alias(dim)
+    elif in_dtype == "timestamp_ntz":
+        out_dim = F.expr(f"timestampadd(MICROSECOND, _t, {_NTZ_EPOCH})").alias(dim)
+    else:
+        out_dim = F.timestamp_micros(F.col("_t")).alias(dim)
+    return both.filter(F.col("_obs") == 0).select(*by, out_dim, filled.alias(value))
