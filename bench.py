@@ -100,6 +100,7 @@ HEADLINE = [
     "robust_zscore",
     "dedup_minhash_cross",
     "filter_by_quantile",
+    "interp_to",
 ]
 
 
