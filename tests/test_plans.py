@@ -20,6 +20,18 @@ import pytest
 
 from xarray_scipy_spark.contract import QUERIES
 
+
+def _contract_fn(name):
+    """Resolve a contract query by name from either registry — queue
+    entries graduate to QUERIES at their registration round (r7 moved
+    gapfill/sketches/bloom there), and plan locks must follow them."""
+    from xarray_scipy_spark.contract import QUERIES, _QUEUED
+
+    if name in QUERIES:
+        return QUERIES[name]
+    return _QUEUED[name][0]
+
+
 SF_DIR = "/root/testdata/sf0.001"
 
 pytestmark = pytest.mark.skipif(
@@ -266,9 +278,7 @@ def test_gapfill_has_no_join_node(spark):
     """gapfill is union + one ordered window — a join node appearing
     means the bracketing logic regressed to an asof-style join that
     skews on hot series."""
-    from xarray_scipy_spark.contract import _QUEUED
-
-    plan = _static_plan(_QUEUED["gapfill"][0](spark, SF_DIR))
+    plan = _static_plan(_contract_fn("gapfill")(spark, SF_DIR))
     for node in _JOIN_NODES:
         assert node not in plan, node
     assert "Window" in plan
@@ -278,9 +288,7 @@ def test_bloom_probes_are_broadcast_joins(spark):
     """The Bloom position set must BROADCAST to the corpus side (its
     whole point is constant-size membership); a SortMergeJoin means
     the corpus reshuffled for the guard set."""
-    from xarray_scipy_spark.contract import _QUEUED
-
-    plan = _static_plan(_QUEUED["bloom_decontaminate"][0](spark, SF_DIR))
+    plan = _static_plan(_contract_fn("bloom_decontaminate")(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 3  # one per hash probe
     assert "SortMergeJoin" not in plan
 
@@ -289,9 +297,7 @@ def test_skew_join_hot_tagging_is_broadcast(spark):
     """skew_join's hot-key tagging joins must broadcast the tiny
     hot-key frame; if tagging itself shuffles the big sides, the
     detection pass costs what the salting saves."""
-    from xarray_scipy_spark.contract import _QUEUED
-
-    plan = _static_plan(_QUEUED["skew_join"][0](spark, SF_DIR))
+    plan = _static_plan(_contract_fn("skew_join")(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2  # left tag + right tag
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -301,10 +307,8 @@ def test_sketch_states_are_pure_catalyst(spark):
     """Sketch state queries (hll / countmin / histogram) must stay
     whole-stage-codegen JVM plans: no Python workers, no UDF eval
     nodes — the 100 TB throughput claim rides on this."""
-    from xarray_scipy_spark.contract import _QUEUED
-
     for name in ("sketch_hll", "sketch_countmin", "sketch_histogram"):
-        plan = _static_plan(_QUEUED[name][0](spark, SF_DIR))
+        plan = _static_plan(_contract_fn(name)(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
@@ -314,31 +318,29 @@ def test_hll_shuffle_is_register_bounded(spark):
     """The HLL register aggregation must partial-aggregate BEFORE the
     exchange (shuffle rows <= groups x 2^p, never input rows): both
     aggregations show a partial_ pass under AQE's final plan."""
-    from xarray_scipy_spark.contract import _QUEUED
-
-    plan = _final_plan(_QUEUED["sketch_hll"][0](spark, SF_DIR))
+    plan = _final_plan(_contract_fn("sketch_hll")(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4  # partial+final x 2 stages
     assert "partial_max" in plan  # the register max combines map-side
 
 
 def test_lombscargle_single_aggregation_no_join(spark):
-    """lombscargle is explode + ONE map-side-combinable aggregation +
-    projection trig; a join or second exchange means the tau two-pass
-    crept back in."""
-    from xarray_scipy_spark.contract import _QUEUED
-
-    plan = _static_plan(_QUEUED["lombscargle"][0](spark, SF_DIR))
+    """lombscargle is ONE Arrow-batched numpy partial-sum pass (r7:
+    vectorized libm trig replaced the 2.26×-slower per-row JVM trig,
+    BASELINE.md) + ONE combining aggregation + projection trig; a join
+    or a second Python node means the tau two-pass crept back in."""
+    plan = _static_plan(_contract_fn("lombscargle")(spark, SF_DIR))
     for node in _JOIN_NODES:
         assert node not in plan, node
+    # the partial reduction is the ONE sanctioned Python stage — a
+    # row-at-a-time eval node is still a regression
+    assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_acf_single_window_exchange_no_python(spark):
     """acf: one ordered-window exchange; every lag rides the same
     sort — a per-lag shuffle or a Python node is a regression."""
-    from xarray_scipy_spark.contract import _QUEUED
-
-    plan = _final_plan(_QUEUED["acf"][0](spark, SF_DIR))
+    plan = _final_plan(_contract_fn("acf")(spark, SF_DIR))
     for node in _JOIN_NODES:
         assert node not in plan, node
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -348,9 +350,7 @@ def test_acf_single_window_exchange_no_python(spark):
 
 
 def test_seasonal_decompose_is_pure_catalyst(spark):
-    from xarray_scipy_spark.contract import _QUEUED
-
-    plan = _static_plan(_QUEUED["seasonal_decompose"][0](spark, SF_DIR))
+    plan = _static_plan(_contract_fn("seasonal_decompose")(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
@@ -361,9 +361,7 @@ def test_filter_by_quantile_threshold_is_broadcast(spark):
     """The per-group threshold frame must BROADCAST into the probe
     scan; a sort-merge join would reshuffle the corpus for a
     <= groups-row threshold table."""
-    from xarray_scipy_spark.contract import _QUEUED
-
-    plan = _static_plan(_QUEUED["filter_by_quantile"][0](spark, SF_DIR))
+    plan = _static_plan(_contract_fn("filter_by_quantile")(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -372,8 +370,6 @@ def test_filter_by_quantile_threshold_is_broadcast(spark):
 def test_cube_is_native_expand(spark):
     """CUBE must plan as the native Expand operator (one pass emitting
     every grouping set), not a union of per-set aggregations."""
-    from xarray_scipy_spark.contract import _QUEUED
-
-    plan = _static_plan(_QUEUED["cube_revenue"][0](spark, SF_DIR))
+    plan = _static_plan(_contract_fn("cube_revenue")(spark, SF_DIR))
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1  # one pass over lineitem

@@ -17,16 +17,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# r7 executed: welch_blackman, dedup_ngram_spans, deconvolve,
+# sketch_hll, sketch_countmin, bloom_decontaminate, gapfill registered
+# behind 5 merges (incl. convolve_valid+convolve_fir pulled forward),
+# embedding_pca reshaped to a DuckDB-verifiable query.
 ROUND_PLAN = {
-    "r7": [
-        "welch_blackman",
-        "dedup_ngram_spans",
-        "deconvolve",
-        "sketch_hll",
-        "sketch_countmin",
-        "bloom_decontaminate",
-        "gapfill",
-    ],
     "r8": ["skew_join", "sketch_histogram", "bpe_vocab", "text_hash_vectors"],
     "r9": ["lombscargle", "acf", "ewma", "seasonal_decompose", "cap_per_group"],
     "r10": [
@@ -62,7 +57,8 @@ def main() -> int:
         print(f"  {rnd}: {len(names)} new -> {', '.join(names)}{status}")
         planned.update(names)
     merges = [n for n in _QUEUED if n.endswith("@merged")]
-    print(f"  merges ready (r7): {', '.join(sorted(merges))}")
+    if merges:
+        print(f"  merges ready: {', '.join(sorted(merges))}")
     unplanned = sorted(set(_QUEUED) - planned - set(merges))
     if unplanned:
         print(f"  UNPLANNED queue entries: {unplanned}")

@@ -13,11 +13,19 @@ Plan shape: the textbook formula needs the per-frequency phase offset
 ``tau`` BEFORE the data sums, which would mean two shuffles. The
 angle-addition identities collapse everything into FIVE plain sums per
 (series, frequency) — Σy·cos(ωt), Σy·sin(ωt), Σcos²(ωt), Σsin²(ωt),
-Σsin(ωt)cos(ωt) — so the whole operator is: explode the literal
-frequency list (no join, no shuffle for the expansion), ONE
-map-side-combinable aggregation, then pure projection trigonometry on
-the 5-sum rows. Shuffle volume = series × frequencies rows, never
-sample-proportional.
+Σsin(ωt)cos(ωt) — so the whole operator is: ONE Arrow-batched
+``mapInPandas`` pass that reduces every input batch to per-(series,
+freq) PARTIAL sums with vectorized numpy trig, ONE plain aggregation
+combining the partials, then pure projection trigonometry on the
+5-sum rows. Shuffle volume = series × frequencies × tasks partial
+rows, never sample-proportional.
+
+The r6 build used explode + JVM codegen trig; it measured a stable
+2.26× behind the single-node oracle at the 100× tier (BASELINE.md) —
+raw per-row ``Math.sin/cos`` throughput, not plan shape. numpy's
+SIMD libm over Arrow batches closes that constant factor while
+keeping the map-side-combine property (each batch emits ≤ groups×m
+rows regardless of row count).
 """
 
 from __future__ import annotations
@@ -77,30 +85,78 @@ def lombscargle(
         src = src.withColumn(
             "_y", F.col("_y") - F.avg("_y").over(Window.partitionBy(*by))
         )
-    wf = F.array(*[F.lit(w) for w in freqs])
-    ex = src.select(
-        *by,
-        "_t",
-        "_y",
-        F.posexplode(wf).alias("idx", "freq"),
+    # Arrow-batched partial reduction: each input batch collapses to
+    # (group, freq) partial-sum rows via vectorized numpy trig. The
+    # per-batch accumulator is bounded (row chunks sized so the n×m
+    # trig workspace stays ~ a few MB), so executor memory is closed
+    # over (groups_in_batch × m), never the batch row count.
+    import numpy as np
+    import pandas as pd
+
+    warr = np.asarray(freqs, dtype=np.float64)
+    m = len(freqs)
+    chunk = max(1, 262_144 // m)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.select(*by).schema.fields
     )
-    # one sin + one cos per row, projected before the aggregation (a
-    # wide no-explode variant with 5 sums x freq as separate agg
-    # columns measured IDENTICAL at the 100x tier — the cost is raw
-    # trig throughput, not row machinery — so the simpler plan stays)
-    wt = F.col("freq") * F.col("_t")
-    ex = ex.select(
-        *by, "idx", "freq", "_y", F.cos(wt).alias("_c"), F.sin(wt).alias("_s")
+    out_schema = (
+        f"{key_fields}, idx int, freq double, _yc double, _ys double, "
+        "_cc double, _ss double, _sc double, _n bigint, _yy double"
     )
-    c, sn = F.col("_c"), F.col("_s")
-    sums = ex.groupBy(*by, "idx", "freq").agg(
-        F.sum(F.col("_y") * c).alias("_yc"),
-        F.sum(F.col("_y") * sn).alias("_ys"),
-        F.sum(c * c).alias("_cc"),
-        F.sum(sn * sn).alias("_ss"),
-        F.sum(sn * c).alias("_sc"),
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("_y") * F.col("_y")).alias("_yy"),
+
+    def partials(batches):
+        for pdf in batches:
+            out = []
+            for keys, g in pdf.groupby(by, sort=False):
+                if not isinstance(keys, tuple):
+                    keys = (keys,)
+                t = g["_t"].to_numpy(dtype=np.float64)
+                y = g["_y"].to_numpy(dtype=np.float64)
+                yc = np.zeros(m)
+                ys = np.zeros(m)
+                cc = np.zeros(m)
+                ss = np.zeros(m)
+                sc = np.zeros(m)
+                for lo in range(0, len(t), chunk):
+                    wt = np.outer(t[lo : lo + chunk], warr)
+                    c = np.cos(wt)
+                    s = np.sin(wt)
+                    yk = y[lo : lo + chunk]
+                    yc += yk @ c
+                    ys += yk @ s
+                    cc += (c * c).sum(axis=0)
+                    ss += (s * s).sum(axis=0)
+                    sc += (s * c).sum(axis=0)
+                row = dict(zip(by, keys))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            **{k: [v] * m for k, v in row.items()},
+                            "idx": np.arange(m, dtype=np.int32),
+                            "freq": warr,
+                            "_yc": yc,
+                            "_ys": ys,
+                            "_cc": cc,
+                            "_ss": ss,
+                            "_sc": sc,
+                            "_n": np.full(m, len(t), dtype=np.int64),
+                            "_yy": np.full(m, float(y @ y)),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    part = src.mapInPandas(partials, out_schema)
+    sums = part.groupBy(*by, "idx", "freq").agg(
+        F.sum("_yc").alias("_yc"),
+        F.sum("_ys").alias("_ys"),
+        F.sum("_cc").alias("_cc"),
+        F.sum("_ss").alias("_ss"),
+        F.sum("_sc").alias("_sc"),
+        F.sum("_n").alias("_n"),
+        F.sum("_yy").alias("_yy"),
     )
     # tau from the aggregate identities: sin(2wt) = 2·sc, cos(2wt) =
     # cc − ss; then rotate the sums by wtau via angle addition — the

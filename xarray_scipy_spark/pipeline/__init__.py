@@ -39,6 +39,9 @@ from .similarity import (
     cosine_topk_lsh,
     kmeans_cells,
     quantize_embeddings,
+    embedding_moments,
+    pca_from_moments,
+    pca_project,
     fit_pca,
     embedding_pca,
 )
@@ -115,6 +118,9 @@ __all__ = [
     "embedding_dup_pairs",
     "cosine_topk",
     "quantize_embeddings",
+    "embedding_moments",
+    "pca_from_moments",
+    "pca_project",
     "fit_pca",
     "embedding_pca",
     "cosine_topk_ivf",

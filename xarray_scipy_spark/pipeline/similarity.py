@@ -30,6 +30,9 @@ __all__ = [
     "cosine_topk_lsh",
     "kmeans_cells",
     "quantize_embeddings",
+    "embedding_moments",
+    "pca_from_moments",
+    "pca_project",
     "fit_pca",
     "embedding_pca",
 ]
@@ -415,23 +418,20 @@ def quantize_embeddings(
     return df.select(F.col(id_col), q.alias("qvec"), sc.alias("scales"))
 
 
-def fit_pca(
+def embedding_moments(
     df: DataFrame,
-    k: int,
     *,
     vec_col: str = "vec",
 ):
-    """Fit a PCA basis over an embedding column at corpus scale.
+    """Distributed first/second moments of an embedding column.
 
     One ``mapInPandas`` pass computes per-batch partials of (count,
     Σx, ΣxxT) — each partition contributes ONE row of d + d² doubles
     regardless of its row count, so the driver combine handles
-    d=64 · n_partitions floats, never the corpus. The d×d covariance
-    eigendecomposition runs on the driver (closed over d, not n) with
-    deterministic sign canonicalization (largest-|component| positive).
+    d=64 · n_partitions floats, never the corpus.
 
-    Returns ``(eigvals, components, mean)``: top-``k`` eigenvalues
-    (descending), a (k, d) component matrix, and the d-vector mean.
+    Returns ``(n, mean, cov)``: the row count, the d-vector mean and
+    the biased d×d covariance ``G/n − μμᵀ`` (numpy arrays).
     """
     import numpy as np
     import pandas as pd
@@ -460,10 +460,21 @@ def fit_pca(
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     g = np.sum([np.asarray(r["g"]) for r in rows], axis=0)
     d = len(s)
-    if not (1 <= k <= d):
-        raise ValueError(f"k must be in [1, {d}], got {k}")
     mean = s / n
     cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_from_moments(mean, cov, k: int):
+    """Driver-side eigendecomposition of a (mean, cov) pair: top-``k``
+    eigenvalues (descending) and a (k, d) component matrix with
+    deterministic sign canonicalization (largest-|component| positive).
+    Closed over d, not n — the corpus never reaches the driver."""
+    import numpy as np
+
+    d = len(mean)
+    if not (1 <= k <= d):
+        raise ValueError(f"k must be in [1, {d}], got {k}")
     eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(eigvals)[::-1][:k]
     vals = eigvals[order]
@@ -472,7 +483,51 @@ def fit_pca(
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
+    return vals, comps
+
+
+def fit_pca(
+    df: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "vec",
+):
+    """Fit a PCA basis over an embedding column at corpus scale: the
+    :func:`embedding_moments` partial-aggregation pass followed by the
+    :func:`pca_from_moments` driver eigh.
+
+    Returns ``(eigvals, components, mean)``: top-``k`` eigenvalues
+    (descending), a (k, d) component matrix, and the d-vector mean.
+    """
+    _n, mean, cov = embedding_moments(df, vec_col=vec_col)
+    vals, comps = pca_from_moments(mean, cov, k)
     return vals, comps, mean
+
+
+def pca_project(
+    df: DataFrame,
+    comps,
+    mean,
+    *,
+    id_col: str = "emb_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Project onto a fitted (k, d) basis: ``Wᵀ(x − μ) = Wᵀx − Wᵀμ``
+    emitted as ``k`` pure-Catalyst dot-product folds with literal
+    coefficients — no Python in the transform, no shuffle at all.
+    Output: ``(id, pc0..pc{k-1})``."""
+    bias = comps @ mean
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    outs = []
+    for i in range(len(comps)):
+        w = F.array(*[F.lit(float(c)) for c in comps[i]])
+        dot = F.aggregate(
+            F.zip_with(x, w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        outs.append((dot - F.lit(float(bias[i]))).alias(f"pc{i}"))
+    return df.select(F.col(id_col), *outs)
 
 
 def embedding_pca(
@@ -490,15 +545,4 @@ def embedding_pca(
     the transform, no shuffle at all. Output: ``(id, pc0..pc{k-1})``.
     """
     _vals, comps, mean = fit_pca(df, k, vec_col=vec_col)
-    bias = comps @ mean
-    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    outs = []
-    for i in range(len(comps)):
-        w = F.array(*[F.lit(float(c)) for c in comps[i]])
-        dot = F.aggregate(
-            F.zip_with(x, w, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        outs.append((dot - F.lit(float(bias[i]))).alias(f"pc{i}"))
-    return df.select(F.col(id_col), *outs)
+    return pca_project(df, comps, mean, id_col=id_col, vec_col=vec_col)
