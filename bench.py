@@ -162,6 +162,10 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
     print(
         json.dumps(
             {
@@ -170,6 +174,10 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host-load context (BASELINE.md r7 protocol note):
+                # same-plan swings within the documented steal band are
+                # machine noise — read deltas against these
+                "loadavg": [round(load1, 2), round(load5, 2)],
             }
         )
     )

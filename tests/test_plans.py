@@ -323,18 +323,20 @@ def test_hll_shuffle_is_register_bounded(spark):
     assert "partial_max" in plan  # the register max combines map-side
 
 
-def test_lombscargle_single_aggregation_no_join(spark):
-    """lombscargle is ONE Arrow-batched numpy partial-sum pass (r7:
-    vectorized libm trig replaced the 2.26×-slower per-row JVM trig,
-    BASELINE.md) + ONE combining aggregation + projection trig; a join
-    or a second Python node means the tau two-pass crept back in."""
+def test_lombscargle_single_aggregation_no_join_no_window(spark):
+    """lombscargle is explode + ONE map-side-combinable aggregation of
+    ten sums + projection trig, all whole-stage codegen. A join, a
+    window node, or ANY Python stage is a regression: the r6 precenter
+    WINDOW was the measured 100×-tier bottleneck (now folded into
+    aggregate algebra), and the Arrow transfer of a batched-Python
+    variant measured a 3.5 s floor by itself (operators/lomb.py
+    docstring, BASELINE.md)."""
     plan = _static_plan(_contract_fn("lombscargle")(spark, SF_DIR))
     for node in _JOIN_NODES:
         assert node not in plan, node
-    # the partial reduction is the ONE sanctioned Python stage — a
-    # row-at-a-time eval node is still a regression
-    assert plan.count("MapInPandas") == 1
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan, "precenter window shuffle crept back"
+    for pynode in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert pynode not in plan, pynode
 
 
 def test_acf_single_window_exchange_no_python(spark):

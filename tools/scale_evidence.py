@@ -86,9 +86,18 @@ def build_tier(spark) -> None:
     def write_single(df, dst):
         # one plain parquet FILE per table, mirroring the testdata
         # layout (the streaming query symlinks {sf_dir}/events.parquet
-        # as a file into its stream-source dir)
+        # as a file into its stream-source dir). 16 MB row groups: the
+        # default 128 MB block left a 159 MB events file with TWO row
+        # groups, so every scan — Spark task splits AND DuckDB's
+        # row-group parallelism — serialized onto 2 cores regardless
+        # of plan shape (measured 1.7 s of pure decode at the 100×
+        # tier). Real 100 TB inputs arrive sharded; small row groups
+        # inside the single file restore that property for BOTH
+        # engines symmetrically.
         tmp = dst + ".tmpdir"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.coalesce(1).write.mode("overwrite").option(
+            "parquet.block.size", 16 * 1024 * 1024
+        ).parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         os.replace(part, dst)
         shutil.rmtree(tmp)

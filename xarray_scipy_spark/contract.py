@@ -4239,6 +4239,163 @@ def q_convolve_merged(spark, sf_dir):
     return valid.unionAll(fir)
 
 
+# --- r8-bound variant merges (queued; free 4 head slots at r8) -------------
+
+
+def _multimodal_merged_oracle() -> str:
+    """png + bmp + jpeg decode oracles in one variant-tag union.
+    n_bytes is closed-form only for BMP (54 + stride·h); png/jpeg
+    compressed sizes are not SQL-computable and emit -1 on both
+    sides."""
+
+    def chan_means(expr_n: str, formula: str) -> str:
+        return ", ".join(
+            "round(list_aggregate(list_transform(range(0, " + expr_n + "), "
+            f"p -> CAST({formula.format(c=c)} AS DOUBLE)), 'avg'), 4)"
+            f" + 0.0 AS f{c}_4"
+            for c in range(3)
+        )
+
+    rgb = chan_means("w * h", "(doc_id * 31 + (3 * p + {c}) * 7) % 256")
+    return (
+        "WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h, "
+        "1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh FROM documents) "
+        "SELECT 'png' AS variant, doc_id, CAST(-1 AS BIGINT) AS n_bytes, "
+        + rgb
+        + ", CAST(w AS DOUBLE) AS f3, CAST(h AS DOUBLE) AS f4 FROM dims "
+        "UNION ALL "
+        "SELECT 'bmp' AS variant, doc_id, "
+        "CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes, "
+        + rgb
+        + ", CAST(w AS DOUBLE) AS f3, CAST(h AS DOUBLE) AS f4 FROM dims "
+        "UNION ALL "
+        "SELECT 'jpeg' AS variant, doc_id, CAST(-1 AS BIGINT) AS n_bytes, "
+        "round(list_aggregate(list_transform(range(0, bw * bh), "
+        "b -> CAST((doc_id * 37 + b * 11) % 256 AS DOUBLE)), 'avg'), 4) + 0.0 "
+        "AS f0_4, 0.0 AS f1_4, 0.0 AS f2_4, "
+        "CAST(bw * 8 AS DOUBLE) AS f3, CAST(bh * 8 AS DOUBLE) AS f4 FROM dims"
+    )
+
+
+def q_multimodal_decode_merged(spark, sf_dir):
+    """The three compressed-codec decode paths (PNG, BMP, baseline
+    JPEG) in ONE variant-tag union — replaces multimodal_png_decode +
+    multimodal_bmp_decode + multimodal_jpeg_decode at r8, freeing two
+    head slots while keeping every codec value-verified."""
+    png = q_multimodal_png_decode(spark, sf_dir).select(
+        F.lit("png").alias("variant"),
+        "doc_id",
+        F.lit(-1).cast("bigint").alias("n_bytes"),
+        "f0_4",
+        "f1_4",
+        "f2_4",
+        "f3",
+        "f4",
+    )
+    bmp = q_multimodal_bmp_decode(spark, sf_dir).select(
+        F.lit("bmp").alias("variant"),
+        "doc_id",
+        "n_bytes",
+        "f0_4",
+        "f1_4",
+        "f2_4",
+        "f3",
+        "f4",
+    )
+    jpg = q_multimodal_jpeg_decode(spark, sf_dir).select(
+        F.lit("jpeg").alias("variant"),
+        "doc_id",
+        F.lit(-1).cast("bigint").alias("n_bytes"),
+        "f0_4",
+        F.col("f1").alias("f1_4"),
+        F.col("f2").alias("f2_4"),
+        "f3",
+        "f4",
+    )
+    return png.unionAll(bmp).unionAll(jpg)
+
+
+def _savgol_merged_oracle() -> str:
+    return (
+        "SELECT 'smooth' AS variant, user_id, idx, sg6 AS v6 FROM ("
+        + _savgol_oracle_sql(_SG_W, _SG_M, 0, 6, "sg6")
+        + ") UNION ALL SELECT 'deriv' AS variant, user_id, idx, sgd6 AS v6 "
+        "FROM (" + _savgol_oracle_sql(9, 4, 1, 6, "sgd6") + ")"
+    )
+
+
+def q_savgol_merged(spark, sf_dir):
+    """Savitzky–Golay smoothing + first-derivative variants in one
+    variant-tag union. Replaces savgol + savgol_deriv at r8."""
+    sm = q_savgol(spark, sf_dir).select(
+        F.lit("smooth").alias("variant"), "user_id", "idx",
+        F.col("sg6").alias("v6"),
+    )
+    dv = q_savgol_deriv(spark, sf_dir).select(
+        F.lit("deriv").alias("variant"), "user_id", "idx",
+        F.col("sgd6").alias("v6"),
+    )
+    return sm.unionAll(dv)
+
+
+def _windows_merged_oracle() -> str:
+    return (
+        "SELECT 'tumbling' AS variant, user_id, "
+        f"(epoch_ns(ts) // {_WIN_SECONDS * 1_000_000_000}) * {_WIN_SECONDS} AS t0, "
+        f"(epoch_ns(ts) // {_WIN_SECONDS * 1_000_000_000}) * {_WIN_SECONDS} "
+        f"+ {_WIN_SECONDS} AS t1, "
+        "count(*) AS n, "
+        "CAST(floor(sum(value) * 1000 + 0.5 + 1e-6) AS BIGINT) AS sum_q, "
+        "CAST(floor(avg(value) * 1000 + 0.5 + 1e-6) AS BIGINT) AS avg_q "
+        "FROM events GROUP BY user_id, t0, t1 "
+        "UNION ALL SELECT * FROM ("
+        "WITH e AS ("
+        "  SELECT user_id, epoch_us(ts) AS t, value AS x,"
+        "         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        f"           (PARTITION BY user_id ORDER BY ts) >= {_SESSW_GAP_US} "
+        "           THEN 1 ELSE 0 END AS new_sess"
+        "  FROM events"
+        "), sess AS ("
+        "  SELECT user_id, t, x, sum(new_sess) OVER (PARTITION BY user_id "
+        "    ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM e"
+        ") "
+        "SELECT 'session' AS variant, user_id, min(t) AS t0, "
+        f"max(t) + {_SESSW_GAP_US} AS t1, "
+        "count(*) AS n, "
+        "CAST(floor(sum(x) * 1000 + 0.5 + 1e-6) AS BIGINT) AS sum_q, "
+        "CAST(floor(avg(x) * 1000 + 0.5 + 1e-6) AS BIGINT) AS avg_q "
+        "FROM sess GROUP BY user_id, sid)"
+    )
+
+
+def q_windows_merged(spark, sf_dir):
+    """Tumbling event-time windows + native session windows in one
+    variant-tag union (t0/t1 = window bounds; tumbling in epoch
+    seconds, session in epoch µs — consistent within each variant and
+    with the oracle). Replaces stream_window_stats +
+    session_window_stats at r8; min4/max4 stay pinned by the live
+    streaming twin's oracle (stream_window_stats_live)."""
+    win = q_stream_window_stats(spark, sf_dir).select(
+        F.lit("tumbling").alias("variant"),
+        "user_id",
+        F.col("window_start").alias("t0"),
+        (F.col("window_start") + F.lit(_WIN_SECONDS)).cast("bigint").alias("t1"),
+        "n",
+        "sum_q",
+        "avg_q",
+    )
+    sess = q_session_window_stats(spark, sf_dir).select(
+        F.lit("session").alias("variant"),
+        "user_id",
+        F.col("session_start").alias("t0"),
+        F.col("session_end").alias("t1"),
+        "n",
+        "sum_q",
+        "avg_q",
+    )
+    return win.unionAll(sess)
+
+
 # --- gap-fill / regular-grid resampling ------------------------------------
 
 _GF_DT_S = 21_600  # 6-hour grid over the ~29-day event span (~117/user)
@@ -4973,6 +5130,12 @@ _q("bloom_decontaminate", _bloom_oracle())(q_bloom_decontaminate)
 _q("gapfill", _gapfill_oracle())(q_gapfill)
 
 _QUEUED: dict = {
+    "multimodal_png_decode@merged": (
+        q_multimodal_decode_merged,
+        _multimodal_merged_oracle(),
+    ),
+    "savgol@merged": (q_savgol_merged, _savgol_merged_oracle()),
+    "stream_window_stats@merged": (q_windows_merged, _windows_merged_oracle()),
     "skew_join": (q_skew_join, _skew_join_oracle()),
     "sketch_histogram": (q_sketch_histogram, _histogram_oracle()),
     "bpe_vocab": (q_bpe_vocab, None),

@@ -198,11 +198,16 @@ def sosfilt_chunked(
     The series splits into ``chunk_rows``-sample chunks; pass ``c``
     filters chunk ``c`` of EVERY series in parallel (bucket-batched,
     vectorized across series), seeded with the section states the
-    previous pass left. Only the state — O(n_series × n_sections × 2)
-    doubles, independent of series length — crosses passes through the
-    driver, so per-worker memory is bounded by ``chunk_rows``, not the
-    series length (the whole-series ``sosfilt`` inherits the
-    reference's one-series-per-worker concession, signal.py:422).
+    previous pass left. The state — O(n_series × n_sections × 2)
+    doubles, independent of series length — hands off between passes
+    as a cogrouped DataFrame on the SAME bucket keys (r7: it
+    previously transited the driver via a per-pass ``collect()``,
+    O(n_series) driver memory; now the driver only sequences the loop
+    and per-worker memory is bounded by ``chunk_rows``, never the
+    series length or count). Each pass is ``localCheckpoint``-
+    truncated so the lineage stays O(1) deep per pass instead of
+    compounding. (The whole-series ``sosfilt`` inherits the
+    reference's one-series-per-worker concession, signal.py:422.)
     Results are sample-for-sample identical to whole-series
     :func:`sosfilt` (the recursion is exact, not windowed). Wall-clock
     is ``n_chunks`` sequential cluster passes — the price of the
@@ -239,60 +244,78 @@ def sosfilt_chunked(
     n_buckets = buckets if buckets is not None else _default_buckets(df)
     bucket = F.pmod(F.xxhash64(*by), F.lit(n_buckets)) if by else F.lit(0)
 
-    # factory so each pass captures an immutable state snapshot (a
-    # plain default arg would give run() two parameters, which
-    # applyInPandas would misread as the (key, pdf) signature); lazy
-    # re-execution of any pass then reproduces the same bytes
-    def make_run(_st: dict):
-        def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(by + ["__pos__"], kind="mergesort")
-            starts, ends = _series_bounds(pdf, by)
-            lengths = ends - starts
-            keys = [pdf[k].to_numpy() for k in by]
-            x = pdf[value].to_numpy(dtype=float)
-            out_val = np.empty(len(pdf))
-            zf_col = np.full(len(pdf), None, dtype=object)
-            for n in np.unique(lengths):
-                sel = np.flatnonzero(lengths == n)
-                s = starts[sel]
-                rows = (s[:, None] + np.arange(n)).ravel()
-                block = x[rows].reshape(len(s), n)
-                zi = np.stack(
-                    [
-                        _st.get(
-                            tuple(a[i] for a in keys), np.zeros((n_sections, 2))
-                        )
-                        for i in s
-                    ]
-                )
-                y, zf = sosfilt_1d(sos, block, zi=zi)
-                out_val[rows] = y.ravel()
-                for k_i, r in enumerate(s + n - 1):
-                    zf_col[r] = zf[k_i].ravel().tolist()
-            res = pd.DataFrame({k: pdf[k].to_numpy() for k in by})
-            res[dim] = pdf[dim].to_numpy()
-            res["idx"] = pdf["__pos__"].to_numpy()
-            res["value"] = out_val
-            res["zf"] = zf_col
-            return res
+    # cogrouped signature: left = this pass's chunk rows, right = the
+    # per-series section states the previous pass left (empty on pass
+    # 0). Both sides group on the same xxhash64 bucket, so the state
+    # rows land on the worker that already holds the series — the
+    # handoff never touches the driver.
+    def run(pdf: pd.DataFrame, st_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                {
+                    **{k: pd.Series(dtype=object) for k in by},
+                    dim: pd.Series(dtype=object),
+                    "idx": pd.Series(dtype="int64"),
+                    "value": pd.Series(dtype="float64"),
+                    "zf": pd.Series(dtype=object),
+                }
+            )
+        _st = {
+            tuple(r[k] for k in by): np.asarray(r["zf"]).reshape(n_sections, 2)
+            for _, r in st_pdf.iterrows()
+        }
+        pdf = pdf.sort_values(by + ["__pos__"], kind="mergesort")
+        starts, ends = _series_bounds(pdf, by)
+        lengths = ends - starts
+        keys = [pdf[k].to_numpy() for k in by]
+        x = pdf[value].to_numpy(dtype=float)
+        out_val = np.empty(len(pdf))
+        zf_col = np.full(len(pdf), None, dtype=object)
+        for n in np.unique(lengths):
+            sel = np.flatnonzero(lengths == n)
+            s = starts[sel]
+            rows = (s[:, None] + np.arange(n)).ravel()
+            block = x[rows].reshape(len(s), n)
+            zi = np.stack(
+                [
+                    _st.get(
+                        tuple(a[i] for a in keys), np.zeros((n_sections, 2))
+                    )
+                    for i in s
+                ]
+            )
+            y, zf = sosfilt_1d(sos, block, zi=zi)
+            out_val[rows] = y.ravel()
+            for k_i, r in enumerate(s + n - 1):
+                zf_col[r] = zf[k_i].ravel().tolist()
+        res = pd.DataFrame({k: pdf[k].to_numpy() for k in by})
+        res[dim] = pdf[dim].to_numpy()
+        res["idx"] = pdf["__pos__"].to_numpy()
+        res["value"] = out_val
+        res["zf"] = zf_col
+        return res
 
-        return run
-
-    state: dict[tuple, np.ndarray] = {}
+    spark = df.sparkSession
+    state_ddl = f"{by_ddl}zf array<double>"
+    state_df = spark.createDataFrame([], state_ddl)
     parts: list[DataFrame] = []
     for c in range(int(max_chunk) + 1):
+        left = dfc.filter(F.col("__chunk__") == c).withColumn(_BUCKET, bucket)
+        right = state_df.withColumn(_BUCKET, bucket)
+        # eager localCheckpoint: materializes this pass (the recursion
+        # is sequential anyway) and truncates the lineage so pass c+1
+        # plans against stored partitions, not a c-deep DAG
         out = (
-            dfc.filter(F.col("__chunk__") == c)
-            .withColumn(_BUCKET, bucket)
-            .groupBy(_BUCKET)
-            .applyInPandas(make_run(dict(state)), schema=out_schema)
-            .persist()
+            left.groupBy(_BUCKET)
+            .cogroup(right.groupBy(_BUCKET))
+            .applyInPandas(run, schema=out_schema)
+            .localCheckpoint()
         )
-        for r in out.filter("zf IS NOT NULL").select(*by, "zf").collect():
-            state[tuple(r[k] for k in by)] = np.asarray(r["zf"]).reshape(
-                n_sections, 2
-            )
+        state_df = out.filter("zf IS NOT NULL").select(*by, "zf")
         parts.append(out.select(*by, dim, "idx", "value"))
+    # every pass is already materialized (eager checkpoints), so the
+    # chunked source cache can go immediately
+    dfc.unpersist()
     res = parts[0]
     for p in parts[1:]:
         res = res.unionByName(p)

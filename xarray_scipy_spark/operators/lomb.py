@@ -9,23 +9,31 @@ for sparse ones) or estimate the spectrum directly on the irregular
 samples. Lomb–Scargle (Lomb 1976, Scargle 1982; the
 ``scipy.signal.lombscargle`` surface) is the standard for the latter.
 
-Plan shape: the textbook formula needs the per-frequency phase offset
-``tau`` BEFORE the data sums, which would mean two shuffles. The
-angle-addition identities collapse everything into FIVE plain sums per
-(series, frequency) — Σy·cos(ωt), Σy·sin(ωt), Σcos²(ωt), Σsin²(ωt),
-Σsin(ωt)cos(ωt) — so the whole operator is: ONE Arrow-batched
-``mapInPandas`` pass that reduces every input batch to per-(series,
-freq) PARTIAL sums with vectorized numpy trig, ONE plain aggregation
-combining the partials, then pure projection trigonometry on the
-5-sum rows. Shuffle volume = series × frequencies × tasks partial
-rows, never sample-proportional.
+Plan shape (r7 — the measured story, BASELINE.md "lombscargle"):
+the textbook formula needs the per-frequency phase offset ``tau``
+BEFORE the data sums, and ``precenter`` naively needs the per-series
+mean before them too — two extra shuffles. Both fold away:
 
-The r6 build used explode + JVM codegen trig; it measured a stable
-2.26× behind the single-node oracle at the 100× tier (BASELINE.md) —
-raw per-row ``Math.sin/cos`` throughput, not plan shape. numpy's
-SIMD libm over Arrow batches closes that constant factor while
-keeping the map-side-combine property (each batch emits ≤ groups×m
-rows regardless of row count).
+- the angle-addition identities collapse tau into pure projection
+  trigonometry over per-(series, freq) aggregate sums;
+- mean subtraction moves into ALGEBRA: alongside the five trig sums
+  the aggregation carries Σcos, Σsin, n, Σy, Σy², and the projection
+  centers exactly (Σ(y−μ)cos = Σy·cos − μ·Σcos, Σ(y−μ)² = Σy² − nμ²).
+
+So the whole operator is: explode the literal frequency list (no
+join, no shuffle for the expansion), ONE map-side-combinable
+aggregation of ten plain sums, projection trig on the tiny 10-sum
+rows. No window, no Python, everything whole-stage codegen; shuffle
+volume = series × frequencies rows, never sample-proportional.
+
+r7 measured three shapes at the 100× tier (10 M rows × 150 k series,
+properly split parquet): this one 1.9 s; an Arrow/numpy partial-sum
+``mapInPandas`` variant 4.4 s (the JVM→Python Arrow transfer alone is
+3.5 s on this host — a floor no batched-Python design can beat); and
+the r6 shape (explode + a precenter WINDOW over every raw row) 9.0 s,
+whose cost had been misattributed to JVM trig throughput. The window
+was the bottleneck; with it gone the codegen path is within 1.6× of
+the single-node oracle and scales embarrassingly parallel.
 """
 
 from __future__ import annotations
@@ -52,10 +60,11 @@ def lombscargle(
     unit of ``dim``), defined for arbitrary irregular sample instants.
 
     ``precenter`` subtracts each series' mean first (recommended —
-    the plain formula leaks DC into every frequency); ``normalize``
-    scales by 2/(n·var) so a unit-amplitude sinusoid reaches ~n/4 →
-    1. Timestamp dims are converted to epoch SECONDS (frequencies are
-    then rad/s).
+    the plain formula leaks DC into every frequency; implemented
+    exactly via the aggregate algebra above, no second pass);
+    ``normalize`` scales by 2/(n·var) so a unit-amplitude sinusoid
+    reaches ~n/4 → 1. Timestamp dims are converted to epoch SECONDS
+    (frequencies are then rad/s).
 
     Output: ``[*by, idx, freq, power]`` with ``idx`` the 0-based
     position in ``freqs``.
@@ -79,85 +88,38 @@ def lombscargle(
     # per-row trig dominates; a small-file scan must not serialize it
     # onto a couple of cores (no-op when the scan already splits wide)
     src = spread(df, *by).select(*by, t.alias("_t"), y.alias("_y"))
+    wf = F.array(*[F.lit(w) for w in freqs])
+    ex = src.select(*by, "_t", "_y", F.posexplode(wf).alias("idx", "freq"))
+    # one sin + one cos per (row, freq), projected before the
+    # aggregation; every squared/cross term reuses them
+    wt = F.col("freq") * F.col("_t")
+    ex = ex.select(
+        *by, "idx", "freq", "_y", F.cos(wt).alias("_c"), F.sin(wt).alias("_s")
+    )
+    c, sn, yv = F.col("_c"), F.col("_s"), F.col("_y")
+    sums = ex.groupBy(*by, "idx", "freq").agg(
+        F.sum(yv * c).alias("_yc"),
+        F.sum(yv * sn).alias("_ys"),
+        F.sum(c).alias("_cs"),
+        F.sum(sn).alias("_ssum"),
+        F.sum(c * c).alias("_cc"),
+        F.sum(sn * sn).alias("_ss"),
+        F.sum(sn * c).alias("_sc"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(yv).alias("_sy"),
+        F.sum(yv * yv).alias("_syy"),
+    )
+    # centering by algebra: Σ(y−μ)cos = Σy·cos − μ·Σcos (likewise for
+    # sin); Σ(y−μ)² = Σy² − nμ². The cc/ss/sc sums have no y term.
     if precenter:
-        from pyspark.sql import Window
-
-        src = src.withColumn(
-            "_y", F.col("_y") - F.avg("_y").over(Window.partitionBy(*by))
-        )
-    # Arrow-batched partial reduction: each input batch collapses to
-    # (group, freq) partial-sum rows via vectorized numpy trig. The
-    # per-batch accumulator is bounded (row chunks sized so the n×m
-    # trig workspace stays ~ a few MB), so executor memory is closed
-    # over (groups_in_batch × m), never the batch row count.
-    import numpy as np
-    import pandas as pd
-
-    warr = np.asarray(freqs, dtype=np.float64)
-    m = len(freqs)
-    chunk = max(1, 262_144 // m)
-    key_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in src.select(*by).schema.fields
-    )
-    out_schema = (
-        f"{key_fields}, idx int, freq double, _yc double, _ys double, "
-        "_cc double, _ss double, _sc double, _n bigint, _yy double"
-    )
-
-    def partials(batches):
-        for pdf in batches:
-            out = []
-            for keys, g in pdf.groupby(by, sort=False):
-                if not isinstance(keys, tuple):
-                    keys = (keys,)
-                t = g["_t"].to_numpy(dtype=np.float64)
-                y = g["_y"].to_numpy(dtype=np.float64)
-                yc = np.zeros(m)
-                ys = np.zeros(m)
-                cc = np.zeros(m)
-                ss = np.zeros(m)
-                sc = np.zeros(m)
-                for lo in range(0, len(t), chunk):
-                    wt = np.outer(t[lo : lo + chunk], warr)
-                    c = np.cos(wt)
-                    s = np.sin(wt)
-                    yk = y[lo : lo + chunk]
-                    yc += yk @ c
-                    ys += yk @ s
-                    cc += (c * c).sum(axis=0)
-                    ss += (s * s).sum(axis=0)
-                    sc += (s * c).sum(axis=0)
-                row = dict(zip(by, keys))
-                out.append(
-                    pd.DataFrame(
-                        {
-                            **{k: [v] * m for k, v in row.items()},
-                            "idx": np.arange(m, dtype=np.int32),
-                            "freq": warr,
-                            "_yc": yc,
-                            "_ys": ys,
-                            "_cc": cc,
-                            "_ss": ss,
-                            "_sc": sc,
-                            "_n": np.full(m, len(t), dtype=np.int64),
-                            "_yy": np.full(m, float(y @ y)),
-                        }
-                    )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
-
-    part = src.mapInPandas(partials, out_schema)
-    sums = part.groupBy(*by, "idx", "freq").agg(
-        F.sum("_yc").alias("_yc"),
-        F.sum("_ys").alias("_ys"),
-        F.sum("_cc").alias("_cc"),
-        F.sum("_ss").alias("_ss"),
-        F.sum("_sc").alias("_sc"),
-        F.sum("_n").alias("_n"),
-        F.sum("_yy").alias("_yy"),
-    )
+        mu = F.col("_sy") / F.col("_n")
+        yc0 = F.col("_yc") - mu * F.col("_cs")
+        ys0 = F.col("_ys") - mu * F.col("_ssum")
+        yy0 = F.col("_syy") - F.col("_n") * mu * mu
+    else:
+        yc0 = F.col("_yc")
+        ys0 = F.col("_ys")
+        yy0 = F.col("_syy")
     # tau from the aggregate identities: sin(2wt) = 2·sc, cos(2wt) =
     # cc − ss; then rotate the sums by wtau via angle addition — the
     # exact scipy recurrence, just reassociated
@@ -165,8 +127,8 @@ def lombscargle(
         F.lit(2.0) * F.col("_sc"), F.col("_cc") - F.col("_ss")
     )
     cwt, swt = F.cos(wtau), F.sin(wtau)
-    yc_tau = cwt * F.col("_yc") + swt * F.col("_ys")
-    ys_tau = cwt * F.col("_ys") - swt * F.col("_yc")
+    yc_tau = cwt * yc0 + swt * ys0
+    ys_tau = cwt * ys0 - swt * yc0
     cc_tau = (
         cwt * cwt * F.col("_cc")
         + F.lit(2.0) * cwt * swt * F.col("_sc")
@@ -183,5 +145,5 @@ def lombscargle(
     if normalize:
         # scipy: divide by the (pre-centered) sum of squares / 2 …
         # precisely  P / (sum(y^2)/2)  with y as USED in the sums
-        power = power / (F.lit(0.5) * F.col("_yy"))
+        power = power / (F.lit(0.5) * yy0)
     return sums.select(*by, "idx", "freq", power.alias("power"))

@@ -272,6 +272,19 @@ def cap_per_group(
     ``keep_col=None`` filters to the kept rows; a column name instead
     FLAGS them (keep_col=True/False) so downstream stages can audit
     what a cap dropped.
+
+    Scale shape (r7): a single ``row_number`` window partitioned on
+    the group keys serializes each group's sort onto ONE reducer — at
+    100 TB a per-domain cap with a handful of hot domains is exactly
+    the skew case. The filter path therefore runs TWO-PHASE top-n:
+    phase 1 ranks within (deterministic xxhash64 salt-bucket × group)
+    — parallelism = buckets × groups — and prunes to each bucket's
+    local top-``n`` (a superset of the global top-``n`` for any
+    bucketing); phase 2 runs the exact window over the ≤ buckets·n
+    survivors per group. The kept set is identical to the one-window
+    answer because the ranking key is row-intrinsic. The flag path
+    must rank EVERY row, so it keeps the one-window plan (audit mode —
+    not the hot path).
     """
     from pyspark.sql import Window
 
@@ -281,10 +294,27 @@ def cap_per_group(
     w = Window.partitionBy(*by).orderBy(
         hash_uniform(id_col, salt=salt).asc(), F.col(id_col).asc()
     )
-    ranked = df.withColumn("_rk", F.row_number().over(w))
-    if keep_col is None:
-        return ranked.filter(F.col("_rk") <= n).drop("_rk")
-    return ranked.withColumn(keep_col, F.col("_rk") <= n).drop("_rk")
+    if keep_col is not None:
+        ranked = df.withColumn("_rk", F.row_number().over(w))
+        return ranked.withColumn(keep_col, F.col("_rk") <= n).drop("_rk")
+    buckets = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    # explicit fixed-width repartition (REPARTITION_BY_NUM): the md5
+    # ranking + sort is CPU-heavy per row, and AQE's byte-based
+    # coalescing would fold the whole phase onto 1-2 tasks at bench
+    # sizes (the istft lesson, tests/test_plans.py kernel-width lock) —
+    # the window then reuses this exchange, no second shuffle
+    pb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+    wl = Window.partitionBy(pb, *by).orderBy(
+        hash_uniform(id_col, salt=salt).asc(), F.col(id_col).asc()
+    )
+    pruned = (
+        df.repartition(buckets, pb, *[F.col(c) for c in by])
+        .withColumn("_lrk", F.row_number().over(wl))
+        .filter(F.col("_lrk") <= n)
+        .drop("_lrk")
+    )
+    ranked = pruned.withColumn("_rk", F.row_number().over(w))
+    return ranked.filter(F.col("_rk") <= n).drop("_rk")
 
 
 def robust_zscore(
