@@ -609,6 +609,30 @@ def test_jpeg_dc_only_roundtrip_exact():
     assert (dec == img).all()
 
 
+def test_jpeg_ac_checkerboard_exact():
+    """AC fixture (FIXTURES.md §6): blocks v + k·s(x)s(y) with s the
+    sign of cos((2x+1)π/4) have exactly two nonzero INTEGER DCT
+    coefficients — DC = 8(v−128) and AC(4,4) = 8k, whose zigzag run
+    exceeds 15 so the ZRL huffman code fires. Under the all-ones quant
+    table the roundtrip is exact, value-verifying the huffman-AC +
+    IDCT path the DC-only fixture cannot reach; the ± checker-cell
+    means are the closed forms v±k the queued merged-decode oracle
+    states in SQL."""
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    sgn = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    pat = np.outer(sgn, sgn)
+    for v, k in ((40, 1), (128, 20), (100, 37), (199, 38), (30, 29), (127, 127)):
+        img = (v + k * pat).astype(np.uint8)
+        dec, w, h = decode_jpeg(encode_jpeg(img))
+        arr = np.asarray(dec, dtype=int).reshape(8, 8)
+        assert np.array_equal(arr, v + k * pat), (v, k)
+        assert arr[pat == 1].mean() == v + k
+        assert arr[pat == -1].mean() == v - k
+
+
 def test_jpeg_general_roundtrips_and_errors():
     import numpy as np
 

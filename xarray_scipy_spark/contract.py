@@ -4273,7 +4273,22 @@ def _multimodal_merged_oracle() -> str:
         "round(list_aggregate(list_transform(range(0, bw * bh), "
         "b -> CAST((doc_id * 37 + b * 11) % 256 AS DOUBLE)), 'avg'), 4) + 0.0 "
         "AS f0_4, 0.0 AS f1_4, 0.0 AS f2_4, "
-        "CAST(bw * 8 AS DOUBLE) AS f3, CAST(bh * 8 AS DOUBLE) AS f4 FROM dims"
+        "CAST(bw * 8 AS DOUBLE) AS f3, CAST(bh * 8 AS DOUBLE) AS f4 FROM dims "
+        "UNION ALL "
+        # jpeg_ac (FIXTURES.md): block v + k·s(x)s(y) with s the sign
+        # of cos((2x+1)π/4) — exactly two nonzero integer DCT
+        # coefficients (DC=8(v−128), AC(4,4)=8k, a zigzag run > 15 so
+        # the ZRL code fires), so the huffman-AC + IDCT path
+        # roundtrips EXACTLY and the ± checker-cell means are the
+        # closed forms v±k; overall mean stays v (the AC basis is
+        # zero-mean)
+        "SELECT 'jpeg_ac' AS variant, doc_id, CAST(-1 AS BIGINT) AS n_bytes, "
+        "round(CAST(40 + doc_id % 160 AS DOUBLE), 4) + 0.0 AS f0_4, "
+        "round(CAST(40 + doc_id % 160 + 1 + doc_id % 38 AS DOUBLE), 4) + 0.0 "
+        "AS f1_4, "
+        "round(CAST(40 + doc_id % 160 - 1 - doc_id % 38 AS DOUBLE), 4) + 0.0 "
+        "AS f2_4, "
+        "8.0 AS f3, 8.0 AS f4 FROM documents"
     )
 
 
@@ -4312,7 +4327,56 @@ def q_multimodal_decode_merged(spark, sf_dir):
         "f3",
         "f4",
     )
-    return png.unionAll(bmp).unionAll(jpg)
+
+    # jpeg_ac variant: encode+decode the AC-checkerboard fixture and
+    # probe the ± cells — value-verifies the huffman-AC (incl. ZRL)
+    # and IDCT paths, which the DC-only fixture cannot see
+    import numpy as _np
+    import pandas as _pd
+
+    from xarray_scipy_spark.pipeline.hashes import spread as _spread
+
+    def ac_probe(batches):
+        from xarray_scipy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+        sgn = _np.array([1, -1, -1, 1, 1, -1, -1, 1])
+        pat = _np.outer(sgn, sgn)
+        plus, minus = pat == 1, pat == -1
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v, k = 40 + d % 160, 1 + d % 38
+                img = (v + k * pat).astype(_np.uint8)
+                px, _w, _h = decode_jpeg(encode_jpeg(img))
+                arr = _np.asarray(px, dtype=float).reshape(8, 8)
+                rows.append(
+                    (
+                        d,
+                        float(arr.mean()),
+                        float(arr[plus].mean()),
+                        float(arr[minus].mean()),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "f0", "fp", "fm"]
+            )
+
+    ac = (
+        _spread(_docs(spark, sf_dir).select("doc_id"), "doc_id")
+        .mapInPandas(ac_probe, "doc_id bigint, f0 double, fp double, fm double")
+        .select(
+            F.lit("jpeg_ac").alias("variant"),
+            "doc_id",
+            F.lit(-1).cast("bigint").alias("n_bytes"),
+            _r("f0", 4, "f0_4"),
+            _r("fp", 4, "f1_4"),
+            _r("fm", 4, "f2_4"),
+            F.lit(8.0).alias("f3"),
+            F.lit(8.0).alias("f4"),
+        )
+    )
+    return png.unionAll(bmp).unionAll(jpg).unionAll(ac)
 
 
 def _savgol_merged_oracle() -> str:
