@@ -101,6 +101,10 @@ HEADLINE = [
     "dedup_minhash_cross",
     "filter_by_quantile",
     "interp_to",
+    # round-7 additions
+    "ohlc_bars",
+    "bloom_semijoin",
+    "latest_by_key",
 ]
 
 

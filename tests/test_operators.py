@@ -1569,3 +1569,112 @@ def test_find_peaks_prominence_and_width_filters(spark):
     assert idxs(width=5.0) == []
     # filters compose in scipy order
     assert idxs(prominence=0.5, width=0.9) == [2, 8]
+
+
+def test_ohlc_bars_matches_pandas(spark):
+    """OHLC/TWAP bars vs a straightforward pandas computation on an
+    irregular series, including the zero-holding-time fallback."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from xarray_scipy_spark.operators import ohlc_bars
+
+    rng = np.random.default_rng(11)
+    t = np.sort(rng.choice(np.arange(0, 100, 0.25), size=60, replace=False))
+    v = rng.standard_normal(60).round(3)
+    df = spark.createDataFrame(pd.DataFrame({"ch": 1, "t": t, "v": v}))
+    out = (
+        ohlc_bars(df, by=["ch"], dim="t", value="v", bar=10.0)
+        .orderBy("bar_start")
+        .toPandas()
+    )
+    pdf = pd.DataFrame({"t": t, "v": v})
+    pdf["bkt"] = np.floor(pdf["t"] / 10.0)
+    pdf["nt"] = pdf["t"].shift(-1)
+    pdf["dt"] = np.minimum(pdf["nt"].fillna(pdf["t"]), (pdf["bkt"] + 1) * 10.0) - pdf["t"]
+    exp = pdf.groupby("bkt").apply(
+        lambda g: pd.Series(
+            {
+                "n": len(g),
+                "open": g.loc[g["t"].idxmin(), "v"],
+                "high": g["v"].max(),
+                "low": g["v"].min(),
+                "close": g.loc[g["t"].idxmax(), "v"],
+                "mean": g["v"].mean(),
+                "twap": (g["v"] * g["dt"]).sum() / g["dt"].sum()
+                if g["dt"].sum() > 0
+                else g["v"].mean(),
+            }
+        ),
+        include_groups=False,
+    ).reset_index()
+    assert len(out) == len(exp)
+    for c in ("open", "high", "low", "close", "mean", "twap"):
+        np.testing.assert_allclose(out[c].to_numpy(), exp[c].to_numpy(), atol=1e-12)
+    np.testing.assert_array_equal(out["n"].to_numpy(), exp["n"].to_numpy())
+    np.testing.assert_allclose(out["bar_start"].to_numpy(), exp["bkt"].to_numpy() * 10.0)
+
+
+def test_bloom_semijoin_equals_plain_join_and_bounds(spark):
+    """exact=True must reproduce the plain inner join row-for-row even
+    with a tiny filter (forced false positives); exact=False must be a
+    SUPERSET of true matches (no false negatives)."""
+    import pandas as pd
+
+    from xarray_scipy_spark.operators import bloom_semijoin
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(200)) * 2, "x": range(400)})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [3, 7, 11, 42, 99], "y": [30, 70, 110, 420, 990]})
+    )
+    plain = left.join(right, "k").orderBy("k", "x").toPandas()
+    # m_bits=64 forces real collisions -> false positives exercised
+    got = bloom_semijoin(left, right, on=["k"], m_bits=64, k=2)
+    got = got.orderBy("k", "x").toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[sorted(got.columns)],
+        plain.reset_index(drop=True)[sorted(plain.columns)],
+    )
+    approx = bloom_semijoin(left, right, on=["k"], m_bits=64, k=2, exact=False)
+    kept = set(approx.select("k").distinct().toPandas()["k"])
+    assert {3, 7, 11, 42, 99} <= kept  # zero false negatives
+
+
+def test_latest_by_key_matches_window_idiom_and_tiebreak(spark):
+    """The max(struct) compaction equals the row_number window idiom,
+    and ties on order_col break deterministically by the tiebreak."""
+    import pandas as pd
+    from pyspark.sql import Window, functions as F
+
+    from xarray_scipy_spark.pipeline import latest_by_key
+
+    pdf = pd.DataFrame(
+        {
+            "key": [1, 1, 1, 2, 2, 3],
+            "ver": [1, 3, 2, 5, 5, 1],
+            "seq": [10, 11, 12, 20, 21, 30],
+            "payload": ["a", "b", "c", "d", "e", "f"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        latest_by_key(df, keys="key", order_col="ver", tiebreak="seq")
+        .orderBy("key")
+        .toPandas()
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("ver"), F.desc("seq"))
+    exp = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .drop("_rk")
+        .orderBy("key")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        exp[sorted(exp.columns)].reset_index(drop=True),
+    )
+    assert list(got["payload"]) == ["b", "e", "f"]

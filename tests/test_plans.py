@@ -375,3 +375,39 @@ def test_cube_is_native_expand(spark):
     plan = _static_plan(_contract_fn("cube_revenue")(spark, SF_DIR))
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1  # one pass over lineitem
+
+
+def test_bloom_semijoin_probe_is_pure_projection(spark):
+    """bloom_semijoin's membership probe must be a pure codegen FILTER
+    (getbit over the packed bitmap literal) — the only join in the
+    plan is the final exact one, and nothing shuffles or joins the
+    probe side before it (the k-broadcast-semi draft measured 2.1 s of
+    re-materialized bits subtrees, BASELINE.md r7)."""
+    plan = _static_plan(_contract_fn("bloom_semijoin")(spark, SF_DIR))
+    assert "getbit" in plan, plan
+    assert "LeftSemi" not in plan, plan
+    n_joins = sum(plan.count(j) for j in _JOIN_NODES)
+    assert n_joins == 1, plan  # the final exact join only
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_bars_one_window_one_agg_no_join(spark):
+    """ohlc_bars: one ordered window (holding times) + one map-side
+    combinable aggregation; a join node or a per-bucket ranking window
+    is a regression (open/close must stay min_by/max_by aggregates)."""
+    plan = _static_plan(_contract_fn("ohlc_bars")(spark, SF_DIR))
+    for node in _JOIN_NODES:
+        assert node not in plan, node
+    assert plan.count("Window") == 1, plan
+    assert "min_by" in plan and "max_by" in plan
+
+
+def test_latest_by_key_is_aggregate_not_window(spark):
+    """latest_by_key must compact via max(struct) partial aggregation —
+    the row_number window idiom (full shuffle + sort of every raw row,
+    hot keys serialized onto one reducer) is exactly what it replaces."""
+    plan = _static_plan(_contract_fn("latest_by_key")(spark, SF_DIR))
+    for node in _JOIN_NODES:
+        assert node not in plan, node
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan

@@ -30,7 +30,12 @@ ROUND_PLAN = {
         "cube_revenue",
         "filter_by_quantile",
     ],
-    "r11": ["interp_to"],
+    # r7 session-2 additions: bloom_semijoin fills r8's spare head slot
+    # (45 due-tail + 4 planned + 1 = 50); ohlc_bars/latest_by_key land
+    # r11 behind fft-family merges (hfft+ifft+irfft+ihfft -> one
+    # 4-variant union frees 3; fftshift+fftshift_2d frees 1 more).
+    "r8+": ["bloom_semijoin"],
+    "r11": ["interp_to", "ohlc_bars", "latest_by_key"],
 }
 
 

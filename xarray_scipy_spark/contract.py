@@ -4460,6 +4460,127 @@ def q_windows_merged(spark, sf_dir):
     return win.unionAll(sess)
 
 
+# --- r7 new operators (queued): OHLC bars, bloom semi-join, CDC latest -----
+
+_OHLC_BAR_S = 21_600.0  # 6-hour bars over the ~29-day event span
+
+
+def _ohlc_oracle() -> str:
+    """DuckDB twin of operators.tsstats.ohlc_bars (6 h bars, TWAP):
+    identical epoch-seconds arithmetic, lead-based holding times
+    capped at the bar end, arg_min/arg_max open/close (deterministic —
+    (user, ts) is unique in events)."""
+    b = _OHLC_BAR_S
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) / 1000000.0 AS t, "
+        "CAST(value AS DOUBLE) AS v FROM events), "
+        "l AS (SELECT user_id, t, v, "
+        f"floor(t / {b!r}) AS bkt, "
+        "lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt FROM e), "
+        "d AS (SELECT user_id, bkt, t, v, "
+        f"least(coalesce(nt, t), (bkt + 1) * {b!r}) - t AS dt FROM l), "
+        "a AS (SELECT user_id, bkt, count(*) AS n, "
+        "arg_min(v, t) AS open, max(v) AS high, min(v) AS low, "
+        "arg_max(v, t) AS close, avg(v) AS mean, "
+        "sum(v * dt) AS vdt, sum(dt) AS sdt FROM d GROUP BY user_id, bkt) "
+        f"SELECT user_id, CAST(bkt * {b!r} AS BIGINT) AS bar_start, n, "
+        + ", ".join(
+            _q3(c) + f" AS {c}_q" for c in ("open", "high", "low", "close", "mean")
+        )
+        + ", "
+        + _q3("CASE WHEN sdt > 0 THEN vdt / sdt ELSE mean END")
+        + " AS twap_q FROM a"
+    )
+
+
+def q_ohlc_bars(spark, sf_dir):
+    """6-hour OHLC + time-weighted-average bars per user
+    (operators/tsstats.py ohlc_bars): one ordered window for the
+    holding times, one map-side-combinable aggregation — the
+    continuous-rollup shape. open/close are min_by/max_by aggregates,
+    not a per-bucket ranking window."""
+    res = ops.ohlc_bars(
+        _events(spark, sf_dir), by=["user_id"], dim="ts", bar=_OHLC_BAR_S
+    )
+    return res.select(
+        "user_id",
+        F.col("bar_start").cast("bigint").alias("bar_start"),
+        "n",
+        *[
+            _q3_col(F.col(c)).alias(f"{c}_q")
+            for c in ("open", "high", "low", "close", "mean", "twap")
+        ],
+    )
+
+
+def _bloom_semijoin_oracle() -> str:
+    """Plain-join DuckDB mirror: the Bloom pre-filter must be INVISIBLE
+    in the result — false positives are dropped by the exact join, so
+    the oracle IS the unfiltered join + aggregation."""
+    return (
+        "WITH r AS (SELECT o_orderkey AS k FROM orders "
+        "WHERE o_orderpriority = '1-URGENT') "
+        "SELECT l.l_orderkey AS k, count(*) AS n_items, "
+        + _q3("sum(l.l_quantity)")
+        + " AS qty_q FROM lineitem l JOIN r ON r.k = l.l_orderkey "
+        "GROUP BY l.l_orderkey"
+    )
+
+
+def q_bloom_semijoin(spark, sf_dir):
+    """lineitem (probe) ⋈ urgent orders (selective build side) through
+    operators/joins.py bloom_semijoin: the build side's distinct key
+    fingerprints broadcast as ≤ m_bits position rows, k LEFT-SEMI
+    broadcast probes prune the probe side BEFORE any shuffle, the
+    exact join drops the false positives — result must be row-for-row
+    the plain join (the oracle)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    j = ops.bloom_semijoin(li, urgent, on=["k"], m_bits=1 << 16, k=3)
+    return j.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _q3_col(F.sum("l_quantity")).alias("qty_q"),
+    )
+
+
+def _latest_oracle() -> str:
+    """row_number window twin of pipeline.dedup.latest_by_key on
+    (user_id, event_type): (user, ts) is unique so the winner is
+    well-defined without a tiebreak."""
+    return (
+        "WITH r AS (SELECT user_id, event_type, event_id, value, "
+        "epoch_us(ts) AS t, row_number() OVER ("
+        "PARTITION BY user_id, event_type ORDER BY ts DESC) AS rk "
+        "FROM events) "
+        "SELECT user_id, event_type, t AS t_us, event_id, "
+        + _q3("value")
+        + " AS value_q FROM r WHERE rk = 1"
+    )
+
+
+def q_latest_by_key(spark, sf_dir):
+    """CDC/upsert compaction: latest event per (user, event_type)
+    (pipeline/dedup.py latest_by_key) — ONE max(struct) aggregation,
+    partial-combined map-side, not the row_number window idiom the
+    oracle uses (same answer, hot keys cost nothing extra)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    res = pl.latest_by_key(ev, keys=["user_id", "event_type"], order_col="ts")
+    return res.select(
+        "user_id",
+        "event_type",
+        timeutil.epoch_us(res, "ts").alias("t_us"),
+        "event_id",
+        _q3_col(F.col("value")).alias("value_q"),
+    )
+
+
 # --- gap-fill / regular-grid resampling ------------------------------------
 
 _GF_DT_S = 21_600  # 6-hour grid over the ~29-day event span (~117/user)
@@ -5214,4 +5335,7 @@ _QUEUED: dict = {
     "cube_revenue": (q_cube_revenue, _cube_oracle()),
     "filter_by_quantile": (q_filter_by_quantile, _filter_quantile_oracle()),
     "interp_to": (q_interp_to, _interp_to_oracle()),
+    "ohlc_bars": (q_ohlc_bars, _ohlc_oracle()),
+    "bloom_semijoin": (q_bloom_semijoin, _bloom_semijoin_oracle()),
+    "latest_by_key": (q_latest_by_key, _latest_oracle()),
 }

@@ -14,10 +14,10 @@ from .detrend import detrend
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import filtfilt, lfilter, sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
-from .joins import asof_join, range_join, skew_join
+from .joins import asof_join, bloom_semijoin, range_join, skew_join
 from .lomb import lombscargle
 from .timegrid import gapfill, interp_to
-from .tsstats import acf, ewma, seasonal_decompose
+from .tsstats import acf, ewma, ohlc_bars, seasonal_decompose
 from .peaks import find_peaks, peak_prominences, peak_widths
 from .resample import decimate, resample, resample_poly, upfirdn
 from .savgol import savgol_filter
@@ -35,6 +35,8 @@ __all__ = [
     "ewma",
     "seasonal_decompose",
     "skew_join",
+    "bloom_semijoin",
+    "ohlc_bars",
     "fftconvolve_nd",
     "convolve_fir",
     "decimate",

@@ -21,7 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "skew_join"]
+__all__ = ["asof_join", "range_join", "skew_join", "bloom_semijoin"]
 
 
 def asof_join(
@@ -225,3 +225,120 @@ def skew_join(
         .drop("_hot", "_salts")
     )
     return lt.join(rt, on=[*on, "_salt"], how=how).drop("_salt")
+
+
+def bloom_semijoin(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Selective equi-join with a Bloom-filter probe-side reduction:
+    ``left ⋈ right`` on ``on`` where ``left`` is huge and ``right``'s
+    key set is selective — the explicit form of the runtime filter
+    engines inject for star-schema joins.
+
+    The 100 TB lever: a plain shuffle join moves EVERY left row to the
+    exchange even when only a few percent survive. Here ``right``'s
+    distinct key fingerprints (``k`` md5-derived positions in
+    ``[0, m_bits)``) are bit_or-PACKED into 64-bit words map-side —
+    ≤ ``m_bits/64`` rows shuffle regardless of build-side size — and
+    the ≤ 128 KiB bitmap returns to the driver as an array literal
+    (the kmeans-centroids collect pattern: closed over ``m_bits``,
+    never rows). The probe is then a PURE whole-stage-codegen
+    projection — ``getbit(element_at(bitmap, pos/64), pos%64)`` for
+    all ``k`` positions — zero joins, zero shuffle, zero Python
+    before the final exact join. An earlier draft probed via k
+    broadcast LEFT-SEMI joins; it re-materialized the bits subtree
+    per probe and measured 2.1 s where this projection form is
+    scan-bound (BASELINE.md r7).
+
+    False positives only admit extra rows into the final exact join,
+    which drops them — with ``exact=True`` (default) the result is
+    row-for-row the plain inner join, with the join shuffle shrunk to
+    (true matches + fp rate). ``exact=False`` returns the filtered
+    ``left`` itself (approximate semi-join, NO false negatives) for
+    pipelines that tolerate over-admission.
+
+    Inner-join semantics only: pruning the probe side is unsound for
+    outer joins. Null join keys never match in SQL and are dropped by
+    the final join either way.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if m_bits < 64:
+        raise ValueError(f"m_bits must be >= 64, got {m_bits}")
+    on = list(on)
+
+    # xxhash64, not the md5-based h60: the filter's hash choice is
+    # invisible to correctness (false positives die in the exact join,
+    # and the oracle is the PLAIN join), so the probe can use the
+    # cheapest codegen hash — md5 on every probe row measured ~3 s of
+    # pure hashing at the 10× tier. Seeded per probe index via a
+    # leading literal. Key dtypes must match across sides (typed
+    # values hash, no string cast).
+    def positions(side: DataFrame):
+        return [
+            F.pmod(
+                F.xxhash64(F.lit(f"bsj{i}"), *[side[c] for c in on]),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+
+    n_words = (m_bits + 63) // 64
+    words = (
+        right.select(F.explode(F.array(*positions(right))).alias("pos"))
+        .select(
+            F.floor(F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias("bv"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bv").alias("bits"))
+    )
+
+    if n_words <= 4096:
+        # small filter: collect the packed words (<= 32 KiB) and probe
+        # against an ARRAY LITERAL — the filter folds into whole-stage
+        # codegen, zero joins before the final exact one
+        packed = words.collect()
+        bitmap = [0] * n_words
+        for r in packed:
+            bitmap[r["w"]] = r["bits"]
+        bm = F.lit(bitmap)
+        cond = None
+        for pos in positions(left):
+            word = F.element_at(bm, (F.floor(pos / 64) + 1).cast("int"))
+            hit = F.getbit(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
+            cond = hit if cond is None else (cond & hit)
+        probe = left.filter(cond)
+    else:
+        # large filter (big build-side key sets): a multi-MB literal
+        # would bloat the plan, so the packed words stay a DataFrame —
+        # materialized ONCE (localCheckpoint) and BROADCAST into k
+        # word-lookup hash joins + getbit filters. Still zero probe-
+        # side shuffle; an absent word means no bits set, so the inner
+        # join itself drops those rows.
+        wdf = words.localCheckpoint()
+        probe = left
+        for i, pos in enumerate(positions(left)):
+            wcol, bcol = f"_bsw{i}", f"_bsb{i}"
+            probe = (
+                probe.join(
+                    F.broadcast(
+                        wdf.select(
+                            F.col("w").alias(wcol), F.col("bits").alias(bcol)
+                        )
+                    ),
+                    F.floor(pos / 64).cast("int") == F.col(wcol),
+                    "inner",
+                )
+                .filter(F.getbit(F.col(bcol), F.pmod(pos, F.lit(64)).cast("int")) == 1)
+                .drop(wcol, bcol)
+            )
+    if not exact:
+        return probe
+    return probe.join(right, on, "inner")

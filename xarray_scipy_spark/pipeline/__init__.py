@@ -22,6 +22,7 @@ Arrow-batched by design.
 """
 
 from .dedup import (
+    latest_by_key,
     exact_duplicates,
     minhash_signatures,
     minhash_pairs,
@@ -107,6 +108,7 @@ from .multimodal import (
 
 __all__ = [
     "exact_duplicates",
+    "latest_by_key",
     "minhash_signatures",
     "minhash_pairs",
     "duplicate_clusters",

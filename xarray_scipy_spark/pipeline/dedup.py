@@ -40,6 +40,7 @@ from .hashes import (
 )
 
 __all__ = [
+    "latest_by_key",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_pairs",
@@ -376,6 +377,45 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    *,
+    keys,
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Keep the LATEST record per key — the upsert/CDC compaction every
+    incremental corpus needs (re-crawled URLs, re-ingested documents,
+    versioned annotations): one row per key, the one with the greatest
+    ``order_col``.
+
+    Scale shape: implemented as ONE map-side-combinable aggregation —
+    ``max(struct(order_col [, tiebreak], row))`` — NOT the
+    ``row_number() OVER (PARTITION BY key ORDER BY ts DESC)`` idiom.
+    The window form shuffles and SORTS every raw row and serializes
+    each hot key onto one reducer; the aggregate form reduces each
+    partition to one candidate per key before the exchange, so shuffle
+    volume is keys × tasks and hot keys cost nothing extra (the same
+    partial-aggregation argument as the sketches).
+
+    Determinism: ties on ``order_col`` break by ``tiebreak`` (give one
+    whenever ``(keys, order_col)`` is not unique — e.g. an ingest
+    sequence number or content hash); struct comparison is
+    lexicographic, so the kept row is a pure function of the data.
+
+    Output: the full rows of the winners, key columns first.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    payload = [c for c in df.columns if c not in keys]
+    ordering = [F.col(order_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    packed = F.struct(
+        *[o.alias(f"_o{i}") for i, o in enumerate(ordering)],
+        F.struct(*[F.col(c) for c in payload]).alias("_row"),
+    )
+    won = df.groupBy(*keys).agg(F.max(packed).alias("_w"))
+    return won.select(*keys, *[F.col(f"_w._row.{c}").alias(c) for c in payload])
 
 
 def duplicate_clusters(
