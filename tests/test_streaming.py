@@ -747,3 +747,88 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         stream_interval_join(
             ls, rs, on=["k"], left_ts="lts", right_ts="rts", how="full"
         )
+
+
+def test_ohlc_stream_equals_batch_and_batch_operator(spark, tmp_path):
+    """Streaming OHLC bars over a multi-batch stream must equal (a) the
+    same streaming plan on the static union and (b) the batch
+    ohlc_bars operator's OHLC/mean columns on identical rows — the
+    min_by/max_by state-store merge must pick the same open/close."""
+    import uuid
+
+    from xarray_scipy_spark.operators import ohlc_bars
+    from xarray_scipy_spark.streaming import ohlc_stream
+
+    rng = np.random.default_rng(13)
+    src = tmp_path / "ohlc_src"
+    src.mkdir()
+    frames = []
+    for i in range(NCHUNKS):
+        ts = (i * 400 + rng.integers(0, 400, size=50)) * 1_000_000_000
+        pdf = pd.DataFrame(
+            {
+                "ch": rng.integers(0, NCH, size=50),
+                "ts": np.sort(ts).astype("int64"),
+                "value": rng.standard_normal(50).round(4),
+            }
+        )
+        # unique (ch, ts) within and across chunks: min_by/max_by need a
+        # well-defined winner (real event streams have unique instants
+        # per key; the testdata does too)
+        pdf = pdf.drop_duplicates(["ch", "ts"])
+        frames.append(pdf)
+        pdf.to_parquet(src / f"chunk_{i}.parquet")
+        time.sleep(1.1)
+    allpdf = pd.concat(frames, ignore_index=True).drop_duplicates(["ch", "ts"])
+
+    schema = "ch bigint, ts bigint, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = ohlc_stream(stream, by=["ch"], dim="ts", bar="60 seconds")
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name).toPandas().sort_values(["ch", "bar_start"])
+
+    sdf = spark.createDataFrame(allpdf, schema=schema)
+    want = (
+        ohlc_stream(sdf, by=["ch"], dim="ts", bar="60 seconds")
+        .toPandas()
+        .sort_values(["ch", "bar_start"])
+    )
+    assert len(got) == len(want)
+    for c in ("n", "open", "high", "low", "close"):
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy())
+    np.testing.assert_allclose(
+        got["mean"].to_numpy(float), want["mean"].to_numpy(float), atol=1e-9
+    )
+
+    # batch-operator parity: ts here is epoch NANOS (bigint), the batch
+    # operator buckets in epoch seconds — same 60 s bars
+    batch = (
+        ohlc_bars(
+            sdf.select(
+                "ch", (F.col("ts") / F.lit(1_000_000_000)).alias("t"), "value"
+            ),
+            by=["ch"],
+            dim="t",
+            value="value",
+            bar=60.0,
+            twap=False,
+        )
+        .toPandas()
+        .sort_values(["ch", "bar_start"])
+    )
+    assert len(batch) == len(got)
+    for c in ("n", "open", "high", "low", "close"):
+        np.testing.assert_array_equal(got[c].to_numpy(), batch[c].to_numpy())

@@ -253,3 +253,55 @@ def countmin_stream(
         .groupBy(FF.col("p.j").alias("j"), FF.col("p.cell").alias("cell"))
         .agg(FF.sum("w").alias("cnt"))
     )
+
+
+def ohlc_stream(
+    sdf: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    bar: str = "6 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of :func:`~xarray_scipy_spark.operators.tsstats.
+    ohlc_bars` (OHLC + count + mean): continuous bar rollup as a
+    NATIVE windowed aggregation — ``min_by``/``max_by`` are
+    declarative aggregates the state store merges incrementally, so no
+    custom stateful operator and state is O(keys × open bars),
+    watermark-evicted forever.
+
+    The TWAP column is batch-only: its holding times need each
+    sample's SUCCESSOR (``lead``), which a stream only learns later —
+    an incremental version would hold every bar's last sample in
+    per-key state (the gapfill_stream machinery) and emit corrections;
+    the batch operator is the system of record for it. Everything this
+    emits is value-identical to the batch operator on the same rows
+    (stream-equals-batch pinned in tests/test_streaming.py).
+
+    Output per (key, bar): ``bar_start`` (epoch seconds), ``n``,
+    ``open``, ``high``, ``low``, ``close``, ``mean``.
+    """
+    by = list(by)
+    work = sdf.withColumn("__event_time__", event_time(sdf, dim))
+    if work.isStreaming:
+        work = work.withWatermark("__event_time__", watermark)
+    v = F.col(value).cast("double")
+    agg = work.groupBy(F.window("__event_time__", bar).alias("w"), *by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by(v, F.col("__event_time__")).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, F.col("__event_time__")).alias("close"),
+        F.avg(v).alias("mean"),
+    )
+    return agg.select(
+        *by,
+        F.col("w.start").cast("long").alias("bar_start"),
+        "n",
+        "open",
+        "high",
+        "low",
+        "close",
+        "mean",
+    )
