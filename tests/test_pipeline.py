@@ -1508,3 +1508,59 @@ def test_write_clustered_tightens_file_ranges(spark, tmp_path):
     ).collect()[0][0]
     with pytest.raises(ValueError, match="cluster_by"):
         write_clustered(df, path, cluster_by=[])
+
+
+def test_avi_mjpeg_roundtrip_and_gates():
+    """RIFF/AVI Motion-JPEG demux: encode N exact DC frames, demux,
+    decode — every frame pixel-exact; non-AVI payloads still raise the
+    loud NotImplementedError gate (never a silently wrong answer)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from xarray_scipy_spark.pipeline.jpeg import decode_jpeg
+    from xarray_scipy_spark.pipeline.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        video_frame_decoder,
+    )
+
+    frames = [np.full((16, 24), (40 + 17 * i) % 256, dtype=np.uint8) for i in range(7)]
+    avi = encode_avi_mjpeg(frames, fps=25)
+    jpegs = video_frame_decoder(avi)
+    assert len(jpegs) == 7
+    for i, j in enumerate(jpegs):
+        px, w, h = decode_jpeg(j)
+        assert (w, h) == (24, 16)
+        assert (np.asarray(px) == (40 + 17 * i) % 256).all()
+    assert decode_avi_mjpeg(avi) == jpegs
+    with _pytest.raises(NotImplementedError):
+        video_frame_decoder(b"\x00\x00\x00\x18ftypmp42 not an avi")
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_frame_sample_mjpeg_codec(spark):
+    """frame_sample(codec='mjpeg') demuxes + decodes real containers
+    and emits the sampled frames' decoded means."""
+    import numpy as np
+    import pandas as pd
+
+    from xarray_scipy_spark.pipeline import frame_sample
+    from xarray_scipy_spark.pipeline.multimodal import encode_avi_mjpeg
+
+    rows = []
+    for d in range(6):
+        frames = [
+            np.full((8, 8), (d * 31 + f * 17) % 256, dtype=np.uint8)
+            for f in range(2 + d % 4)
+        ]
+        rows.append((d, bytearray(encode_avi_mjpeg(frames))))
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = frame_sample(df, every=2, codec="mjpeg").toPandas()
+    exp = [
+        (d, f, float((d * 31 + f * 17) % 256))
+        for d in range(6)
+        for f in range(0, 2 + d % 4, 2)
+    ]
+    got = sorted(map(tuple, out[["doc_id", "frame_idx", "f0"]].to_numpy()))
+    assert got == sorted(exp)

@@ -4581,6 +4581,54 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+def _video_frames_oracle() -> str:
+    """Closed-form twin of the MJPEG frame-sample query: frame f of
+    doc d is a constant 8×8 block of value (d*31 + f*17) % 256 — DC
+    only, exact under the all-ones quant table (FIXTURES.md §6) — so
+    the sampled frames' decoded means are the formula values."""
+    return (
+        "WITH n AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents), "
+        "f AS (SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx FROM n) "
+        "SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, "
+        "round(CAST((doc_id * 31 + frame_idx * 17) % 256 AS DOUBLE), 4) + 0.0 "
+        "AS f0_4 FROM f"
+    )
+
+
+def q_multimodal_video_frames(spark, sf_dir):
+    """REAL video path end-to-end: each doc gets a RIFF/AVI
+    Motion-JPEG container (pipeline/multimodal.py encode_avi_mjpeg)
+    of 2-5 constant 8×8 DC-only frames, frame_sample(codec='mjpeg')
+    demuxes the movi chunks, samples every 2nd frame, and decodes it
+    through the in-repo baseline-JPEG decoder — the oracle recomputes
+    each sampled frame's exact pixel mean from the generating
+    formula."""
+    import numpy as _np
+    import pandas as _pd
+
+    from xarray_scipy_spark.pipeline.hashes import spread as _spread
+
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"), "doc_id")
+
+    def synth(batches):
+        from xarray_scipy_spark.pipeline.multimodal import encode_avi_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    _np.full((8, 8), (d * 31 + f * 17) % 256, dtype=_np.uint8)
+                    for f in range(2 + d % 4)
+                ]
+                payloads.append(encode_avi_mjpeg(frames))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    res = pl.frame_sample(with_payload, every=2, codec="mjpeg")
+    return res.select("doc_id", "frame_idx", _r("f0", 4, "f0_4"))
+
+
 # --- gap-fill / regular-grid resampling ------------------------------------
 
 _GF_DT_S = 21_600  # 6-hour grid over the ~29-day event span (~117/user)
@@ -5338,4 +5386,5 @@ _QUEUED: dict = {
     "ohlc_bars": (q_ohlc_bars, _ohlc_oracle()),
     "bloom_semijoin": (q_bloom_semijoin, _bloom_semijoin_oracle()),
     "latest_by_key": (q_latest_by_key, _latest_oracle()),
+    "multimodal_video_frames": (q_multimodal_video_frames, _video_frames_oracle()),
 }

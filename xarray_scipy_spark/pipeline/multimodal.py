@@ -49,6 +49,8 @@ __all__ = [
     "decode_text",
     "frame_sample",
     "video_frame_decoder",
+    "encode_avi_mjpeg",
+    "decode_avi_mjpeg",
     "resize_payload",
 ]
 
@@ -423,13 +425,96 @@ def audio_decoder(payload: bytes, n_features: int) -> list[float]:
     )
 
 
-def video_frame_decoder(payload: bytes, frame_bytes: int) -> list[bytes]:
-    """Real container demux / codec decode — requires an av library this
-    container does not ship. STUB."""
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """Minimal RIFF/AVI container around Motion-JPEG frames (fixture
+    generator and binary-sink utility, the encode_png/encode_jpeg
+    pattern): a well-formed ``hdrl`` (avih + vids/MJPG strh/strf) and
+    a ``movi`` LIST of ``00dc`` chunks, each a baseline JPEG from
+    :func:`~xarray_scipy_spark.pipeline.jpeg.encode_jpeg`. Chunks are
+    word-aligned per RIFF."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f) for f in frames]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(listtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", listtype + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0x10, len(jpegs), 0, 1,
+        max(len(j) for j in jpegs), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<10I4H", 0, 0, 0, 1, fps, 0, len(jpegs),
+                      max(len(j) for j in jpegs), 0xFFFFFFFF, 0,
+                      0, 0, w, h)
+    )
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D,
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> list[bytes]:
+    """Demux a RIFF/AVI Motion-JPEG container into its per-frame JPEG
+    payloads (``00dc``/``00db`` chunks of the ``movi`` LIST) — pure
+    chunk walking, word-aligned per RIFF. Frames decode with
+    :func:`~xarray_scipy_spark.pipeline.jpeg.decode_jpeg`."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_lo = pos + 8
+            data_hi = data_lo + size
+            if data_hi > hi:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                listtype = buf[data_lo : data_lo + 4]
+                if listtype in (b"movi", b"hdrl", b"strl", b"rec "):
+                    walk(data_lo + 4, data_hi)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(buf[data_lo:data_hi])
+            pos = data_hi + (size % 2)
+
+    walk(12, len(buf))
+    return frames
+
+
+
+
+def video_frame_decoder(payload: bytes, frame_bytes: int = 0) -> list[bytes]:
+    """Container demux: RIFF/AVI Motion-JPEG payloads demux for REAL
+    (r7 — :func:`decode_avi_mjpeg`; each returned blob is a baseline
+    JPEG the in-repo decoder handles). Every other container (mp4/h264
+    etc.) still requires an av library this environment does not ship
+    and raises — loudly, never a silently wrong answer."""
+    buf = bytes(payload)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return decode_avi_mjpeg(buf)
     raise NotImplementedError(
-        "video decode requires an av library (pyav/ffmpeg) not present in "
-        "this environment; frame_sample's fixed-stride fallback exercises "
-        "the identical Spark plumbing"
+        "only RIFF/AVI Motion-JPEG demuxes without an av library; "
+        "mp4/h264/vp9 require pyav/ffmpeg, not present in this environment"
     )
 
 
@@ -440,6 +525,7 @@ def frame_sample(
     bin_col: str = "payload",
     frame_bytes: int = 8,
     every: int = 3,
+    codec: str = "stride",
 ) -> DataFrame:
     """Sample every ``every``-th fixed-stride frame from each binary
     payload and emit one row per sampled frame (UDTF shape: the
@@ -452,12 +538,44 @@ def frame_sample(
     visible) and ``f0`` (md5-derived stand-in feature, SQL-reproducible
     for the oracle).
 
+    ``codec="mjpeg"`` (r7) is the REAL path: payloads are RIFF/AVI
+    Motion-JPEG containers, demuxed chunk-by-chunk
+    (:func:`decode_avi_mjpeg`) and each sampled frame decoded through
+    the in-repo baseline-JPEG decoder; ``f0`` is then the decoded
+    frame's pixel mean (closed-form for the DC/AC arithmetic fixtures,
+    so the contract oracle states it in SQL). ``codec="stride"`` keeps
+    the fixed-stride fallback for opaque payloads.
+
     Scale: explode happens Python-side inside the Arrow batch, so one
     input batch amortizes decode across documents, and the payload
     column is pruned upstream by Catalyst until this operator scans it.
     """
+    if codec not in ("stride", "mjpeg"):
+        raise ValueError(f"codec must be 'stride' or 'mjpeg', got {codec!r}")
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, frame_idx int, f0 double"
+
+    if codec == "mjpeg":
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                ids: list = []
+                fidx: list[int] = []
+                feat: list[float] = []
+                for i, payload in zip(pdf[id_col], pdf[bin_col]):
+                    jpegs = decode_avi_mjpeg(bytes(payload))
+                    for k in range(0, len(jpegs), every):
+                        px, _w, _h = decode_jpeg(jpegs[k])
+                        ids.append(i)
+                        fidx.append(k)
+                        feat.append(float(np.asarray(px, dtype=float).mean()))
+                yield pd.DataFrame({id_col: ids, "frame_idx": fidx, "f0": feat})
+
+        return spread(df.select(id_col, bin_col), id_col).mapInPandas(
+            run, schema=schema
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
