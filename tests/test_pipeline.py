@@ -1564,3 +1564,31 @@ def test_frame_sample_mjpeg_codec(spark):
     ]
     got = sorted(map(tuple, out[["doc_id", "frame_idx", "f0"]].to_numpy()))
     assert got == sorted(exp)
+
+
+def test_sample_negatives_contract(spark):
+    """Exactly k negatives per anchor, never the anchor itself,
+    deterministic across reruns, and the payload join carries the
+    NEGATIVE row's column."""
+    import pandas as pd
+
+    from xarray_scipy_spark.pipeline import sample_negatives
+
+    pdf = pd.DataFrame({"doc_id": range(20), "lang": [f"l{d % 3}" for d in range(20)]})
+    df = spark.createDataFrame(pdf)
+    out = sample_negatives(df, k=3, payload=["lang"]).toPandas()
+    assert len(out) == 20 * 3
+    assert (out["neg_id"] != out["doc_id"]).all()
+    assert out.groupby("doc_id")["neg_slot"].nunique().eq(3).all()
+    lang_of = dict(zip(pdf["doc_id"], pdf["lang"]))
+    assert all(lang_of[n] == l for n, l in zip(out["neg_id"], out["lang"]))
+    again = sample_negatives(df, k=3, payload=["lang"]).toPandas()
+    key = ["doc_id", "neg_slot"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        again.sort_values(key).reset_index(drop=True),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_negatives(df, k=0)

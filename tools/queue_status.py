@@ -35,7 +35,13 @@ ROUND_PLAN = {
     # r11 behind fft-family merges (hfft+ifft+irfft+ihfft -> one
     # 4-variant union frees 3; fftshift+fftshift_2d frees 1 more).
     "r8+": ["bloom_semijoin"],
-    "r11": ["interp_to", "ohlc_bars", "latest_by_key", "multimodal_video_frames"],
+    "r11": [
+        "interp_to",
+        "ohlc_bars",
+        "latest_by_key",
+        "multimodal_video_frames",
+        "sample_negatives",
+    ],
 }
 
 

@@ -4581,6 +4581,43 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+_NEG_K = 4
+
+
+def _negatives_oracle() -> str:
+    """DuckDB twin of pipeline.sample.sample_negatives(k=4,
+    payload=[lang]): identical md5 slot hash, dense-id modulo, and
+    +1 self-collision step; lang joined from the NEGATIVE doc."""
+    h = (
+        "('0x' || substring(md5('neg' || '|' || CAST(doc_id AS VARCHAR) "
+        "|| '|' || CAST(neg_slot AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    return (
+        "WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents), "
+        f"s AS (SELECT doc_id, unnest(range({_NEG_K})) AS neg_slot FROM documents), "
+        f"c AS (SELECT doc_id, neg_slot, {h} % (SELECT n FROM nn) AS cand FROM s), "
+        "g AS (SELECT doc_id, neg_slot, CASE WHEN cand = doc_id "
+        "THEN (cand + 1) % (SELECT n FROM nn) ELSE cand END AS neg_id FROM c) "
+        "SELECT g.doc_id, CAST(g.neg_slot AS INTEGER) AS neg_slot, g.neg_id, "
+        "d.lang FROM g JOIN documents d ON d.doc_id = g.neg_id"
+    )
+
+
+def q_sample_negatives(spark, sf_dir):
+    """Contrastive/DPO negative-pair mining (pipeline/sample.py
+    sample_negatives): 4 deterministic salted-hash negatives per
+    anchor over the dense doc-id space, self-hits stepped, the
+    negative doc's lang joined on with one hash join — exact-by-id
+    like every sampler in the module."""
+    res = pl.sample_negatives(_docs(spark, sf_dir), k=_NEG_K, payload=["lang"])
+    return res.select(
+        "doc_id",
+        F.col("neg_slot").cast("int").alias("neg_slot"),
+        "neg_id",
+        "lang",
+    )
+
+
 def _video_frames_oracle() -> str:
     """Closed-form twin of the MJPEG frame-sample query: frame f of
     doc d is a constant 8×8 block of value (d*31 + f*17) % 256 — DC
@@ -5387,4 +5424,5 @@ _QUEUED: dict = {
     "bloom_semijoin": (q_bloom_semijoin, _bloom_semijoin_oracle()),
     "latest_by_key": (q_latest_by_key, _latest_oracle()),
     "multimodal_video_frames": (q_multimodal_video_frames, _video_frames_oracle()),
+    "sample_negatives": (q_sample_negatives, _negatives_oracle()),
 }

@@ -78,6 +78,7 @@ from .sketches import (
     quantile_from_histogram,
 )
 from .sample import (
+    sample_negatives,
     cap_per_group,
     hash_uniform,
     robust_zscore,
@@ -160,6 +161,7 @@ __all__ = [
     "curation_report",
     "hash_uniform",
     "mix_datasets",
+    "sample_negatives",
     "split_assign",
     "stratified_sample",
     "pack_sequences",

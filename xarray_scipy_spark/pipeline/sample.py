@@ -15,7 +15,7 @@ this is engine-extension surface like the rest of the pipeline.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -28,6 +28,7 @@ __all__ = [
     "split_assign",
     "stratified_sample",
     "mix_datasets",
+    "sample_negatives",
     "pack_sequences",
 ]
 
@@ -315,6 +316,68 @@ def cap_per_group(
     )
     ranked = pruned.withColumn("_rk", F.row_number().over(w))
     return ranked.filter(F.col("_rk") <= n).drop("_rk")
+
+
+def sample_negatives(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 4,
+    salt: str = "neg",
+    n_ids: int | None = None,
+    payload: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive / preference
+    training: for every anchor row, ``k`` pseudo-random OTHER ids
+    drawn by salted hash — the pair table a contrastive embedding or
+    DPO-style pipeline joins its features onto.
+
+    Determinism contract (the split_assign family): negative ``j`` of
+    anchor ``a`` is ``h60(salt|a|j) mod n_ids``, skipping self-hits by
+    stepping to the next slot — a pure projection, rerun- and
+    partitioning-stable, no RNG state. ``n_ids`` is the id-space size
+    (ids assumed dense ``0..n_ids-1``, the layout corpus compaction
+    produces; computed with one ``max(id)+1`` aggregate when omitted —
+    a 1-row collect, closed over the corpus). Self-collisions step
+    deterministically (+1 mod n) so every anchor gets EXACTLY ``k``
+    distinct-from-anchor negatives (negatives may repeat among
+    themselves for tiny corpora; at corpus scale collisions are
+    ~k²/n).
+
+    ``payload`` columns join onto the negative id with ONE shuffle
+    hash join on ``neg_id`` (skew-free: hash-uniform ids); omit it for
+    the bare (anchor, slot, neg_id) table, which is join-free. Output:
+    ``(id_col, neg_slot, neg_id [, payload...])``.
+    """
+    from .hashes import h60
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_ids is None:
+        n_ids = df.agg(F.max(F.col(id_col)).cast("bigint")).collect()[0][0] + 1
+    if n_ids < 2:
+        raise ValueError("need at least two ids to draw negatives")
+    slots = F.array(*[F.lit(j) for j in range(k)])
+    a = F.col(id_col).cast("bigint")
+    raw = h60(
+        F.concat_ws("|", F.lit(salt), a.cast("string"), F.col("neg_slot").cast("string"))
+    )
+    cand = F.pmod(raw, F.lit(n_ids))
+    neg = F.when(cand == a, F.pmod(cand + 1, F.lit(n_ids))).otherwise(cand)
+    out = (
+        df.select(id_col)
+        .select(F.col(id_col), F.explode(slots).alias("neg_slot"))
+        .withColumn("neg_id", neg)
+    )
+    if payload:
+        side = df.select(
+            F.col(id_col).cast("bigint").alias("neg_id"),
+            *[F.col(c) for c in payload],
+        )
+        out = out.join(side, "neg_id", "inner").select(
+            id_col, "neg_slot", "neg_id", *payload
+        )
+    return out
 
 
 def robust_zscore(
