@@ -1592,3 +1592,79 @@ def test_sample_negatives_contract(spark):
 
     with _pytest.raises(ValueError):
         sample_negatives(df, k=0)
+
+
+def test_gif_roundtrip_and_real_lzw_compression():
+    """GIF fixtures roundtrip exactly, and the decoder handles a REAL
+    compressing LZW stream (dictionary growth across code widths and
+    the K-omega-K self-reference case), not just the writer's
+    literal+clear style."""
+    import struct
+
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (12, 31)).astype(np.uint8)
+    rgb, w, h = decode_gif(encode_gif(px))
+    assert (rgb[:, :, 0] == px).all()
+
+    # hand-rolled COMPRESSING LZW encoder (the standard dict algorithm)
+    def lzw_compress(indices, min_code=8):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        out_bits = []
+
+        def emit(code, width):
+            out_bits.append((code, width))
+
+        table = {bytes((i,)): i for i in range(clear)}
+        next_code = end + 1
+        width = min_code + 1
+        emit(clear, width)
+        wseq = b""
+        for v in indices:
+            nxt = wseq + bytes((int(v),))
+            if nxt in table:
+                wseq = nxt
+            else:
+                emit(table[wseq], width)
+                table[nxt] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+                wseq = bytes((int(v),))
+        if wseq:
+            emit(table[wseq], width)
+        emit(end, width)
+        bits = bitpos = 0
+        data = bytearray()
+        for code, wd in out_bits:
+            bits |= code << bitpos
+            bitpos += wd
+            while bitpos >= 8:
+                data.append(bits & 0xFF)
+                bits >>= 8
+                bitpos -= 8
+        if bitpos:
+            data.append(bits & 0xFF)
+        return bytes(data)
+
+    # repetitive image -> real dictionary reuse + KwK patterns
+    seq = (np.arange(4096) % 7).astype(np.uint8)
+    img = seq.reshape(64, 64)
+    comp = lzw_compress(img.ravel())
+    gif = bytearray()
+    gif += b"GIF89a" + struct.pack("<HHBBB", 64, 64, 0xF7, 0, 0)
+    for i in range(256):
+        gif += bytes((i, i, i))
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 64, 64, 0) + bytes([8])
+    for lo in range(0, len(comp), 255):
+        block = comp[lo : lo + 255]
+        gif.append(len(block))
+        gif += block
+    gif += b"\x00\x3b"
+    assert len(comp) < 4096  # genuinely compressed
+    rgb2, w2, h2 = decode_gif(bytes(gif))
+    assert (w2, h2) == (64, 64)
+    assert (rgb2[:, :, 0] == img).all()

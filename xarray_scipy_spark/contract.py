@@ -4288,15 +4288,37 @@ def _multimodal_merged_oracle() -> str:
         "AS f1_4, "
         "round(CAST(40 + doc_id % 160 - 1 - doc_id % 38 AS DOUBLE), 4) + 0.0 "
         "AS f2_4, "
-        "8.0 AS f3, 8.0 AS f4 FROM documents"
+        "8.0 AS f3, 8.0 AS f4 FROM documents "
+        "UNION ALL "
+        # gif (r7): grayscale palette (palette[i] = (i,i,i)), pixels
+        # follow the PPM/PNG formula with c = 0 — lossless LZW, so all
+        # three decoded channel means equal the formula mean
+        "SELECT 'gif' AS variant, doc_id, CAST(-1 AS BIGINT) AS n_bytes, "
+        "round(list_aggregate(list_transform(range(0, w * h), "
+        "p -> CAST((doc_id * 31 + p * 7) % 256 AS DOUBLE)), 'avg'), 4) + 0.0 "
+        "AS f0_4, "
+        "round(list_aggregate(list_transform(range(0, w * h), "
+        "p -> CAST((doc_id * 31 + p * 7) % 256 AS DOUBLE)), 'avg'), 4) + 0.0 "
+        "AS f1_4, "
+        "round(list_aggregate(list_transform(range(0, w * h), "
+        "p -> CAST((doc_id * 31 + p * 7) % 256 AS DOUBLE)), 'avg'), 4) + 0.0 "
+        "AS f2_4, "
+        "CAST(w AS DOUBLE) AS f3, CAST(h AS DOUBLE) AS f4 FROM dims"
     )
 
 
 def q_multimodal_decode_merged(spark, sf_dir):
-    """The three compressed-codec decode paths (PNG, BMP, baseline
-    JPEG) in ONE variant-tag union — replaces multimodal_png_decode +
-    multimodal_bmp_decode + multimodal_jpeg_decode at r8, freeing two
-    head slots while keeping every codec value-verified."""
+    """The compressed-codec decode paths (PNG, BMP, baseline JPEG
+    DC + AC fixtures, GIF/LZW) in ONE variant-tag union — replaces
+    multimodal_png_decode + multimodal_bmp_decode +
+    multimodal_jpeg_decode at r8, freeing two head slots while keeping
+    every codec value-verified."""
+    import numpy as _np
+    import pandas as _pd
+
+    from xarray_scipy_spark.pipeline.hashes import spread as _spread
+
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"), "doc_id")
     png = q_multimodal_png_decode(spark, sf_dir).select(
         F.lit("png").alias("variant"),
         "doc_id",
@@ -4376,7 +4398,35 @@ def q_multimodal_decode_merged(spark, sf_dir):
             F.lit(8.0).alias("f4"),
         )
     )
-    return png.unionAll(bmp).unionAll(jpg).unionAll(ac)
+
+    # gif variant (r7): grayscale-palette LZW — lossless, so the PPM
+    # formula with a single channel drives all three decoded means
+    def gif_synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                px = ((d * 31 + _np.arange(w * h) * 7) % 256).astype(
+                    _np.uint8
+                ).reshape(h, w)
+                payloads.append(pl.encode_gif(px))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    gif_payload = docs.mapInPandas(gif_synth, "doc_id bigint, payload binary")
+    gif = pl.decode_features(
+        gif_payload, n_features=5, decoder=pl.image_decoder
+    ).select(
+        F.lit("gif").alias("variant"),
+        "doc_id",
+        F.lit(-1).cast("bigint").alias("n_bytes"),
+        _r("f0", 4, "f0_4"),
+        _r("f1", 4, "f1_4"),
+        _r("f2", 4, "f2_4"),
+        "f3",
+        "f4",
+    )
+    return png.unionAll(bmp).unionAll(jpg).unionAll(ac).unionAll(gif)
 
 
 def _savgol_merged_oracle() -> str:

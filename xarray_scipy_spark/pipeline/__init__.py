@@ -101,6 +101,8 @@ from .multimodal import (
     decode_wav,
     encode_bmp,
     encode_png,
+    encode_gif,
+    decode_gif,
     frame_sample,
     image_decoder,
     resize_payload,
@@ -153,6 +155,8 @@ __all__ = [
     "image_decoder",
     "decode_png",
     "encode_png",
+    "encode_gif",
+    "decode_gif",
     "decode_bmp",
     "encode_bmp",
     "audio_decoder",

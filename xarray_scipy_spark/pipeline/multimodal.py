@@ -41,6 +41,8 @@ __all__ = [
     "encode_png",
     "decode_jpeg",
     "encode_jpeg",
+    "decode_gif",
+    "encode_gif",
     "image_decoder",
     "decode_wav",
     "audio_decoder",
@@ -326,10 +328,165 @@ def encode_bmp(pixels) -> bytes:
     return header + info + data
 
 
+def encode_gif(pixels) -> bytes:
+    """Minimal GIF89a writer (fixture generator): one grayscale-palette
+    image (palette[i] = (i,i,i)), LZW-compressed in the "uncompressed
+    GIF" style — every pixel emitted as a literal 9-bit code with a
+    CLEAR before the code width would grow, which every conformant
+    decoder accepts. Input: ``(h, w)`` uint8 indices."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW minimum code size
+    clear, _end = 256, 257
+    bits = bitpos = 0
+    data = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bits, bitpos
+        bits |= code << bitpos
+        bitpos += width
+        while bitpos >= 8:
+            data.append(bits & 0xFF)
+            bits >>= 8
+            bitpos -= 8
+
+    emit(clear, 9)
+    next_code = 258
+    for v in px.ravel():
+        emit(int(v), 9)
+        next_code += 1
+        if next_code >= 511:  # one shy of a 10-bit width switch
+            emit(clear, 9)
+            next_code = 258
+    emit(_end, 9)
+    if bitpos:
+        data.append(bits & 0xFF)
+    for lo in range(0, len(data), 255):
+        block = data[lo : lo + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Pure-python GIF87a/89a decoder: logical screen + global/local
+    color tables, extension skipping, full variable-width LZW decode
+    (clear/end codes, width growth to 12 bits), non-interlaced frames.
+    Returns the FIRST frame as ``((h, w, 3) uint8, w, h)`` through the
+    color table. Interlaced frames raise (the fixture writer never
+    emits them)."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _l, _t, w, h, iflags = struct.unpack("<HHHHB", buf[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF frames not supported")
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            table = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos]:
+            ln = buf[pos]
+            data += buf[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(bytes(data), min_code, w * h)
+        idx = np.asarray(indices, dtype=np.int64)[: w * h]
+        rgb = table[idx].reshape(h, w, 3)
+        return rgb, w, h
+    raise ValueError("GIF contained no image frame")
+
+
+def _lzw_decode(data: bytes, min_code: int, limit: int) -> list[int]:
+    """GIF variable-width LZW: clear = 2^min, end = clear+1, width
+    grows after code 2^width−1 is assigned, capped at 12 bits."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    prev: bytes | None = None
+    bits = bitpos = 0
+    bytepos = 0
+    while len(out) < limit:
+        while bitpos < width:
+            if bytepos >= len(data):
+                return out
+            bits |= data[bytepos] << bitpos
+            bytepos += 1
+            bitpos += 8
+        code = bits & ((1 << width) - 1)
+        bits >>= width
+        bitpos -= width
+        if code == clear:
+            table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+
 def image_decoder(payload: bytes, n_features: int) -> list[float]:
     """Image feature extraction with REAL pure-numpy decode paths for
-    binary PPM (P6), 8-bit non-interlaced PNG, and baseline JPEG
-    payloads: features are the per-channel means (first three channels;
+    binary PPM (P6), 8-bit non-interlaced PNG, baseline JPEG, and
+    non-interlaced GIF payloads: features are the per-channel means (first three channels;
     gray fills one) followed by width and height (zero-padded /
     truncated to ``n_features``). Remaining formats (WebP, progressive
     JPEG, ...) have no pure-numpy path and raise."""
@@ -347,6 +504,8 @@ def image_decoder(payload: bytes, n_features: int) -> list[float]:
         px, w, h = decode_jpeg(payload)
         if px.ndim == 2:
             px = px[:, :, None]
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        px, w, h = decode_gif(payload)
     else:
         raise NotImplementedError(
             "only PPM (P6), 8-bit non-interlaced PNG, and baseline JPEG "
