@@ -54,7 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_contract_integration.py::test_tail_queries_match_oracle
 # runs each against its DuckDB oracle at sf0.001 every pytest run
 # (which also asserts head size == exactly 50), and
-# tools/check_correctness.py covers all 99 at sf0.01 on demand.
+# tools/check_correctness.py covers all 99 at sf0.01 on demand
+# (r7 close: run in full twice — 99/99 byte-exact green).
 #
 # ROTATION MATH: with a 50-slot head, N registered queries get
 # driver-checked every ceil(N/50) rounds — the two-round freshness bar

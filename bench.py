@@ -105,6 +105,8 @@ HEADLINE = [
     "ohlc_bars",
     "bloom_semijoin",
     "latest_by_key",
+    "sample_negatives",
+    "multimodal_video_frames",
 ]
 
 
