@@ -107,6 +107,7 @@ HEADLINE = [
     "latest_by_key",
     "sample_negatives",
     "multimodal_video_frames",
+    "rolling_stats",
 ]
 
 

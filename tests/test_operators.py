@@ -1678,3 +1678,34 @@ def test_latest_by_key_matches_window_idiom_and_tiebreak(spark):
         exp[sorted(exp.columns)].reset_index(drop=True),
     )
     assert list(got["payload"]) == ["b", "e", "f"]
+
+
+def test_rolling_stats_matches_pandas(spark):
+    """Time-range rolling stats vs a brute-force pandas computation on
+    irregular instants (row-count frames would differ)."""
+    import numpy as np
+    import pandas as pd
+
+    from xarray_scipy_spark.operators import rolling_stats
+
+    rng = np.random.default_rng(21)
+    t = np.sort(rng.choice(np.arange(0, 500), size=80, replace=False)).astype(float)
+    v = rng.standard_normal(80).round(3)
+    df = spark.createDataFrame(pd.DataFrame({"ch": 1, "t": t, "v": v}))
+    out = (
+        rolling_stats(df, by=["ch"], dim="t", value="v", window=50)
+        .orderBy("t_us")
+        .toPandas()
+    )
+    for i, ti in enumerate(t):
+        sel = (t >= ti - 50) & (t <= ti)
+        assert out.loc[i, "roll_count"] == sel.sum()
+        np.testing.assert_allclose(out.loc[i, "roll_mean"], v[sel].mean(), atol=1e-12)
+        np.testing.assert_allclose(out.loc[i, "roll_min"], v[sel].min())
+        np.testing.assert_allclose(out.loc[i, "roll_max"], v[sel].max())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_stats(df, by=["ch"], dim="t", value="v", window=0)
+    with _pytest.raises(ValueError):
+        rolling_stats(df, by=["ch"], dim="t", value="v", stats=("median",))

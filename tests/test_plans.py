@@ -411,3 +411,14 @@ def test_latest_by_key_is_aggregate_not_window(spark):
         assert node not in plan, node
     assert "Window" not in plan, plan
     assert "partial_max" in plan, plan
+
+
+def test_rolling_stats_single_window_exchange(spark):
+    """rolling_stats: every statistic rides ONE range-frame window
+    over ONE ordered exchange — a second exchange or a join means a
+    per-stat window crept in."""
+    plan = _static_plan(_contract_fn("rolling_stats")(spark, SF_DIR))
+    for node in _JOIN_NODES:
+        assert node not in plan, node
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

@@ -41,6 +41,7 @@ ROUND_PLAN = {
         "latest_by_key",
         "multimodal_video_frames",
         "sample_negatives",
+        "rolling_stats",
     ],
 }
 

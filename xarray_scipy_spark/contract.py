@@ -4631,6 +4631,52 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+_ROLL_WIN_S = 21_600  # 6-hour trailing range window
+
+
+def _rolling_oracle() -> str:
+    """DuckDB twin of operators.tsstats.rolling_stats: the same
+    RANGE-frame window over the epoch-µs axis."""
+    span = _ROLL_WIN_S * 1_000_000
+    frame = (
+        f"OVER (PARTITION BY user_id ORDER BY t_us "
+        f"RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, "
+        "CAST(value AS DOUBLE) AS v FROM events) "
+        "SELECT user_id, t_us, "
+        f"CAST(count(*) {frame} AS BIGINT) AS roll_count, "
+        + _q3(f"sum(v) {frame}")
+        + " AS sum_q, "
+        + _q3(f"avg(v) {frame}")
+        + " AS mean_q, "
+        + _q3(f"min(v) {frame}")
+        + " AS min_q, "
+        + _q3(f"max(v) {frame}")
+        + " AS max_q FROM e"
+    )
+
+
+def q_rolling_stats(spark, sf_dir):
+    """Trailing 6-hour time-RANGE rolling statistics per user
+    (operators/tsstats.py rolling_stats): the rangeBetween window
+    surface — every statistic rides ONE ordered exchange; row-count
+    frames would be wrong on these irregular event times."""
+    res = ops.rolling_stats(
+        _events(spark, sf_dir), by=["user_id"], dim="ts", window=_ROLL_WIN_S
+    )
+    return res.select(
+        "user_id",
+        "t_us",
+        F.col("roll_count").alias("roll_count"),
+        _q3_col(F.col("roll_sum")).alias("sum_q"),
+        _q3_col(F.col("roll_mean")).alias("mean_q"),
+        _q3_col(F.col("roll_min")).alias("min_q"),
+        _q3_col(F.col("roll_max")).alias("max_q"),
+    )
+
+
 _NEG_K = 4
 
 
@@ -5475,4 +5521,5 @@ _QUEUED: dict = {
     "latest_by_key": (q_latest_by_key, _latest_oracle()),
     "multimodal_video_frames": (q_multimodal_video_frames, _video_frames_oracle()),
     "sample_negatives": (q_sample_negatives, _negatives_oracle()),
+    "rolling_stats": (q_rolling_stats, _rolling_oracle()),
 }

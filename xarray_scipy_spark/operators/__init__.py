@@ -17,7 +17,7 @@ from .hilbert import envelope, hilbert
 from .joins import asof_join, bloom_semijoin, range_join, skew_join
 from .lomb import lombscargle
 from .timegrid import gapfill, interp_to
-from .tsstats import acf, ewma, ohlc_bars, seasonal_decompose
+from .tsstats import acf, ewma, ohlc_bars, rolling_stats, seasonal_decompose
 from .peaks import find_peaks, peak_prominences, peak_widths
 from .resample import decimate, resample, resample_poly, upfirdn
 from .savgol import savgol_filter
@@ -37,6 +37,7 @@ __all__ = [
     "skew_join",
     "bloom_semijoin",
     "ohlc_bars",
+    "rolling_stats",
     "fftconvolve_nd",
     "convolve_fir",
     "decimate",

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["acf", "ewma", "seasonal_decompose", "ohlc_bars"]
+__all__ = ["acf", "ewma", "seasonal_decompose", "ohlc_bars", "rolling_stats"]
 
 
 def ohlc_bars(
@@ -308,3 +308,65 @@ def seasonal_decompose(
         "seasonal",
         resid.alias("resid"),
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    dim: str,
+    value: str = "value",
+    window: int | float = 3600,
+    stats: Sequence[str] = ("count", "sum", "mean", "min", "max"),
+) -> DataFrame:
+    """Trailing time-range rolling statistics per series: for every
+    row, aggregates over the events in ``[t − window, t]`` of the SAME
+    series — the feature-engineering staple (activity in the last
+    hour/day, trailing averages) on IRREGULAR event times, where
+    row-count frames are wrong and a time-RANGE frame is the honest
+    semantics.
+
+    Plan shape: ONE ordered-window exchange per series; every
+    requested statistic rides the same sort as a RANGE-frame window
+    aggregate (``rangeBetween`` on the epoch-µs axis), so adding
+    statistics is free. At 100 TB this is the canonical
+    one-shuffle-per-feature-family shape; Spark's range frame scans
+    each partition once with a sliding lower bound, O(n) per series
+    amortized.
+
+    ``window`` is seconds for timestamp dims (else units of ``dim``).
+    Output: ``[*by, t_us (epoch µs or scaled dim), value,
+    roll_<stat>...]``, one row per input row.
+    """
+    by = list(by)
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    allowed = {"count", "sum", "mean", "min", "max"}
+    bad = set(stats) - allowed
+    if bad:
+        raise ValueError(f"unknown stats {sorted(bad)}; allowed: {sorted(allowed)}")
+    in_dtype = dict(df.dtypes)[dim]
+    if in_dtype.startswith("timestamp"):
+        from ..functions.timeutil import epoch_us
+
+        t = epoch_us(df, dim)
+        span = int(round(window * 1_000_000))
+    else:
+        t = (F.col(dim).cast("double") * 1_000_000).cast("long")
+        span = int(round(window * 1_000_000))
+    v = F.col(value).cast("double")
+    src = df.select(*by, t.alias("t_us"), v.alias(value))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("t_us")
+        .rangeBetween(-span, Window.currentRow)
+    )
+    fns = {
+        "count": F.count(F.lit(1)),
+        "sum": F.sum(value),
+        "mean": F.avg(value),
+        "min": F.min(value),
+        "max": F.max(value),
+    }
+    cols = [fns[s_].over(w).alias(f"roll_{s_}") for s_ in stats]
+    return src.select(*by, "t_us", value, *cols)
