@@ -3856,13 +3856,30 @@ def q_correlate(spark, sf_dir):
 # merge paid for. N = 99, head = 42 surviving r6-tail + 7 new +
 # embedding_pca = 50 exactly; tail = the 49 remaining r6-head names.
 #
-# r8 plan (same mechanics, merges drawn from the then-due r7 tail =
-# the r6 head): merge the multimodal decode trio (png/bmp/jpeg -> one
-# variant-tag union, frees 2), savgol + savgol_deriv (frees 1),
-# stream_window_stats + session_window_stats (frees 1) -> 4 slots for
-# the 4 r8-bound queue entries (skew_join, sketch_histogram,
-# bpe_vocab, text_hash_vectors); N lands at 100 with the head's spare
-# slot from r7's N=99.
+# r8 RECIPE (do all of it in one edit, before the round's first
+# driver check — the r7 recipe pattern):
+#   1. Delete the @_q registrations of multimodal_png_decode,
+#      multimodal_bmp_decode, multimodal_jpeg_decode (keep the plain
+#      functions — q_multimodal_decode_merged calls them) and register
+#      _q("multimodal_png_decode", _multimodal_merged_oracle())
+#      (q_multimodal_decode_merged) — the 5-variant union
+#      (png/bmp/jpeg/jpeg_ac/gif) under the base name frees 2 slots.
+#   2. Same for savgol + savgol_deriv -> _q("savgol",
+#      _savgol_merged_oracle())(q_savgol_merged), and
+#      stream_window_stats + session_window_stats ->
+#      _q("stream_window_stats", _windows_merged_oracle())
+#      (q_windows_merged). (stream_window_stats_live stays its own
+#      registration — it pins the live state-store path.)
+#   3. Register the FIVE r8-bound entries: skew_join,
+#      sketch_histogram, bpe_vocab (rows-only), text_hash_vectors,
+#      and bloom_semijoin (the spare slot r7's N=99 left).
+#   4. Rebuild __spark_entry__._CHECK_LAST = the 50 r7-head names
+#      (CORRECTNESS_r07.json key order); head = 45 surviving r7-tail
+#      (49 due minus the 4 merged-away names) + 5 new = 50 exactly;
+#      N = 99 − 4 + 5 = 100.
+#   5. Remove the five registered names + three @merged entries from
+#      _QUEUED, update tools/queue_status.py ROUND_PLAN, re-run
+#      tools/check_correctness.py in FULL before committing.
 #
 # r9 plan: 5 more variant merges from the then-due pool — candidates:
 # welch + welch_blackman, hilbert + hilbert_envelope, csd +
