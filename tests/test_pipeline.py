@@ -1668,3 +1668,60 @@ def test_gif_roundtrip_and_real_lzw_compression():
     rgb2, w2, h2 = decode_gif(bytes(gif))
     assert (w2, h2) == (64, 64)
     assert (rgb2[:, :, 0] == img).all()
+
+
+def test_jpeg_progressive_equals_baseline_everywhere():
+    """SOF2 progressive decode (spectral selection + successive
+    approximation, EOB runs, correction-bit buffering) must reproduce
+    the baseline decode of the SAME coefficients for every fixture
+    family — random gray (partial edge blocks), sparse (cross-block
+    EOB runs + ZRL-with-corrections), color 4:4:4 and 4:2:0, a real
+    quant table, and the exact DC-only / AC-checkerboard fixtures."""
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    for _ in range(12):
+        shape = (
+            max(1, int(rng.integers(1, 5)) * 8 - int(rng.integers(0, 7))),
+            max(1, int(rng.integers(1, 5)) * 8 - int(rng.integers(0, 7))),
+        )
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        p = decode_jpeg(encode_jpeg(img, progressive=True))[0]
+        b = decode_jpeg(encode_jpeg(img))[0]
+        assert np.array_equal(p, b), shape
+    sparse = np.zeros((32, 40), dtype=np.uint8)
+    sparse[5, 7] = 200
+    sparse[20, 33] = 90
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(sparse, progressive=True))[0],
+        decode_jpeg(encode_jpeg(sparse))[0],
+    )
+    img3 = rng.integers(0, 256, (24, 17, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img3, progressive=True))[0],
+        decode_jpeg(encode_jpeg(img3))[0],
+    )
+    img420 = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img420, progressive=True, subsample=True))[0],
+        decode_jpeg(encode_jpeg(img420, subsample=True))[0],
+    )
+    q = np.clip(np.arange(1, 65) // 2 + 1, 1, 32).astype(np.int64)
+    imgq = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(imgq, progressive=True, quant=q))[0],
+        decode_jpeg(encode_jpeg(imgq, quant=q))[0],
+    )
+    # exact fixtures stay exact through the progressive pipeline
+    vals = rng.integers(0, 256, (2, 3))
+    imgc = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(imgc, progressive=True))[0], imgc
+    )
+    sgn = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    imgk = (100 + 37 * np.outer(sgn, sgn)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(imgk, progressive=True))[0], imgk
+    )

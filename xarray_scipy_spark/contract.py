@@ -4310,6 +4310,14 @@ def _multimodal_merged_oracle() -> str:
         # gif (r7): grayscale palette (palette[i] = (i,i,i)), pixels
         # follow the PPM/PNG formula with c = 0 — lossless LZW, so all
         # three decoded channel means equal the formula mean
+        "SELECT 'jpeg_prog' AS variant, doc_id, CAST(-1 AS BIGINT) AS n_bytes, "
+        "round(CAST(40 + doc_id % 160 AS DOUBLE), 4) + 0.0 AS f0_4, "
+        "round(CAST(40 + doc_id % 160 + 1 + doc_id % 38 AS DOUBLE), 4) + 0.0 "
+        "AS f1_4, "
+        "round(CAST(40 + doc_id % 160 - 1 - doc_id % 38 AS DOUBLE), 4) + 0.0 "
+        "AS f2_4, "
+        "8.0 AS f3, 8.0 AS f4 FROM documents "
+        "UNION ALL "
         "SELECT 'gif' AS variant, doc_id, CAST(-1 AS BIGINT) AS n_bytes, "
         "round(list_aggregate(list_transform(range(0, w * h), "
         "p -> CAST((doc_id * 31 + p * 7) % 256 AS DOUBLE)), 'avg'), 4) + 0.0 "
@@ -4375,46 +4383,60 @@ def q_multimodal_decode_merged(spark, sf_dir):
 
     from xarray_scipy_spark.pipeline.hashes import spread as _spread
 
-    def ac_probe(batches):
-        from xarray_scipy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    def make_ac_probe(progressive):
+        def ac_probe(batches):
+            from xarray_scipy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
 
-        sgn = _np.array([1, -1, -1, 1, 1, -1, -1, 1])
-        pat = _np.outer(sgn, sgn)
-        plus, minus = pat == 1, pat == -1
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                v, k = 40 + d % 160, 1 + d % 38
-                img = (v + k * pat).astype(_np.uint8)
-                px, _w, _h = decode_jpeg(encode_jpeg(img))
-                arr = _np.asarray(px, dtype=float).reshape(8, 8)
-                rows.append(
-                    (
-                        d,
-                        float(arr.mean()),
-                        float(arr[plus].mean()),
-                        float(arr[minus].mean()),
+            sgn = _np.array([1, -1, -1, 1, 1, -1, -1, 1])
+            pat = _np.outer(sgn, sgn)
+            plus, minus = pat == 1, pat == -1
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    v, k = 40 + d % 160, 1 + d % 38
+                    img = (v + k * pat).astype(_np.uint8)
+                    px, _w, _h = decode_jpeg(
+                        encode_jpeg(img, progressive=progressive)
                     )
-                )
-            yield _pd.DataFrame(
-                rows, columns=["doc_id", "f0", "fp", "fm"]
-            )
+                    arr = _np.asarray(px, dtype=float).reshape(8, 8)
+                    rows.append(
+                        (
+                            d,
+                            float(arr.mean()),
+                            float(arr[plus].mean()),
+                            float(arr[minus].mean()),
+                        )
+                    )
+                yield _pd.DataFrame(rows, columns=["doc_id", "f0", "fp", "fm"])
 
-    ac = (
-        _spread(_docs(spark, sf_dir).select("doc_id"), "doc_id")
-        .mapInPandas(ac_probe, "doc_id bigint, f0 double, fp double, fm double")
-        .select(
-            F.lit("jpeg_ac").alias("variant"),
-            "doc_id",
-            F.lit(-1).cast("bigint").alias("n_bytes"),
-            _r("f0", 4, "f0_4"),
-            _r("fp", 4, "f1_4"),
-            _r("fm", 4, "f2_4"),
-            F.lit(8.0).alias("f3"),
-            F.lit(8.0).alias("f4"),
+        return ac_probe
+
+    def ac_variant(tag, progressive):
+        return (
+            _spread(_docs(spark, sf_dir).select("doc_id"), "doc_id")
+            .mapInPandas(
+                make_ac_probe(progressive),
+                "doc_id bigint, f0 double, fp double, fm double",
+            )
+            .select(
+                F.lit(tag).alias("variant"),
+                "doc_id",
+                F.lit(-1).cast("bigint").alias("n_bytes"),
+                _r("f0", 4, "f0_4"),
+                _r("fp", 4, "f1_4"),
+                _r("fm", 4, "f2_4"),
+                F.lit(8.0).alias("f3"),
+                F.lit(8.0).alias("f4"),
+            )
         )
-    )
+
+    # jpeg_prog (r7): the same AC-checkerboard block through the SOF2
+    # PROGRESSIVE pipeline — spectral selection, successive
+    # approximation, EOB runs, correction bits — which completes
+    # losslessly on integer coefficients, so the same closed forms pin it
+    ac = ac_variant("jpeg_ac", False)
+    ac_prog = ac_variant("jpeg_prog", True)
 
     # gif variant (r7): grayscale-palette LZW — lossless, so the PPM
     # formula with a single channel drives all three decoded means
@@ -4443,7 +4465,9 @@ def q_multimodal_decode_merged(spark, sf_dir):
         "f3",
         "f4",
     )
-    return png.unionAll(bmp).unionAll(jpg).unionAll(ac).unionAll(gif)
+    return (
+        png.unionAll(bmp).unionAll(jpg).unionAll(ac).unionAll(ac_prog).unionAll(gif)
+    )
 
 
 def _savgol_merged_oracle() -> str:

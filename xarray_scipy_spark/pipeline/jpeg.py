@@ -108,6 +108,18 @@ _AC_CHR = (
 )
 
 
+# Progressive AC huffman table: baseline Annex K tables lack the EOBn
+# symbols (r<<4 for r=1..14) progressive band coding emits, so the
+# progressive encoder ships its own flat table — every valid RRRRSSSS
+# symbol (ssss 0..10, plus ZRL and all EOBn) at code length 8, a
+# legal (incomplete) canonical huffman tree. Decoders read whatever
+# table the DHT carries, so flatness costs only compression ratio.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | sv for r in range(16) for sv in range(11)],
+)
+
+
 def _canonical_codes(bits, values):
     """T.81 Annex C: canonical huffman — codes assigned in symbol order,
     incrementing within a length, doubling at each length step. Returns
@@ -195,11 +207,14 @@ def decode_jpeg(payload: bytes):
     """Baseline sequential JPEG decode -> ``(pixels, width, height)``
     with pixels ``(h, w)`` uint8 for grayscale or ``(h, w, 3)`` RGB.
 
-    Supported: SOF0 (baseline DCT), 8-bit precision, 1 or 3 components,
-    any sampling factors whose MCU tiling is rectangular (4:4:4, 4:2:2,
-    4:2:0 in practice), stream-carried DQT/DHT tables, DRI restart
-    intervals. Progressive (SOF2), arithmetic coding, and 12-bit
-    precision raise ``ValueError`` — decode is value-checked downstream.
+    Supported: SOF0 (baseline DCT) and SOF2 (progressive DCT — full
+    spectral selection AND successive approximation: DC first/refine,
+    AC first with EOB-run coding, AC refinement with correction bits;
+    r7), 8-bit precision, 1 or 3 components, any sampling factors
+    whose MCU tiling is rectangular (4:4:4, 4:2:2, 4:2:0 in practice),
+    stream-carried DQT/DHT tables, DRI restart intervals. Arithmetic
+    coding and 12-bit precision raise ``ValueError`` — decode is
+    value-checked downstream.
     """
     buf = bytes(payload)
     if buf[:2] != b"\xff\xd8":
@@ -236,7 +251,7 @@ def decode_jpeg(payload: bytes):
                 vals = list(body[off + 17 : off + 17 + n])
                 htables[(tc, th)] = _canonical_codes(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, ncomp = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported, got {prec}")
@@ -244,16 +259,23 @@ def decode_jpeg(payload: bytes):
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                f"unsupported JPEG process (SOF{marker - 0xC0}); baseline only"
+                f"unsupported JPEG process (SOF{marker - 0xC0}); "
+                "baseline and progressive only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            if frame.get("prog"):
+                # progressive: many scans follow; a dedicated loop
+                # consumes them all (updating tables between scans)
+                return _decode_progressive(
+                    buf, pos - 2, frame, qtables, htables, restart_interval
+                )
             ns = body[0]
             scan_tabs = {}
             for i in range(ns):
@@ -443,7 +465,11 @@ def _dct_blocks(plane, quant):
 
 
 def encode_jpeg(
-    pixels, quant=None, subsample: bool = False, restart_interval: int = 0
+    pixels,
+    quant=None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Baseline JPEG encoder (fixture generator and binary-sink
     utility). ``pixels``: ``(h, w)`` gray or ``(h, w, 3)`` RGB uint8.
@@ -453,7 +479,14 @@ def encode_jpeg(
     (2×2 box-filtered); only meaningful for color inputs.
     ``restart_interval``: emit DRI + RSTn markers every N MCUs (real
     encoders use them for error resilience and parallel decode; here
-    they exercise the decoder's restart path)."""
+    they exercise the decoder's restart path; baseline mode only).
+    ``progressive=True`` (r7) writes SOF2 with the full Annex G scan
+    script — DC first at Al=1, per-component AC bands 1-5/6-63 at
+    Al=1, then DC and AC refinement scans to Al=0 — so spectral
+    selection, successive approximation, EOB runs, and correction-bit
+    buffering are all exercised; with integer coefficients the
+    progression completes losslessly, preserving the exact-roundtrip
+    property the arithmetic oracles lean on."""
     px = np.asarray(pixels, dtype=float)
     quant = np.ones(64, dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
     gray = px.ndim == 2
@@ -505,17 +538,28 @@ def encode_jpeg(
         out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
 
     seg(0xDB, bytes([0]) + bytes(int(v) for v in quant))  # DQT id 0
-    if restart_interval:
+    if restart_interval and not progressive:
         seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for c in comps:
         sof += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
-    seg(0xC0, bytes(sof))
-    tabs = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
-    if not gray:
-        tabs += [(0, 1, _DC_CHR), (1, 1, _AC_CHR)]
+    seg(0xC2 if progressive else 0xC0, bytes(sof))
+    if progressive:
+        tabs = [(0, 0, _DC_LUM), (1, 0, _AC_PROG)]
+        if not gray:
+            tabs += [(0, 1, _DC_CHR)]
+    else:
+        tabs = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
+        if not gray:
+            tabs += [(0, 1, _DC_CHR), (1, 1, _AC_CHR)]
     for tc, th, (bits, vals) in tabs:
         seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+    if progressive:
+        # non-interleaved AC scans need the true per-component grids
+        _comp_grids({"h": h, "w": w, "comps": comps})
+        _encode_progressive_scans(out, seg, comps, gray, mcus_x, mcus_y)
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
     sos = bytearray([len(comps)])
     for i, c in enumerate(comps):
         td_ta = 0 if i == 0 or gray else 0x11
@@ -555,3 +599,493 @@ _ENC_TABS = {
     0: (_encode_tables(*_DC_LUM), _encode_tables(*_AC_LUM)),
     1: (_encode_tables(*_DC_CHR), _encode_tables(*_AC_CHR)),
 }
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — T.81 Annex G: spectral selection +
+# successive approximation. Coefficients accumulate across scans in
+# per-component (block_rows, block_cols, 64) zigzag stores; the
+# reconstruction below is shared arithmetic with the baseline path
+# (dequant -> vectorized IDCT -> upsample -> color).
+# ---------------------------------------------------------------------------
+
+
+def _comp_grids(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # padded (MCU-interleaved) grid
+        c["bh"] = mcus_y * c["v"]
+        # non-interleaved scans cover the component's TRUE block grid
+        c["cw"] = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+        c["ch"] = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _skip_to_marker(buf, pos):
+    """Advance past entropy data to the next non-stuffed, non-RSTn
+    marker byte pair."""
+    while pos + 1 < len(buf):
+        if buf[pos] == 0xFF and buf[pos + 1] not in (0x00,) and not (
+            0xD0 <= buf[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 2 if buf[pos] == 0xFF else 1
+    return len(buf)
+
+
+def _decode_progressive(buf, pos, frame, qtables, htables, restart_interval):
+    hmax, vmax, mcus_x, mcus_y = _comp_grids(frame)
+    comps = frame["comps"]
+    byid = {c["id"]: c for c in comps}
+    store = {
+        c["id"]: np.zeros((c["bh"], c["bw"], 64), dtype=np.int64) for c in comps
+    }
+    pred = {c["id"]: 0 for c in comps}
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        size = struct.unpack(">H", buf[pos : pos + 2])[0]
+        body = buf[pos + 2 : pos + size]
+        if marker == 0xC4:  # DHT between scans
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                htables[(tc, th)] = _canonical_codes(
+                    bits, list(body[off + 17 : off + 17 + n])
+                )
+                off += 17 + n
+        elif marker == 0xDB:
+            off = 0
+            while off < len(body):
+                tq = body[off] & 0x0F
+                qtables[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.int64)
+                off += 65
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((byid[cs], td_ta >> 4, td_ta & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_prog_scan(
+                buf,
+                pos + size,
+                frame,
+                scan_comps,
+                ss,
+                se,
+                ah,
+                al,
+                store,
+                pred,
+                htables,
+                restart_interval,
+                mcus_x,
+                mcus_y,
+            )
+            continue
+        pos += size
+    return _reconstruct_planes(frame, store, qtables, mcus_x, mcus_y, hmax, vmax)
+
+
+def _decode_prog_scan(
+    buf, pos, frame, scan_comps, ss, se, ah, al, store, pred,
+    htables, restart_interval, mcus_x, mcus_y,
+):
+    rd = _BitReader(buf, pos)
+    eobrun = 0
+    interleaved = len(scan_comps) > 1
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se = 0")
+    if ss != 0 and interleaved:
+        raise ValueError("progressive AC scans are single-component")
+
+    def restart(m):
+        nonlocal eobrun
+        rd.align()
+        p = _skip_to_marker_rst(rd.buf, rd.pos)
+        nxt = rd.buf[p + 1]
+        if not (0xD0 <= nxt <= 0xD7):
+            raise ValueError(f"expected RSTn between intervals, got ff{nxt:02x}")
+        rd.pos = p + 2
+        for cid in pred:
+            pred[cid] = 0
+        eobrun = 0
+
+    if ss == 0:
+        # DC scan: interleaved MCU order over all scan components (or
+        # the component's own grid when ns == 1)
+        if interleaved:
+            units = mcus_x * mcus_y
+        else:
+            c = scan_comps[0][0]
+            units = c["cw"] * c["ch"]
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                restart(m)
+            if interleaved:
+                my, mx = divmod(m, mcus_x)
+                for c, td, _ta in scan_comps:
+                    tab = htables.get((0, td)) if ah == 0 else None
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = store[c["id"]][my * c["v"] + by, mx * c["h"] + bx]
+                            _dc_unit(rd, zz, ah, al, tab, pred, c["id"])
+            else:
+                c, td, _ta = scan_comps[0]
+                ry, rx = divmod(m, c["cw"])
+                tab = htables.get((0, td)) if ah == 0 else None
+                _dc_unit(rd, store[c["id"]][ry, rx], ah, al, tab, pred, c["id"])
+    else:
+        c, _td, ta = scan_comps[0]
+        tab = htables.get((1, ta))
+        if tab is None:
+            raise ValueError("missing AC huffman table referenced by scan")
+        units = c["cw"] * c["ch"]
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                restart(m)
+            ry, rx = divmod(m, c["cw"])
+            zz = store[c["id"]][ry, rx]
+            if ah == 0:
+                eobrun = _ac_first(rd, zz, ss, se, al, tab, eobrun)
+            else:
+                eobrun = _ac_refine(rd, zz, ss, se, al, tab, eobrun)
+    rd.align()
+    return _skip_to_marker(rd.buf, rd.pos)
+
+
+def _skip_to_marker_rst(buf, pos):
+    """Advance past entropy padding to the next marker byte pair
+    (INCLUDING RSTn — used inside scans at restart boundaries)."""
+    while pos + 1 < len(buf):
+        if buf[pos] == 0xFF and buf[pos + 1] != 0x00:
+            return pos
+        pos += 2 if buf[pos] == 0xFF else 1
+    return len(buf)
+
+
+def _dc_unit(rd, zz, ah, al, tab, pred, cid):
+    if ah == 0:  # first DC scan: huffman-coded point-transformed diffs
+        if tab is None:
+            raise ValueError("missing DC huffman table referenced by scan")
+        t = rd.huffman(tab)
+        diff = _extend(rd.bits(t), t) if t else 0
+        pred[cid] += diff
+        zz[0] = pred[cid] << al
+    else:  # refinement: one raw bit per block
+        if rd.bits(1):
+            zz[0] |= 1 << al
+
+
+def _ac_first(rd, zz, ss, se, al, tab, eobrun):
+    """T.81 G.2.2: AC coefficients of a first-pass spectral band, with
+    end-of-band run coding across blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huffman(tab)
+        r, s_ = rs >> 4, rs & 0x0F
+        if s_ == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of band")
+        zz[k] = _extend(rd.bits(s_), s_) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(rd, zz, ss, se, al, tab, eobrun):
+    """T.81 G.2.3: AC refinement — newly-significant coefficients enter
+    at ±2^Al while every already-nonzero coefficient on the way picks
+    up one correction bit; EOB runs carry correction bits only."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    in_eob = eobrun > 0
+    if in_eob:
+        # a previously-read EOB run covers this whole block: only the
+        # correction-bit walk below runs, and the run shrinks by one
+        eobrun -= 1
+    else:
+        while k <= se:
+            rs = rd.huffman(tab)
+            r, s_ = rs >> 4, rs & 0x0F
+            val = 0
+            if s_ == 0:
+                if r < 15:
+                    # EOBn: run length INCLUDES this block; the walk
+                    # below still consumes its correction bits
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rd.bits(r)
+                    in_eob = True
+                    break
+                # r == 15: skip over 16 zero-history coefficients
+            else:
+                if s_ != 1:
+                    raise ValueError("refinement scan with |coef| > 1")
+                val = p1 if rd.bits(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if rd.bits(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if s_:
+                            zz[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if in_eob:
+        while k <= se:
+            if zz[k] != 0:
+                if rd.bits(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+    return eobrun
+
+
+def _reconstruct_planes(frame, store, qtables, mcus_x, mcus_y, hmax, vmax):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    planes = {}
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        arr = store[c["id"]].reshape(-1, 64)
+        coeffs = (arr * q[None, :])[:, _ZZ_INV].reshape(-1, 8, 8).astype(float)
+        pix = np.einsum("ux,nuv,vy->nxy", _DCT, coeffs, _DCT)
+        bh, bw = c["bh"], c["bw"]
+        plane = (
+            pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, hmax // c["h"], axis=1), vmax // c["v"], axis=0
+        )
+        planes[c["id"]] = plane[:h, :w] + 128.0
+    if len(comps) == 1:
+        out = np.clip(np.rint(planes[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        return out, w, h
+    if len(comps) != 3:
+        raise ValueError(f"unsupported component count {len(comps)}")
+    y, cb, cr = (planes[c["id"]] for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8), w, h
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encode — the fixture/write side of Annex G. The
+# scan script is DC-first(Al=1) -> per-component AC bands (Al=1) ->
+# DC refine -> per-component AC refines, exercising spectral selection,
+# successive approximation, EOB-run coding, and correction-bit
+# buffering on BOTH sides of the codec.
+# ---------------------------------------------------------------------------
+
+
+class _ProgACWriter:
+    """Scan-scoped state for AC band writing: the end-of-band run and
+    the correction bits buffered behind it (T.81 G.1.2.2/G.1.2.3)."""
+
+    def __init__(self, wr, tab):
+        self.wr = wr
+        self.tab = tab
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            length, code = self.tab[nbits << 4]
+            self.wr.bits(code, length)
+            if nbits:
+                self.wr.bits(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.wr.bits(b, 1)
+        self.pending = []
+
+    def bump_eobrun(self, tail_bits):
+        self.eobrun += 1
+        self.pending.extend(tail_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _enc_ac_first_block(pw: _ProgACWriter, zz, ss, se, al):
+    band = [int(zz[k]) for k in range(ss, se + 1)]
+    vals = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        pw.bump_eobrun([])
+        return
+    pw.flush_eobrun()
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = pw.tab[0xF0]
+            pw.wr.bits(code, length)
+            run -= 16
+        s_ = _category(v)
+        length, code = pw.tab[(run << 4) | s_]
+        pw.wr.bits(code, length)
+        pw.wr.bits(v if v >= 0 else v + (1 << s_) - 1, s_)
+        run = 0
+    if nz[-1] < se - ss:
+        pw.bump_eobrun([])
+
+
+def _enc_ac_refine_block(pw: _ProgACWriter, zz, ss, se, al):
+    band = [int(zz[k]) for k in range(ss, se + 1)]
+    absv = [abs(v) >> al for v in band]
+    new = [i for i, t in enumerate(absv) if t == 1]
+    last_new = new[-1] if new else -1
+    run = 0
+    br: list[int] = []
+    for i, v in enumerate(band):
+        t = absv[i]
+        if i > last_new:
+            break
+        if t == 0:
+            run += 1
+            continue
+        # ZRLs must fire at ANY nonzero coefficient (corrections
+        # included) so the buffered bits never span a 16-zero window —
+        # the decoder's ZRL walk consumes corrections positionally
+        while run > 15:
+            pw.flush_eobrun()
+            length, code = pw.tab[0xF0]
+            pw.wr.bits(code, length)
+            for b in br:
+                pw.wr.bits(b, 1)
+            br = []
+            run -= 16
+        if t > 1:  # previously significant: one correction bit
+            br.append(t & 1)
+            continue
+        # newly significant at this level
+        pw.flush_eobrun()
+        length, code = pw.tab[(run << 4) | 1]
+        pw.wr.bits(code, length)
+        pw.wr.bits(1 if v > 0 else 0, 1)
+        for b in br:
+            pw.wr.bits(b, 1)
+        br = []
+        run = 0
+    # tail: zero-history runs and corrections only -> joins the EOB run
+    tail_bits = br + [absv[i] & 1 for i in range(last_new + 1, len(band)) if absv[i] > 1]
+    if last_new + 1 <= len(band) - 1 or tail_bits:
+        pw.bump_eobrun(tail_bits)
+
+
+def _encode_progressive_scans(out, seg, comps, gray, mcus_x, mcus_y):
+    enc_tabs = _ENC_TABS
+
+    def sos_header(scan_comps, ss, se, ah, al):
+        body = bytearray([len(scan_comps)])
+        for c, td, ta in scan_comps:
+            body += bytes([c["id"], (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(body))
+
+    def tabsel(i):
+        return 0 if i == 0 or gray else 1
+
+    # --- scan 1: DC first (Al = 1), all components interleaved ---
+    scan_comps = [(c, tabsel(i), 0) for i, c in enumerate(comps)]
+    sos_header(scan_comps, 0, 0, 0, 1)
+    wr = _BitWriter()
+    pred = {c["id"]: 0 for c in comps}
+    if len(comps) == 1:
+        c = comps[0]
+        order = [(c, 0, ry, rx) for ry in range(c["bh"]) for rx in range(c["bw"])]
+    else:
+        order = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for i, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            order.append((c, tabsel(i), my * c["v"] + by, mx * c["h"] + bx))
+    for c, ti, ry, rx in order:
+        dc_tab = enc_tabs[ti][0]
+        v = int(c["zz"][ry, rx, 0]) >> 1  # arithmetic shift (floor)
+        diff = v - pred[c["id"]]
+        pred[c["id"]] = v
+        t = _category(diff)
+        length, code = dc_tab[t]
+        wr.bits(code, length)
+        if t:
+            wr.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    wr.flush()
+    out.extend(wr.out)
+
+    # --- AC first scans per component: bands 1..5 then 6..63, Al = 1 ---
+    ac_prog = _encode_tables(*_AC_PROG)
+    for ss, se in ((1, 5), (6, 63)):
+        for i, c in enumerate(comps):
+            sos_header([(c, 0, 0)], ss, se, 0, 1)
+            wr = _BitWriter()
+            pw = _ProgACWriter(wr, ac_prog)
+            for ry in range(c["ch"]):
+                for rx in range(c["cw"]):
+                    _enc_ac_first_block(pw, c["zz"][ry, rx], ss, se, 1)
+            pw.flush_eobrun()
+            wr.flush()
+            out.extend(wr.out)
+
+    # --- DC refinement (Ah = 1 -> Al = 0): raw bit per block ---
+    sos_header(scan_comps, 0, 0, 1, 0)
+    wr = _BitWriter()
+    for c, _ti, ry, rx in order:
+        wr.bits(int(c["zz"][ry, rx, 0]) & 1, 1)
+    wr.flush()
+    out.extend(wr.out)
+
+    # --- AC refinement scans, same bands (Ah = 1 -> Al = 0) ---
+    for ss, se in ((1, 5), (6, 63)):
+        for i, c in enumerate(comps):
+            sos_header([(c, 0, 0)], ss, se, 1, 0)
+            wr = _BitWriter()
+            pw = _ProgACWriter(wr, ac_prog)
+            for ry in range(c["ch"]):
+                for rx in range(c["cw"]):
+                    _enc_ac_refine_block(pw, c["zz"][ry, rx], ss, se, 0)
+            pw.flush_eobrun()
+            wr.flush()
+            out.extend(wr.out)
+
