@@ -1725,3 +1725,64 @@ def test_jpeg_progressive_equals_baseline_everywhere():
     assert np.array_equal(
         decode_jpeg(encode_jpeg(imgk, progressive=True))[0], imgk
     )
+
+
+def test_png_adam7_and_gif_interlace():
+    """Adam7-interlaced PNGs (each pass unfiltered as its own
+    sub-image, scattered onto the pass lattice) and four-pass
+    interlaced GIF frames both decode pixel-exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline.multimodal import (
+        _ADAM7,
+        decode_gif,
+        decode_png,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(2)
+    for shape in ((16, 16, 3), (9, 13, 1), (5, 3, 4), (1, 1, 1), (7, 8, 2)):
+        h, w, ch = shape
+        px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub = px[y0::dy, x0::dx]
+            for r in range(ph):
+                raw.append(0)
+                raw += sub[r].tobytes()
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        dec, _, _ = decode_png(png)
+        assert np.array_equal(dec.reshape(h, w, ch), px), shape
+
+    px = rng.integers(0, 256, (13, 9)).astype(np.uint8)
+    order = np.concatenate(
+        [np.arange(s, 13, t) for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    gif = bytearray(encode_gif(px[order]))
+    i = gif.index(0x2C, 13 + 768)
+    gif[i + 9] |= 0x40  # set the interlace flag on the image descriptor
+    rgb, _, _ = decode_gif(bytes(gif))
+    assert np.array_equal(rgb[:, :, 0], px)

@@ -129,7 +129,9 @@ def decode_png(payload: bytes):
     """Pure-stdlib PNG decoder: ``zlib`` inflate (ships with CPython) +
     numpy scanline unfilter — no imaging library. Supports the common
     web-corpus shape: 8-bit depth, color types 0 (gray) / 2 (RGB) /
-    4 (gray+alpha) / 6 (RGBA), non-interlaced. Palette (3) and 16-bit
+    4 (gray+alpha) / 6 (RGBA), non-interlaced AND Adam7 interlaced
+    (r7 — each of the seven passes unfilters as its own sub-image
+    before scattering onto the pass lattice). Palette (3) and 16-bit
     images raise. Returns ``(pixels, width, height)`` with ``pixels``
     an ``(h, w, channels)`` uint8 array.
 
@@ -164,12 +166,50 @@ def decode_png(payload: bytes):
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if depth != 8:
         raise ValueError(f"only 8-bit PNGs supported, got depth {depth}")
-    if interlace:
-        raise ValueError("Adam7 interlaced PNGs not supported")
     channels = _PNG_CHANNELS.get(color)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color} (palette?)")
     raw = zlib.decompress(b"".join(idat))
+    if not interlace:
+        out = _png_unfilter(raw, w, h, channels)
+        return out.astype(np.uint8).reshape(h, w, channels), w, h
+    # Adam7 (r7): seven sub-images, each independently filtered, then
+    # scattered onto the (dy, dx) lattice of its pass
+    full = np.zeros((h, w * channels), dtype=np.int64)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        nbytes = (pw * channels + 1) * ph
+        sub = _png_unfilter(raw[off : off + nbytes], pw, ph, channels)
+        off += nbytes
+        sub3 = sub.reshape(ph, pw, channels)
+        rows = np.arange(y0, h, dy)[:ph]
+        cols = np.arange(x0, w, dx)[:pw]
+        lattice = full.reshape(h, w, channels)
+        lattice[np.ix_(rows, cols)] = sub3
+    return full.astype(np.uint8).reshape(h, w, channels), w, h
+
+
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, channels: int):
+    """Reverse the five PNG scanline filters over a (w, h) raster (the
+    whole image, or one Adam7 sub-image — each pass filters against
+    its OWN neighbors)."""
+    import numpy as np
+
     stride = w * channels
     if len(raw) < (stride + 1) * h:
         raise ValueError("PNG raster truncated")
@@ -209,7 +249,7 @@ def decode_png(payload: bytes):
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = rec
         prev = rec
-    return out.astype(np.uint8).reshape(h, w, channels), w, h
+    return out
 
 
 def encode_png(pixels) -> bytes:
@@ -384,8 +424,8 @@ def decode_gif(payload: bytes):
     color tables, extension skipping, full variable-width LZW decode
     (clear/end codes, width growth to 12 bits), non-interlaced frames.
     Returns the FIRST frame as ``((h, w, 3) uint8, w, h)`` through the
-    color table. Interlaced frames raise (the fixture writer never
-    emits them)."""
+    color table; interlaced frames deinterlace through the standard
+    four-pass row order (r7)."""
     import struct
 
     import numpy as np
@@ -415,8 +455,7 @@ def decode_gif(payload: bytes):
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
         _l, _t, w, h, iflags = struct.unpack("<HHHHB", buf[pos : pos + 9])
         pos += 9
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF frames not supported")
+        interlaced = bool(iflags & 0x40)
         table = gct
         if iflags & 0x80:
             n = 2 << (iflags & 7)
@@ -433,7 +472,17 @@ def decode_gif(payload: bytes):
             pos += 1 + ln
         pos += 1
         indices = _lzw_decode(bytes(data), min_code, w * h)
-        idx = np.asarray(indices, dtype=np.int64)[: w * h]
+        idx = np.asarray(indices, dtype=np.int64)[: w * h].reshape(h, w)
+        if interlaced:
+            # GIF interlace: rows arrive in four passes (8/8 from 0,
+            # 8/8 from 4, 4/4 from 2, 2/2 from 1) — reorder
+            order = np.concatenate(
+                [np.arange(start, h, step) for start, step in
+                 ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
         rgb = table[idx].reshape(h, w, 3)
         return rgb, w, h
     raise ValueError("GIF contained no image frame")
