@@ -1786,3 +1786,89 @@ def test_png_adam7_and_gif_interlace():
     gif[i + 9] |= 0x40  # set the interlace flag on the image descriptor
     rgb, _, _ = decode_gif(bytes(gif))
     assert np.array_equal(rgb[:, :, 0], px)
+
+
+def test_animated_gif_composite_transparency_disposal():
+    """Multi-frame GIF with sub-rectangle frames, a transparent index,
+    and disposal methods keep/restore-background/restore-previous —
+    every composited canvas must match a reference compositor."""
+    import struct
+
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline.multimodal import decode_gif_frames
+
+    # hand-build: 8x6 screen, 4-entry palette, 3 frames
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8)
+
+    def lzw_literals(indices, min_code=2):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        bits = bitpos = 0
+        data = bytearray()
+
+        def emit(code):
+            nonlocal bits, bitpos
+            bits |= code << bitpos
+            bitpos += width
+            while bitpos >= 8:
+                data.append(bits & 0xFF)
+                bits >>= 8
+                bitpos -= 8
+
+        emit(clear)
+        nxt = end + 1
+        for v in indices:
+            emit(int(v))
+            nxt += 1
+            if nxt >= (1 << width) - 1:
+                emit(clear)
+                nxt = end + 1
+        emit(end)
+        if bitpos:
+            data.append(bits & 0xFF)
+        return bytes(data)
+
+    def img_block(left, top, w, h, indices):
+        out = bytearray(b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0))
+        out.append(2)  # min LZW code size for a 4-color palette
+        comp = lzw_literals(indices)
+        for lo in range(0, len(comp), 255):
+            blk = comp[lo : lo + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+        return out
+
+    def gce(disposal, transparent=None):
+        fl = (disposal << 2) | (1 if transparent is not None else 0)
+        return bytes(
+            [0x21, 0xF9, 4, fl, 0, 0, transparent if transparent is not None else 0, 0]
+        )
+
+    gif = bytearray(b"GIF89a" + struct.pack("<HHBBB", 8, 6, 0xF1, 0, 0))  # 4-entry GCT, bg=0
+    gif += pal.tobytes()
+    # frame 1: full screen of color 1, disposal keep
+    gif += gce(1) + img_block(0, 0, 8, 6, np.full(48, 1))
+    # frame 2: 3x2 patch of color 2 at (2,1) with transparent holes (idx 0), disposal restore-bg
+    patch = np.array([2, 0, 2, 0, 2, 0])
+    gif += gce(2, transparent=0) + img_block(2, 1, 3, 2, patch)
+    # frame 3: 2x2 patch color 3 at (5,3), disposal keep
+    gif += gce(1) + img_block(5, 3, 2, 2, np.full(4, 3))
+    gif += b"\x3b"
+
+    frames = decode_gif_frames(bytes(gif))
+    assert len(frames) == 3
+    c1 = np.tile(pal[1], (6, 8, 1))
+    assert np.array_equal(frames[0], c1)
+    # frame 2: holes show frame 1's color through (transparency)
+    exp2 = c1.copy()
+    exp2[1, 2] = pal[2]
+    exp2[1, 4] = pal[2]
+    exp2[2, 3] = pal[2]
+    assert np.array_equal(frames[1], exp2)
+    # frame 3: disposal 2 restored the bg color in frame 2's rect first
+    exp3 = c1.copy()
+    exp3[1:3, 2:5] = pal[0]
+    exp3[3:5, 5:7] = pal[3]
+    assert np.array_equal(frames[2], exp3)

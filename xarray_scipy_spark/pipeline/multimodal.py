@@ -42,6 +42,7 @@ __all__ = [
     "decode_jpeg",
     "encode_jpeg",
     "decode_gif",
+    "decode_gif_frames",
     "encode_gif",
     "image_decoder",
     "decode_wav",
@@ -129,11 +130,12 @@ def decode_png(payload: bytes):
     """Pure-stdlib PNG decoder: ``zlib`` inflate (ships with CPython) +
     numpy scanline unfilter — no imaging library. Supports the common
     web-corpus shape: 8-bit depth, color types 0 (gray) / 2 (RGB) /
-    4 (gray+alpha) / 6 (RGBA), non-interlaced AND Adam7 interlaced
+    4 (gray+alpha) / 6 (RGBA) / 3 (palette-indexed via PLTE, decoded
+    to RGB — r7), non-interlaced AND Adam7 interlaced
     (r7 — each of the seven passes unfilters as its own sub-image
     before scattering onto the pass lattice). Palette (3) and 16-bit
-    images raise. Returns ``(pixels, width, height)`` with ``pixels``
-    an ``(h, w, channels)`` uint8 array.
+    16-bit images raise. Returns ``(pixels, width, height)`` with
+    ``pixels`` an ``(h, w, channels)`` uint8 array.
 
     The five PNG filter types (spec §6): None and Up vectorize across
     the whole row; Sub is a per-lane running sum (``cumsum mod 256`` —
@@ -149,13 +151,15 @@ def decode_png(payload: bytes):
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         size = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + size]
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -166,13 +170,27 @@ def decode_png(payload: bytes):
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if depth != 8:
         raise ValueError(f"only 8-bit PNGs supported, got depth {depth}")
-    channels = _PNG_CHANNELS.get(color)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {color} (palette?)")
+    if color == 3:  # palette-indexed (r7): one index lane -> PLTE RGB
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        channels = 1
+    else:
+        channels = _PNG_CHANNELS.get(color)
+        if channels is None:
+            raise ValueError(f"unsupported PNG color type {color}")
     raw = zlib.decompress(b"".join(idat))
+
+    def finish(px):
+        px = px.astype(np.uint8).reshape(h, w, channels)
+        if color == 3:
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            if int(px.max(initial=0)) >= len(pal):
+                raise ValueError("palette index out of range")
+            px = pal[px[:, :, 0]]
+        return px, w, h
+
     if not interlace:
-        out = _png_unfilter(raw, w, h, channels)
-        return out.astype(np.uint8).reshape(h, w, channels), w, h
+        return finish(_png_unfilter(raw, w, h, channels))
     # Adam7 (r7): seven sub-images, each independently filtered, then
     # scattered onto the (dy, dx) lattice of its pass
     full = np.zeros((h, w * channels), dtype=np.int64)
@@ -190,7 +208,7 @@ def decode_png(payload: bytes):
         cols = np.arange(x0, w, dx)[:pw]
         lattice = full.reshape(h, w, channels)
         lattice[np.ix_(rows, cols)] = sub3
-    return full.astype(np.uint8).reshape(h, w, channels), w, h
+    return finish(full)
 
 
 _ADAM7 = (
@@ -417,6 +435,103 @@ def encode_gif(pixels) -> bytes:
         out += block
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """Full animated-GIF decode (r7): every frame composited onto the
+    logical screen — sub-rectangle frames draw at their (left, top),
+    transparency (GCE transparent index) leaves the canvas showing
+    through, and disposal methods none/keep (0/1), restore-background
+    (2), and restore-previous (3) are honored. Returns a list of
+    ``(screen_h, screen_w, 3)`` uint8 canvases, one per frame."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, bg_idx, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    if gct is not None and bg_idx < len(gct):
+        canvas = np.tile(gct[bg_idx], (sh, sw, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list = []
+    transparent = None
+    disposal = 0
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            label = buf[pos]
+            pos += 1
+            if label == 0xF9 and buf[pos] >= 4:  # graphic control extension
+                gflags = buf[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                transparent = buf[pos + 4] if gflags & 1 else None
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", buf[pos : pos + 9])
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            table = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos]:
+            ln = buf[pos]
+            data += buf[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.asarray(
+            _lzw_decode(bytes(data), min_code, w * h), dtype=np.int64
+        )[: w * h].reshape(h, w)
+        if iflags & 0x40:
+            order = np.concatenate(
+                [np.arange(st, h, sp) for st, sp in
+                 ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        rgb = table[idx]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore background in the frame rect
+            if gct is not None and bg_idx < len(gct):
+                canvas[top : top + h, left : left + w] = gct[bg_idx]
+            else:
+                canvas[top : top + h, left : left + w] = 0
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contained no image frame")
+    return frames
 
 
 def decode_gif(payload: bytes):
@@ -751,19 +866,22 @@ def frame_sample(
     (:func:`decode_avi_mjpeg`) and each sampled frame decoded through
     the in-repo baseline-JPEG decoder; ``f0`` is then the decoded
     frame's pixel mean (closed-form for the DC/AC arithmetic fixtures,
-    so the contract oracle states it in SQL). ``codec="stride"`` keeps
+    so the contract oracle states it in SQL). ``codec="gif"`` samples composited
+    animated-GIF canvases the same way; ``codec="stride"`` keeps
     the fixed-stride fallback for opaque payloads.
 
     Scale: explode happens Python-side inside the Arrow batch, so one
     input batch amortizes decode across documents, and the payload
     column is pruned upstream by Catalyst until this operator scans it.
     """
-    if codec not in ("stride", "mjpeg"):
-        raise ValueError(f"codec must be 'stride' or 'mjpeg', got {codec!r}")
+    if codec not in ("stride", "mjpeg", "gif"):
+        raise ValueError(
+            f"codec must be 'stride', 'mjpeg' or 'gif', got {codec!r}"
+        )
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, frame_idx int, f0 double"
 
-    if codec == "mjpeg":
+    if codec in ("mjpeg", "gif"):
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np
@@ -773,12 +891,20 @@ def frame_sample(
                 fidx: list[int] = []
                 feat: list[float] = []
                 for i, payload in zip(pdf[id_col], pdf[bin_col]):
-                    jpegs = decode_avi_mjpeg(bytes(payload))
-                    for k in range(0, len(jpegs), every):
-                        px, _w, _h = decode_jpeg(jpegs[k])
+                    if codec == "mjpeg":
+                        frames = [
+                            np.asarray(decode_jpeg(j)[0], dtype=float)
+                            for j in decode_avi_mjpeg(bytes(payload))
+                        ]
+                    else:  # animated GIF: composited canvases
+                        frames = [
+                            np.asarray(f, dtype=float)
+                            for f in decode_gif_frames(bytes(payload))
+                        ]
+                    for k in range(0, len(frames), every):
                         ids.append(i)
                         fidx.append(k)
-                        feat.append(float(np.asarray(px, dtype=float).mean()))
+                        feat.append(float(frames[k].mean()))
                 yield pd.DataFrame({id_col: ids, "frame_idx": fidx, "f0": feat})
 
         return spread(df.select(id_col, bin_col), id_col).mapInPandas(
