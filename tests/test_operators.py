@@ -1709,3 +1709,35 @@ def test_rolling_stats_matches_pandas(spark):
         rolling_stats(df, by=["ch"], dim="t", value="v", window=0)
     with _pytest.raises(ValueError):
         rolling_stats(df, by=["ch"], dim="t", value="v", stats=("median",))
+
+
+def test_asof_join_nearest_and_tolerance(spark):
+    """pandas merge_asof parity for direction='nearest' (ties go
+    backward) and the tolerance cutoff, against pandas itself."""
+    import numpy as np
+    import pandas as pd
+
+    from xarray_scipy_spark.operators import asof_join
+
+    rng = np.random.default_rng(33)
+    lt = np.sort(rng.choice(np.arange(0, 300), 40, replace=False)).astype("int64")
+    rt = np.sort(rng.choice(np.arange(0, 300), 25, replace=False)).astype("int64")
+    lpdf = pd.DataFrame({"k": 1, "t": lt, "x": np.arange(40)})
+    rpdf = pd.DataFrame({"k": 1, "t": rt, "y": np.arange(25) * 10})
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+    for direction, tol in (("nearest", None), ("nearest", 7), ("backward", 5)):
+        got = (
+            asof_join(
+                ldf, rdf, on=["k"], left_ts="t", direction=direction, tolerance=tol
+            )
+            .orderBy("t")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            lpdf, rpdf, on="t", by="k", direction=direction,
+            tolerance=tol if tol is None else int(tol),
+        )
+        np.testing.assert_array_equal(
+            got["y"].to_numpy(dtype=float), want["y"].to_numpy(dtype=float)
+        )

@@ -34,20 +34,34 @@ def asof_join(
     right_values: Sequence[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, enriched with the matched
     ``right`` row's ``right_values`` (null when no match exists).
 
     ``direction="backward"`` matches the greatest ``right_ts <=
-    left_ts``; ``"forward"`` the least ``right_ts >= left_ts``. Ties
-    (equal timestamps) match. The matched right timestamp is emitted as
-    ``{right_ts}{suffix}``.
+    left_ts``; ``"forward"`` the least ``right_ts >= left_ts``;
+    ``"nearest"`` (r7, the pandas ``merge_asof`` surface) whichever of
+    the two is closer in time, ties going backward. Ties (equal
+    timestamps) match. ``tolerance`` (r7) nulls out matches farther
+    than the given distance — in the units of the timestamp columns
+    (numeric difference; for timestamp dtypes, SECONDS). The matched
+    right timestamp is emitted as ``{right_ts}{suffix}``.
+
+    Plan shape is unchanged by either option: ``nearest`` rides TWO
+    window passes over the SAME single exchange (one ascending, one
+    descending sort — no join node, no second shuffle), and
+    ``tolerance`` is a pure projection on the matched columns.
 
     Matched columns keep their name unless it collides with a left
     column, in which case ``suffix`` is appended.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
     on = list(on)
     right_ts = right_ts or left_ts
     if right_values is None:
@@ -75,20 +89,73 @@ def asof_join(
     )
     both = l_tagged.unionByName(r_tagged)
 
-    t_order = F.col("__t__").asc() if direction == "backward" else F.col("__t__").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(t_order, F.col("__side__").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = both.select(
-        *left.columns,
-        "__side__",
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(out_names[c])
-            for c in (right_ts, *right_values)
-        ],
-    )
+    def w_for(dirn):
+        # side asc puts the right row first at an equal timestamp in
+        # EITHER scan direction, so exact-timestamp matches always land
+        t_order = F.col("__t__").asc() if dirn == "backward" else F.col("__t__").desc()
+        return (
+            Window.partitionBy(*on)
+            .orderBy(t_order, F.col("__side__").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+    def dist(match_ts_col):
+        # timestamps cast to epoch SECONDS as double; numeric dims
+        # compare in their own units
+        return F.abs(
+            F.col("__t__").cast("double") - match_ts_col.cast("double")
+        )
+
+    if direction in ("backward", "forward"):
+        w = w_for(direction)
+        matched = both.select(
+            *left.columns,
+            "__t__",
+            "__side__",
+            *[
+                F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(out_names[c])
+                for c in (right_ts, *right_values)
+            ],
+        )
+    else:  # nearest: both passes over the same exchange, pick the closer
+        wb, wf = w_for("backward"), w_for("forward")
+        cols = []
+        for c in (right_ts, *right_values):
+            cols.append(
+                F.last(f"__rv_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            )
+            cols.append(
+                F.last(f"__rv_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            )
+        staged = both.select(*left.columns, "__t__", "__side__", *cols)
+        bt, ft = F.col(f"__b_{right_ts}"), F.col(f"__f_{right_ts}")
+        use_b = F.when(
+            bt.isNull(), F.lit(False)
+        ).otherwise(ft.isNull() | (dist(bt) <= dist(ft)))
+        matched = staged.select(
+            *left.columns,
+            "__t__",
+            "__side__",
+            *[
+                F.when(use_b, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(out_names[c])
+                for c in (right_ts, *right_values)
+            ],
+        )
+    if tolerance is not None:
+        mt = F.col(out_names[right_ts])
+        ok = mt.isNotNull() & (dist(mt) <= F.lit(float(tolerance)))
+        matched = matched.select(
+            *left.columns,
+            "__side__",
+            *[
+                F.when(ok, F.col(out_names[c])).alias(out_names[c])
+                for c in (right_ts, *right_values)
+            ],
+        )
+    else:
+        matched = matched.drop("__t__")
     return matched.filter(F.col("__side__") == 1).drop("__side__")
 
 
