@@ -1872,3 +1872,63 @@ def test_animated_gif_composite_transparency_disposal():
     exp3[1:3, 2:5] = pal[0]
     exp3[3:5, 5:7] = pal[3]
     assert np.array_equal(frames[2], exp3)
+
+
+def test_png_16bit_and_palette():
+    """16-bit PNGs unfilter over byte lanes and return uint16; palette
+    PNGs map through PLTE to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline.multimodal import decode_png
+
+    rng = np.random.default_rng(6)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    for ch, color in ((1, 0), (3, 2), (4, 6)):
+        h, w = 6, 5
+        px = rng.integers(0, 65536, (h, w, ch)).astype(">u2")
+        raw = bytearray()
+        for r in range(h):
+            raw.append(2 if r else 0)  # Up filter after the first row
+            if r == 0:
+                raw += px[r].tobytes()
+            else:
+                cur = px[r].view(np.uint8).reshape(-1).astype(int)
+                prv = px[r - 1].view(np.uint8).reshape(-1).astype(int)
+                raw += ((cur - prv) % 256).astype(np.uint8).tobytes()
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        dec, _, _ = decode_png(png)
+        assert dec.dtype == np.uint16
+        assert np.array_equal(dec.reshape(h, w, ch), np.asarray(px, dtype=np.uint16))
+
+    h, w = 11, 7
+    pal = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+    idx = rng.integers(0, 64, (h, w)).astype(np.uint8)
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)
+        raw += idx[r].tobytes()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    dec, _, _ = decode_png(png)
+    assert np.array_equal(dec, pal[idx])

@@ -134,7 +134,8 @@ def decode_png(payload: bytes):
     to RGB — r7), non-interlaced AND Adam7 interlaced
     (r7 — each of the seven passes unfilters as its own sub-image
     before scattering onto the pass lattice). Palette (3) and 16-bit
-    16-bit images raise. Returns ``(pixels, width, height)`` with
+    16-bit images return uint16 samples (big-endian pairs combined
+    after the byte-lane unfilter — r7). Returns ``(pixels, width, height)`` with
     ``pixels`` an ``(h, w, channels)`` uint8 array.
 
     The five PNG filter types (spec §6): None and Up vectorize across
@@ -168,20 +169,27 @@ def decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNGs supported, got depth {depth}")
+    if depth not in (8, 16):
+        raise ValueError(f"only 8/16-bit PNGs supported, got depth {depth}")
     if color == 3:  # palette-indexed (r7): one index lane -> PLTE RGB
-        if plte is None or len(plte) % 3:
-            raise ValueError("palette PNG missing a valid PLTE chunk")
+        if plte is None or len(plte) % 3 or depth != 8:
+            raise ValueError("palette PNG missing a valid 8-bit PLTE setup")
         channels = 1
     else:
         channels = _PNG_CHANNELS.get(color)
         if channels is None:
             raise ValueError(f"unsupported PNG color type {color}")
+    # PNG filters operate on BYTES with a bytes-per-pixel offset, so
+    # 16-bit images (r7) unfilter over channels*2 byte lanes and the
+    # big-endian sample pairs combine afterwards
+    lanes = channels * (2 if depth == 16 else 1)
     raw = zlib.decompress(b"".join(idat))
 
     def finish(px):
-        px = px.astype(np.uint8).reshape(h, w, channels)
+        px = px.astype(np.uint8).reshape(h, w, lanes)
+        if depth == 16:
+            px16 = px.reshape(h, w, channels, 2).astype(np.uint16)
+            return (px16[..., 0] << 8) | px16[..., 1], w, h
         if color == 3:
             pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
             if int(px.max(initial=0)) >= len(pal):
@@ -190,23 +198,23 @@ def decode_png(payload: bytes):
         return px, w, h
 
     if not interlace:
-        return finish(_png_unfilter(raw, w, h, channels))
+        return finish(_png_unfilter(raw, w, h, lanes))
     # Adam7 (r7): seven sub-images, each independently filtered, then
     # scattered onto the (dy, dx) lattice of its pass
-    full = np.zeros((h, w * channels), dtype=np.int64)
+    full = np.zeros((h, w * lanes), dtype=np.int64)
     off = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = -(-(w - x0) // dx) if w > x0 else 0
         ph = -(-(h - y0) // dy) if h > y0 else 0
         if pw == 0 or ph == 0:
             continue
-        nbytes = (pw * channels + 1) * ph
-        sub = _png_unfilter(raw[off : off + nbytes], pw, ph, channels)
+        nbytes = (pw * lanes + 1) * ph
+        sub = _png_unfilter(raw[off : off + nbytes], pw, ph, lanes)
         off += nbytes
-        sub3 = sub.reshape(ph, pw, channels)
+        sub3 = sub.reshape(ph, pw, lanes)
         rows = np.arange(y0, h, dy)[:ph]
         cols = np.arange(x0, w, dx)[:pw]
-        lattice = full.reshape(h, w, channels)
+        lattice = full.reshape(h, w, lanes)
         lattice[np.ix_(rows, cols)] = sub3
     return finish(full)
 
