@@ -42,6 +42,8 @@ ROUND_PLAN = {
         "multimodal_video_frames",
         "sample_negatives",
         "rolling_stats",
+        "sketch_hll_merge",
+        "group_quantiles",
     ],
 }
 

@@ -4672,6 +4672,62 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+def q_sketch_hll_merge(spark, sf_dir):
+    """Re-aggregation invariance — THE property that makes sketches
+    100 TB primitives: per-(flag, ship-month) HLL register shards
+    (pipeline/sketches.py hll_registers, the mergeable layer) merged
+    down to per-flag states (hll_merge, max per bucket) must equal the
+    single-pass per-flag state byte-for-byte. The oracle is the SAME
+    direct-computation SQL as sketch_hll — merged-from-shards vs
+    computed-at-once."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("rf"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("mon"),
+        F.col("l_orderkey").cast("string").alias("k"),
+    )
+    shards = pl.hll_registers(li, "k", by=["rf", "mon"], p=_HLL_P)
+    return pl.hll_merge(shards, by="rf", p=_HLL_P)
+
+
+_GQ_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def _group_quantiles_oracle() -> str:
+    """DuckDB quantile_cont twin — Spark's exact percentile aggregate
+    uses the identical linear-interpolation definition (measured
+    bit-equal; quantized anyway per protocol)."""
+    selects = [
+        f"SELECT user_id, {q!r} AS q, quantile_cont(value, {q!r}) AS v "
+        "FROM events GROUP BY user_id"
+        for q in _GQ_QS
+    ]
+    return (
+        "SELECT user_id, "
+        + _q3("q * 1000")
+        + " AS q_mille, "
+        + _q3("v")
+        + " AS v_q FROM ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
+
+
+def q_group_quantiles(spark, sf_dir):
+    """EXACT per-user quantiles at five probe points
+    (pipeline/sample.py group_quantiles — Spark's percentile
+    aggregate, the linear-interpolation definition DuckDB's
+    quantile_cont shares). The exact end of the quantile question; the
+    histogram sketch is the bounded-state end."""
+    res = pl.group_quantiles(
+        _events(spark, sf_dir), value="value", qs=list(_GQ_QS), by="user_id"
+    )
+    return res.select(
+        "user_id",
+        _q3_col(F.col("q") * 1000).alias("q_mille"),
+        _q3_col(F.col("quantile")).alias("v_q"),
+    )
+
+
 _ROLL_WIN_S = 21_600  # 6-hour trailing range window
 
 
@@ -5563,4 +5619,6 @@ _QUEUED: dict = {
     "multimodal_video_frames": (q_multimodal_video_frames, _video_frames_oracle()),
     "sample_negatives": (q_sample_negatives, _negatives_oracle()),
     "rolling_stats": (q_rolling_stats, _rolling_oracle()),
+    "sketch_hll_merge": (q_sketch_hll_merge, _hll_oracle()),
+    "group_quantiles": (q_group_quantiles, _group_quantiles_oracle()),
 }

@@ -75,10 +75,13 @@ from .sketches import (
     hll_distinct,
     hll_estimate,
     hll_state,
+    hll_registers,
+    hll_merge,
     quantile_from_histogram,
 )
 from .sample import (
     sample_negatives,
+    group_quantiles,
     cap_per_group,
     hash_uniform,
     robust_zscore,
@@ -166,6 +169,7 @@ __all__ = [
     "hash_uniform",
     "mix_datasets",
     "sample_negatives",
+    "group_quantiles",
     "split_assign",
     "stratified_sample",
     "pack_sequences",

@@ -29,6 +29,7 @@ __all__ = [
     "stratified_sample",
     "mix_datasets",
     "sample_negatives",
+    "group_quantiles",
     "pack_sequences",
 ]
 
@@ -316,6 +317,44 @@ def cap_per_group(
     )
     ranked = pruned.withColumn("_rk", F.row_number().over(w))
     return ranked.filter(F.col("_rk") <= n).drop("_rk")
+
+
+def group_quantiles(
+    df: DataFrame,
+    *,
+    value,
+    qs: Sequence[float],
+    by=None,
+) -> DataFrame:
+    """EXACT per-group quantiles (linear interpolation between order
+    statistics — the numpy/pandas/DuckDB ``quantile_cont`` definition,
+    which Spark's ``percentile`` aggregate matches bit-for-bit).
+
+    Scale note: exact percentile buffers each group's values on its
+    reducer — right for the many-small-groups shape (per-user, per-
+    domain stats) where a group fits in memory, and deliberately NOT
+    for global quantiles over billions of rows: that is what the
+    bounded-state histogram sketch is for
+    (:func:`~xarray_scipy_spark.pipeline.sketches.histogram_sketch` /
+    ``quantile_from_histogram``). The two are the exact/approximate
+    ends of the same question, pick by group size.
+
+    Output: ``[*by, q, quantile]``, one row per (group, q).
+    """
+    qs = [float(q) for q in qs]
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be fractions in [0, 1], got {qs}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    arr = ", ".join(repr(q) for q in qs)
+    g = df.groupBy(*keys).agg(
+        F.expr(f"percentile(`{value}`, array({arr}))").alias("_qv")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("_qv").alias("quantile")
+    )
+    return g.select(*keys, F.explode(pairs).alias("_p")).select(
+        *keys, F.col("_p.q").alias("q"), F.col("_p.quantile").alias("quantile")
+    )
 
 
 def sample_negatives(

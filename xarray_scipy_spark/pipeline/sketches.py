@@ -36,6 +36,8 @@ from .hashes import _c, spread, tokens, word_shingles
 
 __all__ = [
     "hll_state",
+    "hll_registers",
+    "hll_merge",
     "hll_estimate",
     "hll_distinct",
     "countmin_sketch",
@@ -120,11 +122,33 @@ def hll_state(
     # is exact and identical in both). A small single-file scan arrives
     # as ONE partition; hashing/the rank ladder would run serial
     # without the spread (no-op at scale).
+    regs = hll_registers(df, col, by=by, p=p)
+    return _hll_fold(regs, keys, m)
+
+
+def hll_registers(
+    df: DataFrame,
+    col,
+    *,
+    by: str | Sequence[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """The MERGEABLE HyperLogLog representation: one ``(group, bucket,
+    mj)`` row per occupied register (max rank per bucket). This is the
+    layer a 100 TB pipeline stores and re-aggregates — registers from
+    any partitioning of the data (per shard, per day, per source)
+    merge by ``max`` into exactly the state a single pass would have
+    produced (:func:`hll_merge` — re-aggregation invariance, pinned
+    byte-exactly by the contract). ≤ groups × 2^p rows regardless of
+    input size."""
+    if p not in (4, 8, 12):
+        raise ValueError(f"p must be 4, 8, or 12, got {p}")
+    keys = [by] if isinstance(by, str) else list(by or [])
     nhex = 15 - p // 4
     src = spread(df, col).select(
         *keys, _c(col).cast("string").alias("_hv")
     )
-    regs = (
+    return (
         src.selectExpr(
             *keys,
             f"CAST(conv(substring(md5(_hv), {nhex + 1}, {p // 4}), 16, 10) AS BIGINT) AS bucket",
@@ -134,6 +158,28 @@ def hll_state(
         .groupBy(*keys, "bucket")
         .agg(F.max("rank").alias("mj"))
     )
+
+
+def hll_merge(
+    regs: DataFrame,
+    *,
+    by: str | Sequence[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Merge register frames down to coarser groups (or one global
+    state): ``max(mj)`` per (new group, bucket), then the same integer
+    state fold as :func:`hll_state`. Because max is associative and
+    commutative, merged-from-any-partitioning equals computed-in-one-
+    pass — the property that lets sketches roll up across shards,
+    days, and retries without touching raw data again."""
+    if p not in (4, 8, 12):
+        raise ValueError(f"p must be 4, 8, or 12, got {p}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    merged = regs.groupBy(*keys, "bucket").agg(F.max("mj").alias("mj"))
+    return _hll_fold(merged, keys, 1 << p)
+
+
+def _hll_fold(regs: DataFrame, keys, m: int) -> DataFrame:
     # present-register terms + 2^49 for each of the (m - present) empty
     # registers; shiftleft keeps it integer end to end (mj <= 49 <= the
     # BIGINT range for any p >= 4)
