@@ -44,6 +44,9 @@ ROUND_PLAN = {
         "rolling_stats",
         "sketch_hll_merge",
         "group_quantiles",
+        "url_canonical_dedup",
+        "winsorize",
+        "clean_text",
     ],
 }
 

@@ -4672,6 +4672,136 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+_URL_EXPR_SQL = (
+    "'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM/page/' "
+    "|| CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=x&id=' "
+    "|| CAST(doc_id % 25 AS VARCHAR) || '#frag'"
+)
+
+
+def _url_dedup_oracle() -> str:
+    """DuckDB twin of pipeline.text.canonical_url applied to the
+    synthetic per-doc URLs, mirroring the Spark regex pipeline step
+    for step (head lowercase, fragment strip, tracking-param strip,
+    separator tidy, trailing slash)."""
+    c = f"({_URL_EXPR_SQL})"
+    c = (
+        f"lower(regexp_extract({c}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) || "
+        f"substring({_URL_EXPR_SQL}, length(regexp_extract({_URL_EXPR_SQL}, "
+        "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1)"
+    )
+    for pat, rep in (
+        (r"#.*$", ""),
+        (r"([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#]*", r"\1"),
+        (r"&{2,}", "&"),
+        (r"\?&", "?"),
+        (r"[?&]+$", ""),
+        (r"(.+[^/])/$", r"\1"),
+    ):
+        c = f"regexp_replace({c}, '{pat}', '{rep}', 'g')"
+    return (
+        f"WITH u AS (SELECT doc_id, {c} AS cu FROM documents) "
+        "SELECT cu, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id "
+        "FROM u GROUP BY cu"
+    )
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """Crawl-style URL canonicalization + dedup-by-canonical-key
+    (pipeline/text.py canonical_url): synthetic per-doc URLs with
+    mixed case, tracking params and fragments collapse onto their
+    canonical form; one hash aggregation keeps the count and the
+    minimum doc id per canonical URL — the re-crawl compaction key."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=x&id="),
+        (F.col("doc_id") % 25).cast("string"),
+        F.lit("#frag"),
+    )
+    withu = docs.withColumn("u", url)
+    res = withu.select(pl.canonical_url("u").alias("cu"), "doc_id")
+    return res.groupBy("cu").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("keep_id"),
+    )
+
+
+_WINS_LO, _WINS_HI = 0.05, 0.95
+
+
+def _winsorize_oracle() -> str:
+    return (
+        "WITH b AS (SELECT user_id, "
+        f"quantile_cont(value, {_WINS_LO!r}) AS lo, "
+        f"quantile_cont(value, {_WINS_HI!r}) AS hi FROM events GROUP BY user_id) "
+        "SELECT e.user_id, epoch_us(e.ts) AS t_us, "
+        + _q3("greatest(b.lo, least(b.hi, CAST(e.value AS DOUBLE)))")
+        + " AS w_q FROM events e JOIN b USING (user_id)"
+    )
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-user exact-quantile winsorization at [5%, 95%]
+    (pipeline/text.py winsorize_by_group — one tiny percentile
+    aggregate broadcast back, clip as pure projection)."""
+    ev = _events(spark, sf_dir)
+    res = pl.winsorize_by_group(
+        ev, value="value", by="user_id", lower=_WINS_LO, upper=_WINS_HI
+    )
+    return res.select(
+        "user_id",
+        timeutil.epoch_us(res, "ts").alias("t_us"),
+        _q3_col(F.col("value_wins")).alias("w_q"),
+    )
+
+
+def _clean_text_oracle() -> str:
+    aug = "text || chr(7) || '  trailing   ' || chr(0) || chr(10) || chr(10) || chr(10) || chr(10) || 'end' || chr(127)"
+    c = f"({aug})"
+    # RE2 rewrite strings know only \1-\9 and \\ — a newline in the
+    # REPLACEMENT must be a literal newline character in the SQL string
+    for pat, rep in (
+        (r"[\x00-\x08\x0B-\x1F\x7F-\x9F]", ""),
+        (r"[ \t]+", " "),
+        (r" ?\n ?", "\n"),
+        (r"\n{3,}", "\n\n"),
+    ):
+        c = f"regexp_replace({c}, '{pat}', '{rep}', 'g')"
+    c = f"trim({c})"
+    return (
+        f"SELECT doc_id, CAST(length({aug}) - length({c}) AS BIGINT) AS n_removed, "
+        f"md5({c}) AS clean_md5 FROM documents"
+    )
+
+
+def q_clean_text(spark, sf_dir):
+    """JVM-side text normalization (pipeline/text.py clean_text):
+    control-char strip, whitespace collapse, blank-line squeeze, trim
+    — applied to documents augmented with deterministic control-char
+    noise; the oracle pins the md5 of every cleaned document and the
+    removed-char count."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = F.concat(
+        F.col("text"),
+        F.expr("char(7)"),
+        F.lit("  trailing   "),
+        F.expr("char(0)"),
+        F.lit("\n\n\n\n"),
+        F.lit("end"),
+        F.expr("char(127)"),
+    )
+    res = pl.clean_text(docs.withColumn("text", aug))
+    return res.select(
+        "doc_id",
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
 def q_sketch_hll_merge(spark, sf_dir):
     """Re-aggregation invariance — THE property that makes sketches
     100 TB primitives: per-(flag, ship-month) HLL register shards
@@ -5621,4 +5751,7 @@ _QUEUED: dict = {
     "rolling_stats": (q_rolling_stats, _rolling_oracle()),
     "sketch_hll_merge": (q_sketch_hll_merge, _hll_oracle()),
     "group_quantiles": (q_group_quantiles, _group_quantiles_oracle()),
+    "url_canonical_dedup": (q_url_canonical_dedup, _url_dedup_oracle()),
+    "winsorize": (q_winsorize, _winsorize_oracle()),
+    "clean_text": (q_clean_text, _clean_text_oracle()),
 }

@@ -47,6 +47,9 @@ from .similarity import (
     embedding_pca,
 )
 from .text import (
+    canonical_url,
+    winsorize_by_group,
+    clean_text,
     decontaminate,
     hashed_tfidf_vectors,
     fingerprint,
@@ -113,6 +116,9 @@ from .multimodal import (
 )
 
 __all__ = [
+    "canonical_url",
+    "winsorize_by_group",
+    "clean_text",
     "exact_duplicates",
     "latest_by_key",
     "minhash_signatures",

@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, functions as F
 from .hashes import h60, spread, tokens
 
 __all__ = [
+    "canonical_url",
+    "winsorize_by_group",
+    "clean_text",
     "token_stats",
     "quality_score",
     "lang_id",
@@ -695,3 +698,97 @@ def hashed_tfidf_vectors(
             F.coalesce(vec, zero).alias(out),
         )
     )
+
+
+def canonical_url(col) -> "Column":
+    """Canonicalize a URL column for dedup/keying (pure Catalyst):
+    lowercase scheme+host, strip the fragment, drop tracking query
+    parameters (utm_*, gclid, fbclid, ref), drop an empty leftover
+    ``?``, and strip one trailing slash from the path. The standard
+    crawl-curation normalization — re-crawled pages key to the same
+    canonical URL so :func:`~xarray_scipy_spark.pipeline.dedup.
+    latest_by_key` can compact them."""
+    u = F.col(col) if isinstance(col, str) else col
+    # lowercase scheme://host (authority ends at /, ?, # or EOS)
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    tail = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
+    canon = F.concat(F.lower(head), tail)
+    # strip fragment
+    canon = F.regexp_replace(canon, r"#.*$", "")
+    # drop tracking params (leading or mid-query), then tidy separators
+    canon = F.regexp_replace(
+        canon, r"([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#]*", "$1"
+    )
+    canon = F.regexp_replace(canon, r"&{2,}", "&")
+    canon = F.regexp_replace(canon, r"\?&", "?")
+    canon = F.regexp_replace(canon, r"[?&]+$", "")
+    # one trailing slash off a non-root path
+    canon = F.regexp_replace(canon, r"(.+[^/])/$", "$1")
+    return canon
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    *,
+    value,
+    by=None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out: str | None = None,
+) -> DataFrame:
+    """Clip a column to its per-group [lower, upper] EXACT quantiles —
+    the outlier guard before any mean/variance-based scoring (document
+    lengths, perplexities, feature scales).
+
+    Plan: one exact-percentile aggregation per group (tiny result:
+    groups × 2 doubles) broadcast-joined back, clip as a pure
+    projection. Groups must individually fit a reducer (the
+    group_quantiles scale note); for global clipping over billions of
+    rows use the histogram-sketch quantile gate instead.
+    """
+    from pyspark.sql import functions as _F
+
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    out = out or f"{value}_wins"
+    bounds = df.groupBy(*keys).agg(
+        _F.expr(f"percentile(`{value}`, array({lower!r}, {upper!r}))").alias("_b")
+    )
+    j = (
+        df.join(_F.broadcast(bounds), keys, "inner")
+        if keys
+        else df.crossJoin(_F.broadcast(bounds))
+    )
+    lo, hi = _F.get("_b", 0), _F.get("_b", 1)
+    return j.withColumn(
+        out, _F.greatest(lo, _F.least(hi, _F.col(value).cast("double")))
+    ).drop("_b")
+
+
+def clean_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out: str | None = None,
+) -> DataFrame:
+    """Normalize raw text the JVM-side way (pure Catalyst regex — no
+    Python in the hot path): strip C0/C1 control characters (keeping
+    \t and \n), collapse runs of spaces/tabs, trim each line, drop
+    runs of 3+ blank lines to one, and trim the document. The cheap
+    universal pre-pass before tokenize/hash/dedup. Adds ``out``
+    (default ``{text_col}_clean``) plus ``n_removed`` = chars dropped.
+    """
+    from pyspark.sql import functions as _F
+
+    out = out or f"{text_col}_clean"
+    t = _F.col(text_col)
+    c = _F.regexp_replace(t, r"[\x00-\x08\x0B-\x1F\x7F-\x9F]", "")
+    c = _F.regexp_replace(c, r"[ \t]+", " ")
+    c = _F.regexp_replace(c, r" ?\n ?", "\n")
+    c = _F.regexp_replace(c, r"\n{3,}", "\n\n")
+    c = _F.trim(c)
+    return df.withColumn(out, c).withColumn(
+        "n_removed", _F.length(t) - _F.length(_F.col(out))
+    )
+
