@@ -108,6 +108,11 @@ HEADLINE = [
     "sample_negatives",
     "multimodal_video_frames",
     "rolling_stats",
+    "sketch_hll_merge",
+    "group_quantiles",
+    "url_canonical_dedup",
+    "winsorize",
+    "clean_text",
 ]
 
 

@@ -832,3 +832,59 @@ def test_ohlc_stream_equals_batch_and_batch_operator(spark, tmp_path):
     assert len(batch) == len(got)
     for c in ("n", "open", "high", "low", "close"):
         np.testing.assert_array_equal(got[c].to_numpy(), batch[c].to_numpy())
+
+
+def test_latest_stream_equals_batch_operator(spark, tmp_path):
+    """Streaming latest-per-key over a multi-batch stream must equal
+    the batch latest_by_key compaction on the same rows."""
+    import uuid
+
+    from xarray_scipy_spark.pipeline import latest_by_key
+    from xarray_scipy_spark.streaming import latest_stream
+
+    rng = np.random.default_rng(29)
+    src = tmp_path / "latest_src"
+    src.mkdir()
+    frames = []
+    for i in range(NCHUNKS):
+        ts = (i * 400 + rng.integers(0, 400, size=50)) * 1_000_000_000
+        pdf = pd.DataFrame(
+            {
+                "ch": rng.integers(0, NCH, size=50),
+                "ts": np.sort(ts).astype("int64"),
+                "value": rng.standard_normal(50).round(4),
+            }
+        ).drop_duplicates(["ch", "ts"])
+        frames.append(pdf)
+        pdf.to_parquet(src / f"chunk_{i}.parquet")
+        time.sleep(1.1)
+    allpdf = pd.concat(frames, ignore_index=True).drop_duplicates(["ch", "ts"])
+
+    schema = "ch bigint, ts bigint, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = latest_stream(stream, keys=["ch"], dim="ts", values=["value"])
+    name = f"latest_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_latest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name).toPandas().sort_values("ch").reset_index(drop=True)
+
+    sdf = spark.createDataFrame(allpdf, schema=schema)
+    want = (
+        latest_by_key(sdf, keys="ch", order_col="ts")
+        .select("ch", "ts", "value")
+        .toPandas()
+        .sort_values("ch")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["ch", "ts", "value"]], want)

@@ -7,6 +7,6 @@ kernels, applied incrementally with explicit carried state.
 
 from .joins import stream_interval_join
 from .stateful import gapfill_stream, sosfilt_stream, stft_stream
-from .windows import countmin_stream, hll_stream, ohlc_stream, session_stats, stream_distinct, windowed_stats
+from .windows import countmin_stream, hll_stream, latest_stream, ohlc_stream, session_stats, stream_distinct, windowed_stats
 
-__all__ = ["countmin_stream", "stream_interval_join", "gapfill_stream", "hll_stream", "sosfilt_stream", "stft_stream", "ohlc_stream", "session_stats", "stream_distinct", "windowed_stats"]
+__all__ = ["countmin_stream", "stream_interval_join", "gapfill_stream", "hll_stream", "sosfilt_stream", "stft_stream", "latest_stream", "ohlc_stream", "session_stats", "stream_distinct", "windowed_stats"]

@@ -305,3 +305,34 @@ def ohlc_stream(
         "close",
         "mean",
     )
+
+
+def latest_stream(
+    sdf: DataFrame,
+    *,
+    keys: Sequence[str],
+    dim: str,
+    values: Sequence[str],
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of :func:`~xarray_scipy_spark.pipeline.dedup.
+    latest_by_key`: the continuously-maintained latest record per key,
+    as a NATIVE ``max_by`` aggregation — the state store keeps one
+    (order key, payload) pair per group and merges incrementally, the
+    same max(struct) argument as the batch operator. Run it in
+    update/complete mode; the same plan on a static frame equals the
+    batch operator row-for-row (pinned in tests/test_streaming.py).
+
+    Output: ``[*keys, <dim>, *values]`` — the winning row's timestamp
+    and payload columns.
+    """
+    keys = list(keys)
+    values = list(values)
+    work = sdf.withColumn("__event_time__", event_time(sdf, dim))
+    if work.isStreaming:
+        work = work.withWatermark("__event_time__", watermark)
+    payload = F.struct(F.col(dim).alias(dim), *[F.col(c) for c in values])
+    agg = work.groupBy(*keys).agg(
+        F.max_by(payload, F.col("__event_time__")).alias("_w")
+    )
+    return agg.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in (dim, *values)])
