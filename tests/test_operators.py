@@ -1741,3 +1741,43 @@ def test_asof_join_nearest_and_tolerance(spark):
         np.testing.assert_array_equal(
             got["y"].to_numpy(dtype=float), want["y"].to_numpy(dtype=float)
         )
+
+
+def test_interval_join_matches_naive_overlap(spark):
+    """Chunked interval-overlap join equals the naive cross+filter on
+    random intervals — each overlapping pair exactly once, across
+    chunk-straddling overlaps and varied granularities."""
+    import numpy as np
+    import pandas as pd
+
+    from xarray_scipy_spark.operators import interval_join
+
+    rng = np.random.default_rng(41)
+    la = rng.integers(0, 1000, 60)
+    lpdf = pd.DataFrame(
+        {"k": rng.integers(0, 3, 60), "ls": la, "le": la + rng.integers(0, 80, 60), "lid": range(60)}
+    )
+    rb = rng.integers(0, 1000, 50)
+    rpdf = pd.DataFrame(
+        {"k": rng.integers(0, 3, 50), "rs": rb, "re": rb + rng.integers(0, 120, 50), "rid": range(50)}
+    )
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+    naive = lpdf.merge(rpdf, on="k")
+    naive = naive[(naive["ls"] <= naive["re"]) & (naive["rs"] <= naive["le"])]
+    want = sorted(zip(naive["lid"], naive["rid"]))
+    for g in (7, 64, 500):
+        got = (
+            interval_join(
+                ldf, rdf, left_start="ls", left_end="le",
+                right_start="rs", right_end="re", on=["k"], granularity=g,
+            )
+            .select("lid", "rid")
+            .toPandas()
+        )
+        assert sorted(zip(got["lid"], got["rid"])) == want, g
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join(ldf, rdf, left_start="ls", left_end="le",
+                      right_start="rs", right_end="re", granularity=0)

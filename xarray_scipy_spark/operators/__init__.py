@@ -14,7 +14,7 @@ from .detrend import detrend
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import filtfilt, lfilter, sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
-from .joins import asof_join, bloom_semijoin, range_join, skew_join
+from .joins import asof_join, bloom_semijoin, interval_join, range_join, skew_join
 from .lomb import lombscargle
 from .timegrid import gapfill, interp_to
 from .tsstats import acf, ewma, ohlc_bars, rolling_stats, seasonal_decompose
@@ -65,6 +65,7 @@ __all__ = [
     "welch",
     "asof_join",
     "range_join",
+    "interval_join",
     "detrend",
     "csd",
     "coherence",

@@ -21,7 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "skew_join", "bloom_semijoin"]
+__all__ = ["asof_join", "range_join", "interval_join", "skew_join", "bloom_semijoin"]
 
 
 def asof_join(
@@ -409,3 +409,69 @@ def bloom_semijoin(
     if not exact:
         return probe
     return probe.join(right, on, "inner")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: Sequence[str] = (),
+    granularity: int | float = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner join of OVERLAPPING closed intervals (``a.start <= b.end
+    AND b.start <= a.end``) without a nested-loop plan — the
+    interval×interval sibling of :func:`range_join`'s point-in-interval.
+
+    Scale shape: both sides explode into the ``granularity``-sized
+    chunks they cover and meet in an equi hash join on ``(chunk,
+    *on)``. A pair of overlapping intervals co-occurs in EVERY chunk
+    their overlap spans, so naive chunking needs a distinct (a second
+    full shuffle of the matches); instead each pair is emitted EXACTLY
+    ONCE — at the chunk containing ``max(a.start, b.start)``, which
+    every overlapping pair has and no pair has twice. No dedup
+    shuffle, no CartesianProduct. Choose ``granularity`` near the
+    typical interval length (explosion factor = length/granularity);
+    AQE's skew split covers hot chunks. Numeric columns only (cast
+    timestamps to epoch first).
+
+    Output: all left columns + right columns (``on`` once; colliding
+    names get ``suffix``).
+    """
+    if granularity is None or granularity <= 0:
+        raise ValueError("granularity must be a positive number")
+    on = list(on)
+    g = int(granularity)
+
+    def chunks(start_col, end_col):
+        return F.sequence(
+            F.expr(f"CAST(`{start_col}` AS BIGINT) div {g}"),
+            F.expr(f"CAST(`{end_col}` AS BIGINT) div {g}"),
+        )
+
+    lt = left.withColumn("__chunk__", F.explode(chunks(left_start, left_end)))
+    renames = {
+        c: c + suffix if c in left.columns and c not in on else c
+        for c in right.columns
+    }
+    rt = right.select(
+        *[F.col(c).alias(renames[c]) for c in right.columns]
+    ).withColumn(
+        "__chunk__",
+        F.explode(chunks(renames[right_start], renames[right_end])),
+    )
+    rs, re_ = renames[right_start], renames[right_end]
+    joined = lt.join(rt, on=["__chunk__", *on], how="inner").filter(
+        (F.col(left_start) <= F.col(re_)) & (F.col(rs) <= F.col(left_end))
+    )
+    # exactly-once: the pair belongs to the chunk holding the LATER
+    # start (integer div — float division loses low digits at epoch
+    # magnitudes, the range_join lesson)
+    later_chunk = F.expr(
+        f"greatest(CAST(`{left_start}` AS BIGINT), CAST(`{rs}` AS BIGINT)) div {g}"
+    )
+    return joined.filter(F.col("__chunk__") == later_chunk).drop("__chunk__")
