@@ -3887,7 +3887,14 @@ def q_correlate(spark, sf_dir):
 # + tpch_q6 — free slots for the 5 r9-bound entries (lombscargle, acf,
 # ewma, seasonal_decompose, cap_per_group); r10-bound behind four
 # further merges: robust_zscore, dedup_minhash_cross, cube_revenue,
-# filter_by_quantile; interp_to is r11-bound. Every queued entry stays
+# filter_by_quantile. r11+ holds the ELEVEN r7-session-2 entries
+# (interp_to, ohlc_bars, latest_by_key, multimodal_video_frames,
+# sample_negatives, rolling_stats, sketch_hll_merge, group_quantiles,
+# url_canonical_dedup, winsorize, clean_text, interval_join) — big
+# merge levers for them: the FFT family (hfft+ifft+irfft+ihfft -> one
+# 4-variant union frees 3), fftshift + fftshift_2d (1), tpch_q1 + q6
+# (1), medfilt + wiener (1), text_token_stats + text_quality (1);
+# split across r11/r12 as slots allow. Every queued entry stays
 # CI-verified byte-exactly per pytest run until its round arrives.
 
 
