@@ -1932,3 +1932,37 @@ def test_png_16bit_and_palette():
     )
     dec, _, _ = decode_png(png)
     assert np.array_equal(dec, pal[idx])
+
+
+def test_audio_spectral_features_bin_exact_tone():
+    """A tone at an exact bin frequency concentrates its spectrum in
+    that bin: peak == k*sr/n exactly; centroid within the int16
+    quantization-leakage neighborhood; silence returns zeros."""
+    import struct
+
+    import numpy as np
+
+    from xarray_scipy_spark.pipeline.multimodal import audio_spectral_features
+
+    def wav(samples, sr=8000):
+        pcm = (np.clip(samples, -1, 1) * 32767).round().astype("<i2").tobytes()
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(pcm))
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(pcm))
+            + pcm
+        )
+
+    n, sr = 256, 8000
+    for k in (5, 12, 60):
+        tone = 0.8 * np.sin(2 * np.pi * k * np.arange(n) / n)
+        c, b, p, fl = audio_spectral_features(wav(tone, sr))
+        assert p == k * sr / n
+        assert abs(c - p) < 1.0  # leakage-only deviation
+        assert b < 25.0
+        assert 0.0 <= fl < 0.05  # tonal: very low flatness
+    c, b, p, fl = audio_spectral_features(wav(np.zeros(64), sr))
+    assert (c, b, p, fl) == (0.0, 0.0, 0.0, 0.0)

@@ -48,6 +48,7 @@ ROUND_PLAN = {
         "winsorize",
         "clean_text",
         "interval_join",
+        "audio_spectral",
     ],
 }
 

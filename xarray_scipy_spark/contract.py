@@ -4679,6 +4679,118 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+_ASP_N, _ASP_SR, _ASP_AMP = 128, 8000, 0.8
+
+
+def _audio_spectral_oracle() -> str:
+    """Literal-DFT twin of pipeline.multimodal.audio_spectral_features
+    on per-doc bin-exact tones: sample j = round(0.8·32767·sin(2πkj/n))
+    / 32768 (the int16 encode→decode arithmetic, mirrored exactly),
+    magnitude spectrum by O(n²) DFT, then the same centroid/bandwidth/
+    peak/flatness arithmetic. peak_hz is closed-form k·sr/n; the other
+    features carry deterministic quantization leakage both engines
+    reproduce to ~1e-9."""
+    n, sr, a = _ASP_N, _ASP_SR, _ASP_AMP
+    return (
+        f"WITH d AS (SELECT doc_id, 3 + doc_id % 40 AS k FROM documents), "
+        f"s AS (SELECT doc_id, k, j, "
+        f"round({a!r} * 32767 * sin(2 * pi() * k * j / {n})) / 32768.0 AS v "
+        f"FROM d CROSS JOIN (SELECT unnest(range({n})) AS j) u), "
+        f"spec AS (SELECT doc_id, k, b.m, "
+        f"sqrt(pow(sum(v * cos(2 * pi() * j * b.m / {n})), 2) "
+        f"   + pow(sum(v * sin(2 * pi() * j * b.m / {n})), 2)) AS mag "
+        f"FROM s CROSS JOIN (SELECT unnest(range(1, {n // 2 + 1})) AS m) b "
+        "GROUP BY doc_id, k, b.m), "
+        f"f AS (SELECT doc_id, k, m, mag, m * ({sr} / CAST({n} AS DOUBLE)) AS fr "
+        "FROM spec), "
+        "agg AS (SELECT doc_id, any_value(k) AS k, sum(mag) AS tot, "
+        "sum(fr * mag) AS wf, arg_max(fr, mag) AS peak_hz, "
+        "avg(mag) AS am, exp(avg(ln(greatest(mag, 1e-30)))) AS gm "
+        "FROM f GROUP BY doc_id), "
+        "c AS (SELECT doc_id, k, tot, wf / tot AS centroid, peak_hz, gm / am AS flat "
+        "FROM agg), "
+        "bw AS (SELECT f.doc_id, sqrt(sum(pow(f.fr - c.centroid, 2) * f.mag) "
+        "/ any_value(c.tot)) AS bandwidth "
+        "FROM f JOIN c USING (doc_id) GROUP BY f.doc_id) "
+        "SELECT c.doc_id, c.k, "
+        + _q3("c.centroid")
+        + " AS centroid_q, "
+        + _q3("bw.bandwidth")
+        + " AS bandwidth_q, round(c.peak_hz, 4) + 0.0 AS peak_hz4, "
+        + _q3("c.flat * 1000")
+        + " AS flat_mille_q "
+        "FROM c JOIN bw USING (doc_id)"
+    )
+
+
+def q_audio_spectral(spark, sf_dir):
+    """REAL audio feature extraction end-to-end: per doc a bin-exact
+    int16 PCM tone (k = 3 + doc_id % 40 cycles over 128 samples) is
+    WAV-encoded, decoded back, and summarized by
+    pipeline/multimodal.py audio_spectral_features (rfft magnitude →
+    centroid/bandwidth/peak/flatness). The oracle recomputes the
+    identical int16-quantized samples and their literal DFT in SQL —
+    peak lands exactly on k·sr/n and even the quantization-leakage
+    noise in centroid/bandwidth matches to the quantum."""
+    import numpy as _np
+    import pandas as _pd
+    import struct as _struct
+
+    from xarray_scipy_spark.pipeline.hashes import spread as _spread
+
+    n, sr, amp = _ASP_N, _ASP_SR, _ASP_AMP
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"), "doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                k = 3 + int(d) % 40
+                j = _np.arange(n)
+                pcm = _np.round(
+                    amp * 32767 * _np.sin(2 * _np.pi * k * j / n)
+                ).astype("<i2")
+                raw = pcm.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(raw))
+                    + b"WAVEfmt "
+                    + _struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                    + b"data"
+                    + _struct.pack("<I", len(raw))
+                )
+                payloads.append(hdr + raw)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    withp = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+
+    def feats(batches):
+        from xarray_scipy_spark.pipeline.multimodal import (
+            audio_spectral_features,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                c, b, p, fl = audio_spectral_features(bytes(payload))
+                rows.append((int(d), c, b, p, fl))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "c", "b", "p", "fl"]
+            )
+
+    res = withp.mapInPandas(
+        feats, "doc_id bigint, c double, b double, p double, fl double"
+    )
+    return res.select(
+        "doc_id",
+        (F.lit(3) + F.col("doc_id") % 40).cast("bigint").alias("k"),
+        _q3_col(F.col("c")).alias("centroid_q"),
+        _q3_col(F.col("b")).alias("bandwidth_q"),
+        _r("p", 4, "peak_hz4"),
+        _q3_col(F.col("fl") * 1000).alias("flat_mille_q"),
+    )
+
+
 _IVJ_DAY_US = 86_400_000_000
 
 
@@ -5819,4 +5931,5 @@ _QUEUED: dict = {
     "winsorize": (q_winsorize, _winsorize_oracle()),
     "clean_text": (q_clean_text, _clean_text_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
+    "audio_spectral": (q_audio_spectral, _audio_spectral_oracle()),
 }

@@ -47,6 +47,7 @@ __all__ = [
     "image_decoder",
     "decode_wav",
     "audio_decoder",
+    "audio_spectral_features",
     "gzip_text_decoder",
     "gzip_text_encoder",
     "decode_text",
@@ -833,6 +834,37 @@ def decode_avi_mjpeg(payload: bytes) -> list[bytes]:
 
 
 
+
+def audio_spectral_features(payload: bytes) -> list[float]:
+    """Spectral shape features of a RIFF/WAVE PCM payload (r7): decode
+    channel 0, rfft magnitude spectrum (DC excluded), and return
+    ``[centroid_hz, bandwidth_hz, peak_hz, flatness]`` — the standard
+    low-level audio descriptors (centroid = magnitude-weighted mean
+    frequency; bandwidth = the weighted std around it; peak = argmax
+    bin; flatness = geometric/arithmetic magnitude mean). For a tone
+    at an exact bin frequency k·sr/n the spectrum concentrates in bin
+    k, so centroid == peak == k·sr/n in closed form — the property the
+    contract oracle pins."""
+    import numpy as np
+
+    x, sr = decode_wav(payload)
+    ch0 = x[:, 0] if x.size else np.zeros(1)
+    n = len(ch0)
+    mag = np.abs(np.fft.rfft(ch0))
+    if len(mag) > 1:
+        mag = mag[1:]  # exclude DC
+        freqs = np.arange(1, len(mag) + 1) * (sr / n)
+    else:
+        freqs = np.zeros(1)
+    tot = float(mag.sum())
+    if tot <= 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    centroid = float((freqs * mag).sum() / tot)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * mag).sum() / tot))
+    peak = float(freqs[int(np.argmax(mag))])
+    am = float(mag.mean())
+    gm = float(np.exp(np.mean(np.log(np.maximum(mag, 1e-30)))))
+    return [centroid, bandwidth, peak, gm / am if am > 0 else 0.0]
 
 def video_frame_decoder(payload: bytes, frame_bytes: int = 0) -> list[bytes]:
     """Container demux: RIFF/AVI Motion-JPEG payloads demux for REAL
