@@ -113,6 +113,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "winsorize",
     "clean_text",
+    "audio_spectral",
 ]
 
 
