@@ -114,6 +114,7 @@ HEADLINE = [
     "winsorize",
     "clean_text",
     "audio_spectral",
+    "char_entropy",
 ]
 
 

@@ -1966,3 +1966,21 @@ def test_audio_spectral_features_bin_exact_tone():
         assert 0.0 <= fl < 0.05  # tonal: very low flatness
     c, b, p, fl = audio_spectral_features(wav(np.zeros(64), sr))
     assert (c, b, p, fl) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy of constant / two-symbol / uniform-alphabet strings is
+    exactly 0 / 1 / log2(k) bits."""
+    import numpy as np
+    import pandas as pd
+
+    from xarray_scipy_spark.pipeline import char_entropy
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": ["aaaa", "abab", "abcdefgh", "x"]}
+        )
+    )
+    out = char_entropy(df).orderBy("doc_id").toPandas()
+    np.testing.assert_allclose(out["entropy_bits"], [0.0, 1.0, 3.0, 0.0], atol=1e-12)
+    assert list(out["n_chars"]) == [4, 4, 8, 1]

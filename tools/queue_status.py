@@ -49,6 +49,7 @@ ROUND_PLAN = {
         "clean_text",
         "interval_join",
         "audio_spectral",
+        "char_entropy",
     ],
 }
 

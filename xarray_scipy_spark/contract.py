@@ -4679,6 +4679,35 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+def _char_entropy_oracle() -> str:
+    """DuckDB twin of pipeline.text.char_entropy: identical per-char
+    count aggregation and the same two-sum algebra
+    (log2 n − Σ c·log2 c / n)."""
+    return (
+        "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c "
+        "FROM documents WHERE length(text) > 0), "
+        "cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c), "
+        "agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars, "
+        "sum(n * log2(n)) AS clogc FROM cnt GROUP BY doc_id) "
+        "SELECT doc_id, n_chars, "
+        + _q3("log2(n_chars) - clogc / n_chars")
+        + " AS entropy_q FROM agg"
+    )
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy (pipeline/text.py
+    char_entropy) — the cheap junk detector: two map-side-combinable
+    aggregations, shuffle bounded by docs × alphabet, never total
+    characters."""
+    res = pl.char_entropy(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        _q3_col(F.col("entropy_bits")).alias("entropy_q"),
+    )
+
+
 _ASP_N, _ASP_SR, _ASP_AMP = 128, 8000, 0.8
 
 
@@ -5932,4 +5961,5 @@ _QUEUED: dict = {
     "clean_text": (q_clean_text, _clean_text_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "audio_spectral": (q_audio_spectral, _audio_spectral_oracle()),
+    "char_entropy": (q_char_entropy, _char_entropy_oracle()),
 }

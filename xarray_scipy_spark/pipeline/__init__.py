@@ -50,6 +50,7 @@ from .text import (
     canonical_url,
     winsorize_by_group,
     clean_text,
+    char_entropy,
     decontaminate,
     hashed_tfidf_vectors,
     fingerprint,
@@ -119,6 +120,7 @@ __all__ = [
     "canonical_url",
     "winsorize_by_group",
     "clean_text",
+    "char_entropy",
     "exact_duplicates",
     "latest_by_key",
     "minhash_signatures",

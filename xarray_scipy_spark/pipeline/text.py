@@ -18,6 +18,7 @@ __all__ = [
     "canonical_url",
     "winsorize_by_group",
     "clean_text",
+    "char_entropy",
     "token_stats",
     "quality_score",
     "lang_id",
@@ -790,5 +791,42 @@ def clean_text(
     c = _F.trim(c)
     return df.withColumn(out, c).withColumn(
         "n_removed", _F.length(t) - _F.length(_F.col(out))
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic cheap junk detector: boilerplate and repeated filler score
+    low, encrypted/compressed noise scores near log2(alphabet), normal
+    prose sits in between.
+
+    Plan shape: explode to (doc, char) — one map-side-combinable count
+    aggregation per (doc, char), then one per-doc fold of the ≤
+    |alphabet| frequency rows into −Σ p·log2 p. Shuffle ∝ docs ×
+    distinct-chars-per-doc (bounded by the alphabet), never total
+    characters. Pure Catalyst. Output: ``(id, n_chars, entropy_bits)``.
+    """
+    chars = F.split(F.col(text_col), "")
+    ex = df.select(F.col(id_col), F.explode(chars).alias("ch")).filter(
+        F.col("ch") != ""
+    )
+    counts = ex.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    # −Σ (c/n)·log2(c/n) = log2 n − (Σ c·log2 c)/n — two plain sums,
+    # no window, no second shuffle beyond the per-doc fold
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_chars"),
+        F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_chars",
+        (
+            F.log2(F.col("n_chars")) - F.col("_clogc") / F.col("n_chars")
+        ).alias("entropy_bits"),
     )
 
