@@ -115,6 +115,7 @@ HEADLINE = [
     "clean_text",
     "audio_spectral",
     "char_entropy",
+    "ngram_counts",
 ]
 
 

@@ -50,6 +50,7 @@ ROUND_PLAN = {
         "interval_join",
         "audio_spectral",
         "char_entropy",
+        "ngram_counts",
     ],
 }
 

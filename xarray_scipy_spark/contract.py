@@ -4679,6 +4679,32 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+_NGC_N, _NGC_TOP = 3, 200
+
+
+def _ngram_counts_oracle() -> str:
+    """DuckDB twin of pipeline.text.ngram_counts(n=3, top=200): same
+    whitespace tokenizer, positional trigram expansion, deterministic
+    (cnt DESC, gram ASC) cap."""
+    return (
+        f"WITH {_TOKS}, "
+        "g AS (SELECT unnest(list_transform(range(1, len(tk) - 1), "
+        "i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS gram "
+        f"FROM toks WHERE len(tk) >= {_NGC_N}) "
+        "SELECT gram, count(*) AS cnt FROM g GROUP BY gram "
+        f"ORDER BY cnt DESC, gram ASC LIMIT {_NGC_TOP}"
+    )
+
+
+def q_ngram_counts(spark, sf_dir):
+    """Corpus trigram frequency table, top-200 by (count DESC, gram
+    ASC) (pipeline/text.py ngram_counts) — one explode + one
+    map-side-combinable count shuffle; skewed grams still combine
+    map-side, unlike a join key."""
+    res = pl.ngram_counts(_docs(spark, sf_dir), n=_NGC_N, top=_NGC_TOP)
+    return res.select("gram", "cnt")
+
+
 def _char_entropy_oracle() -> str:
     """DuckDB twin of pipeline.text.char_entropy: identical per-char
     count aggregation and the same two-sum algebra
@@ -5962,4 +5988,5 @@ _QUEUED: dict = {
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "audio_spectral": (q_audio_spectral, _audio_spectral_oracle()),
     "char_entropy": (q_char_entropy, _char_entropy_oracle()),
+    "ngram_counts": (q_ngram_counts, _ngram_counts_oracle()),
 }

@@ -51,6 +51,7 @@ from .text import (
     winsorize_by_group,
     clean_text,
     char_entropy,
+    ngram_counts,
     decontaminate,
     hashed_tfidf_vectors,
     fingerprint,
@@ -121,6 +122,7 @@ __all__ = [
     "winsorize_by_group",
     "clean_text",
     "char_entropy",
+    "ngram_counts",
     "exact_duplicates",
     "latest_by_key",
     "minhash_signatures",

@@ -19,6 +19,7 @@ __all__ = [
     "winsorize_by_group",
     "clean_text",
     "char_entropy",
+    "ngram_counts",
     "token_stats",
     "quality_score",
     "lang_id",
@@ -829,4 +830,36 @@ def char_entropy(
             F.log2(F.col("n_chars")) - F.col("_clogc") / F.col("n_chars")
         ).alias("entropy_bits"),
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 2,
+    top: int | None = None,
+) -> DataFrame:
+    """Corpus word n-gram frequency table — the statistics behind
+    LM-contamination checks, boilerplate discovery, and collocation
+    mining. One token explode + ONE map-side-combinable count shuffle
+    (skewed grams still combine map-side, unlike a join key); ``top``
+    caps the output with the deterministic (count DESC, gram ASC)
+    order so reruns agree. Output: ``(gram, cnt)``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tk = tokens(F.col(text_col))
+    if n == 1:
+        grams = tk
+    else:
+        idx = F.sequence(F.lit(0), F.size(tk) - n)
+        grams = F.when(F.size(tk) >= n, F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n))
+        )).otherwise(F.array())
+    g = df.select(F.explode(grams).alias("gram")).groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    if top is not None:
+        g = g.orderBy(F.desc("cnt"), F.asc("gram")).limit(int(top))
+    return g
 
