@@ -51,6 +51,7 @@ ROUND_PLAN = {
         "audio_spectral",
         "char_entropy",
         "ngram_counts",
+        "quantile_normalize",
     ],
 }
 

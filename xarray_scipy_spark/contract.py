@@ -4679,6 +4679,29 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+def _qnorm_oracle() -> str:
+    return (
+        "SELECT user_id, epoch_us(ts) AS t_us, "
+        + _q3(
+            "percent_rank() OVER (PARTITION BY user_id ORDER BY value ASC) * 1000"
+        )
+        + " AS qn_mille FROM events"
+    )
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Per-user rank-uniformization of event values (pipeline/sample.py
+    quantile_normalize — percent_rank over one ordered window; the
+    distribution-free normalization both engines define identically)."""
+    ev = _events(spark, sf_dir)
+    res = pl.quantile_normalize(ev, value="value", by="user_id")
+    return res.select(
+        "user_id",
+        timeutil.epoch_us(res, "ts").alias("t_us"),
+        _q3_col(F.col("value_qn") * 1000).alias("qn_mille"),
+    )
+
+
 _NGC_N, _NGC_TOP = 3, 200
 
 
@@ -5989,4 +6012,5 @@ _QUEUED: dict = {
     "audio_spectral": (q_audio_spectral, _audio_spectral_oracle()),
     "char_entropy": (q_char_entropy, _char_entropy_oracle()),
     "ngram_counts": (q_ngram_counts, _ngram_counts_oracle()),
+    "quantile_normalize": (q_quantile_normalize, _qnorm_oracle()),
 }

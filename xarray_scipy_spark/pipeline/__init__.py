@@ -87,6 +87,7 @@ from .sketches import (
 from .sample import (
     sample_negatives,
     group_quantiles,
+    quantile_normalize,
     cap_per_group,
     hash_uniform,
     robust_zscore,
@@ -180,6 +181,7 @@ __all__ = [
     "mix_datasets",
     "sample_negatives",
     "group_quantiles",
+    "quantile_normalize",
     "split_assign",
     "stratified_sample",
     "pack_sequences",

@@ -30,6 +30,7 @@ __all__ = [
     "mix_datasets",
     "sample_negatives",
     "group_quantiles",
+    "quantile_normalize",
     "pack_sequences",
 ]
 
@@ -317,6 +318,32 @@ def cap_per_group(
     )
     ranked = pruned.withColumn("_rk", F.row_number().over(w))
     return ranked.filter(F.col("_rk") <= n).drop("_rk")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    *,
+    value,
+    by=None,
+    out: str | None = None,
+) -> DataFrame:
+    """Rank-uniformize a column within each group: ``percent_rank``
+    maps values onto [0, 1] by their order statistics — the
+    distribution-free normalization for heavy-tailed features
+    (lengths, perplexities, frequencies) before mixing or thresholding
+    across heterogeneous sources.
+
+    One ordered-window exchange per group (ties share a rank, the
+    standard SQL ``percent_rank`` definition both engines implement
+    identically). For a gaussian target compose with a probit on the
+    caller's side; the rank is the distributed part.
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    out = out or f"{value}_qn"
+    w = Window.partitionBy(*keys).orderBy(F.col(value).asc())
+    return df.withColumn(out, F.percent_rank().over(w))
 
 
 def group_quantiles(
