@@ -116,6 +116,9 @@ HEADLINE = [
     "audio_spectral",
     "char_entropy",
     "ngram_counts",
+    "quantile_normalize",
+    "rolling_median",
+    "kfold_weights",
 ]
 
 

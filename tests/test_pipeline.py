@@ -1984,3 +1984,30 @@ def test_char_entropy_known_values(spark):
     out = char_entropy(df).orderBy("doc_id").toPandas()
     np.testing.assert_allclose(out["entropy_bits"], [0.0, 1.0, 3.0, 0.0], atol=1e-12)
     assert list(out["n_chars"]) == [4, 4, 8, 1]
+
+
+def test_kfold_and_class_weights(spark):
+    """Folds are disjoint/exhaustive/deterministic; weights match the
+    sklearn balanced formula."""
+    import numpy as np
+    import pandas as pd
+
+    from xarray_scipy_spark.pipeline import class_weights, kfold_assign
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(600), "lang": ["en"] * 400 + ["de"] * 150 + ["fr"] * 50}
+    )
+    df = spark.createDataFrame(pdf)
+    f1 = kfold_assign(df, k=4).toPandas().sort_values("doc_id")
+    f2 = kfold_assign(df, k=4).toPandas().sort_values("doc_id")
+    assert (f1["fold"].to_numpy() == f2["fold"].to_numpy()).all()  # deterministic
+    assert set(f1["fold"]) == {0, 1, 2, 3}
+    assert len(f1) == 600  # exhaustive, one fold per row
+    w = class_weights(df, label_col="lang").toPandas().set_index("label")
+    np.testing.assert_allclose(w.loc["en", "weight"], 600 / (3 * 400))
+    np.testing.assert_allclose(w.loc["de", "weight"], 600 / (3 * 150))
+    np.testing.assert_allclose(w.loc["fr", "weight"], 600 / (3 * 50))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kfold_assign(df, k=1)

@@ -52,6 +52,8 @@ ROUND_PLAN = {
         "char_entropy",
         "ngram_counts",
         "quantile_normalize",
+        "rolling_median",
+        "kfold_weights",
     ],
 }
 

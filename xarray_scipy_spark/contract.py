@@ -4679,6 +4679,92 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+_KF_K = 5
+
+
+def _kfold_weights_oracle() -> str:
+    """Twin of kfold_assign (exact md5 fold arithmetic) + class_weights
+    (balanced inverse-frequency) on documents, summarized per
+    (fold, lang): exact-by-id fold membership pinned via count/min/
+    max/sum of ids, weights from the per-lang counts."""
+    h = (
+        "('0x' || substring(md5('fold' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {_KF_K}"
+    )
+    return (
+        f"WITH f AS (SELECT doc_id, lang, {h} AS fold FROM documents), "
+        "cls AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang), "
+        "tot AS (SELECT sum(n_lang) AS n_total, count(*) AS n_cls FROM cls) "
+        "SELECT f.fold, f.lang, count(*) AS n, "
+        "CAST(min(f.doc_id) AS BIGINT) AS min_id, "
+        "CAST(max(f.doc_id) AS BIGINT) AS max_id, "
+        "CAST(sum(f.doc_id) AS BIGINT) AS sum_id, "
+        + _q3("any_value(tot.n_total / (tot.n_cls * CAST(cls.n_lang AS DOUBLE)) * 1000)")
+        + " AS w_mille_q "
+        "FROM f JOIN cls USING (lang) CROSS JOIN tot "
+        "GROUP BY f.fold, f.lang"
+    )
+
+
+def q_kfold_weights(spark, sf_dir):
+    """k-fold assignment + balanced class weights in one summary
+    (pipeline/sample.py kfold_assign/class_weights): per (fold, lang)
+    membership pinned EXACT-BY-ID (min/max/sum of surviving ids — the
+    stratified_sample precedent) with the label's inverse-frequency
+    weight carried along via a broadcast join."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    folded = pl.kfold_assign(docs, k=_KF_K)
+    w = pl.class_weights(docs, label_col="lang")
+    j = folded.join(
+        F.broadcast(w.select(F.col("label").alias("lang"), "weight")), "lang"
+    )
+    return j.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.sum("doc_id").cast("long").alias("sum_id"),
+        _q3_col(F.first("weight") * 1000).alias("w_mille_q"),
+    )
+
+
+def _rolling_median_oracle() -> str:
+    span = _ROLL_WIN_S * 1_000_000
+    frame = (
+        f"OVER (PARTITION BY user_id ORDER BY t_us "
+        f"RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, "
+        "CAST(value AS DOUBLE) AS v FROM events) "
+        "SELECT user_id, t_us, "
+        f"CAST(count(*) {frame} AS BIGINT) AS roll_count, "
+        + _q3(f"quantile_cont(v, 0.5) {frame}")
+        + " AS median_q FROM e"
+    )
+
+
+def q_rolling_median(spark, sf_dir):
+    """Trailing 6-hour rolling MEDIAN per user (operators/tsstats.py
+    rolling_stats stats=('count','median')): the exact
+    linear-interpolation median as a RANGE-frame window aggregate —
+    the robust smoother medfilt's index-based kernel cannot express on
+    irregular instants; same single ordered exchange as the other
+    rolling statistics."""
+    res = ops.rolling_stats(
+        _events(spark, sf_dir),
+        by=["user_id"],
+        dim="ts",
+        window=_ROLL_WIN_S,
+        stats=("count", "median"),
+    )
+    return res.select(
+        "user_id",
+        "t_us",
+        "roll_count",
+        _q3_col(F.col("roll_median")).alias("median_q"),
+    )
+
+
 def _qnorm_oracle() -> str:
     return (
         "SELECT user_id, epoch_us(ts) AS t_us, "
@@ -6013,4 +6099,6 @@ _QUEUED: dict = {
     "char_entropy": (q_char_entropy, _char_entropy_oracle()),
     "ngram_counts": (q_ngram_counts, _ngram_counts_oracle()),
     "quantile_normalize": (q_quantile_normalize, _qnorm_oracle()),
+    "rolling_median": (q_rolling_median, _rolling_median_oracle()),
+    "kfold_weights": (q_kfold_weights, _kfold_weights_oracle()),
 }

@@ -334,6 +334,10 @@ def rolling_stats(
     each partition once with a sliding lower bound, O(n) per series
     amortized.
 
+    ``stats`` may include ``"median"`` (r7): the exact rolling median
+    over the time-range frame — the robust smoother for irregular
+    series, sharing the same single ordered exchange.
+
     ``window`` is seconds for timestamp dims (else units of ``dim``).
     Output: ``[*by, t_us (epoch µs or scaled dim), value,
     roll_<stat>...]``, one row per input row.
@@ -341,7 +345,7 @@ def rolling_stats(
     by = list(by)
     if window <= 0:
         raise ValueError(f"window must be positive, got {window}")
-    allowed = {"count", "sum", "mean", "min", "max"}
+    allowed = {"count", "sum", "mean", "min", "max", "median"}
     bad = set(stats) - allowed
     if bad:
         raise ValueError(f"unknown stats {sorted(bad)}; allowed: {sorted(allowed)}")
@@ -367,6 +371,10 @@ def rolling_stats(
         "mean": F.avg(value),
         "min": F.min(value),
         "max": F.max(value),
+        # exact linear-interpolation median as a RANGE-frame window
+        # aggregate (r7) — the time-based rolling median medfilt's
+        # index-based kernel cannot express on irregular instants
+        "median": F.percentile(value, F.lit(0.5)),
     }
     cols = [fns[s_].over(w).alias(f"roll_{s_}") for s_ in stats]
     return src.select(*by, "t_us", value, *cols)

@@ -88,6 +88,8 @@ from .sample import (
     sample_negatives,
     group_quantiles,
     quantile_normalize,
+    kfold_assign,
+    class_weights,
     cap_per_group,
     hash_uniform,
     robust_zscore,
@@ -182,6 +184,8 @@ __all__ = [
     "sample_negatives",
     "group_quantiles",
     "quantile_normalize",
+    "kfold_assign",
+    "class_weights",
     "split_assign",
     "stratified_sample",
     "pack_sequences",

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashes import _c
 
@@ -31,6 +31,8 @@ __all__ = [
     "sample_negatives",
     "group_quantiles",
     "quantile_normalize",
+    "kfold_assign",
+    "class_weights",
     "pack_sequences",
 ]
 
@@ -318,6 +320,61 @@ def cap_per_group(
     )
     ranked = pruned.withColumn("_rk", F.row_number().over(w))
     return ranked.filter(F.col("_rk") <= n).drop("_rk")
+
+
+def kfold_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "fold",
+    out: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    ``h60(salt|id) mod k`` — the split_assign determinism contract
+    (rerun/partitioning-stable, engine-reproducible, disjoint and
+    exhaustive folds) with uniform fold sizes in expectation. Pure
+    projection, no shuffle."""
+    from .hashes import h60
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    fold = F.pmod(
+        h60(F.concat_ws("|", F.lit(salt), _c(id_col).cast("string"))), F.lit(k)
+    )
+    return df.withColumn(out, fold.cast("int"))
+
+
+def class_weights(
+    df: DataFrame,
+    *,
+    label_col: str,
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """Inverse-frequency class weights for imbalanced-label training:
+    ``w_c = n_total / (n_classes · (n_c + smoothing))`` — the standard
+    sklearn-style "balanced" weighting, computed with ONE tiny
+    aggregation (classes × 1 row; broadcast-join it back onto the
+    corpus). Output: ``(label, n, weight)``."""
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # totals as a broadcast 1-row aggregate (the established scalar
+    # pattern) — a global window would funnel the tiny class table
+    # through one partition and spam the single-partition warning
+    totals = counts.agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("_ncls")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "label",
+        "n",
+        (
+            F.col("_tot")
+            / (F.col("_ncls") * (F.col("n") + F.lit(float(smoothing))))
+        ).alias("weight"),
+    )
 
 
 def quantile_normalize(
