@@ -1708,7 +1708,7 @@ def test_rolling_stats_matches_pandas(spark):
     with _pytest.raises(ValueError):
         rolling_stats(df, by=["ch"], dim="t", value="v", window=0)
     with _pytest.raises(ValueError):
-        rolling_stats(df, by=["ch"], dim="t", value="v", stats=("median",))
+        rolling_stats(df, by=["ch"], dim="t", value="v", stats=("mode",))
 
 
 def test_asof_join_nearest_and_tolerance(spark):
