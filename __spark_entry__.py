@@ -35,83 +35,87 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round, CHANGED this round, or UNCHECKED last round sits in the
 # head; the two-round freshness bar caps the registry at 100 names.
 #
-# r7 rotation (EXECUTED this round — see contract.py "registration
-# queue" section): five variant-pair merges retired rfft_n_ortho,
-# decimate_iir_zerophase, sosfiltfilt_even, text_fingerprint and
-# convolve_fir (each folded into its base name as a variant-tag
-# union); the seven r7-bound queue entries (welch_blackman,
-# dedup_ngram_spans, deconvolve, sketch_hll, sketch_countmin,
-# bloom_decontaminate, gapfill) registered; and embedding_pca was
-# reshaped into a DuckDB-verifiable invariant query (VERDICT r6 #2),
-# which puts it in the head as changed-this-round. N = 99 registered.
+# r8 rotation (EXECUTED this round — see contract.py's r8 rotation
+# block): SEVEN variant merges under their base names — the three
+# ledgered ones (multimodal decode 6-variant union, savgol pair,
+# tumbling+session windows) plus four pulled forward from the r11
+# ledger (fft-family 4-way under "ifft", fftshift trio under
+# "fftshift", medfilt+wiener, token_stats+quality), retiring 11
+# registrations (multimodal_bmp/jpeg_decode, savgol_deriv,
+# session_window_stats, hfft, irfft, ihfft, ifftshift, fftshift_2d,
+# wiener, text_quality). Registered 11 queue entries: the 5 r8-bound
+# (skew_join, sketch_histogram, bpe_vocab rows-only,
+# text_hash_vectors, bloom_semijoin) + the full r9 slate pulled
+# forward (lombscargle, acf, ewma, seasonal_decompose, cap_per_group)
+# + robust_zscore. N = 99 - 11 + 11 = 99 registered.
 #
-# Head (50) = the 42 surviving r6-tail names (last driver-checked r5,
-# due back under two-round freshness — the five merged base names
-# among them carry their variant unions) + the 7 new registrations +
-# embedding_pca. Tail (49) = the r6-head names (green CORRECTNESS_r06
-# rows, no r7 code change) minus embedding_pca. Tail queries retain
-# value-level verification in CI:
+# Head (50) = the 39 surviving r7-tail names (last driver-checked r6,
+# due back under two-round freshness — the seven merged base names
+# among them carry their variant unions) + the 11 new registrations.
+# Tail (49) = the r7-head names (green CORRECTNESS_r07 rows, no r8
+# code change) minus the merged-away session_window_stats, in
+# CORRECTNESS_r07.json key order. Tail queries retain value-level
+# verification in CI:
 # tests/test_contract_integration.py::test_tail_queries_match_oracle
 # runs each against its DuckDB oracle at sf0.001 every pytest run
 # (which also asserts head size == exactly 50), and
-# tools/check_correctness.py covers all 99 at sf0.01 on demand
-# (r7 close: run in full twice — 99/99 byte-exact green).
+# tools/check_correctness.py covers all 99 at sf0.01 on demand.
 #
 # ROTATION MATH: with a 50-slot head, N registered queries get
 # driver-checked every ceil(N/50) rounds — the two-round freshness bar
-# holds while N <= 100. The remaining queue (14 entries, r8-r11
-# ledger in tools/queue_status.py) registers behind further merges;
-# prefer retiring redundant variants over weakening either bar.
+# holds while N <= 100. The remaining queue (21 entries, r9+ ledger in
+# tools/queue_status.py) registers behind further merges; prefer
+# retiring redundant variants over weakening either bar.
 _CHECK_LAST = (
-    "hfft",
-    "ifft",
-    "irfft",
-    "ihfft",
-    "fftshift",
-    "ifftshift",
-    "fftconvolve",
-    "convolve",
-    "decimate_fir",
-    "resample",
-    "istft_roundtrip",
-    "istft_native",
-    "cwt_ricker",
-    "resample_poly",
-    "periodogram",
-    "fftconvolve_complex",
-    "coherence",
-    "detrend",
-    "medfilt",
-    "wiener",
-    "hilbert",
-    "sosfilt",
-    "lfilter",
-    "filtfilt",
-    "savgol",
-    "savgol_deriv",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "text_token_stats",
-    "text_quality",
-    "curation_report",
-    "embedding_quantize",
-    "dataset_stratified",
-    "dataset_split",
-    "text_url_stats",
-    "multimodal_png_decode",
-    "multimodal_bmp_decode",
-    "fftshift_2d",
-    "lineitem_rollup",
-    "stream_window_stats",
-    "stream_window_stats_live",
-    "text_vocab",
-    "multimodal_gzip_decode",
-    "stream_dedup",
-    "multimodal_jpeg_decode",
-    "text_logprob",
-    "correlate",
+    "fft",
+    "resample_freq",
+    "stft",
+    "welch",
+    "csd",
+    "spectrogram",
+    "hilbert_envelope",
+    "sosfilt_chunked",
+    "peak_widths",
+    "find_peaks",
+    "dominant_frequency",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_kmeans",
+    "embedding_pca",
+    "dataset_mix",
+    "text_repetition",
+    "text_redact",
+    "decontaminate",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_real_decode",
+    "multimodal_audio_decode",
+    "tpch_q1",
+    "tpch_q5",
+    "tpch_q6",
+    "sessionize",
+    "fftconvolve_2d",
+    "tpch_q3",
+    "sosfilt_stream",
+    "asof_join",
+    "range_join",
+    "dedup_clusters",
+    "text_tfidf",
+    "rfft",
+    "decimate_iir",
+    "sosfiltfilt",
+    "text_lang_id",
+    "convolve_valid",
+    "welch_blackman",
+    "dedup_ngram_spans",
+    "deconvolve",
+    "sketch_hll",
+    "sketch_countmin",
+    "bloom_decontaminate",
+    "gapfill",
 )
 
 

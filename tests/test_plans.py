@@ -113,7 +113,9 @@ def test_session_window_is_native_operator(spark):
     """session_window_stats must plan Spark's native session-window
     aggregate (incremental, mergeable state) — not a window-function
     rewrite (full per-key sort + single-partition risk)."""
-    plan = _static_plan(QUERIES["session_window_stats"](spark, SF_DIR))
+    from xarray_scipy_spark.contract import q_session_window_stats
+
+    plan = _static_plan(q_session_window_stats(spark, SF_DIR))
     assert "session_window" in plan
 
 
@@ -235,10 +237,14 @@ def test_pure_catalyst_smoothers_have_no_python_and_one_exchange(spark):
     """medfilt / wiener / savgol / detrend claim zero-Python single-
     exchange plans (SURVEY §2.4): one hash exchange on the series key,
     window operators, no Arrow/Python eval node anywhere."""
-    for name in ("medfilt", "wiener", "savgol", "savgol_deriv", "detrend"):
-        plan = _static_plan(QUERIES[name](spark, SF_DIR))
-        assert "Python" not in plan and "Arrow" not in plan, (name, plan)
-        assert plan.count("Exchange hashpartitioning") <= 1, (name, plan)
+    from xarray_scipy_spark import contract as C
+
+    # plain functions, not QUERIES: wiener / savgol_deriv folded into
+    # their base names' variant unions at the r8 rotation
+    for fn in (C.q_medfilt, C.q_wiener, C.q_savgol, C.q_savgol_deriv, C.q_detrend):
+        plan = _static_plan(fn(spark, SF_DIR))
+        assert "Python" not in plan and "Arrow" not in plan, (fn.__name__, plan)
+        assert plan.count("Exchange hashpartitioning") <= 1, (fn.__name__, plan)
 
 
 def test_text_url_stats_is_shuffle_free(spark):

@@ -17,37 +17,40 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# r7 executed: welch_blackman, dedup_ngram_spans, deconvolve,
-# sketch_hll, sketch_countmin, bloom_decontaminate, gapfill registered
-# behind 5 merges (incl. convolve_valid+convolve_fir pulled forward),
-# embedding_pca reshaped to a DuckDB-verifiable query.
+# r8 executed: SEVEN merges (multimodal decode union, savgol pair,
+# tumbling+session windows, fft-family 4-way, fftshift trio,
+# medfilt+wiener, token_stats+quality) freed 11 slots; registered the
+# 5 r8-bound entries + the full r9 slate pulled forward + robust_zscore
+# (11 new; N stays 99, queue 35 -> 21).
 ROUND_PLAN = {
-    "r8": ["skew_join", "sketch_histogram", "bpe_vocab", "text_hash_vectors"],
-    "r9": ["lombscargle", "acf", "ewma", "seasonal_decompose", "cap_per_group"],
-    "r10": [
-        "robust_zscore",
+    # r9 merge levers (all pairs due back in the r9 head):
+    # welch+welch_blackman, csd+spectrogram, tpch_q1+tpch_q6,
+    # sketch_hll+sketch_countmin? NO — different state shapes; use
+    # istft_roundtrip+istft_native instead (r10: both r8-tail).
+    # new-per-round = 1 + merges executed (head = 49 - merged_in_tail
+    # + new = 50).
+    "r9": [
         "dedup_minhash_cross",
         "cube_revenue",
         "filter_by_quantile",
-    ],
-    # r7 session-2 additions: bloom_semijoin fills r8's spare head slot
-    # (45 due-tail + 4 planned + 1 = 50); ohlc_bars/latest_by_key land
-    # r11 behind fft-family merges (hfft+ifft+irfft+ihfft -> one
-    # 4-variant union frees 3; fftshift+fftshift_2d frees 1 more).
-    "r8+": ["bloom_semijoin"],
-    "r11": [
         "interp_to",
+    ],
+    "r10": [
         "ohlc_bars",
         "latest_by_key",
         "multimodal_video_frames",
         "sample_negatives",
         "rolling_stats",
+    ],
+    "r11": [
         "sketch_hll_merge",
         "group_quantiles",
         "url_canonical_dedup",
         "winsorize",
         "clean_text",
         "interval_join",
+    ],
+    "r12": [
         "audio_spectral",
         "char_entropy",
         "ngram_counts",

@@ -150,8 +150,11 @@ n=64/norm='ortho' variant into q_rfft_merged (registered under the base
 name "rfft" in the rotation block near the end of this module)."""
 
 
-@_q(
-    "hfft",
+# r8 rotation: hfft/ifft/irfft/ihfft merged into the 4-variant
+# q_fft_family_merged registered under the base name "ifft" (rotation
+# block at the end of this module); the per-variant oracles live on as
+# the _*_ORACLE strings the merged oracle unions.
+_HFFT_ORACLE = (
     f"WITH {_S}, "
     # positions m = 0..2(n-1)-1 for the Hermitian-extended output
     "pos AS ("
@@ -166,18 +169,21 @@ name "rfft" in the rotation block near the end of this module)."""
     "               WHEN s.j = p.n - 1 THEN s.x * (CASE WHEN p.m % 2 = 0 THEN 1 ELSE -1 END) "
     "               ELSE 2 * s.x * cos(2 * pi() * s.j * p.m / (2 * (p.n - 1))) END), 4) + 0.0 AS value4 "
     "FROM pos p JOIN s ON s.user_id = p.user_id "
-    "GROUP BY p.user_id, p.m",
+    "GROUP BY p.user_id, p.m"
 )
+
+
 def q_hfft(spark, sf_dir):
     res = ops.hfft(_events(spark, sf_dir), by=["user_id"], dim="ts")
     return res.select("user_id", "idx", _r("value", 4, "value4"))
 
 
-@_q(
-    "ifft",
+_IFFT_ORACLE = (
     f"WITH {_S} "
-    "SELECT user_id, j AS idx, round(x, 6) + 0.0 AS re6, 0.0 AS im6 FROM s",
+    "SELECT user_id, j AS idx, round(x, 6) + 0.0 AS re6, 0.0 AS im6 FROM s"
 )
+
+
 def q_ifft(spark, sf_dir):
     """fft -> ifft round-trip; the oracle is the original series (im = 0)."""
     spec = ops.fft(_events(spark, sf_dir), by=["user_id"], dim="ts")
@@ -191,12 +197,13 @@ def q_ifft(spark, sf_dir):
     return back.select("user_id", "idx", _r("re", 6, "re6"), _r("im", 6, "im6"))
 
 
-@_q(
-    "irfft",
+_IRFFT_ORACLE = (
     f"WITH {_S} "
     "SELECT user_id, j AS idx, round(x, 6) + 0.0 AS value6 "
-    "FROM s WHERE j < n - (n % 2)",
+    "FROM s WHERE j < n - (n % 2)"
 )
+
+
 def q_irfft(spark, sf_dir):
     """rfft -> irfft round-trip on the series truncated to even length
     (irfft's default output length 2*(m-1) only reproduces even n)."""
@@ -220,11 +227,12 @@ def q_irfft(spark, sf_dir):
     return back.select("user_id", "idx", _r("value", 6, "value6"))
 
 
-@_q(
-    "ihfft",
+_IHFFT_ORACLE = (
     f"WITH {_S} "
-    "SELECT user_id, j AS idx, round(x, 6) + 0.0 AS re6, 0.0 AS im6 FROM s",
+    "SELECT user_id, j AS idx, round(x, 6) + 0.0 AS re6, 0.0 AS im6 FROM s"
 )
+
+
 def q_ihfft(spark, sf_dir):
     """hfft -> ihfft round-trip back to the original real series."""
     sp = ops.hfft(_events(spark, sf_dir), by=["user_id"], dim="ts")
@@ -238,21 +246,26 @@ def q_ihfft(spark, sf_dir):
     return back.select("user_id", "idx", _r("re", 6, "re6"), _r("im", 6, "im6"))
 
 
-@_q(
-    "fftshift",
+# r8 rotation: fftshift/ifftshift/fftshift_2d merged into the
+# 3-variant q_fftshift_merged registered under the base name
+# "fftshift" (rotation block at the end of this module).
+_FFTSHIFT_ORACLE = (
     f"WITH {_S} "
-    "SELECT user_id, (j + n // 2) % n AS idx, x AS value FROM s",
+    "SELECT user_id, (j + n // 2) % n AS idx, x AS value FROM s"
 )
+
+
 def q_fftshift(spark, sf_dir):
     res = ops.fftshift(_events(spark, sf_dir), by=["user_id"], dim="ts")
     return res.select("user_id", "idx", "value")
 
 
-@_q(
-    "ifftshift",
+_IFFTSHIFT_ORACLE = (
     f"WITH {_S} "
-    "SELECT user_id, (j + n - n // 2) % n AS idx, x AS value FROM s",
+    "SELECT user_id, (j + n - n // 2) % n AS idx, x AS value FROM s"
 )
+
+
 def q_ifftshift(spark, sf_dir):
     res = ops.ifftshift(_events(spark, sf_dir), by=["user_id"], dim="ts")
     return res.select("user_id", "idx", "value")
@@ -969,15 +982,19 @@ _MEDFILT_CASE = (
 )
 
 
-@_q(
-    "medfilt",
+# r8 rotation: medfilt + wiener merged into the 2-variant
+# q_medfilt_merged registered under the base name "medfilt" (rotation
+# block at the end of this module).
+_MEDFILT_ORACLE = (
     f"WITH {_S}, "
     "m AS (SELECT user_id, j, list_sort(list(x) OVER w) AS a FROM s "
     f"WINDOW w AS (PARTITION BY user_id ORDER BY j ROWS BETWEEN "
     f"{_MEDFILT_K // 2} PRECEDING AND {_MEDFILT_K // 2} FOLLOWING)), "
     "c AS (SELECT user_id, j, a, len(list_filter(a, v -> v < 0)) AS neg FROM m) "
-    f"SELECT user_id, j AS idx, round({_MEDFILT_CASE}, 6) + 0.0 AS med6 FROM c",
+    f"SELECT user_id, j AS idx, round({_MEDFILT_CASE}, 6) + 0.0 AS med6 FROM c"
 )
+
+
 def q_medfilt(spark, sf_dir):
     """Sliding median with scipy's zero-padded edges — pure Catalyst
     (array_sort + closed-form position CASE, operators/smooth.py); the
@@ -995,8 +1012,7 @@ def q_medfilt(spark, sf_dir):
 _WIENER_K = 5
 
 
-@_q(
-    "wiener",
+_WIENER_ORACLE = (
     f"WITH {_S}, "
     f"l AS (SELECT user_id, j, x, sum(x) OVER w / {_WIENER_K}.0 AS lm, "
     f"sum(x * x) OVER w / {_WIENER_K}.0 - (sum(x) OVER w / {_WIENER_K}.0) * "
@@ -1006,8 +1022,10 @@ _WIENER_K = 5
     "n AS (SELECT *, avg(lv) OVER (PARTITION BY user_id) AS nz FROM l) "
     "SELECT user_id, j AS idx, "
     "CAST(floor((CASE WHEN lv < nz THEN lm ELSE lm + (x - lm) * (1 - nz / lv) END) "
-    "* 1000 + 0.5 + 1e-6) AS BIGINT) AS wiener_q FROM n",
+    "* 1000 + 0.5 + 1e-6) AS BIGINT) AS wiener_q FROM n"
 )
+
+
 def q_wiener(spark, sf_dir):
     """Adaptive Wiener filter (scipy.signal.wiener semantics, noise
     estimated from the series-mean local variance) — two window
@@ -1315,7 +1333,9 @@ def _savgol_oracle_sql(w: int, m: int, deriv: int, digits: int, alias: str) -> s
 _SG_W, _SG_M = 7, 3
 
 
-@_q("savgol", _savgol_oracle_sql(_SG_W, _SG_M, 0, 6, "sg6"))
+# r8 rotation: savgol + savgol_deriv merged into q_savgol_merged,
+# registered under the base name "savgol" (rotation block at the end
+# of this module).
 def q_savgol(spark, sf_dir):
     """Savitzky–Golay smoothing with scipy's mode='interp' edges
     (polynomial fit to the first/last window, evaluated at the edge
@@ -1334,7 +1354,6 @@ def q_savgol(spark, sf_dir):
     return res.select("user_id", "idx", _r(F.col("value_sg"), 6, "sg6"))
 
 
-@_q("savgol_deriv", _savgol_oracle_sql(9, 4, 1, 6, "sgd6"))
 def q_savgol_deriv(spark, sf_dir):
     """First-derivative Savitzky–Golay (deriv=1, the numerically-stable
     slope estimator) — same plan, derivative-basis coefficient rows."""
@@ -1892,8 +1911,10 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     )
 
 
-@_q(
-    "text_token_stats",
+# r8 rotation: text_token_stats + text_quality merged into the
+# 2-variant q_text_stats_merged registered under the base name
+# "text_token_stats" (rotation block at the end of this module).
+_TOKEN_STATS_ORACLE = (
     f"WITH {_TOKS} "
     "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
     "CAST(len(t.tk) AS BIGINT) AS n_tokens, "
@@ -1902,8 +1923,10 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     "  / greatest(len(t.tk), 1), 6) + 0.0 AS mean_token_len, "
     "CAST(list_sum(list_transform(t.tk, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) "
     "  AS BIGINT) AS n_bpe_pieces "
-    "FROM documents d JOIN toks t USING (doc_id)",
+    "FROM documents d JOIN toks t USING (doc_id)"
 )
+
+
 def q_text_token_stats(spark, sf_dir):
     res = pl.token_stats(_docs(spark, sf_dir))
     return res.select(
@@ -1919,8 +1942,7 @@ def q_text_token_stats(spark, sf_dir):
 _STOP_SQL = "(x = 'the' OR x = 'a' OR x = 'and' OR x = 'of' OR x = 'is')"
 
 
-@_q(
-    "text_quality",
+_TEXT_QUALITY_ORACLE = (
     f"WITH {_TOKS}, "
     "c AS (SELECT doc_id, len(tk) AS n_tok, "
     f"  len(list_filter(tk, x -> {_STOP_SQL})) AS n_stop, "
@@ -1932,8 +1954,10 @@ _STOP_SQL = "(x = 'the' OR x = 'a' OR x = 'and' OR x = 'of' OR x = 'is')"
     "round(0.4 * least(n_tok / 100.0, 1.0) "
     "  + least(0.3, 0.6 * n_stop / greatest(n_tok, 1)) "
     "  + 0.3 * least(mean_len / 8.0, 1.0), 6) + 0.0 AS quality "
-    "FROM c",
+    "FROM c"
 )
+
+
 def q_text_quality(spark, sf_dir):
     res = pl.quality_score(_docs(spark, sf_dir))
     return res.select(
@@ -2652,20 +2676,11 @@ def q_multimodal_real_decode(spark, sf_dir):
     )
 
 
-@_q(
-    "multimodal_png_decode",
-    "WITH dims AS ("
-    "  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents"
-    ") "
-    "SELECT doc_id, "
-    + ", ".join(
-        "round(list_aggregate(list_transform(range(0, w * h), "
-        f"p -> CAST((doc_id * 31 + (3 * p + {c}) * 7) % 256 AS DOUBLE)), 'avg'), 4)"
-        f" + 0.0 AS f{c}_4"
-        for c in range(3)
-    )
-    + ", CAST(w AS DOUBLE) AS f3, CAST(h AS DOUBLE) AS f4 FROM dims",
-)
+# r8 rotation: the png/bmp/jpeg decode registrations merged into the
+# 6-variant q_multimodal_decode_merged (png/bmp/jpeg/jpeg_ac/jpeg_prog/
+# gif), registered under the base name "multimodal_png_decode"
+# (rotation block at the end of this module). The plain q_* functions
+# stay — the merged query unions their outputs.
 def q_multimodal_png_decode(spark, sf_dir):
     """REAL compressed-image decode path: each doc gets a synthetic RGB8
     non-interlaced PNG (pure-stdlib ``encode_png`` writer — zlib
@@ -2705,21 +2720,6 @@ def q_multimodal_png_decode(spark, sf_dir):
     )
 
 
-@_q(
-    "multimodal_bmp_decode",
-    "WITH dims AS ("
-    "  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents"
-    ") "
-    "SELECT doc_id, "
-    "CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes, "
-    + ", ".join(
-        "round(list_aggregate(list_transform(range(0, w * h), "
-        f"p -> CAST((doc_id * 31 + (3 * p + {c}) * 7) % 256 AS DOUBLE)), 'avg'), 4)"
-        f" + 0.0 AS f{c}_4"
-        for c in range(3)
-    )
-    + ", CAST(w AS DOUBLE) AS f3, CAST(h AS DOUBLE) AS f4 FROM dims",
-)
 def q_multimodal_bmp_decode(spark, sf_dir):
     """REAL BMP decode path: each doc gets a synthetic 24-bit BI_RGB
     bottom-up BMP (``encode_bmp``) whose logical RGB pixels follow the
@@ -3104,9 +3104,7 @@ def q_fftconvolve_2d(spark, sf_dir):
     return out.select("user_id", "row_idx", "col_idx", _r("value", 4, "val4"))
 
 
-@_q(
-    "fftshift_2d",
-    f"""
+_FFTSHIFT2D_ORACLE = f"""
 WITH g AS (
   SELECT user_id,
          (row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1) AS j,
@@ -3119,8 +3117,9 @@ SELECT user_id,
        (j % 7 + 3) % 7 AS idx_d2,
        round(x, 4) + 0.0 AS val4
 FROM g
-""",
-)
+"""
+
+
 def q_fftshift_2d(spark, sf_dir):
     """fftshift over a dims list (signal.py:247-248) on a 5x7 grid —
     odd extents on both axes so the fftshift/ifftshift distinction is
@@ -3382,16 +3381,10 @@ def q_range_join(spark, sf_dir):
 _WIN_SECONDS = 86_400  # 1-day tumbling windows over the month of events
 
 
-@_q(
-    "stream_window_stats",
-    "SELECT user_id, "
-    f"(epoch_ns(ts) // {_WIN_SECONDS * 1_000_000_000}) * {_WIN_SECONDS} AS window_start, "
-    "count(*) AS n, "
-    "CAST(floor(sum(value) * 1000 + 0.5 + 1e-6) AS BIGINT) AS sum_q, "
-    "CAST(floor(avg(value) * 1000 + 0.5 + 1e-6) AS BIGINT) AS avg_q, "
-    "round(min(value), 4) + 0.0 AS min4, round(max(value), 4) + 0.0 AS max4 "
-    "FROM events GROUP BY user_id, window_start",
-)
+# r8 rotation: stream_window_stats + session_window_stats merged into
+# q_windows_merged, registered under the base name "stream_window_stats"
+# (rotation block at the end of this module); min4/max4 stay pinned by
+# stream_window_stats_live's own registration below.
 def q_stream_window_stats(spark, sf_dir):
     """Event-time tumbling-window stats — the BATCH execution of
     :func:`streaming.windowed_stats` (the operator runs the identical
@@ -3496,25 +3489,6 @@ def q_stream_window_stats_live(spark, sf_dir):
 _SESSW_GAP_US = 30 * 60 * 1_000_000
 
 
-@_q(
-    "session_window_stats",
-    "WITH e AS ("
-    "  SELECT user_id, epoch_us(ts) AS t, value AS x,"
-    "         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
-    f"           (PARTITION BY user_id ORDER BY ts) >= {_SESSW_GAP_US} "
-    "           THEN 1 ELSE 0 END AS new_sess"
-    "  FROM events"
-    "), sess AS ("
-    "  SELECT user_id, t, x, sum(new_sess) OVER (PARTITION BY user_id ORDER BY t "
-    "    ROWS UNBOUNDED PRECEDING) AS sid FROM e"
-    ") "
-    "SELECT user_id, min(t) AS session_start, "
-    f"max(t) + {_SESSW_GAP_US} AS session_end, "
-    "count(*) AS n, "
-    "CAST(floor(sum(x) * 1000 + 0.5 + 1e-6) AS BIGINT) AS sum_q, "
-    "CAST(floor(avg(x) * 1000 + 0.5 + 1e-6) AS BIGINT) AS avg_q "
-    "FROM sess GROUP BY user_id, sid",
-)
 def q_session_window_stats(spark, sf_dir):
     """Per-session statistics via the NATIVE session-window operator
     (F.session_window — dynamic-gap windows merged incrementally in the
@@ -3724,17 +3698,8 @@ def q_stream_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@_q(
-    "multimodal_jpeg_decode",
-    "WITH dims AS ("
-    "  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh FROM documents"
-    ") "
-    "SELECT doc_id, "
-    "round(list_aggregate(list_transform(range(0, bw * bh), "
-    "b -> CAST((doc_id * 37 + b * 11) % 256 AS DOUBLE)), 'avg'), 4) + 0.0 AS f0_4, "
-    "0.0 AS f1, 0.0 AS f2, "
-    "CAST(bw * 8 AS DOUBLE) AS f3, CAST(bh * 8 AS DOUBLE) AS f4 FROM dims",
-)
+# r8 rotation: registration folded into q_multimodal_decode_merged
+# (see the 'jpeg' variant there); the plain function stays.
 def q_multimodal_jpeg_decode(spark, sf_dir):
     """REAL baseline-JPEG decode path (pipeline/jpeg.py — marker
     segmentation, stream-carried huffman tables, DC-differential +
@@ -3856,46 +3821,31 @@ def q_correlate(spark, sf_dir):
 # merge paid for. N = 99, head = 42 surviving r6-tail + 7 new +
 # embedding_pca = 50 exactly; tail = the 49 remaining r6-head names.
 #
-# r8 RECIPE (do all of it in one edit, before the round's first
-# driver check — the r7 recipe pattern):
-#   1. Delete the @_q registrations of multimodal_png_decode,
-#      multimodal_bmp_decode, multimodal_jpeg_decode (keep the plain
-#      functions — q_multimodal_decode_merged calls them) and register
-#      _q("multimodal_png_decode", _multimodal_merged_oracle())
-#      (q_multimodal_decode_merged) — the 5-variant union
-#      (png/bmp/jpeg/jpeg_ac/gif) under the base name frees 2 slots.
-#   2. Same for savgol + savgol_deriv -> _q("savgol",
-#      _savgol_merged_oracle())(q_savgol_merged), and
-#      stream_window_stats + session_window_stats ->
-#      _q("stream_window_stats", _windows_merged_oracle())
-#      (q_windows_merged). (stream_window_stats_live stays its own
-#      registration — it pins the live state-store path.)
-#   3. Register the FIVE r8-bound entries: skew_join,
-#      sketch_histogram, bpe_vocab (rows-only), text_hash_vectors,
-#      and bloom_semijoin (the spare slot r7's N=99 left).
-#   4. Rebuild __spark_entry__._CHECK_LAST = the 50 r7-head names
-#      (CORRECTNESS_r07.json key order); head = 45 surviving r7-tail
-#      (49 due minus the 4 merged-away names) + 5 new = 50 exactly;
-#      N = 99 − 4 + 5 = 100.
-#   5. Remove the five registered names + three @merged entries from
-#      _QUEUED, update tools/queue_status.py ROUND_PLAN, re-run
-#      tools/check_correctness.py in FULL before committing.
+# r8 rotation EXECUTED (see the rotation block at the end of this
+# module): SEVEN merges (the three ledgered + fft-family 4-way,
+# fftshift trio, medfilt+wiener, token_stats+quality pulled forward)
+# freed 11 slots; 11 registrations landed (the 5 r8-bound + the full
+# r9 slate + robust_zscore). N = 99, head = 50, queue = 21.
 #
-# r9 plan: 5 more variant merges from the then-due pool — candidates:
-# welch + welch_blackman, hilbert + hilbert_envelope, csd +
-# spectrogram, sosfilt_chunked + sosfilt_stream's batch twin, tpch_q3
-# + tpch_q6 — free slots for the 5 r9-bound entries (lombscargle, acf,
-# ewma, seasonal_decompose, cap_per_group); r10-bound behind four
-# further merges: robust_zscore, dedup_minhash_cross, cube_revenue,
-# filter_by_quantile. r11+ holds the ELEVEN r7-session-2 entries
-# (interp_to, ohlc_bars, latest_by_key, multimodal_video_frames,
-# sample_negatives, rolling_stats, sketch_hll_merge, group_quantiles,
-# url_canonical_dedup, winsorize, clean_text, interval_join) — big
-# merge levers for them: the FFT family (hfft+ifft+irfft+ihfft -> one
-# 4-variant union frees 3), fftshift + fftshift_2d (1), tpch_q1 + q6
-# (1), medfilt + wiener (1), text_token_stats + text_quality (1);
-# split across r11/r12 as slots allow. Every queued entry stays
-# CI-verified byte-exactly per pytest run until its round arrives.
+# r9 RECIPE: the r8-tail (49 names, due back) contains these merge
+# levers — welch + welch_blackman (1), hilbert_envelope + hilbert's
+# tail twin... hilbert sits in the r8 HEAD's tail-49, so: welch +
+# welch_blackman (both due r9: welch in r8-tail, welch_blackman in
+# r8-tail — frees 1), csd + spectrogram (both r8-tail, frees 1),
+# tpch_q1 + tpch_q6 (both r8-tail, frees 1), istft_roundtrip +
+# istft_native (r8 head-tail split — verify both due before merging),
+# sketch_hll + sketch_countmin stay separate (different state shapes).
+# Each merge frees one slot; register r9-bound entries from the queue
+# in ledger order: dedup_minhash_cross, cube_revenue,
+# filter_by_quantile, then the r11 pool (interp_to, ohlc_bars,
+# latest_by_key, multimodal_video_frames, sample_negatives,
+# rolling_stats, sketch_hll_merge, group_quantiles,
+# url_canonical_dedup, winsorize, clean_text, interval_join,
+# audio_spectral, char_entropy, ngram_counts, quantile_normalize,
+# rolling_median, kfold_weights). Head math each round: head = 50 =
+# (49 - merged_away_in_tail) + new, so new = 1 + merges. Every queued
+# entry stays CI-verified byte-exactly per pytest run until its round
+# arrives.
 
 
 def q_welch_blackman(spark, sf_dir):
@@ -4314,9 +4264,9 @@ def _multimodal_merged_oracle() -> str:
         "AS f2_4, "
         "8.0 AS f3, 8.0 AS f4 FROM documents "
         "UNION ALL "
-        # gif (r7): grayscale palette (palette[i] = (i,i,i)), pixels
-        # follow the PPM/PNG formula with c = 0 — lossless LZW, so all
-        # three decoded channel means equal the formula mean
+        # jpeg_prog (r7): the same AC-checkerboard fixture through the
+        # progressive (SOF2) encode+decode pipeline — lossless on the
+        # integer coefficients, so the same closed forms pin it
         "SELECT 'jpeg_prog' AS variant, doc_id, CAST(-1 AS BIGINT) AS n_bytes, "
         "round(CAST(40 + doc_id % 160 AS DOUBLE), 4) + 0.0 AS f0_4, "
         "round(CAST(40 + doc_id % 160 + 1 + doc_id % 38 AS DOUBLE), 4) + 0.0 "
@@ -4325,6 +4275,9 @@ def _multimodal_merged_oracle() -> str:
         "AS f2_4, "
         "8.0 AS f3, 8.0 AS f4 FROM documents "
         "UNION ALL "
+        # gif (r7): grayscale palette (palette[i] = (i,i,i)), pixels
+        # follow the PPM/PNG formula with c = 0 — lossless LZW, so all
+        # three decoded channel means equal the formula mean
         "SELECT 'gif' AS variant, doc_id, CAST(-1 AS BIGINT) AS n_bytes, "
         "round(list_aggregate(list_transform(range(0, w * h), "
         "p -> CAST((doc_id * 31 + p * 7) % 256 AS DOUBLE)), 'avg'), 4) + 0.0 "
@@ -4385,11 +4338,6 @@ def q_multimodal_decode_merged(spark, sf_dir):
     # jpeg_ac variant: encode+decode the AC-checkerboard fixture and
     # probe the ± cells — value-verifies the huffman-AC (incl. ZRL)
     # and IDCT paths, which the DC-only fixture cannot see
-    import numpy as _np
-    import pandas as _pd
-
-    from xarray_scipy_spark.pipeline.hashes import spread as _spread
-
     def make_ac_probe(progressive):
         def ac_probe(batches):
             from xarray_scipy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
@@ -4556,6 +4504,147 @@ def q_windows_merged(spark, sf_dir):
         "avg_q",
     )
     return win.unionAll(sess)
+
+
+def _fft_family_merged_oracle() -> str:
+    """ifft/ihfft/irfft/hfft in one variant-tag union (each branch is
+    the original per-query oracle wrapped as a derived table — DuckDB
+    WINDOW clauses must not scope across UNION branches)."""
+    return (
+        "SELECT 'ifft' AS variant, user_id, idx, re6 AS va, im6 AS vb "
+        "FROM (" + _IFFT_ORACLE + ") "
+        "UNION ALL "
+        "SELECT 'ihfft' AS variant, user_id, idx, re6 AS va, im6 AS vb "
+        "FROM (" + _IHFFT_ORACLE + ") "
+        "UNION ALL "
+        "SELECT 'irfft' AS variant, user_id, idx, value6 AS va, 0.0 AS vb "
+        "FROM (" + _IRFFT_ORACLE + ") "
+        "UNION ALL "
+        "SELECT 'hfft' AS variant, user_id, idx, value4 AS va, 0.0 AS vb "
+        "FROM (" + _HFFT_ORACLE + ")"
+    )
+
+
+def q_fft_family_merged(spark, sf_dir):
+    """The inverse/Hermitian FFT surface (ifft, ihfft, irfft
+    round-trips + forward hfft) in ONE variant-tag union — replaces the
+    four individual registrations at r8, freeing three head slots while
+    keeping every transform value-verified. va/vb carry each variant's
+    original rounded columns (vb = 0.0 where the variant is
+    single-valued)."""
+    ifft_ = q_ifft(spark, sf_dir).select(
+        F.lit("ifft").alias("variant"), "user_id", "idx",
+        F.col("re6").alias("va"), F.col("im6").alias("vb"),
+    )
+    ihfft_ = q_ihfft(spark, sf_dir).select(
+        F.lit("ihfft").alias("variant"), "user_id", "idx",
+        F.col("re6").alias("va"), F.col("im6").alias("vb"),
+    )
+    irfft_ = q_irfft(spark, sf_dir).select(
+        F.lit("irfft").alias("variant"), "user_id", "idx",
+        F.col("value6").alias("va"), F.lit(0.0).alias("vb"),
+    )
+    hfft_ = q_hfft(spark, sf_dir).select(
+        F.lit("hfft").alias("variant"), "user_id", "idx",
+        F.col("value4").alias("va"), F.lit(0.0).alias("vb"),
+    )
+    return ifft_.unionAll(ihfft_).unionAll(irfft_).unionAll(hfft_)
+
+
+def _fftshift_merged_oracle() -> str:
+    return (
+        "SELECT 'shift' AS variant, user_id, idx AS i1, "
+        "CAST(-1 AS BIGINT) AS i2, value AS v FROM (" + _FFTSHIFT_ORACLE + ") "
+        "UNION ALL "
+        "SELECT 'ishift' AS variant, user_id, idx AS i1, "
+        "CAST(-1 AS BIGINT) AS i2, value AS v FROM (" + _IFFTSHIFT_ORACLE + ") "
+        "UNION ALL "
+        "SELECT 'shift2d' AS variant, user_id, idx_d1 AS i1, idx_d2 AS i2, "
+        "val4 AS v FROM (" + _FFTSHIFT2D_ORACLE + ")"
+    )
+
+
+def q_fftshift_merged(spark, sf_dir):
+    """fftshift + ifftshift (1-d) and the dims-list 2-d fftshift in ONE
+    variant-tag union — replaces three registrations at r8 (i2 = -1
+    tags the 1-d variants; pure index arithmetic on both sides)."""
+    sh = q_fftshift(spark, sf_dir).select(
+        F.lit("shift").alias("variant"), "user_id",
+        F.col("idx").alias("i1"), F.lit(-1).cast("bigint").alias("i2"),
+        F.col("value").alias("v"),
+    )
+    ish = q_ifftshift(spark, sf_dir).select(
+        F.lit("ishift").alias("variant"), "user_id",
+        F.col("idx").alias("i1"), F.lit(-1).cast("bigint").alias("i2"),
+        F.col("value").alias("v"),
+    )
+    sh2 = q_fftshift_2d(spark, sf_dir).select(
+        F.lit("shift2d").alias("variant"), "user_id",
+        F.col("idx_d1").alias("i1"), F.col("idx_d2").alias("i2"),
+        F.col("val4").alias("v"),
+    )
+    return sh.unionAll(ish).unionAll(sh2)
+
+
+def _medfilt_merged_oracle() -> str:
+    return (
+        "SELECT 'median' AS variant, user_id, idx, med6 AS v "
+        "FROM (" + _MEDFILT_ORACLE + ") "
+        "UNION ALL "
+        "SELECT 'wiener' AS variant, user_id, idx, "
+        "CAST(wiener_q AS DOUBLE) AS v FROM (" + _WIENER_ORACLE + ")"
+    )
+
+
+def q_medfilt_merged(spark, sf_dir):
+    """Sliding-median + adaptive-Wiener smoothing in ONE variant-tag
+    union — replaces medfilt + wiener at r8 (the wiener branch's
+    quantized BIGINT is cast to DOUBLE on both sides; exact below
+    2^53)."""
+    med = q_medfilt(spark, sf_dir).select(
+        F.lit("median").alias("variant"), "user_id", "idx",
+        F.col("med6").alias("v"),
+    )
+    wie = q_wiener(spark, sf_dir).select(
+        F.lit("wiener").alias("variant"), "user_id", "idx",
+        F.col("wiener_q").cast("double").alias("v"),
+    )
+    return med.unionAll(wie)
+
+
+def _text_stats_merged_oracle() -> str:
+    return (
+        "SELECT 'tokens' AS variant, doc_id, n_tokens, n_chars AS a1, "
+        "n_uniq_tokens AS a2, n_bpe_pieces AS a3, mean_token_len AS f1 "
+        "FROM (" + _TOKEN_STATS_ORACLE + ") "
+        "UNION ALL "
+        "SELECT 'quality' AS variant, doc_id, n_tokens, n_stopwords AS a1, "
+        "CAST(0 AS BIGINT) AS a2, CAST(0 AS BIGINT) AS a3, quality AS f1 "
+        "FROM (" + _TEXT_QUALITY_ORACLE + ")"
+    )
+
+
+def q_text_stats_merged(spark, sf_dir):
+    """token_stats + quality_score in ONE variant-tag union — replaces
+    text_token_stats + text_quality at r8. Every original column
+    survives: tokens packs (n_chars, n_uniq_tokens, n_bpe_pieces,
+    mean_token_len) into (a1, a2, a3, f1); quality packs
+    (n_stopwords, quality) into (a1, f1) with zero padding."""
+    tok = q_text_token_stats(spark, sf_dir).select(
+        F.lit("tokens").alias("variant"), "doc_id", "n_tokens",
+        F.col("n_chars").alias("a1"),
+        F.col("n_uniq_tokens").alias("a2"),
+        F.col("n_bpe_pieces").alias("a3"),
+        F.col("mean_token_len").alias("f1"),
+    )
+    qual = q_text_quality(spark, sf_dir).select(
+        F.lit("quality").alias("variant"), "doc_id", "n_tokens",
+        F.col("n_stopwords").alias("a1"),
+        F.lit(0).cast("bigint").alias("a2"),
+        F.lit(0).cast("bigint").alias("a3"),
+        F.col("quality").alias("f1"),
+    )
+    return tok.unionAll(qual)
 
 
 # --- r7 new operators (queued): OHLC bars, bloom semi-join, CDC latest -----
@@ -6042,12 +6131,9 @@ def q_interp_to(spark, sf_dir):
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 # ---------------------------------------------------------------------------
-# r7 rotation EXECUTED (this round): the four ledgered variant merges
-# plus a fifth (convolve_valid + convolve_fir) registered under their
-# base names, the SEVEN r7-bound queue entries registered, and
-# embedding_pca reshaped to a DuckDB-verifiable invariant query (its
-# head slot is what the fifth merge freed). N = 99 registered, head =
-# 42 surviving r6-tail + 7 new + embedding_pca = 50 exactly.
+# r7 rotation EXECUTED: five variant merges registered under their base
+# names, the SEVEN r7-bound queue entries registered, embedding_pca
+# reshaped to a DuckDB-verifiable invariant query. N = 99 registered.
 # ---------------------------------------------------------------------------
 _q("rfft", _rfft_merged_oracle())(q_rfft_merged)
 _q("decimate_iir", _decimate_iir_merged_oracle())(q_decimate_iir_merged)
@@ -6062,29 +6148,48 @@ _q("sketch_countmin", _countmin_oracle())(q_sketch_countmin)
 _q("bloom_decontaminate", _bloom_oracle())(q_bloom_decontaminate)
 _q("gapfill", _gapfill_oracle())(q_gapfill)
 
+# ---------------------------------------------------------------------------
+# r8 rotation EXECUTED: SEVEN variant merges under their base names —
+# the three ledgered ones (multimodal decode 6-variant union, savgol
+# pair, tumbling+session windows) PLUS the fft-family 4-way, the
+# fftshift trio, medfilt+wiener, and token_stats+quality pulled forward
+# from the r11 ledger (VERDICT r7 #2: drain the queue faster than it
+# grows). Merged away: multimodal_bmp/jpeg_decode, savgol_deriv,
+# session_window_stats, hfft, irfft, ihfft, ifftshift, fftshift_2d,
+# wiener, text_quality (11 registrations). Registered: the five
+# r8-bound entries (skew_join, sketch_histogram, bpe_vocab rows-only,
+# text_hash_vectors, bloom_semijoin) AND the full r9 slate pulled
+# forward (lombscargle, acf, ewma, seasonal_decompose, cap_per_group)
+# plus robust_zscore — 11 new. N = 99 - 11 + 11 = 99; head = 39
+# surviving r7-tail + 11 new = 50 exactly; tail = the 49 surviving
+# r7-head names (CORRECTNESS_r07.json order minus the merged-away
+# session_window_stats).
+# ---------------------------------------------------------------------------
+_q("multimodal_png_decode", _multimodal_merged_oracle())(q_multimodal_decode_merged)
+_q("savgol", _savgol_merged_oracle())(q_savgol_merged)
+_q("stream_window_stats", _windows_merged_oracle())(q_windows_merged)
+_q("ifft", _fft_family_merged_oracle())(q_fft_family_merged)
+_q("fftshift", _fftshift_merged_oracle())(q_fftshift_merged)
+_q("medfilt", _medfilt_merged_oracle())(q_medfilt_merged)
+_q("text_token_stats", _text_stats_merged_oracle())(q_text_stats_merged)
+_q("skew_join", _skew_join_oracle())(q_skew_join)
+_q("sketch_histogram", _histogram_oracle())(q_sketch_histogram)
+_q("bpe_vocab", None)(q_bpe_vocab)
+_q("text_hash_vectors", _hash_vectors_oracle())(q_text_hash_vectors)
+_q("bloom_semijoin", _bloom_semijoin_oracle())(q_bloom_semijoin)
+_q("lombscargle", _lombscargle_oracle())(q_lombscargle)
+_q("acf", _acf_oracle())(q_acf)
+_q("ewma", _ewma_oracle())(q_ewma)
+_q("seasonal_decompose", _seasonal_oracle())(q_seasonal_decompose)
+_q("cap_per_group", _cap_oracle())(q_cap_per_group)
+_q("robust_zscore", _robust_z_oracle())(q_robust_zscore)
+
 _QUEUED: dict = {
-    "multimodal_png_decode@merged": (
-        q_multimodal_decode_merged,
-        _multimodal_merged_oracle(),
-    ),
-    "savgol@merged": (q_savgol_merged, _savgol_merged_oracle()),
-    "stream_window_stats@merged": (q_windows_merged, _windows_merged_oracle()),
-    "skew_join": (q_skew_join, _skew_join_oracle()),
-    "sketch_histogram": (q_sketch_histogram, _histogram_oracle()),
-    "bpe_vocab": (q_bpe_vocab, None),
-    "text_hash_vectors": (q_text_hash_vectors, _hash_vectors_oracle()),
-    "lombscargle": (q_lombscargle, _lombscargle_oracle()),
-    "acf": (q_acf, _acf_oracle()),
-    "ewma": (q_ewma, _ewma_oracle()),
-    "seasonal_decompose": (q_seasonal_decompose, _seasonal_oracle()),
-    "cap_per_group": (q_cap_per_group, _cap_oracle()),
-    "robust_zscore": (q_robust_zscore, _robust_z_oracle()),
     "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
     "cube_revenue": (q_cube_revenue, _cube_oracle()),
     "filter_by_quantile": (q_filter_by_quantile, _filter_quantile_oracle()),
     "interp_to": (q_interp_to, _interp_to_oracle()),
     "ohlc_bars": (q_ohlc_bars, _ohlc_oracle()),
-    "bloom_semijoin": (q_bloom_semijoin, _bloom_semijoin_oracle()),
     "latest_by_key": (q_latest_by_key, _latest_oracle()),
     "multimodal_video_frames": (q_multimodal_video_frames, _video_frames_oracle()),
     "sample_negatives": (q_sample_negatives, _negatives_oracle()),

@@ -444,8 +444,14 @@ def interval_join(
     """
     if granularity is None or granularity <= 0:
         raise ValueError("granularity must be a positive number")
-    on = list(on)
     g = int(granularity)
+    if g != granularity or g < 1:
+        # int() truncation would make 0.5 -> 0 (div-0 -> NULL chunks ->
+        # silently empty join) and 2.7 -> 2 (silent re-bucketing)
+        raise ValueError(
+            f"granularity must be a whole number >= 1, got {granularity!r}"
+        )
+    on = list(on)
 
     def chunks(start_col, end_col):
         return F.sequence(

@@ -134,10 +134,11 @@ def decode_png(payload: bytes):
     4 (gray+alpha) / 6 (RGBA) / 3 (palette-indexed via PLTE, decoded
     to RGB — r7), non-interlaced AND Adam7 interlaced
     (r7 — each of the seven passes unfilters as its own sub-image
-    before scattering onto the pass lattice). Palette (3) and 16-bit
-    16-bit images return uint16 samples (big-endian pairs combined
-    after the byte-lane unfilter — r7). Returns ``(pixels, width, height)`` with
-    ``pixels`` an ``(h, w, channels)`` uint8 array.
+    before scattering onto the pass lattice), at bit depth 8 or 16.
+    Returns ``(pixels, width, height)`` with ``pixels`` an
+    ``(h, w, channels)`` array — uint8 for 8-bit images, uint16 for
+    16-bit ones (big-endian byte pairs combined after the byte-lane
+    unfilter — r7).
 
     The five PNG filter types (spec §6): None and Up vectorize across
     the whole row; Sub is a per-lane running sum (``cumsum mod 256`` —
@@ -681,9 +682,10 @@ def image_decoder(payload: bytes, n_features: int) -> list[float]:
         px, w, h = decode_gif(payload)
     else:
         raise NotImplementedError(
-            "only PPM (P6), 8-bit non-interlaced PNG, and baseline JPEG "
-            "decode without an imaging library; WebP/progressive-JPEG/... "
-            "require PIL/cv2, not present in this environment"
+            "only PPM (P6), PNG (8/16-bit, palette, Adam7), BMP, GIF "
+            "(incl. animated LZW), and baseline/progressive JPEG decode "
+            "without an imaging library; WebP and friends require "
+            "PIL/cv2, not present in this environment"
         )
     means = px.reshape(-1, px.shape[-1]).mean(axis=0, dtype=np.float64)
     feats = [float(m) for m in means[:3]]
