@@ -848,17 +848,33 @@ def ngram_counts(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    tk = tokens(F.col(text_col))
     if n == 1:
-        grams = tk
+        ex = df.select(F.explode(tokens(F.col(text_col))).alias("gram"))
     else:
-        idx = F.sequence(F.lit(0), F.size(tk) - n)
-        grams = F.when(F.size(tk) >= n, F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n))
-        )).otherwise(F.array())
-    g = df.select(F.explode(grams).alias("gram")).groupBy("gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+        # Gram construction stays OUT of index-lambdas: a
+        # transform(sequence(...), i -> slice(tokens(text), ...)) ran
+        # the tokenizer per ELEMENT (higher-order lambdas interpret
+        # their body with outer expressions inlined — the
+        # hashed_tfidf_vectors trap), measuring 19 s where this shape
+        # is 2.1 s at the 10x tier. The explode-of-1-array Generate is
+        # a projection barrier CollapseProject cannot cross, pinning
+        # ONE tokenizer evaluation per row; the n shifted slices then
+        # zip NATIVELY (arrays_zip, no lambda at all) and the gram
+        # string is a per-row codegen concat after the explode.
+        tkdf = df.select(
+            F.explode(F.array(tokens(F.col(text_col)))).alias("_tk")
+        )
+        tk = F.col("_tk")
+        m = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+        z = F.arrays_zip(
+            *[F.slice(tk, j + 1, m).alias(str(j)) for j in range(n)]
+        )
+        ex = tkdf.select(F.explode(z).alias("_z")).select(
+            F.concat_ws(
+                " ", *[F.col("_z").getField(str(j)) for j in range(n)]
+            ).alias("gram")
+        )
+    g = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     if top is not None:
         g = g.orderBy(F.desc("cnt"), F.asc("gram")).limit(int(top))
     return g
