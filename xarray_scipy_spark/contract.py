@@ -2677,8 +2677,8 @@ def q_multimodal_real_decode(spark, sf_dir):
 
 
 # r8 rotation: the png/bmp/jpeg decode registrations merged into the
-# 6-variant q_multimodal_decode_merged (png/bmp/jpeg/jpeg_ac/jpeg_prog/
-# gif), registered under the base name "multimodal_png_decode"
+# 7-variant q_multimodal_decode_merged (png/bmp/jpeg/jpeg_ac/jpeg_prog/
+# webp/gif), registered under the base name "multimodal_png_decode"
 # (rotation block at the end of this module). The plain q_* functions
 # stay — the merged query unions their outputs.
 def q_multimodal_png_decode(spark, sf_dir):
@@ -4217,7 +4217,8 @@ def q_convolve_merged(spark, sf_dir):
 
 
 def _multimodal_merged_oracle() -> str:
-    """png + bmp + jpeg decode oracles in one variant-tag union.
+    """png + bmp + jpeg + jpeg_ac + jpeg_prog + webp + gif decode
+    oracles in one variant-tag union.
     n_bytes is closed-form only for BMP (54 + stride·h); png/jpeg
     compressed sizes are not SQL-computable and emit -1 on both
     sides."""
@@ -4275,6 +4276,14 @@ def _multimodal_merged_oracle() -> str:
         "AS f2_4, "
         "8.0 AS f3, 8.0 AS f4 FROM documents "
         "UNION ALL "
+        # webp (r8): lossless VP8L with subtract-green + color cache —
+        # RGB pixels follow the same formula as the png branch, and
+        # VP8L is lossless, so the same channel-mean expressions pin
+        # the whole bitstream path (huffman, LZ77, cache, transform)
+        "SELECT 'webp' AS variant, doc_id, CAST(-1 AS BIGINT) AS n_bytes, "
+        + rgb
+        + ", CAST(w AS DOUBLE) AS f3, CAST(h AS DOUBLE) AS f4 FROM dims "
+        "UNION ALL "
         # gif (r7): grayscale palette (palette[i] = (i,i,i)), pixels
         # follow the PPM/PNG formula with c = 0 — lossless LZW, so all
         # three decoded channel means equal the formula mean
@@ -4294,10 +4303,10 @@ def _multimodal_merged_oracle() -> str:
 
 def q_multimodal_decode_merged(spark, sf_dir):
     """The compressed-codec decode paths (PNG, BMP, baseline JPEG
-    DC + AC fixtures, GIF/LZW) in ONE variant-tag union — replaces
-    multimodal_png_decode + multimodal_bmp_decode +
-    multimodal_jpeg_decode at r8, freeing two head slots while keeping
-    every codec value-verified."""
+    DC + AC fixtures, lossless WebP/VP8L, GIF/LZW — 7 variants) in ONE
+    variant-tag union — replaces multimodal_png_decode +
+    multimodal_bmp_decode + multimodal_jpeg_decode at r8, freeing two
+    head slots while keeping every codec value-verified."""
     import numpy as _np
     import pandas as _pd
 
@@ -4393,6 +4402,39 @@ def q_multimodal_decode_merged(spark, sf_dir):
     ac = ac_variant("jpeg_ac", False)
     ac_prog = ac_variant("jpeg_prog", True)
 
+    # webp variant (r8): the png pixel formula through the VP8L
+    # lossless pipeline (subtract-green transform + color cache +
+    # data-derived huffman codes), decoded back by pipeline/webp.py
+    def webp_synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                px = ((d * 31 + _np.arange(3 * w * h) * 7) % 256).astype(
+                    _np.uint8
+                ).reshape(h, w, 3)
+                payloads.append(
+                    pl.encode_webp_lossless(
+                        px, subtract_green=True, cache_bits=4
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    webp_payload = docs.mapInPandas(webp_synth, "doc_id bigint, payload binary")
+    webp = pl.decode_features(
+        webp_payload, n_features=5, decoder=pl.image_decoder
+    ).select(
+        F.lit("webp").alias("variant"),
+        "doc_id",
+        F.lit(-1).cast("bigint").alias("n_bytes"),
+        _r("f0", 4, "f0_4"),
+        _r("f1", 4, "f1_4"),
+        _r("f2", 4, "f2_4"),
+        "f3",
+        "f4",
+    )
+
     # gif variant (r7): grayscale-palette LZW — lossless, so the PPM
     # formula with a single channel drives all three decoded means
     def gif_synth(batches):
@@ -4421,7 +4463,12 @@ def q_multimodal_decode_merged(spark, sf_dir):
         "f4",
     )
     return (
-        png.unionAll(bmp).unionAll(jpg).unionAll(ac).unionAll(ac_prog).unionAll(gif)
+        png.unionAll(bmp)
+        .unionAll(jpg)
+        .unionAll(ac)
+        .unionAll(ac_prog)
+        .unionAll(webp)
+        .unionAll(gif)
     )
 
 

@@ -119,6 +119,10 @@ from .multimodal import (
     resize_payload,
     with_binary,
 )
+from .webp import (
+    decode_webp,
+    encode_webp_lossless,
+)
 
 __all__ = [
     "canonical_url",
@@ -175,6 +179,8 @@ __all__ = [
     "decode_gif",
     "decode_bmp",
     "encode_bmp",
+    "decode_webp",
+    "encode_webp_lossless",
     "audio_decoder",
     "frame_sample",
     "resize_payload",

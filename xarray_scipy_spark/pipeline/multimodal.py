@@ -658,12 +658,13 @@ def _lzw_decode(data: bytes, min_code: int, limit: int) -> list[int]:
 
 
 def image_decoder(payload: bytes, n_features: int) -> list[float]:
-    """Image feature extraction with REAL pure-numpy decode paths for
-    binary PPM (P6), 8-bit non-interlaced PNG, baseline JPEG, and
-    non-interlaced GIF payloads: features are the per-channel means (first three channels;
-    gray fills one) followed by width and height (zero-padded /
-    truncated to ``n_features``). Remaining formats (WebP, progressive
-    JPEG, ...) have no pure-numpy path and raise."""
+    """Image feature extraction with REAL pure-python decode paths for
+    binary PPM (P6), PNG, BMP, baseline/progressive JPEG, GIF, and
+    lossless WebP (VP8L) payloads: features are the per-channel means
+    (first three channels; gray fills one) followed by width and
+    height (zero-padded / truncated to ``n_features``). Remaining
+    formats (lossy-VP8 WebP, AVIF, ...) have no pure-python path and
+    raise."""
     import numpy as np
 
     if payload[:2] == b"P6":
@@ -680,12 +681,17 @@ def image_decoder(payload: bytes, n_features: int) -> list[float]:
             px = px[:, :, None]
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         px, w, h = decode_gif(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        px, w, h = decode_webp(payload)
     else:
         raise NotImplementedError(
             "only PPM (P6), PNG (8/16-bit, palette, Adam7), BMP, GIF "
-            "(incl. animated LZW), and baseline/progressive JPEG decode "
-            "without an imaging library; WebP and friends require "
-            "PIL/cv2, not present in this environment"
+            "(incl. animated LZW), baseline/progressive JPEG, and "
+            "lossless WebP (VP8L) decode without an imaging library; "
+            "lossy-VP8 WebP/AVIF and friends require PIL/cv2, not "
+            "present in this environment"
         )
     means = px.reshape(-1, px.shape[-1]).mean(axis=0, dtype=np.float64)
     feats = [float(m) for m in means[:3]]
