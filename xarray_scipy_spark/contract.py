@@ -3827,25 +3827,37 @@ def q_correlate(spark, sf_dir):
 # freed 11 slots; 11 registrations landed (the 5 r8-bound + the full
 # r9 slate + robust_zscore). N = 99, head = 50, queue = 21.
 #
-# r9 RECIPE: the r8-tail (49 names, due back) contains these merge
-# levers — welch + welch_blackman (1), hilbert_envelope + hilbert's
-# tail twin... hilbert sits in the r8 HEAD's tail-49, so: welch +
-# welch_blackman (both due r9: welch in r8-tail, welch_blackman in
-# r8-tail — frees 1), csd + spectrogram (both r8-tail, frees 1),
-# tpch_q1 + tpch_q6 (both r8-tail, frees 1), istft_roundtrip +
-# istft_native (r8 head-tail split — verify both due before merging),
-# sketch_hll + sketch_countmin stay separate (different state shapes).
-# Each merge frees one slot; register r9-bound entries from the queue
-# in ledger order: dedup_minhash_cross, cube_revenue,
-# filter_by_quantile, then the r11 pool (interp_to, ohlc_bars,
-# latest_by_key, multimodal_video_frames, sample_negatives,
-# rolling_stats, sketch_hll_merge, group_quantiles,
-# url_canonical_dedup, winsorize, clean_text, interval_join,
-# audio_spectral, char_entropy, ngram_counts, quantile_normalize,
-# rolling_median, kfold_weights). Head math each round: head = 50 =
-# (49 - merged_away_in_tail) + new, so new = 1 + merges. Every queued
-# entry stays CI-verified byte-exactly per pytest run until its round
-# arrives.
+# r9 RECIPE (the four @merged entries in _QUEUED are WRITTEN and
+# CI-verified — execute like the r8 recipe, all in one edit):
+#   1. Delete the @_q registrations of welch, welch_blackman, csd,
+#      spectrogram, tpch_q1, tpch_q6, istft_roundtrip, istft_native
+#      (keep the plain functions — the merged queries call them;
+#      preserve each deleted oracle in a _XXX_ORACLE variable only if
+#      not already factored: welch/csd/spectrogram/tpch use the
+#      _*_oracle() helpers, istft's base SQL lives in
+#      _istft_merged_oracle). Register the four merges under base
+#      names: _q("welch", _welch_merged_oracle())(q_welch_merged),
+#      _q("csd", _csd_merged_oracle())(q_csd_merged),
+#      _q("tpch_q1", _tpch_q1q6_merged_oracle())(q_tpch_q1q6_merged),
+#      _q("istft_roundtrip", _istft_merged_oracle())(q_istft_merged).
+#   2. Register the FOUR r9-bound queue entries: dedup_minhash_cross,
+#      cube_revenue, filter_by_quantile, interp_to.
+#   3. Rebuild __spark_entry__._CHECK_LAST = the r8-head names in
+#      CORRECTNESS_r08.json key order MINUS welch_blackman (merged
+#      away; it sits in the r8 head) = 49 names. Head math: 49 due
+#      r8-tail − 3 merged-away-in-tail (spectrogram, tpch_q6,
+#      istft_native) + 4 new = 50 exactly; N = 99 − 4 + 4 = 99.
+#   4. Remove the four registered names + four @merged entries from
+#      _QUEUED, update tools/queue_status.py ROUND_PLAN (r10 next:
+#      ohlc_bars, latest_by_key, multimodal_video_frames,
+#      sample_negatives, rolling_stats behind 4 more merges — r10
+#      levers among the then-due pool: fft+rfft? NO, different
+#      shapes; candidates: periodogram+welch? different grain; safest
+#      is lfilter+filtfilt / hilbert+hilbert_envelope /
+#      sessionize+stream_dedup-class pairs — verify due-ness at r10),
+#      re-run tools/check_correctness.py in FULL before committing.
+# Every queued entry stays CI-verified byte-exactly per pytest run
+# until its round arrives.
 
 
 def q_welch_blackman(spark, sf_dir):
@@ -4692,6 +4704,132 @@ def q_text_stats_merged(spark, sf_dir):
         F.col("quality").alias("f1"),
     )
     return tok.unionAll(qual)
+
+
+# --- r9-ready merges (queued as @merged; registered at the r9 rotation) ----
+
+
+def _welch_merged_oracle() -> str:
+    return (
+        "SELECT 'hann' AS variant, user_id, idx, power4 "
+        "FROM (" + _welch_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'blackman' AS variant, user_id, idx, power4 "
+        "FROM (" + _welch_oracle("blackman") + ")"
+    )
+
+
+def q_welch_merged(spark, sf_dir):
+    """Welch periodogram, hann + blackman window variants in ONE union
+    — replaces welch + welch_blackman at r9."""
+    hann = q_welch(spark, sf_dir).select(
+        F.lit("hann").alias("variant"), "user_id", "idx", "power4"
+    )
+    bl = q_welch_blackman(spark, sf_dir).select(
+        F.lit("blackman").alias("variant"), "user_id", "idx", "power4"
+    )
+    return hann.unionAll(bl)
+
+
+def _csd_merged_oracle() -> str:
+    return (
+        "SELECT 'csd' AS variant, user_id, idx AS i1, "
+        "CAST(-1 AS BIGINT) AS i2, CAST(re_q AS DOUBLE) AS va, "
+        "CAST(im_q AS DOUBLE) AS vb FROM (" + _csd_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'sgram' AS variant, user_id, frame AS i1, bin AS i2, "
+        "pow4 AS va, 0.0 AS vb FROM (" + _spectrogram_oracle() + ")"
+    )
+
+
+def q_csd_merged(spark, sf_dir):
+    """Cross-spectral density + |STFT|^2 spectrogram in ONE variant-tag
+    union — replaces csd + spectrogram at r9 (i2 = -1 tags the
+    per-bin csd rows; the quantized BIGINTs cast to DOUBLE on both
+    sides, exact below 2^53)."""
+    csd = q_csd(spark, sf_dir).select(
+        F.lit("csd").alias("variant"), "user_id",
+        F.col("idx").alias("i1"), F.lit(-1).cast("bigint").alias("i2"),
+        F.col("re_q").cast("double").alias("va"),
+        F.col("im_q").cast("double").alias("vb"),
+    )
+    sg = q_spectrogram(spark, sf_dir).select(
+        F.lit("sgram").alias("variant"), "user_id",
+        F.col("frame").alias("i1"), F.col("bin").alias("i2"),
+        F.col("pow4").alias("va"), F.lit(0.0).alias("vb"),
+    )
+    return csd.unionAll(sg)
+
+
+def _istft_merged_oracle() -> str:
+    # both reconstruction strategies share ONE oracle (the original
+    # series on covered positions) — the union just tags it twice
+    base = (
+        f"WITH {_S} "
+        "SELECT user_id, j AS t, round(x, 4) + 0.0 AS val4 "
+        f"FROM s WHERE n >= {_STFT_FL} AND j >= 1 "
+        f"AND j <= ((n - {_STFT_FL}) // {_STFT_HOP}) * {_STFT_HOP} + {_STFT_FL - 1}"
+    )
+    return (
+        "SELECT 'fused' AS variant, user_id, t, val4 FROM (" + base + ") "
+        "UNION ALL "
+        "SELECT 'native' AS variant, user_id, t, val4 FROM (" + base + ")"
+    )
+
+
+def q_istft_merged(spark, sf_dir):
+    """Both istft reconstruction strategies (fused spectral_apply
+    round-trip + frame-parallel native overlap-add) in ONE variant-tag
+    union — replaces istft_roundtrip + istft_native at r9; each
+    variant must still reproduce the original series."""
+    fused = q_istft_roundtrip(spark, sf_dir).select(
+        F.lit("fused").alias("variant"), "user_id", "t", "val4"
+    )
+    native = q_istft_native(spark, sf_dir).select(
+        F.lit("native").alias("variant"), "user_id", "t", "val4"
+    )
+    return fused.unionAll(native)
+
+
+def _tpch_q1q6_merged_oracle() -> str:
+    return (
+        "SELECT 'q1' AS variant, l_returnflag AS rf, l_linestatus AS ls, "
+        "sum_qty AS m1, sum_base_price AS m2, sum_disc_price AS m3, "
+        "sum_charge AS m4, count_order AS cnt "
+        "FROM (" + ORACLES["tpch_q1"] + ") "
+        "UNION ALL "
+        "SELECT 'q6' AS variant, '' AS rf, '' AS ls, revenue AS m1, "
+        "0.0 AS m2, 0.0 AS m3, 0.0 AS m4, n AS cnt "
+        "FROM (" + ORACLES["tpch_q6"] + ")"
+    )
+
+
+def q_tpch_q1q6_merged(spark, sf_dir):
+    """TPC-H Q1 (full-scan decimal rollup) + Q6 (filter-pushdown
+    aggregate) in ONE variant-tag union — replaces tpch_q1 + tpch_q6
+    at r9; both plans stay what their individual registrations lock
+    (the union is literal)."""
+    q1 = q_tpch_q1(spark, sf_dir).select(
+        F.lit("q1").alias("variant"),
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.col("sum_qty").alias("m1"),
+        F.col("sum_base_price").alias("m2"),
+        F.col("sum_disc_price").alias("m3"),
+        F.col("sum_charge").alias("m4"),
+        F.col("count_order").alias("cnt"),
+    )
+    q6 = q_tpch_q6(spark, sf_dir).select(
+        F.lit("q6").alias("variant"),
+        F.lit("").alias("rf"),
+        F.lit("").alias("ls"),
+        F.col("revenue").alias("m1"),
+        F.lit(0.0).alias("m2"),
+        F.lit(0.0).alias("m3"),
+        F.lit(0.0).alias("m4"),
+        F.col("n").alias("cnt"),
+    )
+    return q1.unionAll(q6)
 
 
 # --- r7 new operators (queued): OHLC bars, bloom semi-join, CDC latest -----
@@ -6232,6 +6370,12 @@ _q("cap_per_group", _cap_oracle())(q_cap_per_group)
 _q("robust_zscore", _robust_z_oracle())(q_robust_zscore)
 
 _QUEUED: dict = {
+    # r9 merges, ready to register under their base names (frees 3
+    # slots: welch_blackman, spectrogram, tpch_q6 retire)
+    "welch@merged": (q_welch_merged, _welch_merged_oracle()),
+    "csd@merged": (q_csd_merged, _csd_merged_oracle()),
+    "tpch_q1@merged": (q_tpch_q1q6_merged, _tpch_q1q6_merged_oracle()),
+    "istft_roundtrip@merged": (q_istft_merged, _istft_merged_oracle()),
     "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
     "cube_revenue": (q_cube_revenue, _cube_oracle()),
     "filter_by_quantile": (q_filter_by_quantile, _filter_quantile_oracle()),
