@@ -119,6 +119,8 @@ HEADLINE = [
     "quantile_normalize",
     "rolling_median",
     "kfold_weights",
+    # round-8 additions
+    "pagerank",
 ]
 
 

@@ -41,6 +41,7 @@ ROUND_PLAN = {
         "multimodal_video_frames",
         "sample_negatives",
         "rolling_stats",
+        "pagerank",
     ],
     "r11": [
         "sketch_hll_merge",

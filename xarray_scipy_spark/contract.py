@@ -4953,6 +4953,74 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+_PR_MOD, _PR_ITERS, _PR_DAMP = 500, 10, 0.85
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB twin of pipeline.graph.pagerank on the synthetic
+    order→supplier link graph: the 10 power iterations UNROLLED as
+    chained CTEs (standard SQL forbids aggregates in a recursive
+    term), identical dangling-mass and damping arithmetic; ranks
+    quantized at 1e-6 (epsilon-floor) — double drift across engines is
+    ~1e-13 on this 500-node graph. Every pr{i} is AS MATERIALIZED:
+    each references its predecessor twice (contribution join + the
+    dangling scalar subquery), so inlined CTEs would re-evaluate the
+    whole chain 2^10 times — measured as a multi-minute hang before
+    the keyword; materialized, the oracle is milliseconds."""
+    n = "(SELECT n FROM nn)"
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey % {_PR_MOD} AS s, "
+        f"l_suppkey % {_PR_MOD} AS d FROM lineitem), "
+        "nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e), "
+        "deg AS (SELECT s AS node, count(*) AS dg FROM e GROUP BY s), "
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "v AS MATERIALIZED (SELECT node, COALESCE(dg, 0) AS dg FROM nodes "
+        "LEFT JOIN deg USING (node)), "
+        f"pr0 AS MATERIALIZED (SELECT node, dg, 1.0 / {n} AS rank FROM v)"
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        p = f"pr{i - 1}"
+        parts.append(
+            f", pr{i} AS MATERIALIZED (SELECT v.node, v.dg, "
+            f"(1.0 - {_PR_DAMP}) / {n} + {_PR_DAMP} * ("
+            "COALESCE(c.recv, 0.0) + "
+            f"(SELECT COALESCE(sum(rank), 0.0) FROM {p} WHERE dg = 0) / {n}"
+            ") AS rank FROM v LEFT JOIN ("
+            "SELECT e.d AS node, sum(p.rank / p.dg) AS recv "
+            f"FROM {p} p JOIN e ON p.node = e.s WHERE p.dg > 0 "
+            "GROUP BY e.d) c ON v.node = c.node)"
+        )
+    parts.append(
+        f" SELECT node, CAST(floor(rank * 1000000 + 0.5 + 1e-6) AS BIGINT) "
+        f"AS rank_u FROM pr{_PR_ITERS}"
+    )
+    return "".join(parts)
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank on the order→supplier link graph (src = l_orderkey mod
+    500, dst = l_suppkey mod 500, distinct edges): 10 damped power
+    iterations through pipeline/graph.py — one contribution shuffle per
+    iteration, dangling mass as a broadcast 1-row aggregate, lineage
+    truncated by localCheckpoint. The iterative-graph operator class
+    (dedup_clusters' connected components being the other member)."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            (F.col("l_orderkey") % _PR_MOD).alias("src"),
+            (F.col("l_suppkey") % _PR_MOD).alias("dst"),
+        )
+        .distinct()
+    )
+    res = pl.pagerank(li, iterations=_PR_ITERS, damping=_PR_DAMP)
+    return res.select(
+        "node",
+        F.floor(F.col("rank") * 1_000_000 + F.lit(0.5) + F.lit(1e-6))
+        .cast("bigint")
+        .alias("rank_u"),
+    )
+
+
 _KF_K = 5
 
 
@@ -6376,6 +6444,7 @@ _QUEUED: dict = {
     "csd@merged": (q_csd_merged, _csd_merged_oracle()),
     "tpch_q1@merged": (q_tpch_q1q6_merged, _tpch_q1q6_merged_oracle()),
     "istft_roundtrip@merged": (q_istft_merged, _istft_merged_oracle()),
+    "pagerank": (q_pagerank, _pagerank_oracle()),
     "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
     "cube_revenue": (q_cube_revenue, _cube_oracle()),
     "filter_by_quantile": (q_filter_by_quantile, _filter_quantile_oracle()),

@@ -123,6 +123,7 @@ from .webp import (
     decode_webp,
     encode_webp_lossless,
 )
+from .graph import pagerank
 
 __all__ = [
     "canonical_url",
@@ -181,6 +182,7 @@ __all__ = [
     "encode_bmp",
     "decode_webp",
     "encode_webp_lossless",
+    "pagerank",
     "audio_decoder",
     "frame_sample",
     "resize_payload",
