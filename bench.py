@@ -121,6 +121,7 @@ HEADLINE = [
     "kfold_weights",
     # round-8 additions
     "pagerank",
+    "zorder_curve",
 ]
 
 

@@ -42,6 +42,7 @@ ROUND_PLAN = {
         "sample_negatives",
         "rolling_stats",
         "pagerank",
+        "zorder_curve",
     ],
     "r11": [
         "sketch_hll_merge",

@@ -4953,6 +4953,55 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+_Z_BITS = 21
+_Z_MASK = (1 << _Z_BITS) - 1
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of sources.write.zvalue on (user_id, epoch-µs mod
+    2^21): the same literal bit-interleave, generated as 2×21 shift
+    terms (disjoint positions, so + == OR on both engines)."""
+
+    def interleave(expr: str, d: int) -> str:
+        return " + ".join(
+            f"((({expr} >> {i}) & 1) << {2 * i + d})" for i in range(_Z_BITS)
+        )
+
+    x = f"(user_id % {_Z_MASK + 1})"
+    y = f"(epoch_us(ts) % {_Z_MASK + 1})"
+    return (
+        f"WITH z AS (SELECT user_id, {interleave(x, 0)} + {interleave(y, 1)} "
+        "AS zv FROM events) "
+        "SELECT user_id, count(*) AS n, min(zv) AS min_z, max(zv) AS max_z, "
+        "CAST(sum(zv) AS BIGINT) AS sum_z FROM z GROUP BY user_id"
+    )
+
+
+def q_zorder_curve(spark, sf_dir):
+    """Morton z-values over (user_id, time-bucket) aggregated per user
+    (sources/write.py zvalue — the expression write_zordered clusters
+    by): pure whole-stage-codegen bit arithmetic, value-pinned by
+    count/min/max/sum of the 42-bit curve positions."""
+    from .sources.write import zvalue
+
+    ev = _events(spark, sf_dir)
+    z = zvalue(
+        F.col("user_id") % (_Z_MASK + 1),
+        F.pmod(timeutil.epoch_us(ev, "ts"), F.lit(_Z_MASK + 1)),
+        bits=_Z_BITS,
+    )
+    return (
+        ev.select("user_id", z.alias("zv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zv").alias("min_z"),
+            F.max("zv").alias("max_z"),
+            F.sum("zv").alias("sum_z"),
+        )
+    )
+
+
 _PR_MOD, _PR_ITERS, _PR_DAMP = 500, 10, 0.85
 
 
@@ -6445,6 +6494,7 @@ _QUEUED: dict = {
     "tpch_q1@merged": (q_tpch_q1q6_merged, _tpch_q1q6_merged_oracle()),
     "istft_roundtrip@merged": (q_istft_merged, _istft_merged_oracle()),
     "pagerank": (q_pagerank, _pagerank_oracle()),
+    "zorder_curve": (q_zorder_curve, _zorder_oracle()),
     "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
     "cube_revenue": (q_cube_revenue, _cube_oracle()),
     "filter_by_quantile": (q_filter_by_quantile, _filter_quantile_oracle()),
