@@ -4761,6 +4761,110 @@ def q_csd_merged(spark, sf_dir):
     return csd.unionAll(sg)
 
 
+def _hilbert_merged_oracle() -> str:
+    # ORACLES still holds both registrations until the r10 rotation
+    # deregisters them — the recipe preserves the strings as variables
+    # then (the r8 _XXX_ORACLE pattern)
+    return (
+        "SELECT 'analytic' AS variant, user_id, idx, re4 AS va, im4 AS vb "
+        "FROM (" + ORACLES["hilbert"] + ") "
+        "UNION ALL "
+        "SELECT 'envelope' AS variant, user_id, idx, env4 AS va, 0.0 AS vb "
+        "FROM (" + ORACLES["hilbert_envelope"] + ")"
+    )
+
+
+def q_hilbert_merged(spark, sf_dir):
+    """Analytic signal + its envelope in ONE variant-tag union —
+    replaces hilbert + hilbert_envelope at r10."""
+    an = q_hilbert(spark, sf_dir).select(
+        F.lit("analytic").alias("variant"), "user_id", "idx",
+        F.col("re4").alias("va"), F.col("im4").alias("vb"),
+    )
+    env = q_hilbert_envelope(spark, sf_dir).select(
+        F.lit("envelope").alias("variant"), "user_id", "idx",
+        F.col("env4").alias("va"), F.lit(0.0).alias("vb"),
+    )
+    return an.unionAll(env)
+
+
+def _lfilter_merged_oracle() -> str:
+    return (
+        "SELECT 'causal' AS variant, user_id, idx, value4 "
+        "FROM (" + ORACLES["lfilter"] + ") "
+        "UNION ALL "
+        "SELECT 'zerophase' AS variant, user_id, idx, value4 "
+        "FROM (" + ORACLES["filtfilt"] + ")"
+    )
+
+
+def q_lfilter_merged(spark, sf_dir):
+    """Causal (b, a) lfilter + zero-phase filtfilt in ONE variant-tag
+    union — replaces lfilter + filtfilt at r10."""
+    ca = q_lfilter(spark, sf_dir).select(
+        F.lit("causal").alias("variant"), "user_id", "idx", "value4"
+    )
+    zp = q_filtfilt(spark, sf_dir).select(
+        F.lit("zerophase").alias("variant"), "user_id", "idx", "value4"
+    )
+    return ca.unionAll(zp)
+
+
+def _ann_merged_oracle() -> str:
+    return (
+        "SELECT 'exact' AS variant, query_id, rank, neighbor_id, cos_sim "
+        "FROM (" + ORACLES["ann_cosine_topk"] + ") "
+        "UNION ALL "
+        "SELECT 'lsh' AS variant, query_id, rank, neighbor_id, cos_sim "
+        "FROM (" + ORACLES["ann_cosine_topk_lsh"] + ")"
+    )
+
+
+def q_ann_merged(spark, sf_dir):
+    """Exact brute-force cosine top-k + multiprobe SRP-LSH top-k in
+    ONE variant-tag union — replaces ann_cosine_topk +
+    ann_cosine_topk_lsh at r10 (ivf/kmeans keep their own
+    registrations — different cell structures)."""
+    ex = q_ann_cosine_topk(spark, sf_dir).select(
+        F.lit("exact").alias("variant"), "query_id", "rank",
+        "neighbor_id", "cos_sim",
+    )
+    lsh = q_ann_cosine_topk_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"), "query_id", "rank",
+        "neighbor_id", "cos_sim",
+    )
+    return ex.unionAll(lsh)
+
+
+def _dataset_merged_oracle() -> str:
+    return (
+        "SELECT 'split' AS variant, split AS k1, lang, n, "
+        "CAST(0 AS BIGINT) AS min_id, CAST(0 AS BIGINT) AS max_id, "
+        "CAST(0 AS BIGINT) AS sum_id FROM (" + ORACLES["dataset_split"] + ") "
+        "UNION ALL "
+        "SELECT 'stratified' AS variant, '' AS k1, lang, n, min_id, "
+        "max_id, sum_id FROM (" + ORACLES["dataset_stratified"] + ")"
+    )
+
+
+def q_dataset_merged(spark, sf_dir):
+    """Deterministic split assignment + per-stratum exact-by-id
+    subsample in ONE variant-tag union — replaces dataset_split +
+    dataset_stratified at r10."""
+    sp = q_dataset_split(spark, sf_dir).select(
+        F.lit("split").alias("variant"), F.col("split").alias("k1"),
+        "lang", "n",
+        F.lit(0).cast("bigint").alias("min_id"),
+        F.lit(0).cast("bigint").alias("max_id"),
+        F.lit(0).cast("bigint").alias("sum_id"),
+    )
+    st = q_dataset_stratified(spark, sf_dir).select(
+        F.lit("stratified").alias("variant"), F.lit("").alias("k1"),
+        "lang", "n", "min_id", "max_id", "sum_id",
+    )
+    return sp.unionAll(st)
+
+
 def _istft_merged_oracle() -> str:
     # both reconstruction strategies share ONE oracle (the original
     # series on covered positions) — the union just tags it twice
@@ -6493,6 +6597,14 @@ _QUEUED: dict = {
     "csd@merged": (q_csd_merged, _csd_merged_oracle()),
     "tpch_q1@merged": (q_tpch_q1q6_merged, _tpch_q1q6_merged_oracle()),
     "istft_roundtrip@merged": (q_istft_merged, _istft_merged_oracle()),
+    # r10 merges, ready (frees 4: hilbert_envelope, filtfilt,
+    # ann_cosine_topk_lsh, dataset_stratified retire; when
+    # deregistering, preserve each oracle string as a _XXX_ORACLE
+    # variable first — these builders read ORACLES[name])
+    "hilbert@merged": (q_hilbert_merged, _hilbert_merged_oracle()),
+    "lfilter@merged": (q_lfilter_merged, _lfilter_merged_oracle()),
+    "ann_cosine_topk@merged": (q_ann_merged, _ann_merged_oracle()),
+    "dataset_split@merged": (q_dataset_merged, _dataset_merged_oracle()),
     "pagerank": (q_pagerank, _pagerank_oracle()),
     "zorder_curve": (q_zorder_curve, _zorder_oracle()),
     "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
