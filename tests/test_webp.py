@@ -199,3 +199,54 @@ def test_image_decoder_integration():
     )
     exp = [px[:, :, c].mean() for c in range(3)] + [float(w), float(h)]
     assert feats == pytest.approx(exp)
+
+
+# --- property tests: any raster × any feature combo round-trips -----------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    channels=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    subtract_green=st.booleans(),
+    predictor=st.booleans(),
+    cache_bits=st.sampled_from([0, 3]),
+    lz77=st.booleans(),
+)
+def test_webp_roundtrip_property(
+    h, w, channels, seed, subtract_green, predictor, cache_bits, lz77
+):
+    r = np.random.default_rng(seed)
+    px = r.integers(0, 256, (h, w, channels), dtype=np.uint8)
+    dec, ww, hh = decode_webp(
+        encode_webp_lossless(
+            px,
+            subtract_green=subtract_green,
+            predictor=predictor,
+            cache_bits=cache_bits,
+            lz77=lz77,
+        )
+    )
+    assert (ww, hh) == (w, h)
+    assert dec.shape == px.shape
+    assert (dec == px).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 8),
+    w=st.integers(1, 8),
+    ncolors=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_webp_palette_roundtrip_property(h, w, ncolors, seed):
+    r = np.random.default_rng(seed)
+    colors = r.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    idx = r.integers(0, ncolors, (h, w))
+    px = colors[idx]
+    dec, _, _ = decode_webp(encode_webp_lossless(px, palette=True))
+    assert (dec == px).all()

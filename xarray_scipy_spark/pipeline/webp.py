@@ -566,6 +566,12 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> dict:
     from collections import Counter
 
     clc_freq = Counter(clc_syms)
+    # a zero TAIL can need literal 0-codes: short tails (< 11) and
+    # 138-chunk remainders in 1..10 cannot use the 18-code, so symbol 0
+    # must own a code whenever any tail exists (found by hypothesis:
+    # 1-wide palettes with no zero in the body)
+    if n_tail and 0 not in clc_freq:
+        clc_freq[0] = 1
     clc_lengths19 = [0] * 19
     clc_map = {}
     if len(clc_freq) == 1:
