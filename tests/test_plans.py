@@ -438,3 +438,31 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" not in plan.split("Join")[0] or True  # no post-join dedup agg
+
+
+def test_pagerank_iteration_has_no_cartesian_and_partial_agg(spark):
+    """pagerank's per-iteration plan: contribution aggregation is a
+    hash aggregate (map-side partials), the only nested-loop joins are
+    the 1-row broadcast scalar frames (dangling mass / vertex count),
+    and no CartesianProduct appears."""
+    from xarray_scipy_spark.pipeline import pagerank
+
+    df = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(30)], "src long, dst long"
+    )
+    plan = _static_plan(pagerank(df, iterations=2, checkpoint_every=10))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # scalar frames broadcast; the big sides never nested-loop each other
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "BroadcastExchange"
+    )
+
+
+def test_zorder_curve_is_pure_codegen(spark):
+    """zvalue is literal bit arithmetic: no Python/Arrow nodes, no
+    join, one aggregation exchange for the per-user stats."""
+    plan = _static_plan(_contract_fn("zorder_curve")(spark, SF_DIR))
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    assert not any(j in plan for j in _JOIN_NODES), plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

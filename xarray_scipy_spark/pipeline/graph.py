@@ -125,6 +125,9 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+        # no unconditional final checkpoint: the caller's action
+        # materializes the last (< checkpoint_every)-deep suffix, and
+        # the plan stays inspectable (tests/test_plans.py)
+        if (it + 1) % checkpoint_every == 0 and it != iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
