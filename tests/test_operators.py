@@ -1781,3 +1781,14 @@ def test_interval_join_matches_naive_overlap(spark):
     with _pytest.raises(ValueError):
         interval_join(ldf, rdf, left_start="ls", left_end="le",
                       right_start="rs", right_end="re", granularity=0)
+    # fractional granularity must raise, not silently truncate: 0.5
+    # would int() to 0 (div-0 -> empty join), 2.7 to a different grid
+    for bad in (0.5, 2.7):
+        with _pytest.raises(ValueError, match="whole number"):
+            interval_join(ldf, rdf, left_start="ls", left_end="le",
+                          right_start="rs", right_end="re", granularity=bad)
+    # float-typed whole numbers stay accepted (epoch arithmetic often
+    # produces 3600.0)
+    ok = interval_join(ldf, rdf, left_start="ls", left_end="le",
+                       right_start="rs", right_end="re", granularity=2.0)
+    assert ok.count() >= 0

@@ -353,8 +353,20 @@ def test_decode_ppm_parses_netpbm_headers():
         # JPEG magic now routes to the REAL baseline decoder (r6),
         # which rejects this truncated stream instead of gating
         image_decoder(b"\xff\xd8\xff\xe0jpeg-ish", 4)
+    # WebP routes to the REAL VP8L decoder (r8): a lossless payload
+    # decodes, a LOSSY VP8 chunk gates loudly
+    lossy = (
+        b"RIFF"
+        + (4 + 8 + 2).to_bytes(4, "little")
+        + b"WEBP"
+        + b"VP8 "
+        + (2).to_bytes(4, "little")
+        + b"\x00\x00"
+    )
+    with pytest.raises(NotImplementedError, match="VP8"):
+        image_decoder(lossy, 4)
     with pytest.raises(NotImplementedError, match="imaging library"):
-        image_decoder(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 4)  # WebP: no lib
+        image_decoder(b"\x00unknown-magic", 4)
 
 
 def test_png_encode_decode_roundtrip_all_filters():
