@@ -122,6 +122,8 @@ HEADLINE = [
     # round-8 additions
     "pagerank",
     "zorder_curve",
+    "funnel",
+    "retention",
 ]
 
 

@@ -51,6 +51,8 @@ ROUND_PLAN = {
         "winsorize",
         "clean_text",
         "interval_join",
+        "funnel",
+        "retention",
     ],
     "r12": [
         "audio_spectral",

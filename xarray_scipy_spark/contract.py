@@ -5057,6 +5057,89 @@ def q_latest_by_key(spark, sf_dir):
     )
 
 
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+_RET_PERIOD_S = 7 * 86_400
+
+
+def _funnel_oracle() -> str:
+    """DuckDB twin of operators.events.funnel_times on the
+    signup→view→purchase event-type funnel: the identical cascaded
+    running-window minima, chained through one CTE per step (each
+    step's predicate reads the PREVIOUS step's running min at the same
+    row). Final per-user values = group minima of the running columns
+    (each is non-increasing); stalls coalesce to -1."""
+    base = (
+        "w0 AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events)"
+    )
+    ctes = [base]
+    for i, step in enumerate(_FUNNEL_STEPS, 1):
+        gate = f" AND t > t{i - 1}r" if i > 1 else ""
+        ctes.append(
+            f"w{i} AS (SELECT *, min(CASE WHEN event_type = '{step}'{gate} "
+            f"THEN t END) OVER (PARTITION BY user_id ORDER BY t "
+            f"ROWS UNBOUNDED PRECEDING) AS t{i}r FROM w{i - 1})"
+        )
+    outs = ", ".join(
+        f"COALESCE(min(t{i}r), -1) AS t{i}_us"
+        for i in range(1, len(_FUNNEL_STEPS) + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT user_id, {outs} FROM w{len(_FUNNEL_STEPS)} "
+        "GROUP BY user_id"
+    )
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered signup→view→purchase funnel per user
+    (operators/events.py funnel_times): k cascaded running minima over
+    ONE window spec — a single sort exchange, whole-stage codegen, no
+    per-event state machine; exact step times pinned per user (-1 where
+    the funnel stalls)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    times = ops.funnel_times(
+        ev,
+        [F.col("event_type") == s for s in _FUNNEL_STEPS],
+        by="user_id",
+        dim="ts",
+    )
+    return times.select(
+        "user_id",
+        *[
+            F.coalesce(
+                timeutil.epoch_us(times, f"t{i}"), F.lit(-1)
+            ).alias(f"t{i}_us")
+            for i in range(1, len(_FUNNEL_STEPS) + 1)
+        ],
+    )
+
+
+def _retention_oracle() -> str:
+    per_us = _RET_PERIOD_S * 1_000_000
+    return (
+        f"WITH e AS (SELECT user_id, epoch_us(ts) // {per_us} AS p FROM events), "
+        "f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id), "
+        "c AS (SELECT DISTINCT e.user_id, f.cohort, e.p - f.cohort AS off "
+        "FROM e JOIN f USING (user_id)) "
+        "SELECT cohort AS cohort_period, off AS period_offset, "
+        "count(*) AS n_active FROM c GROUP BY cohort, off"
+    )
+
+
+def q_retention(spark, sf_dir):
+    """Weekly retention cohorts (operators/events.py
+    retention_cohorts): first-seen period per user (map-side-combining
+    aggregate), one user-keyed join, one distinct-aggregate — output
+    width is cohorts × offsets, never raw events."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    return ops.retention_cohorts(
+        ev, by="user_id", dim="ts", period_seconds=_RET_PERIOD_S
+    )
+
+
 _Z_BITS = 21
 _Z_MASK = (1 << _Z_BITS) - 1
 
@@ -6607,6 +6690,8 @@ _QUEUED: dict = {
     "dataset_split@merged": (q_dataset_merged, _dataset_merged_oracle()),
     "pagerank": (q_pagerank, _pagerank_oracle()),
     "zorder_curve": (q_zorder_curve, _zorder_oracle()),
+    "funnel": (q_funnel, _funnel_oracle()),
+    "retention": (q_retention, _retention_oracle()),
     "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
     "cube_revenue": (q_cube_revenue, _cube_oracle()),
     "filter_by_quantile": (q_filter_by_quantile, _filter_quantile_oracle()),

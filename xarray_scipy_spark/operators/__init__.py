@@ -14,6 +14,7 @@ from .detrend import detrend
 from .fft import fft, fftshift, hfft, ifft, ifftshift, ihfft, irfft, rfft
 from .filters import filtfilt, lfilter, sos_from_dataframe, sosfilt, sosfilt_chunked, sosfiltfilt
 from .hilbert import envelope, hilbert
+from .events import funnel_counts, funnel_times, retention_cohorts
 from .joins import asof_join, bloom_semijoin, interval_join, range_join, skew_join
 from .lomb import lombscargle
 from .timegrid import gapfill, interp_to
@@ -37,6 +38,9 @@ __all__ = [
     "skew_join",
     "bloom_semijoin",
     "ohlc_bars",
+    "funnel_times",
+    "funnel_counts",
+    "retention_cohorts",
     "rolling_stats",
     "fftconvolve_nd",
     "convolve_fir",
