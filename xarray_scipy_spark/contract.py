@@ -4761,6 +4761,39 @@ def q_csd_merged(spark, sf_dir):
     return csd.unionAll(sg)
 
 
+def _convolve_family_merged_oracle() -> str:
+    return (
+        "SELECT 'full' AS variant, user_id, idx, conv4 AS v4 "
+        "FROM (" + ORACLES["fftconvolve"] + ") "
+        "UNION ALL "
+        "SELECT 'same' AS variant, user_id, idx, conv4 AS v4 "
+        "FROM (" + ORACLES["convolve"] + ") "
+        "UNION ALL "
+        "SELECT 'xcorr' AS variant, user_id, idx, corr4 AS v4 "
+        "FROM (" + ORACLES["correlate"] + ")"
+    )
+
+
+def q_convolve_family_merged(spark, sf_dir):
+    """Self-convolution (full + same modes) + self cross-correlation in
+    ONE variant-tag union — a 3-way merge replacing fftconvolve +
+    convolve + correlate at r10 (frees TWO slots; convolve_valid's own
+    union and the complex twin keep their registrations)."""
+    full = q_fftconvolve(spark, sf_dir).select(
+        F.lit("full").alias("variant"), "user_id", "idx",
+        F.col("conv4").alias("v4"),
+    )
+    same = q_convolve(spark, sf_dir).select(
+        F.lit("same").alias("variant"), "user_id", "idx",
+        F.col("conv4").alias("v4"),
+    )
+    xc = q_correlate(spark, sf_dir).select(
+        F.lit("xcorr").alias("variant"), "user_id", "idx",
+        F.col("corr4").alias("v4"),
+    )
+    return full.unionAll(same).unionAll(xc)
+
+
 def _hilbert_merged_oracle() -> str:
     # ORACLES still holds both registrations until the r10 rotation
     # deregisters them — the recipe preserves the strings as variables
@@ -6685,6 +6718,10 @@ _QUEUED: dict = {
     # deregistering, preserve each oracle string as a _XXX_ORACLE
     # variable first — these builders read ORACLES[name])
     "hilbert@merged": (q_hilbert_merged, _hilbert_merged_oracle()),
+    "fftconvolve@merged": (
+        q_convolve_family_merged,
+        _convolve_family_merged_oracle(),
+    ),
     "lfilter@merged": (q_lfilter_merged, _lfilter_merged_oracle()),
     "ann_cosine_topk@merged": (q_ann_merged, _ann_merged_oracle()),
     "dataset_split@merged": (q_dataset_merged, _dataset_merged_oracle()),
