@@ -23,10 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # 5 r8-bound entries + the full r9 slate pulled forward + robust_zscore
 # (11 new; N stays 99, queue 35 -> 21).
 ROUND_PLAN = {
-    # r9 merge levers (all pairs due back in the r9 head):
-    # welch+welch_blackman, csd+spectrogram, tpch_q1+tpch_q6,
-    # sketch_hll+sketch_countmin? NO — different state shapes; use
-    # istft_roundtrip+istft_native instead (r10: both r8-tail).
+    # Merge levers: ALL remaining rounds are fully funded by staged
+    # @merged entries (see the r10-r12 merge-staging section in
+    # contract.py for the slot math — r10: 7/7, r11: 8/8, r12: 6/6;
+    # the sketch_hll+sketch_countmin shape objection was resolved by
+    # the tpch_q1q6 generic-column -1-padding pattern). The queue's
+    # real entries drain to ZERO at r12.
     # new-per-round = 1 + merges executed (head = 49 - merged_in_tail
     # + new = 50).
     "r9": [
