@@ -124,6 +124,13 @@ HEADLINE = [
     "zorder_curve",
     "funnel",
     "retention",
+    # r13 slate (session 2): relational + pipeline additions
+    "tpch_q4",
+    "tpch_q18",
+    "grouped_ols",
+    "triangle_count",
+    "sequence_pack",
+    "text_postings",
 ]
 
 

@@ -76,3 +76,55 @@ def test_pagerank_argument_gates(spark):
         pagerank(df, iterations=-1)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping=1.0)
+
+
+# --- triangle_count --------------------------------------------------------
+
+
+def _brute_triangles(edges):
+    import itertools
+
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in und for v in e})
+    exp: dict[int, int] = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {frozenset((x, y)), frozenset((y, z)), frozenset((x, z))} <= und:
+            for v in (x, y, z):
+                exp[v] = exp.get(v, 0) + 1
+    return exp
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import random
+
+    from xarray_scipy_spark.pipeline import triangle_count
+
+    rng = random.Random(17)
+    edges = set()
+    while len(edges) < 200:
+        a, b = rng.randrange(45), rng.randrange(45)
+        edges.add((a, b))  # keeps some self-loops on purpose
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_count_bipartite_is_empty(spark):
+    from xarray_scipy_spark.pipeline import triangle_count
+
+    # complete bipartite K33 has plenty of 4-cycles and zero triangles
+    edges = [(a, b) for a in (0, 1, 2) for b in (10, 11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).count() == 0
+
+
+def test_triangle_count_complete_graph_and_direction_invariance(spark):
+    from xarray_scipy_spark.pipeline import triangle_count
+
+    # K5: every node is in C(4,2) = 6 triangles; duplicate/reversed
+    # edges and self-loops must not change anything
+    edges = [(a, b) for a in range(5) for b in range(5) if a != b]
+    edges += [(0, 0), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == {v: 6 for v in range(5)}

@@ -130,3 +130,54 @@ def test_logistic_matches_reference_and_separates(spark):
         ((F.col("score") > 0).cast("double") == F.col("y")).cast("double").alias("ok")
     ).agg(F.avg("ok")).collect()[0][0]
     assert acc > 0.8
+
+
+# --- grouped_ols -----------------------------------------------------------
+
+
+def test_grouped_ols_matches_polyfit(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    gens = [(2.0, 1.0), (-0.75, 3.0), (0.0, 7.0)]
+    for gid, (a, b) in enumerate(gens):
+        xs = rng.uniform(0, 30, 40)
+        ys = a * xs + b + rng.normal(0, 0.2, 40)
+        rows += [(gid, float(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+    got = {
+        r["g"]: r
+        for r in pl.grouped_ols(
+            df, group_cols=["g"], x_col="x", y_col="y"
+        ).collect()
+    }
+    for gid in range(len(gens)):
+        xs = [r[1] for r in rows if r[0] == gid]
+        ys = [r[2] for r in rows if r[0] == gid]
+        sl, ic = np.polyfit(xs, ys, 1)
+        assert got[gid]["n"] == 40
+        assert got[gid]["slope"] == pytest.approx(sl, abs=1e-9)
+        assert got[gid]["intercept"] == pytest.approx(ic, abs=1e-9)
+        r2 = np.corrcoef(xs, ys)[0, 1] ** 2
+        assert got[gid]["r2"] == pytest.approx(r2, abs=1e-9)
+
+
+def test_grouped_ols_degenerate_groups_are_null(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 1.0, 5.0),  # single point
+            (1, 2.0, 3.0), (1, 2.0, 9.0),  # zero x-variance
+            (2, 1.0, 4.0), (2, 3.0, 4.0),  # constant y -> r2 NULL
+        ],
+        "g long, x double, y double",
+    )
+    got = {
+        r["g"]: r
+        for r in pl.grouped_ols(
+            df, group_cols=["g"], x_col="x", y_col="y"
+        ).collect()
+    }
+    assert got[0]["slope"] is None and got[0]["r2"] is None
+    assert got[1]["slope"] is None
+    assert got[2]["slope"] == pytest.approx(0.0)
+    assert got[2]["intercept"] == pytest.approx(4.0)
+    assert got[2]["r2"] is None

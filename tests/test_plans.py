@@ -466,3 +466,71 @@ def test_zorder_curve_is_pure_codegen(spark):
     assert "Python" not in plan and "Arrow" not in plan, plan
     assert not any(j in plan for j in _JOIN_NODES), plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+# --- r13 slate plan locks --------------------------------------------------
+
+
+def test_tpch_q4_is_left_semi_join(spark):
+    """The EXISTS must plan as a LEFT SEMI hash join (never duplicates
+    the probe side, never carries right columns); a nested-loop or
+    cartesian here is quadratic at scale."""
+    plan = _static_plan(_contract_fn("tpch_q4")(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q18_topn_is_take_ordered(spark):
+    """Top-100 must plan as TakeOrderedAndProject (per-partition heaps)
+    — a global Sort+Limit materializes the whole join output."""
+    plan = _static_plan(_contract_fn("tpch_q18")(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouped_ols_single_aggregation_no_window_no_join(spark):
+    """grouped_ols is ONE partial-final HashAggregate chain: any Window
+    or Join node means the sufficient-statistics algebra regressed to a
+    multi-pass plan."""
+    plan = _static_plan(_contract_fn("grouped_ols")(spark, SF_DIR))
+    assert "Window" not in plan
+    assert not any(j in plan for j in _JOIN_NODES), plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_triangle_count_all_equi_joins(spark):
+    """Degree-oriented triangle counting is hash joins end to end; a
+    BroadcastNestedLoopJoin or CartesianProduct means a join condition
+    stopped being an equi-key."""
+    plan = _static_plan(_contract_fn("triangle_count")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_pack_windows_are_bucket_partitioned(spark):
+    """The per-row window must be PARTITIONED (by bucket); exactly one
+    global-order window is allowed — the <= buckets-row offset frame.
+    Two global windows = the single-reducer cumsum the operator exists
+    to avoid."""
+    plan = _static_plan(_contract_fn("sequence_pack")(spark, SF_DIR))
+    # the per-row cumsum window hash-partitions on _bkt; its exchange
+    # appears as hashpartitioning(_bkt...) ABOVE a Window node
+    assert plan.count("Window") >= 2
+    assert "hashpartitioning(_bkt" in plan, plan
+
+
+def test_sequence_pack_offsets_join_is_broadcast(spark):
+    """The bucket-offset join back onto the data must broadcast the
+    (<= buckets)-row side, never shuffle the documents."""
+    plan = _static_plan(_contract_fn("sequence_pack")(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_text_postings_two_stacked_aggregations(spark):
+    """postings = explode -> (token, doc) agg -> token agg; both
+    partial-final chains, no window, no join."""
+    plan = _static_plan(_contract_fn("text_postings")(spark, SF_DIR))
+    assert "Window" not in plan
+    assert not any(j in plan for j in _JOIN_NODES), plan

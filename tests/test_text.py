@@ -58,3 +58,45 @@ def test_hashed_vectors_deterministic_and_unnormalized(spark):
     assert any(abs(np.linalg.norm(r["vec"]) - 1.0) > 1e-6 for r in raw)
     with pytest.raises(ValueError, match="dim"):
         pl.hashed_tfidf_vectors(docs, dim=1)
+
+
+# --- postings (inverted-index build) ---------------------------------------
+
+
+def test_postings_matches_brute_force(spark):
+    docs = [
+        (3, "a b a c a"),
+        (7, "a a b"),
+        (9, "c  c d"),  # double space -> empty token dropped
+        (11, "d"),
+        (12, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["token"]: r for r in pl.postings(df, min_df=1).collect()}
+    # brute force
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for did, text in docs:
+        for t in text.split(" "):
+            if t:
+                per[t][did] += 1
+    assert set(got) == set(per)
+    for tok, cnt in per.items():
+        r = got[tok]
+        assert r["df"] == len(cnt)
+        assert r["tf_total"] == sum(cnt.values())
+        assert r["max_tf"] == max(cnt.values())
+        # highest tf, smallest doc id on ties
+        assert r["top_doc"] == min(
+            (d for d, c in cnt.items() if c == max(cnt.values()))
+        )
+        assert r["postings_sum"] == sum(d * c for d, c in cnt.items())
+
+
+def test_postings_min_df_filters(spark):
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, "x z")], "doc_id long, text string"
+    )
+    toks = {r["token"] for r in pl.postings(df, min_df=2).collect()}
+    assert toks == {"x"}

@@ -64,6 +64,14 @@ ROUND_PLAN = {
         "rolling_median",
         "kfold_weights",
     ],
+    "r13": [
+        "tpch_q4",
+        "tpch_q18",
+        "grouped_ols",
+        "triangle_count",
+        "sequence_pack",
+        "text_postings",
+    ],
 }
 
 

@@ -7050,6 +7050,501 @@ def q_sketch_state_merged(spark, sf_dir):
     return hll.unionAll(cm)
 
 
+# --- r13 slate: relational coverage + LLM-pipeline additions ----------------
+# Six new operators built after the r10-r12 funding closed, targeted at
+# the remaining coverage seams: semi-join + having-join TPC-H shapes
+# (Q4/Q18), per-group regression as pure aggregate algebra, triangle
+# counting (the non-iterative graph member), sequence packing (the
+# concat-and-chunk layout every LLM pre-training run needs), and the
+# inverted-index build. Queue ledger round: r13.
+
+_Q4_D1, _Q4_D2 = "1996-01-01", "1997-01-01"
+_Q4_LATE_DAYS = 60
+
+
+def _tpch_q4_oracle() -> str:
+    return (
+        "SELECT o_orderpriority, count(*) AS n_orders FROM orders o "
+        f"WHERE o_orderdate >= TIMESTAMP '{_Q4_D1}' "
+        f"AND o_orderdate < TIMESTAMP '{_Q4_D2}' "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        f"AND l.l_shipdate >= o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY) "
+        "GROUP BY o_orderpriority"
+    )
+
+
+def q_tpch_q4(spark, sf_dir):
+    """Order-priority checking (TPC-H Q4 shape, adapted to this
+    schema's columns: 'late' = some line shipped >= 60 days after the
+    order date). The EXISTS becomes a LEFT SEMI hash join — one shuffle
+    of each side on the order key, the date inequality evaluated on
+    matched pairs, and the priority count partial-aggregates map-side.
+    At 100 TB both sides are fact-sized, so semi-join (which never
+    duplicates or carries right columns) is the only sane plan — it
+    also deduplicates multi-line matches for free."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_D1).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q4_D2).cast("timestamp_ntz"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            >= orders.o_orderdate + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_Q18_QTY = 250
+
+
+def _tpch_q18_oracle() -> str:
+    return (
+        "SELECT o_orderkey, c_custkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, "
+        "o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty "
+        "FROM (SELECT l_orderkey, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty "
+        f"FROM lineitem GROUP BY l_orderkey HAVING sum_qty > {_Q18_QTY}) big "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Large-volume customers (TPC-H Q18 shape): aggregate-then-join —
+    the HAVING filter shrinks lineitem to the rare big orders BEFORE
+    any join touches orders/customer, so the joins carry ~1% of the
+    keys; decimal sums keep the threshold and output exact across
+    engines; top-100 via orderBy+limit plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort)."""
+    big = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qd")
+        )
+        .filter(F.col("_qd") > _Q18_QTY)
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    j = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "o_orderdate"
+            ),
+            "o_totalprice",
+            F.col("_qd").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# x = days since 2024-01-01 (epoch day 19723): |x| <= ~31 keeps the
+# n·Σx² − (Σx)² cancellation far above FP noise, so the _q3 lattice
+# guard holds (see grouped_ols docstring).
+_OLS_X = "epoch_us(ts) / 86400000000.0 - 19723.0"
+
+
+def _grouped_ols_oracle() -> str:
+    return (
+        f"WITH b AS (SELECT user_id, event_type, {_OLS_X} AS x, "
+        "value AS y FROM events), "
+        "a AS (SELECT user_id, event_type, count(*) AS n, "
+        "sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, "
+        "sum(x*x) AS sxx, sum(y*y) AS syy FROM b GROUP BY user_id, event_type) "
+        "SELECT user_id, event_type, n, "
+        + _q3(
+            "CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 "
+            "THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END"
+        )
+        + " AS slope_q, "
+        + _q3(
+            "CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 "
+            "THEN (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n END"
+        )
+        + " AS icept_q, "
+        + _q3(
+            "CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 "
+            "THEN (n*sxy - sx*sy)*(n*sxy - sx*sy) / "
+            "((n*sxx - sx*sx) * (n*syy - sy*sy)) END"
+        )
+        + " AS r2_q FROM a"
+    )
+
+
+def q_grouped_ols(spark, sf_dir):
+    """Per-(user, event_type) trend fit: value regressed on time
+    (pipeline/linear.py grouped_ols) — ONE map-side-combinable
+    aggregation carrying five sufficient statistics per group; the
+    oracle runs the identical normal-equations algebra, so agreement is
+    FP-exact under the _q3 lattice."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "value"
+    )
+    ev = ev.withColumn(
+        "x",
+        timeutil.epoch_us(ev, "ts") / F.lit(86400000000.0) - F.lit(19723.0),
+    )
+    res = pl.grouped_ols(
+        ev, group_cols=["user_id", "event_type"], x_col="x", y_col="value"
+    )
+    return res.select(
+        "user_id",
+        "event_type",
+        "n",
+        _q3_col(F.col("slope")).alias("slope_q"),
+        _q3_col(F.col("intercept")).alias("icept_q"),
+        _q3_col(F.col("r2")).alias("r2_q"),
+    )
+
+
+_TRI_MOD = 400
+_TRI_KEEP = 4  # keep canonical pairs with (a*31 + b) % _TRI_KEEP == 0
+
+
+def _triangle_oracle() -> str:
+    """Independent formulation on purpose: the oracle counts triangles
+    by the plain canonical-id 3-join (x < y < z once each), NOT the
+    degree orientation the Spark operator uses — the two agreeing is a
+    genuine cross-check of the orientation logic, not an echo."""
+    m, k = _TRI_MOD, _TRI_KEEP
+    return (
+        "WITH pr AS (SELECT DISTINCT "
+        f"least(a.l_partkey % {m}, b.l_partkey % {m}) AS a, "
+        f"greatest(a.l_partkey % {m}, b.l_partkey % {m}) AS b "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_linenumber < b.l_linenumber "
+        f"WHERE a.l_partkey % {m} <> b.l_partkey % {m}), "
+        f"e AS (SELECT a, b FROM pr WHERE (a*31 + b) % {k} = 0), "
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) "
+        "SELECT node, count(*) AS n_tri FROM ("
+        "SELECT x AS node FROM t UNION ALL "
+        "SELECT y AS node FROM t UNION ALL "
+        "SELECT z AS node FROM t) GROUP BY node"
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts on the sampled co-purchase graph
+    (parts sharing an order, ids folded mod 400, 1-in-4 canonical-pair
+    sample) via pipeline/graph.py triangle_count — degree-ordered
+    orientation bounds wedge candidates at m^1.5 regardless of hub
+    degree, each stage a plain shuffled hash join."""
+    m = _TRI_MOD
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % m).alias("pk"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .select(
+            F.least(F.col("a.pk"), F.col("b.pk")).alias("src"),
+            F.greatest(F.col("a.pk"), F.col("b.pk")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .filter((F.col("src") * 31 + F.col("dst")) % _TRI_KEEP == 0)
+    )
+    return pl.triangle_count(pairs, src="src", dst="dst")
+
+
+_PACK_LEN = 512
+_PACK_BUCKETS = 64
+
+
+def _sequence_pack_oracle() -> str:
+    ln = _PACK_LEN
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n_tok, "
+        "sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
+        "- n_tok AS s FROM t) "
+        "SELECT doc_id, n_tok, "
+        f"s // {ln} AS start_bin, s % {ln} AS start_off, "
+        f"CASE WHEN n_tok > 0 THEN (s + n_tok - 1) // {ln} "
+        f"ELSE s // {ln} END AS end_bin, "
+        f"CASE WHEN n_tok > 0 THEN (s + n_tok - 1) // {ln} - s // {ln} + 1 "
+        "ELSE 0 END AS n_bins FROM c"
+    )
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing of the documents table into
+    512-token bins (pipeline/pack.py): the global running token sum is
+    the two-level bucket scan — per-bucket windows in parallel plus one
+    64-row offset aggregate — while the oracle's single global window
+    is exactly the single-reducer plan the operator exists to avoid."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(pl.hashes.tokens(F.col("text"))).alias("n_tok")
+    )
+    return pl.pack_documents(
+        docs,
+        id_col="doc_id",
+        size_col="n_tok",
+        seq_len=_PACK_LEN,
+        buckets=_PACK_BUCKETS,
+    )
+
+
+_POSTINGS_MIN_DF = 2
+
+
+def _text_postings_oracle() -> str:
+    return (
+        f"WITH {_TOKS}, "
+        "e AS (SELECT doc_id, unnest(tk) AS token FROM toks), "
+        "per AS (SELECT token, doc_id, count(*) AS tf "
+        "FROM e GROUP BY token, doc_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY token "
+        "ORDER BY tf DESC, doc_id) AS rn FROM per) "
+        "SELECT token, count(*) AS df, "
+        "CAST(sum(tf) AS BIGINT) AS tf_total, max(tf) AS max_tf, "
+        "max(CASE WHEN rn = 1 THEN doc_id END) AS top_doc, "
+        "CAST(sum(doc_id * tf) AS BIGINT) AS postings_sum "
+        f"FROM r GROUP BY token HAVING count(*) >= {_POSTINGS_MIN_DF}"
+    )
+
+
+def q_text_postings(spark, sf_dir):
+    """Inverted-index build over documents (pipeline/text.py postings):
+    per-token posting-list summaries — df, total/max tf, deterministic
+    top document, and an order-invariant Σ doc·tf checksum that pins
+    the full posting list content. Two stacked map-side-combinable
+    aggregations; the oracle takes the window-function route to the
+    same summary."""
+    res = pl.postings(_docs(spark, sf_dir), min_df=_POSTINGS_MIN_DF)
+    return res.select(
+        "token",
+        "df",
+        F.col("tf_total").cast("bigint").alias("tf_total"),
+        "max_tf",
+        "top_doc",
+        F.col("postings_sum").cast("bigint").alias("postings_sum"),
+    )
+
+
+# --- r13 merge staging ------------------------------------------------------
+# Four variant-family merges funding the r13 slate's six head slots:
+#   dedup_exact@ frees dedup_ngram_jaccard + dedup_ngram_spans (2),
+#   acf@ frees ewma + seasonal_decompose (2),
+#   asof_join@ frees range_join (1),
+#   gapfill@ frees interp_to (1, registered r9 so due back r11 — safe
+#     to merge away at r13). Same generic-column -1/0-padding pattern
+#   as the r10-r12 staging above.
+
+
+def _dedup_family_merged_oracle() -> str:
+    return (
+        "SELECT 'exact' AS variant, keep_id AS k1, CAST(-1 AS BIGINT) AS k2, "
+        "content_hash AS s, n_copies AS a, CAST(-1 AS BIGINT) AS b, "
+        "CAST(-1 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS d, 0.0 AS x "
+        "FROM (" + ORACLES["dedup_exact"] + ") "
+        "UNION ALL "
+        "SELECT 'jaccard' AS variant, a_id AS k1, b_id AS k2, '' AS s, "
+        "CAST(-1 AS BIGINT) AS a, CAST(-1 AS BIGINT) AS b, "
+        "CAST(-1 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS d, jaccard AS x "
+        "FROM (" + ORACLES["dedup_ngram_jaccard"] + ") "
+        "UNION ALL "
+        "SELECT 'spans' AS variant, doc_id AS k1, CAST(-1 AS BIGINT) AS k2, "
+        "'' AS s, n_tokens AS a, n_grams AS b, n_dup_grams AS c, "
+        "frac_q AS d, 0.0 AS x "
+        "FROM (" + ORACLES["dedup_ngram_spans"] + ")"
+    )
+
+
+def q_dedup_family_merged(spark, sf_dir):
+    """Exact-hash dedup + n-gram Jaccard pairs + substring-level dup
+    spans in ONE variant-tag union — replaces dedup_exact +
+    dedup_ngram_jaccard + dedup_ngram_spans at r13, freeing two slots
+    (k1/k2 = ids, s = the content hash, a..d = each variant's integer
+    columns -1-padded, x = the Jaccard score)."""
+    ex = q_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("variant"),
+        F.col("keep_id").alias("k1"),
+        F.lit(-1).cast("bigint").alias("k2"),
+        F.col("content_hash").alias("s"),
+        F.col("n_copies").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.lit(-1).cast("bigint").alias("c"),
+        F.lit(-1).cast("bigint").alias("d"),
+        F.lit(0.0).alias("x"),
+    )
+    ja = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("jaccard").alias("variant"),
+        F.col("a_id").alias("k1"),
+        F.col("b_id").alias("k2"),
+        F.lit("").alias("s"),
+        F.lit(-1).cast("bigint").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.lit(-1).cast("bigint").alias("c"),
+        F.lit(-1).cast("bigint").alias("d"),
+        F.col("jaccard").alias("x"),
+    )
+    sp = q_dedup_ngram_spans(spark, sf_dir).select(
+        F.lit("spans").alias("variant"),
+        F.col("doc_id").alias("k1"),
+        F.lit(-1).cast("bigint").alias("k2"),
+        F.lit("").alias("s"),
+        F.col("n_tokens").alias("a"),
+        F.col("n_grams").alias("b"),
+        F.col("n_dup_grams").alias("c"),
+        F.col("frac_q").alias("d"),
+        F.lit(0.0).alias("x"),
+    )
+    return ex.unionAll(ja).unionAll(sp)
+
+
+def _tsstats_merged_oracle() -> str:
+    return (
+        "SELECT 'acf' AS variant, user_id, CAST(lag AS BIGINT) AS i, "
+        "acf_q AS v1, CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3, "
+        "CAST(-1 AS BIGINT) AS edge "
+        "FROM (" + ORACLES["acf"] + ") "
+        "UNION ALL "
+        "SELECT 'ewma_' || variant AS variant, user_id, idx AS i, "
+        "ewma_q AS v1, CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3, "
+        "CAST(-1 AS BIGINT) AS edge "
+        "FROM (" + ORACLES["ewma"] + ") "
+        "UNION ALL "
+        "SELECT 'seasonal' AS variant, user_id, idx AS i, "
+        "seasonal_q AS v1, trend_q AS v2, resid_q AS v3, "
+        "CAST(edge AS BIGINT) AS edge "
+        "FROM (" + ORACLES["seasonal_decompose"] + ")"
+    )
+
+
+def q_tsstats_merged(spark, sf_dir):
+    """acf + ewma (both adjust modes) + seasonal_decompose in ONE
+    variant-tag union — replaces all three at r13, freeing two slots;
+    the time-series-statistics block stays value-verified (i = lag or
+    idx; v1..v3 carry each variant's quantized columns, 0-padded; edge
+    = the seasonal edge flag, -1 elsewhere)."""
+    ac = q_acf(spark, sf_dir).select(
+        F.lit("acf").alias("variant"),
+        "user_id",
+        F.col("lag").cast("bigint").alias("i"),
+        F.col("acf_q").alias("v1"),
+        F.lit(0).cast("bigint").alias("v2"),
+        F.lit(0).cast("bigint").alias("v3"),
+        F.lit(-1).cast("bigint").alias("edge"),
+    )
+    ew = q_ewma(spark, sf_dir).select(
+        F.concat(F.lit("ewma_"), F.col("variant")).alias("variant"),
+        "user_id",
+        F.col("idx").alias("i"),
+        F.col("ewma_q").alias("v1"),
+        F.lit(0).cast("bigint").alias("v2"),
+        F.lit(0).cast("bigint").alias("v3"),
+        F.lit(-1).cast("bigint").alias("edge"),
+    )
+    se = q_seasonal_decompose(spark, sf_dir).select(
+        F.lit("seasonal").alias("variant"),
+        "user_id",
+        F.col("idx").alias("i"),
+        F.col("seasonal_q").alias("v1"),
+        F.col("trend_q").alias("v2"),
+        F.col("resid_q").alias("v3"),
+        F.col("edge").cast("bigint").alias("edge"),
+    )
+    return ac.unionAll(ew).unionAll(se)
+
+
+def _temporal_join_merged_oracle() -> str:
+    return (
+        "SELECT 'asof' AS variant, user_id AS k, t, anchor_t AS a, "
+        "anchor_value6 AS x "
+        "FROM (" + ORACLES["asof_join"] + ") "
+        "UNION ALL "
+        "SELECT 'range' AS variant, o_orderkey AS k, "
+        "CAST(-1 AS BIGINT) AS t, n_shipments AS a, "
+        "CAST(qty_q AS DOUBLE) AS x "
+        "FROM (" + ORACLES["range_join"] + ")"
+    )
+
+
+def q_temporal_join_merged(spark, sf_dir):
+    """asof_join + range_join in ONE variant-tag union — replaces both
+    at r13 (the two temporal-join plans — union+ordered-window and
+    chunked equi-join — stay plan-locked individually in
+    tests/test_plans.py; k = the join key, a = anchor_t or the
+    shipment count, x = the anchor value or quantized quantity)."""
+    ao = q_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("variant"),
+        F.col("user_id").alias("k"),
+        "t",
+        F.col("anchor_t").alias("a"),
+        F.col("anchor_value6").alias("x"),
+    )
+    rj = q_range_join(spark, sf_dir).select(
+        F.lit("range").alias("variant"),
+        F.col("o_orderkey").alias("k"),
+        F.lit(-1).cast("bigint").alias("t"),
+        F.col("n_shipments").alias("a"),
+        F.col("qty_q").cast("double").alias("x"),
+    )
+    return ao.unionAll(rj)
+
+
+def _regularize_merged_oracle() -> str:
+    return (
+        "SELECT 'gf_' || variant AS variant, user_id, t_us, v_q, "
+        "CAST(-1 AS BIGINT) AS bf "
+        "FROM (" + ORACLES["gapfill"] + ") "
+        "UNION ALL "
+        "SELECT 'interp' AS variant, user_id, t_us, v_q, "
+        "CAST(before_first AS BIGINT) AS bf "
+        "FROM (" + _interp_to_oracle() + ")"
+    )
+
+
+def q_regularize_merged(spark, sf_dir):
+    """gapfill (linear+ffill onto the regular grid) + interp_to
+    (caller-supplied instants) in ONE variant-tag union — replaces
+    both at r13; the whole irregular→regular surface stays
+    value-verified in one head slot (bf = the before-first flag, -1
+    for the grid variants)."""
+    gf = q_gapfill(spark, sf_dir).select(
+        F.concat(F.lit("gf_"), F.col("variant")).alias("variant"),
+        "user_id",
+        "t_us",
+        "v_q",
+        F.lit(-1).cast("bigint").alias("bf"),
+    )
+    it = q_interp_to(spark, sf_dir).select(
+        F.lit("interp").alias("variant"),
+        "user_id",
+        "t_us",
+        "v_q",
+        F.col("before_first").cast("bigint").alias("bf"),
+    )
+    return gf.unionAll(it)
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 # ---------------------------------------------------------------------------
@@ -7154,6 +7649,21 @@ _QUEUED: dict = {
         _multimodal_bin_merged_oracle(),
     ),
     "sketch_hll@merged": (q_sketch_state_merged, _sketch_state_merged_oracle()),
+    # r13 merges, ready (free 6: dedup_ngram_jaccard, dedup_ngram_spans,
+    # ewma, seasonal_decompose, range_join, interp_to retire — funding
+    # the r13 slate below)
+    "dedup_exact@merged": (q_dedup_family_merged, _dedup_family_merged_oracle()),
+    "acf@merged": (q_tsstats_merged, _tsstats_merged_oracle()),
+    "asof_join@merged": (q_temporal_join_merged, _temporal_join_merged_oracle()),
+    "gapfill@merged": (q_regularize_merged, _regularize_merged_oracle()),
+    # r13 slate (relational + pipeline additions; merges staged in the
+    # r13 section above the _QUEUED comment block)
+    "tpch_q4": (q_tpch_q4, _tpch_q4_oracle()),
+    "tpch_q18": (q_tpch_q18, _tpch_q18_oracle()),
+    "grouped_ols": (q_grouped_ols, _grouped_ols_oracle()),
+    "triangle_count": (q_triangle_count, _triangle_oracle()),
+    "sequence_pack": (q_sequence_pack, _sequence_pack_oracle()),
+    "text_postings": (q_text_postings, _text_postings_oracle()),
     "pagerank": (q_pagerank, _pagerank_oracle()),
     "zorder_curve": (q_zorder_curve, _zorder_oracle()),
     "funnel": (q_funnel, _funnel_oracle()),

@@ -47,6 +47,7 @@ from .similarity import (
     embedding_pca,
 )
 from .text import (
+    postings,
     canonical_url,
     winsorize_by_group,
     clean_text,
@@ -69,7 +70,8 @@ from .text import (
 )
 from .bpe import apply_bpe, train_bpe, word_counts
 from .curate import curation_report
-from .linear import fit_logistic, fit_ridge, predict_linear
+from .linear import fit_logistic, fit_ridge, grouped_ols, predict_linear
+from .pack import pack_documents
 from .sketches import (
     bloom_bits,
     bloom_decontaminate,
@@ -123,7 +125,7 @@ from .webp import (
     decode_webp,
     encode_webp_lossless,
 )
-from .graph import pagerank
+from .graph import pagerank, triangle_count
 
 __all__ = [
     "canonical_url",
@@ -197,4 +199,8 @@ __all__ = [
     "split_assign",
     "stratified_sample",
     "pack_sequences",
+    "pack_documents",
+    "grouped_ols",
+    "triangle_count",
+    "postings",
 ]

@@ -30,7 +30,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -131,3 +131,84 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it != iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected graph, by
+    degree-ordered edge orientation (the standard no-blowup
+    formulation; e.g. Suri & Vassilvitskii, "Counting Triangles and
+    the Curse of the Last Reducer", WWW'11).
+
+    Semantics: the input edge list is symmetrized and canonicalized
+    (self-loops dropped, both directions and multi-edges collapse into
+    one undirected edge ``a < b``); a triangle is any 3-clique, counted
+    once per corner vertex. Returns ``(node, n_tri)`` for every vertex
+    in at least one triangle.
+
+    Plan shape — why this survives 100 TB: the naive 3-way self-join
+    explodes on hubs (a degree-d vertex yields d² wedges). Orienting
+    every edge from its (degree, id)-SMALLER endpoint to the larger
+    caps the out-degree of ANY vertex at O(sqrt(edges)), so the wedge
+    join emits at most m^1.5 candidates in total — the proven bound —
+    and each stage is a plain hash join Catalyst can shuffle on the
+    join key. Three shuffles total (degree agg, wedge join, closing
+    edge join) + the final corner-count aggregate; no iteration, no
+    driver state.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each undirected edge from the (deg, id)-smaller endpoint
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    fwd = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    # wedges u->(v,w) from u's oriented neighbor pairs; close with the
+    # oriented edge v->w (v before w in the same order, so each
+    # triangle matches exactly once)
+    f1 = fwd.select(F.col("u"), F.col("v"))
+    f2 = fwd.select(F.col("u"), F.col("v").alias("w"))
+    wedges = f1.join(f2, "u").filter(F.col("v") < F.col("w"))
+    closing = fwd.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    ).withColumn(
+        "cw",
+        F.when(F.col("v") < F.col("w"), F.struct("v", "w")).otherwise(
+            F.struct(F.col("w").alias("v"), F.col("v").alias("w"))
+        ),
+    ).select(F.col("cw.v").alias("v"), F.col("cw.w").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["fit_logistic", "fit_ridge", "predict_linear"]
+__all__ = ["fit_logistic", "fit_ridge", "grouped_ols", "predict_linear"]
 
 
 def fit_ridge(
@@ -207,3 +207,54 @@ def fit_logistic(
     if fit_intercept:
         return beta[:d], float(beta[d])
     return beta, 0.0
+
+
+def grouped_ols(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (y = a·x + b) as ONE
+    aggregation over sufficient statistics.
+
+    Output per group: ``n, slope, intercept, r2`` (slope/r2 NULL for
+    degenerate groups — fewer than 2 points or zero x-variance; r2
+    additionally NULL when y is constant). The normal-equations
+    algebra on raw sums (n·Σxy − ΣxΣy over n·Σx² − (Σx)²) is used
+    verbatim so an independent engine running the same algebra agrees
+    to FP noise; callers should center/scale x to a sane magnitude
+    first (the cancellation in n·Σx² − (Σx)² loses ~half the mantissa
+    when |x| ≫ spread).
+
+    Scale shape: a single map-side-combinable groupBy — five partial
+    sums per group regardless of row count, one shuffle bounded by
+    groups, no window, no second pass. The millions-of-keys regression
+    pass a feature store needs at 100 TB is exactly this plan.
+    """
+    g = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    dxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when((F.col("n") >= 2) & (dxx > 0), dxy / dxx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when((F.col("n") >= 2) & (dxx > 0) & (dyy > 0), dxy * dxy / (dxx * dyy))
+    return agg.select(
+        *g,
+        F.col("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -1,0 +1,110 @@
+"""Sequence packing: lay tokenized documents end-to-end into
+fixed-length training sequences (the "concat-and-chunk" layout every
+LLM pre-training pipeline runs before batching).
+
+Given per-document token counts and a deterministic global order
+(ascending id), document ``i`` occupies token positions
+``[cumsum_{<i}, cumsum_{<i} + n_i)`` of one long virtual stream, which
+is then cut into ``seq_len``-sized bins. The operator returns, per
+document, exactly where it lands: first/last bin, offset inside the
+first bin, and the number of bins it spans — everything a writer needs
+to emit packed sequences or an analyst needs for boundary/waste
+accounting.
+
+The only non-trivial part at scale is the global running sum: a window
+over one global ordering is a single-reducer sort — the classic
+100 TB cliff. This module computes it as the textbook TWO-LEVEL scan
+instead (the vectorized-prefix-sum construction, e.g. Blelloch 1990),
+entirely in Catalyst:
+
+1. ids are range-bucketed (``buckets`` ≈ hundreds; width from a 1-row
+   min/max aggregate — a scalar collect, not data);
+2. each bucket cumsums independently (window partitioned BY BUCKET —
+   parallel, ~n/buckets rows per partition);
+3. bucket totals (≤ ``buckets`` rows) cumsum in one tiny window and
+   broadcast-join back as per-bucket offsets.
+
+Total cost: one narrow scan, one bounded-size window per bucket, one
+``buckets``-row aggregate, one broadcast join. No single-reducer stage
+touches per-row data at any input size.
+
+No reference analog (FRidh/xarray_scipy has no corpus surface); the
+layout semantics follow the standard concat-and-chunk description in
+the public GPT/T5 data-pipeline literature. Sibling operator:
+:func:`~xarray_scipy_spark.pipeline.sample.pack_sequences` packs
+WITHOUT splitting documents (first-fit-decreasing inside hash
+domains) — use that when document boundaries must survive; use this
+when bins must be exactly full.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["pack_documents"]
+
+
+def pack_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    size_col: str,
+    seq_len: int,
+    buckets: int = 256,
+) -> DataFrame:
+    """Assign each document its span in the packed token stream.
+
+    Documents are laid out in ascending ``id_col`` order; ``size_col``
+    is the document's token count (>= 0; zero-length docs occupy no
+    positions and report ``n_bins = 0`` at their boundary). Ids must be
+    unique — the order, and therefore every offset, is deterministic.
+
+    Returns ``(id_col, n_tok, start_bin, start_off, end_bin, n_bins)``.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len!r}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets!r}")
+    d = df.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(size_col).cast("bigint").alias("_n"),
+    )
+    lo, hi = d.agg(F.min("_id"), F.max("_id")).first()
+    if lo is None:
+        return d.select(
+            F.col("_id").alias(id_col),
+            F.col("_n").alias("n_tok"),
+            F.lit(None).cast("bigint").alias("start_bin"),
+            F.lit(None).cast("bigint").alias("start_off"),
+            F.lit(None).cast("bigint").alias("end_bin"),
+            F.lit(0).cast("bigint").alias("n_bins"),
+        )
+    width = max(1, (int(hi) - int(lo)) // buckets + 1)
+    d = d.withColumn("_bkt", ((F.col("_id") - F.lit(int(lo))) / F.lit(width)).cast("bigint"))
+    in_bucket = Window.partitionBy("_bkt").orderBy("_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("_cin", F.sum("_n").over(in_bucket))
+    totals = d.groupBy("_bkt").agg(F.sum("_n").alias("_tot"))
+    across = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "_bkt", (F.sum("_tot").over(across) - F.col("_tot")).alias("_off")
+    )
+    d = d.join(F.broadcast(offsets), "_bkt")
+    start = F.col("_off") + F.col("_cin") - F.col("_n")
+    end_bin = F.when(
+        F.col("_n") > 0, F.floor((start + F.col("_n") - 1) / seq_len)
+    ).otherwise(F.floor(start / seq_len))
+    return d.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").alias("n_tok"),
+        F.floor(start / seq_len).cast("bigint").alias("start_bin"),
+        (start % seq_len).cast("bigint").alias("start_off"),
+        end_bin.cast("bigint").alias("end_bin"),
+        F.when(F.col("_n") > 0, end_bin - F.floor(start / seq_len) + 1)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_bins"),
+    )

@@ -20,6 +20,7 @@ __all__ = [
     "clean_text",
     "char_entropy",
     "ngram_counts",
+    "postings",
     "token_stats",
     "quality_score",
     "lang_id",
@@ -879,3 +880,49 @@ def ngram_counts(
         g = g.orderBy(F.desc("cnt"), F.asc("gram")).limit(int(top))
     return g
 
+
+
+def postings(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Inverted-index build: per-token posting-list summary from the
+    per-(token, document) term frequencies — the retrieval-side
+    artifact (BM25/keyword search over the corpus) that `vocabulary`'s
+    corpus-level counts don't give you.
+
+    Two stacked aggregations, both map-side combinable: explode tokens
+    → groupBy (token, doc) for the posting entries (tf per doc), then
+    groupBy token to summarize the list. The second shuffle carries one
+    row per DISTINCT (token, doc) — the index's own size, not the
+    corpus's. A real index writer would sink the first aggregate
+    partitioned by token; the summary here pins its content exactly:
+    ``postings_sum = Σ doc_id·tf`` is order-invariant and changes if
+    any entry changes.
+
+    Output per token with ``df >= min_df``: ``(token, df, tf_total,
+    max_tf, top_doc, postings_sum)`` where ``top_doc`` is the
+    highest-tf document (smallest id on ties — deterministic).
+    """
+    tok = df.select(
+        F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    entries = tok.groupBy("token", "_doc").agg(F.count(F.lit(1)).alias("_tf"))
+    agg = entries.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("_tf").alias("tf_total"),
+        F.max("_tf").alias("max_tf"),
+        F.max(F.struct(F.col("_tf"), (-F.col("_doc")).alias("_nid"))).alias("_top"),
+        F.sum(F.col("_doc") * F.col("_tf")).alias("postings_sum"),
+    )
+    return agg.filter(F.col("df") >= min_df).select(
+        "token",
+        "df",
+        "tf_total",
+        "max_tf",
+        (-F.col("_top._nid")).alias("top_doc"),
+        "postings_sum",
+    )
