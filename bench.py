@@ -131,6 +131,12 @@ HEADLINE = [
     "triangle_count",
     "sequence_pack",
     "text_postings",
+    # r14 slate (session 2): retrieval, typo-dedup, checklist seams
+    "edit_distance_join",
+    "bm25_scores",
+    "event_pivot",
+    "orders_unshipped",
+    "json_props_stats",
 ]
 
 

@@ -2105,3 +2105,110 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     back = spark.read.parquet(zpath)
     assert back.count() == n
     assert back.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
+
+
+# --- edit_distance_pairs (deletion-neighborhood blocking) -------------------
+
+
+def _lev(a, b):
+    import functools
+
+    @functools.lru_cache(None)
+    def d(i, j):
+        if i == 0:
+            return j
+        if j == 0:
+            return i
+        return min(
+            d(i - 1, j) + 1,
+            d(i, j - 1) + 1,
+            d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+        )
+
+    return d(len(a), len(b))
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    words = [
+        "spark", "spars", "sparks", "stark", "stack", "quack", "quark",
+        "a", "ab", "abc", "hello world", "hello wurld", "hellowo rld",
+        "xx", "xy", "yx",
+    ]
+    df = spark.createDataFrame(list(enumerate(words)), "id long, s string")
+    for k in (1, 2):
+        got = {
+            (r["a_id"], r["b_id"]): r["dist"]
+            for r in pl.edit_distance_pairs(
+                df, id_col="id", str_col="s", max_dist=k
+            ).collect()
+        }
+        exp = {
+            (i, j): _lev(words[i], words[j])
+            for i in range(len(words))
+            for j in range(i + 1, len(words))
+            if _lev(words[i], words[j]) <= k
+        }
+        assert got == exp, k
+
+
+def test_edit_distance_pairs_gates(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame([(0, "x")], "id long, s string")
+    with pytest.raises(ValueError, match="max_dist"):
+        pl.edit_distance_pairs(df, id_col="id", str_col="s", max_dist=3)
+
+
+# --- bm25_scores ------------------------------------------------------------
+
+
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    import xarray_scipy_spark.pipeline as pl
+
+    docs = [
+        (0, "data query data engine"),
+        (1, "window stream window window data"),
+        (2, "totally unrelated words here"),
+        (3, "query"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["data", "query", "window"]
+    got = {
+        r["doc_id"]: (r["n_match"], r["score"])
+        for r in pl.bm25_scores(df, terms, k1=1.2, b=0.75).collect()
+    }
+    # reference computation
+    toks = {i: t.split() for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    exp = {}
+    for i, v in toks.items():
+        s, m = 0.0, 0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+        if m:
+            exp[i] = (m, s)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == pytest.approx(exp[i][1], rel=1e-12)
+
+
+def test_bm25_empty_query_raises(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="query_terms"):
+        pl.bm25_scores(df, [])

@@ -534,3 +534,44 @@ def test_text_postings_two_stacked_aggregations(spark):
     plan = _static_plan(_contract_fn("text_postings")(spark, SF_DIR))
     assert "Window" not in plan
     assert not any(j in plan for j in _JOIN_NODES), plan
+
+
+def test_orders_unshipped_is_left_anti_join(spark):
+    """NOT EXISTS must plan as LEFT ANTI hash join — the complement of
+    tpch_q4's semi-join, same no-duplication guarantee."""
+    plan = _static_plan(_contract_fn("orders_unshipped")(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_pivot_is_one_aggregation(spark):
+    """Pinned-values pivot compiles to ONE conditional-partial
+    aggregate chain: no join, no per-type re-scan."""
+    plan = _static_plan(_contract_fn("event_pivot")(spark, SF_DIR))
+    assert not any(j in plan for j in _JOIN_NODES), plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_json_props_stats_single_aggregation(spark):
+    plan = _static_plan(_contract_fn("json_props_stats")(spark, SF_DIR))
+    assert not any(j in plan for j in _JOIN_NODES), plan
+    assert "Window" not in plan
+
+
+def test_edit_distance_join_no_cartesian(spark):
+    """Deletion-neighborhood blocking must stay an equi join on the
+    variant string; a nested-loop/cartesian means the blocking key was
+    lost and the operator degraded to all-pairs."""
+    plan = _static_plan(_contract_fn("edit_distance_join")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_small_sides_broadcast(spark):
+    """df and corpus-stat sides are <= |query|+1 rows — they must
+    broadcast; a SortMergeJoin there shuffles the postings twice."""
+    plan = _static_plan(_contract_fn("bm25_scores")(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2, plan
+    assert "CartesianProduct" not in plan

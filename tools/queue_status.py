@@ -72,6 +72,13 @@ ROUND_PLAN = {
         "sequence_pack",
         "text_postings",
     ],
+    "r14": [
+        "edit_distance_join",
+        "bm25_scores",
+        "event_pivot",
+        "orders_unshipped",
+        "json_props_stats",
+    ],
 }
 
 

@@ -7299,6 +7299,11 @@ def q_sequence_pack(spark, sf_dir):
     the two-level bucket scan — per-bucket windows in parallel plus one
     64-row offset aggregate — while the oracle's single global window
     is exactly the single-reducer plan the operator exists to avoid."""
+    # NO spread() here, unlike postings: the per-row work is ONE
+    # size(split) expression, and the 10x A/B measured every spread
+    # placement as a loss (no_spread 0.68 s vs spread-before-tokenize
+    # 1.08 s vs spread-after-count 0.93 s — the exchange costs more
+    # than 2-task tokenizing saves; real inputs arrive sharded anyway)
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.size(pl.hashes.tokens(F.col("text"))).alias("n_tok")
     )
@@ -7345,6 +7350,187 @@ def q_text_postings(spark, sf_dir):
         "max_tf",
         "top_doc",
         F.col("postings_sum").cast("bigint").alias("postings_sum"),
+    )
+
+
+# --- r14 slate: retrieval, typo-dedup, and relational coverage --------------
+# Five more operators closing the remaining checklist seams: BM25
+# ranking on the inverted-index layer, character-level near-dup via
+# deletion-neighborhood blocking (the FastSS construction), PIVOT,
+# anti-join (NOT EXISTS), and semi-structured JSON extraction.
+
+_ED_PREFIX = 24  # compare lowercased fixed-width prefixes
+_ED_MAX = 2
+
+
+def _edit_join_oracle() -> str:
+    """Deliberately brute-force (length-banded all-pairs levenshtein on
+    the doc_id%4 subset) — independent of the operator's deletion-
+    neighborhood blocking, so agreement proves the blocking lossless."""
+    return (
+        f"WITH p AS (SELECT doc_id, lower(text[:{_ED_PREFIX}]) AS s "
+        f"FROM documents WHERE len(text) >= {_ED_PREFIX} AND doc_id % 4 = 0) "
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
+        "FROM p a JOIN p b ON a.doc_id < b.doc_id "
+        f"AND levenshtein(a.s, b.s) <= {_ED_MAX}"
+    )
+
+
+def q_edit_distance_join(spark, sf_dir):
+    """Character-level near-dup pairs (Levenshtein <= 2 on lowercased
+    24-char prefixes, doc_id%4 subset) via pipeline/dedup.py
+    edit_distance_pairs — deletion-neighborhood blocking, no all-pairs
+    stage; the oracle IS the all-pairs loop, so the cross-check also
+    proves the neighborhood blocking has no false negatives."""
+    d = _docs(spark, sf_dir).filter(
+        (F.length("text") >= _ED_PREFIX) & (F.col("doc_id") % 4 == 0)
+    ).select(
+        "doc_id", F.lower(F.substring("text", 1, _ED_PREFIX)).alias("s")
+    )
+    res = pl.edit_distance_pairs(
+        d, id_col="doc_id", str_col="s", max_dist=_ED_MAX
+    )
+    return res.select("a_id", "b_id", F.col("dist").cast("bigint").alias("dist"))
+
+
+_BM25_TERMS = ("data", "query", "window", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return (
+        f"WITH {_TOKS}, "
+        "lens AS (SELECT doc_id, len(tk) AS dl FROM toks), "
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens), "
+        "tf AS (SELECT doc_id, t AS term, count(*) AS tf "
+        "FROM (SELECT doc_id, unnest(tk) AS t FROM toks) "
+        f"WHERE t IN ({terms}) GROUP BY doc_id, t), "
+        "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term) "
+        "SELECT doc_id, count(*) AS n_match, "
+        + _q3(
+            f"sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * {k1 + 1.0} / "
+            f"(tf + {k1} * ({1.0 - b} + {b} * dl / avgdl)))"
+        )
+        + " AS score_q "
+        "FROM tf JOIN dft USING (term) JOIN lens USING (doc_id), stats "
+        "GROUP BY doc_id"
+    )
+
+
+def q_bm25_scores(spark, sf_dir):
+    """BM25 keyword relevance over documents (pipeline/text.py
+    bm25_scores): postings filtered to the query terms BEFORE any
+    shuffle, df/corpus-stats sides broadcast, one doc-keyed join —
+    retrieval cost tracks matching postings, not the corpus."""
+    res = pl.bm25_scores(
+        _docs(spark, sf_dir), list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+    )
+    return res.select(
+        "doc_id", "n_match", _q3_col(F.col("score")).alias("score_q")
+    )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _event_pivot_oracle() -> str:
+    cols = []
+    for t in _PIVOT_TYPES:
+        cols.append(
+            f"count(*) FILTER (event_type = '{t}') AS {t}_n"
+        )
+        cols.append(
+            _q3(f"coalesce(sum(value) FILTER (event_type = '{t}'), 0.0)")
+            + f" AS {t}_v"
+        )
+    return (
+        "SELECT user_id, " + ", ".join(cols) + " FROM events GROUP BY user_id"
+    )
+
+
+def q_event_pivot(spark, sf_dir):
+    """PIVOT coverage: per-user wide activity profile (count + summed
+    value per event type) as ONE conditional aggregation — 2x5
+    when-guarded partials in a single user-keyed exchange. Chosen over
+    DataFrame.pivot deliberately: with pinned values, .pivot plans a
+    (user, type) pre-aggregate + a pivotfirst aggregate = TWO
+    exchanges (4 HashAggregates, inspected); the conditional form is
+    the same answer one shuffle cheaper — the 100 TB shape for
+    feature-store widening."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    aggs = []
+    for t in _PIVOT_TYPES:
+        hit = F.col("event_type") == t
+        aggs.append(F.count(F.when(hit, F.lit(1))).alias(f"{t}_n"))
+        aggs.append(
+            _q3_col(
+                F.coalesce(F.sum(F.when(hit, F.col("value"))), F.lit(0.0))
+            ).alias(f"{t}_v")
+        )
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+_UNSHIP_DAYS = 7
+
+
+def _orders_unshipped_oracle() -> str:
+    return (
+        "SELECT o_orderpriority, count(*) AS n_orders FROM orders o "
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        f"AND l.l_shipdate < o.o_orderdate + INTERVAL {_UNSHIP_DAYS} DAY) "
+        "GROUP BY o_orderpriority"
+    )
+
+
+def q_orders_unshipped(spark, sf_dir):
+    """Anti-join coverage (NOT EXISTS): orders with no lineitem shipped
+    within a week, counted by priority. LEFT ANTI hash join — one
+    shuffle per side on the order key, matched probe rows dropped
+    early; the complement of tpch_q4's semi-join."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    un = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            < orders.o_orderdate + F.expr(f"INTERVAL {_UNSHIP_DAYS} DAYS")
+        ),
+        "left_anti",
+    )
+    return un.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def _json_props_oracle() -> str:
+    return (
+        "SELECT event_type, count(k) AS n_with_k, "
+        "min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k "
+        "FROM (SELECT event_type, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
+        "GROUP BY event_type"
+    )
+
+
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction coverage: per-event-type stats of the
+    JSON payload's `k` field via get_json_object — the JSON path
+    evaluation runs inside codegen as a per-row projection, then one
+    map-side-combinable aggregate; no parse-to-struct materialization."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
     )
 
 
@@ -7545,6 +7731,235 @@ def q_regularize_merged(spark, sf_dir):
     return gf.unionAll(it)
 
 
+# --- r14 merge staging ------------------------------------------------------
+# Five merges funding the r14 slate's five head slots (one spare):
+#   funnel@ frees retention (1), tpch_q4@ frees tpch_q18 (1),
+#   lineitem_rollup@ frees cube_revenue (1), stft@ frees coherence (1),
+#   text_lang_id@ frees text_tfidf + text_repetition (2).
+# funnel/retention/tpch_q4/tpch_q18 are still queued here, so their
+# oracle strings come from the builder functions (already materialized
+# at staging) rather than ORACLES.
+
+
+def _events_merged_oracle() -> str:
+    return (
+        "SELECT 'funnel' AS variant, user_id AS k1, t1_us AS v1, "
+        "t2_us AS v2, t3_us AS v3 "
+        "FROM (" + _funnel_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'retention' AS variant, cohort_period AS k1, "
+        "period_offset AS v1, n_active AS v2, CAST(-1 AS BIGINT) AS v3 "
+        "FROM (" + _retention_oracle() + ")"
+    )
+
+
+def q_events_merged(spark, sf_dir):
+    """Ordered funnel times + retention cohorts in ONE variant-tag
+    union — replaces funnel + retention at r14 (the event-sequence
+    family in one head slot; k1 = user or cohort, v1..v3 carry each
+    variant's columns -1-padded)."""
+    fu = q_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("variant"),
+        F.col("user_id").alias("k1"),
+        F.col("t1_us").alias("v1"),
+        F.col("t2_us").alias("v2"),
+        F.col("t3_us").alias("v3"),
+    )
+    re_ = q_retention(spark, sf_dir).select(
+        F.lit("retention").alias("variant"),
+        F.col("cohort_period").alias("k1"),
+        F.col("period_offset").alias("v1"),
+        F.col("n_active").alias("v2"),
+        F.lit(-1).cast("bigint").alias("v3"),
+    )
+    return fu.unionAll(re_)
+
+
+def _tpch_order_merged_oracle() -> str:
+    return (
+        "SELECT 'q4' AS variant, o_orderpriority AS s1, "
+        "CAST(-1 AS BIGINT) AS k1, CAST(-1 AS BIGINT) AS k2, "
+        "CAST(n_orders AS DOUBLE) AS v1, 0.0 AS price "
+        "FROM (" + _tpch_q4_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'q18' AS variant, o_orderdate AS s1, o_orderkey AS k1, "
+        "c_custkey AS k2, sum_qty AS v1, o_totalprice AS price "
+        "FROM (" + _tpch_q18_oracle() + ")"
+    )
+
+
+def q_tpch_order_merged(spark, sf_dir):
+    """TPC-H Q4 (semi-join priority counts) + Q18 (having-join top-100)
+    in ONE variant-tag union — replaces tpch_q4 + tpch_q18 at r14;
+    both join plans stay individually plan-locked."""
+    q4 = q_tpch_q4(spark, sf_dir).select(
+        F.lit("q4").alias("variant"),
+        F.col("o_orderpriority").alias("s1"),
+        F.lit(-1).cast("bigint").alias("k1"),
+        F.lit(-1).cast("bigint").alias("k2"),
+        F.col("n_orders").cast("double").alias("v1"),
+        F.lit(0.0).alias("price"),
+    )
+    q18 = q_tpch_q18(spark, sf_dir).select(
+        F.lit("q18").alias("variant"),
+        F.col("o_orderdate").alias("s1"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("c_custkey").alias("k2"),
+        F.col("sum_qty").alias("v1"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return q4.unionAll(q18)
+
+
+def _grouping_sets_merged_oracle() -> str:
+    return (
+        "SELECT 'rollup' AS variant, l_returnflag AS rf, "
+        "l_linestatus AS ls, CAST(-1 AS BIGINT) AS g_rf, "
+        "CAST(-1 AS BIGINT) AS g_ls, n, sum_qty, 0.0 AS sum_price "
+        "FROM (" + ORACLES["lineitem_rollup"] + ") "
+        "UNION ALL "
+        "SELECT 'cube' AS variant, rf, ls, g_rf, g_ls, n, sum_qty, "
+        "sum_price "
+        "FROM (" + _cube_oracle() + ")"
+    )
+
+
+def q_grouping_sets_merged(spark, sf_dir):
+    """ROLLUP + CUBE (with GROUPING() markers) in ONE variant-tag
+    union — replaces lineitem_rollup + cube_revenue at r14; the
+    grouping-sets surface stays value-verified in one slot."""
+    ro = q_lineitem_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("variant"),
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.lit(-1).cast("bigint").alias("g_rf"),
+        F.lit(-1).cast("bigint").alias("g_ls"),
+        "n",
+        "sum_qty",
+        F.lit(0.0).alias("sum_price"),
+    )
+    cu = q_cube_revenue(spark, sf_dir).select(
+        F.lit("cube").alias("variant"),
+        "rf",
+        "ls",
+        "g_rf",
+        "g_ls",
+        "n",
+        "sum_qty",
+        "sum_price",
+    )
+    return ro.unionAll(cu)
+
+
+def _framed_spectral_merged_oracle() -> str:
+    return (
+        "SELECT 'stft' AS variant, user_id, frame AS i, bin AS j, "
+        "re4 AS va, im4 AS vb "
+        "FROM (" + ORACLES["stft"] + ") "
+        "UNION ALL "
+        "SELECT 'coherence' AS variant, user_id, idx AS i, "
+        "CAST(-1 AS BIGINT) AS j, coh6 AS va, 0.0 AS vb "
+        "FROM (" + ORACLES["coherence"] + ")"
+    )
+
+
+def q_framed_spectral_merged(spark, sf_dir):
+    """STFT frames + two-signal coherence in ONE variant-tag union —
+    replaces stft + coherence at r14 (the framed-spectral family's
+    remaining unmerged members; i/j = frame/bin or idx/-1)."""
+    st = q_stft(spark, sf_dir).select(
+        F.lit("stft").alias("variant"),
+        "user_id",
+        F.col("frame").alias("i"),
+        F.col("bin").alias("j"),
+        F.col("re4").alias("va"),
+        F.col("im4").alias("vb"),
+    )
+    co = q_coherence(spark, sf_dir).select(
+        F.lit("coherence").alias("variant"),
+        "user_id",
+        F.col("idx").alias("i"),
+        F.lit(-1).cast("bigint").alias("j"),
+        F.col("coh6").alias("va"),
+        F.lit(0.0).alias("vb"),
+    )
+    return st.unionAll(co)
+
+
+def _text_wide_merged_oracle() -> str:
+    return (
+        "SELECT 'lang' AS variant, doc_id, score_en AS a, score_de AS b, "
+        "score_fr AS c, score_es AS d, score_zh AS e, n_chars AS f, "
+        "pred_lang AS s1, fingerprint AS s2, 0.0 AS x1, 0.0 AS x2 "
+        "FROM (" + ORACLES["text_lang_id"] + ") "
+        "UNION ALL "
+        "SELECT 'tfidf' AS variant, doc_id, rank AS a, "
+        "CAST(-1 AS BIGINT) AS b, CAST(-1 AS BIGINT) AS c, "
+        "CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e, "
+        "CAST(-1 AS BIGINT) AS f, tok AS s1, '' AS s2, tfidf AS x1, "
+        "0.0 AS x2 "
+        "FROM (" + ORACLES["text_tfidf"] + ") "
+        "UNION ALL "
+        "SELECT 'rep' AS variant, doc_id, n_tokens AS a, "
+        "CAST(-1 AS BIGINT) AS b, CAST(-1 AS BIGINT) AS c, "
+        "CAST(-1 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e, "
+        "CAST(-1 AS BIGINT) AS f, '' AS s1, '' AS s2, dupfrac6 AS x1, "
+        "topbi6 AS x2 "
+        "FROM (" + ORACLES["text_repetition"] + ")"
+    )
+
+
+def q_text_wide_merged(spark, sf_dir):
+    """Language-ID+fingerprint + per-doc TF-IDF top tokens + repetition
+    stats in ONE variant-tag union — replaces text_lang_id +
+    text_tfidf + text_repetition at r14, freeing two slots (a..f carry
+    the integer columns -1-padded, s1/s2 the strings, x1/x2 the
+    doubles)."""
+    la = q_text_lang_fp(spark, sf_dir).select(
+        F.lit("lang").alias("variant"),
+        "doc_id",
+        F.col("score_en").alias("a"),
+        F.col("score_de").alias("b"),
+        F.col("score_fr").alias("c"),
+        F.col("score_es").alias("d"),
+        F.col("score_zh").alias("e"),
+        F.col("n_chars").alias("f"),
+        F.col("pred_lang").alias("s1"),
+        F.col("fingerprint").alias("s2"),
+        F.lit(0.0).alias("x1"),
+        F.lit(0.0).alias("x2"),
+    )
+    tf = q_text_tfidf(spark, sf_dir).select(
+        F.lit("tfidf").alias("variant"),
+        "doc_id",
+        F.col("rank").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.lit(-1).cast("bigint").alias("c"),
+        F.lit(-1).cast("bigint").alias("d"),
+        F.lit(-1).cast("bigint").alias("e"),
+        F.lit(-1).cast("bigint").alias("f"),
+        F.col("tok").alias("s1"),
+        F.lit("").alias("s2"),
+        F.col("tfidf").alias("x1"),
+        F.lit(0.0).alias("x2"),
+    )
+    rp = q_text_repetition(spark, sf_dir).select(
+        F.lit("rep").alias("variant"),
+        "doc_id",
+        F.col("n_tokens").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.lit(-1).cast("bigint").alias("c"),
+        F.lit(-1).cast("bigint").alias("d"),
+        F.lit(-1).cast("bigint").alias("e"),
+        F.lit(-1).cast("bigint").alias("f"),
+        F.lit("").alias("s1"),
+        F.lit("").alias("s2"),
+        F.col("dupfrac6").alias("x1"),
+        F.col("topbi6").alias("x2"),
+    )
+    return la.unionAll(tf).unionAll(rp)
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 # ---------------------------------------------------------------------------
@@ -7664,6 +8079,23 @@ _QUEUED: dict = {
     "triangle_count": (q_triangle_count, _triangle_oracle()),
     "sequence_pack": (q_sequence_pack, _sequence_pack_oracle()),
     "text_postings": (q_text_postings, _text_postings_oracle()),
+    # r14 merges, ready (free 6: retention, tpch_q18, cube_revenue,
+    # coherence, text_tfidf, text_repetition retire — funding the r14
+    # slate below with one spare slot)
+    "funnel@merged": (q_events_merged, _events_merged_oracle()),
+    "tpch_q4@merged": (q_tpch_order_merged, _tpch_order_merged_oracle()),
+    "lineitem_rollup@merged": (
+        q_grouping_sets_merged,
+        _grouping_sets_merged_oracle(),
+    ),
+    "stft@merged": (q_framed_spectral_merged, _framed_spectral_merged_oracle()),
+    "text_lang_id@merged": (q_text_wide_merged, _text_wide_merged_oracle()),
+    # r14 slate (retrieval + typo-dedup + relational checklist seams)
+    "edit_distance_join": (q_edit_distance_join, _edit_join_oracle()),
+    "bm25_scores": (q_bm25_scores, _bm25_oracle()),
+    "event_pivot": (q_event_pivot, _event_pivot_oracle()),
+    "orders_unshipped": (q_orders_unshipped, _orders_unshipped_oracle()),
+    "json_props_stats": (q_json_props_stats, _json_props_oracle()),
     "pagerank": (q_pagerank, _pagerank_oracle()),
     "zorder_curve": (q_zorder_curve, _zorder_oracle()),
     "funnel": (q_funnel, _funnel_oracle()),

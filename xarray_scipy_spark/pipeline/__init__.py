@@ -22,6 +22,7 @@ Arrow-batched by design.
 """
 
 from .dedup import (
+    edit_distance_pairs,
     latest_by_key,
     exact_duplicates,
     minhash_signatures,
@@ -48,6 +49,7 @@ from .similarity import (
 )
 from .text import (
     postings,
+    bm25_scores,
     canonical_url,
     winsorize_by_group,
     clean_text,
@@ -203,4 +205,6 @@ __all__ = [
     "grouped_ols",
     "triangle_count",
     "postings",
+    "bm25_scores",
+    "edit_distance_pairs",
 ]

@@ -40,6 +40,7 @@ from .hashes import (
 )
 
 __all__ = [
+    "edit_distance_pairs",
     "latest_by_key",
     "exact_duplicates",
     "minhash_signatures",
@@ -831,4 +832,84 @@ def duplicated_ngram_spans(
             .otherwise(F.lit(0.0))
             .alias("dup_token_frac"),
         )
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    str_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` (1 or 2) by
+    DELETION-NEIGHBORHOOD blocking — the FastSS / SymSpell dictionary
+    construction (Bocek et al., 2007), the third near-dup family next
+    to MinHash (set overlap) and SimHash (cosine-ish bits): character-
+    level typo/OCR variants that shingle sets blur.
+
+    Completeness argument: an optimal alignment with ≤ k edits touches
+    ≤ k characters on each side; deleting exactly the touched
+    characters from both strings leaves identical residues. So every
+    pair at distance ≤ k shares at least one member of their
+    delete-≤k neighborhoods, and blocking on the variant string has NO
+    false negatives. False positives die in the exact ``levenshtein``
+    verify on the candidate set only.
+
+    Scale shape: each row emits ``O(len^k)`` deletion variants
+    (1 + n + C(n,2) for k=2 — bounded per row, linear in rows), ONE
+    equi self-join on the variant string, a distinct on candidate
+    pairs, then the verify join. No all-pairs stage at any input size;
+    variant keys are near-unique so the join is skew-free by
+    construction. Keep the strings short (prefixes/keys) — the
+    neighborhood is quadratic in string length for k=2.
+
+    Output: ``(a_id, b_id, dist)`` with ``a_id < b_id``.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist!r}")
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    )
+    s = F.col("_s")
+    n = F.length(s)
+
+    def drop1(i):
+        return F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, n))
+
+    def drop2(i, j):  # j > i; remove both positions
+        return F.concat(
+            s.substr(F.lit(1), i - 1),
+            s.substr(i + 1, j - i - 1),
+            s.substr(j + 1, n),
+        )
+
+    variants = F.array_union(F.array(s), F.transform(F.sequence(F.lit(1), n), drop1))
+    if max_dist == 2:
+        pairs2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n), lambda j: drop2(i, j)
+                ),
+            )
+        )
+        variants = F.array_union(variants, pairs2)
+    keyed = base.select("_id", "_s", F.explode(variants).alias("_v"))
+    left = keyed.select(
+        F.col("_id").alias("a_id"), F.col("_s").alias("_sa"), "_v"
+    )
+    right = keyed.select(
+        F.col("_id").alias("b_id"), F.col("_s").alias("_sb"), "_v"
+    )
+    cand = (
+        left.join(right, "_v")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "_sa", "_sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
     )

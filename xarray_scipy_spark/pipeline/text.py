@@ -21,6 +21,7 @@ __all__ = [
     "char_entropy",
     "ngram_counts",
     "postings",
+    "bm25_scores",
     "token_stats",
     "quality_score",
     "lang_id",
@@ -907,7 +908,9 @@ def postings(
     max_tf, top_doc, postings_sum)`` where ``top_doc`` is the
     highest-tf document (smallest id on ties — deterministic).
     """
-    tok = df.select(
+    # spread() before the tokenizer: a freshly-written tier file has
+    # 1-3 row groups, capping the CPU-heavy explode at as many tasks
+    tok = spread(df, id_col).select(
         F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text_col))).alias("token")
     )
     entries = tok.groupBy("token", "_doc").agg(F.count(F.lit(1)).alias("_tf"))
@@ -926,3 +929,65 @@ def postings(
         (-F.col("_top._nid")).alias("top_doc"),
         "postings_sum",
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed keyword query — the
+    retrieval scorer on top of the inverted-index layer (`postings`),
+    using the standard Robertson/Sparck-Jones formulation:
+
+    ``score = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+
+    Scale shape: tokens are filtered to the query terms BEFORE any
+    shuffle (the explode emits only matching tokens), per-(doc, term)
+    tf and per-term df are map-side-combinable aggregates, the df and
+    corpus-stats (N, avgdl) sides are broadcast (≤ |query| + 1 rows),
+    and the only doc-keyed shuffle joins tf back to document lengths.
+    Cost tracks matching postings, not the corpus.
+
+    Output: ``(id_col, n_match, score)`` for documents matching at
+    least one term.
+    """
+    terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = spread(df, id_col).select(
+        F.col(id_col).alias("_doc"), tokens(F.col(text_col)).alias("tk")
+    )
+    lens = toks.select("_doc", F.size("tk").alias("_dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    tf = (
+        toks.select("_doc", F.explode("tk").alias("_t"))
+        .filter(F.col("_t").isin(terms))
+        .groupBy("_doc", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dft = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    w = idf * F.col("_tf") * F.lit(k1 + 1.0) / (
+        F.col("_tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "_t")
+        .join(lens, "_doc")
+        .crossJoin(F.broadcast(stats))
+        .select("_doc", "_t", w.alias("_w"))
+    )
+    return scored.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("n_match"), F.sum("_w").alias("score")
+    ).select(F.col("_doc").alias(id_col), "n_match", "score")
