@@ -137,6 +137,13 @@ HEADLINE = [
     "event_pivot",
     "orders_unshipped",
     "json_props_stats",
+    # r15 slate (session 2): CDC, analytics windows, set ops, recall,
+    # weighted sampling
+    "cdc_apply",
+    "window_analytics",
+    "active_user_setops",
+    "ann_recall_eval",
+    "weighted_sample",
 ]
 
 

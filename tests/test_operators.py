@@ -603,6 +603,21 @@ def test_range_join_matches_bruteforce(spark):
         granularity=50,
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # fractional granularity must raise like interval_join's (0.5 would
+    # int() to 0 -> div-0 -> silently empty join)
+    import pytest as _pytest
+
+    for bad in (0.5, 2.7):
+        with _pytest.raises(ValueError, match="whole number"):
+            xss.range_join(
+                spark.createDataFrame(pts), spark.createDataFrame(iv),
+                point_col="p", start_col="lo", end_col="hi",
+                granularity=bad,
+            )
+    assert xss.range_join(
+        spark.createDataFrame(pts), spark.createDataFrame(iv),
+        point_col="p", start_col="lo", end_col="hi", granularity=50.0,
+    ).count() > 0
 
 
 def test_asof_join_plan_single_exchange(spark):

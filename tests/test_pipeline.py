@@ -2212,3 +2212,74 @@ def test_bm25_empty_query_raises(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="query_terms"):
         pl.bm25_scores(df, [])
+
+
+# --- apply_cdc --------------------------------------------------------------
+
+
+def test_apply_cdc_tombstone_semantics(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    rows = [
+        # key 1: insert then update -> survives with v=20
+        (1, 10, "U", 10.0), (1, 20, "U", 20.0),
+        # key 2: update then delete -> gone
+        (2, 10, "U", 5.0), (2, 30, "D", 0.0),
+        # key 3: delete then re-insert -> survives (delete must not
+        # shadow a LATER upsert)
+        (3, 10, "D", 0.0), (3, 15, "U", 7.0),
+        # key 4: tie on order -> tiebreak picks larger seq
+        (4, 10, "U", 1.0), (4, 10, "D", 2.0),
+    ]
+    df = spark.createDataFrame(
+        [(k, t, op, v, i) for i, (k, t, op, v) in enumerate(rows)],
+        "k long, t long, op string, v double, seq long",
+    )
+    got = {
+        r["k"]: (r["op"], r["v"])
+        for r in pl.apply_cdc(
+            df, keys=["k"], order_col="t", op_col="op", tiebreak="seq"
+        ).collect()
+    }
+    assert got == {1: ("U", 20.0), 3: ("U", 7.0)}
+
+
+# --- weighted_sample --------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    rows = [(i, "g", 1000.0 if i < 20 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    a = pl.weighted_sample(
+        df, id_col="id", weight_col="w", k=30, group_cols=["g"]
+    ).collect()
+    b = pl.weighted_sample(
+        df.repartition(7), id_col="id", weight_col="w", k=30, group_cols=["g"]
+    ).collect()
+    # partitioning-independent, exact-by-id
+    assert sorted((r["id"], r["smp_rank"]) for r in a) == sorted(
+        (r["id"], r["smp_rank"]) for r in b
+    )
+    kept = {r["id"] for r in a}
+    assert len(kept) == 30
+    # the 20 heavy ids (1000x weight) should nearly all be kept
+    assert len(kept & set(range(20))) >= 15
+
+
+def test_weighted_sample_global_and_gates(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(50)], "id long, w double"
+    )
+    top = pl.weighted_sample(df, id_col="id", weight_col="w", k=10).collect()
+    assert len(top) == 10
+    assert sorted(r["smp_rank"] for r in top) == list(range(1, 11))
+    with pytest.raises(ValueError, match="k must be"):
+        pl.weighted_sample(df, id_col="id", weight_col="w", k=0)
+    # non-positive weights excluded
+    dfz = spark.createDataFrame([(1, 0.0), (2, 3.0)], "id long, w double")
+    got = pl.weighted_sample(dfz, id_col="id", weight_col="w", k=5).collect()
+    assert [r["id"] for r in got] == [2]

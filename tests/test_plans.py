@@ -575,3 +575,42 @@ def test_bm25_small_sides_broadcast(spark):
         "BroadcastNestedLoopJoin"
     ) >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_window_analytics_single_window_exchange(spark):
+    """Six analytic functions share ONE window spec — exactly one sort
+    under one hash exchange; a second Window sort means a spec
+    diverged."""
+    plan = _static_plan(_contract_fn("window_analytics")(spark, SF_DIR))
+    assert plan.count("Window") == 1 or (
+        plan.count("Window") == 2 and plan.count("Sort") <= 2
+    ), plan
+    assert not any(j in plan for j in _JOIN_NODES), plan
+
+
+def test_cdc_apply_is_aggregate_not_window(spark):
+    """CDC materialization must keep latest_by_key's max(struct)
+    single-aggregation plan; a Window node means it regressed to the
+    row_number idiom (hot keys serialize)."""
+    plan = _static_plan(_contract_fn("cdc_apply")(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert not any(j in plan for j in _JOIN_NODES), plan
+
+
+def test_setops_and_recall_no_cartesian(spark):
+    for name in ("active_user_setops", "ann_recall_eval"):
+        plan = _static_plan(_contract_fn(name)(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_weighted_sample_global_is_take_ordered(spark):
+    """The global (ungrouped) path must plan TakeOrderedAndProject —
+    never a full global sort of the corpus."""
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    res = pl.weighted_sample(
+        df, id_col="doc_id", weight_col="n_chars", k=10
+    )
+    plan = _static_plan(res)
+    assert "TakeOrderedAndProject" in plan, plan

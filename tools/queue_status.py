@@ -79,6 +79,13 @@ ROUND_PLAN = {
         "orders_unshipped",
         "json_props_stats",
     ],
+    "r15": [
+        "cdc_apply",
+        "window_analytics",
+        "active_user_setops",
+        "ann_recall_eval",
+        "weighted_sample",
+    ],
 }
 
 

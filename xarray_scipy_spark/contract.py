@@ -7731,6 +7731,356 @@ def q_regularize_merged(spark, sf_dir):
     return gf.unionAll(it)
 
 
+# --- r15 slate: CDC apply, analytics windows, set ops, ANN recall,
+# weighted sampling ----------------------------------------------------------
+
+_CDC_DELETE = "error"  # event_type acting as the delete tombstone
+
+
+def _cdc_apply_oracle() -> str:
+    return (
+        "SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id, "
+        + _q3("value")
+        + " AS value_q FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        f"WHERE rn = 1 AND event_type <> '{_CDC_DELETE}'"
+    )
+
+
+def q_cdc_apply(spark, sf_dir):
+    """Changelog materialization (pipeline/dedup.py apply_cdc): the
+    events stream read as per-user upserts with 'error' as the delete
+    tombstone — final state keeps each user's LAST change unless it
+    deletes the key. ONE max(struct) aggregation (tombstones cost
+    nothing extra); the oracle takes the row_number route."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    res = pl.apply_cdc(
+        ev,
+        keys=["user_id"],
+        order_col="ts",
+        op_col="event_type",
+        delete_op=_CDC_DELETE,
+        tiebreak="event_id",
+    )
+    return res.select(
+        "user_id",
+        "event_type",
+        timeutil.epoch_us(res, "ts").alias("t_us"),
+        "event_id",
+        _q3_col(F.col("value")).alias("value_q"),
+    )
+
+
+def _window_analytics_oracle() -> str:
+    return (
+        "SELECT user_id, epoch_us(ts) AS t_us, "
+        "row_number() OVER w AS rn, ntile(4) OVER w AS nt4, "
+        + _q3("percent_rank() OVER w") + " AS pr_q, "
+        + _q3("cume_dist() OVER w") + " AS cd_q, "
+        + _q3("coalesce(value - lag(value) OVER w, 0.0)") + " AS dlag_q, "
+        + _q3("coalesce(lead(value) OVER w - value, 0.0)") + " AS dlead_q "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+
+
+def q_window_analytics(spark, sf_dir):
+    """Ranking/analytic window-function coverage in ONE window spec —
+    row_number, ntile, percent_rank, cume_dist, lag/lead deltas all
+    share a single (user, time)-sorted exchange; adding a function to
+    the same spec is free, a second spec would be a second sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "user_id",
+        timeutil.epoch_us(ev, "ts").alias("t_us"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("nt4"),
+        _q3_col(F.percent_rank().over(w)).alias("pr_q"),
+        _q3_col(F.cume_dist().over(w)).alias("cd_q"),
+        _q3_col(
+            F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0.0))
+        ).alias("dlag_q"),
+        _q3_col(
+            F.coalesce(F.lead("value").over(w) - F.col("value"), F.lit(0.0))
+        ).alias("dlead_q"),
+    )
+
+
+_SETOP_SPLIT1 = "2024-01-08"
+_SETOP_SPLIT2 = "2024-01-22"
+
+
+def _setops_oracle() -> str:
+    w1 = f"SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '{_SETOP_SPLIT1}'"
+    w4 = f"SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '{_SETOP_SPLIT2}'"
+    return (
+        f"SELECT 'retained' AS variant, user_id FROM (({w1}) INTERSECT ({w4})) "
+        "UNION ALL "
+        f"SELECT 'churned' AS variant, user_id FROM (({w1}) EXCEPT ({w4}))"
+    )
+
+
+def q_active_user_setops(spark, sf_dir):
+    """Set-operation coverage: users active in the first week — split
+    into INTERSECT (also active in the last week → retained) and
+    EXCEPT (absent → churned). Catalyst rewrites both as aggregates +
+    semi/anti joins — the distinct sides shrink map-side before the
+    one shuffle each."""
+    ev = load_table(spark, "events", sf_dir)
+    w1 = ev.filter(
+        F.col("ts") < F.lit(_SETOP_SPLIT1).cast("timestamp_ntz")
+    ).select("user_id").distinct()
+    w4 = ev.filter(
+        F.col("ts") >= F.lit(_SETOP_SPLIT2).cast("timestamp_ntz")
+    ).select("user_id").distinct()
+    ret = w1.intersect(w4).select(
+        F.lit("retained").alias("variant"), "user_id"
+    )
+    chu = w1.exceptAll(w4).select(
+        F.lit("churned").alias("variant"), "user_id"
+    )
+    return ret.unionAll(chu)
+
+
+def _ann_recall_oracle() -> str:
+    return (
+        "WITH ex AS (" + ORACLES["ann_cosine_topk"] + "), "
+        "ap AS (" + ORACLES["ann_cosine_topk_ivf"] + "), "
+        "hits AS (SELECT ex.query_id, count(ap.neighbor_id) AS n_hits, "
+        "count(*) AS k FROM ex LEFT JOIN ap "
+        "ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id "
+        "GROUP BY ex.query_id) "
+        "SELECT query_id, n_hits, " + _q3("n_hits / CAST(k AS DOUBLE)")
+        + " AS recall_q FROM hits"
+    )
+
+
+def q_ann_recall_eval(spark, sf_dir):
+    """ANN quality measurement: recall@k of the IVF cell-probed index
+    against the exact broadcast top-k, per query — the acceptance
+    metric any approximate index must report before replacing the
+    exact path at scale. Composes the two REGISTERED queries
+    literally; one (query, neighbor) join over k·queries rows."""
+    ex = q_ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("n_ex")
+    )
+    ap = q_ann_cosine_topk_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("n_ap"), F.lit(1).alias("_hit")
+    )
+    j = ex.join(
+        ap,
+        (ex.query_id == ap.query_id) & (ex.n_ex == ap.n_ap),
+        "left",
+    ).select(ex.query_id, "_hit")
+    return j.groupBy("query_id").agg(
+        F.count("_hit").alias("n_hits"),
+        _q3_col(
+            F.count("_hit") / F.count(F.lit(1)).cast("double")
+        ).alias("recall_q"),
+    )
+
+
+_WS_K = 25
+
+
+def _weighted_sample_oracle() -> str:
+    u = (
+        "(('0x' || substring(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        "::BIGINT / 16.0^15)"
+    )
+    return (
+        f"WITH keyed AS (SELECT lang, doc_id, ln({u}) / n_chars AS k "
+        "FROM documents WHERE n_chars > 0), "
+        "r AS (SELECT lang, doc_id, row_number() OVER "
+        "(PARTITION BY lang ORDER BY k DESC, doc_id) AS smp_rank FROM keyed) "
+        f"SELECT lang, doc_id, smp_rank FROM r WHERE smp_rank <= {_WS_K}"
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (pipeline/sample.py
+    weighted_sample): 25 docs per language, probability ∝ n_chars, by
+    the Efraimidis–Vassilvitskii A-Res keys over the salted-hash
+    uniform — exact-by-id, rerun/partitioning-stable, and the oracle
+    recomputes the identical selection."""
+    d = _docs(spark, sf_dir).select("lang", "doc_id", "n_chars")
+    return pl.weighted_sample(
+        d, id_col="doc_id", weight_col="n_chars", k=_WS_K,
+        group_cols=["lang"],
+    )
+
+
+# --- r15 merge staging ------------------------------------------------------
+# Five merges funding the r15 slate's five head slots:
+#   fftconvolve_2d@ frees fftconvolve_complex (1),
+#   text_logprob@ frees text_vocab (1),
+#   multimodal_real_decode@ frees multimodal_video_frames (1),
+#   sessionize@ frees stream_dedup (1),
+#   embedding_quantize@ frees embedding_pca (1).
+
+
+def _fftconv_nd_merged_oracle() -> str:
+    return (
+        "SELECT '2d' AS variant, user_id, row_idx AS i, col_idx AS j, "
+        "val4 AS va, 0.0 AS vb "
+        "FROM (" + ORACLES["fftconvolve_2d"] + ") "
+        "UNION ALL "
+        "SELECT 'complex' AS variant, user_id, idx AS i, "
+        "CAST(-1 AS BIGINT) AS j, re4 AS va, im4 AS vb "
+        "FROM (" + ORACLES["fftconvolve_complex"] + ")"
+    )
+
+
+def q_fftconv_nd_merged(spark, sf_dir):
+    """N-d grid + complex twin-array fftconvolve in ONE variant-tag
+    union — replaces fftconvolve_2d + fftconvolve_complex at r15 (the
+    convolution family's last two standalone slots)."""
+    d2 = q_fftconvolve_2d(spark, sf_dir).select(
+        F.lit("2d").alias("variant"), "user_id",
+        F.col("row_idx").alias("i"), F.col("col_idx").alias("j"),
+        F.col("val4").alias("va"), F.lit(0.0).alias("vb"),
+    )
+    cx = q_fftconvolve_complex(spark, sf_dir).select(
+        F.lit("complex").alias("variant"), "user_id",
+        F.col("idx").alias("i"), F.lit(-1).cast("bigint").alias("j"),
+        F.col("re4").alias("va"), F.col("im4").alias("vb"),
+    )
+    return d2.unionAll(cx)
+
+
+def _lm_vocab_merged_oracle() -> str:
+    return (
+        "SELECT 'nll' AS variant, doc_id AS k, '' AS s, n_tokens AS a, "
+        "nll_q AS b "
+        "FROM (" + ORACLES["text_logprob"] + ") "
+        "UNION ALL "
+        "SELECT 'vocab' AS variant, CAST(-1 AS BIGINT) AS k, token AS s, "
+        "tf AS a, df AS b "
+        "FROM (" + ORACLES["text_vocab"] + ")"
+    )
+
+
+def q_lm_vocab_merged(spark, sf_dir):
+    """Unigram-LM NLL + corpus vocabulary in ONE variant-tag union —
+    replaces text_logprob + text_vocab at r15 (the LM layer and its
+    vocabulary input share a slot)."""
+    lp = q_text_logprob(spark, sf_dir).select(
+        F.lit("nll").alias("variant"), F.col("doc_id").alias("k"),
+        F.lit("").alias("s"), F.col("n_tokens").alias("a"),
+        F.col("nll_q").alias("b"),
+    )
+    vo = q_text_vocab(spark, sf_dir).select(
+        F.lit("vocab").alias("variant"), F.lit(-1).cast("bigint").alias("k"),
+        F.col("token").alias("s"), F.col("tf").alias("a"),
+        F.col("df").alias("b"),
+    )
+    return lp.unionAll(vo)
+
+
+def _real_decode_merged_oracle() -> str:
+    return (
+        "SELECT 'img' AS variant, doc_id, CAST(n_bytes AS BIGINT) AS k, "
+        "f0_4 AS v1, f1_4 AS v2, f2_4 AS v3, f3 AS v4, f4 AS v5 "
+        "FROM (" + ORACLES["multimodal_real_decode"] + ") "
+        "UNION ALL "
+        "SELECT 'video' AS variant, doc_id, frame_idx AS k, f0_4 AS v1, "
+        "0.0 AS v2, 0.0 AS v3, 0.0 AS v4, 0.0 AS v5 "
+        "FROM (" + _video_frames_oracle() + ")"
+    )
+
+
+def q_real_decode_merged(spark, sf_dir):
+    """Real image decode features + AVI/MJPEG frame sampling in ONE
+    variant-tag union — replaces multimodal_real_decode +
+    multimodal_video_frames at r15 (k = byte count or frame index)."""
+    im = q_multimodal_real_decode(spark, sf_dir).select(
+        F.lit("img").alias("variant"), "doc_id",
+        F.col("n_bytes").cast("bigint").alias("k"),
+        F.col("f0_4").alias("v1"), F.col("f1_4").alias("v2"),
+        F.col("f2_4").alias("v3"), F.col("f3").alias("v4"),
+        F.col("f4").alias("v5"),
+    )
+    vf = q_multimodal_video_frames(spark, sf_dir).select(
+        F.lit("video").alias("variant"), "doc_id",
+        F.col("frame_idx").alias("k"),
+        F.col("f0_4").alias("v1"), F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"), F.lit(0.0).alias("v4"),
+        F.lit(0.0).alias("v5"),
+    )
+    return im.unionAll(vf)
+
+
+def _session_family_merged_oracle() -> str:
+    return (
+        "SELECT 'sessions' AS variant, user_id, '' AS s, n_sessions AS a, "
+        "max_session_events AS b "
+        "FROM (" + ORACLES["sessionize"] + ") "
+        "UNION ALL "
+        "SELECT 'dedup' AS variant, user_id, day AS s, "
+        "CAST(-1 AS BIGINT) AS a, CAST(-1 AS BIGINT) AS b "
+        "FROM (" + ORACLES["stream_dedup"] + ")"
+    )
+
+
+def q_session_family_merged(spark, sf_dir):
+    """Gap-based sessionization + streaming dedup's batch twin in ONE
+    variant-tag union — replaces sessionize + stream_dedup at r15."""
+    se = q_sessionize(spark, sf_dir).select(
+        F.lit("sessions").alias("variant"), "user_id",
+        F.lit("").alias("s"),
+        F.col("n_sessions").alias("a"),
+        F.col("max_session_events").alias("b"),
+    )
+    sd = q_stream_dedup(spark, sf_dir).select(
+        F.lit("dedup").alias("variant"), "user_id",
+        F.col("day").alias("s"),
+        F.lit(-1).cast("bigint").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+    )
+    return se.unionAll(sd)
+
+
+def _embedding_merged_oracle() -> str:
+    return (
+        "SELECT 'quant' AS variant, vec_id AS k1, CAST(-1 AS BIGINT) AS k2, "
+        "q0 AS a, q1 AS b, q2 AS c, q3 AS d, sum_q AS e, scale0_6 AS x "
+        "FROM (" + ORACLES["embedding_quantize"] + ") "
+        "UNION ALL "
+        "SELECT 'pca_' || variant AS variant, i AS k1, j AS k2, "
+        "CAST(-1 AS BIGINT) AS a, CAST(-1 AS BIGINT) AS b, "
+        "CAST(-1 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS d, v_q AS e, "
+        "0.0 AS x "
+        "FROM (" + ORACLES["embedding_pca"] + ")"
+    )
+
+
+def q_embedding_merged(spark, sf_dir):
+    """int8 embedding quantization + the PCA invariant query in ONE
+    variant-tag union — replaces embedding_quantize + embedding_pca at
+    r15 (the embedding-transform family in one slot)."""
+    qu = q_embedding_quantize(spark, sf_dir).select(
+        F.lit("quant").alias("variant"), F.col("vec_id").alias("k1"),
+        F.lit(-1).cast("bigint").alias("k2"),
+        F.col("q0").alias("a"), F.col("q1").alias("b"),
+        F.col("q2").alias("c"), F.col("q3").alias("d"),
+        F.col("sum_q").alias("e"), F.col("scale0_6").alias("x"),
+    )
+    pc = q_embedding_pca(spark, sf_dir).select(
+        F.concat(F.lit("pca_"), F.col("variant")).alias("variant"),
+        F.col("i").alias("k1"), F.col("j").alias("k2"),
+        F.lit(-1).cast("bigint").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.lit(-1).cast("bigint").alias("c"),
+        F.lit(-1).cast("bigint").alias("d"),
+        F.col("v_q").alias("e"), F.lit(0.0).alias("x"),
+    )
+    return qu.unionAll(pc)
+
+
 # --- r14 merge staging ------------------------------------------------------
 # Five merges funding the r14 slate's five head slots (one spare):
 #   funnel@ frees retention (1), tpch_q4@ frees tpch_q18 (1),
@@ -8096,6 +8446,24 @@ _QUEUED: dict = {
     "event_pivot": (q_event_pivot, _event_pivot_oracle()),
     "orders_unshipped": (q_orders_unshipped, _orders_unshipped_oracle()),
     "json_props_stats": (q_json_props_stats, _json_props_oracle()),
+    # r15 merges, ready (free 5: fftconvolve_complex, text_vocab,
+    # multimodal_video_frames, stream_dedup, embedding_pca retire —
+    # funding the r15 slate below)
+    "fftconvolve_2d@merged": (q_fftconv_nd_merged, _fftconv_nd_merged_oracle()),
+    "text_logprob@merged": (q_lm_vocab_merged, _lm_vocab_merged_oracle()),
+    "multimodal_real_decode@merged": (
+        q_real_decode_merged,
+        _real_decode_merged_oracle(),
+    ),
+    "sessionize@merged": (q_session_family_merged, _session_family_merged_oracle()),
+    "embedding_quantize@merged": (q_embedding_merged, _embedding_merged_oracle()),
+    # r15 slate (CDC apply, analytics windows, set ops, ANN recall,
+    # weighted sampling)
+    "cdc_apply": (q_cdc_apply, _cdc_apply_oracle()),
+    "window_analytics": (q_window_analytics, _window_analytics_oracle()),
+    "active_user_setops": (q_active_user_setops, _setops_oracle()),
+    "ann_recall_eval": (q_ann_recall_eval, _ann_recall_oracle()),
+    "weighted_sample": (q_weighted_sample, _weighted_sample_oracle()),
     "pagerank": (q_pagerank, _pagerank_oracle()),
     "zorder_curve": (q_zorder_curve, _zorder_oracle()),
     "funnel": (q_funnel, _funnel_oracle()),

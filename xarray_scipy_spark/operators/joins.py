@@ -196,6 +196,12 @@ def range_join(
     # epoch magnitudes). trunc-toward-zero is monotone, so start<=p<=end
     # always implies chunk(start) <= chunk(p) <= chunk(end).
     g = int(granularity)
+    if g != granularity or g < 1:
+        # int() truncation would make 0.5 -> 0 (div-0 -> NULL chunks ->
+        # silently empty join) and 2.7 -> 2 (silent re-bucketing)
+        raise ValueError(
+            f"granularity must be a whole number >= 1, got {granularity!r}"
+        )
     p_chunk = F.expr(f"CAST(`{point_col}` AS BIGINT) div {g}")
     i_chunks = F.sequence(
         F.expr(f"CAST(`{start_col}` AS BIGINT) div {g}"),

@@ -23,6 +23,7 @@ Arrow-batched by design.
 
 from .dedup import (
     edit_distance_pairs,
+    apply_cdc,
     latest_by_key,
     exact_duplicates,
     minhash_signatures,
@@ -99,6 +100,7 @@ from .sample import (
     robust_zscore,
     mix_datasets,
     pack_sequences,
+    weighted_sample,
     split_assign,
     stratified_sample,
 )
@@ -207,4 +209,6 @@ __all__ = [
     "postings",
     "bm25_scores",
     "edit_distance_pairs",
+    "apply_cdc",
+    "weighted_sample",
 ]

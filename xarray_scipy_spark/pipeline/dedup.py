@@ -41,6 +41,7 @@ from .hashes import (
 
 __all__ = [
     "edit_distance_pairs",
+    "apply_cdc",
     "latest_by_key",
     "exact_duplicates",
     "minhash_signatures",
@@ -913,3 +914,33 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("a_id", "b_id", "dist")
     )
+
+
+def apply_cdc(
+    df: DataFrame,
+    *,
+    keys,
+    order_col: str,
+    op_col: str,
+    delete_op: str = "D",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Materialize the final state of a CDC/changelog stream: for each
+    key keep the LAST change by ``order_col``, and drop the key
+    entirely when that change is a delete tombstone (``op_col ==
+    delete_op``) — upsert-apply semantics (the MERGE INTO / compacted-
+    topic contract).
+
+    Scale shape: :func:`latest_by_key`'s max(struct) single-aggregation
+    plan (candidates reduce map-side, hot keys free), with the
+    tombstone filter as a post-aggregate projection — deletes cost
+    nothing extra and never resurrect older versions, because the
+    filter runs on the WINNING row only.
+
+    Output: the surviving rows (key columns first), ``op_col``
+    included for audit.
+    """
+    winners = latest_by_key(
+        df, keys=keys, order_col=order_col, tiebreak=tiebreak
+    )
+    return winners.filter(F.col(op_col) != F.lit(delete_op))

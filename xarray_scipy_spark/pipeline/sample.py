@@ -34,6 +34,7 @@ __all__ = [
     "kfold_assign",
     "class_weights",
     "pack_sequences",
+    "weighted_sample",
 ]
 
 # 16^15 — the number of 15-hex-char values; dividing the h60 hash by
@@ -548,3 +549,53 @@ def robust_zscore(
     if flag_col is not None:
         res = res.withColumn(flag_col, F.abs(F.col(out)) > F.lit(float(k)))
     return res
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols=None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — k rows
+    per group (or globally), selection probability proportional to
+    ``weight_col``: the Efraimidis–Vassilvitskii A-Res scheme with the
+    salted-hash uniform standing in for randomness, so the kept set is
+    an exact-by-id pure function of the data (rerun- and
+    partitioning-stable, oracle-reproducible like ``split_assign``).
+
+    Per row: ``key = ln(u) / w`` with ``u = hash_uniform(salt|id)``;
+    the k LARGEST keys win (ties broken by id). Weights must be > 0;
+    rows with non-positive weight are excluded.
+
+    Scale shape: grouped → one ordered window per group (rank over the
+    keys, groups are the parallelism); global → ``orderBy(key).limit``
+    which Catalyst plans as TakeOrderedAndProject (per-partition heaps,
+    no global sort). Either way one pass, no sampling loop.
+
+    Output: ``group_cols + (id_col, smp_rank)``, ranks 1..k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    groups = list(group_cols) if group_cols else []
+    u = hash_uniform(F.col(id_col), salt)
+    key = F.log(u) / F.col(weight_col)
+    base = df.filter(F.col(weight_col) > 0).select(
+        *groups, F.col(id_col), key.alias("_key")
+    )
+    order = [F.col("_key").desc(), F.col(id_col)]
+    if groups:
+        w = Window.partitionBy(*groups).orderBy(*order)
+        return (
+            base.withColumn("smp_rank", F.row_number().over(w))
+            .filter(F.col("smp_rank") <= k)
+            .select(*groups, id_col, "smp_rank")
+        )
+    top = base.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)  # <= k rows — bounded single partition
+    return top.withColumn("smp_rank", F.row_number().over(w)).select(
+        id_col, "smp_rank"
+    )
