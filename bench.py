@@ -144,6 +144,12 @@ HEADLINE = [
     "active_user_setops",
     "ann_recall_eval",
     "weighted_sample",
+    # r16 slate (session 3): TPC-H relational sweep
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q22",
 ]
 
 

@@ -614,3 +614,43 @@ def test_weighted_sample_global_is_take_ordered(spark):
     )
     plan = _static_plan(res)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q10_aggregate_before_join_take_ordered(spark):
+    """Q10 must aggregate lineitem⋈orders revenue per custkey BEFORE
+    the customer/nation dimension joins (the agg shrinks the join
+    input to ≤1 row per buying customer) and cut the top-20 with
+    TakeOrderedAndProject, never a global sort."""
+    plan = _static_plan(_contract_fn("tpch_q10")(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the per-custkey aggregate sits below the customer join: the
+    # aggregate node count is >= 2 (partial+final) before any
+    # TakeOrdered, and no Sort node (global) appears
+    assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
+
+
+def test_tpch_q7_nation_broadcast_no_cartesian(spark):
+    """Both nation hops are 25 rows at ANY scale — they must broadcast;
+    the pair filter must not plan a cartesian."""
+    plan = _static_plan(_contract_fn("tpch_q7")(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q15_max_is_broadcast_not_window(spark):
+    """The scalar max joins back via a 1-row broadcast — a Window over
+    an unpartitioned frame would serialize all suppliers through one
+    task."""
+    plan = _static_plan(_contract_fn("tpch_q15")(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q14_q22_no_cartesian(spark):
+    """q14: part joins hash-side; q22: the only nested-loop is the
+    intended 1-row scalar-average broadcast."""
+    for name in ("tpch_q14", "tpch_q22"):
+        plan = _static_plan(_contract_fn(name)(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (name, plan)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan

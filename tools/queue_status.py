@@ -86,6 +86,13 @@ ROUND_PLAN = {
         "ann_recall_eval",
         "weighted_sample",
     ],
+    "r16": [
+        "tpch_q7",
+        "tpch_q10",
+        "tpch_q14",
+        "tpch_q15",
+        "tpch_q22",
+    ],
 }
 
 

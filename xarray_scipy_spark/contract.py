@@ -8310,6 +8310,305 @@ def q_text_wide_merged(spark, sf_dir):
     return la.unionAll(tf).unionAll(rp)
 
 
+# --- r16 slate: TPC-H relational sweep --------------------------------------
+# Five more TPC-H query shapes (Q7, Q10, Q14, Q15, Q22) adapted to
+# this schema's columns (no partsupp / l_commitdate / l_receiptdate /
+# o_comment in the testdata, so Q2/Q9/Q11/Q12/Q16/Q20/Q21 are not
+# expressible; Q7's fixed nation pair is widened to ALL distinct pairs
+# because the tier suppliers cover only a nation subset). All money
+# arithmetic goes through the round-then-DECIMAL idiom proven by
+# tpch_q1/q5 so both engines agree byte-exactly.
+
+_Q7_D1, _Q7_D2 = "1996-01-01", "1998-01-01"
+
+
+def _tpch_q7_oracle() -> str:
+    return (
+        "SELECT supp_nation, cust_nation, l_year, "
+        "CAST(sum(vol) AS DOUBLE) AS revenue, count(*) AS n_rows FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "year(l.l_shipdate) AS l_year, "
+        "CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) "
+        "AS DECIMAL(22,4)) AS vol "
+        "FROM lineitem l "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN nation n1 ON n1.n_nationkey = s.s_nationkey "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n2 ON n2.n_nationkey = c.c_nationkey "
+        f"WHERE l.l_shipdate >= TIMESTAMP '{_Q7_D1}' "
+        f"AND l.l_shipdate < TIMESTAMP '{_Q7_D2}' "
+        "AND n1.n_name <> n2.n_name) "
+        "GROUP BY supp_nation, cust_nation, l_year"
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """Volume shipping (TPC-H Q7 shape): revenue between every distinct
+    (supplier nation, customer nation) pair by ship year. The fact-fact
+    edge (lineitem ⋈ orders) shuffles on the order key once; both
+    nation hops are explicit broadcasts (25 rows at ANY scale);
+    supplier/customer are dimension-sized, left to AQE to
+    broadcast-or-shuffle by measured size at runtime. The per-pair
+    aggregate partial-combines map-side, so the last exchange carries
+    pairs × years rows, not lineitems."""
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit(_Q7_D1).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q7_D2).cast("timestamp_ntz"))
+    )
+    sup = (
+        load_table(spark, "supplier", sf_dir)
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    j = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+                "decimal(22,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q10_D1, _Q10_D2 = "1996-01-01", "1996-04-01"
+
+
+def _tpch_q10_oracle() -> str:
+    return (
+        "SELECT c_custkey, c_name, n_name, c_acctbal, "
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) "
+        "AS DECIMAL(22,4))) AS DOUBLE) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation ON n_nationkey = c_nationkey "
+        "WHERE l_returnflag = 'R' "
+        f"AND o_orderdate >= TIMESTAMP '{_Q10_D1}' "
+        f"AND o_orderdate < TIMESTAMP '{_Q10_D2}' "
+        "GROUP BY c_custkey, c_name, n_name, c_acctbal "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    lost revenue in a quarter. Aggregate-before-join: the R-flagged
+    lineitem ⋈ date-filtered orders shuffle reduces to per-custkey
+    revenue BEFORE any dimension join, so customer/nation see at most
+    one row per buying customer; top-20 via orderBy+limit plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Decimal revenue keeps the cut set identical across engines."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_D1).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q10_D2).cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(22,4)")
+            ).alias("_rev")
+        )
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = F.broadcast(
+        load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    )
+    j = rev.join(cust, rev.o_custkey == cust.c_custkey).join(
+        nation, cust.c_nationkey == nation.n_nationkey
+    )
+    return (
+        j.orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_acctbal",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+_Q14_D1, _Q14_D2 = "1996-03-01", "1996-04-01"
+
+
+def _tpch_q14_oracle() -> str:
+    return (
+        "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc "
+        "ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) AS promo_revenue, "
+        "CAST(sum(disc) AS DOUBLE) AS total_revenue, "
+        "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc "
+        "ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) "
+        "/ CAST(sum(disc) AS DOUBLE) AS promo_share FROM ("
+        "SELECT p_type, CAST(round(l_extendedprice * (1 - l_discount), 4) "
+        "AS DECIMAL(22,4)) AS disc "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{_Q14_D1}' "
+        f"AND l_shipdate < TIMESTAMP '{_Q14_D2}')"
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Promotion effect (TPC-H Q14 shape): PROMO share of one month's
+    revenue. The month filter prunes the lineitem scan; part is a
+    dimension join (AQE broadcasts it at tier scale; at 100 TB it
+    shuffles on partkey, still 30× smaller than the fact side); the
+    conditional aggregate collapses to ONE row map-side — the final
+    exchange carries one partial per task. The share division runs on
+    exact decimal sums cast to double, so both engines emit the
+    identical IEEE quotient."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_D1).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q14_D2).cast("timestamp_ntz"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_type",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .cast("decimal(22,4)")
+        .alias("disc"),
+    )
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("disc")).otherwise(
+                F.lit(0).cast("decimal(22,4)")
+            )
+        ).alias("_promo"),
+        F.sum("disc").alias("_total"),
+    )
+    return agg.select(
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        (
+            100.0 * F.col("_promo").cast("double") / F.col("_total").cast("double")
+        ).alias("promo_share"),
+    )
+
+
+_Q15_D1, _Q15_D2 = "1996-01-01", "1996-04-01"
+
+
+def _tpch_q15_oracle() -> str:
+    return (
+        "WITH rev AS (SELECT l_suppkey, "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount), 4) "
+        "AS DECIMAL(22,4))) AS total_rev FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{_Q15_D1}' "
+        f"AND l_shipdate < TIMESTAMP '{_Q15_D2}' "
+        "GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue "
+        "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+        "WHERE total_rev = (SELECT max(total_rev) FROM rev)"
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Top supplier (TPC-H Q15 shape): the supplier(s) with max quarter
+    revenue. One per-suppkey aggregate shuffle, then the scalar max is
+    a 1-row aggregate CROSS-broadcast back onto the revenue frame (no
+    window over an unpartitioned frame — that would serialize the
+    per-supplier rows through one task); the decimal equality makes
+    max-row selection identical across engines. Supplier joins last,
+    against at most the tied max rows."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_D1).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q15_D2).cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+                "decimal(22,4)"
+            )
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    top = rev.join(F.broadcast(mx), rev.total_rev == F.col("_mx"))
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return top.join(sup, top.l_suppkey == sup.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+    )
+
+
+_Q22_CUT = "2000-01-01"
+
+
+def _tpch_q22_oracle() -> str:
+    return (
+        "WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) "
+        "AS DOUBLE) / count(*) AS avg_bal FROM customer WHERE c_acctbal > 0) "
+        "SELECT c_nationkey, count(*) AS numcust, "
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal "
+        "FROM customer, ab "
+        "WHERE c_acctbal > avg_bal AND NOT EXISTS ("
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        f"AND o_orderdate >= TIMESTAMP '{_Q22_CUT}') "
+        "GROUP BY c_nationkey"
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Global sales opportunity (TPC-H Q22 shape, adapted: 'dormant' =
+    no orders since the cutoff — every tier customer has SOME order, so
+    the unmodified NOT EXISTS would be empty at all SFs). The
+    above-average filter compares against an exact decimal-sum/count
+    average broadcast as a 1-row cross join (a plain avg() over doubles
+    would let summation order flip borderline customers between
+    engines); the dormancy check is a LEFT ANTI hash join against the
+    date-pruned orders scan — no correlated per-row subquery."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    ab = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUT).cast("timestamp_ntz")
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(ab)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 # ---------------------------------------------------------------------------
@@ -8464,6 +8763,12 @@ _QUEUED: dict = {
     "active_user_setops": (q_active_user_setops, _setops_oracle()),
     "ann_recall_eval": (q_ann_recall_eval, _ann_recall_oracle()),
     "weighted_sample": (q_weighted_sample, _weighted_sample_oracle()),
+    # r16 slate (TPC-H relational sweep: Q7/Q10/Q14/Q15/Q22 shapes)
+    "tpch_q7": (q_tpch_q7, _tpch_q7_oracle()),
+    "tpch_q10": (q_tpch_q10, _tpch_q10_oracle()),
+    "tpch_q14": (q_tpch_q14, _tpch_q14_oracle()),
+    "tpch_q15": (q_tpch_q15, _tpch_q15_oracle()),
+    "tpch_q22": (q_tpch_q22, _tpch_q22_oracle()),
     "pagerank": (q_pagerank, _pagerank_oracle()),
     "zorder_curve": (q_zorder_curve, _zorder_oracle()),
     "funnel": (q_funnel, _funnel_oracle()),
