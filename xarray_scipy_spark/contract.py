@@ -8310,6 +8310,171 @@ def q_text_wide_merged(spark, sf_dir):
     return la.unionAll(tf).unionAll(rp)
 
 
+# --- r16 merge staging ------------------------------------------------------
+# Five merges funding the r16 slate's five head slots:
+#   correlate@ frees deconvolve (1),
+#   savgol@ frees detrend (1),
+#   cwt_ricker@ frees periodogram (1),
+#   lombscargle@ frees dominant_frequency (1),
+#   sosfilt_stream@ frees stream_window_stats_live (1).
+# r16 RECIPE (execute like r8/r9, all in one edit): KEEP the retired
+# names' original @_q registrations in place (the merged oracles read
+# them through ORACLES[...] — `_q("correlate", _xcorr_merged_oracle())`
+# in a bottom rotation block evaluates its argument against the OLD
+# entry before overwriting it, the same ordering r8 used for savgol),
+# re-register the five base names with the merged queries
+# (correlate, savgol, cwt_ricker, lombscargle, sosfilt_stream), DELETE
+# the five retired standalone registrations (deconvolve, detrend,
+# periodogram, dominant_frequency, stream_window_stats_live), then
+# register the five r16 slate entries (tpch_q7/q10/q14/q15/q22),
+# rebuild __spark_entry__._CHECK_LAST from CORRECTNESS_r15.json key
+# order minus merged-away tail names, update queue_status.ROUND_PLAN,
+# and run tools/check_correctness.py in FULL before committing.
+
+
+def _xcorr_merged_oracle() -> str:
+    return (
+        "SELECT 'corr' AS variant, user_id, idx, corr4 AS va, 0.0 AS vb "
+        "FROM (" + ORACLES["correlate"] + ") "
+        "UNION ALL "
+        "SELECT 'deconv' AS variant, user_id, idx, "
+        "CAST(quot_q AS DOUBLE) AS va, CAST(rem_q AS DOUBLE) AS vb "
+        "FROM (" + ORACLES["deconvolve"] + ")"
+    )
+
+
+def q_xcorr_merged(spark, sf_dir):
+    """Cross-correlation + polynomial deconvolution in ONE variant-tag
+    union — replaces correlate + deconvolve at r16 (the two remaining
+    standalone convolution-algebra slots)."""
+    co = q_correlate(spark, sf_dir).select(
+        F.lit("corr").alias("variant"), "user_id", "idx",
+        F.col("corr4").alias("va"), F.lit(0.0).alias("vb"),
+    )
+    de = q_deconvolve(spark, sf_dir).select(
+        F.lit("deconv").alias("variant"), "user_id", "idx",
+        F.col("quot_q").cast("double").alias("va"),
+        F.col("rem_q").cast("double").alias("vb"),
+    )
+    return co.unionAll(de)
+
+
+def _smooth_family_merged_oracle() -> str:
+    return (
+        "SELECT variant, user_id, idx, v6 AS v "
+        "FROM (" + _savgol_merged_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'detrend' AS variant, user_id, idx, "
+        "CAST(resid_q AS DOUBLE) AS v "
+        "FROM (" + ORACLES["detrend"] + ")"
+    )
+
+
+def q_smooth_family_merged(spark, sf_dir):
+    """Savitzky–Golay smooth + deriv + linear detrend in ONE
+    variant-tag union — replaces savgol (already the r8 sg pair) +
+    detrend at r16 (the local-smoothing/trend-removal family in one
+    slot)."""
+    sg = q_savgol_merged(spark, sf_dir).select(
+        "variant", "user_id", "idx", F.col("v6").alias("v")
+    )
+    dt = q_detrend(spark, sf_dir).select(
+        F.lit("detrend").alias("variant"), "user_id", "idx",
+        F.col("resid_q").cast("double").alias("v"),
+    )
+    return sg.unionAll(dt)
+
+
+def _wavelet_spectrum_merged_oracle() -> str:
+    return (
+        "SELECT 'cwt' AS variant, user_id, idx, value4 AS v "
+        "FROM (" + ORACLES["cwt_ricker"] + ") "
+        "UNION ALL "
+        "SELECT 'pgram' AS variant, user_id, idx, "
+        "CAST(power_q AS DOUBLE) AS v "
+        "FROM (" + ORACLES["periodogram"] + ")"
+    )
+
+
+def q_wavelet_spectrum_merged(spark, sf_dir):
+    """Ricker CWT + boxcar periodogram in ONE variant-tag union —
+    replaces cwt_ricker + periodogram at r16 (both are per-(user,idx)
+    spectral decompositions of the same regular series)."""
+    cw = q_cwt_ricker(spark, sf_dir).select(
+        F.lit("cwt").alias("variant"), "user_id", "idx",
+        F.col("value4").alias("v"),
+    )
+    pg = q_periodogram(spark, sf_dir).select(
+        F.lit("pgram").alias("variant"), "user_id", "idx",
+        F.col("power_q").cast("double").alias("v"),
+    )
+    return cw.unionAll(pg)
+
+
+def _freqest_merged_oracle() -> str:
+    return (
+        "SELECT 'lomb' AS variant, user_id, idx, "
+        "CAST(power_q AS DOUBLE) AS v "
+        "FROM (" + ORACLES["lombscargle"] + ") "
+        "UNION ALL "
+        "SELECT 'domfreq' AS variant, user_id, peak_bin AS idx, "
+        "peak_mag3 AS v "
+        "FROM (" + ORACLES["dominant_frequency"] + ")"
+    )
+
+
+def q_freqest_merged(spark, sf_dir):
+    """Lomb–Scargle (irregular series) + dominant-frequency argmax
+    (regular series) in ONE variant-tag union — replaces lombscargle +
+    dominant_frequency at r16 (the frequency-estimation family)."""
+    lo = q_lombscargle(spark, sf_dir).select(
+        F.lit("lomb").alias("variant"), "user_id", "idx",
+        F.col("power_q").cast("double").alias("v"),
+    )
+    dfq = q_dominant_frequency(spark, sf_dir).select(
+        F.lit("domfreq").alias("variant"), "user_id",
+        F.col("peak_bin").alias("idx"), F.col("peak_mag3").alias("v"),
+    )
+    return lo.unionAll(dfq)
+
+
+def _live_streams_merged_oracle() -> str:
+    return (
+        "SELECT 'sosfilt' AS variant, user_id, idx AS k, val4 AS a, "
+        "0.0 AS b, 0.0 AS c, 0.0 AS d, 0.0 AS e "
+        "FROM (" + ORACLES["sosfilt_stream"] + ") "
+        "UNION ALL "
+        "SELECT 'windows' AS variant, user_id, window_start AS k, "
+        "CAST(n AS DOUBLE) AS a, CAST(sum_q AS DOUBLE) AS b, "
+        "CAST(avg_q AS DOUBLE) AS c, min4 AS d, max4 AS e "
+        "FROM (" + ORACLES["stream_window_stats_live"] + ")"
+    )
+
+
+def q_live_streams_merged(spark, sf_dir):
+    """The two LIVE Structured-Streaming executions (stateful sosfilt +
+    watermarked windowed stats) in ONE variant-tag union — replaces
+    sosfilt_stream + stream_window_stats_live at r16. Each side still
+    runs its real readStream→memory-sink job before the batch union,
+    so the driver keeps verifying stream-equals-oracle for BOTH
+    stateful-operator classes in one slot."""
+    so = q_sosfilt_stream(spark, sf_dir).select(
+        F.lit("sosfilt").alias("variant"), "user_id",
+        F.col("idx").alias("k"), F.col("val4").alias("a"),
+        F.lit(0.0).alias("b"), F.lit(0.0).alias("c"),
+        F.lit(0.0).alias("d"), F.lit(0.0).alias("e"),
+    )
+    wi = q_stream_window_stats_live(spark, sf_dir).select(
+        F.lit("windows").alias("variant"), "user_id",
+        F.col("window_start").alias("k"),
+        F.col("n").cast("double").alias("a"),
+        F.col("sum_q").cast("double").alias("b"),
+        F.col("avg_q").cast("double").alias("c"),
+        F.col("min4").alias("d"), F.col("max4").alias("e"),
+    )
+    return so.unionAll(wi)
+
+
 # --- r16 slate: TPC-H relational sweep --------------------------------------
 # Five more TPC-H query shapes (Q7, Q10, Q14, Q15, Q22) adapted to
 # this schema's columns (no partsupp / l_commitdate / l_receiptdate /
@@ -8763,6 +8928,20 @@ _QUEUED: dict = {
     "active_user_setops": (q_active_user_setops, _setops_oracle()),
     "ann_recall_eval": (q_ann_recall_eval, _ann_recall_oracle()),
     "weighted_sample": (q_weighted_sample, _weighted_sample_oracle()),
+    # r16 merges, ready (free 5: deconvolve, detrend, periodogram,
+    # dominant_frequency, stream_window_stats_live retire — funding the
+    # r16 slate below)
+    "correlate@merged": (q_xcorr_merged, _xcorr_merged_oracle()),
+    "savgol@merged": (q_smooth_family_merged, _smooth_family_merged_oracle()),
+    "cwt_ricker@merged": (
+        q_wavelet_spectrum_merged,
+        _wavelet_spectrum_merged_oracle(),
+    ),
+    "lombscargle@merged": (q_freqest_merged, _freqest_merged_oracle()),
+    "sosfilt_stream@merged": (
+        q_live_streams_merged,
+        _live_streams_merged_oracle(),
+    ),
     # r16 slate (TPC-H relational sweep: Q7/Q10/Q14/Q15/Q22 shapes)
     "tpch_q7": (q_tpch_q7, _tpch_q7_oracle()),
     "tpch_q10": (q_tpch_q10, _tpch_q10_oracle()),
