@@ -93,6 +93,13 @@ ROUND_PLAN = {
         "tpch_q15",
         "tpch_q22",
     ],
+    "r17": [
+        "tpch_q8",
+        "tpch_q9",
+        "tpch_q13",
+        "tpch_q17",
+        "tpch_q19",
+    ],
 }
 
 
