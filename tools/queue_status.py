@@ -100,6 +100,13 @@ ROUND_PLAN = {
         "tpch_q17",
         "tpch_q19",
     ],
+    "r18": [
+        "bpe_encode",
+        "text_sparse_knn",
+        "dedup_recall_eval",
+        "embedding_outliers",
+        "dataset_temperature_mix",
+    ],
 }
 
 

@@ -128,10 +128,17 @@ SELECT node, count(*) AS n_tri FROM (
 def main() -> int:
     reps = 10
     edge_sizes = [100_000, 1_000_000, 4_000_000]
+    tpch_queries = ["tpch_q4", "tpch_q18"]
     args = sys.argv[1:]
     if args[:1] == ["--reps"]:
         reps = int(args[1])
         args = args[2:]
+    if args[:1] == ["--tpch"]:
+        # measure these contract TPC-H queries instead of the default
+        # pair (and skip the triangle battery): r16/r17 slate rows
+        tpch_queries = args[1:]
+        edge_sizes = []
+        args = []
     if args[:1] == ["--edges"]:
         edge_sizes = [int(a) for a in args[1:]]
 
@@ -146,10 +153,17 @@ def main() -> int:
     tdir = build_tpch(spark, reps)
     views = [
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tdir}/{t}.parquet{'/*.parquet' if os.path.isdir(os.path.join(tdir, t + '.parquet')) else ''}')"
-        for t in ("orders", "lineitem", "customer")
+        for t in (
+            "orders", "lineitem", "customer", "supplier", "part",
+            "nation", "region",
+        )
     ]
-    for name in ("tpch_q4", "tpch_q18"):
-        fn, osql = C._QUEUED[name]
+    registered = dict(getattr(C, "ORACLES", {}) or {})
+    for name in tpch_queries:
+        if name in C._QUEUED:
+            fn, osql = C._QUEUED[name]
+        else:
+            fn, osql = C.QUERIES[name], registered[name]
         s = spark_median(lambda: fn(spark, tdir))
         d = duck_median(views, osql)
         out[f"{name}@{reps}x"] = {

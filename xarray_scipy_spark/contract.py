@@ -1597,7 +1597,7 @@ _MINHASH_BANDS = 4
 _MINHASH_THRESHOLD = 0.5
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(threshold: float = _MINHASH_THRESHOLD) -> str:
     from .pipeline.hashes import MINHASH_P, minhash_coeffs
 
     rows = _MINHASH_N // _MINHASH_BANDS
@@ -1631,7 +1631,7 @@ SELECT a_id, b_id, jaccard FROM (
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.a_id
   JOIN sh sb ON sb.doc_id = c.b_id
-) WHERE jaccard >= {_MINHASH_THRESHOLD}
+) WHERE jaccard >= {threshold}
 """
 
 
@@ -9112,6 +9112,306 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+# --- r18 slate: tokenizer inference, sparse retrieval, dedup eval, ----------
+# label-noise sweep, temperature mixing — five more LLM-pipeline
+# operators on the corpus/embedding tables.
+
+# 24 merges trained ONCE with train_bpe(num_merges=24) on the sf0.01
+# documents table and frozen — the production shape: the tokenizer is
+# a versioned artifact applied unchanged to every later corpus. The
+# oracle replays the same greedy left-to-right merge scan as string
+# rewriting over control-char-delimited symbols (documents are ASCII
+# 32..121, so \x01/\x02 cannot collide with text).
+_BPE_MERGES: tuple = (
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+)
+
+
+def _bpe_encode_oracle() -> str:
+    d1, d2 = "\x01", "\x02"
+
+    def sym(s: str) -> str:
+        return d1 + s + d2
+
+    chain = f"regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') || '{sym('</w>')}'"
+    for a, b in _BPE_MERGES:
+        chain = f"replace({chain}, '{sym(a)}{sym(b)}', '{sym(a + b)}')"
+    return (
+        f"WITH {_TOKS}, "
+        "w AS (SELECT doc_id, unnest(tk) AS word FROM toks), "
+        f"seg AS (SELECT doc_id, {chain} AS s FROM w), "
+        "tokc AS (SELECT doc_id, "
+        f"length(s) - length(replace(s, '{d1}', '')) AS n_tok, s FROM seg), "
+        "per_doc AS (SELECT doc_id, count(*) AS n_words, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tokc GROUP BY doc_id), "
+        "symt AS (SELECT doc_id, "
+        f"replace(u, '{d1}', '') AS sym FROM "
+        f"(SELECT doc_id, unnest(string_split(s, '{d2}')) AS u FROM seg) "
+        "WHERE u <> ''), "
+        "dist AS (SELECT doc_id, count(DISTINCT sym) AS n_distinct "
+        "FROM symt GROUP BY doc_id) "
+        "SELECT p.doc_id, n_words, n_tokens, n_distinct "
+        "FROM per_doc p JOIN dist USING (doc_id)"
+    )
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer INFERENCE with the pinned 24-merge table
+    (pipeline/bpe.py encode_with_merges): distinct words segment once
+    through chained Catalyst aggregate-folds (vocab-bound work), the
+    corpus pass is one broadcast join — the shape that tokenizes a
+    100 TB corpus whose vocabulary is millions of words. Pairs with
+    the bpe_vocab TRAINING entry (rows-only); this one has a full SQL
+    twin because the merge list is frozen. Output per document: word
+    count, BPE token count, distinct-piece count."""
+    res = pl.encode_with_merges(_docs(spark, sf_dir), list(_BPE_MERGES))
+    return res.select(
+        "doc_id",
+        F.size(pl.hashes.tokens(F.col("text"))).alias("n_words"),
+        F.size("bpe_pieces").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("bpe_pieces")).cast("bigint").alias("n_distinct"),
+    ).filter(F.col("n_words") >= 1).select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "n_tokens",
+        "n_distinct",
+    )
+
+
+_SKNN_K = 3
+_SKNN_MOD = 5  # doc_id % 5 subset: the corpus vocabulary is dense
+# (31 tokens, df ~ N for every term), so df-pruning cannot bound the
+# term self-join here and the contract query bounds the INPUT instead
+# (the edit_distance_join precedent). Real corpora have Zipfian
+# vocabularies where the max_df lever does the bounding.
+
+
+def _sparse_knn_oracle() -> str:
+    return (
+        "WITH docs_s AS (SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {_SKNN_MOD} = 0), "
+        "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "t -> t <> '') AS tk FROM docs_s), "
+        "tf AS (SELECT doc_id, t, count(*) AS tf FROM "
+        "(SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t), "
+        "n AS (SELECT count(DISTINCT doc_id) AS n FROM docs_s), "
+        "dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t "
+        "HAVING count(*) >= 2), "
+        "w AS (SELECT doc_id, tf.t, CAST(round(tf * "
+        "round(ln((n + 1.0) / (df + 1.0)) + 1.0, 6), 6) AS DECIMAL(18,6)) "
+        "AS w FROM tf JOIN dft ON dft.t = tf.t, n), "
+        "nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id), "
+        "dots AS (SELECT a.doc_id AS ad, b.doc_id AS bd, "
+        "sum(a.w * b.w) AS dot FROM w a JOIN w b "
+        "ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "cos AS (SELECT ad, bd, round(CAST(dot AS DOUBLE) / "
+        "(sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) "
+        "+ 0.0 AS cos_sim FROM dots "
+        "JOIN nrm na ON na.doc_id = ad JOIN nrm nb ON nb.doc_id = bd), "
+        "sym AS (SELECT ad AS q, bd AS nb, cos_sim FROM cos "
+        "UNION ALL SELECT bd, ad, cos_sim FROM cos), "
+        "r AS (SELECT q, nb, cos_sim, row_number() OVER "
+        "(PARTITION BY q ORDER BY cos_sim DESC, nb) AS rank FROM sym) "
+        f"SELECT q AS doc_id, nb AS neighbor_id, rank, cos_sim FROM r "
+        f"WHERE rank <= {_SKNN_K}"
+    )
+
+
+def q_text_sparse_knn(spark, sf_dir):
+    """Document-to-document tf-idf cosine top-k (pipeline/text.py
+    sparse_knn): term-at-a-time all-pairs similarity — posting lists
+    self-join on the term so a pair's dot product accumulates one
+    partial per SHARED term and no dense vectors materialize. Weights
+    quantize to DECIMAL(18,6) before any sum, so dots and norms are
+    exact under any partitioning. At corpus scale the ``max_df`` cap
+    bounds every posting list (high-df terms carry ~zero idf weight);
+    this synthetic corpus's 31-token dense vocabulary defeats that
+    lever, so the contract query bounds the input subset instead."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % _SKNN_MOD == 0)
+    res = pl.sparse_knn(d, k=_SKNN_K, min_df=2, max_df=None)
+    return res.select(
+        "doc_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "cos_sim",
+    )
+
+
+def _dedup_recall_oracle() -> str:
+    cand = _minhash_oracle(0.0)
+    truth = (
+        f"WITH {_TOKS}, {_SHINGLES}, "
+        "e AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "count(*) AS n_inter FROM e a JOIN e b "
+        "ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh) "
+        "SELECT a_id, b_id FROM inter i "
+        "JOIN sizes za ON za.doc_id = i.a_id "
+        "JOIN sizes zb ON zb.doc_id = i.b_id "
+        "WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) "
+        f">= {_MINHASH_THRESHOLD}"
+    )
+    return (
+        f"WITH cand AS (SELECT a_id, b_id FROM ({cand})), "
+        f"truth AS (SELECT a_id, b_id FROM ({truth})), "
+        "tp AS (SELECT count(*) AS n_tp FROM cand JOIN truth "
+        "USING (a_id, b_id)) "
+        "SELECT (SELECT count(*) FROM cand) AS n_candidates, "
+        "(SELECT count(*) FROM truth) AS n_truth, n_tp, "
+        "round(CAST(n_tp AS DOUBLE) / "
+        "nullif((SELECT count(*) FROM cand), 0), 6) + 0.0 AS precision_q, "
+        "round(CAST(n_tp AS DOUBLE) / "
+        "nullif((SELECT count(*) FROM truth), 0), 6) + 0.0 AS recall_q "
+        "FROM tp"
+    )
+
+
+def q_dedup_recall_eval(spark, sf_dir):
+    """Dedup quality evaluation (the ann_recall_eval pattern applied
+    to near-dup detection): banded-MinHash CANDIDATE pairs
+    (threshold=0, i.e. before the exact-Jaccard verify) scored
+    against exact shingle-Jaccard >= 0.5 ground truth — banding
+    recall and candidate precision in one row. The truth side is the
+    inverted-index exact join (any qualifying pair shares a shingle),
+    the candidate side the production LSH path; both are corpus-scale
+    plans, and the figures are what you tune bands/rows against
+    before a 100 TB dedup run."""
+    cand = pl.minhash_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=0.0,
+    ).select("a_id", "b_id")
+    truth = pl.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=_MINHASH_THRESHOLD
+    ).select("a_id", "b_id")
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    tp = cand.join(truth, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    row = tp.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_truth))
+    return row.select(
+        "n_candidates",
+        "n_truth",
+        "n_tp",
+        (
+            F.round(
+                F.col("n_tp").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("precision_q"),
+        (
+            F.round(
+                F.col("n_tp").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall_q"),
+    )
+
+
+_OUT_N = 10
+
+
+def _embedding_outliers_oracle() -> str:
+    return (
+        "WITH v AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings), "
+        "d AS (SELECT vec_id, label, i, "
+        "CAST(round(v[i], 6) AS DECIMAL(18,6)) AS xq "
+        f"FROM v CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM + 1})) AS i)), "
+        "cent AS (SELECT label, i, CAST(round(CAST(sum(xq) AS DOUBLE) "
+        "/ count(*), 6) AS DECIMAL(18,6)) AS c FROM d GROUP BY label, i), "
+        "cnorm AS (SELECT label, sum(c * c) AS nc FROM cent GROUP BY label), "
+        "pr AS (SELECT d.vec_id, d.label, sum(d.xq * cent.c) AS dot, "
+        "sum(d.xq * d.xq) AS nv FROM d JOIN cent "
+        "ON cent.label = d.label AND cent.i = d.i "
+        "GROUP BY d.vec_id, d.label), "
+        "cos AS (SELECT pr.label, vec_id, round(CAST(dot AS DOUBLE) / "
+        "(sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6) + 0.0 "
+        "AS cos_centroid FROM pr JOIN cnorm ON cnorm.label = pr.label), "
+        "r AS (SELECT label, vec_id, cos_centroid, row_number() OVER "
+        "(PARTITION BY label ORDER BY cos_centroid ASC, vec_id) AS rank "
+        "FROM cos) "
+        f"SELECT label, vec_id, cos_centroid, rank FROM r WHERE rank <= {_OUT_N}"
+    )
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers (pipeline/similarity.py
+    label_outliers): the 10 vectors least cosine-similar to their own
+    label's centroid — the label-noise sweep before any label is
+    trusted. Exploded-dim DECIMAL arithmetic makes centroid sums, dot
+    products and norms exact under any partitioning; the top-n per
+    label runs the two-phase cap_per_group shape (bucket-local prune,
+    then exact window over <= buckets*n survivors) so no label ever
+    serializes through one reducer."""
+    res = pl.label_outliers(_emb(spark, sf_dir), n=_OUT_N)
+    return res.select(
+        "label",
+        "vec_id",
+        "cos_centroid",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+_TMIX_ALPHA, _TMIX_BUDGET = 0.7, 0.5
+
+
+def _temperature_mix_oracle() -> str:
+    a, bf = _TMIX_ALPHA, _TMIX_BUDGET
+    return (
+        "WITH c AS (SELECT source, count(*) AS cnt FROM documents "
+        "GROUP BY source), "
+        f"wt AS (SELECT source, cnt, CAST(round(pow(cnt, {a}), 6) "
+        "AS DECIMAL(18,6)) AS w FROM c), "
+        "tot AS (SELECT sum(w) AS tw, sum(cnt) AS n FROM wt), "
+        "r AS (SELECT source, cnt, "
+        "CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS share, "
+        f"CAST(floor({bf} * CAST(n AS DOUBLE) * "
+        "(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT) AS target_n "
+        "FROM wt, tot), "
+        "rr AS (SELECT *, least(1.0, CAST(target_n AS DOUBLE) / "
+        "CAST(cnt AS DOUBLE)) AS rate FROM r), "
+        "k AS (SELECT d.source, count(*) AS kept_n FROM documents d "
+        "JOIN rr ON rr.source = d.source WHERE "
+        "(('0x' || substring(md5('tmix|' || d.source || '|' || "
+        "CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT / 16.0^15) < rate "
+        "GROUP BY d.source) "
+        "SELECT rr.source, cnt, round(share, 6) + 0.0 AS share, target_n, "
+        "CAST(coalesce(kept_n, 0) AS BIGINT) AS kept_n "
+        "FROM rr LEFT JOIN k ON k.source = rr.source"
+    )
+
+
+def q_dataset_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixing (pipeline/sample.py
+    temperature_mix): sampling shares follow cnt^0.7 under a 50%
+    total budget — the multilingual/multi-source LM mixing recipe
+    with rates DERIVED from corpus counts rather than pinned. One
+    source-keyed count, share math on the source-sized frame with a
+    DECIMAL-exact denominator, then the salted-hash keep decision as
+    a broadcast-rate projection — no sampling state anywhere."""
+    return pl.temperature_mix(
+        _docs(spark, sf_dir),
+        source_col="source",
+        alpha=_TMIX_ALPHA,
+        budget_frac=_TMIX_BUDGET,
+        salt="tmix",
+    )
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 # ---------------------------------------------------------------------------
@@ -9318,4 +9618,14 @@ _QUEUED: dict = {
     "tpch_q13": (q_tpch_q13, _tpch_q13_oracle()),
     "tpch_q17": (q_tpch_q17, _tpch_q17_oracle()),
     "tpch_q19": (q_tpch_q19, _tpch_q19_oracle()),
+    # r18 slate (tokenizer inference, sparse retrieval, dedup eval,
+    # label-noise sweep, temperature mixing)
+    "bpe_encode": (q_bpe_encode, _bpe_encode_oracle()),
+    "text_sparse_knn": (q_text_sparse_knn, _sparse_knn_oracle()),
+    "dedup_recall_eval": (q_dedup_recall_eval, _dedup_recall_oracle()),
+    "embedding_outliers": (q_embedding_outliers, _embedding_outliers_oracle()),
+    "dataset_temperature_mix": (
+        q_dataset_temperature_mix,
+        _temperature_mix_oracle(),
+    ),
 }

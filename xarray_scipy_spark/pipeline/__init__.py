@@ -47,10 +47,12 @@ from .similarity import (
     pca_project,
     fit_pca,
     embedding_pca,
+    label_outliers,
 )
 from .text import (
     postings,
     bm25_scores,
+    sparse_knn,
     canonical_url,
     winsorize_by_group,
     clean_text,
@@ -71,7 +73,7 @@ from .text import (
     unigram_logprob,
     vocabulary,
 )
-from .bpe import apply_bpe, train_bpe, word_counts
+from .bpe import apply_bpe, train_bpe, word_counts, segment_words, encode_with_merges
 from .curate import curation_report
 from .linear import fit_logistic, fit_ridge, grouped_ols, predict_linear
 from .pack import pack_documents
@@ -101,6 +103,7 @@ from .sample import (
     mix_datasets,
     pack_sequences,
     weighted_sample,
+    temperature_mix,
     split_assign,
     stratified_sample,
 )
@@ -155,6 +158,7 @@ __all__ = [
     "pca_project",
     "fit_pca",
     "embedding_pca",
+    "label_outliers",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "kmeans_cells",
@@ -208,7 +212,9 @@ __all__ = [
     "triangle_count",
     "postings",
     "bm25_scores",
+    "sparse_knn",
     "edit_distance_pairs",
     "apply_cdc",
     "weighted_sample",
+    "temperature_mix",
 ]

@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from .hashes import spread, tokens
 
-__all__ = ["train_bpe", "word_counts", "apply_bpe"]
+__all__ = [
+    "train_bpe",
+    "word_counts",
+    "apply_bpe",
+    "segment_words",
+    "encode_with_merges",
+]
 
 _END = "</w>"  # end-of-word marker, as in the reference algorithm
 
@@ -145,6 +151,45 @@ def train_bpe(
         if (it + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint()
     return merges, vocab.localCheckpoint()
+
+
+def segment_words(
+    words: DataFrame, merges, *, word_col: str = "word", out: str = "pieces"
+) -> DataFrame:
+    """Segment a word table with a FIXED (already-trained) merge list —
+    the inference half of the tokenizer: production pipelines freeze
+    the merge table once and apply it to every later corpus. Each merge
+    is one Catalyst ``aggregate`` fold (greedy left-to-right, identical
+    to the training-time scan), chained in merge-priority order over
+    the DISTINCT word table — so cost is vocab-bound, not corpus-bound,
+    and there is no Python in the pass. Output: input columns +
+    ``out`` = the word's piece array."""
+    pieces = _initial_symbols(F.col(word_col))
+    for a, b in merges:
+        pieces = _merge_fold(pieces, a, b)
+    return words.withColumn(out, pieces)
+
+
+def encode_with_merges(
+    docs: DataFrame,
+    merges,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "bpe_pieces",
+) -> DataFrame:
+    """Tokenize a corpus with a pinned merge list: distinct words are
+    segmented once (``segment_words`` — vocab-sized work), then
+    broadcast back onto the documents via :func:`apply_bpe`. The
+    corpus-sized pass is therefore a tokenizer explode + one broadcast
+    join, with ALL merge folding confined to the distinct-word table —
+    the shape that survives a 100 TB corpus whose vocabulary is
+    millions of words, not trillions."""
+    vocab = segment_words(
+        word_counts(docs, text_col=text_col, id_col=id_col).select("word"),
+        merges,
+    )
+    return apply_bpe(docs, vocab, text_col=text_col, id_col=id_col, out=out)
 
 
 def apply_bpe(

@@ -35,6 +35,7 @@ __all__ = [
     "class_weights",
     "pack_sequences",
     "weighted_sample",
+    "temperature_mix",
 ]
 
 # 16^15 — the number of 15-hex-char values; dividing the h60 hash by
@@ -598,4 +599,101 @@ def weighted_sample(
     w = Window.orderBy(*order)  # <= k rows — bounded single partition
     return top.withColumn("smp_rank", F.row_number().over(w)).select(
         id_col, "smp_rank"
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    alpha: float = 0.7,
+    budget_frac: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened source mixing: sampling shares follow
+    ``cnt^alpha`` (alpha < 1 flattens the source power law, the
+    standard multilingual/multi-source LM recipe) under a total budget
+    of ``budget_frac * N`` rows. Unlike :func:`mix_datasets` (fixed
+    per-source rates), the rates here are DERIVED from corpus counts:
+
+    1. one map-side-combinable count per source (output = #sources);
+    2. driver-free share computation on that tiny frame — weights are
+       ``pow(cnt, alpha)`` quantized to DECIMAL(18,6) so the share
+       denominator is an exact sum (associativity-proof), shares one
+       IEEE divide each;
+    3. the keep decision re-joins rates by a broadcast and is the
+       usual salted-hash projection ``u(salt|source|id) < rate`` —
+       no sampling state, stable under reruns and repartitioning.
+
+    Returns per-source audit rows: ``(source, cnt, share, target_n,
+    kept_n)`` — ``kept_n / target_n`` converges at corpus scale; the
+    audit exposes small-source clipping (rate capped at 1.0).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0 < budget_frac <= 1:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    cnts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = F.round(F.pow(F.col("cnt").cast("double"), F.lit(alpha)), 6).cast(
+        "decimal(18,6)"
+    )
+    weighted = cnts.select(source_col, "cnt", w.alias("_w"))
+    tot = weighted.agg(
+        F.sum("_w").alias("_tw"), F.sum("cnt").alias("_n")
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "cnt",
+            (F.col("_w").cast("double") / F.col("_tw").cast("double")).alias(
+                "_share"
+            ),
+            F.col("_n"),
+        )
+        .select(
+            source_col,
+            "cnt",
+            "_share",
+            F.floor(
+                F.lit(budget_frac) * F.col("_n").cast("double") * F.col("_share")
+            )
+            .cast("bigint")
+            .alias("target_n"),
+        )
+        .select(
+            source_col,
+            "cnt",
+            "_share",
+            "target_n",
+            F.least(
+                F.lit(1.0),
+                F.col("target_n").cast("double") / F.col("cnt").cast("double"),
+            ).alias("_rate"),
+        )
+    )
+    seeded = F.concat_ws(
+        "|", F.lit(salt), F.col(source_col), F.col(id_col).cast("string")
+    )
+    u = (
+        F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("bigint")
+        / F.lit(_H60_SPAN)
+    )
+    kept = (
+        df.select(id_col, source_col)
+        .join(F.broadcast(rates.select(source_col, "_rate")), source_col)
+        .filter(u < F.col("_rate"))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("kept_n"))
+    )
+    return (
+        rates.join(kept, source_col, "left")
+        .select(
+            source_col,
+            "cnt",
+            (F.round(F.col("_share"), 6) + F.lit(0.0)).alias("share"),
+            "target_n",
+            F.coalesce(F.col("kept_n"), F.lit(0)).cast("bigint").alias("kept_n"),
+        )
     )

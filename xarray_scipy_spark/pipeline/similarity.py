@@ -35,6 +35,7 @@ __all__ = [
     "pca_project",
     "fit_pca",
     "embedding_pca",
+    "label_outliers",
 ]
 
 
@@ -546,3 +547,114 @@ def embedding_pca(
     """
     _vals, comps, mean = fit_pca(df, k, vec_col=vec_col)
     return pca_project(df, comps, mean, id_col=id_col, vec_col=vec_col)
+
+
+def label_outliers(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n: int = 10,
+    buckets: int = 32,
+) -> DataFrame:
+    """Per-label embedding outliers: the ``n`` vectors least similar
+    (cosine) to their own label's centroid — the label-noise /
+    mislabeled-example sweep a training-data pipeline runs before
+    fitting anything on the labels.
+
+    Everything runs in the exploded (row, dim) domain with components
+    quantized to DECIMAL(18,6), so centroid sums, dot products, and
+    norms are exact under any partitioning:
+
+    1. centroid: one (label, dim)-keyed aggregate — output is
+       labels x dim rows, broadcastable at ANY corpus size;
+    2. per-row cosine-to-centroid: broadcast-join the centroid onto
+       the exploded rows, one row-keyed aggregate;
+    3. top-n per label runs TWO-PHASE (the cap_per_group shape): a
+       window per (label, hash-bucket) prunes to local top-n — the
+       global top-n is always a subset — then the exact window ranks
+       the <= buckets*n survivors. A single label-partitioned window
+       would serialize each label's millions of rows onto one reducer.
+
+    Output: ``(label, id_col, cos_centroid, rank)`` with rank 1 = the
+    most dissimilar vector (ties broken by id, deterministic).
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    dims = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("_lab"),
+            F.posexplode(vec_col).alias("_i", "_x"),
+        )
+        .select(
+            "_id",
+            "_lab",
+            "_i",
+            F.round(F.col("_x").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("_xq"),
+        )
+    )
+    cent = dims.groupBy("_lab", "_i").agg(
+        F.sum("_xq").alias("_s"), F.count(F.lit(1)).alias("_cnt")
+    ).select(
+        "_lab",
+        "_i",
+        F.round(F.col("_s").cast("double") / F.col("_cnt"), 6)
+        .cast("decimal(18,6)")
+        .alias("_c"),
+    )
+    cnorm = cent.groupBy("_lab").agg(
+        F.sum(F.col("_c") * F.col("_c")).alias("_nc")
+    )
+    joined = dims.join(F.broadcast(cent), ["_lab", "_i"])
+    per_row = joined.groupBy("_id", "_lab").agg(
+        F.sum(F.col("_xq") * F.col("_c")).alias("_dot"),
+        F.sum(F.col("_xq") * F.col("_xq")).alias("_nv"),
+    )
+    cos = (
+        per_row.join(F.broadcast(cnorm), "_lab")
+        .select(
+            "_lab",
+            "_id",
+            (
+                F.round(
+                    F.col("_dot").cast("double")
+                    / (
+                        F.sqrt(F.col("_nv").cast("double"))
+                        * F.sqrt(F.col("_nc").cast("double"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cos_centroid"),
+        )
+    )
+    bucket = F.pmod(F.xxhash64(F.col("_id")), F.lit(buckets))
+    pruned = (
+        cos.withColumn("_b", bucket)
+        .withColumn("_lr", F.row_number().over(
+            Window.partitionBy("_lab", "_b").orderBy(
+                F.col("cos_centroid").asc(), F.col("_id").asc()
+            )
+        ))
+        .filter(F.col("_lr") <= n)
+        .drop("_b", "_lr")
+    )
+    final = Window.partitionBy("_lab").orderBy(
+        F.col("cos_centroid").asc(), F.col("_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= n)
+        .select(
+            F.col("_lab").alias(label_col),
+            F.col("_id").alias(id_col),
+            "cos_centroid",
+            "rank",
+        )
+    )

@@ -22,6 +22,7 @@ __all__ = [
     "ngram_counts",
     "postings",
     "bm25_scores",
+    "sparse_knn",
     "token_stats",
     "quality_score",
     "lang_id",
@@ -991,3 +992,123 @@ def bm25_scores(
     return scored.groupBy("_doc").agg(
         F.count(F.lit(1)).alias("n_match"), F.sum("_w").alias("score")
     ).select(F.col("_doc").alias(id_col), "n_match", "score")
+
+
+def sparse_knn(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document-to-document tf-idf cosine top-k — all-pairs similarity
+    search on the sparse text vectors, term-at-a-time: posting lists
+    self-join on the term, so each pair's dot product accumulates ONE
+    partial per shared term and no dense vectors ever materialize.
+
+    Scale levers (the published all-pairs-similarity playbook):
+
+    - ``min_df=2`` drops hapax terms (they can't create a pair);
+    - ``max_df`` drops stop-like terms — the self-join's cost is
+      Σ_t df_t², so one 10M-df term is 10¹³ candidate partials. At
+      corpus scale you ALWAYS cap df; high-df terms carry ~zero idf
+      weight, so the cosine they'd contribute is noise anyway. The
+      cap bounds every posting list, making the term self-join's
+      output ≤ Σ min(df, cap)² — linear in index size for fixed cap.
+
+    Weights are idf-damped term frequencies quantized to DECIMAL(18,6)
+    before any sum, so dot products and norms are EXACT integers-in-
+    decimal — associativity-proof under any partitioning (and
+    reproducible in an external engine). Cosine then takes one IEEE
+    divide per surviving pair. Pairs are computed once (a < b) and
+    mirrored, so each undirected pair costs one aggregate row.
+
+    Output: ``(id_col, neighbor_id, rank, cos_sim)`` — top ``k``
+    neighbors per document among documents sharing >= 1 surviving
+    term (ties broken by neighbor id, deterministic).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = spread(df, id_col).select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    )
+    tf = toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    dft = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    dft = dft.filter(F.col("_df") >= F.lit(min_df))
+    if max_df is not None:
+        dft = dft.filter(F.col("_df") <= F.lit(max_df))
+    idf = F.round(
+        F.log((F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0)))
+        + F.lit(1.0),
+        6,
+    )
+    w = (
+        tf.join(dft, "_t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_t",
+            "_doc",
+            F.round(F.col("_tf") * idf, 6).cast("decimal(18,6)").alias("_w"),
+        )
+    )
+    norms = w.groupBy("_doc").agg(
+        F.sum(F.col("_w") * F.col("_w")).alias("_n2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._doc") < F.col("b._doc")),
+        )
+        .groupBy(
+            F.col("a._doc").alias("_ad"), F.col("b._doc").alias("_bd")
+        )
+        .agg(F.sum(F.col("a._w") * F.col("b._w")).alias("_dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = (
+        dots.join(na, F.col("_ad") == F.col("na._doc"))
+        .join(nb, F.col("_bd") == F.col("nb._doc"))
+        .select(
+            "_ad",
+            "_bd",
+            (
+                F.round(
+                    F.col("_dot").cast("double")
+                    / (
+                        F.sqrt(F.col("na._n2").cast("double"))
+                        * F.sqrt(F.col("nb._n2").cast("double"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cos_sim"),
+        )
+    )
+    sym = cos.select(
+        F.col("_ad").alias("_q"), F.col("_bd").alias("_nb"), "cos_sim"
+    ).unionByName(
+        cos.select(
+            F.col("_bd").alias("_q"), F.col("_ad").alias("_nb"), "cos_sim"
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("_q").orderBy(F.desc("cos_sim"), F.col("_nb"))
+    )
+    return (
+        sym.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_q").alias(id_col),
+            F.col("_nb").alias("neighbor_id"),
+            "rank",
+            "cos_sim",
+        )
+    )
