@@ -8510,46 +8510,60 @@ def _tpch_q7_oracle() -> str:
 
 def q_tpch_q7(spark, sf_dir):
     """Volume shipping (TPC-H Q7 shape): revenue between every distinct
-    (supplier nation, customer nation) pair by ship year. The fact-fact
-    edge (lineitem ⋈ orders) shuffles on the order key once; both
-    nation hops are explicit broadcasts (25 rows at ANY scale);
-    supplier/customer are dimension-sized, left to AQE to
-    broadcast-or-shuffle by measured size at runtime. The per-pair
-    aggregate partial-combines map-side, so the last exchange carries
-    pairs × years rows, not lineitems."""
-    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    (supplier nation, customer nation) pair by ship year.
+
+    Plan shape (fixed after a measured 40x regression — the original
+    joined lineitem to the supplier⋈nation OUTPUT, whose join-output
+    size estimate blocked static broadcast, so Catalyst planned THREE
+    full sort-merge shuffles of the fact, the first on a 100-value
+    suppkey): the fact-fact edge (lineitem ⋈ orders) is the ONE big
+    exchange; the joined fact then pre-aggregates to (suppkey,
+    custkey, year) — decimal partial sums commute, so two-level
+    aggregation is byte-exact vs the oracle's one level — and only the
+    pair table (≤ |suppliers|·|buying customers| rows, orders of
+    magnitude below lineitems) visits the dimension joins. supplier /
+    customer join as BASE tables (file-size statistics → static
+    broadcast at tier scale; at 100 TB AQE shuffles the pair table,
+    which is already small); nation maps are explicit broadcasts."""
     li = load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit(_Q7_D1).cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit(_Q7_D2).cast("timestamp_ntz"))
-    )
-    sup = (
-        load_table(spark, "supplier", sf_dir)
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    cust = (
-        load_table(spark, "customer", sf_dir)
-        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ).select(
+        "l_suppkey",
+        "l_orderkey",
+        F.year("l_shipdate").alias("l_year"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .cast("decimal(22,4)")
+        .alias("vol"),
     )
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey", "o_custkey", "l_year")
+        .agg(F.sum("vol").alias("vol"), F.count(F.lit(1)).alias("cnt"))
+    )
+    nation = F.broadcast(
+        load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    )
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
     j = (
-        li.join(sup, li.l_suppkey == sup.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        pair.join(sup, pair.l_suppkey == sup.s_suppkey)
+        .join(cust, pair.o_custkey == cust.c_custkey)
+        .join(nation.alias("n1"), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(nation.alias("n2"), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            "l_year",
+            "vol",
+            "cnt",
+        )
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
-    return j.groupBy(
-        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-    ).agg(
-        F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
-                "decimal(22,4)"
-            )
-        )
-        .cast("double")
-        .alias("revenue"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum("vol").cast("double").alias("revenue"),
+        F.sum("cnt").alias("n_rows"),
     )
 
 
@@ -8817,57 +8831,69 @@ def _tpch_q8_oracle() -> str:
 def q_tpch_q8(spark, sf_dir):
     """National market share (TPC-H Q8 shape): one supplier nation's
     share of STANDARD-part revenue sold to ASIA customers, by order
-    year. Both nation hops and region are explicit broadcasts (25/5
-    rows at ANY scale); the part filter semi-reduces lineitem via a
-    dimension join BEFORE the fact-fact orders shuffle, so the big
-    exchange carries only type-matched lines. The share is a ratio of
-    two exact decimal sums cast to double — one IEEE divide, identical
-    across engines. Conditional numerator partial-combines map-side."""
-    nation = F.broadcast(load_table(spark, "nation", sf_dir))
-    region = F.broadcast(load_table(spark, "region", sf_dir))
+    year. Plan shape (the q7 lesson applied from birth): every
+    dimension joins as a BASE table — part/supplier/customer carry
+    file-size statistics, so Catalyst broadcasts them statically
+    (joining the fact to a supplier⋈nation OUTPUT loses the estimate
+    and degenerates to fact-wide sort-merge shuffles, the measured q7
+    regression); the nation⋈region map is 25 rows, built driver-free
+    and broadcast explicitly, with the ASIA filter applied to orders
+    BEFORE the one fact-fact shuffle. The joined fact pre-aggregates
+    to (year, supplier-nation) — decimal partials commute, so the
+    two-level sum is byte-exact vs the oracle's one level — and the
+    share is a ratio of exact decimal sums cast to double."""
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    asia_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .filter(F.col("r_name") == _Q8_REGION)
+        .select(F.col("n_nationkey").alias("_asia_nk"))
+    )
     part = load_table(spark, "part", sf_dir).filter(
         F.col("p_type") == _Q8_TYPE
     ).select("p_partkey")
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q8_D1).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(_Q8_D2).cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(asia_nations, F.col("c_nationkey") == F.col("_asia_nk"))
+        .select("o_orderkey", "o_year")
+    )
     li = load_table(spark, "lineitem", sf_dir).select(
-        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .cast("decimal(22,4)")
+        .alias("vol"),
     )
-    sup = (
-        load_table(spark, "supplier", sf_dir)
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("nation"))
-    )
-    orders = load_table(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit(_Q8_D1).cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit(_Q8_D2).cast("timestamp_ntz"))
-    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
-    cust_asia = (
-        load_table(spark, "customer", sf_dir)
-        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == _Q8_REGION)
-        .select("c_custkey")
-    )
-    j = (
+    pre = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
-        .select(
-            "o_year",
-            "nation",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-            .cast("decimal(22,4)")
-            .alias("vol"),
-        )
+        .groupBy("o_year", "s_nationkey")
+        .agg(F.sum("vol").alias("vol"), F.count(F.lit(1)).alias("cnt"))
     )
-    agg = j.groupBy("o_year").agg(
+    named = pre.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        pre.s_nationkey == F.col("n_nationkey"),
+    )
+    agg = named.groupBy("o_year").agg(
         F.sum(
-            F.when(F.col("nation") == _Q8_NATION, F.col("vol")).otherwise(
+            F.when(F.col("n_name") == _Q8_NATION, F.col("vol")).otherwise(
                 F.lit(0).cast("decimal(22,4)")
             )
         ).alias("_nat"),
         F.sum("vol").alias("_tot"),
-        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cnt").alias("n_rows"),
     )
     return agg.select(
         "o_year",
@@ -8910,17 +8936,10 @@ def q_tpch_q9(spark, sf_dir):
     the last exchange is nations × years. The profit expression is a
     fixed-shape IEEE tree rounded then summed as DECIMAL — byte-exact
     across engines."""
-    nation = F.broadcast(
-        load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
-    )
     part = load_table(spark, "part", sf_dir).filter(
         F.col("p_name").like(f"%{_Q9_TOKEN}%")
     ).select("p_partkey", "p_retailprice")
-    sup = (
-        load_table(spark, "supplier", sf_dir)
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("nation"))
-    )
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", F.year("o_orderdate").alias("o_year")
     )
@@ -8937,15 +8956,27 @@ def q_tpch_q9(spark, sf_dir):
         - ((F.col("p_retailprice") * F.col("l_quantity")) * F.lit(0.1)),
         4,
     ).cast("decimal(22,4)")
-    j = (
+    # base-table dimension joins (static broadcast from file stats — the
+    # q7 lesson), ONE fact-fact shuffle, then pre-aggregate to
+    # (nationkey, year) before the 25-row nation-name broadcast join
+    pre = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .select("nation", "o_year", amount.alias("amount"))
+        .groupBy("s_nationkey", "o_year")
+        .agg(
+            F.sum(amount).alias("_amt"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
-    return j.groupBy("nation", "o_year").agg(
-        F.sum("amount").cast("double").alias("sum_profit"),
-        F.count(F.lit(1)).alias("n_rows"),
+    nation = F.broadcast(
+        load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    )
+    return pre.join(nation, pre.s_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        "o_year",
+        F.col("_amt").cast("double").alias("sum_profit"),
+        "n_rows",
     )
 
 
@@ -9412,6 +9443,340 @@ def q_dataset_temperature_mix(spark, sf_dir):
     )
 
 
+# --- merges funding the r17 + r18 slates (staged; 12 slots freed) -----------
+# Nine variant-tag unions over still-registered (or r10-r12-bound)
+# entries. Execute like r8/r9: KEEP each retired entry's oracle as a
+# _XXX_ORACLE constant before overwriting, register each merge under
+# its base name, retire the other components. Slot math: convolve
+# pair (1) + text trio (2) + decontaminate pair (1) + inverse-
+# transform trio (2) + dataset pair (1) + join-strategy pair (1) +
+# rolling pair (1) + quantile trio (2) + curation pair (1) = 12 freed
+# >= the 10 the two slates need (spares roll to r19).
+
+
+def _convolve_pair_merged_oracle() -> str:
+    return (
+        "SELECT 'full4' AS variant, user_id, idx, conv4 AS v "
+        "FROM (" + ORACLES["convolve"] + ") "
+        "UNION ALL "
+        "SELECT variant, user_id, idx, v6 AS v "
+        "FROM (" + ORACLES["convolve_valid"] + ")"
+    )
+
+
+def q_convolve_pair_merged(spark, sf_dir):
+    """convolve(mode=full) + the fir/valid variant union in ONE
+    variant-tag union — replaces convolve + convolve_valid at r17."""
+    a = q_convolve(spark, sf_dir).select(
+        F.lit("full4").alias("variant"),
+        "user_id",
+        "idx",
+        F.col("conv4").alias("v"),
+    )
+    b = q_convolve_merged(spark, sf_dir).select(
+        "variant", "user_id", "idx", F.col("v6").alias("v")
+    )
+    return a.unionAll(b)
+
+
+def _text_surface_merged_oracle() -> str:
+    return (
+        "SELECT variant, doc_id, n_tokens AS m1, a1 AS m2, a2 AS m3, "
+        "a3 AS m4, f1, '' AS s1 "
+        "FROM (" + ORACLES["text_token_stats"] + ") "
+        "UNION ALL "
+        "SELECT 'redact' AS variant, doc_id, n_email AS m1, n_ip AS m2, "
+        "n_phone AS m3, CAST(-1 AS BIGINT) AS m4, 0.0 AS f1, "
+        "md5(redacted) AS s1 FROM (" + ORACLES["text_redact"] + ") "
+        "UNION ALL "
+        "SELECT 'url' AS variant, doc_id, n_urls AS m1, n_domains AS m2, "
+        "CAST(-1 AS BIGINT) AS m3, CAST(-1 AS BIGINT) AS m4, 0.0 AS f1, "
+        "coalesce(first_domain, '') AS s1 "
+        "FROM (" + ORACLES["text_url_stats"] + ")"
+    )
+
+
+def q_text_surface_merged(spark, sf_dir):
+    """tokens/quality + PII redaction + URL stats in ONE variant-tag
+    union — replaces text_token_stats + text_redact + text_url_stats
+    at r17 (redacted text pinned via md5, both engines agree)."""
+    a = q_text_stats_merged(spark, sf_dir).select(
+        "variant",
+        "doc_id",
+        F.col("n_tokens").alias("m1"),
+        F.col("a1").alias("m2"),
+        F.col("a2").alias("m3"),
+        F.col("a3").alias("m4"),
+        "f1",
+        F.lit("").alias("s1"),
+    )
+    b = q_text_redact(spark, sf_dir).select(
+        F.lit("redact").alias("variant"),
+        "doc_id",
+        F.col("n_email").alias("m1"),
+        F.col("n_ip").alias("m2"),
+        F.col("n_phone").alias("m3"),
+        F.lit(-1).cast("bigint").alias("m4"),
+        F.lit(0.0).alias("f1"),
+        F.md5(F.col("redacted")).alias("s1"),
+    )
+    c = q_text_url_stats(spark, sf_dir).select(
+        F.lit("url").alias("variant"),
+        "doc_id",
+        F.col("n_urls").alias("m1"),
+        F.col("n_domains").alias("m2"),
+        F.lit(-1).cast("bigint").alias("m3"),
+        F.lit(-1).cast("bigint").alias("m4"),
+        F.lit(0.0).alias("f1"),
+        F.coalesce(F.col("first_domain"), F.lit("")).alias("s1"),
+    )
+    return a.unionAll(b).unionAll(c)
+
+
+def _decontaminate_merged_oracle() -> str:
+    return (
+        "SELECT 'ngram' AS variant, doc_id, n_shared_ngrams AS n, "
+        "contaminated FROM (" + ORACLES["decontaminate"] + ") "
+        "UNION ALL "
+        "SELECT 'bloom' AS variant, doc_id, n_flagged_shingles AS n, "
+        "contaminated FROM (" + ORACLES["bloom_decontaminate"] + ")"
+    )
+
+
+def q_decontaminate_merged(spark, sf_dir):
+    """Broadcast-shingle + bloom-bits decontamination in ONE
+    variant-tag union — replaces decontaminate + bloom_decontaminate
+    at r17."""
+    a = q_decontaminate(spark, sf_dir).select(
+        F.lit("ngram").alias("variant"),
+        "doc_id",
+        F.col("n_shared_ngrams").alias("n"),
+        "contaminated",
+    )
+    b = q_bloom_decontaminate(spark, sf_dir).select(
+        F.lit("bloom").alias("variant"),
+        "doc_id",
+        F.col("n_flagged_shingles").alias("n"),
+        "contaminated",
+    )
+    return a.unionAll(b)
+
+
+def _inverse_transform_merged_oracle() -> str:
+    return (
+        "SELECT variant, user_id, idx AS i1, CAST(-1 AS BIGINT) AS i2, "
+        "va, vb FROM (" + ORACLES["ifft"] + ") "
+        "UNION ALL "
+        "SELECT variant, user_id, i1, i2, v AS va, 0.0 AS vb "
+        "FROM (" + ORACLES["fftshift"] + ") "
+        "UNION ALL "
+        "SELECT 'istft' AS variant, user_id, t AS i1, "
+        "CAST(-1 AS BIGINT) AS i2, val4 AS va, 0.0 AS vb "
+        "FROM (" + ORACLES["istft_native"] + ")"
+    )
+
+
+def q_inverse_transform_merged(spark, sf_dir):
+    """The inverse/spectral-rearrangement family (ifft 4-variant +
+    fftshift 3-variant + native istft) in ONE variant-tag union —
+    replaces ifft + fftshift + istft_native at r17."""
+    a = q_fft_family_merged(spark, sf_dir).select(
+        "variant",
+        "user_id",
+        F.col("idx").alias("i1"),
+        F.lit(-1).cast("bigint").alias("i2"),
+        "va",
+        "vb",
+    )
+    b = q_fftshift_merged(spark, sf_dir).select(
+        "variant",
+        "user_id",
+        "i1",
+        "i2",
+        F.col("v").alias("va"),
+        F.lit(0.0).alias("vb"),
+    )
+    c = q_istft_native(spark, sf_dir).select(
+        F.lit("istft").alias("variant"),
+        "user_id",
+        F.col("t").alias("i1"),
+        F.lit(-1).cast("bigint").alias("i2"),
+        F.col("val4").alias("va"),
+        F.lit(0.0).alias("vb"),
+    )
+    return a.unionAll(b).unionAll(c)
+
+
+def _dataset_shape_merged_oracle() -> str:
+    return (
+        "SELECT 'mix' AS variant, source AS k1, n AS n1, min_id AS n2, "
+        "max_id AS n3 FROM (" + ORACLES["dataset_mix"] + ") "
+        "UNION ALL "
+        "SELECT 'cap' AS variant, CAST(grp AS VARCHAR) AS k1, "
+        "doc_id AS n1, CAST(-1 AS BIGINT) AS n2, CAST(-1 AS BIGINT) AS n3 "
+        "FROM (" + ORACLES["cap_per_group"] + ")"
+    )
+
+
+def q_dataset_shape_merged(spark, sf_dir):
+    """Fixed-rate source mixing + per-group cap in ONE variant-tag
+    union — replaces dataset_mix + cap_per_group at r17."""
+    a = q_dataset_mix(spark, sf_dir).select(
+        F.lit("mix").alias("variant"),
+        F.col("source").alias("k1"),
+        F.col("n").alias("n1"),
+        F.col("min_id").alias("n2"),
+        F.col("max_id").alias("n3"),
+    )
+    b = q_cap_per_group(spark, sf_dir).select(
+        F.lit("cap").alias("variant"),
+        F.col("grp").cast("string").alias("k1"),
+        F.col("doc_id").alias("n1"),
+        F.lit(-1).cast("bigint").alias("n2"),
+        F.lit(-1).cast("bigint").alias("n3"),
+    )
+    return a.unionAll(b)
+
+
+def _join_strategy_merged_oracle() -> str:
+    return (
+        "SELECT 'skew' AS variant, event_id AS i1, k AS i2, k_n AS i3, "
+        "k_avg_q AS i4 FROM (" + ORACLES["skew_join"] + ") "
+        "UNION ALL "
+        "SELECT 'bloom' AS variant, CAST(-1 AS BIGINT) AS i1, k AS i2, "
+        "n_items AS i3, qty_q AS i4 FROM (" + ORACLES["bloom_semijoin"] + ")"
+    )
+
+
+def q_join_strategy_merged(spark, sf_dir):
+    """Salted skew join + bloom runtime-filter semi-join in ONE
+    variant-tag union — replaces skew_join + bloom_semijoin at r18."""
+    a = q_skew_join(spark, sf_dir).select(
+        F.lit("skew").alias("variant"),
+        F.col("event_id").alias("i1"),
+        F.col("k").alias("i2"),
+        F.col("k_n").alias("i3"),
+        F.col("k_avg_q").alias("i4"),
+    )
+    b = q_bloom_semijoin(spark, sf_dir).select(
+        F.lit("bloom").alias("variant"),
+        F.lit(-1).cast("bigint").alias("i1"),
+        F.col("k").alias("i2"),
+        F.col("n_items").alias("i3"),
+        F.col("qty_q").alias("i4"),
+    )
+    return a.unionAll(b)
+
+
+def _rolling_family_merged_oracle() -> str:
+    return (
+        "SELECT 'stats' AS variant, user_id, t_us, roll_count, "
+        "sum_q AS m1, mean_q AS m2, min_q AS m3, max_q AS m4 "
+        "FROM (" + _rolling_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'median' AS variant, user_id, t_us, roll_count, "
+        "median_q AS m1, CAST(-1 AS BIGINT) AS m2, "
+        "CAST(-1 AS BIGINT) AS m3, CAST(-1 AS BIGINT) AS m4 "
+        "FROM (" + _rolling_median_oracle() + ")"
+    )
+
+
+def q_rolling_family_merged(spark, sf_dir):
+    """Rolling moment stats + rolling median in ONE variant-tag union
+    — replaces rolling_stats + rolling_median at r18 (both r10/r12
+    slate entries; the merge lands after both have registered)."""
+    a = q_rolling_stats(spark, sf_dir).select(
+        F.lit("stats").alias("variant"),
+        "user_id",
+        "t_us",
+        "roll_count",
+        F.col("sum_q").alias("m1"),
+        F.col("mean_q").alias("m2"),
+        F.col("min_q").alias("m3"),
+        F.col("max_q").alias("m4"),
+    )
+    b = q_rolling_median(spark, sf_dir).select(
+        F.lit("median").alias("variant"),
+        "user_id",
+        "t_us",
+        "roll_count",
+        F.col("median_q").alias("m1"),
+        F.lit(-1).cast("bigint").alias("m2"),
+        F.lit(-1).cast("bigint").alias("m3"),
+        F.lit(-1).cast("bigint").alias("m4"),
+    )
+    return a.unionAll(b)
+
+
+def _quantile_family_merged_oracle() -> str:
+    return (
+        "SELECT 'gq' AS variant, user_id, q_mille AS i1, v_q AS i2 "
+        "FROM (" + _group_quantiles_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'qn' AS variant, user_id, t_us AS i1, qn_mille AS i2 "
+        "FROM (" + _qnorm_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'wz' AS variant, user_id, t_us AS i1, w_q AS i2 "
+        "FROM (" + _winsorize_oracle() + ")"
+    )
+
+
+def q_quantile_family_merged(spark, sf_dir):
+    """Per-group quantiles + rank-uniformization + winsorize in ONE
+    variant-tag union — replaces group_quantiles + quantile_normalize
+    + winsorize at r18 (all r11/r12 slate entries)."""
+    a = q_group_quantiles(spark, sf_dir).select(
+        F.lit("gq").alias("variant"),
+        "user_id",
+        F.col("q_mille").alias("i1"),
+        F.col("v_q").alias("i2"),
+    )
+    b = q_quantile_normalize(spark, sf_dir).select(
+        F.lit("qn").alias("variant"),
+        "user_id",
+        F.col("t_us").alias("i1"),
+        F.col("qn_mille").alias("i2"),
+    )
+    c = q_winsorize(spark, sf_dir).select(
+        F.lit("wz").alias("variant"),
+        "user_id",
+        F.col("t_us").alias("i1"),
+        F.col("w_q").alias("i2"),
+    )
+    return a.unionAll(b).unionAll(c)
+
+
+def _curation_family_merged_oracle() -> str:
+    return (
+        "SELECT 'cur' AS variant, doc_id, quality6 AS f1, "
+        "CAST(-1 AS BIGINT) AS n1, status AS s1 "
+        "FROM (" + ORACLES["curation_report"] + ") "
+        "UNION ALL "
+        "SELECT 'clean' AS variant, doc_id, 0.0 AS f1, n_removed AS n1, "
+        "clean_md5 AS s1 FROM (" + _clean_text_oracle() + ")"
+    )
+
+
+def q_curation_family_merged(spark, sf_dir):
+    """End-to-end curation verdict + text cleaning in ONE variant-tag
+    union — replaces curation_report + clean_text at r18."""
+    a = q_curation_report(spark, sf_dir).select(
+        F.lit("cur").alias("variant"),
+        "doc_id",
+        F.col("quality6").alias("f1"),
+        F.lit(-1).cast("bigint").alias("n1"),
+        F.col("status").alias("s1"),
+    )
+    b = q_clean_text(spark, sf_dir).select(
+        F.lit("clean").alias("variant"),
+        "doc_id",
+        F.lit(0.0).alias("f1"),
+        F.col("n_removed").alias("n1"),
+        F.col("clean_md5").alias("s1"),
+    )
+    return a.unionAll(b)
+
+
 # name -> (query fn, oracle sql). CI-verified every pytest run
 # (tests/test_queued_contract.py); registered per the recipe above.
 # ---------------------------------------------------------------------------
@@ -9627,5 +9992,38 @@ _QUEUED: dict = {
     "dataset_temperature_mix": (
         q_dataset_temperature_mix,
         _temperature_mix_oracle(),
+    ),
+    # r17 merges, ready (free 7: convolve_valid, text_redact,
+    # text_url_stats, bloom_decontaminate, fftshift, istft_native,
+    # cap_per_group retire — funding the r17 slate above with spares)
+    "convolve@merged": (q_convolve_pair_merged, _convolve_pair_merged_oracle()),
+    "text_token_stats@merged": (
+        q_text_surface_merged,
+        _text_surface_merged_oracle(),
+    ),
+    "decontaminate@merged": (
+        q_decontaminate_merged,
+        _decontaminate_merged_oracle(),
+    ),
+    "ifft@merged": (
+        q_inverse_transform_merged,
+        _inverse_transform_merged_oracle(),
+    ),
+    "dataset_mix@merged": (q_dataset_shape_merged, _dataset_shape_merged_oracle()),
+    # r18 merges, ready (free 5: bloom_semijoin, rolling_median,
+    # quantile_normalize, winsorize, clean_text retire — funding the
+    # r18 slate above)
+    "skew_join@merged": (q_join_strategy_merged, _join_strategy_merged_oracle()),
+    "rolling_stats@merged": (
+        q_rolling_family_merged,
+        _rolling_family_merged_oracle(),
+    ),
+    "group_quantiles@merged": (
+        q_quantile_family_merged,
+        _quantile_family_merged_oracle(),
+    ),
+    "curation_report@merged": (
+        q_curation_family_merged,
+        _curation_family_merged_oracle(),
     ),
 }

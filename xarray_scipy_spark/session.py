@@ -40,6 +40,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # G1 with 32m regions instead of the auto-sized default:
+        # measured three-way GC A/B on this VM class. At a 48g heap G1
+        # auto-picks 16m regions, so Spark's ~16 MB shuffle/Arrow
+        # buffers allocate as HUMONGOUS objects — tpch_q7 at the 40x
+        # tier (24M-row fact join) ran 8.5-154 s/run, erratic, with
+        # vmstat showing 85-97% SYSTEM cpu (region commit/uncommit
+        # churn turned into kernel page work inside the VM; fixed -Xms
+        # did NOT fix it, median 10.8 s). ParallelGC fixed the shuffle
+        # class (q7 median 2.1 s) but regressed the kernel/Arrow class
+        # ~2x across a 99-query battery (full-GC cost grows with the
+        # heap). G1 + 32m regions wins BOTH classes: q7 3.3 s, gapfill
+        # 0.73 s (vs 3.19 ParallelGC / 1.56 default-G1), istft 0.38 s.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -XX:G1HeapRegionSize=32m",
+        )
         .config("spark.ui.enabled", "false")
     )
     # Pin BLAS/OpenMP pools inside python workers to one thread each: a
