@@ -107,6 +107,13 @@ ROUND_PLAN = {
         "embedding_outliers",
         "dataset_temperature_mix",
     ],
+    "r19": [
+        "naive_bayes_lang",
+        "auc_eval",
+        "token_mi",
+        "target_encoding",
+        "event_transitions",
+    ],
 }
 
 

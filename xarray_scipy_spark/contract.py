@@ -9443,6 +9443,211 @@ def q_dataset_temperature_mix(spark, sf_dir):
     )
 
 
+# --- r19 slate: one-pass NB classifier, exact AUC, MI feature selection, ----
+# target encoding, Markov transitions — the label-aware / eval layer
+# of the pipeline (features.py + text.py additions).
+
+
+def _naive_bayes_oracle() -> str:
+    return (
+        "WITH t0 AS (SELECT doc_id, lang, "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t "
+        "FROM documents), "
+        "lt AS (SELECT lang AS lab, t, count(*) AS c FROM t0 GROUP BY 1, 2), "
+        "vocab AS (SELECT DISTINCT t FROM t0), "
+        "vs AS (SELECT count(*) AS v FROM vocab), "
+        "labs AS (SELECT DISTINCT lang AS lab FROM documents), "
+        "nl AS (SELECT lang AS lab, count(*) AS n FROM t0 GROUP BY 1), "
+        "dense AS (SELECT labs.lab, vocab.t, "
+        "CAST(round(ln((coalesce(lt.c, 0) + 1.0) / (nl.n + vs.v)), 6) "
+        "AS DECIMAL(18,6)) AS lp "
+        "FROM vocab CROSS JOIN labs "
+        "LEFT JOIN lt ON lt.lab = labs.lab AND lt.t = vocab.t "
+        "JOIN nl ON nl.lab = labs.lab, vs), "
+        "nd AS (SELECT count(*) AS n FROM documents), "
+        "pri AS (SELECT lang AS lab, "
+        "CAST(round(ln(CAST(count(*) AS DOUBLE) / nd.n), 6) "
+        "AS DECIMAL(18,6)) AS prior FROM documents, nd GROUP BY lang, nd.n), "
+        "tf AS (SELECT doc_id, t, count(*) AS tf FROM t0 GROUP BY 1, 2), "
+        "sc AS (SELECT tf.doc_id, dense.lab AS cand, "
+        "sum(tf.tf * dense.lp) AS lk FROM tf "
+        "JOIN dense ON dense.t = tf.t GROUP BY 1, 2), "
+        "sc2 AS (SELECT doc_id, cand, lk + prior AS score FROM sc "
+        "JOIN pri ON pri.lab = sc.cand), "
+        "r AS (SELECT doc_id, cand, score, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM sc2) "
+        "SELECT r.doc_id, d.lang, cand AS pred, "
+        "round(CAST(score AS DOUBLE), 6) + 0.0 AS score_q, "
+        "cand = d.lang AS is_correct "
+        "FROM r JOIN documents d ON d.doc_id = r.doc_id WHERE rn = 1"
+    )
+
+
+def q_naive_bayes_lang(spark, sf_dir):
+    """One-pass multinomial Naive Bayes trained AND applied on the
+    corpus (pipeline/text.py naive_bayes_lang): the model-free
+    language/domain router a curation pipeline runs before anything
+    learned exists. Training = two map-side-combinable aggregates
+    (model size |vocab|x|labels|, corpus-independent); smoothing over
+    the DENSE vocab x labels grid so unseen cells get mass;
+    classification = one token join + per-doc argmax. Log-likelihoods
+    quantize to DECIMAL(18,6) before the per-(doc, label) sum —
+    scores exact under any partitioning; tie-break on the smallest
+    label."""
+    return pl.naive_bayes_lang(_docs(spark, sf_dir))
+
+
+def _auc_oracle() -> str:
+    return (
+        "WITH h AS (SELECT n_chars AS s, "
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos, "
+        "CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg "
+        "FROM documents GROUP BY 1), "
+        "c AS (SELECT pos, neg, pos * (2 * coalesce(sum(neg) OVER "
+        "(ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "+ neg) AS c2 FROM h) "
+        "SELECT CAST(sum(pos) AS BIGINT) AS n_pos, "
+        "CAST(sum(neg) AS BIGINT) AS n_neg, "
+        "round(CAST(sum(c2) AS DOUBLE) / "
+        "(2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6) "
+        "+ 0.0 AS auc_q FROM c"
+    )
+
+
+def q_auc_eval(spark, sf_dir):
+    """Exact ROC AUC without a global sort (pipeline/features.py
+    auc_exact — here: how well document length separates English docs,
+    the shape of any score-vs-label eval). The distinct-score
+    histogram identity keeps everything integer-exact until one final
+    divide: histogram aggregate (bounded by the score DOMAIN, not the
+    row count), ordered window over that small frame only, 1-row
+    aggregate — the plan that computes exact AUC over 10^11 rows where
+    the naive rank window serializes one reducer."""
+    d = _docs(spark, sf_dir).select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("is_en")
+    )
+    return pl.auc_exact(d, score_col="n_chars", label_col="is_en")
+
+
+_MI_K, _MI_MIN_DF = 20, 5
+
+
+def _token_mi_oracle() -> str:
+    import duckdb as _d  # noqa: F401  (documenting the engine twin)
+
+    # the SAME loop that builds the Spark expression builds the SQL —
+    # term ORDER matters (IEEE addition is non-associative), so both
+    # trees add (label x present/absent) terms identically
+    from .pipeline.text import MI_LANGS
+
+    nt = "(SELECT CAST(count(*) AS DOUBLE) FROM documents)"
+    terms = []
+    for lab in MI_LANGS:
+        nl = f"(SELECT CAST(count(*) AS DOUBLE) FROM documents WHERE lang = '{lab}')"
+        p_lab = f"({nl} / {nt})"
+        for present in (True, False):
+            d = f"CAST(d_{lab} AS DOUBLE)" if present else f"({nl} - CAST(d_{lab} AS DOUBLE))"
+            joint = f"({d} / {nt})"
+            marg = (
+                f"(CAST(df AS DOUBLE) / {nt})"
+                if present
+                else f"(({nt} - CAST(df AS DOUBLE)) / {nt})"
+            )
+            terms.append(
+                f"CASE WHEN {joint} > 0 THEN {joint} * "
+                f"ln({joint} / ({marg} * {p_lab})) ELSE 0.0 END"
+            )
+    mi = " + ".join(terms)
+    per_lab = ", ".join(
+        f"count(*) FILTER (lang = '{lab}') AS d_{lab}" for lab in MI_LANGS
+    )
+    return (
+        "WITH pres AS (SELECT DISTINCT doc_id, lang, t FROM ("
+        "SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS t FROM documents)), "
+        f"per AS (SELECT t, count(*) AS df, {per_lab} FROM pres "
+        f"GROUP BY t HAVING count(*) >= {_MI_MIN_DF}) "
+        f"SELECT t AS token, CAST(df AS BIGINT) AS df, "
+        f"round({mi}, 6) + 0.0 AS mi_q FROM per "
+        f"ORDER BY mi_q DESC, token LIMIT {_MI_K}"
+    )
+
+
+def q_token_mi(spark, sf_dir):
+    """Mutual information between token presence and document label
+    (pipeline/text.py token_label_mi) — the feature-selection /
+    label-leakage sweep. One conditional aggregation over distinct
+    (doc, token) pairs gives each token's full 2x|labels| contingency
+    table (labels pinned → the MI formula is a FIXED IEEE expression
+    tree, built by the same loop in both engines so term order
+    matches); top-k via orderBy+limit = TakeOrderedAndProject."""
+    return pl.token_label_mi(
+        _docs(spark, sf_dir), k=_MI_K, min_df=_MI_MIN_DF
+    )
+
+
+_TE_SMOOTH = 10.0
+
+
+def _target_encoding_oracle() -> str:
+    m = _TE_SMOOTH
+    return (
+        "WITH b AS (SELECT event_id, event_type, "
+        "CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS t "
+        "FROM events), "
+        "pc AS (SELECT event_type, sum(t) AS s, count(*) AS n FROM b "
+        "GROUP BY event_type), "
+        "g AS (SELECT round(CAST(sum(t) AS DOUBLE) / count(*), 6) AS prior "
+        "FROM b) "
+        "SELECT event_id, b.event_type, "
+        f"round((CAST(s AS DOUBLE) - CAST(t AS DOUBLE) + {m!r} * prior) / "
+        f"(CAST(n AS DOUBLE) - 1.0 + {m!r}), 6) + 0.0 AS enc_q "
+        "FROM b JOIN pc ON pc.event_type = b.event_type, g"
+    )
+
+
+def q_target_encoding(spark, sf_dir):
+    """Leave-one-out smoothed mean-target encoding per event type
+    (pipeline/features.py target_encoding) — the leakage-safe
+    high-cardinality categorical feature. ONE category-keyed
+    map-side-combinable aggregate broadcast back; the encoding is a
+    pure projection (no window, no second pass). Targets quantize to
+    DECIMAL(18,6) before summing, so category sums and the global
+    prior are exact under any partitioning."""
+    return pl.target_encoding(
+        load_table(spark, "events", sf_dir),
+        category_col="event_type",
+        target_col="value",
+        id_col="event_id",
+        smoothing=_TE_SMOOTH,
+    )
+
+
+def _transitions_oracle() -> str:
+    return (
+        "WITH p AS (SELECT user_id, event_type AS from_type, "
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_type "
+        "FROM events), "
+        "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2), "
+        "t AS (SELECT from_type, sum(cnt) AS tot FROM c GROUP BY 1) "
+        "SELECT c.from_type, to_type, cnt, "
+        "round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS prob_q "
+        "FROM c JOIN t ON t.from_type = c.from_type"
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (pipeline/features.py event_transitions) — the sequence
+    prior behind session simulation and anomaly scoring. One per-user
+    ordered window (users in parallel, no global sort) + one
+    map-side-combinable count; the output is |types|^2 rows at ANY
+    event volume. (user, ts) is unique in the events table, so the
+    lead ordering is total."""
+    return pl.event_transitions(load_table(spark, "events", sf_dir))
+
+
 # --- merges funding the r17 + r18 slates (staged; 12 slots freed) -----------
 # Nine variant-tag unions over still-registered (or r10-r12-bound)
 # entries. Execute like r8/r9: KEEP each retired entry's oracle as a
@@ -10010,6 +10215,14 @@ _QUEUED: dict = {
         _inverse_transform_merged_oracle(),
     ),
     "dataset_mix@merged": (q_dataset_shape_merged, _dataset_shape_merged_oracle()),
+    # r19 slate (label-aware + eval layer: NB routing, exact AUC,
+    # MI feature selection, target encoding, Markov transitions —
+    # funded by the r17/r18 merge spares below)
+    "naive_bayes_lang": (q_naive_bayes_lang, _naive_bayes_oracle()),
+    "auc_eval": (q_auc_eval, _auc_oracle()),
+    "token_mi": (q_token_mi, _token_mi_oracle()),
+    "target_encoding": (q_target_encoding, _target_encoding_oracle()),
+    "event_transitions": (q_event_transitions, _transitions_oracle()),
     # r18 merges, ready (free 5: bloom_semijoin, rolling_median,
     # quantile_normalize, winsorize, clean_text retire — funding the
     # r18 slate above)

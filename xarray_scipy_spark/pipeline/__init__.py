@@ -53,6 +53,8 @@ from .text import (
     postings,
     bm25_scores,
     sparse_knn,
+    naive_bayes_lang,
+    token_label_mi,
     canonical_url,
     winsorize_by_group,
     clean_text,
@@ -75,6 +77,7 @@ from .text import (
 )
 from .bpe import apply_bpe, train_bpe, word_counts, segment_words, encode_with_merges
 from .curate import curation_report
+from .features import target_encoding, event_transitions, auc_exact
 from .linear import fit_logistic, fit_ridge, grouped_ols, predict_linear
 from .pack import pack_documents
 from .sketches import (
@@ -213,6 +216,11 @@ __all__ = [
     "postings",
     "bm25_scores",
     "sparse_knn",
+    "naive_bayes_lang",
+    "token_label_mi",
+    "target_encoding",
+    "event_transitions",
+    "auc_exact",
     "edit_distance_pairs",
     "apply_cdc",
     "weighted_sample",

@@ -1,0 +1,198 @@
+"""Feature engineering + model evaluation at corpus scale.
+
+No reference analog — training-data pipeline scope (the reference,
+/root/reference/xarray_scipy, has no tabular-ML surface). Three ops a
+feature store / eval harness runs over billions of rows, each built
+so the DuckDB oracle reproduces results byte-for-byte:
+
+- :func:`target_encoding` — leave-one-out smoothed mean-target
+  encoding, the classic high-cardinality categorical feature;
+- :func:`event_transitions` — first-order Markov transition counts /
+  probabilities over per-user event sequences;
+- :func:`auc_exact` — exact ROC AUC (Mann-Whitney with average-rank
+  tie handling) WITHOUT a global sort, via the distinct-score
+  histogram identity.
+
+Determinism: every sum that feeds a published number runs over
+DECIMAL-quantized inputs or plain integers, so results are
+associativity-proof under any partitioning; the only floating ops are
+single final divides / logs on already-deterministic operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["target_encoding", "event_transitions", "auc_exact"]
+
+
+def target_encoding(
+    df: DataFrame,
+    *,
+    category_col: str,
+    target_col: str,
+    id_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Leave-one-out smoothed target encoding per category.
+
+    ``enc(row) = (S_cat − target + m·prior) / (n_cat − 1 + m)`` with
+    ``prior`` the global target mean and ``m = smoothing`` — the
+    standard leakage-safe encoding for high-cardinality categoricals
+    (each row's own target is excluded from its encoding).
+
+    Scale shape: ONE map-side-combinable aggregate per category (the
+    category table is orders of magnitude below the rows), broadcast
+    back, encoding as a pure projection — no window, no second pass.
+    Targets quantize to DECIMAL(18,6) before summing, so ``S_cat`` and
+    the prior numerator are exact under any partitioning; the final
+    divide is one IEEE op per row.
+
+    Output: ``(id_col, category_col, enc_q)`` with ``enc_q`` the
+    encoding rounded to 6 decimals.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    tq = F.round(F.col(target_col).cast("double"), 6).cast("decimal(18,6)")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(category_col).alias("_cat"),
+        tq.alias("_t"),
+    )
+    per_cat = base.groupBy("_cat").agg(
+        F.sum("_t").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    glob = base.agg(
+        (
+            F.round(F.sum("_t").cast("double") / F.count(F.lit(1)), 6)
+        ).alias("_prior")
+    )
+    m = F.lit(float(smoothing))
+    enc = (
+        (
+            F.col("_s").cast("double")
+            - F.col("_t").cast("double")
+            + m * F.col("_prior")
+        )
+        / (F.col("_n").cast("double") - F.lit(1.0) + m)
+    )
+    return (
+        base.join(F.broadcast(per_cat), "_cat")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cat").alias(category_col),
+            (F.round(enc, 6) + F.lit(0.0)).alias("enc_q"),
+        )
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transitions over per-user event sequences:
+    ``(from_type, to_type, cnt, prob_q)`` with ``prob_q`` the
+    row-normalized transition probability.
+
+    One per-user ordered window (users partition in parallel — no
+    global sort) produces the lead pairs; one map-side-combinable
+    count aggregate reduces them to the |types|² transition matrix;
+    row normalization divides two exact integers. The matrix is
+    fixed-size at ANY event volume — the 100 TB shape.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("cnt").alias("_tot"))
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "cnt",
+        (
+            F.round(F.col("cnt").cast("double") / F.col("_tot").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("prob_q"),
+    )
+
+
+def auc_exact(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC without a global sort.
+
+    Uses the distinct-score histogram identity (equivalent to
+    Mann-Whitney U with average ranks on ties): per distinct score
+    ``s`` with ``pos_s`` positives and ``neg_s`` negatives,
+
+        2·AUC·P·N = Σ_s pos_s · (2·cum_neg(<s) + neg_s)
+
+    — every term an exact integer, so the whole computation is
+    integer-exact until ONE final divide. The plan: one
+    map-side-combinable aggregate to the distinct-score histogram
+    (bounded by the score domain, not the row count), one ordered
+    window over THAT small frame (never over rows), one 1-row
+    aggregate. This is how you compute exact AUC over 10^11 rows —
+    the naive rank-the-rows window serializes everything through one
+    reducer.
+
+    ``score_col`` must be integer-valued (quantize floats upstream —
+    float scores rank differently across engines at the ULP level).
+    ``label_col`` must be 0/1. Output: one row ``(n_pos, n_neg,
+    auc_q)``.
+    """
+    from pyspark.sql import Window
+
+    hist = df.select(
+        F.col(score_col).cast("bigint").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).groupBy("_s").agg(
+        F.sum("_y").cast("bigint").alias("_pos"),
+        F.sum(1 - F.col("_y")).cast("bigint").alias("_neg"),
+    )
+    w = Window.orderBy(F.col("_s").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    contrib = hist.select(
+        "_pos",
+        "_neg",
+        (
+            F.col("_pos")
+            * (2 * F.coalesce(F.sum("_neg").over(w), F.lit(0)) + F.col("_neg"))
+        ).alias("_c2"),
+    )
+    agg = contrib.agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum("_neg").alias("n_neg"),
+        F.sum("_c2").alias("_num2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.round(
+                F.col("_num2").cast("double")
+                / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("auc_q"),
+    )

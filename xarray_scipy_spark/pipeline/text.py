@@ -23,6 +23,9 @@ __all__ = [
     "postings",
     "bm25_scores",
     "sparse_knn",
+    "naive_bayes_lang",
+    "token_label_mi",
+    "MI_LANGS",
     "token_stats",
     "quality_score",
     "lang_id",
@@ -1112,3 +1115,185 @@ def sparse_knn(
             "cos_sim",
         )
     )
+
+
+def naive_bayes_lang(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes trained and applied in one job — the
+    one-pass, model-free classifier a curation pipeline uses for
+    cheap language/domain routing before anything learned exists.
+
+    Training is TWO map-side-combinable aggregates (per-(label, token)
+    counts and per-label totals; the model is |vocab|x|labels| rows —
+    corpus-independent); classification joins the dense smoothed
+    log-likelihood table onto per-doc term frequencies and argmaxes
+    per document. Add-1 smoothing over the dense (token x label) grid
+    — built by a vocab x labels cross join, NOT from observed pairs,
+    so unseen (token, label) cells get their ln(1/(N_l + V)) mass.
+
+    Determinism: log-likelihoods and priors round to 6 decimals and
+    quantize to DECIMAL(18,6) BEFORE the per-(doc, label) sum, so
+    scores are exact under any partitioning; the argmax tie-breaks on
+    the lexicographically smallest label.
+
+    Output: ``(id_col, label_col, pred, score_q, is_correct)``.
+    """
+    toks = spread(df, id_col).select(
+        F.col(id_col).alias("_doc"),
+        F.col(label_col).alias("_lab"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    )
+    # training side
+    lt = toks.groupBy("_lab", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = toks.select("_t").distinct()
+    labels = df.select(F.col(label_col).alias("_lab")).distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).alias("_v"))
+    n_l = toks.groupBy("_lab").agg(F.count(F.lit(1)).alias("_nl"))
+    dense = (
+        vocab.crossJoin(labels)
+        .join(lt, ["_lab", "_t"], "left")
+        .join(F.broadcast(n_l), "_lab")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "_lab",
+            "_t",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_nl") + F.col("_v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("_lp"),
+        )
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_nd"))
+    priors = (
+        df.groupBy(F.col(label_col).alias("_lab"))
+        .agg(F.count(F.lit(1)).alias("_dl"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_lab",
+            F.round(F.log(F.col("_dl") / F.col("_nd")), 6)
+            .cast("decimal(18,6)")
+            .alias("_prior"),
+        )
+    )
+    # classification side
+    tf = toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    scored = (
+        tf.join(dense.withColumnRenamed("_lab", "_cand"), "_t")
+        .groupBy("_doc", "_cand")
+        .agg(F.sum(F.col("_tf") * F.col("_lp")).alias("_like"))
+        .join(
+            F.broadcast(priors.withColumnRenamed("_lab", "_cand")), "_cand"
+        )
+        .select(
+            "_doc",
+            "_cand",
+            (F.col("_like") + F.col("_prior")).alias("_score"),
+        )
+    )
+    # argmax with smallest-label tie-break: min over (−score, label) —
+    # decimal negation is exact, so the struct ordering is the argmax
+    best = scored.groupBy("_doc").agg(
+        F.min(
+            F.struct(
+                (-F.col("_score")).alias("_ns"), F.col("_cand").alias("_cand")
+            )
+        ).alias("_b")
+    )
+    truth = df.select(F.col(id_col).alias("_doc"), F.col(label_col))
+    return (
+        best.join(truth, "_doc")
+        .select(
+            F.col("_doc").alias(id_col),
+            label_col,
+            F.col("_b._cand").alias("pred"),
+            (F.round((-F.col("_b._ns")).cast("double"), 6) + F.lit(0.0)).alias(
+                "score_q"
+            ),
+            (F.col("_b._cand") == F.col(label_col)).alias("is_correct"),
+        )
+    )
+
+
+MI_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def token_label_mi(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    labels: tuple = MI_LANGS,
+    k: int = 20,
+    min_df: int = 5,
+) -> DataFrame:
+    """Mutual information between token PRESENCE and the document
+    label — the feature-selection sweep that finds the tokens worth a
+    classifier's attention (and flags label leakage).
+
+    Per token: the 2x|labels| contingency table comes from ONE
+    conditional aggregation over distinct (doc, token) pairs (a fixed
+    column per label — labels are pinned so the MI expression is a
+    FIXED IEEE tree, deterministic with no quantized sums needed);
+    label marginals are a broadcast 1-row aggregate. MI sums
+    2·|labels| closed-form terms with 0·ln0 = 0 guards. Top-k by MI
+    via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    no global sort).
+
+    Output: ``(token, df, mi_q)`` for the top ``k`` tokens.
+    """
+    labels = tuple(labels)
+    pres = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.col(label_col).alias("_lab"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t"),
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("_df")]
+    for lab in labels:
+        aggs.append(
+            F.count(F.when(F.col("_lab") == lab, F.lit(1))).alias(f"_d_{lab}")
+        )
+    per_tok = pres.groupBy("_t").agg(*aggs).filter(F.col("_df") >= min_df)
+    lab_counts = df.groupBy(F.col(label_col).alias("_lab")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    row = {r["_lab"]: r["_n"] for r in lab_counts.collect()}
+    n_total = sum(row.values())
+    mi = None
+    for lab in labels:
+        n_lab = float(row.get(lab, 0))
+        if n_lab == 0:
+            continue
+        d1 = F.col(f"_d_{lab}").cast("double")  # present & label
+        d0 = F.lit(n_lab) - d1  # absent & label
+        p_lab = F.lit(n_lab / n_total)
+        for present in (True, False):
+            joint = (d1 if present else d0) / F.lit(float(n_total))
+            marg_t = (
+                F.col("_df").cast("double")
+                if present
+                else F.lit(float(n_total)) - F.col("_df").cast("double")
+            ) / F.lit(float(n_total))
+            term = F.when(
+                joint > 0, joint * F.log(joint / (marg_t * p_lab))
+            ).otherwise(F.lit(0.0))
+            mi = term if mi is None else (mi + term)
+    out = per_tok.select(
+        F.col("_t").alias("token"),
+        F.col("_df").cast("bigint").alias("df"),
+        (F.round(mi, 6) + F.lit(0.0)).alias("mi_q"),
+    )
+    return out.orderBy(F.desc("mi_q"), "token").limit(k)
