@@ -9648,15 +9648,16 @@ def q_event_transitions(spark, sf_dir):
     return pl.event_transitions(load_table(spark, "events", sf_dir))
 
 
-# --- merges funding the r17 + r18 slates (staged; 12 slots freed) -----------
-# Nine variant-tag unions over still-registered (or r10-r12-bound)
+# --- merges funding the r17 + r18 + r19 slates (staged; 16 slots freed) -----
+# Twelve variant-tag unions over still-registered (or r10-r16-bound)
 # entries. Execute like r8/r9: KEEP each retired entry's oracle as a
 # _XXX_ORACLE constant before overwriting, register each merge under
 # its base name, retire the other components. Slot math: convolve
 # pair (1) + text trio (2) + decontaminate pair (1) + inverse-
 # transform trio (2) + dataset pair (1) + join-strategy pair (1) +
-# rolling pair (1) + quantile trio (2) + curation pair (1) = 12 freed
-# >= the 10 the two slates need (spares roll to r19).
+# rolling pair (1) + quantile trio (2) + curation pair (1) +
+# retrieval pair (1) + tpch join-family trio (2) + tpch single-row
+# pair (1) = 16 freed >= the 15 the three slates need (spare → r20).
 
 
 def _convolve_pair_merged_oracle() -> str:
@@ -9951,6 +9952,127 @@ def q_quantile_family_merged(spark, sf_dir):
     return a.unionAll(b).unionAll(c)
 
 
+def _retrieval_merged_oracle() -> str:
+    return (
+        "SELECT 'postings' AS variant, token AS k1, df AS i1, "
+        "tf_total AS i2, max_tf AS i3, top_doc AS i4, postings_sum AS i5 "
+        "FROM (" + _text_postings_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'bm25' AS variant, '' AS k1, doc_id AS i1, n_match AS i2, "
+        "score_q AS i3, CAST(-1 AS BIGINT) AS i4, CAST(-1 AS BIGINT) AS i5 "
+        "FROM (" + _bm25_oracle() + ")"
+    )
+
+
+def q_retrieval_merged(spark, sf_dir):
+    """Inverted-index build + BM25 scoring (the retrieval layer) in
+    ONE variant-tag union — replaces text_postings + bm25_scores at
+    r19 (both r13/r14 slate entries; the merge lands after both have
+    registered)."""
+    a = q_text_postings(spark, sf_dir).select(
+        F.lit("postings").alias("variant"),
+        F.col("token").alias("k1"),
+        F.col("df").cast("bigint").alias("i1"),
+        F.col("tf_total").alias("i2"),
+        F.col("max_tf").cast("bigint").alias("i3"),
+        F.col("top_doc").cast("bigint").alias("i4"),
+        F.col("postings_sum").alias("i5"),
+    )
+    b = q_bm25_scores(spark, sf_dir).select(
+        F.lit("bm25").alias("variant"),
+        F.lit("").alias("k1"),
+        F.col("doc_id").alias("i1"),
+        F.col("n_match").cast("bigint").alias("i2"),
+        F.col("score_q").alias("i3"),
+        F.lit(-1).cast("bigint").alias("i4"),
+        F.lit(-1).cast("bigint").alias("i5"),
+    )
+    return a.unionAll(b)
+
+
+def _tpch_joinfam_merged_oracle() -> str:
+    return (
+        "SELECT 'q7' AS variant, supp_nation AS k1, cust_nation AS k2, "
+        "l_year AS yr, revenue AS f1, 0.0 AS f2, n_rows "
+        "FROM (" + _tpch_q7_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'q8' AS variant, '' AS k1, '' AS k2, o_year AS yr, "
+        "mkt_share AS f1, total_vol AS f2, n_rows "
+        "FROM (" + _tpch_q8_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'q9' AS variant, nation AS k1, '' AS k2, o_year AS yr, "
+        "sum_profit AS f1, 0.0 AS f2, n_rows "
+        "FROM (" + _tpch_q9_oracle() + ")"
+    )
+
+
+def q_tpch_joinfam_merged(spark, sf_dir):
+    """The three 5/6-way-join TPC-H shapes (Q7 volume shipping, Q8
+    market share, Q9 product profit) in ONE variant-tag union —
+    replaces tpch_q7 + tpch_q8 + tpch_q9 at r19 (all registered by
+    r17); each branch keeps its individually plan-locked shape."""
+    a = q_tpch_q7(spark, sf_dir).select(
+        F.lit("q7").alias("variant"),
+        F.col("supp_nation").alias("k1"),
+        F.col("cust_nation").alias("k2"),
+        F.col("l_year").alias("yr"),
+        F.col("revenue").alias("f1"),
+        F.lit(0.0).alias("f2"),
+        "n_rows",
+    )
+    b = q_tpch_q8(spark, sf_dir).select(
+        F.lit("q8").alias("variant"),
+        F.lit("").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("o_year").alias("yr"),
+        F.col("mkt_share").alias("f1"),
+        F.col("total_vol").alias("f2"),
+        "n_rows",
+    )
+    c = q_tpch_q9(spark, sf_dir).select(
+        F.lit("q9").alias("variant"),
+        F.col("nation").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("o_year").alias("yr"),
+        F.col("sum_profit").alias("f1"),
+        F.lit(0.0).alias("f2"),
+        "n_rows",
+    )
+    return a.unionAll(b).unionAll(c)
+
+
+def _tpch_onerow_merged_oracle() -> str:
+    return (
+        "SELECT 'q14' AS variant, promo_revenue AS f1, total_revenue AS f2, "
+        "promo_share AS f3, CAST(-1 AS BIGINT) AS n_rows "
+        "FROM (" + _tpch_q14_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'q19' AS variant, revenue AS f1, -1.0 AS f2, -1.0 AS f3, "
+        "n_rows FROM (" + _tpch_q19_oracle() + ")"
+    )
+
+
+def q_tpch_onerow_merged(spark, sf_dir):
+    """The two single-row lineitem⋈part aggregates (Q14 promo share,
+    Q19 disjunctive revenue) in ONE variant-tag union — replaces
+    tpch_q14 + tpch_q19 at r19."""
+    a = q_tpch_q14(spark, sf_dir).select(
+        F.lit("q14").alias("variant"),
+        F.col("promo_revenue").alias("f1"),
+        F.col("total_revenue").alias("f2"),
+        F.col("promo_share").alias("f3"),
+        F.lit(-1).cast("bigint").alias("n_rows"),
+    )
+    b = q_tpch_q19(spark, sf_dir).select(
+        F.lit("q19").alias("variant"),
+        F.col("revenue").alias("f1"),
+        F.lit(-1.0).alias("f2"),
+        F.lit(-1.0).alias("f3"),
+        "n_rows",
+    )
+    return a.unionAll(b)
+
+
 def _curation_family_merged_oracle() -> str:
     return (
         "SELECT 'cur' AS variant, doc_id, quality6 AS f1, "
@@ -10239,4 +10361,10 @@ _QUEUED: dict = {
         q_curation_family_merged,
         _curation_family_merged_oracle(),
     ),
+    # r19 merges, ready (free 4: bm25_scores, tpch_q8, tpch_q9,
+    # tpch_q19 retire — with the r17/r18 spares, funding the r19
+    # slate above; the remainder rolls to r20)
+    "text_postings@merged": (q_retrieval_merged, _retrieval_merged_oracle()),
+    "tpch_q7@merged": (q_tpch_joinfam_merged, _tpch_joinfam_merged_oracle()),
+    "tpch_q14@merged": (q_tpch_onerow_merged, _tpch_onerow_merged_oracle()),
 }
