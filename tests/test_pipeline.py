@@ -2135,6 +2135,9 @@ def test_edit_distance_pairs_matches_brute_force(spark):
         "spark", "spars", "sparks", "stark", "stack", "quack", "quark",
         "a", "ab", "abc", "hello world", "hello wurld", "hellowo rld",
         "xx", "xy", "yx",
+        # byte-identical duplicates: the collapsed path must still emit
+        # every dist=0 pair AND their cross-group near-dup pairs
+        "spark", "spark", "stack", "hello world",
     ]
     df = spark.createDataFrame(list(enumerate(words)), "id long, s string")
     for k in (1, 2):
@@ -2159,6 +2162,32 @@ def test_edit_distance_pairs_gates(spark):
     df = spark.createDataFrame([(0, "x")], "id long, s string")
     with pytest.raises(ValueError, match="max_dist"):
         pl.edit_distance_pairs(df, id_col="id", str_col="s", max_dist=3)
+    with pytest.raises(ValueError, match="dup_buckets"):
+        pl.edit_distance_pairs(
+            df, id_col="id", str_col="s", max_dist=1, dup_buckets=0
+        )
+
+
+def test_edit_distance_pairs_exact_dup_hot_key(spark):
+    """VERDICT r8 #3: 10⁴ byte-identical copies of one string. The old
+    variant self-join made this an N²·|variants| hot key (dead at this
+    size); the collapsed path's only quadratic stage is the C(N,2)
+    OUTPUT itself, generated across ~dup_buckets²/2 bucket-pair tasks.
+    Checks the exact pair count and that no id pairs with itself."""
+    import xarray_scipy_spark.pipeline as pl
+
+    n = 10_000
+    df = spark.createDataFrame(
+        [(i, "the same twenty-four ch") for i in range(n)]
+        + [(n, "the same twenty-four cX")],  # one near-dup neighbor
+        "id long, s string",
+    )
+    res = pl.edit_distance_pairs(df, id_col="id", str_col="s", max_dist=1)
+    agg = res.groupBy("dist").count().collect()
+    by_dist = {r["dist"]: r["count"] for r in agg}
+    assert by_dist[0] == n * (n - 1) // 2
+    assert by_dist[1] == n  # the neighbor pairs with every copy
+    assert res.filter(F.col("a_id") >= F.col("b_id")).count() == 0
 
 
 # --- bm25_scores ------------------------------------------------------------

@@ -654,3 +654,51 @@ def test_tpch_q14_q22_no_cartesian(spark):
         plan = _static_plan(_contract_fn(name)(spark, SF_DIR))
         assert "CartesianProduct" not in plan, (name, plan)
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_unforced_broadcasts_scale_paths(spark):
+    """target_encoding's per-category aggregate and pagerank's degree
+    frame are DATA-SIZED (one row per category / vertex), so neither
+    may carry a forced broadcast hint (VERDICT r8 #2: a forced
+    broadcast there is a driver OOM at 10^8 categories / 10^9
+    vertices). With autoBroadcastJoinThreshold=-1 both joins must
+    compile to a shuffle strategy — proving AQE, not a hint, picks the
+    physical join — and results must match the default-config run."""
+    from xarray_scipy_spark.pipeline import pagerank
+    from xarray_scipy_spark.pipeline.features import target_encoding
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 5}", float(i % 3)) for i in range(60)],
+        "id long, cat string, y double",
+    )
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 7) for i in range(25)], "src long, dst long"
+    )
+
+    def te():
+        return target_encoding(
+            df, category_col="cat", target_col="y", id_col="id"
+        )
+
+    def pr():
+        return pagerank(edges, iterations=1, checkpoint_every=10)
+
+    base_te = sorted(map(tuple, te().collect()))
+    base_pr = {r["node"]: r["rank"] for r in pr().collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        te_plan = _static_plan(te())
+        pr_plan = _static_plan(pr())
+        # the data-sized joins pick a shuffle strategy; the only
+        # broadcasts left are the intentionally-forced 1-row scalar
+        # frames (global prior / vertex count / dangling mass)
+        assert "SortMergeJoin" in te_plan or "ShuffledHashJoin" in te_plan, te_plan
+        assert "SortMergeJoin" in pr_plan or "ShuffledHashJoin" in pr_plan, pr_plan
+        assert sorted(map(tuple, te().collect())) == base_te
+        got_pr = {r["node"]: r["rank"] for r in pr().collect()}
+        assert got_pr.keys() == base_pr.keys()
+        for node, rank in got_pr.items():
+            assert abs(rank - base_pr[node]) < 1e-12, (node, rank, base_pr[node])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

