@@ -35,27 +35,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round, CHANGED this round, or UNCHECKED last round sits in the
 # head; the two-round freshness bar caps the registry at 100 names.
 #
-# r8 rotation (EXECUTED this round — see contract.py's r8 rotation
-# block): SEVEN variant merges under their base names — the three
-# ledgered ones (multimodal decode 6-variant union, savgol pair,
-# tumbling+session windows) plus four pulled forward from the r11
-# ledger (fft-family 4-way under "ifft", fftshift trio under
-# "fftshift", medfilt+wiener, token_stats+quality), retiring 11
-# registrations (multimodal_bmp/jpeg_decode, savgol_deriv,
-# session_window_stats, hfft, irfft, ihfft, ifftshift, fftshift_2d,
-# wiener, text_quality). Registered 11 queue entries: the 5 r8-bound
-# (skew_join, sketch_histogram, bpe_vocab rows-only,
-# text_hash_vectors, bloom_semijoin) + the full r9 slate pulled
-# forward (lombscargle, acf, ewma, seasonal_decompose, cap_per_group)
-# + robust_zscore. N = 99 - 11 + 11 = 99 registered.
+# r9 rotation (EXECUTED this round — see contract.py's r9 rotation
+# block): THIRTEEN variant merges under their base names, every
+# constituent r9-due so each absorbed variant freed a head slot —
+# welch(+blackman), csd(+spectrogram), tpch_q1(+q6),
+# peak_widths(+find_peaks), dedup_minhash(+simhash+embedding),
+# ann_cosine_topk_ivf(+kmeans), multimodal_features(+resize
+# +frame_sample), tpch_q3(+q5), asof_join(+range_join), fft(+rfft
+# pair), decontaminate(+bloom_decontaminate), sketch_hll(+countmin),
+# text_lang_id(+tfidf+repetition) — 16 absorbed registrations.
+# Registered 17 queue entries: the r9 slate (dedup_minhash_cross,
+# cube_revenue, filter_by_quantile, interp_to), the FULL r10 slate
+# (ohlc_bars, latest_by_key, multimodal_video_frames,
+# sample_negatives, rolling_stats, pagerank, zorder_curve), five of
+# r11 (sketch_hll_merge, group_quantiles, url_canonical_dedup,
+# winsorize, clean_text), and bpe_encode pulled from r18 (VERDICT r8
+# #5) — whose full SQL oracle retires bpe_vocab's rows-only
+# registration in the same move: the registry now has ZERO rows-only
+# entries. N = 99 − 16 − 1 + 17 = 99. The ledgered istft merge was
+# DEFERRED to r10: both constituents sit in the r8 head (checked r8),
+# so merging now would drag the changed union into the r9 head.
 #
-# Head (50) = the 39 surviving r7-tail names (last driver-checked r6,
-# due back under two-round freshness — the seven merged base names
-# among them carry their variant unions) + the 11 new registrations.
-# Tail (49) = the r7-head names (green CORRECTNESS_r07 rows, no r8
-# code change) minus the merged-away session_window_stats, in
-# CORRECTNESS_r07.json key order. Tail queries retain value-level
-# verification in CI:
+# Head (50) = the 33 surviving r9-due names (last driver-checked r7 —
+# the 13 merged base names among them carry their variant unions) +
+# the 17 new registrations. Tail (49) = the r8-head names (green
+# CORRECTNESS_r08 rows, no r9 code change) minus the retired
+# bpe_vocab, in CORRECTNESS_r08.json key order. Tail queries retain
+# value-level verification in CI:
 # tests/test_contract_integration.py::test_tail_queries_match_oracle
 # runs each against its DuckDB oracle at sf0.001 every pytest run
 # (which also asserts head size == exactly 50), and
@@ -63,59 +69,60 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROTATION MATH: with a 50-slot head, N registered queries get
 # driver-checked every ceil(N/50) rounds — the two-round freshness bar
-# holds while N <= 100. The remaining queue (21 entries, r9+ ledger in
-# tools/queue_status.py) registers behind further merges; prefer
-# retiring redundant variants over weakening either bar.
+# holds while N <= 100. The remaining queue (82 entries: 45 real +
+# 37 staged merges, r10+ ledger in tools/queue_status.py) registers
+# behind further merges; prefer retiring redundant variants over
+# weakening either bar.
 _CHECK_LAST = (
-    "fft",
-    "resample_freq",
-    "stft",
-    "welch",
-    "csd",
-    "spectrogram",
-    "hilbert_envelope",
-    "sosfilt_chunked",
-    "peak_widths",
-    "find_peaks",
-    "dominant_frequency",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_embedding",
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_kmeans",
-    "embedding_pca",
-    "dataset_mix",
-    "text_repetition",
-    "text_redact",
-    "decontaminate",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_real_decode",
-    "multimodal_audio_decode",
-    "tpch_q1",
-    "tpch_q5",
-    "tpch_q6",
-    "sessionize",
-    "fftconvolve_2d",
-    "tpch_q3",
-    "sosfilt_stream",
-    "asof_join",
-    "range_join",
-    "dedup_clusters",
-    "text_tfidf",
-    "rfft",
-    "decimate_iir",
-    "sosfiltfilt",
-    "text_lang_id",
-    "convolve_valid",
-    "welch_blackman",
-    "dedup_ngram_spans",
-    "deconvolve",
-    "sketch_hll",
-    "sketch_countmin",
-    "bloom_decontaminate",
-    "gapfill",
+    "fftconvolve",
+    "convolve",
+    "decimate_fir",
+    "resample",
+    "istft_roundtrip",
+    "istft_native",
+    "cwt_ricker",
+    "resample_poly",
+    "periodogram",
+    "fftconvolve_complex",
+    "coherence",
+    "detrend",
+    "hilbert",
+    "sosfilt",
+    "lfilter",
+    "filtfilt",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "curation_report",
+    "embedding_quantize",
+    "dataset_stratified",
+    "dataset_split",
+    "text_url_stats",
+    "lineitem_rollup",
+    "stream_window_stats_live",
+    "text_vocab",
+    "multimodal_gzip_decode",
+    "stream_dedup",
+    "text_logprob",
+    "correlate",
+    "multimodal_png_decode",
+    "savgol",
+    "stream_window_stats",
+    "ifft",
+    "fftshift",
+    "medfilt",
+    "text_token_stats",
+    "skew_join",
+    "sketch_histogram",
+    "text_hash_vectors",
+    "bloom_semijoin",
+    "lombscargle",
+    "acf",
+    "ewma",
+    "seasonal_decompose",
+    "cap_per_group",
+    "robust_zscore",
 )
 
 

@@ -159,6 +159,25 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q15",
     "tpch_q22",
+    # round-9 additions: TPC-H completion + the r18/r19 slates, so
+    # every registered/queued query carries a per-round sf0.1 record
+    # (VERDICT r8 #9: birth measurements only is not enough)
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q19",
+    "bpe_encode",
+    "text_sparse_knn",
+    "dedup_recall_eval",
+    "embedding_outliers",
+    "dataset_temperature_mix",
+    "naive_bayes_lang",
+    "auc_eval",
+    "token_mi",
+    "target_encoding",
+    "event_transitions",
+    "interval_join",
 ]
 
 
@@ -185,7 +204,7 @@ def main() -> int:
     from xarray_scipy_spark import contract as C
     from xarray_scipy_spark.contract import _QUEUED
 
-    # Plan-continuity overrides: the r8 rotation folded these names
+    # Plan-continuity overrides: the r8/r9 rotations folded these names
     # into variant-tag unions under their base registrations, but each
     # BENCH/BASELINE row must keep measuring the SAME plan round over
     # round — so the bench resolves them to the plain single-variant
@@ -201,6 +220,23 @@ def main() -> int:
         "stream_window_stats": C.q_stream_window_stats,
         "session_window_stats": C.q_session_window_stats,
         "multimodal_jpeg_decode": C.q_multimodal_jpeg_decode,
+        # r9 rotation (13 merges): bases keep their plain plans, the
+        # absorbed variants resolve to their kept plain functions
+        "welch": C.q_welch,
+        "welch_blackman": C.q_welch_blackman,
+        "rfft": C.q_rfft_merged,
+        "peak_widths": C.q_peak_widths,
+        "asof_join": C.q_asof_join,
+        "range_join": C.q_range_join,
+        "dedup_minhash": C.q_dedup_minhash,
+        "dedup_simhash": C.q_dedup_simhash,
+        "ann_cosine_topk_ivf": C.q_ann_cosine_topk_ivf,
+        "tpch_q1": C.q_tpch_q1,
+        "tpch_q5": C.q_tpch_q5,
+        "decontaminate": C.q_decontaminate,
+        "bloom_decontaminate": C.q_bloom_decontaminate,
+        "sketch_hll": C.q_sketch_hll,
+        "sketch_countmin": C.q_sketch_countmin,
     }
 
     for name in HEADLINE:

@@ -148,11 +148,14 @@ def test_time_queries_are_session_timezone_independent(spark):
     # q_session_window_stats by plain function: its registration merged
     # into stream_window_stats' variant union at the r8 rotation (the
     # registered union is covered via QUERIES["stream_window_stats"])
+    # range_join by plain function: its registration merged into
+    # asof_join's temporal-join union at the r9 rotation (the
+    # registered union is covered via QUERIES["asof_join"])
     fns = {
         "sessionize": C.QUERIES["sessionize"],
         "session_window_stats": C.q_session_window_stats,
         "asof_join": C.QUERIES["asof_join"],
-        "range_join": C.QUERIES["range_join"],
+        "range_join": C.q_range_join,
         "stream_window_stats": C.QUERIES["stream_window_stats"],
     }
     names = list(fns)

@@ -128,13 +128,22 @@ def test_contract_scans_are_pruned(spark):
             if "ReadSchema: " in seg
         ]
 
-    rfft_scans = scans(QUERIES["rfft"](spark, sf))
+    # rfft's registration merged into fft's forward union at r9; the
+    # column-pruning lock keeps reading the plain rfft pair plan
+    from xarray_scipy_spark.contract import q_rfft_merged
+
+    rfft_scans = scans(q_rfft_merged(spark, sf))
     assert rfft_scans, "no parquet scan found"
     for rs in rfft_scans:
         assert "user_id" in rs and "value" in rs
         assert "session_id" not in rs and "event_type" not in rs
 
-    mh_scans = scans(QUERIES["dedup_minhash"](spark, sf))
+    # dedup_minhash's registration is the 3-way pair-emitter union
+    # since r9 (minhash + simhash + embedding) — keep the pruning lock
+    # on the plain minhash plan, whose scan shape it pins
+    from xarray_scipy_spark.contract import q_dedup_minhash
+
+    mh_scans = scans(q_dedup_minhash(spark, sf))
     for rs in mh_scans:
         assert "doc_id" in rs and "text" in rs
         assert "lang" not in rs and "quality" not in rs

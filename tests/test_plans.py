@@ -24,12 +24,18 @@ from xarray_scipy_spark.contract import QUERIES
 def _contract_fn(name):
     """Resolve a contract query by name from either registry — queue
     entries graduate to QUERIES at their registration round (r7 moved
-    gapfill/sketches/bloom there), and plan locks must follow them."""
+    gapfill/sketches/bloom there), and plan locks must follow them.
+    Names whose registration merged into a variant union fall back to
+    the kept plain ``q_<name>`` function, so each lock keeps reading
+    the SAME single-variant plan across rotations."""
+    from xarray_scipy_spark import contract as C
     from xarray_scipy_spark.contract import QUERIES, _QUEUED
 
     if name in QUERIES:
         return QUERIES[name]
-    return _QUEUED[name][0]
+    if name in _QUEUED:
+        return _QUEUED[name][0]
+    return getattr(C, "q_" + name)
 
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -65,7 +71,7 @@ def test_tpch_q5_is_all_broadcast_joins(spark):
     """Every dimension chain in Q5 is broadcast-sized; the only big
     table is lineitem. A SortMergeJoin here means a dimension stopped
     broadcasting — at 100 TB that is a full lineitem shuffle."""
-    plan = _static_plan(QUERIES["tpch_q5"](spark, SF_DIR))
+    plan = _static_plan(_contract_fn("tpch_q5")(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -74,7 +80,11 @@ def test_tpch_q5_is_all_broadcast_joins(spark):
 def test_asof_join_has_no_join_node(spark):
     """The as-of join is the union+ordered-window formulation: ONE
     shuffle on (key, time), zero join nodes (operators/joins.py)."""
-    plan = _static_plan(QUERIES["asof_join"](spark, SF_DIR))
+    # the plain asof plan (its registration is the temporal-join
+    # union since r9; the union adds range_join's intended join nodes)
+    from xarray_scipy_spark.contract import q_asof_join
+
+    plan = _static_plan(q_asof_join(spark, SF_DIR))
     assert not any(j in plan for j in _JOIN_NODES), plan
 
 
@@ -82,7 +92,7 @@ def test_range_join_is_equi_not_nested_loop(spark):
     """Interval containment via chunk-explode + equi hash join; a naive
     range predicate would plan BroadcastNestedLoopJoin/CartesianProduct
     — quadratic at scale."""
-    plan = _static_plan(QUERIES["range_join"](spark, SF_DIR))
+    plan = _static_plan(_contract_fn("range_join")(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -93,15 +103,24 @@ def test_lsh_self_joins_reuse_one_exchange(spark):
     exchanges -> ReusedExchange). Broadcasting a side would materialize
     the whole subtree a second time through the driver (measured ~2x on
     these queries, BASELINE.md round-2 notes)."""
-    for name in ("dedup_simhash", "dedup_minhash"):
-        s = _final_plan(QUERIES[name](spark, SF_DIR))
+    from xarray_scipy_spark import contract as C
+
+    for name, fn in (
+        ("dedup_simhash", C.q_dedup_simhash),
+        ("dedup_minhash", C.q_dedup_minhash),
+    ):
+        s = _final_plan(fn(spark, SF_DIR))
         assert s.count("ReusedExchange") >= 1, f"{name} lost exchange reuse"
 
 
 def test_kernel_query_single_shuffle(spark):
     """A per-series kernel op is one groupBy exchange + Arrow UDF; a
     second exchange before the UDF means the bucketing regressed."""
-    plan = _static_plan(QUERIES["rfft"](spark, SF_DIR))
+    # rfft's registration merged into fft's forward union at r9; keep
+    # reading the plain rfft pair plan
+    from xarray_scipy_spark.contract import q_rfft_merged
+
+    plan = _static_plan(q_rfft_merged(spark, SF_DIR))
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
     # exchanges: the kernel groupBy, plus (acceptably) AQE reads; the
     # pre-UDF pipeline must not chain two hash exchanges

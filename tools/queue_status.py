@@ -17,100 +17,86 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# r8 executed: SEVEN merges (multimodal decode union, savgol pair,
-# tumbling+session windows, fft-family 4-way, fftshift trio,
-# medfilt+wiener, token_stats+quality) freed 11 slots; registered the
-# 5 r8-bound entries + the full r9 slate pulled forward + robust_zscore
-# (11 new; N stays 99, queue 35 -> 21).
+# r9 executed: THIRTEEN merges (welch+blackman, csd+spectrogram,
+# tpch_q1+q6, peak_widths+find_peaks, dedup pair-emitter trio, ANN
+# cell pair, multimodal transform trio, tpch_q3+q5, asof+range join,
+# fft+rfft-pair, decontaminate+bloom, sketch hll+countmin, text-wide
+# trio) — every constituent r9-due, so 16 head slots freed; 17
+# registrations landed (r9 slate + FULL r10 slate + 5 of r11 +
+# bpe_encode pulled from r18, retiring bpe_vocab's rows-only row).
+# N stays 99, queue 112 -> 82 (44 real + 38 staged merges). The istft
+# merge was deferred to r10 (both constituents checked r8 — merging
+# at r9 would have COST a head slot; at r10 it frees one).
 ROUND_PLAN = {
-    # Merge levers: ALL remaining rounds are fully funded by staged
-    # @merged entries (see the r10-r12 merge-staging section in
-    # contract.py for the slot math — r10: 7/7, r11: 8/8, r12: 6/6;
-    # the sketch_hll+sketch_countmin shape objection was resolved by
-    # the tpch_q1q6 generic-column -1-padding pattern). The queue's
-    # real entries drain to ZERO at r12.
-    # new-per-round = 1 + merges executed (head = 49 - merged_in_tail
-    # + new = 50).
-    "r9": [
-        "dedup_minhash_cross",
-        "cube_revenue",
-        "filter_by_quantile",
-        "interp_to",
-    ],
+    # Merge levers at r10 (all constituents in the r10-due pool = the
+    # r8-head names now in __spark_entry__._CHECK_LAST): istft(+1),
+    # lfilter+filtfilt(+1), dataset_split+stratified(+1),
+    # ann_cosine_topk+lsh(+1), convolve-family trio(+2),
+    # cwt+periodogram(+1), savgol+detrend(+1), tsstats trio(+2),
+    # text_logprob+vocab(+1), skew_join+bloom_semijoin(+1),
+    # text_surface(+1: absorbs due text_url_stats; text_redact rides
+    # free from the r10 tail) = 13 freed + 1 spare from N=99 < 100.
+    # ORACLE-READ WARNING for the r10 executor: popping istft_native
+    # breaks _inverse_transform_merged_oracle (ifft@merged) and
+    # popping bloom_semijoin breaks _join_strategy_merged_oracle
+    # (skew_join@merged is being EXECUTED so that one resolves
+    # itself, but ifft@merged STAYS queued) — snapshot
+    # ORACLES["istft_native"] into a module variable before the pop
+    # and point the builder at it, or execute ifft@merged in the same
+    # round.
     "r10": [
-        "ohlc_bars",
-        "latest_by_key",
-        "multimodal_video_frames",
-        "sample_negatives",
-        "rolling_stats",
-        "pagerank",
-        "zorder_curve",
-    ],
-    "r11": [
-        "sketch_hll_merge",
-        "group_quantiles",
-        "url_canonical_dedup",
-        "winsorize",
-        "clean_text",
         "interval_join",
         "funnel",
         "retention",
-    ],
-    "r12": [
         "audio_spectral",
         "char_entropy",
         "ngram_counts",
         "quantile_normalize",
         "rolling_median",
         "kfold_weights",
-    ],
-    "r13": [
         "tpch_q4",
         "tpch_q18",
         "grouped_ols",
         "triangle_count",
         "sequence_pack",
-        "text_postings",
     ],
-    "r14": [
+    "r11": [
+        "text_postings",
         "edit_distance_join",
         "bm25_scores",
         "event_pivot",
         "orders_unshipped",
         "json_props_stats",
-    ],
-    "r15": [
         "cdc_apply",
         "window_analytics",
+    ],
+    "r12": [
         "active_user_setops",
         "ann_recall_eval",
         "weighted_sample",
-    ],
-    "r16": [
         "tpch_q7",
         "tpch_q10",
         "tpch_q14",
         "tpch_q15",
         "tpch_q22",
     ],
-    "r17": [
+    "r13": [
         "tpch_q8",
         "tpch_q9",
         "tpch_q13",
         "tpch_q17",
         "tpch_q19",
-    ],
-    "r18": [
-        "bpe_encode",
         "text_sparse_knn",
         "dedup_recall_eval",
+    ],
+    "r14": [
         "embedding_outliers",
         "dataset_temperature_mix",
-    ],
-    "r19": [
         "naive_bayes_lang",
         "auc_eval",
         "token_mi",
+    ],
+    "r15": [
         "target_encoding",
         "event_transitions",
     ],

@@ -3827,35 +3827,34 @@ def q_correlate(spark, sf_dir):
 # freed 11 slots; 11 registrations landed (the 5 r8-bound + the full
 # r9 slate + robust_zscore). N = 99, head = 50, queue = 21.
 #
-# r9 RECIPE (the four @merged entries in _QUEUED are WRITTEN and
-# CI-verified — execute like the r8 recipe, all in one edit):
-#   1. Delete the @_q registrations of welch, welch_blackman, csd,
-#      spectrogram, tpch_q1, tpch_q6, istft_roundtrip, istft_native
-#      (keep the plain functions — the merged queries call them;
-#      preserve each deleted oracle in a _XXX_ORACLE variable only if
-#      not already factored: welch/csd/spectrogram/tpch use the
-#      _*_oracle() helpers, istft's base SQL lives in
-#      _istft_merged_oracle). Register the four merges under base
-#      names: _q("welch", _welch_merged_oracle())(q_welch_merged),
-#      _q("csd", _csd_merged_oracle())(q_csd_merged),
-#      _q("tpch_q1", _tpch_q1q6_merged_oracle())(q_tpch_q1q6_merged),
-#      _q("istft_roundtrip", _istft_merged_oracle())(q_istft_merged).
-#   2. Register the FOUR r9-bound queue entries: dedup_minhash_cross,
-#      cube_revenue, filter_by_quantile, interp_to.
-#   3. Rebuild __spark_entry__._CHECK_LAST = the r8-head names in
-#      CORRECTNESS_r08.json key order MINUS welch_blackman (merged
-#      away; it sits in the r8 head) = 49 names. Head math: 49 due
-#      r8-tail − 3 merged-away-in-tail (spectrogram, tpch_q6,
-#      istft_native) + 4 new = 50 exactly; N = 99 − 4 + 4 = 99.
-#   4. Remove the four registered names + four @merged entries from
-#      _QUEUED, update tools/queue_status.py ROUND_PLAN (r10 next:
-#      ohlc_bars, latest_by_key, multimodal_video_frames,
-#      sample_negatives, rolling_stats behind 4 more merges — r10
-#      levers among the then-due pool: fft+rfft? NO, different
-#      shapes; candidates: periodogram+welch? different grain; safest
-#      is lfilter+filtfilt / hilbert+hilbert_envelope /
-#      sessionize+stream_dedup-class pairs — verify due-ness at r10),
-#      re-run tools/check_correctness.py in FULL before committing.
+# r9 rotation EXECUTED (see the rotation block at the end of this
+# module) — a MAXIMAL drain round, deviating from the ledgered recipe
+# in two audited ways:
+#   (a) the istft merge is DEFERRED to r10: the old recipe's head math
+#       mis-placed welch_blackman (it sits in the r8 TAIL, due r9, so
+#       merging it FREES a due slot) and istft_roundtrip/istft_native
+#       (both sit in the r8 HEAD, checked r8 — merging them now would
+#       DRAG the changed union into the r9 head, costing a slot; at
+#       r10 both are due and the same merge frees one instead).
+#   (b) beyond the 3 remaining ledgered merges, TEN more staged
+#       merges whose constituents are ALL r9-due executed early
+#       (VERDICT r8 #2: accelerate the drain): peaks, dedup_pairs(2),
+#       ann_cells, multimodal_tf(2), tpch_q3q5, temporal_join,
+#       fft_fwd, decontaminate(2 incl. bloom), sketch_state,
+#       text_wide(2) — 13 merges total absorbing 16 due names.
+# Head math: 49 due r8-tail − 16 absorbed-in-due + 17 new = 50
+# exactly. The 17 registrations: the r9 slate (dedup_minhash_cross,
+# cube_revenue, filter_by_quantile, interp_to), the FULL r10 slate
+# pulled forward (ohlc_bars, latest_by_key, multimodal_video_frames,
+# sample_negatives, rolling_stats, pagerank, zorder_curve), five of
+# the r11 slate (sketch_hll_merge, group_quantiles,
+# url_canonical_dedup, winsorize, clean_text), and bpe_encode pulled
+# from r18 (VERDICT r8 #5: its full SQL oracle supersedes the
+# registry's only rows-only row — bpe_vocab's registration retires in
+# the same move; BPE training keeps its pure-Python parity pin in
+# tests/test_bpe.py). N = 99 − 16 absorbed − 1 bpe_vocab + 17 = 99;
+# tail = the 49 r8-head names (CORRECTNESS_r08 key order minus
+# bpe_vocab). Queue: 112 → 82.
 # Every queued entry stays CI-verified byte-exactly per pytest run
 # until its round arrives.
 
@@ -7847,9 +7846,13 @@ def q_active_user_setops(spark, sf_dir):
 
 
 def _ann_recall_oracle() -> str:
+    # the plain IVF oracle: ORACLES["ann_cosine_topk_ivf"] became the
+    # cells-union MERGED oracle at the r9 rotation, so this builder
+    # (called when the _QUEUED literal is constructed, after the
+    # rotation block) reads the snapshot taken there instead
     return (
         "WITH ex AS (" + ORACLES["ann_cosine_topk"] + "), "
-        "ap AS (" + ORACLES["ann_cosine_topk_ivf"] + "), "
+        "ap AS (" + _ANN_IVF_PLAIN_ORACLE + "), "
         "hits AS (SELECT ex.query_id, count(ap.neighbor_id) AS n_hits, "
         "count(*) AS k FROM ex LEFT JOIN ap "
         "ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id "
@@ -10160,17 +10163,85 @@ _q("seasonal_decompose", _seasonal_oracle())(q_seasonal_decompose)
 _q("cap_per_group", _cap_oracle())(q_cap_per_group)
 _q("robust_zscore", _robust_z_oracle())(q_robust_zscore)
 
+# ---------------------------------------------------------------------------
+# r9 rotation EXECUTED: THIRTEEN variant merges under their base names
+# (every constituent r9-due, so each absorbed variant frees a head
+# slot — see the rotation plan comment above q_welch_blackman). The
+# merged-oracle builders read the constituents' ORACLES[...] rows, so
+# the original registrations stay ABOVE and the absorbed names retire
+# via pop() below; the plain q_* functions remain for bench
+# plan-continuity (bench.py `plain` overrides) and plan-lock tests.
+# ---------------------------------------------------------------------------
+# snapshot the plain IVF oracle BEFORE the merged registration
+# replaces it — _ann_recall_oracle (queued r12) composes the plain
+# single-variant SQL, not the cells union
+_ANN_IVF_PLAIN_ORACLE = ORACLES["ann_cosine_topk_ivf"]
+_q("welch", _welch_merged_oracle())(q_welch_merged)
+_q("csd", _csd_merged_oracle())(q_csd_merged)
+_q("tpch_q1", _tpch_q1q6_merged_oracle())(q_tpch_q1q6_merged)
+_q("peak_widths", _peaks_merged_oracle())(q_peaks_merged)
+_q("dedup_minhash", _dedup_pairs_merged_oracle())(q_dedup_pairs_merged)
+_q("ann_cosine_topk_ivf", _ann_cells_merged_oracle())(q_ann_cells_merged)
+_q("multimodal_features", _multimodal_tf_merged_oracle())(q_multimodal_tf_merged)
+_q("tpch_q3", _tpch_q3q5_merged_oracle())(q_tpch_q3q5_merged)
+_q("asof_join", _temporal_join_merged_oracle())(q_temporal_join_merged)
+_q("fft", _fft_fwd_merged_oracle())(q_fft_fwd_merged)
+_q("decontaminate", _decontaminate_merged_oracle())(q_decontaminate_merged)
+_q("sketch_hll", _sketch_state_merged_oracle())(q_sketch_state_merged)
+_q("text_lang_id", _text_wide_merged_oracle())(q_text_wide_merged)
+# absorbed registrations retire; bpe_vocab (rows-only) retires too,
+# superseded by the hash-verified bpe_encode registered below
+for _gone in (
+    "welch_blackman",
+    "spectrogram",
+    "tpch_q6",
+    "find_peaks",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_cosine_topk_kmeans",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "tpch_q5",
+    "range_join",
+    "rfft",
+    "bloom_decontaminate",
+    "sketch_countmin",
+    "text_tfidf",
+    "text_repetition",
+    "bpe_vocab",
+):
+    del QUERIES[_gone]
+    ORACLES.pop(_gone, None)
+del _gone
+# the 17 r9 registrations (r9 slate + full r10 slate + 5 of r11 +
+# bpe_encode pulled from r18)
+_q("dedup_minhash_cross", _minhash_cross_oracle())(q_dedup_minhash_cross)
+_q("cube_revenue", _cube_oracle())(q_cube_revenue)
+_q("filter_by_quantile", _filter_quantile_oracle())(q_filter_by_quantile)
+_q("interp_to", _interp_to_oracle())(q_interp_to)
+_q("ohlc_bars", _ohlc_oracle())(q_ohlc_bars)
+_q("latest_by_key", _latest_oracle())(q_latest_by_key)
+_q("multimodal_video_frames", _video_frames_oracle())(q_multimodal_video_frames)
+_q("sample_negatives", _negatives_oracle())(q_sample_negatives)
+_q("rolling_stats", _rolling_oracle())(q_rolling_stats)
+_q("pagerank", _pagerank_oracle())(q_pagerank)
+_q("zorder_curve", _zorder_oracle())(q_zorder_curve)
+_q("sketch_hll_merge", _hll_oracle())(q_sketch_hll_merge)
+_q("group_quantiles", _group_quantiles_oracle())(q_group_quantiles)
+_q("url_canonical_dedup", _url_dedup_oracle())(q_url_canonical_dedup)
+_q("winsorize", _winsorize_oracle())(q_winsorize)
+_q("clean_text", _clean_text_oracle())(q_clean_text)
+_q("bpe_encode", _bpe_encode_oracle())(q_bpe_encode)
+
 _QUEUED: dict = {
-    # r9 merges, ready to register under their base names (frees 3
-    # slots: welch_blackman, spectrogram, tpch_q6 retire)
-    "welch@merged": (q_welch_merged, _welch_merged_oracle()),
-    "csd@merged": (q_csd_merged, _csd_merged_oracle()),
-    "tpch_q1@merged": (q_tpch_q1q6_merged, _tpch_q1q6_merged_oracle()),
+    # r10 merge, ready (deferred FROM the r9 ledger — both
+    # constituents sit in the r8 head, so the merge is only
+    # slot-neutral-or-better once they come due at r10)
     "istft_roundtrip@merged": (q_istft_merged, _istft_merged_oracle()),
     # r10 merges, ready (frees 4: hilbert_envelope, filtfilt,
-    # ann_cosine_topk_lsh, dataset_stratified retire; when
-    # deregistering, preserve each oracle string as a _XXX_ORACLE
-    # variable first — these builders read ORACLES[name])
+    # ann_cosine_topk_lsh, dataset_stratified retire; the builders
+    # read ORACLES[name], so keep the constituent registrations until
+    # the rotation block pops them)
     "hilbert@merged": (q_hilbert_merged, _hilbert_merged_oracle()),
     "fftconvolve@merged": (
         q_convolve_family_merged,
@@ -10180,40 +10251,22 @@ _QUEUED: dict = {
     "ann_cosine_topk@merged": (q_ann_merged, _ann_merged_oracle()),
     "dataset_split@merged": (q_dataset_merged, _dataset_merged_oracle()),
     # r10 merge, ready (frees 1: decimate_iir retires into
-    # decimate_fir's slot — completes r10's 7-slot funding)
+    # decimate_fir's slot)
     "decimate_fir@merged": (q_decimate_merged, _decimate_merged_oracle()),
-    # r11 merges, ready (free 8: resample_poly, resample_freq,
-    # sosfilt_chunked, sosfiltfilt, rfft, find_peaks, dedup_simhash,
-    # dedup_embedding retire)
+    # r11 merges, ready (free 3: resample_poly, resample_freq,
+    # sosfilt_chunked/sosfiltfilt retire)
     "resample@merged": (q_resample_merged, _resample_merged_oracle()),
     "sosfilt@merged": (q_sosfilt_family_merged, _sosfilt_family_merged_oracle()),
-    "fft@merged": (q_fft_fwd_merged, _fft_fwd_merged_oracle()),
-    "peak_widths@merged": (q_peaks_merged, _peaks_merged_oracle()),
-    "dedup_minhash@merged": (q_dedup_pairs_merged, _dedup_pairs_merged_oracle()),
-    # r12 merges, ready (free 6: multimodal_resize,
-    # multimodal_frame_sample, ann_cosine_topk_kmeans, tpch_q5,
-    # multimodal_gzip_decode, sketch_countmin retire — the queue's
-    # real entries drain to ZERO at r12)
-    "multimodal_features@merged": (
-        q_multimodal_tf_merged,
-        _multimodal_tf_merged_oracle(),
-    ),
-    "ann_cosine_topk_ivf@merged": (
-        q_ann_cells_merged,
-        _ann_cells_merged_oracle(),
-    ),
-    "tpch_q3@merged": (q_tpch_q3q5_merged, _tpch_q3q5_merged_oracle()),
+    # r12 merges, ready
     "multimodal_audio_decode@merged": (
         q_multimodal_bin_merged,
         _multimodal_bin_merged_oracle(),
     ),
-    "sketch_hll@merged": (q_sketch_state_merged, _sketch_state_merged_oracle()),
-    # r13 merges, ready (free 6: dedup_ngram_jaccard, dedup_ngram_spans,
-    # ewma, seasonal_decompose, range_join, interp_to retire — funding
-    # the r13 slate below)
+    # r13 merges, ready (free: dedup_ngram_jaccard, dedup_ngram_spans,
+    # ewma, seasonal_decompose, interp_to retire — funding the r13
+    # slate below)
     "dedup_exact@merged": (q_dedup_family_merged, _dedup_family_merged_oracle()),
     "acf@merged": (q_tsstats_merged, _tsstats_merged_oracle()),
-    "asof_join@merged": (q_temporal_join_merged, _temporal_join_merged_oracle()),
     "gapfill@merged": (q_regularize_merged, _regularize_merged_oracle()),
     # r13 slate (relational + pipeline additions; merges staged in the
     # r13 section above the _QUEUED comment block)
@@ -10233,7 +10286,6 @@ _QUEUED: dict = {
         _grouping_sets_merged_oracle(),
     ),
     "stft@merged": (q_framed_spectral_merged, _framed_spectral_merged_oracle()),
-    "text_lang_id@merged": (q_text_wide_merged, _text_wide_merged_oracle()),
     # r14 slate (retrieval + typo-dedup + relational checklist seams)
     "edit_distance_join": (q_edit_distance_join, _edit_join_oracle()),
     "bm25_scores": (q_bm25_scores, _bm25_oracle()),
@@ -10278,24 +10330,8 @@ _QUEUED: dict = {
     "tpch_q14": (q_tpch_q14, _tpch_q14_oracle()),
     "tpch_q15": (q_tpch_q15, _tpch_q15_oracle()),
     "tpch_q22": (q_tpch_q22, _tpch_q22_oracle()),
-    "pagerank": (q_pagerank, _pagerank_oracle()),
-    "zorder_curve": (q_zorder_curve, _zorder_oracle()),
     "funnel": (q_funnel, _funnel_oracle()),
     "retention": (q_retention, _retention_oracle()),
-    "dedup_minhash_cross": (q_dedup_minhash_cross, _minhash_cross_oracle()),
-    "cube_revenue": (q_cube_revenue, _cube_oracle()),
-    "filter_by_quantile": (q_filter_by_quantile, _filter_quantile_oracle()),
-    "interp_to": (q_interp_to, _interp_to_oracle()),
-    "ohlc_bars": (q_ohlc_bars, _ohlc_oracle()),
-    "latest_by_key": (q_latest_by_key, _latest_oracle()),
-    "multimodal_video_frames": (q_multimodal_video_frames, _video_frames_oracle()),
-    "sample_negatives": (q_sample_negatives, _negatives_oracle()),
-    "rolling_stats": (q_rolling_stats, _rolling_oracle()),
-    "sketch_hll_merge": (q_sketch_hll_merge, _hll_oracle()),
-    "group_quantiles": (q_group_quantiles, _group_quantiles_oracle()),
-    "url_canonical_dedup": (q_url_canonical_dedup, _url_dedup_oracle()),
-    "winsorize": (q_winsorize, _winsorize_oracle()),
-    "clean_text": (q_clean_text, _clean_text_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "audio_spectral": (q_audio_spectral, _audio_spectral_oracle()),
     "char_entropy": (q_char_entropy, _char_entropy_oracle()),
@@ -10310,9 +10346,8 @@ _QUEUED: dict = {
     "tpch_q13": (q_tpch_q13, _tpch_q13_oracle()),
     "tpch_q17": (q_tpch_q17, _tpch_q17_oracle()),
     "tpch_q19": (q_tpch_q19, _tpch_q19_oracle()),
-    # r18 slate (tokenizer inference, sparse retrieval, dedup eval,
-    # label-noise sweep, temperature mixing)
-    "bpe_encode": (q_bpe_encode, _bpe_encode_oracle()),
+    # r18 slate (sparse retrieval, dedup eval, label-noise sweep,
+    # temperature mixing; bpe_encode registered at r9)
     "text_sparse_knn": (q_text_sparse_knn, _sparse_knn_oracle()),
     "dedup_recall_eval": (q_dedup_recall_eval, _dedup_recall_oracle()),
     "embedding_outliers": (q_embedding_outliers, _embedding_outliers_oracle()),
@@ -10327,10 +10362,6 @@ _QUEUED: dict = {
     "text_token_stats@merged": (
         q_text_surface_merged,
         _text_surface_merged_oracle(),
-    ),
-    "decontaminate@merged": (
-        q_decontaminate_merged,
-        _decontaminate_merged_oracle(),
     ),
     "ifft@merged": (
         q_inverse_transform_merged,

@@ -812,30 +812,76 @@ def char_entropy(
     low, encrypted/compressed noise scores near log2(alphabet), normal
     prose sits in between.
 
-    Plan shape: explode to (doc, char) — one map-side-combinable count
-    aggregation per (doc, char), then one per-doc fold of the ≤
-    |alphabet| frequency rows into −Σ p·log2 p. Shuffle ∝ docs ×
-    distinct-chars-per-doc (bounded by the alphabet), never total
-    characters. Pure Catalyst. Output: ``(id, n_chars, entropy_bits)``.
+    Plan shape: ZERO shuffles — entropy is a per-row property, so it
+    runs as one Arrow-batched ``mapInPandas`` projection. Inside each
+    batch the computation is fully numpy-vectorized (no per-document
+    Python loop): all texts concatenate once, UTF-32 decode gives one
+    uint32 code point per character (so multi-byte characters count as
+    one char, matching ``string_split``/``split('')``), and per-(doc,
+    char) counts come from ONE ``np.unique`` over (doc_index << 21 |
+    code) packed keys — code points are < 2^21 by Unicode's
+    definition. The earlier pure-Catalyst shape (explode to (doc,
+    char) + two hash aggregations) was a measured 2.87× constant-
+    factor row at the 10× tier (BASELINE.md r8) — 15 M exploded rows
+    of Generate + two-level hash-agg overhead for what one vectorized
+    pass computes in-place; this kernel removes the exchange entirely
+    and scales embarrassingly (any partitioning works, nothing
+    crosses the wire but the output rows).
+
+    Documents whose text is empty produce no characters and are
+    dropped (same row set as the Catalyst shape, which exploded to
+    zero rows for them). Output: ``(id, n_chars, entropy_bits)``.
     """
-    chars = F.split(F.col(text_col), "")
-    ex = df.select(F.col(id_col), F.explode(chars).alias("ch")).filter(
-        F.col("ch") != ""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    counts = ex.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
-    # −Σ (c/n)·log2(c/n) = log2 n − (Σ c·log2 c)/n — two plain sums,
-    # no window, no second shuffle beyond the per-doc fold
-    per_doc = counts.groupBy(id_col).agg(
-        F.sum("c").alias("n_chars"),
-        F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+
+    src = df.select(id_col, text_col)
+    out_schema = StructType(
+        [
+            src.schema[id_col],
+            StructField("n_chars", LongType()),
+            StructField("entropy_bits", DoubleType()),
+        ]
     )
-    return per_doc.select(
-        id_col,
-        "n_chars",
-        (
-            F.log2(F.col("n_chars")) - F.col("_clogc") / F.col("n_chars")
-        ).alias("entropy_bits"),
-    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            texts = pdf[text_col].fillna("")
+            lens = texts.str.len().to_numpy(np.int64)
+            joined = "".join(texts.tolist())
+            codes = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            keys = (doc_idx << 21) | codes
+            uniq, counts = np.unique(keys, return_counts=True)
+            d = uniq >> 21
+            n_docs = len(pdf)
+            n_chars = np.bincount(d, weights=counts, minlength=n_docs)
+            clogc = np.bincount(
+                d, weights=counts * np.log2(counts), minlength=n_docs
+            )
+            keep = n_chars > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent = np.log2(n_chars) - clogc / n_chars
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "n_chars": n_chars[keep].astype(np.int64),
+                    "entropy_bits": ent[keep],
+                }
+            )
+
+    return src.mapInPandas(batches, out_schema)
 
 
 def ngram_counts(
@@ -867,6 +913,17 @@ def ngram_counts(
         # ONE tokenizer evaluation per row; the n shifted slices then
         # zip NATIVELY (arrays_zip, no lambda at all) and the gram
         # string is a per-row codegen concat after the explode.
+        #
+        # Constant-factor note (r9 A/B, BASELINE.md): the remaining
+        # ~2.35× vs the serial oracle is the count exchange itself
+        # (272 k distinct grams over 2.6 M occurrences at the 10×
+        # tier — per-partition duplication ~1, so map-side combine
+        # can't shrink it). Two alternative shapes measured the SAME:
+        # an Arrow mapInPandas Counter-partial kernel (2.75 s) and a
+        # lambda-free split(trim, ' +') tokenizer (2.78 s) — and the
+        # ratio is FLAT across tiers (2.36× at 10×, 2.37× at 25×,
+        # both engines exactly linear). Kept pure-JVM: equal speed,
+        # no Python workers.
         tkdf = df.select(
             F.explode(F.array(tokens(F.col(text_col)))).alias("_tk")
         )
