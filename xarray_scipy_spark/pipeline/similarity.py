@@ -564,13 +564,25 @@ def label_outliers(
     fitting anything on the labels.
 
     Everything runs in the exploded (row, dim) domain with components
-    quantized to DECIMAL(18,6), so centroid sums, dot products, and
-    norms are exact under any partitioning:
+    quantized to 6 decimals and carried as INT64 MICRO-UNITS
+    (value·10⁶ — the same lattice DECIMAL(18,6) spans, in plain long
+    arithmetic), so centroid sums, dot products, and norms are exact
+    under any partitioning. Long µ-units replace the original
+    DECIMAL(18,6) columns after an r9 profile showed JVM decimal
+    multiply-aggregate costing ~2× plain long arithmetic (the per-row
+    dot stage alone was 1.9 s of the 4.1 s total at the 10× tier);
+    every published value is bit-identical — a sum of µ-units k cast
+    to double then divided by 10⁶/10¹² equals the DECIMAL sum cast to
+    double as long as |k| < 2⁵³ (both are the correctly-rounded double
+    of the same exact rational; dot sums here are ≤ ~10¹⁴), and the
+    oracle agrees byte-exactly in CI.
 
     1. centroid: one (label, dim)-keyed aggregate — output is
        labels x dim rows, broadcastable at ANY corpus size;
     2. per-row cosine-to-centroid: broadcast-join the centroid onto
-       the exploded rows, one row-keyed aggregate;
+       the exploded rows (lineage-cut once, so the explode+quantize
+       pass runs ONCE, not once per consumer branch), one row-keyed
+       aggregate;
     3. top-n per label runs TWO-PHASE (the cap_per_group shape): a
        window per (label, hash-bucket) prunes to local top-n — the
        global top-n is always a subset — then the exact window ranks
@@ -584,38 +596,48 @@ def label_outliers(
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    # quantize through DECIMAL(18,6) (exact HALF_UP at 6 decimals),
+    # then to µ-units: decimal(18,6) · 10⁶ is an exact integer
+    xm = (
+        F.round(F.col("_x").cast("double"), 6).cast("decimal(18,6)")
+        * F.lit(1000000)
+    ).cast("long")
     dims = (
         emb.select(
             F.col(id_col).alias("_id"),
             F.col(label_col).alias("_lab"),
             F.posexplode(vec_col).alias("_i", "_x"),
         )
-        .select(
-            "_id",
-            "_lab",
-            "_i",
-            F.round(F.col("_x").cast("double"), 6)
-            .cast("decimal(18,6)")
-            .alias("_xq"),
-        )
+        .select("_id", "_lab", "_i", xm.alias("_xm"))
+        .localCheckpoint(eager=False)
     )
     cent = dims.groupBy("_lab", "_i").agg(
-        F.sum("_xq").alias("_s"), F.count(F.lit(1)).alias("_cnt")
+        F.sum("_xm").alias("_sm"), F.count(F.lit(1)).alias("_cnt")
     ).select(
         "_lab",
         "_i",
-        F.round(F.col("_s").cast("double") / F.col("_cnt"), 6)
-        .cast("decimal(18,6)")
-        .alias("_c"),
+        # mean back on the 6-decimal lattice: sum_µ → double (exact:
+        # |sum| « 2⁵³) → /10⁶ (correctly rounded, = the DECIMAL-sum
+        # cast) → /cnt → round → µ-units again
+        (
+            F.round(
+                F.col("_sm").cast("double") / F.lit(1000000.0) / F.col("_cnt"),
+                6,
+            ).cast("decimal(18,6)")
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("_cm"),
     )
     cnorm = cent.groupBy("_lab").agg(
-        F.sum(F.col("_c") * F.col("_c")).alias("_nc")
+        F.sum(F.col("_cm") * F.col("_cm")).alias("_ncm")
     )
     joined = dims.join(F.broadcast(cent), ["_lab", "_i"])
     per_row = joined.groupBy("_id", "_lab").agg(
-        F.sum(F.col("_xq") * F.col("_c")).alias("_dot"),
-        F.sum(F.col("_xq") * F.col("_xq")).alias("_nv"),
+        F.sum(F.col("_xm") * F.col("_cm")).alias("_dotm"),
+        F.sum(F.col("_xm") * F.col("_xm")).alias("_nvm"),
     )
+    micro2 = F.lit(1.0e12)
     cos = (
         per_row.join(F.broadcast(cnorm), "_lab")
         .select(
@@ -623,10 +645,10 @@ def label_outliers(
             "_id",
             (
                 F.round(
-                    F.col("_dot").cast("double")
+                    (F.col("_dotm").cast("double") / micro2)
                     / (
-                        F.sqrt(F.col("_nv").cast("double"))
-                        * F.sqrt(F.col("_nc").cast("double"))
+                        F.sqrt(F.col("_nvm").cast("double") / micro2)
+                        * F.sqrt(F.col("_ncm").cast("double") / micro2)
                     ),
                     6,
                 )

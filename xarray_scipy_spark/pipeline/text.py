@@ -1212,12 +1212,23 @@ def naive_bayes_lang(
     Filter for them upstream (``length(trim(text)) = 0``-style) if the
     routing needs a row per input document.
     """
+    # the token frame feeds FIVE consumers (label-token counts, vocab,
+    # vocab size, per-label totals, per-doc tf) — without a lineage
+    # cut each one re-runs the tokenizer explode (r9 profile: the
+    # re-tokenization dominated the 10×-tier time). Lazy checkpoint:
+    # materialized at the first action, reused by every later job.
     toks = spread(df, id_col).select(
         F.col(id_col).alias("_doc"),
         F.col(label_col).alias("_lab"),
         F.explode(tokens(F.col(text_col))).alias("_t"),
-    )
-    # training side
+    ).localCheckpoint(eager=False)
+    # training side. Log-likelihoods quantize to 6 decimals and ride
+    # as INT64 MICRO-UNITS (value·10⁶ — the same DECIMAL(18,6)
+    # lattice in plain long arithmetic; decimal multiply-aggregate
+    # measured ~2× slower in the JVM, r9): sums stay exact under any
+    # partitioning and every published value is bit-identical (a
+    # µ-unit sum k cast to double then /10⁶ equals the DECIMAL sum
+    # cast to double while |k| < 2⁵³; scores here are ≤ ~10¹¹).
     lt = toks.groupBy("_lab", "_t").agg(F.count(F.lit(1)).alias("_c"))
     vocab = toks.select("_t").distinct()
     labels = df.select(F.col(label_col).alias("_lab")).distinct()
@@ -1231,15 +1242,18 @@ def naive_bayes_lang(
         .select(
             "_lab",
             "_t",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("_nl") + F.col("_v"))
-                ),
-                6,
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("_nl") + F.col("_v"))
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+                * F.lit(1000000)
             )
-            .cast("decimal(18,6)")
-            .alias("_lp"),
+            .cast("long")
+            .alias("_lpm"),
         )
     )
     n_docs = df.agg(F.count(F.lit(1)).alias("_nd"))
@@ -1249,32 +1263,44 @@ def naive_bayes_lang(
         .crossJoin(F.broadcast(n_docs))
         .select(
             "_lab",
-            F.round(F.log(F.col("_dl") / F.col("_nd")), 6)
-            .cast("decimal(18,6)")
-            .alias("_prior"),
+            (
+                F.round(F.log(F.col("_dl") / F.col("_nd")), 6)
+                .cast("decimal(18,6)")
+                * F.lit(1000000)
+            )
+            .cast("long")
+            .alias("_priorm"),
         )
     )
-    # classification side
+    # classification side. The merge hint blocks a static-planner
+    # mis-broadcast of the CORPUS side: both inputs sit behind
+    # aggregates/checkpoints with no reliable size stats, and the r9
+    # profile caught Catalyst broadcasting the 1.4M-row tf frame while
+    # the 1.5k-row model grid shuffled (7.2 s → 1.4 s from this hint
+    # at the 10× tier). Planned as sort-merge, AQE's runtime stats
+    # then convert it to a broadcast of whichever side is ACTUALLY
+    # small — the model when the vocabulary is bounded, never the
+    # corpus.
     tf = toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("_tf"))
     scored = (
-        tf.join(dense.withColumnRenamed("_lab", "_cand"), "_t")
+        tf.join(dense.withColumnRenamed("_lab", "_cand").hint("merge"), "_t")
         .groupBy("_doc", "_cand")
-        .agg(F.sum(F.col("_tf") * F.col("_lp")).alias("_like"))
+        .agg(F.sum(F.col("_tf") * F.col("_lpm")).alias("_likem"))
         .join(
             F.broadcast(priors.withColumnRenamed("_lab", "_cand")), "_cand"
         )
         .select(
             "_doc",
             "_cand",
-            (F.col("_like") + F.col("_prior")).alias("_score"),
+            (F.col("_likem") + F.col("_priorm")).alias("_scorem"),
         )
     )
     # argmax with smallest-label tie-break: min over (−score, label) —
-    # decimal negation is exact, so the struct ordering is the argmax
+    # long negation is exact, so the struct ordering is the argmax
     best = scored.groupBy("_doc").agg(
         F.min(
             F.struct(
-                (-F.col("_score")).alias("_ns"), F.col("_cand").alias("_cand")
+                (-F.col("_scorem")).alias("_ns"), F.col("_cand").alias("_cand")
             )
         ).alias("_b")
     )
@@ -1285,9 +1311,12 @@ def naive_bayes_lang(
             F.col("_doc").alias(id_col),
             label_col,
             F.col("_b._cand").alias("pred"),
-            (F.round((-F.col("_b._ns")).cast("double"), 6) + F.lit(0.0)).alias(
-                "score_q"
-            ),
+            (
+                F.round(
+                    (-F.col("_b._ns")).cast("double") / F.lit(1000000.0), 6
+                )
+                + F.lit(0.0)
+            ).alias("score_q"),
             (F.col("_b._cand") == F.col(label_col)).alias("is_correct"),
         )
     )
