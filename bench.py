@@ -178,6 +178,9 @@ HEADLINE = [
     "target_encoding",
     "event_transitions",
     "interval_join",
+    # r9 session-2 additions: the data-quality layer
+    "data_profile",
+    "constraint_check",
 ]
 
 

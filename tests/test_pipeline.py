@@ -2321,3 +2321,80 @@ def test_weighted_sample_global_and_gates(spark):
     dfz = spark.createDataFrame([(1, 0.0), (2, 3.0)], "id long, w double")
     got = pl.weighted_sample(dfz, id_col="id", weight_col="w", k=5).collect()
     assert [r["id"] for r in got] == [2]
+
+
+# --- data-quality layer (pipeline/quality.py) -------------------------------
+
+
+def test_data_profile_known_values(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (3, None, 4.0), (3, "b", 4.0)],
+        "id long, s string, x double",
+    )
+    out = {r["column"]: r for r in pl.data_profile(df).collect()}
+    assert set(out) == {"id", "s", "x"}
+    assert out["id"]["n"] == 4 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 3
+    assert out["id"]["min_val"] == "1" and out["id"]["max_val"] == "3"
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["mean_q"] is None
+    assert out["x"]["n_null"] == 1
+    assert abs(out["x"]["mean_q"] - (2.0 + 4.0 + 4.0) / 3) < 1e-6  # 6-dec round
+    # column subset + request order preserved
+    sub = pl.data_profile(df, columns=["x", "id"]).collect()
+    assert [r["column"] for r in sub] == ["x", "id"]
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        pl.data_profile(df, columns=["nope"])
+
+
+def test_constraint_check_verdicts(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame(
+        [(1, 1, "A", 10.0), (1, 2, "N", -1.0), (1, 2, "X", 5.0), (2, 1, None, 0.0)],
+        "k long, ln long, flag string, v double",
+    )
+    out = {r["constraint"]: r for r in pl.constraint_check(df, [
+        {"kind": "not_null", "column": "flag"},
+        {"kind": "unique", "columns": ["k", "ln"]},
+        {"kind": "in_set", "column": "flag", "values": ["A", "N"]},
+        {"kind": "between", "column": "v", "min": 0, "max": 10},
+        {"kind": "min_rows", "value": 10},
+        {"kind": "non_negative", "column": "v"},
+    ]).collect()}
+    assert out["not_null(flag)"]["n_violations"] == 1
+    assert not out["not_null(flag)"]["passed"]
+    assert out["unique(k, ln)"]["n_violations"] == 1  # (1,2) twice
+    assert out["in_set(flag)"]["n_violations"] == 1  # 'X'; null not counted
+    assert out["between(v, 0, 10)"]["n_violations"] == 1  # -1.0
+    assert out["min_rows(10)"]["n_violations"] == 6 and not out["min_rows(10)"]["passed"]
+    assert out["non_negative(v)"]["n_violations"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
+    ok = pl.constraint_check(df, [{"kind": "min_rows", "value": 4}]).collect()[0]
+    assert ok["passed"] and ok["n_violations"] == 0
+    with pytest.raises(ValueError, match="unknown constraint kind"):
+        pl.constraint_check(df, [{"kind": "made_up"}])
+    with pytest.raises(ValueError, match="at least one"):
+        pl.constraint_check(df, [])
+
+
+def test_quality_layer_single_pass_plans(spark):
+    """data_profile: the stats ride one aggregation (plus the Expand
+    the exact multi-column distinct requires); constraint_check with
+    no unique constraint is ONE exchange and no Expand at all."""
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = (
+        pl.constraint_check(df, [
+            {"kind": "not_null", "column": "l_orderkey"},
+            {"kind": "between", "column": "l_quantity", "min": 1, "max": 50},
+            {"kind": "min_rows", "value": 10},
+        ])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # partial->final single agg
+    assert "Python" not in plan and "Arrow" not in plan, plan

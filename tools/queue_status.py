@@ -99,6 +99,8 @@ ROUND_PLAN = {
     "r15": [
         "target_encoding",
         "event_transitions",
+        "data_profile",
+        "constraint_check",
     ],
 }
 

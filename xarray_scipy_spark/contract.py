@@ -3857,6 +3857,34 @@ def q_correlate(spark, sf_dir):
 # bpe_vocab). Queue: 112 → 82.
 # Every queued entry stays CI-verified byte-exactly per pytest run
 # until its round arrives.
+#
+# r10 RECIPE (verify every due-ness claim against CORRECTNESS_r09.json
+# before executing — the r9 recipe's head math was wrong about which
+# side of the head/tail split two names sat on):
+#   Due pool at r10 = the names in __spark_entry__._CHECK_LAST today
+#   (the 49 r8-head names, checked r8). Clean levers (every absorbed
+#   name due, base due): istft_roundtrip(+1: istft_native),
+#   lfilter(+1: filtfilt), dataset_split(+1: dataset_stratified),
+#   ann_cosine_topk(+1: _lsh), fftconvolve(+2: convolve, correlate —
+#   NOTE this conflicts with convolve@merged and correlate@merged,
+#   pick ONE family per constituent), cwt_ricker(+1: periodogram),
+#   savgol(+1: detrend), acf(+2: ewma, seasonal_decompose),
+#   text_logprob(+1: text_vocab), skew_join(+1: bloom_semijoin),
+#   text_token_stats(+1 due: text_url_stats; text_redact rides free
+#   from the r9 head) = 13 freed; head = 49 due − 13 + 14 new = 50.
+#   N = 99 − 14 absorbed + 14 new = 99.
+#   ORACLE-READ SNAPSHOTS REQUIRED BEFORE THE POPS (grep
+#   `ORACLES\[` over every builder that remains in _QUEUED after the
+#   r10 edit): istft_native is read by _inverse_transform_merged_oracle
+#   (ifft@merged, stays queued) and bloom_semijoin by
+#   _join_strategy_merged_oracle (being executed, so it self-resolves
+#   if registered in the same block BEFORE the pop — otherwise
+#   snapshot). Follow the _ANN_IVF_PLAIN_ORACLE pattern above.
+#   Register the 14 ledgered r10 names (tools/queue_status.py),
+#   rebuild _CHECK_LAST = CORRECTNESS_r09 keys MINUS text_redact (the
+#   one absorbed name that sits in the r9 head → 49 tail names),
+#   update bench.py `plain` for the newly absorbed names, run
+#   tools/check_correctness.py in FULL.
 
 
 def q_welch_blackman(spark, sf_dir):
@@ -10163,6 +10191,119 @@ _q("seasonal_decompose", _seasonal_oracle())(q_seasonal_decompose)
 _q("cap_per_group", _cap_oracle())(q_cap_per_group)
 _q("robust_zscore", _robust_z_oracle())(q_robust_zscore)
 
+# --- data-quality layer (pipeline/quality.py) — r9 s2 additions ------------
+
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_quantity",
+    "l_returnflag",
+    "l_shipdate",
+    "l_extendedprice",
+)
+_PROFILE_NUMERIC = {"l_orderkey", "l_quantity", "l_extendedprice"}
+
+
+def _data_profile_oracle() -> str:
+    """DuckDB twin of pipeline.quality.data_profile over the pinned
+    lineitem column list: one SELECT per column (the long-format
+    unpack), identical null/distinct/min/max/mean algebra; means
+    re-quantize through the shared epsilon-floor so cross-engine
+    summation-order noise can't flip the 6th decimal."""
+    parts = []
+    for c in _PROFILE_COLS:
+        mean = (
+            _q3(f"round(avg(CAST({c} AS DOUBLE)), 6) + 0.0")
+            if c in _PROFILE_NUMERIC
+            else "CAST(NULL AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n, "
+            f"count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_val, "
+            f"CAST(max({c}) AS VARCHAR) AS max_val, "
+            f"{mean} AS mean_q3 FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_data_profile(spark, sf_dir):
+    """Deequ-class one-pass column profiling (pipeline/quality.py
+    data_profile) over five lineitem columns: count/nulls/min/max/mean
+    ride ONE map-side-combinable aggregate; the exact multi-column
+    distinct is the Expand pass — the exact-answer cost in any engine
+    (at 100 TB you swap it for pipeline/sketches.hll_state)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    res = pl.data_profile(li, columns=list(_PROFILE_COLS))
+    return res.select(
+        F.col("column").alias("col_name"),
+        "n",
+        "n_null",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        _q3_col(F.col("mean_q")).alias("mean_q3"),
+    )
+
+
+_CHECK_CONSTRAINTS = (
+    {"kind": "not_null", "column": "l_orderkey"},
+    {"kind": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+    {"kind": "in_set", "column": "l_returnflag", "values": ["A", "N", "R"]},
+    {"kind": "between", "column": "l_quantity", "min": 1, "max": 50},
+    {"kind": "min_rows", "value": 1000},
+    {"kind": "non_negative", "column": "l_extendedprice"},
+)
+
+
+def _constraint_check_oracle() -> str:
+    """DuckDB twin of pipeline.quality.constraint_check on the pinned
+    lineitem contract: the same six verdict rows from one stats CTE."""
+    return (
+        "WITH s AS (SELECT count(*) AS n, "
+        "count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS v0, "
+        "count(DISTINCT (l_orderkey, l_linenumber)) AS d1, "
+        "count(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag "
+        "NOT IN ('A', 'N', 'R') THEN 1 END) AS v2, "
+        "count(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 "
+        "OR l_quantity > 50) THEN 1 END) AS v3, "
+        "count(CASE WHEN l_extendedprice IS NOT NULL AND "
+        "l_extendedprice < 0 THEN 1 END) AS v5 FROM lineitem) "
+        "SELECT * FROM ("
+        "SELECT 'not_null(l_orderkey)' AS constraint_name, "
+        "'not_null' AS kind, v0 = 0 AS passed, v0 AS n_violations, "
+        "n AS n_rows FROM s UNION ALL "
+        "SELECT 'unique(l_orderkey, l_linenumber)', 'unique', "
+        "n - d1 = 0, n - d1, n FROM s UNION ALL "
+        "SELECT 'in_set(l_returnflag)', 'in_set', v2 = 0, v2, n "
+        "FROM s UNION ALL "
+        "SELECT 'between(l_quantity, 1, 50)', 'between', v3 = 0, v3, n "
+        "FROM s UNION ALL "
+        "SELECT 'min_rows(1000)', 'min_rows', "
+        "greatest(0, 1000 - n) = 0, greatest(0, 1000 - n), n FROM s "
+        "UNION ALL "
+        "SELECT 'non_negative(l_extendedprice)', 'non_negative', "
+        "v5 = 0, v5, n FROM s)"
+    )
+
+
+def q_constraint_check(spark, sf_dir):
+    """Declarative data-contract verification (pipeline/quality.py
+    constraint_check): six constraints (null-free key, composite
+    uniqueness, value domain, range, row floor, sign) compiled into
+    ONE conditional aggregate + one distinct-count term — the gate a
+    pipeline scheduler reads before consuming an input table."""
+    li = load_table(spark, "lineitem", sf_dir)
+    res = pl.constraint_check(li, list(_CHECK_CONSTRAINTS))
+    return res.select(
+        F.col("constraint").alias("constraint_name"),
+        "kind",
+        "passed",
+        "n_violations",
+        "n_rows",
+    )
+
+
 # ---------------------------------------------------------------------------
 # r9 rotation EXECUTED: THIRTEEN variant merges under their base names
 # (every constituent r9-due, so each absorbed variant frees a head
@@ -10346,6 +10487,10 @@ _QUEUED: dict = {
     "tpch_q13": (q_tpch_q13, _tpch_q13_oracle()),
     "tpch_q17": (q_tpch_q17, _tpch_q17_oracle()),
     "tpch_q19": (q_tpch_q19, _tpch_q19_oracle()),
+    # r9 s2 additions: the data-quality layer (ledgered for r15 in
+    # tools/queue_status.py)
+    "data_profile": (q_data_profile, _data_profile_oracle()),
+    "constraint_check": (q_constraint_check, _constraint_check_oracle()),
     # r18 slate (sparse retrieval, dedup eval, label-noise sweep,
     # temperature mixing; bpe_encode registered at r9)
     "text_sparse_knn": (q_text_sparse_knn, _sparse_knn_oracle()),

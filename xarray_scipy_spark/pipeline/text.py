@@ -1021,6 +1021,13 @@ def bm25_scores(
     terms = [str(t) for t in query_terms]
     if not terms:
         raise ValueError("query_terms must be non-empty")
+    # NO lineage cut here, by measurement (r9): the token frame feeds
+    # two branches, but materializing the full token-ARRAY frame costs
+    # more than re-running the cheap tokenizer (1.15 s → 1.45 s with a
+    # localCheckpoint at the 10× tier) — the tf branch keeps only
+    # query-term matches, so its recompute is nearly free. Contrast
+    # naive_bayes_lang, where FIVE consumers re-ran the explode and
+    # the cut paid for itself.
     toks = spread(df, id_col).select(
         F.col(id_col).alias("_doc"), tokens(F.col(text_col)).alias("tk")
     )
