@@ -62,11 +62,16 @@ def data_profile(
         if f.dataType.typeName()
         in ("byte", "short", "integer", "long", "float", "double", "decimal")
     }
+    # The distinct counts run in their OWN aggregate, crossJoined back
+    # (two 1-row frames): mixing k count(DISTINCT)s with the plain
+    # stats in one agg makes Spark's RewriteDistinctAggregates drive
+    # EVERY aggregate through the (k+1)-way Expand — measured 7.3 s
+    # combined vs 0.8 s stats + 1.8 s distincts split, 10× lineitem
+    # (r9). Two passes over the scan beat one pass over k+1× the rows.
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
         col = F.col(c)
         aggs.append(F.count(F.when(col.isNull(), F.lit(1))).alias(f"_null_{i}"))
-        aggs.append(F.count_distinct(col).alias(f"_dist_{i}"))
         aggs.append(F.min(col).cast("string").alias(f"_min_{i}"))
         aggs.append(F.max(col).cast("string").alias(f"_max_{i}"))
         if c in numeric:
@@ -75,7 +80,11 @@ def data_profile(
             )
         else:
             aggs.append(F.lit(None).cast("double").alias(f"_mean_{i}"))
-    one = df.agg(*aggs)
+    dist_aggs = [
+        F.count_distinct(F.col(c)).alias(f"_dist_{i}")
+        for i, c in enumerate(cols)
+    ]
+    one = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*dist_aggs)))
     # unpack the single stats row to long format with a literal
     # column-name axis — stack() is pure projection, no extra pass
     fields = ", ".join(
@@ -120,8 +129,12 @@ def constraint_check(
     - ``{"kind": "non_negative", "column": c}`` — no negative values.
 
     All row-predicate constraints compile to conditional counters in
-    ONE map-side-combinable aggregate; each ``unique`` adds one
-    count-distinct term (the Expand pass — exactness has a cost).
+    ONE map-side-combinable aggregate; ``unique`` constraints run
+    their count-distinct terms in a SEPARATE aggregate crossJoined
+    back (1-row × 1-row) — mixing a count(DISTINCT) with the plain
+    counters drives every counter through the distinct-rewrite Expand,
+    measured 19.2 s vs ~3 s split at 24M lineitem rows (r9; the same
+    pathology as data_profile's).
     ``passed`` is false iff ``n_violations > 0`` (for ``min_rows``:
     the shortfall). Constraint names are ``<kind>(<args>)`` and the
     output preserves request order.
@@ -142,11 +155,6 @@ def constraint_check(
         elif kind == "unique":
             kc = list(spec["columns"])
             names.append((f"unique({', '.join(kc)})", kind))
-            aggs.append(
-                F.count_distinct(F.struct(*[F.col(c) for c in kc])).alias(
-                    f"_d_{i}"
-                )
-            )
             uniques.append((i, kc))
         elif kind == "in_set":
             c = spec["column"]
@@ -186,6 +194,14 @@ def constraint_check(
         else:
             raise ValueError(f"unknown constraint kind: {kind!r}")
     one = df.agg(*aggs)
+    if uniques:
+        dist_aggs = [
+            F.count_distinct(F.struct(*[F.col(c) for c in kc])).alias(
+                f"_d_{i}"
+            )
+            for i, kc in uniques
+        ]
+        one = one.crossJoin(F.broadcast(df.agg(*dist_aggs)))
     rows = []
     for i, (spec, (name, kind)) in enumerate(zip(constraints, names)):
         if kind == "unique":
