@@ -181,6 +181,7 @@ HEADLINE = [
     # r9 session-2 additions: the data-quality layer
     "data_profile",
     "constraint_check",
+    "frequent_values",
 ]
 
 

@@ -2398,3 +2398,22 @@ def test_quality_layer_single_pass_plans(spark):
     assert "Expand" not in plan, plan
     assert plan.count("Exchange") <= 2, plan  # partial->final single agg
     assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_frequent_values_known(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 1), (None, 3)],
+        "s string, x long",
+    )
+    out = pl.frequent_values(df, ["s", "x"], k=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["column"], []).append((r["rank"], r["value"], r["cnt"]))
+    assert sorted(by["s"]) == [(1, "a", 3), (2, "b", 1)]  # null excluded
+    assert sorted(by["x"]) == [(1, "1", 3), (2, "2", 1)]  # tie: "2" < "3"
+    with pytest.raises(ValueError, match="at least one"):
+        pl.frequent_values(df, [])
+    with pytest.raises(ValueError, match="k must be"):
+        pl.frequent_values(df, ["s"], k=0)

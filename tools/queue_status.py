@@ -101,6 +101,7 @@ ROUND_PLAN = {
         "event_transitions",
         "data_profile",
         "constraint_check",
+        "frequent_values",
     ],
 }
 

@@ -10304,6 +10304,50 @@ def q_constraint_check(spark, sf_dir):
     )
 
 
+_FREQ_COLS = ("l_returnflag", "l_quantity", "o_orderpriority")
+_FREQ_K = 5
+
+
+def _frequent_values_oracle() -> str:
+    """DuckDB twin of pipeline.quality.frequent_values over the pinned
+    (lineitem ⨯-stacked with orders-priority) columns: same stacked
+    (column, value-as-string) counts, same (cnt DESC, value ASC)
+    ranking, top-5 per column."""
+    return (
+        "WITH st AS ("
+        "SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS v "
+        "FROM lineitem WHERE l_returnflag IS NOT NULL UNION ALL "
+        "SELECT 'l_quantity', CAST(l_quantity AS VARCHAR) FROM lineitem "
+        "WHERE l_quantity IS NOT NULL UNION ALL "
+        "SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) "
+        "FROM orders WHERE o_orderpriority IS NOT NULL), "
+        "c AS (SELECT col_name, v, count(*) AS cnt FROM st "
+        "GROUP BY col_name, v), "
+        "r AS (SELECT col_name, v AS value, cnt, row_number() OVER "
+        "(PARTITION BY col_name ORDER BY cnt DESC, v ASC) AS rank FROM c) "
+        f"SELECT col_name, value, cnt, rank FROM r WHERE rank <= {_FREQ_K}"
+    )
+
+
+def q_frequent_values(spark, sf_dir):
+    """Per-column top-k frequent values (pipeline/quality.py
+    frequent_values) — the value-distribution half of profiling, over
+    two lineitem columns plus orders.o_orderpriority (two tables, one
+    operator call each, union'd): one stacked projection per table,
+    one count shuffle, two-phase per-column top-k so no column's
+    distribution serializes through one reducer."""
+    li = load_table(spark, "lineitem", sf_dir)
+    od = load_table(spark, "orders", sf_dir)
+    a = pl.frequent_values(li, ["l_returnflag", "l_quantity"], k=_FREQ_K)
+    b = pl.frequent_values(od, ["o_orderpriority"], k=_FREQ_K)
+    return a.unionAll(b).select(
+        F.col("column").alias("col_name"),
+        "value",
+        "cnt",
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # r9 rotation EXECUTED: THIRTEEN variant merges under their base names
 # (every constituent r9-due, so each absorbed variant frees a head
@@ -10491,6 +10535,7 @@ _QUEUED: dict = {
     # tools/queue_status.py)
     "data_profile": (q_data_profile, _data_profile_oracle()),
     "constraint_check": (q_constraint_check, _constraint_check_oracle()),
+    "frequent_values": (q_frequent_values, _frequent_values_oracle()),
     # r18 slate (sparse retrieval, dedup eval, label-noise sweep,
     # temperature mixing; bpe_encode registered at r9)
     "text_sparse_knn": (q_text_sparse_knn, _sparse_knn_oracle()),

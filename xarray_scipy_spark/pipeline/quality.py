@@ -24,6 +24,9 @@ Scale shape:
   aggregate. Output is one row per constraint with the observed
   violation count, so a scheduler can gate a pipeline on
   ``passed = false`` rows without collecting anything else.
+- :func:`frequent_values` — per-column top-k values: one stacked
+  (column, value) projection, ONE map-side-combinable count shuffle,
+  two-phase per-column top-k (no single-reducer column).
 
 Determinism: counts are exact integers; min/max are order-free;
 means quantize to 6 decimals on exact integer-count denominators.
@@ -35,7 +38,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["data_profile", "constraint_check"]
+__all__ = ["data_profile", "constraint_check", "frequent_values"]
 
 
 def data_profile(
@@ -221,3 +224,67 @@ def constraint_check(
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def frequent_values(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    k: int = 5,
+    buckets: int = 32,
+) -> DataFrame:
+    """Top-``k`` most frequent values per column: ``(column, value,
+    cnt, rank)`` — the value-distribution half of profiling (skew,
+    default-value pollution, categorical drift).
+
+    One pass: every requested column stacks into (column, value-as-
+    string) rows — a pure projection, no extra scan per column — then
+    ONE map-side-combinable count shuffle keyed (column, value), and
+    the per-column top-k runs TWO-PHASE (the cap_per_group shape): a
+    (column, hash-bucket)-local prune to k — the global top-k is
+    always a subset of bucket-local top-ks — then the exact ranking
+    over <= buckets·k survivors per column. No column's value
+    distribution ever serializes through one reducer. Nulls are
+    excluded (they're counted by :func:`data_profile`).
+
+    Determinism: counts are exact; ties rank by value ascending.
+    """
+    from pyspark.sql import Window
+
+    cols = list(columns)
+    if not cols:
+        raise ValueError("frequent_values needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    fields = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    stacked = df.select(
+        F.expr(f"stack({len(cols)}, {fields}) AS (column, value)")
+    ).filter(F.col("value").isNotNull())
+    cnt = stacked.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bucket = F.pmod(F.xxhash64(F.col("value")), F.lit(buckets))
+    pruned = (
+        cnt.withColumn("_b", bucket)
+        .withColumn(
+            "_lr",
+            F.row_number().over(
+                Window.partitionBy("column", "_b").orderBy(
+                    F.col("cnt").desc(), F.col("value").asc()
+                )
+            ),
+        )
+        .filter(F.col("_lr") <= k)
+        .drop("_b", "_lr")
+    )
+    final = Window.partitionBy("column").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("column", "value", "cnt", F.col("rank").cast("long").alias("rank"))
+    )
