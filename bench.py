@@ -182,6 +182,7 @@ HEADLINE = [
     "data_profile",
     "constraint_check",
     "frequent_values",
+    "windowed_constraints",
 ]
 
 

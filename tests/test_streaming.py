@@ -888,3 +888,83 @@ def test_latest_stream_equals_batch_operator(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["ch", "ts", "value"]], want)
+
+
+def test_windowed_constraints_stream_equals_batch(spark, tmp_path):
+    """The windowed data-quality monitor over a multi-batch stream must
+    equal the same plan run on the static union of the input — the
+    stream-equals-batch pin for pipeline/quality.windowed_constraints."""
+    import uuid
+
+    from xarray_scipy_spark.pipeline import windowed_constraints
+
+    rng = np.random.default_rng(11)
+    src = tmp_path / "wc_src"
+    src.mkdir()
+    frames = []
+    for i in range(NCHUNKS):
+        ts = (i * 400 + rng.integers(0, 400, size=50)) * 1_000_000_000
+        pdf = pd.DataFrame(
+            {
+                "ts": np.sort(ts).astype("int64"),
+                "kindc": rng.choice(["a", "b", "bad"], size=50),
+                "value": rng.standard_normal(50),
+            }
+        )
+        frames.append(pdf)
+        pdf.to_parquet(src / f"chunk_{i}.parquet")
+        time.sleep(1.1)
+    allpdf = pd.concat(frames, ignore_index=True)
+
+    cons = [
+        {"kind": "not_null", "column": "value"},
+        {"kind": "between", "column": "value", "min": -1, "max": 1},
+        {"kind": "in_set", "column": "kindc", "values": ["a", "b"]},
+        {"kind": "min_rows", "value": 10},
+        {"kind": "non_negative", "column": "value"},
+    ]
+    schema = "ts bigint, kindc string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windowed_constraints(
+        stream, dim="ts", constraints=cons, window="60 seconds",
+        watermark="10 minutes",
+    )
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.table(name).collect())
+    )
+    batch = windowed_constraints(
+        spark.createDataFrame(allpdf), dim="ts", constraints=cons,
+        window="60 seconds", watermark="10 minutes",
+    )
+    exp = sorted(map(tuple, batch.collect()))
+    assert got == exp and len(got) > 0
+    # sanity on content: the in_set violations per window sum to the
+    # static count of 'bad' rows
+    bad = int((allpdf["kindc"] == "bad").sum())
+    got_bad = sum(r[4] for r in got if r[1] == "in_set(kindc)")
+    assert got_bad == bad
+
+
+def test_windowed_constraints_rejects_unique(spark):
+    from xarray_scipy_spark.pipeline import windowed_constraints
+
+    df = spark.createDataFrame([(1, 1.0)], "ts long, value double")
+    with pytest.raises(ValueError, match="unique"):
+        windowed_constraints(
+            df, dim="ts",
+            constraints=[{"kind": "unique", "columns": ["value"]}],
+        )

@@ -102,6 +102,7 @@ ROUND_PLAN = {
         "data_profile",
         "constraint_check",
         "frequent_values",
+        "windowed_constraints",
     ],
 }
 

@@ -10304,6 +10304,78 @@ def q_constraint_check(spark, sf_dir):
     )
 
 
+_WC_TYPES = ("click", "view", "purchase", "signup")
+
+
+def _windowed_constraints_oracle() -> str:
+    """DuckDB twin of pipeline.quality.windowed_constraints over
+    1-day event-time windows of the events table: identical epoch
+    bucketing (the stream_window_stats precedent) and the same five
+    verdict rows per window."""
+    ws = f"(epoch_ns(ts) // {_WIN_SECONDS * 1_000_000_000}) * {_WIN_SECONDS}"
+    inset = ", ".join(f"'{t}'" for t in _WC_TYPES)
+    return (
+        f"WITH s AS (SELECT {ws} AS ws, count(*) AS n, "
+        "count(CASE WHEN value IS NULL THEN 1 END) AS v0, "
+        "count(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 100) "
+        "THEN 1 END) AS v1, "
+        "count(CASE WHEN event_type IS NOT NULL AND event_type NOT IN "
+        f"({inset}) THEN 1 END) AS v2, "
+        "count(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 END) AS v4 "
+        "FROM events GROUP BY ws) "
+        "SELECT * FROM ("
+        "SELECT ws AS window_start, 'not_null(value)' AS constraint_name, "
+        "'not_null' AS kind, v0 = 0 AS passed, v0 AS n_violations, "
+        "n AS n_rows FROM s UNION ALL "
+        "SELECT ws, 'between(value, 0, 100)', 'between', v1 = 0, v1, n "
+        "FROM s UNION ALL "
+        "SELECT ws, 'in_set(event_type)', 'in_set', v2 = 0, v2, n "
+        "FROM s UNION ALL "
+        "SELECT ws, 'min_rows(50)', 'min_rows', greatest(0, 50 - n) = 0, "
+        "greatest(0, 50 - n), n FROM s UNION ALL "
+        "SELECT ws, 'non_negative(value)', 'non_negative', v4 = 0, v4, n "
+        "FROM s)"
+    )
+
+
+def q_windowed_constraints(spark, sf_dir):
+    """Event-time windowed data-quality monitoring (pipeline/quality.py
+    windowed_constraints) — the BATCH execution of the identical
+    incremental ``groupBy(window(...))`` plan the streaming monitor
+    runs (the stream_window_stats routing precedent; the live
+    stream-equals-batch pin lives in tests/test_streaming.py). Five
+    constraints per 1-day window over events: null-free values, a
+    [0, 100] range (real violations — values reach ~490), the
+    event-type domain minus 'error' (real violations), a 50-row
+    per-window volume floor, and a sign check."""
+    from .pipeline.quality import windowed_constraints
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "ts", "event_type", "value"
+    )
+    res = windowed_constraints(
+        ev,
+        dim="ts",
+        constraints=[
+            {"kind": "not_null", "column": "value"},
+            {"kind": "between", "column": "value", "min": 0, "max": 100},
+            {"kind": "in_set", "column": "event_type", "values": list(_WC_TYPES)},
+            {"kind": "min_rows", "value": 50},
+            {"kind": "non_negative", "column": "value"},
+        ],
+        window=f"{_WIN_SECONDS} seconds",
+        watermark="1 day",
+    )
+    return res.select(
+        "window_start",
+        F.col("constraint").alias("constraint_name"),
+        "kind",
+        "passed",
+        "n_violations",
+        "n_rows",
+    )
+
+
 _FREQ_COLS = ("l_returnflag", "l_quantity", "o_orderpriority")
 _FREQ_K = 5
 
@@ -10536,6 +10608,10 @@ _QUEUED: dict = {
     "data_profile": (q_data_profile, _data_profile_oracle()),
     "constraint_check": (q_constraint_check, _constraint_check_oracle()),
     "frequent_values": (q_frequent_values, _frequent_values_oracle()),
+    "windowed_constraints": (
+        q_windowed_constraints,
+        _windowed_constraints_oracle(),
+    ),
     # r18 slate (sparse retrieval, dedup eval, label-noise sweep,
     # temperature mixing; bpe_encode registered at r9)
     "text_sparse_knn": (q_text_sparse_knn, _sparse_knn_oracle()),

@@ -78,7 +78,12 @@ from .text import (
 from .bpe import apply_bpe, train_bpe, word_counts, segment_words, encode_with_merges
 from .curate import curation_report
 from .features import target_encoding, event_transitions, auc_exact
-from .quality import data_profile, constraint_check, frequent_values
+from .quality import (
+    constraint_check,
+    data_profile,
+    frequent_values,
+    windowed_constraints,
+)
 from .linear import fit_logistic, fit_ridge, grouped_ols, predict_linear
 from .pack import pack_documents
 from .sketches import (
@@ -142,6 +147,7 @@ __all__ = [
     "data_profile",
     "constraint_check",
     "frequent_values",
+    "windowed_constraints",
     "canonical_url",
     "winsorize_by_group",
     "clean_text",

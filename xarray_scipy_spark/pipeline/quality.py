@@ -38,7 +38,12 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["data_profile", "constraint_check", "frequent_values"]
+__all__ = [
+    "data_profile",
+    "constraint_check",
+    "frequent_values",
+    "windowed_constraints",
+]
 
 
 def data_profile(
@@ -112,6 +117,56 @@ def data_profile(
     )
 
 
+def _row_counter(spec: Mapping, alias: str):
+    """Compile one ROW-PREDICATE constraint spec to ``(name, kind,
+    violation-counter aggregate)`` — the shared piece between the batch
+    :func:`constraint_check` and the event-time
+    :func:`windowed_constraints`. ``unique``/``min_rows`` are handled
+    by the callers (they aren't per-row predicates)."""
+    kind = spec["kind"]
+    if kind == "not_null":
+        c = spec["column"]
+        return (
+            f"not_null({c})",
+            kind,
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(alias),
+        )
+    if kind == "in_set":
+        c = spec["column"]
+        vals = list(spec["values"])
+        return (
+            f"in_set({c})",
+            kind,
+            F.count(
+                F.when(F.col(c).isNotNull() & ~F.col(c).isin(vals), F.lit(1))
+            ).alias(alias),
+        )
+    if kind == "between":
+        c = spec["column"]
+        lo, hi = spec["min"], spec["max"]
+        return (
+            f"between({c}, {lo}, {hi})",
+            kind,
+            F.count(
+                F.when(
+                    F.col(c).isNotNull()
+                    & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))),
+                    F.lit(1),
+                )
+            ).alias(alias),
+        )
+    if kind == "non_negative":
+        c = spec["column"]
+        return (
+            f"non_negative({c})",
+            kind,
+            F.count(
+                F.when(F.col(c).isNotNull() & (F.col(c) < 0), F.lit(1))
+            ).alias(alias),
+        )
+    return None
+
+
 def constraint_check(
     df: DataFrame,
     constraints: Sequence[Mapping],
@@ -149,53 +204,20 @@ def constraint_check(
     uniques: list[tuple[int, list[str]]] = []
     for i, spec in enumerate(constraints):
         kind = spec["kind"]
-        if kind == "not_null":
-            c = spec["column"]
-            names.append((f"not_null({c})", kind))
-            aggs.append(
-                F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"_v_{i}")
-            )
-        elif kind == "unique":
+        if kind == "unique":
             kc = list(spec["columns"])
             names.append((f"unique({', '.join(kc)})", kind))
             uniques.append((i, kc))
-        elif kind == "in_set":
-            c = spec["column"]
-            vals = list(spec["values"])
-            names.append((f"in_set({c})", kind))
-            aggs.append(
-                F.count(
-                    F.when(
-                        F.col(c).isNotNull() & ~F.col(c).isin(vals), F.lit(1)
-                    )
-                ).alias(f"_v_{i}")
-            )
-        elif kind == "between":
-            c = spec["column"]
-            lo, hi = spec["min"], spec["max"]
-            names.append((f"between({c}, {lo}, {hi})", kind))
-            aggs.append(
-                F.count(
-                    F.when(
-                        F.col(c).isNotNull()
-                        & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))),
-                        F.lit(1),
-                    )
-                ).alias(f"_v_{i}")
-            )
         elif kind == "min_rows":
             names.append((f"min_rows({spec['value']})", kind))
             # violation count computed post-agg from _n
-        elif kind == "non_negative":
-            c = spec["column"]
-            names.append((f"non_negative({c})", kind))
-            aggs.append(
-                F.count(
-                    F.when(F.col(c).isNotNull() & (F.col(c) < 0), F.lit(1))
-                ).alias(f"_v_{i}")
-            )
         else:
-            raise ValueError(f"unknown constraint kind: {kind!r}")
+            compiled = _row_counter(spec, f"_v_{i}")
+            if compiled is None:
+                raise ValueError(f"unknown constraint kind: {kind!r}")
+            name, kind, counter = compiled
+            names.append((name, kind))
+            aggs.append(counter)
     one = df.agg(*aggs)
     if uniques:
         dist_aggs = [
@@ -288,3 +310,83 @@ def frequent_values(
         .filter(F.col("rank") <= k)
         .select("column", "value", "cnt", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def windowed_constraints(
+    sdf: DataFrame,
+    *,
+    dim: str,
+    constraints: Sequence[Mapping],
+    window: str = "60 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed constraint monitoring — the STREAMING shape
+    of :func:`constraint_check`: per tumbling window, the violation
+    count for each row-predicate constraint, so a pipeline can alarm
+    on the window where an upstream feed started emitting nulls or
+    out-of-domain values instead of discovering it at the next batch
+    audit.
+
+    Works identically on streaming and static frames (the
+    ``streaming.windowed_stats`` pattern): one incremental
+    ``groupBy(window(...))`` aggregate whose state is one counter row
+    per (window, constraint-set); the watermark finalizes and evicts
+    old windows, so state is bounded by the watermark horizon at ANY
+    stream length. Supported kinds: the row predicates (``not_null``,
+    ``in_set``, ``between``, ``non_negative``) plus ``min_rows``
+    (a per-WINDOW row floor — the heartbeat/volume check). ``unique``
+    is rejected: exact cross-window uniqueness needs unbounded state;
+    run it in the batch audit.
+
+    Output: ``(window_start, constraint, kind, passed, n_violations,
+    n_rows)``, one row per (window, constraint).
+    """
+    from ..functions.timeutil import event_time
+
+    if not constraints:
+        raise ValueError("windowed_constraints needs at least one constraint")
+    work = sdf.withColumn("__event_time__", event_time(sdf, dim))
+    if work.isStreaming:
+        work = work.withWatermark("__event_time__", watermark)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    names: list[tuple[str, str]] = []
+    for i, spec in enumerate(constraints):
+        kind = spec["kind"]
+        if kind == "unique":
+            raise ValueError(
+                "windowed_constraints does not support 'unique' (exact "
+                "cross-window uniqueness is unbounded state) — use the "
+                "batch constraint_check"
+            )
+        if kind == "min_rows":
+            names.append((f"min_rows({spec['value']})", kind))
+            continue
+        compiled = _row_counter(spec, f"_v_{i}")
+        if compiled is None:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+        name, kind, counter = compiled
+        names.append((name, kind))
+        aggs.append(counter)
+    agg = work.groupBy(F.window("__event_time__", window).alias("w")).agg(
+        *aggs
+    )
+    rows = []
+    for i, (spec, (name, kind)) in enumerate(zip(constraints, names)):
+        if kind == "min_rows":
+            k = int(spec["value"])
+            viol = F.greatest(F.lit(0), F.lit(k) - F.col("_n"))
+        else:
+            viol = F.col(f"_v_{i}")
+        rows.append(
+            F.struct(
+                F.lit(name).alias("constraint"),
+                F.lit(kind).alias("kind"),
+                (viol == 0).alias("passed"),
+                viol.cast("long").alias("n_violations"),
+                F.col("_n").cast("long").alias("n_rows"),
+            )
+        )
+    return agg.select(
+        F.col("w.start").cast("long").alias("window_start"),
+        F.explode(F.array(*rows)).alias("_r"),
+    ).select("window_start", "_r.*")
