@@ -2417,3 +2417,20 @@ def test_frequent_values_known(spark):
         pl.frequent_values(df, [])
     with pytest.raises(ValueError, match="k must be"):
         pl.frequent_values(df, ["s"], k=0)
+
+
+def test_data_profile_approx_distinct_path(spark):
+    """exact_distinct=False: the HLL++ estimates fold into ONE
+    aggregate (no Expand, single scan) and land within the configured
+    relative error on a known-cardinality column."""
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 100).alias("c")
+    )
+    res = pl.data_profile(df, ["id", "c"], exact_distinct=False, rsd=0.02)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    out = {r["column"]: r for r in res.collect()}
+    assert abs(out["id"]["n_distinct"] - 20_000) <= 20_000 * 0.06
+    assert abs(out["c"]["n_distinct"] - 100) <= 8

@@ -49,14 +49,26 @@ __all__ = [
 def data_profile(
     df: DataFrame,
     columns: Sequence[str] | None = None,
+    *,
+    exact_distinct: bool = True,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """One-pass per-column profile: ``(column, n, n_null, n_distinct,
     min_val, max_val, mean_q)``.
 
     ``min_val``/``max_val`` are cast to string so every column type
     shares one output schema; ``mean_q`` (6-decimal mean) is null for
-    non-numeric columns; ``n_distinct`` is exact and counts distinct
-    NON-NULL values. Column order in the output follows the request.
+    non-numeric columns; ``n_distinct`` counts distinct NON-NULL
+    values. Column order in the output follows the request.
+
+    ``exact_distinct=False`` is the 100 TB path: distinct counts come
+    from ``approx_count_distinct`` (Spark's HLL++, relative error
+    ``rsd``) — they FOLD INTO the single stats aggregate (sketches are
+    plain aggregates, no distinct rewrite, no Expand, no second scan)
+    and the whole profile is one map-side-combinable pass. The
+    estimates are deterministic for a given dataset (the sketch is
+    merge-order-free) but are NOT cross-engine reproducible, so the
+    byte-exact contract oracle pins the exact form only.
     """
     cols = list(columns) if columns is not None else list(df.columns)
     if not cols:
@@ -88,11 +100,20 @@ def data_profile(
             )
         else:
             aggs.append(F.lit(None).cast("double").alias(f"_mean_{i}"))
-    dist_aggs = [
-        F.count_distinct(F.col(c)).alias(f"_dist_{i}")
-        for i, c in enumerate(cols)
-    ]
-    one = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*dist_aggs)))
+    if exact_distinct:
+        dist_aggs = [
+            F.count_distinct(F.col(c)).alias(f"_dist_{i}")
+            for i, c in enumerate(cols)
+        ]
+        one = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*dist_aggs)))
+    else:
+        # HLL++ sketches are ordinary aggregates — safe to fold into
+        # the stats pass (no distinct rewrite fires, no Expand)
+        aggs += [
+            F.approx_count_distinct(F.col(c), rsd).alias(f"_dist_{i}")
+            for i, c in enumerate(cols)
+        ]
+        one = df.agg(*aggs)
     # unpack the single stats row to long format with a literal
     # column-name axis — stack() is pure projection, no extra pass
     fields = ", ".join(
