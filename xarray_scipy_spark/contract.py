@@ -5598,33 +5598,44 @@ _IVJ_DAY_US = 86_400_000_000
 
 def _interval_join_oracle() -> str:
     """Naive overlap-predicate join twin of operators.joins
-    interval_join on per-(user, day) activity spans — the chunked
-    exactly-once plan must reproduce it pair-for-pair."""
+    interval_join on per-(user, day, event-type) activity spans — the
+    chunked exactly-once plan must reproduce it pair-for-pair."""
     return (
-        "WITH sp AS (SELECT user_id, "
+        "WITH sp AS (SELECT user_id, event_type, "
         f"epoch_us(ts) // {_IVJ_DAY_US} AS day, "
         "min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e "
-        "FROM events GROUP BY user_id, day) "
-        "SELECT a.day, a.user_id AS ua, b.user_id AS ub, "
+        "FROM events GROUP BY user_id, event_type, day) "
+        "SELECT a.day, a.user_id AS ua, "
+        "a.event_type AS type_a, b.event_type AS type_b, "
         + _q3("(least(a.e, b.e) - greatest(a.s, b.s)) / 1000000.0")
         + " AS overlap_q "
-        "FROM sp a JOIN sp b ON a.day = b.day AND a.user_id < b.user_id "
+        "FROM sp a JOIN sp b ON a.day = b.day AND a.user_id = b.user_id "
+        "AND a.event_type < b.event_type "
         "AND a.s <= b.e AND b.s <= a.e"
     )
 
 
 def q_interval_join(spark, sf_dir):
-    """Which users were co-active, per day: per-(user, day) activity
-    spans overlap-joined against themselves (operators/joins.py
-    interval_join — both sides chunk-exploded onto a 6 h grid, equi
-    hash join, each overlapping pair emitted exactly once at the chunk
-    of its later start; no CartesianProduct, no dedup shuffle)."""
-    ev = _events(spark, sf_dir)
+    """Which activity phases co-occur, per user-day: per-(user, day,
+    event-type) spans overlap-joined against themselves keyed (user,
+    day) (operators/joins.py interval_join — both sides chunk-exploded
+    onto a 6 h grid, equi hash join, each overlapping pair emitted
+    exactly once at the chunk of its later start; no CartesianProduct,
+    no dedup shuffle). The demo keys the self-join on (user, day)
+    DELIBERATELY: the r9 tier sweep caught the earlier all-users-per-
+    day shape producing output QUADRATIC in users (17 M pairs at
+    sf0.1, 1.7 B at the 10× tier — ×100 rows for ×10 data); with the
+    join keyed per user the output is ≤ C(|event types|, 2) rows per
+    (user, day) — linear in users at any scale, which is the shape an
+    interval join must be given to survive 100 TB."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
     t = timeutil.epoch_us(ev, "ts")
     sp = (
-        ev.select("user_id", t.alias("t"))
+        ev.select("user_id", "event_type", t.alias("t"))
         .withColumn("day", F.expr(f"t div {_IVJ_DAY_US}"))
-        .groupBy("user_id", "day")
+        .groupBy("user_id", "event_type", "day")
         .agg(F.min("t").alias("s"), F.max("t").alias("e"))
     )
     j = ops.interval_join(
@@ -5634,10 +5645,10 @@ def q_interval_join(spark, sf_dir):
         left_end="e",
         right_start="s",
         right_end="e",
-        on=["day"],
+        on=["user_id", "day"],
         granularity=21_600_000_000,
     )
-    j = j.filter(F.col("user_id") < F.col("user_id_right"))
+    j = j.filter(F.col("event_type") < F.col("event_type_right"))
     overlap = (
         F.least(F.col("e"), F.col("e_right"))
         - F.greatest(F.col("s"), F.col("s_right"))
@@ -5645,7 +5656,8 @@ def q_interval_join(spark, sf_dir):
     return j.select(
         "day",
         F.col("user_id").alias("ua"),
-        F.col("user_id_right").alias("ub"),
+        F.col("event_type").alias("type_a"),
+        F.col("event_type_right").alias("type_b"),
         _q3_col(overlap).alias("overlap_q"),
     )
 
