@@ -35,33 +35,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round, CHANGED this round, or UNCHECKED last round sits in the
 # head; the two-round freshness bar caps the registry at 100 names.
 #
-# r9 rotation (EXECUTED this round — see contract.py's r9 rotation
-# block): THIRTEEN variant merges under their base names, every
-# constituent r9-due so each absorbed variant freed a head slot —
-# welch(+blackman), csd(+spectrogram), tpch_q1(+q6),
-# peak_widths(+find_peaks), dedup_minhash(+simhash+embedding),
-# ann_cosine_topk_ivf(+kmeans), multimodal_features(+resize
-# +frame_sample), tpch_q3(+q5), asof_join(+range_join), fft(+rfft
-# pair), decontaminate(+bloom_decontaminate), sketch_hll(+countmin),
-# text_lang_id(+tfidf+repetition) — 16 absorbed registrations.
-# Registered 17 queue entries: the r9 slate (dedup_minhash_cross,
-# cube_revenue, filter_by_quantile, interp_to), the FULL r10 slate
-# (ohlc_bars, latest_by_key, multimodal_video_frames,
-# sample_negatives, rolling_stats, pagerank, zorder_curve), five of
-# r11 (sketch_hll_merge, group_quantiles, url_canonical_dedup,
-# winsorize, clean_text), and bpe_encode pulled from r18 (VERDICT r8
-# #5) — whose full SQL oracle retires bpe_vocab's rows-only
-# registration in the same move: the registry now has ZERO rows-only
-# entries. N = 99 − 16 − 1 + 17 = 99. The ledgered istft merge was
-# DEFERRED to r10: both constituents sit in the r8 head (checked r8),
-# so merging now would drag the changed union into the r9 head.
+# r10 rotation (EXECUTED this round — see contract.py's r10 rotation
+# block): ELEVEN variant merges under their base names —
+# istft_roundtrip(+istft_native), lfilter(+filtfilt),
+# dataset_split(+stratified), ann_cosine_topk(+lsh),
+# fftconvolve(+convolve+correlate), cwt_ricker(+periodogram),
+# savgol(+detrend), acf(+ewma+seasonal_decompose),
+# text_logprob(+text_vocab), skew_join(+bloom_semijoin),
+# text_token_stats(+text_url_stats, +text_redact riding free from the
+# r9 head) — 13 r10-due constituents absorbed, freeing 13 head slots;
+# 14 registrations landed (the ledgered r10 slate: interval_join,
+# funnel, retention, audio_spectral, char_entropy, ngram_counts,
+# quantile_normalize, rolling_median, kfold_weights, tpch_q4,
+# tpch_q18, grouped_ols, triangle_count, sequence_pack).
+# N = 99 − 14 absorbed + 14 new = 99. The staged convolve@merged /
+# correlate@merged queue entries were DROPPED (their constituents
+# retired into the fftconvolve family instead — one family per
+# constituent); convolve_valid + deconvolve remain an r11 lever.
 #
-# Head (50) = the 33 surviving r9-due names (last driver-checked r7 —
-# the 13 merged base names among them carry their variant unions) +
-# the 17 new registrations. Tail (49) = the r8-head names (green
-# CORRECTNESS_r08 rows, no r9 code change) minus the retired
-# bpe_vocab, in CORRECTNESS_r08.json key order. Tail queries retain
-# value-level verification in CI:
+# Head (50) = the 36 surviving r10-due names (the 11 merged bases
+# among them carry their variant unions) + the 14 new registrations.
+# Tail (49) = the r9-head names (green CORRECTNESS_r09 rows, no r10
+# code change) minus the absorbed text_redact, in CORRECTNESS_r09.json
+# key order. Tail queries retain value-level verification in CI:
 # tests/test_contract_integration.py::test_tail_queries_match_oracle
 # runs each against its DuckDB oracle at sf0.001 every pytest run
 # (which also asserts head size == exactly 50), and
@@ -69,60 +65,60 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROTATION MATH: with a 50-slot head, N registered queries get
 # driver-checked every ceil(N/50) rounds — the two-round freshness bar
-# holds while N <= 100. The remaining queue (82 entries: 45 real +
-# 37 staged merges, r10+ ledger in tools/queue_status.py) registers
-# behind further merges; prefer retiring redundant variants over
-# weakening either bar.
+# holds while N <= 100. The remaining queue registers behind further
+# merges (live counts: run tools/queue_status.py — don't trust static
+# comments, they went stale once already, ADVICE r9 #1); prefer
+# retiring redundant variants over weakening either bar.
 _CHECK_LAST = (
-    "fftconvolve",
-    "convolve",
-    "decimate_fir",
-    "resample",
-    "istft_roundtrip",
-    "istft_native",
-    "cwt_ricker",
-    "resample_poly",
-    "periodogram",
-    "fftconvolve_complex",
-    "coherence",
-    "detrend",
-    "hilbert",
-    "sosfilt",
-    "lfilter",
-    "filtfilt",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "curation_report",
-    "embedding_quantize",
-    "dataset_stratified",
-    "dataset_split",
-    "text_url_stats",
-    "lineitem_rollup",
-    "stream_window_stats_live",
-    "text_vocab",
-    "multimodal_gzip_decode",
-    "stream_dedup",
-    "text_logprob",
-    "correlate",
-    "multimodal_png_decode",
-    "savgol",
-    "stream_window_stats",
-    "ifft",
-    "fftshift",
-    "medfilt",
-    "text_token_stats",
-    "skew_join",
-    "sketch_histogram",
-    "text_hash_vectors",
-    "bloom_semijoin",
-    "lombscargle",
-    "acf",
-    "ewma",
-    "seasonal_decompose",
-    "cap_per_group",
-    "robust_zscore",
+    "fft",
+    "resample_freq",
+    "stft",
+    "welch",
+    "csd",
+    "hilbert_envelope",
+    "sosfilt_chunked",
+    "peak_widths",
+    "dominant_frequency",
+    "dedup_minhash",
+    "ann_cosine_topk_ivf",
+    "embedding_pca",
+    "dataset_mix",
+    "decontaminate",
+    "multimodal_features",
+    "multimodal_real_decode",
+    "multimodal_audio_decode",
+    "tpch_q1",
+    "sessionize",
+    "fftconvolve_2d",
+    "tpch_q3",
+    "sosfilt_stream",
+    "asof_join",
+    "dedup_clusters",
+    "decimate_iir",
+    "sosfiltfilt",
+    "text_lang_id",
+    "convolve_valid",
+    "dedup_ngram_spans",
+    "deconvolve",
+    "sketch_hll",
+    "gapfill",
+    "dedup_minhash_cross",
+    "cube_revenue",
+    "filter_by_quantile",
+    "interp_to",
+    "ohlc_bars",
+    "latest_by_key",
+    "multimodal_video_frames",
+    "sample_negatives",
+    "rolling_stats",
+    "pagerank",
+    "zorder_curve",
+    "sketch_hll_merge",
+    "group_quantiles",
+    "url_canonical_dedup",
+    "winsorize",
+    "clean_text",
+    "bpe_encode",
 )
 
 

@@ -17,49 +17,42 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# r9 executed: THIRTEEN merges (welch+blackman, csd+spectrogram,
-# tpch_q1+q6, peak_widths+find_peaks, dedup pair-emitter trio, ANN
-# cell pair, multimodal transform trio, tpch_q3+q5, asof+range join,
-# fft+rfft-pair, decontaminate+bloom, sketch hll+countmin, text-wide
-# trio) — every constituent r9-due, so 16 head slots freed; 17
-# registrations landed (r9 slate + FULL r10 slate + 5 of r11 +
-# bpe_encode pulled from r18, retiring bpe_vocab's rows-only row).
-# N stays 99, queue 112 -> 82 (44 real + 38 staged merges). The istft
-# merge was deferred to r10 (both constituents checked r8 — merging
-# at r9 would have COST a head slot; at r10 it frees one).
+# r10 executed: ELEVEN merges (istft pair, lfilter+filtfilt,
+# dataset_split+stratified, ann exact+lsh, convolve-family trio,
+# cwt+periodogram, savgol+detrend, tsstats trio, text_logprob+vocab,
+# skew_join+bloom_semijoin, text-surface trio) — 13 r10-due
+# constituents absorbed + text_redact riding free; the FULL r10 slate
+# (14 names) registered. N stays 99. The staged convolve@merged /
+# correlate@merged entries were DROPPED (constituents retired into
+# the fftconvolve family — one family per constituent). Live counts:
+# run this tool; static counts in comments went stale once (ADVICE
+# r9 #1) and are not repeated here.
 ROUND_PLAN = {
-    # Merge levers at r10 (all constituents in the r10-due pool = the
-    # r8-head names now in __spark_entry__._CHECK_LAST): istft(+1),
-    # lfilter+filtfilt(+1), dataset_split+stratified(+1),
-    # ann_cosine_topk+lsh(+1), convolve-family trio(+2),
-    # cwt+periodogram(+1), savgol+detrend(+1), tsstats trio(+2),
-    # text_logprob+vocab(+1), skew_join+bloom_semijoin(+1),
-    # text_surface(+1: absorbs due text_url_stats; text_redact rides
-    # free from the r10 tail) = 13 freed + 1 spare from N=99 < 100.
-    # ORACLE-READ WARNING for the r10 executor: popping istft_native
-    # breaks _inverse_transform_merged_oracle (ifft@merged) and
-    # popping bloom_semijoin breaks _join_strategy_merged_oracle
-    # (skew_join@merged is being EXECUTED so that one resolves
-    # itself, but ifft@merged STAYS queued) — snapshot
-    # ORACLES["istft_native"] into a module variable before the pop
-    # and point the builder at it, or execute ifft@merged in the same
-    # round.
-    "r10": [
-        "interval_join",
-        "funnel",
-        "retention",
-        "audio_spectral",
-        "char_entropy",
-        "ngram_counts",
-        "quantile_normalize",
-        "rolling_median",
-        "kfold_weights",
-        "tpch_q4",
-        "tpch_q18",
-        "grouped_ols",
-        "triangle_count",
-        "sequence_pack",
-    ],
+    # Merge levers at r11 (verify against CORRECTNESS_r10.json at
+    # round open — static due-ness claims rot). Due pool at r11 = the
+    # r9-head names now in __spark_entry__._CHECK_LAST. The r8/r9
+    # cohorts alternate, so a merge whose base sits in the OTHER
+    # cohort DRAGS the changed base into the head (cost 1). Net math:
+    # each absorbed DUE name saves 1, each dragged non-due base costs
+    # 1. Clean +1 levers: sosfilt@merged (absorbs due sosfilt_chunked
+    # + sosfiltfilt, drags sosfilt), multimodal_real_decode@merged
+    # (absorbs due multimodal_video_frames, base due), gapfill@merged
+    # (absorbs due interp_to, base due), fftconvolve-family-extension
+    # (absorbs due convolve_valid + deconvolve, drags the r10-merged
+    # fftconvolve base — builder NOT yet staged, write it first).
+    # Net-0 retirement levers (shrink N, no head slot): hilbert@merged
+    # (due hilbert_envelope, drags hilbert), resample@merged (due
+    # resample_freq, drags resample, retires non-due resample_poly),
+    # embedding_quantize@merged (due embedding_pca, drags base),
+    # lombscargle@merged (due dominant_frequency, drags base),
+    # dedup_exact@merged (due dedup_ngram_spans, drags base + retires
+    # non-due dedup_ngram_jaccard), sessionize@merged (base due,
+    # retires non-due stream_dedup), dataset_mix@merged (base due,
+    # retires non-due cap_per_group), sosfilt_stream@merged (base due,
+    # retires non-due stream_window_stats_live). Executing the four
+    # +1 levers funds ~4-5 of the 8 ledgered r11 names; executing the
+    # net-0 levers too maxes out at ~5 registrations — SPLIT the r11
+    # slate accordingly or stage additional same-cohort merges.
     "r11": [
         "text_postings",
         "edit_distance_join",

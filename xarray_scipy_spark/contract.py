@@ -7886,12 +7886,13 @@ def q_active_user_setops(spark, sf_dir):
 
 
 def _ann_recall_oracle() -> str:
-    # the plain IVF oracle: ORACLES["ann_cosine_topk_ivf"] became the
-    # cells-union MERGED oracle at the r9 rotation, so this builder
-    # (called when the _QUEUED literal is constructed, after the
-    # rotation block) reads the snapshot taken there instead
+    # plain-oracle snapshots: ORACLES["ann_cosine_topk_ivf"] became the
+    # cells-union MERGED oracle at the r9 rotation and
+    # ORACLES["ann_cosine_topk"] the exact+lsh union at r10, so this
+    # builder (called when the _QUEUED literal is constructed, after
+    # the rotation blocks) reads the snapshots taken there instead
     return (
-        "WITH ex AS (" + ORACLES["ann_cosine_topk"] + "), "
+        "WITH ex AS (" + _ANN_EXACT_PLAIN_ORACLE + "), "
         "ap AS (" + _ANN_IVF_PLAIN_ORACLE + "), "
         "hits AS (SELECT ex.query_id, count(ap.neighbor_id) AS n_hits, "
         "count(*) AS k FROM ex LEFT JOIN ap "
@@ -9821,7 +9822,7 @@ def _inverse_transform_merged_oracle() -> str:
         "UNION ALL "
         "SELECT 'istft' AS variant, user_id, t AS i1, "
         "CAST(-1 AS BIGINT) AS i2, val4 AS va, 0.0 AS vb "
-        "FROM (" + ORACLES["istft_native"] + ")"
+        "FROM (" + _ISTFT_NATIVE_PLAIN_ORACLE + ")"
     )
 
 
@@ -10502,24 +10503,83 @@ _q("winsorize", _winsorize_oracle())(q_winsorize)
 _q("clean_text", _clean_text_oracle())(q_clean_text)
 _q("bpe_encode", _bpe_encode_oracle())(q_bpe_encode)
 
+# ---------------------------------------------------------------------------
+# r10 rotation EXECUTED: ELEVEN variant merges under their base names
+# (every absorbed constituent r10-due = in the r8-head tail, so 13 due
+# names free 13 head slots; text_redact rides free from the r9 head
+# inside the text_token_stats surface union). Same mechanics as r9:
+# the merged-oracle builders read the constituents' ORACLES[...] rows,
+# so the original registrations stay ABOVE and the absorbed names
+# retire via the pops below; plain q_* functions remain for bench
+# plan-continuity and plan locks.
+# ---------------------------------------------------------------------------
+# snapshots BEFORE the pops/replacements (the _ANN_IVF_PLAIN_ORACLE
+# pattern): istft_native is read by _inverse_transform_merged_oracle
+# (ifft@merged, stays queued); the plain exact ann_cosine_topk SQL is
+# read by _ann_recall_oracle (queued r12) — after the replacement
+# below, ORACLES["ann_cosine_topk"] is the exact+lsh union.
+_ISTFT_NATIVE_PLAIN_ORACLE = ORACLES["istft_native"]
+_ANN_EXACT_PLAIN_ORACLE = ORACLES["ann_cosine_topk"]
+_q("istft_roundtrip", _istft_merged_oracle())(q_istft_merged)
+_q("lfilter", _lfilter_merged_oracle())(q_lfilter_merged)
+_q("dataset_split", _dataset_merged_oracle())(q_dataset_merged)
+_q("ann_cosine_topk", _ann_merged_oracle())(q_ann_merged)
+_q("fftconvolve", _convolve_family_merged_oracle())(q_convolve_family_merged)
+_q("cwt_ricker", _wavelet_spectrum_merged_oracle())(q_wavelet_spectrum_merged)
+_q("savgol", _smooth_family_merged_oracle())(q_smooth_family_merged)
+_q("acf", _tsstats_merged_oracle())(q_tsstats_merged)
+_q("text_logprob", _lm_vocab_merged_oracle())(q_lm_vocab_merged)
+_q("skew_join", _join_strategy_merged_oracle())(q_join_strategy_merged)
+_q("text_token_stats", _text_surface_merged_oracle())(q_text_surface_merged)
+for _gone in (
+    "istft_native",
+    "filtfilt",
+    "dataset_stratified",
+    "ann_cosine_topk_lsh",
+    "convolve",
+    "correlate",
+    "periodogram",
+    "detrend",
+    "ewma",
+    "seasonal_decompose",
+    "text_vocab",
+    "bloom_semijoin",
+    "text_url_stats",
+    "text_redact",
+):
+    del QUERIES[_gone]
+    ORACLES.pop(_gone, None)
+del _gone
+# the 14 r10 registrations (the ledgered r10 slate,
+# tools/queue_status.py)
+_q("interval_join", _interval_join_oracle())(q_interval_join)
+_q("funnel", _funnel_oracle())(q_funnel)
+_q("retention", _retention_oracle())(q_retention)
+_q("audio_spectral", _audio_spectral_oracle())(q_audio_spectral)
+_q("char_entropy", _char_entropy_oracle())(q_char_entropy)
+_q("ngram_counts", _ngram_counts_oracle())(q_ngram_counts)
+_q("quantile_normalize", _qnorm_oracle())(q_quantile_normalize)
+_q("rolling_median", _rolling_median_oracle())(q_rolling_median)
+_q("kfold_weights", _kfold_weights_oracle())(q_kfold_weights)
+_q("tpch_q4", _tpch_q4_oracle())(q_tpch_q4)
+_q("tpch_q18", _tpch_q18_oracle())(q_tpch_q18)
+_q("grouped_ols", _grouped_ols_oracle())(q_grouped_ols)
+_q("triangle_count", _triangle_oracle())(q_triangle_count)
+_q("sequence_pack", _sequence_pack_oracle())(q_sequence_pack)
+
 _QUEUED: dict = {
-    # r10 merge, ready (deferred FROM the r9 ledger — both
-    # constituents sit in the r8 head, so the merge is only
-    # slot-neutral-or-better once they come due at r10)
-    "istft_roundtrip@merged": (q_istft_merged, _istft_merged_oracle()),
-    # r10 merges, ready (frees 4: hilbert_envelope, filtfilt,
-    # ann_cosine_topk_lsh, dataset_stratified retire; the builders
-    # read ORACLES[name], so keep the constituent registrations until
-    # the rotation block pops them)
+    # r11 merge, ready (frees 1: hilbert_envelope — due r11 — retires;
+    # the builder reads ORACLES[name], so keep the constituent
+    # registrations until the rotation block pops them)
     "hilbert@merged": (q_hilbert_merged, _hilbert_merged_oracle()),
-    "fftconvolve@merged": (
-        q_convolve_family_merged,
-        _convolve_family_merged_oracle(),
-    ),
-    "lfilter@merged": (q_lfilter_merged, _lfilter_merged_oracle()),
-    "ann_cosine_topk@merged": (q_ann_merged, _ann_merged_oracle()),
-    "dataset_split@merged": (q_dataset_merged, _dataset_merged_oracle()),
-    # r10 merge, ready (frees 1: decimate_iir retires into
+    # r11 merge lever (NOT yet staged): convolve_valid + deconvolve —
+    # both due r11 — can fold into the fftconvolve family union
+    # registered at r10 (drags fftconvolve into the r11 head a round
+    # early: net +1 slot). The previously staged convolve@merged /
+    # correlate@merged entries were DROPPED at r10: their constituents
+    # (convolve, correlate) retired into fftconvolve@merged instead
+    # ("pick ONE family per constituent" — the r10 recipe note).
+    # r11 merge, ready (frees 1: decimate_iir retires into
     # decimate_fir's slot)
     "decimate_fir@merged": (q_decimate_merged, _decimate_merged_oracle()),
     # r11 merges, ready (free 3: resample_poly, resample_freq,
@@ -10532,18 +10592,12 @@ _QUEUED: dict = {
         _multimodal_bin_merged_oracle(),
     ),
     # r13 merges, ready (free: dedup_ngram_jaccard, dedup_ngram_spans,
-    # ewma, seasonal_decompose, interp_to retire — funding the r13
-    # slate below)
+    # interp_to retire — funding the r13 slate below; acf@merged was
+    # EXECUTED at r10)
     "dedup_exact@merged": (q_dedup_family_merged, _dedup_family_merged_oracle()),
-    "acf@merged": (q_tsstats_merged, _tsstats_merged_oracle()),
     "gapfill@merged": (q_regularize_merged, _regularize_merged_oracle()),
     # r13 slate (relational + pipeline additions; merges staged in the
     # r13 section above the _QUEUED comment block)
-    "tpch_q4": (q_tpch_q4, _tpch_q4_oracle()),
-    "tpch_q18": (q_tpch_q18, _tpch_q18_oracle()),
-    "grouped_ols": (q_grouped_ols, _grouped_ols_oracle()),
-    "triangle_count": (q_triangle_count, _triangle_oracle()),
-    "sequence_pack": (q_sequence_pack, _sequence_pack_oracle()),
     "text_postings": (q_text_postings, _text_postings_oracle()),
     # r14 merges, ready (free 6: retention, tpch_q18, cube_revenue,
     # coherence, text_tfidf, text_repetition retire — funding the r14
@@ -10565,7 +10619,6 @@ _QUEUED: dict = {
     # multimodal_video_frames, stream_dedup, embedding_pca retire —
     # funding the r15 slate below)
     "fftconvolve_2d@merged": (q_fftconv_nd_merged, _fftconv_nd_merged_oracle()),
-    "text_logprob@merged": (q_lm_vocab_merged, _lm_vocab_merged_oracle()),
     "multimodal_real_decode@merged": (
         q_real_decode_merged,
         _real_decode_merged_oracle(),
@@ -10579,15 +10632,10 @@ _QUEUED: dict = {
     "active_user_setops": (q_active_user_setops, _setops_oracle()),
     "ann_recall_eval": (q_ann_recall_eval, _ann_recall_oracle()),
     "weighted_sample": (q_weighted_sample, _weighted_sample_oracle()),
-    # r16 merges, ready (free 5: deconvolve, detrend, periodogram,
-    # dominant_frequency, stream_window_stats_live retire — funding the
-    # r16 slate below)
-    "correlate@merged": (q_xcorr_merged, _xcorr_merged_oracle()),
-    "savgol@merged": (q_smooth_family_merged, _smooth_family_merged_oracle()),
-    "cwt_ricker@merged": (
-        q_wavelet_spectrum_merged,
-        _wavelet_spectrum_merged_oracle(),
-    ),
+    # r16 merges, ready (free 2: dominant_frequency,
+    # stream_window_stats_live retire — funding the r16 slate below;
+    # savgol/cwt_ricker merges EXECUTED at r10, correlate@merged
+    # dropped — see the r11 lever note at the top of this dict)
     "lombscargle@merged": (q_freqest_merged, _freqest_merged_oracle()),
     "sosfilt_stream@merged": (
         q_live_streams_merged,
@@ -10599,15 +10647,6 @@ _QUEUED: dict = {
     "tpch_q14": (q_tpch_q14, _tpch_q14_oracle()),
     "tpch_q15": (q_tpch_q15, _tpch_q15_oracle()),
     "tpch_q22": (q_tpch_q22, _tpch_q22_oracle()),
-    "funnel": (q_funnel, _funnel_oracle()),
-    "retention": (q_retention, _retention_oracle()),
-    "interval_join": (q_interval_join, _interval_join_oracle()),
-    "audio_spectral": (q_audio_spectral, _audio_spectral_oracle()),
-    "char_entropy": (q_char_entropy, _char_entropy_oracle()),
-    "ngram_counts": (q_ngram_counts, _ngram_counts_oracle()),
-    "quantile_normalize": (q_quantile_normalize, _qnorm_oracle()),
-    "rolling_median": (q_rolling_median, _rolling_median_oracle()),
-    "kfold_weights": (q_kfold_weights, _kfold_weights_oracle()),
     # r17 slate (TPC-H completion sweep: the last five shapes the
     # schema can express — merges to fund the head slots staged below)
     "tpch_q8": (q_tpch_q8, _tpch_q8_oracle()),
@@ -10633,14 +10672,9 @@ _QUEUED: dict = {
         q_dataset_temperature_mix,
         _temperature_mix_oracle(),
     ),
-    # r17 merges, ready (free 7: convolve_valid, text_redact,
-    # text_url_stats, bloom_decontaminate, fftshift, istft_native,
-    # cap_per_group retire — funding the r17 slate above with spares)
-    "convolve@merged": (q_convolve_pair_merged, _convolve_pair_merged_oracle()),
-    "text_token_stats@merged": (
-        q_text_surface_merged,
-        _text_surface_merged_oracle(),
-    ),
+    # r17 merges, ready (free 2: fftshift, cap_per_group retire —
+    # text_token_stats@merged EXECUTED at r10, convolve@merged dropped
+    # for the fftconvolve family; istft_native retired at r10)
     "ifft@merged": (
         q_inverse_transform_merged,
         _inverse_transform_merged_oracle(),
@@ -10654,10 +10688,9 @@ _QUEUED: dict = {
     "token_mi": (q_token_mi, _token_mi_oracle()),
     "target_encoding": (q_target_encoding, _target_encoding_oracle()),
     "event_transitions": (q_event_transitions, _transitions_oracle()),
-    # r18 merges, ready (free 5: bloom_semijoin, rolling_median,
-    # quantile_normalize, winsorize, clean_text retire — funding the
-    # r18 slate above)
-    "skew_join@merged": (q_join_strategy_merged, _join_strategy_merged_oracle()),
+    # r18 merges, ready (free 4: rolling_median, quantile_normalize,
+    # winsorize, clean_text retire — funding the r18 slate above;
+    # skew_join@merged EXECUTED at r10)
     "rolling_stats@merged": (
         q_rolling_family_merged,
         _rolling_family_merged_oracle(),
