@@ -117,9 +117,58 @@ def test_lossy_vp8_gates_loudly():
         decode_webp(payload)
 
 
-def test_short_distance_codes_gate_loudly():
+def test_plane_code_table_structure():
+    """The §4.2.2 table transcription: 120 distinct bytes decoding to
+    120 distinct CAUSAL (dx, dy) pairs (already-decoded pixels only),
+    dy in [0, 7], dx in [-7, 8], ordered by non-decreasing distance² —
+    the spec lists the nearest neighbors first."""
+    from xarray_scipy_spark.pipeline.webp import (
+        _CODE_TO_PLANE,
+        _plane_code_to_distance,
+    )
+
+    assert len(_CODE_TO_PLANE) == 120 == len(set(_CODE_TO_PLANE))
+    pairs = [(8 - (b & 0xF), b >> 4) for b in _CODE_TO_PLANE]
+    assert len(set(pairs)) == 120
+    assert all(0 <= dy <= 7 and -7 <= dx <= 8 for dx, dy in pairs)
+    assert all(dy > 0 or dx > 0 for dx, dy in pairs)
+    d2 = [dx * dx + dy * dy for dx, dy in pairs]
+    assert all(a <= b for a, b in zip(d2, d2[1:]))
+    # spot values: code 1 = one row up, code 2 = one pixel left, and
+    # the >= 1 clamp for narrow images
+    assert _plane_code_to_distance(9, 1) == 9
+    assert _plane_code_to_distance(9, 2) == 1
+    assert _plane_code_to_distance(2, 4) == 1  # (-1, 1) on w=2 -> 1
+
+
+def test_short_distance_roundtrip_vertical_runs():
+    """short_dist=True emits vertical runs through 2D-neighborhood
+    aliases; the decoder maps them back via the table. The alias
+    stream must be smaller AND byte-lossless."""
+    base = rng.integers(0, 256, (1, 9, 3), dtype=np.uint8)
+    px = np.tile(base, (12, 1, 1))
+    enc_plain = encode_webp_lossless(px, lz77=True)
+    enc_short = encode_webp_lossless(px, lz77=True, short_dist=True)
+    assert enc_short != enc_plain and len(enc_short) < len(enc_plain)
+    dec, w, h = decode_webp(enc_short)
+    assert (w, h) == (9, 12) and (dec == px).all()
+
+
+def test_short_distance_with_stacked_features():
+    """Alias emission composes with cache/transform knobs and the
+    horizontal dist=1 alias (plane code 2)."""
+    mix = np.tile(rng.integers(0, 256, (1, 4, 3), dtype=np.uint8), (3, 6, 1))
+    for kw in ({}, {"cache_bits": 3}, {"subtract_green": True}):
+        dec, _, _ = decode_webp(
+            encode_webp_lossless(mix, lz77=True, short_dist=True, **kw)
+        )
+        assert (dec == mix).all(), kw
+
+
+def test_short_distance_before_image_start_rejected():
     """Hand-assemble a stream whose LZ77 copy uses distance code 1
-    (a 2D-neighborhood alias <= 120) — the documented gate."""
+    ((0, 1) = one row up) at pixel 1 of a 2-wide image — the alias
+    resolves to distance 2 > pixels decoded, a malformed stream."""
     bw = _BitWriter()
     bw.write(1, 14)  # w-1 -> 2
     bw.write(0, 14)  # h-1 -> 1
@@ -152,7 +201,7 @@ def test_short_distance_codes_gate_loudly():
     stream = b"\x2f" + bw.getvalue()
     chunk = b"VP8L" + len(stream).to_bytes(4, "little") + stream
     payload = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
-    with pytest.raises(NotImplementedError, match="short-distance"):
+    with pytest.raises(ValueError, match="before image start"):
         decode_webp(payload)
 
 
@@ -216,12 +265,16 @@ from hypothesis import given, settings, strategies as st
     predictor=st.booleans(),
     cache_bits=st.sampled_from([0, 3]),
     lz77=st.booleans(),
+    short_dist=st.booleans(),
 )
 def test_webp_roundtrip_property(
-    h, w, channels, seed, subtract_green, predictor, cache_bits, lz77
+    h, w, channels, seed, subtract_green, predictor, cache_bits, lz77,
+    short_dist,
 ):
     r = np.random.default_rng(seed)
-    px = r.integers(0, 256, (h, w, channels), dtype=np.uint8)
+    # low-cardinality values make both horizontal and vertical runs
+    # likely, so the alias path is actually exercised
+    px = (r.integers(0, 4, (h, w, channels)) * 80).astype(np.uint8)
     dec, ww, hh = decode_webp(
         encode_webp_lossless(
             px,
@@ -229,6 +282,7 @@ def test_webp_roundtrip_property(
             predictor=predictor,
             cache_bits=cache_bits,
             lz77=lz77,
+            short_dist=short_dist,
         )
     )
     assert (ww, hh) == (w, h)

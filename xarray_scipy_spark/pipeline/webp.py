@@ -26,15 +26,17 @@ Decoder surface (``decode_webp``):
   COLOR_INDEXING (delta-coded palette incl. sub-byte pixel bundling
   for palettes <= 16).
 
-One documented gate: LZ77 distance codes <= 120 are aliases into a
-2D-neighborhood table the spec lists EXPLICITLY (120 (dx, dy) pairs
-with no closed form). Without real third-party WebP files in this
-offline container the table cannot be verified, and a silently wrong
-neighbor map would decode real files into wrong pixels — so those
-codes raise ``NotImplementedError`` loudly instead (the in-repo
-encoder always emits plain distances, code = dist + 120). Everything
-else round-trips losslessly and is value-verified by arithmetic
-oracles in the contract fixtures.
+LZ77 distance codes <= 120 are aliases into the spec's explicit
+2D-neighborhood table (120 (dx, dy) pairs, WebP Lossless Bitstream
+Specification §4.2.2 "Decoding of Distances") — transcribed below as
+``_CODE_TO_PLANE`` in the spec's nibble packing (high nibble dy, low
+nibble 8-dx) and validated structurally in tests: 120 distinct causal
+pairs, dy in [0, 7], dx in [-7, 8], ordered by non-decreasing
+dx^2+dy^2 (the spec lists the nearest decoded pixels first). The
+linear distance is max(1, dy*width + dx) per the spec's clamp. The
+in-repo encoder emits plain distances (code = dist + 120) by default
+for fixture byte-stability; ``short_dist=True`` opts into alias
+emission so tests drive the 2D path end-to-end.
 
 Encoder surface (``encode_webp_lossless``): literals with real
 data-derived canonical Huffman codes (exercising the normal-code
@@ -55,6 +57,35 @@ __all__ = ["decode_webp", "encode_webp_lossless"]
 # order of their 3-bit lengths (spec section "Prefix code groups")
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 _HASH_MUL = 0x1E35A7BD
+
+# WebP Lossless Bitstream Specification §4.2.2: distance codes 1..120
+# alias a 2D pixel neighborhood. Byte packing per the spec: high
+# nibble = dy (0..7), low nibble = 8 - dx (dx in [-7, 8]); linear
+# distance = max(1, dy*width + dx). Entries are the 120 nearest
+# already-decoded pixels, ordered by non-decreasing dx^2 + dy^2.
+_CODE_TO_PLANE = (
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+    0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+    0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+    0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+    0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+    0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+    0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
+    0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+    0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+    0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+    0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+    0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
+)
+
+
+def _plane_code_to_distance(width: int, code: int) -> int:
+    """Map a short distance code (1..120) to a linear pixel distance
+    via the §4.2.2 neighborhood table, with the spec's >= 1 clamp."""
+    b = _CODE_TO_PLANE[code - 1]
+    dy = b >> 4
+    dx = 8 - (b & 0xF)
+    return max(1, dy * width + dx)
 
 
 class _BitReader:
@@ -292,14 +323,14 @@ def _decode_pixels(br: _BitReader, w: int, h: int, allow_meta: bool):
             length = _prefix_value(br, s - 256)
             dist_code = _prefix_value(br, d_code.read(br))
             if dist_code <= 120:
-                raise NotImplementedError(
-                    "VP8L short-distance (2D neighborhood) codes <= 120: the "
-                    "spec's explicit 120-entry (dx, dy) table cannot be "
-                    "verified offline, and a wrong neighbor map would decode "
-                    "silently wrong pixels — plain distances (code > 120) "
-                    "decode fully"
+                dist = _plane_code_to_distance(w, dist_code)
+            else:
+                dist = dist_code - 120
+            if dist > len(out):
+                raise ValueError(
+                    "VP8L back-reference before image start "
+                    f"(distance {dist} at pixel {len(out)})"
                 )
-            dist = dist_code - 120
             for _ in range(length):
                 emit(out[len(out) - dist])
         else:
@@ -654,15 +685,32 @@ def _encode_pixels(
     cache_bits: int = 0,
     lz77: bool = False,
     write_meta_bit: bool = False,
+    short_dist: bool = False,
+    width: int = 0,
 ) -> None:
     """Entropy-code (a, r, g, b) pixels: cache header, (main image
     only) the no-meta-huffman bit, the five prefix codes, then the
     token stream — optional color-cache hits and horizontal-run LZ77
-    refs; real Huffman codes from the stream's own frequencies."""
+    refs; real Huffman codes from the stream's own frequencies.
+    ``short_dist`` (requires ``width``) additionally detects
+    vertical runs (dist = width) and emits every distance with a
+    §4.2.2 2D-neighborhood alias when one exists, driving the
+    decoder's short-distance-code path."""
     from collections import Counter
 
     cache_size = (1 << cache_bits) if cache_bits else 0
     n = len(px)
+
+    # distance value -> the §4.2.2 alias code that decodes back to it
+    # (first match wins: codes are ordered nearest-first)
+    plane_of: dict[int, int] = {}
+    if short_dist and width > 0:
+        for code in range(1, 121):
+            plane_of.setdefault(_plane_code_to_distance(width, code), code)
+
+    def dist_prefix(dist: int) -> tuple[int, int, int]:
+        alias = plane_of.get(dist)
+        return _len_prefix(alias if alias is not None else dist + 120)
 
     tokens = []  # ("lit", a,r,g,b) | ("cache", idx) | ("copy", len, dist)
     cache_state = [None] * cache_size
@@ -681,6 +729,16 @@ def _encode_pixels(
                 run += 1
             if run >= 3:
                 tokens.append(("copy", run, 1))
+                for j in range(run):
+                    ins(px[i + j])
+                i += run
+                continue
+        if short_dist and width > 0 and i >= width and p == px[i - width]:
+            run = 0
+            while i + run < n and px[i + run] == px[i + run - width]:
+                run += 1
+            if run >= 3:
+                tokens.append(("copy", run, width))
                 for j in range(run):
                     ins(px[i + j])
                 i += run
@@ -711,7 +769,7 @@ def _encode_pixels(
         else:
             code, _, _ = _len_prefix(t[1])
             gf[256 + code] += 1
-            dcode, _, _ = _len_prefix(t[2] + 120)
+            dcode, _, _ = dist_prefix(t[2])
             df[dcode] += 1
 
     green_size = 256 + 24 + cache_size
@@ -754,7 +812,7 @@ def _encode_pixels(
             code, extra, ebits = _len_prefix(length)
             _emit(bw, g_map, 256 + code)
             bw.write(ebits, extra)
-            dcode, dextra, debits = _len_prefix(dist + 120)
+            dcode, dextra, debits = dist_prefix(dist)
             _emit(bw, d_map, dcode)
             bw.write(debits, dextra)
 
@@ -768,6 +826,7 @@ def encode_webp_lossless(
     palette: bool = False,
     cache_bits: int = 0,
     lz77: bool = False,
+    short_dist: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3|4) uint8 array as lossless WebP. Feature
     knobs exist to exercise each decoder path; all are reversible, so
@@ -775,7 +834,10 @@ def encode_webp_lossless(
     (left) in every block; ``color_transform`` is a constant
     (green_to_red, green_to_blue, red_to_blue) element applied
     image-wide; ``palette`` switches to color-indexing (requires <= 256
-    distinct colors; bundles sub-byte indices for small palettes)."""
+    distinct colors; bundles sub-byte indices for small palettes);
+    ``short_dist`` additionally detects vertical runs and emits every
+    LZ77 distance through its §4.2.2 2D-neighborhood alias when one
+    exists (kept opt-in so default fixture bytes stay stable)."""
     import numpy as np
 
     arr = np.asarray(pixels, dtype=np.uint8)
@@ -905,7 +967,15 @@ def encode_webp_lossless(
             px = [(255, 0, i, 0) for i in idxs]
 
     bw.write(0, 1)  # end of transforms
-    _encode_pixels(bw, px, cache_bits=cache_bits, lz77=lz77, write_meta_bit=True)
+    _encode_pixels(
+        bw,
+        px,
+        cache_bits=cache_bits,
+        lz77=lz77,
+        write_meta_bit=True,
+        short_dist=short_dist,
+        width=enc_w,
+    )
 
     stream = b"\x2f" + bw.getvalue()
     vp8l = b"VP8L" + len(stream).to_bytes(4, "little") + stream
