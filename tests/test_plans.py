@@ -22,20 +22,24 @@ from xarray_scipy_spark.contract import QUERIES
 
 
 def _contract_fn(name):
-    """Resolve a contract query by name from either registry — queue
-    entries graduate to QUERIES at their registration round (r7 moved
-    gapfill/sketches/bloom there), and plan locks must follow them.
-    Names whose registration merged into a variant union fall back to
-    the kept plain ``q_<name>`` function, so each lock keeps reading
-    the SAME single-variant plan across rotations."""
+    """Resolve a contract query by name for a plan lock. The plain
+    ``q_<name>`` function wins when it exists: rotations merge names
+    into variant-tag unions — absorbed names get DELETED from QUERIES
+    and base names get REPLACED by the union in place — and in both
+    cases the lock must keep reading the SAME single-variant plan
+    across rotations (the unions are literal unionAll's of the kept
+    plain functions, so nothing goes unlocked). Registry lookups are
+    the fallback for names registered under a differently-named
+    builder."""
     from xarray_scipy_spark import contract as C
     from xarray_scipy_spark.contract import QUERIES, _QUEUED
 
+    fn = getattr(C, "q_" + name, None)
+    if fn is not None:
+        return fn
     if name in QUERIES:
         return QUERIES[name]
-    if name in _QUEUED:
-        return _QUEUED[name][0]
-    return getattr(C, "q_" + name)
+    return _QUEUED[name][0]
 
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -268,14 +272,14 @@ def test_pure_catalyst_smoothers_have_no_python_and_one_exchange(spark):
 
 def test_text_url_stats_is_shuffle_free(spark):
     """url_stats is a pure map-side projection: no exchange at all."""
-    plan = _static_plan(QUERIES["text_url_stats"](spark, SF_DIR))
+    plan = _static_plan(_contract_fn("text_url_stats")(spark, SF_DIR))
     assert "Python" not in plan and "Exchange" not in plan, plan
 
 
 def test_cwt_single_kernel_exchange(spark):
     """All CWT widths ride ONE kernel exchange (position-major layout),
     not one exchange per width."""
-    plan = _static_plan(QUERIES["cwt_ricker"](spark, SF_DIR))
+    plan = _static_plan(_contract_fn("cwt_ricker")(spark, SF_DIR))
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
 
 
@@ -285,7 +289,7 @@ def test_cwt_single_kernel_exchange(spark):
 def test_second_wave_kernel_queries_single_exchange_pruned_scan(spark, name):
     """Each r6 kernel query must stay: ONE co-locating exchange, ONE
     Arrow kernel, and a column-pruned 3-field events scan."""
-    plan = _static_plan(QUERIES[name](spark, SF_DIR))
+    plan = _static_plan(_contract_fn(name)(spark, SF_DIR))
     assert plan.count("FlatMapGroupsInPandas") == 1, (name, plan)
     # at sf0.001 the volume-aware bucket width collapses to 1 and the
     # co-locating exchange is elided entirely; the invariant is "no

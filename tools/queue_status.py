@@ -37,9 +37,9 @@ ROUND_PLAN = {
     # 1. Clean +1 levers: sosfilt@merged (absorbs due sosfilt_chunked
     # + sosfiltfilt, drags sosfilt), multimodal_real_decode@merged
     # (absorbs due multimodal_video_frames, base due), gapfill@merged
-    # (absorbs due interp_to, base due), fftconvolve-family-extension
-    # (absorbs due convolve_valid + deconvolve, drags the r10-merged
-    # fftconvolve base — builder NOT yet staged, write it first).
+    # (absorbs due interp_to, base due), fftconvolve@merged (STAGED at
+    # r10: the family extension absorbing due convolve_valid +
+    # deconvolve, dragging the r10-merged fftconvolve base).
     # Net-0 retirement levers (shrink N, no head slot): hilbert@merged
     # (due hilbert_envelope, drags hilbert), resample@merged (due
     # resample_freq, drags resample, retires non-due resample_poly),

@@ -3858,33 +3858,31 @@ def q_correlate(spark, sf_dir):
 # Every queued entry stays CI-verified byte-exactly per pytest run
 # until its round arrives.
 #
-# r10 RECIPE (verify every due-ness claim against CORRECTNESS_r09.json
-# before executing — the r9 recipe's head math was wrong about which
-# side of the head/tail split two names sat on):
-#   Due pool at r10 = the names in __spark_entry__._CHECK_LAST today
-#   (the 49 r8-head names, checked r8). Clean levers (every absorbed
-#   name due, base due): istft_roundtrip(+1: istft_native),
-#   lfilter(+1: filtfilt), dataset_split(+1: dataset_stratified),
-#   ann_cosine_topk(+1: _lsh), fftconvolve(+2: convolve, correlate —
-#   NOTE this conflicts with convolve@merged and correlate@merged,
-#   pick ONE family per constituent), cwt_ricker(+1: periodogram),
-#   savgol(+1: detrend), acf(+2: ewma, seasonal_decompose),
-#   text_logprob(+1: text_vocab), skew_join(+1: bloom_semijoin),
-#   text_token_stats(+1 due: text_url_stats; text_redact rides free
-#   from the r9 head) = 13 freed; head = 49 due − 13 + 14 new = 50.
-#   N = 99 − 14 absorbed + 14 new = 99.
-#   ORACLE-READ SNAPSHOTS REQUIRED BEFORE THE POPS (grep
-#   `ORACLES\[` over every builder that remains in _QUEUED after the
-#   r10 edit): istft_native is read by _inverse_transform_merged_oracle
-#   (ifft@merged, stays queued) and bloom_semijoin by
-#   _join_strategy_merged_oracle (being executed, so it self-resolves
-#   if registered in the same block BEFORE the pop — otherwise
-#   snapshot). Follow the _ANN_IVF_PLAIN_ORACLE pattern above.
-#   Register the 14 ledgered r10 names (tools/queue_status.py),
-#   rebuild _CHECK_LAST = CORRECTNESS_r09 keys MINUS text_redact (the
-#   one absorbed name that sits in the r9 head → 49 tail names),
-#   update bench.py `plain` for the newly absorbed names, run
-#   tools/check_correctness.py in FULL.
+# r10 rotation EXECUTED exactly per the ledgered recipe (see the r10
+# rotation block at the end of this module): 11 merges absorbing 13
+# r10-due names + text_redact riding free; head = 49 due − 13 + 14
+# new = 50; N = 99 − 14 + 14 = 99; both oracle-read snapshots taken
+# (_ISTFT_NATIVE_PLAIN_ORACLE, _ANN_EXACT_PLAIN_ORACLE); the
+# conflicting staged convolve@merged / correlate@merged entries were
+# DROPPED (constituents went to the fftconvolve family — one family
+# per constituent; convolve_valid + deconvolve remain an r11
+# extension lever). Queue counts are computed live by
+# tools/queue_status.py — static counts in comments went stale once
+# (ADVICE r9 #1) and are not repeated here.
+#
+# r11 RECIPE sketch (REDO the due-ness math against
+# CORRECTNESS_r10.json at round open): due pool = the r9-head names
+# in __spark_entry__._CHECK_LAST. Clean +1 levers: sosfilt@merged
+# (absorbs due sosfilt_chunked + sosfiltfilt, drags sosfilt),
+# multimodal_real_decode@merged (absorbs due multimodal_video_frames,
+# base due), gapfill@merged (absorbs due interp_to, base due), and a
+# to-be-staged fftconvolve-family extension (absorbs due
+# convolve_valid + deconvolve, drags the r10-merged fftconvolve).
+# Net-0 retirement levers (no head slot, shrink N): hilbert@merged,
+# resample@merged, embedding_quantize@merged, lombscargle@merged,
+# dedup_exact@merged, sessionize@merged, dataset_mix@merged,
+# sosfilt_stream@merged. ~4-5 registrations fundable; split the
+# ledgered 8-name r11 slate accordingly.
 
 
 def q_welch_blackman(spark, sf_dir):
@@ -10567,18 +10565,64 @@ _q("grouped_ols", _grouped_ols_oracle())(q_grouped_ols)
 _q("triangle_count", _triangle_oracle())(q_triangle_count)
 _q("sequence_pack", _sequence_pack_oracle())(q_sequence_pack)
 
+
+def _convolve_xfamily_merged_oracle() -> str:
+    # ORACLES["fftconvolve"] is the r10 family union (full/same/xcorr)
+    return (
+        "SELECT variant, user_id, idx, v4 AS va, 0.0 AS vb "
+        "FROM (" + ORACLES["fftconvolve"] + ") "
+        "UNION ALL "
+        "SELECT 'valid_' || variant AS variant, user_id, idx, "
+        "v6 AS va, 0.0 AS vb "
+        "FROM (" + ORACLES["convolve_valid"] + ") "
+        "UNION ALL "
+        "SELECT 'deconv' AS variant, user_id, idx, quot_q AS va, "
+        "rem_q AS vb FROM (" + ORACLES["deconvolve"] + ")"
+    )
+
+
+def q_convolve_xfamily_merged(spark, sf_dir):
+    """The r11 extension of the r10 convolve family: full/same/xcorr
+    (the r10 union) + valid-mode convolution + polynomial
+    deconvolution in ONE variant-tag union — absorbs r11-due
+    convolve_valid and deconvolve into fftconvolve's slot (drags the
+    r10-checked base into the r11 head: net +1)."""
+    fam = q_convolve_family_merged(spark, sf_dir).select(
+        "variant", "user_id", "idx",
+        F.col("v4").alias("va"), F.lit(0.0).alias("vb"),
+    )
+    # convolve_valid's registration is itself the r9 valid-mode union
+    # (q_convolve_merged: variant, user_id, idx, v6) — referenced by
+    # function, not via QUERIES[...], so this union keeps working
+    # after the r11 rotation pops the absorbed name
+    va = q_convolve_merged(spark, sf_dir).select(
+        F.concat(F.lit("valid_"), F.col("variant")).alias("variant"),
+        "user_id", "idx",
+        F.col("v6").alias("va"), F.lit(0.0).alias("vb"),
+    )
+    de = q_deconvolve(spark, sf_dir).select(
+        F.lit("deconv").alias("variant"), "user_id", "idx",
+        F.col("quot_q").alias("va"), F.col("rem_q").alias("vb"),
+    )
+    return fam.unionAll(va).unionAll(de)
+
+
 _QUEUED: dict = {
     # r11 merge, ready (frees 1: hilbert_envelope — due r11 — retires;
     # the builder reads ORACLES[name], so keep the constituent
     # registrations until the rotation block pops them)
     "hilbert@merged": (q_hilbert_merged, _hilbert_merged_oracle()),
-    # r11 merge lever (NOT yet staged): convolve_valid + deconvolve —
-    # both due r11 — can fold into the fftconvolve family union
-    # registered at r10 (drags fftconvolve into the r11 head a round
-    # early: net +1 slot). The previously staged convolve@merged /
-    # correlate@merged entries were DROPPED at r10: their constituents
-    # (convolve, correlate) retired into fftconvolve@merged instead
+    # r11 merge, STAGED (the extension lever): convolve_valid +
+    # deconvolve — both due r11 — fold into the fftconvolve family
+    # union registered at r10 (drags fftconvolve into the r11 head a
+    # round early: net +1 slot). The previously staged
+    # convolve@merged / correlate@merged entries were DROPPED at r10:
+    # their constituents retired into fftconvolve@merged instead
     # ("pick ONE family per constituent" — the r10 recipe note).
+    "fftconvolve@merged": (
+        q_convolve_xfamily_merged,
+        _convolve_xfamily_merged_oracle(),
+    ),
     # r11 merge, ready (frees 1: decimate_iir retires into
     # decimate_fir's slot)
     "decimate_fir@merged": (q_decimate_merged, _decimate_merged_oracle()),

@@ -194,6 +194,11 @@ def auc_exact(
         F.sum(1 - F.col("_y")).cast("bigint").alias("_neg"),
     )
     if max_distinct_scores is not None:
+        # materialize the (histogram-sized, small) frame once so the
+        # guard count and the windowed identity below both read it —
+        # without the cut, the guard aggregate re-ran the full input
+        # scan + groupBy purely to evaluate the assertion (ADVICE r9)
+        hist = hist.localCheckpoint(eager=True)
         nds = hist.agg(F.count(F.lit(1)).alias("_nds"))
         hist = (
             hist.crossJoin(F.broadcast(nds))

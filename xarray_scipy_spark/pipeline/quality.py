@@ -302,6 +302,11 @@ def frequent_values(
         raise ValueError(f"columns not in DataFrame: {missing}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if buckets < 1:
+        # buckets=0 would make pmod(..., 0) NULL and silently collapse
+        # the two-phase prune to one partition per column (correct
+        # output, no skew protection) — reject like dup_buckets does
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
     fields = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
     stacked = df.select(
         F.expr(f"stack({len(cols)}, {fields}) AS (column, value)")
@@ -355,9 +360,17 @@ def windowed_constraints(
     old windows, so state is bounded by the watermark horizon at ANY
     stream length. Supported kinds: the row predicates (``not_null``,
     ``in_set``, ``between``, ``non_negative``) plus ``min_rows``
-    (a per-WINDOW row floor — the heartbeat/volume check). ``unique``
+    (a per-WINDOW row floor — the low-volume check). ``unique``
     is rejected: exact cross-window uniqueness needs unbounded state;
     run it in the batch audit.
+
+    ``min_rows`` caveat: a window with ZERO rows produces no group and
+    therefore no output row — the floor only evaluates windows that
+    received at least one event, so it cannot flag a completely silent
+    feed (the true heartbeat-failure case). Total-silence detection
+    needs gap detection downstream: generate the expected window grid
+    and left-join this output against it (or alarm on absent window
+    keys), which is itself a stateless batch/stream join.
 
     Output: ``(window_start, constraint, kind, passed, n_violations,
     n_rows)``, one row per (window, constraint).

@@ -577,12 +577,20 @@ def label_outliers(
     of the same exact rational; dot sums here are ≤ ~10¹⁴), and the
     oracle agrees byte-exactly in CI.
 
-    1. centroid: one (label, dim)-keyed aggregate — output is
-       labels x dim rows, broadcastable at ANY corpus size;
-    2. per-row cosine-to-centroid: broadcast-join the centroid onto
-       the exploded rows (lineage-cut once, so the explode+quantize
-       pass runs ONCE, not once per consumer branch), one row-keyed
-       aggregate;
+    1. centroid: one (label, dim)-keyed aggregate over the exploded
+       frame — output is labels x dim rows, collapsed to ONE
+       dim-ordered µ-unit array per label (labels rows total,
+       broadcastable at ANY corpus size);
+    2. per-row cosine-to-centroid: broadcast-join that one-row-per-
+       label centroid array onto the ORIGINAL un-exploded frame and
+       compute dot + norm with pure-Catalyst ``zip_with``/
+       ``aggregate`` over the µ-unit arrays — a map-only projection,
+       no second explode, no (rows x dim) join, no per-row aggregate
+       (r10: the previous exploded second pass re-aggregated
+       rows x dim rows — 12.8 M at the 100x tier — purely to rebuild
+       per-row sums the array algebra computes in place; long-lattice
+       µ-units make the fold exact, dot sums here are <= ~10^14, far
+       under 2^63);
     3. top-n per label runs TWO-PHASE (the cap_per_group shape): a
        window per (label, hash-bucket) prunes to local top-n — the
        global top-n is always a subset — then the exact window ranks
@@ -598,63 +606,77 @@ def label_outliers(
         raise ValueError(f"n must be >= 1, got {n}")
     # quantize through DECIMAL(18,6) (exact HALF_UP at 6 decimals),
     # then to µ-units: decimal(18,6) · 10⁶ is an exact integer
-    xm = (
-        F.round(F.col("_x").cast("double"), 6).cast("decimal(18,6)")
-        * F.lit(1000000)
-    ).cast("long")
-    dims = (
-        emb.select(
-            F.col(id_col).alias("_id"),
-            F.col(label_col).alias("_lab"),
-            F.posexplode(vec_col).alias("_i", "_x"),
-        )
-        .select("_id", "_lab", "_i", xm.alias("_xm"))
-        .localCheckpoint(eager=False)
-    )
-    cent = dims.groupBy("_lab", "_i").agg(
-        F.sum("_xm").alias("_sm"), F.count(F.lit(1)).alias("_cnt")
-    ).select(
-        "_lab",
-        "_i",
-        # mean back on the 6-decimal lattice: sum_µ → double (exact:
-        # |sum| « 2⁵³) → /10⁶ (correctly rounded, = the DECIMAL-sum
-        # cast) → /cnt → round → µ-units again
-        (
-            F.round(
-                F.col("_sm").cast("double") / F.lit(1000000.0) / F.col("_cnt"),
-                6,
-            ).cast("decimal(18,6)")
+    def _to_micro(x):
+        return (
+            F.round(x.cast("double"), 6).cast("decimal(18,6)")
             * F.lit(1000000)
-        )
-        .cast("long")
-        .alias("_cm"),
+        ).cast("long")
+
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lab"),
+        F.transform(F.col(vec_col), _to_micro).alias("_xm"),
     )
-    cnorm = cent.groupBy("_lab").agg(
-        F.sum(F.col("_cm") * F.col("_cm")).alias("_ncm")
-    )
-    joined = dims.join(F.broadcast(cent), ["_lab", "_i"])
-    per_row = joined.groupBy("_id", "_lab").agg(
-        F.sum(F.col("_xm") * F.col("_cm")).alias("_dotm"),
-        F.sum(F.col("_xm") * F.col("_xm")).alias("_nvm"),
-    )
-    micro2 = F.lit(1.0e12)
-    cos = (
-        per_row.join(F.broadcast(cnorm), "_lab")
+    cent = (
+        base.select("_lab", F.posexplode("_xm").alias("_i", "_x"))
+        .groupBy("_lab", "_i")
+        .agg(F.sum("_x").alias("_sm"), F.count(F.lit(1)).alias("_cnt"))
         .select(
             "_lab",
-            "_id",
+            "_i",
+            # mean back on the 6-decimal lattice: sum_µ → double
+            # (exact: |sum| « 2⁵³) → /10⁶ (correctly rounded, = the
+            # DECIMAL-sum cast) → /cnt → round → µ-units again
             (
                 F.round(
-                    (F.col("_dotm").cast("double") / micro2)
-                    / (
-                        F.sqrt(F.col("_nvm").cast("double") / micro2)
-                        * F.sqrt(F.col("_ncm").cast("double") / micro2)
-                    ),
+                    F.col("_sm").cast("double")
+                    / F.lit(1000000.0)
+                    / F.col("_cnt"),
                     6,
-                )
-                + F.lit(0.0)
-            ).alias("cos_centroid"),
+                ).cast("decimal(18,6)")
+                * F.lit(1000000)
+            )
+            .cast("long")
+            .alias("_cm"),
         )
+    )
+    # collapse to ONE dim-ordered array per label (labels rows) and
+    # fold the centroid self-norm in the same tiny frame
+    zero = F.lit(0).cast("long")
+    cent_arr = cent.groupBy("_lab").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_cm"))),
+            lambda s: s["_cm"],
+        ).alias("_carr")
+    ).select(
+        "_lab",
+        "_carr",
+        F.aggregate(
+            "_carr", zero, lambda acc, c: acc + c * c
+        ).alias("_ncm"),
+    )
+    # per-row pass: map-only array algebra on the un-exploded frame
+    micro2 = F.lit(1.0e12)
+    dotm = F.aggregate(
+        F.zip_with("_xm", "_carr", lambda x, c: x * c),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    nvm = F.aggregate("_xm", zero, lambda acc, x: acc + x * x)
+    cos = base.join(F.broadcast(cent_arr), "_lab").select(
+        "_lab",
+        "_id",
+        (
+            F.round(
+                (dotm.cast("double") / micro2)
+                / (
+                    F.sqrt(nvm.cast("double") / micro2)
+                    * F.sqrt(F.col("_ncm").cast("double") / micro2)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cos_centroid"),
     )
     bucket = F.pmod(F.xxhash64(F.col("_id")), F.lit(buckets))
     pruned = (
