@@ -74,7 +74,9 @@ def main() -> int:
         ("frequent_values", C.q_frequent_values),
     ):
         sp_med, sp_runs = _median5(lambda q=q: noop(q(spark, tier_dir)))
-        osql = C.ORACLES[name]
+        # quality-layer entries are queued until r15 — oracle lives in
+        # _QUEUED, not ORACLES
+        osql = C.ORACLES.get(name) or C._QUEUED[name][1]
         o_med, o_runs = _median5(lambda osql=osql: con.execute(osql).fetchall())
         out["rows"][name] = {
             "spark": sp_med, "spark_runs": sp_runs,

@@ -36,11 +36,18 @@ def main() -> int:
     from xarray_scipy_spark.session import get_spark
 
     spark = get_spark("stream-quality-live")
-    src100 = os.path.join(ROOT, ".bench_sf10", "events.parquet")
-    src = src100 if os.path.isdir(src100) else os.path.join(
+    base100 = os.path.join(ROOT, ".bench_sf10", "events.parquet")
+    base = base100 if os.path.exists(base100) else os.path.join(
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         "events.parquet",
     )
+    # FileStreamSource needs a DIRECTORY of files; re-write the tier as
+    # 16 parquet files so maxFilesPerTrigger=1 yields 16 micro-batches
+    src = os.path.join(ROOT, ".bench_stream_src", "events16")
+    if not os.path.isdir(src):
+        spark.read.parquet(base).repartition(16).write.mode(
+            "overwrite"
+        ).parquet(src)
     n_files = len(glob.glob(os.path.join(src, "*.parquet")))
     schema = spark.read.parquet(src).schema
     constraints = [

@@ -577,20 +577,19 @@ def label_outliers(
     of the same exact rational; dot sums here are ≤ ~10¹⁴), and the
     oracle agrees byte-exactly in CI.
 
-    1. centroid: one (label, dim)-keyed aggregate over the exploded
-       frame — output is labels x dim rows, collapsed to ONE
-       dim-ordered µ-unit array per label (labels rows total,
-       broadcastable at ANY corpus size);
-    2. per-row cosine-to-centroid: broadcast-join that one-row-per-
-       label centroid array onto the ORIGINAL un-exploded frame and
-       compute dot + norm with pure-Catalyst ``zip_with``/
-       ``aggregate`` over the µ-unit arrays — a map-only projection,
-       no second explode, no (rows x dim) join, no per-row aggregate
-       (r10: the previous exploded second pass re-aggregated
-       rows x dim rows — 12.8 M at the 100x tier — purely to rebuild
-       per-row sums the array algebra computes in place; long-lattice
-       µ-units make the fold exact, dot sums here are <= ~10^14, far
-       under 2^63);
+    1. centroid: one (label, dim)-keyed aggregate — output is
+       labels x dim rows, broadcastable at ANY corpus size;
+    2. per-row cosine-to-centroid: broadcast-join the centroid onto
+       the exploded rows, one row-keyed aggregate. TWO alternatives
+       were A/B'd at the 100x tier and REJECTED on measurement: an
+       Arrow mapInPandas kernel (9.6 vs 4.7 s — joining a 64-long
+       centroid array onto every row + np.vstack costs more than the
+       long hash-aggregate, r9), and a pure-Catalyst zip_with/
+       aggregate fold over one centroid-array row per label (12.3 vs
+       5.3 s, r10 — higher-order-function lambdas evaluate INTERPRETED
+       per element, ~400M invocations here, losing to the codegen'd
+       exploded hash aggregate despite shipping less data). The
+       exploded join+agg shape stands as the measured best;
     3. top-n per label runs TWO-PHASE (the cap_per_group shape): a
        window per (label, hash-bucket) prunes to local top-n — the
        global top-n is always a subset — then the exact window ranks
@@ -606,77 +605,68 @@ def label_outliers(
         raise ValueError(f"n must be >= 1, got {n}")
     # quantize through DECIMAL(18,6) (exact HALF_UP at 6 decimals),
     # then to µ-units: decimal(18,6) · 10⁶ is an exact integer
-    def _to_micro(x):
-        return (
-            F.round(x.cast("double"), 6).cast("decimal(18,6)")
-            * F.lit(1000000)
-        ).cast("long")
-
-    base = emb.select(
+    xm = (
+        F.round(F.col("_x").cast("double"), 6).cast("decimal(18,6)")
+        * F.lit(1000000)
+    ).cast("long")
+    # NO lineage cut here (r10): localCheckpoint materialized the
+    # rows x dim frame (256 M rows at the 200x tier) in the block
+    # manager on EVERY invocation and the blocks only free on GC —
+    # repeated runs in one session degraded 5.9 -> 47 -> 89 s as
+    # storage filled and spilled. Recomputing the explode+quantize
+    # projection for the second consumer is a codegen'd map off a
+    # column-pruned scan: measured FLAT 6.5-7.2 s/run at both 100x
+    # and 200x (vs the leak), and at real scale re-reading the scan
+    # beats materializing a corpus x dim frame that cannot fit.
+    dims = emb.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_lab"),
-        F.transform(F.col(vec_col), _to_micro).alias("_xm"),
-    )
-    cent = (
-        base.select("_lab", F.posexplode("_xm").alias("_i", "_x"))
-        .groupBy("_lab", "_i")
-        .agg(F.sum("_x").alias("_sm"), F.count(F.lit(1)).alias("_cnt"))
-        .select(
-            "_lab",
-            "_i",
-            # mean back on the 6-decimal lattice: sum_µ → double
-            # (exact: |sum| « 2⁵³) → /10⁶ (correctly rounded, = the
-            # DECIMAL-sum cast) → /cnt → round → µ-units again
-            (
-                F.round(
-                    F.col("_sm").cast("double")
-                    / F.lit(1000000.0)
-                    / F.col("_cnt"),
-                    6,
-                ).cast("decimal(18,6)")
-                * F.lit(1000000)
-            )
-            .cast("long")
-            .alias("_cm"),
-        )
-    )
-    # collapse to ONE dim-ordered array per label (labels rows) and
-    # fold the centroid self-norm in the same tiny frame
-    zero = F.lit(0).cast("long")
-    cent_arr = cent.groupBy("_lab").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_i", "_cm"))),
-            lambda s: s["_cm"],
-        ).alias("_carr")
+        F.posexplode(vec_col).alias("_i", "_x"),
+    ).select("_id", "_lab", "_i", xm.alias("_xm"))
+    cent = dims.groupBy("_lab", "_i").agg(
+        F.sum("_xm").alias("_sm"), F.count(F.lit(1)).alias("_cnt")
     ).select(
         "_lab",
-        "_carr",
-        F.aggregate(
-            "_carr", zero, lambda acc, c: acc + c * c
-        ).alias("_ncm"),
-    )
-    # per-row pass: map-only array algebra on the un-exploded frame
-    micro2 = F.lit(1.0e12)
-    dotm = F.aggregate(
-        F.zip_with("_xm", "_carr", lambda x, c: x * c),
-        zero,
-        lambda acc, v: acc + v,
-    )
-    nvm = F.aggregate("_xm", zero, lambda acc, x: acc + x * x)
-    cos = base.join(F.broadcast(cent_arr), "_lab").select(
-        "_lab",
-        "_id",
+        "_i",
+        # mean back on the 6-decimal lattice: sum_µ → double (exact:
+        # |sum| « 2⁵³) → /10⁶ (correctly rounded, = the DECIMAL-sum
+        # cast) → /cnt → round → µ-units again
         (
             F.round(
-                (dotm.cast("double") / micro2)
-                / (
-                    F.sqrt(nvm.cast("double") / micro2)
-                    * F.sqrt(F.col("_ncm").cast("double") / micro2)
-                ),
+                F.col("_sm").cast("double") / F.lit(1000000.0) / F.col("_cnt"),
                 6,
-            )
-            + F.lit(0.0)
-        ).alias("cos_centroid"),
+            ).cast("decimal(18,6)")
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("_cm"),
+    )
+    cnorm = cent.groupBy("_lab").agg(
+        F.sum(F.col("_cm") * F.col("_cm")).alias("_ncm")
+    )
+    joined = dims.join(F.broadcast(cent), ["_lab", "_i"])
+    per_row = joined.groupBy("_id", "_lab").agg(
+        F.sum(F.col("_xm") * F.col("_cm")).alias("_dotm"),
+        F.sum(F.col("_xm") * F.col("_xm")).alias("_nvm"),
+    )
+    micro2 = F.lit(1.0e12)
+    cos = (
+        per_row.join(F.broadcast(cnorm), "_lab")
+        .select(
+            "_lab",
+            "_id",
+            (
+                F.round(
+                    (F.col("_dotm").cast("double") / micro2)
+                    / (
+                        F.sqrt(F.col("_nvm").cast("double") / micro2)
+                        * F.sqrt(F.col("_ncm").cast("double") / micro2)
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cos_centroid"),
+        )
     )
     bucket = F.pmod(F.xxhash64(F.col("_id")), F.lit(buckets))
     pruned = (
