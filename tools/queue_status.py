@@ -29,30 +29,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # r9 #1) and are not repeated here.
 ROUND_PLAN = {
     # Merge levers at r11 (verify against CORRECTNESS_r10.json at
-    # round open — static due-ness claims rot). Due pool at r11 = the
-    # r9-head names now in __spark_entry__._CHECK_LAST. The r8/r9
-    # cohorts alternate, so a merge whose base sits in the OTHER
-    # cohort DRAGS the changed base into the head (cost 1). Net math:
-    # each absorbed DUE name saves 1, each dragged non-due base costs
-    # 1. Clean +1 levers: sosfilt@merged (absorbs due sosfilt_chunked
-    # + sosfiltfilt, drags sosfilt), multimodal_real_decode@merged
-    # (absorbs due multimodal_video_frames, base due), gapfill@merged
-    # (absorbs due interp_to, base due), fftconvolve@merged (STAGED at
-    # r10: the family extension absorbing due convolve_valid +
-    # deconvolve, dragging the r10-merged fftconvolve base).
-    # Net-0 retirement levers (shrink N, no head slot): hilbert@merged
-    # (due hilbert_envelope, drags hilbert), resample@merged (due
-    # resample_freq, drags resample, retires non-due resample_poly),
-    # embedding_quantize@merged (due embedding_pca, drags base),
-    # lombscargle@merged (due dominant_frequency, drags base),
-    # dedup_exact@merged (due dedup_ngram_spans, drags base + retires
-    # non-due dedup_ngram_jaccard), sessionize@merged (base due,
-    # retires non-due stream_dedup), dataset_mix@merged (base due,
-    # retires non-due cap_per_group), sosfilt_stream@merged (base due,
-    # retires non-due stream_window_stats_live). Executing the four
-    # +1 levers funds ~4-5 of the 8 ledgered r11 names; executing the
-    # net-0 levers too maxes out at ~5 registrations — SPLIT the r11
-    # slate accordingly or stage additional same-cohort merges.
+    # round open — static due-ness claims rot). EIGHT +1 levers are
+    # staged and CI-byte-exact (see the r11 RECIPE comment in
+    # contract.py above _QUEUED): sosfilt@merged(+1 net),
+    # fftconvolve@merged(+1 net), multimodal_real_decode@merged,
+    # gapfill@merged, dedup_minhash@merged, sketch_hll@merged,
+    # tpch_q1@merged, clean_text@merged. Head math: 49 due − 10
+    # absorbed + 2 dragged + 9 new = 50 → the FULL 8-name r11 slate
+    # plus one r12 pull-forward is fundable. Net-0 retirement levers
+    # (shrink N, no head slot) remain: hilbert/resample/
+    # embedding_quantize/lombscargle/dedup_exact/sessionize/
+    # dataset_mix/sosfilt_stream @merged.
     "r11": [
         "text_postings",
         "edit_distance_join",

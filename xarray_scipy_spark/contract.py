@@ -3870,19 +3870,30 @@ def q_correlate(spark, sf_dir):
 # tools/queue_status.py — static counts in comments went stale once
 # (ADVICE r9 #1) and are not repeated here.
 #
-# r11 RECIPE sketch (REDO the due-ness math against
-# CORRECTNESS_r10.json at round open): due pool = the r9-head names
-# in __spark_entry__._CHECK_LAST. Clean +1 levers: sosfilt@merged
-# (absorbs due sosfilt_chunked + sosfiltfilt, drags sosfilt),
-# multimodal_real_decode@merged (absorbs due multimodal_video_frames,
-# base due), gapfill@merged (absorbs due interp_to, base due), and a
-# to-be-staged fftconvolve-family extension (absorbs due
-# convolve_valid + deconvolve, drags the r10-merged fftconvolve).
-# Net-0 retirement levers (no head slot, shrink N): hilbert@merged,
-# resample@merged, embedding_quantize@merged, lombscargle@merged,
-# dedup_exact@merged, sessionize@merged, dataset_mix@merged,
-# sosfilt_stream@merged. ~4-5 registrations fundable; split the
-# ledgered 8-name r11 slate accordingly.
+# r11 RECIPE (REDO the due-ness math against CORRECTNESS_r10.json at
+# round open): due pool = the r9-head names in
+# __spark_entry__._CHECK_LAST (49). Staged levers, all builders ready
+# in _QUEUED and CI-byte-exact:
+#   cross-cohort (+1 each, one dragged base): sosfilt@merged (absorbs
+#   due sosfilt_chunked + sosfiltfilt, drags sosfilt),
+#   fftconvolve@merged (absorbs due convolve_valid + deconvolve,
+#   drags fftconvolve);
+#   base-due (+1 each, no drag): multimodal_real_decode@merged
+#   (absorbs due multimodal_video_frames), gapfill@merged (absorbs
+#   due interp_to);
+#   same-cohort staged THIS round (+1 each, no drag):
+#   dedup_minhash@merged (absorbs due dedup_minhash_cross),
+#   sketch_hll@merged (absorbs due sketch_hll_merge), tpch_q1@merged
+#   (absorbs due tpch_q3), clean_text@merged (absorbs due
+#   url_canonical_dedup).
+# Head math: 49 due − 10 absorbed + 2 dragged + K new = 50 → K = 9:
+# the full 8-name ledgered r11 slate + 1 pulled from r12.
+# N = 99 − 10 + 9 = 98 (− any net-0 retirement merges also executed:
+# hilbert/resample/embedding_quantize/lombscargle/dedup_exact/
+# sessionize/dataset_mix/sosfilt_stream remain available).
+# ORACLE-READ SNAPSHOTS: grep `ORACLES\[` over every builder that
+# remains in _QUEUED after the r11 edit before popping anything —
+# the r10 pattern (_ISTFT_NATIVE_PLAIN_ORACLE / _ANN_EXACT_...).
 
 
 def q_welch_blackman(spark, sf_dir):
@@ -9040,26 +9051,30 @@ def _tpch_q13_oracle() -> str:
 def q_tpch_q13(spark, sf_dir):
     """Customer order-count distribution (TPC-H Q13 shape, adapted:
     the order exclusion filters o_orderpriority — the testdata has no
-    o_comment). The signature feature is the filter living in the
-    LEFT OUTER JOIN's ON clause, so excluded-order customers still
-    appear with count 0 (a WHERE would drop them). Spark pushes the
-    priority filter to the orders scan because it references only the
-    preserved-side-null stream; the first aggregate shuffles on
-    custkey, the second on the (tiny) count domain — both
-    partial-combine map-side."""
+    o_comment). The signature feature is the ON-clause exclusion:
+    excluded-order customers still appear with count 0 (a WHERE would
+    drop them). The aggregation is PUSHED BELOW the outer join (r10 —
+    Catalyst does not do this rewrite itself): counting orders per
+    custkey FIRST lets the map-side combine shrink the shuffle from
+    every order row (15 M at the 100x tier, the old plan's LeftOuter
+    SortMergeJoin shuffled all of them) to <= distinct-custkey
+    partials, and the counts frame (one row per active customer) then
+    BROADCASTS into the left join; count(o_orderkey)-over-join and
+    coalesce(per-key count, 0) are identical by definition. Measured
+    2.69 -> 0.75 s at 100x (11.2x -> 4.3x, Spark flat vs the 40x
+    tier)."""
     cust = load_table(spark, "customer", sf_dir).select("c_custkey")
     orders = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", "o_custkey", "o_orderpriority"
+        "o_custkey", "o_orderpriority"
     )
-    j = cust.join(
-        orders,
-        (cust.c_custkey == orders.o_custkey)
-        & (orders.o_orderpriority != _Q13_EXCL),
-        "left_outer",
+    cnt = (
+        orders.filter(F.col("o_orderpriority") != _Q13_EXCL)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    per_cust = j.groupBy("c_custkey").agg(
-        F.count("o_orderkey").alias("c_count")
-    )
+    per_cust = cust.join(
+        cnt, cust.c_custkey == cnt.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("_c"), F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
@@ -10607,6 +10622,138 @@ def q_convolve_xfamily_merged(spark, sf_dir):
     return fam.unionAll(va).unionAll(de)
 
 
+# --- r11 same-cohort merges (staged r10): every base AND absorbed
+# name sits in the r9-head cohort (due r11 together), so each absorb
+# is a clean +1 with no drag — these fund the full 8-name r11 slate
+# alongside the cross-cohort levers already staged above. -------------
+
+
+def _dedup_pair_family_merged_oracle() -> str:
+    # ORACLES["dedup_minhash"] is the r9 3-way pair-emitter union
+    return (
+        "SELECT variant, a_id, b_id, score "
+        "FROM (" + ORACLES["dedup_minhash"] + ") "
+        "UNION ALL "
+        "SELECT 'cross' AS variant, left_id AS a_id, right_id AS b_id, "
+        "jaccard AS score FROM (" + ORACLES["dedup_minhash_cross"] + ")"
+    )
+
+
+def q_dedup_pair_family_merged(spark, sf_dir):
+    """The three self-corpus pair emitters (minhash/simhash/embedding,
+    the r9 union) + the cross-corpus incremental LSH join in ONE
+    variant-tag union — absorbs dedup_minhash_cross into
+    dedup_minhash's slot at r11 (both r11-due: clean +1)."""
+    base = q_dedup_pairs_merged(spark, sf_dir)
+    cross = q_dedup_minhash_cross(spark, sf_dir).select(
+        F.lit("cross").alias("variant"),
+        F.col("left_id").alias("a_id"),
+        F.col("right_id").alias("b_id"),
+        F.col("jaccard").alias("score"),
+    )
+    return base.unionAll(cross)
+
+
+def _sketch_family_merged_oracle() -> str:
+    # ORACLES["sketch_hll"] is the r9 hll+countmin state union
+    return (
+        "SELECT variant, k, a, b, c, d, e "
+        "FROM (" + ORACLES["sketch_hll"] + ") "
+        "UNION ALL "
+        "SELECT 'regmerge' AS variant, rf AS k, CAST(m AS BIGINT) AS a, "
+        "present AS b, zeros AS c, register_sum AS d, rank_checksum AS e "
+        "FROM (" + ORACLES["sketch_hll_merge"] + ")"
+    )
+
+
+def q_sketch_family_merged(spark, sf_dir):
+    """HLL + count-min state checksums (the r9 union) + the
+    shard-merge re-aggregation invariance in ONE variant-tag union —
+    absorbs sketch_hll_merge into sketch_hll's slot at r11 (both
+    r11-due: clean +1)."""
+    base = q_sketch_state_merged(spark, sf_dir)
+    mg = q_sketch_hll_merge(spark, sf_dir).select(
+        F.lit("regmerge").alias("variant"),
+        F.col("rf").alias("k"),
+        F.col("m").cast("bigint").alias("a"),
+        F.col("present").alias("b"),
+        F.col("zeros").alias("c"),
+        F.col("register_sum").alias("d"),
+        F.col("rank_checksum").alias("e"),
+    )
+    return base.unionAll(mg)
+
+
+def _tpch_scan_join_merged_oracle() -> str:
+    # ORACLES["tpch_q1"] = the q1+q6 union; ORACLES["tpch_q3"] = q3+q5
+    return (
+        "SELECT variant, rf AS s1, ls AS s2, m1 AS v1, m2 AS v2, "
+        "m3 AS v3, m4 AS v4, cnt "
+        "FROM (" + ORACLES["tpch_q1"] + ") "
+        "UNION ALL "
+        "SELECT variant, CAST(k AS VARCHAR) AS s1, CAST(s AS VARCHAR) "
+        "AS s2, revenue AS v1, 0.0 AS v2, 0.0 AS v3, 0.0 AS v4, "
+        "n AS cnt FROM (" + ORACLES["tpch_q3"] + ")"
+    )
+
+
+def q_tpch_scan_join_merged(spark, sf_dir):
+    """TPC-H Q1+Q6 (scan-bound rollups, the r9 union) + Q3+Q5
+    (join-bound shapes, the r9 union) in ONE variant-tag union —
+    absorbs tpch_q3 into tpch_q1's slot at r11 (both r11-due: clean
+    +1); all four locked plans remain literal union branches."""
+    a = q_tpch_q1q6_merged(spark, sf_dir).select(
+        "variant",
+        F.col("rf").alias("s1"),
+        F.col("ls").alias("s2"),
+        F.col("m1").alias("v1"),
+        F.col("m2").alias("v2"),
+        F.col("m3").alias("v3"),
+        F.col("m4").alias("v4"),
+        "cnt",
+    )
+    b = q_tpch_q3q5_merged(spark, sf_dir).select(
+        "variant",
+        F.col("k").cast("string").alias("s1"),
+        F.col("s").cast("string").alias("s2"),
+        F.col("revenue").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+        F.lit(0.0).alias("v4"),
+        F.col("n").alias("cnt"),
+    )
+    return a.unionAll(b)
+
+
+def _text_hygiene_merged_oracle() -> str:
+    return (
+        "SELECT 'clean' AS variant, doc_id AS k, n_removed AS n, "
+        "clean_md5 AS s FROM (" + ORACLES["clean_text"] + ") "
+        "UNION ALL "
+        "SELECT 'url' AS variant, keep_id AS k, n_docs AS n, cu AS s "
+        "FROM (" + ORACLES["url_canonical_dedup"] + ")"
+    )
+
+
+def q_text_hygiene_merged(spark, sf_dir):
+    """Text normalization (md5-pinned) + URL canonicalization dedup in
+    ONE variant-tag union — absorbs url_canonical_dedup into
+    clean_text's slot at r11 (both r11-due: clean +1)."""
+    a = q_clean_text(spark, sf_dir).select(
+        F.lit("clean").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("n_removed").alias("n"),
+        F.col("clean_md5").alias("s"),
+    )
+    b = q_url_canonical_dedup(spark, sf_dir).select(
+        F.lit("url").alias("variant"),
+        F.col("keep_id").alias("k"),
+        F.col("n_docs").alias("n"),
+        F.col("cu").alias("s"),
+    )
+    return a.unionAll(b)
+
+
 _QUEUED: dict = {
     # r11 merge, ready (frees 1: hilbert_envelope — due r11 — retires;
     # the builder reads ORACLES[name], so keep the constituent
@@ -10622,6 +10769,24 @@ _QUEUED: dict = {
     "fftconvolve@merged": (
         q_convolve_xfamily_merged,
         _convolve_xfamily_merged_oracle(),
+    ),
+    # r11 same-cohort merges, staged r10 (base AND absorbed both
+    # r11-due: clean +1 each — see the builder block above _QUEUED)
+    "dedup_minhash@merged": (
+        q_dedup_pair_family_merged,
+        _dedup_pair_family_merged_oracle(),
+    ),
+    "sketch_hll@merged": (
+        q_sketch_family_merged,
+        _sketch_family_merged_oracle(),
+    ),
+    "tpch_q1@merged": (
+        q_tpch_scan_join_merged,
+        _tpch_scan_join_merged_oracle(),
+    ),
+    "clean_text@merged": (
+        q_text_hygiene_merged,
+        _text_hygiene_merged_oracle(),
     ),
     # r11 merge, ready (frees 1: decimate_iir retires into
     # decimate_fir's slot)
