@@ -29,17 +29,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # r9 #1) and are not repeated here.
 ROUND_PLAN = {
     # Merge levers at r11 (verify against CORRECTNESS_r10.json at
-    # round open — static due-ness claims rot). EIGHT +1 levers are
+    # round open — static due-ness claims rot). TEN +1 levers are
     # staged and CI-byte-exact (see the r11 RECIPE comment in
     # contract.py above _QUEUED): sosfilt@merged(+1 net),
     # fftconvolve@merged(+1 net), multimodal_real_decode@merged,
     # gapfill@merged, dedup_minhash@merged, sketch_hll@merged,
-    # tpch_q1@merged, clean_text@merged. Head math: 49 due − 10
-    # absorbed + 2 dragged + 9 new = 50 → the FULL 8-name r11 slate
-    # plus one r12 pull-forward is fundable. Net-0 retirement levers
-    # (shrink N, no head slot) remain: hilbert/resample/
-    # embedding_quantize/lombscargle/dedup_exact/sessionize/
-    # dataset_mix/sosfilt_stream @merged.
+    # tpch_q1@merged, clean_text@merged, welch@merged,
+    # dataset_mix@merged (extended: +filter_by_quantile). Head math:
+    # 49 due − 12 absorbed + 2 dragged + 11 new = 50 → the FULL
+    # 8-name r11 slate plus THREE r12 pull-forwards is fundable.
+    # Net-0 retirement levers (shrink N, no head slot) remain:
+    # hilbert/resample/embedding_quantize/lombscargle/dedup_exact/
+    # sessionize/sosfilt_stream @merged.
     "r11": [
         "text_postings",
         "edit_distance_join",

@@ -3885,12 +3885,15 @@ def q_correlate(spark, sf_dir):
 #   dedup_minhash@merged (absorbs due dedup_minhash_cross),
 #   sketch_hll@merged (absorbs due sketch_hll_merge), tpch_q1@merged
 #   (absorbs due tpch_q3), clean_text@merged (absorbs due
-#   url_canonical_dedup).
-# Head math: 49 due − 10 absorbed + 2 dragged + K new = 50 → K = 9:
-# the full 8-name ledgered r11 slate + 1 pulled from r12.
-# N = 99 − 10 + 9 = 98 (− any net-0 retirement merges also executed:
-# hilbert/resample/embedding_quantize/lombscargle/dedup_exact/
-# sessionize/dataset_mix/sosfilt_stream remain available).
+#   url_canonical_dedup), welch@merged (absorbs due csd — the 4-way
+#   framed-spectral family), dataset_mix@merged (EXTENDED: absorbs
+#   due filter_by_quantile + retires non-due cap_per_group; base due).
+# Head math: 49 due − 12 absorbed + 2 dragged + K new = 50 → K = 11:
+# the full 8-name ledgered r11 slate + 3 pulled from r12.
+# N = 99 − 12 − 1 (cap_per_group retires free) + 11 = 97 (− any
+# further net-0 retirement merges: hilbert/resample/
+# embedding_quantize/lombscargle/dedup_exact/sessionize/
+# sosfilt_stream remain available).
 # ORACLE-READ SNAPSHOTS: grep `ORACLES\[` over every builder that
 # remains in _QUEUED after the r11 edit before popping anything —
 # the r10 pattern (_ISTFT_NATIVE_PLAIN_ORACLE / _ANN_EXACT_...).
@@ -9877,13 +9880,20 @@ def _dataset_shape_merged_oracle() -> str:
         "UNION ALL "
         "SELECT 'cap' AS variant, CAST(grp AS VARCHAR) AS k1, "
         "doc_id AS n1, CAST(-1 AS BIGINT) AS n2, CAST(-1 AS BIGINT) AS n3 "
-        "FROM (" + ORACLES["cap_per_group"] + ")"
+        "FROM (" + ORACLES["cap_per_group"] + ") "
+        "UNION ALL "
+        "SELECT 'qfilter' AS variant, event_type AS k1, event_id AS n1, "
+        "thr_q AS n2, CAST(-1 AS BIGINT) AS n3 "
+        "FROM (" + ORACLES["filter_by_quantile"] + ")"
     )
 
 
 def q_dataset_shape_merged(spark, sf_dir):
-    """Fixed-rate source mixing + per-group cap in ONE variant-tag
-    union — replaces dataset_mix + cap_per_group at r17."""
+    """Fixed-rate source mixing + per-group cap + per-group quantile
+    gate in ONE variant-tag union — the dataset-shaping family.
+    Extended at r10 to absorb r11-due filter_by_quantile alongside the
+    originally staged cap_per_group (base dataset_mix is r11-due, so
+    the quantile absorb is a clean +1)."""
     a = q_dataset_mix(spark, sf_dir).select(
         F.lit("mix").alias("variant"),
         F.col("source").alias("k1"),
@@ -9898,7 +9908,14 @@ def q_dataset_shape_merged(spark, sf_dir):
         F.lit(-1).cast("bigint").alias("n2"),
         F.lit(-1).cast("bigint").alias("n3"),
     )
-    return a.unionAll(b)
+    c = q_filter_by_quantile(spark, sf_dir).select(
+        F.lit("qfilter").alias("variant"),
+        F.col("event_type").alias("k1"),
+        F.col("event_id").alias("n1"),
+        F.col("thr_q").alias("n2"),
+        F.lit(-1).cast("bigint").alias("n3"),
+    )
+    return a.unionAll(b).unionAll(c)
 
 
 def _join_strategy_merged_oracle() -> str:
@@ -10725,6 +10742,40 @@ def q_tpch_scan_join_merged(spark, sf_dir):
     return a.unionAll(b)
 
 
+def _psd_family_merged_oracle() -> str:
+    # ORACLES["welch"] = the r9 hann+blackman union;
+    # ORACLES["csd"] = the r9 csd+spectrogram union
+    return (
+        "SELECT 'w_' || variant AS variant, user_id, idx AS i1, "
+        "CAST(-1 AS BIGINT) AS i2, power4 AS va, 0.0 AS vb "
+        "FROM (" + ORACLES["welch"] + ") "
+        "UNION ALL "
+        "SELECT 'c_' || variant AS variant, user_id, i1, i2, va, vb "
+        "FROM (" + ORACLES["csd"] + ")"
+    )
+
+
+def q_psd_family_merged(spark, sf_dir):
+    """The Welch power-spectral-density family (hann + blackman
+    windows, the r9 union) + the cross-spectral family (csd +
+    spectrogram, the r9 union) in ONE variant-tag union — absorbs csd
+    into welch's slot at r11 (both r11-due: clean +1); all four
+    framed-spectral plans stay literal union branches."""
+    w = q_welch_merged(spark, sf_dir).select(
+        F.concat(F.lit("w_"), F.col("variant")).alias("variant"),
+        "user_id",
+        F.col("idx").alias("i1"),
+        F.lit(-1).cast("bigint").alias("i2"),
+        F.col("power4").alias("va"),
+        F.lit(0.0).alias("vb"),
+    )
+    c = q_csd_merged(spark, sf_dir).select(
+        F.concat(F.lit("c_"), F.col("variant")).alias("variant"),
+        "user_id", "i1", "i2", "va", "vb",
+    )
+    return w.unionAll(c)
+
+
 def _text_hygiene_merged_oracle() -> str:
     return (
         "SELECT 'clean' AS variant, doc_id AS k, n_removed AS n, "
@@ -10788,6 +10839,7 @@ _QUEUED: dict = {
         q_text_hygiene_merged,
         _text_hygiene_merged_oracle(),
     ),
+    "welch@merged": (q_psd_family_merged, _psd_family_merged_oracle()),
     # r11 merge, ready (frees 1: decimate_iir retires into
     # decimate_fir's slot)
     "decimate_fir@merged": (q_decimate_merged, _decimate_merged_oracle()),
