@@ -131,23 +131,34 @@ def retention_cohorts(
     free — integer µs arithmetic, TIMESTAMP_NTZ-safe). Output:
     ``(cohort_period, period_offset, n_active)`` where
     ``cohort_period`` is the epoch-period index of the cohort and
-    offset 0 is the cohort period itself."""
+    offset 0 is the cohort period itself.
+
+    Plan (r10 rewrite): deduplicate to (group, period) pairs FIRST —
+    the distinct is a codegen'd hash aggregate whose map-side partials
+    shrink the one event-volume shuffle to per-partition-unique pairs
+    — then the per-group first and the offset join both run on the
+    small pairs frame (groups x active periods rows). The previous
+    shape joined every RAW event against the per-group firsts and
+    distinct'd the joined rows: two full event-volume shuffles. A
+    collect_set single-aggregation variant was also A/B'd and
+    rejected: it plans as ObjectHashAggregate (object-array state,
+    outside whole-stage codegen) and measured 42 s vs this plan's
+    4.1 s and the old plan's 30.9 s at the 1000x tier (100 M events,
+    1.5 M groups)."""
     if period_seconds <= 0:
         raise ValueError(f"period_seconds must be positive, got {period_seconds}")
     from ..functions.timeutil import epoch_us
 
     per_us = int(period_seconds) * 1_000_000
     p = F.floor(epoch_us(df, dim) / per_us).cast("bigint")
-    ev = df.select(F.col(by).alias("_g"), p.alias("_p"))
-    first = ev.groupBy("_g").agg(F.min("_p").alias("_cohort"))
-    joined = ev.join(first, "_g")
+    pairs = df.select(F.col(by).alias("_g"), p.alias("_p")).distinct()
+    first = pairs.groupBy("_g").agg(F.min("_p").alias("_cohort"))
     return (
-        joined.select(
-            "_g",
+        pairs.join(first, "_g")
+        .select(
             F.col("_cohort").alias("cohort_period"),
             (F.col("_p") - F.col("_cohort")).alias("period_offset"),
         )
-        .distinct()
         .groupBy("cohort_period", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
