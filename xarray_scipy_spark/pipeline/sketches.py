@@ -472,7 +472,14 @@ def histogram_sketch(
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
     keys = [by] if isinstance(by, str) else list(by or [])
-    df = spread(df, col)
+    # NO spread() here (r10): the histogram is a plain partial-
+    # aggregating scan — each scan partition reduces to <= bins+2 rows
+    # per group map-side, so a few missing cores on a scan-bound stage
+    # cost almost nothing, while spread()'s repartition shuffled the
+    # ENTIRE raw input first (measured at the 1000x tier / 100 M rows:
+    # 3.65 s with the repartition, 1.1 s without — the extra exchange
+    # was 70% of the operator). spread() is for CPU-heavy per-row
+    # pipelines (tokenize/hash/decode), not aggregating scans.
     x = _c(col).cast("double")
     # floor((x - lo) * bins / (hi - lo)) with the SAME op order as the
     # oracle; clamp into [-1, bins]
