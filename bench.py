@@ -365,14 +365,20 @@ def main() -> int:
     # tools/sentinel.py — VERDICT r9 #1 + the r10 finding that a
     # 125-query session accumulates state that inflates late rows and
     # follows an in-session rerun; a fresh session separates
-    # "session-state slow" from "genuinely slow"). Falls back to an
-    # in-session rerun if the subprocess fails. The official value is
-    # the smaller median; both measurements stay on record.
+    # "session-state slow" from "genuinely slow"). The battery session
+    # STOPS first so the rerun JVM doesn't contend with its 128 GB
+    # heap (the first protocol run's rerun measured 6x slow purely
+    # from that contention). Falls back to a new in-process session if
+    # the subprocess fails. The official value is the smaller median;
+    # both measurements stay on record.
     import subprocess
 
     sentinel = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "sentinel.py"
     )
+    if suspects:
+        spark.stop()
+        spark = None
     for name in suspects:
         row = detail[name]
         rerun = None
@@ -390,8 +396,10 @@ def main() -> int:
             row["rerun_subprocess_error"] = str(ex)[:200]
         if rerun is None:
             try:
+                if spark is None:
+                    spark = get_spark("bench-rerun")
                 rerun = measure(resolve(name))
-                row["rerun_mode"] = "in-session"
+                row["rerun_mode"] = "fallback-session"
             except Exception as ex:
                 row["rerun_error"] = str(ex)[:300]
                 continue
@@ -461,7 +469,8 @@ def main() -> int:
             }
         )
     )
-    spark.stop()
+    if spark is not None:
+        spark.stop()
     return 0
 
 
