@@ -2434,3 +2434,81 @@ def test_data_profile_approx_distinct_path(spark):
     out = {r["column"]: r for r in res.collect()}
     assert abs(out["id"]["n_distinct"] - 20_000) <= 20_000 * 0.06
     assert abs(out["c"]["n_distinct"] - 100) <= 8
+
+
+def test_missing_windows_interior_and_trailing(spark):
+    """Heartbeat detection: interior gaps come from the observed span;
+    trailing silence needs the explicit range_end (the documented
+    windowed_constraints min_rows caveat)."""
+    import xarray_scipy_spark.pipeline as pl
+
+    obs = spark.createDataFrame(
+        [(0,), (60,), (180,), (240,)], "window_start long"
+    )
+    interior = [
+        r["window_start"]
+        for r in pl.missing_windows(obs, window_seconds=60).collect()
+    ]
+    assert interior == [120]
+    # a feed that died at t=300: only the pinned horizon can see it
+    full = [
+        r["window_start"]
+        for r in pl.missing_windows(
+            obs, window_seconds=60, range_start=0, range_end=480
+        ).collect()
+    ]
+    assert full == [120, 300, 360, 420]
+    # the grid aligns to epoch buckets even for unaligned ranges
+    aligned = [
+        r["window_start"]
+        for r in pl.missing_windows(
+            obs, window_seconds=60, range_start=70, range_end=200
+        ).collect()
+    ]
+    assert aligned == [120]
+
+
+def test_missing_windows_edge_cases(spark):
+    """Empty observations yield an empty (not crashing) result without
+    an explicit range; a full range over empty observations reports
+    every window; bad window_seconds rejects."""
+    import pytest as _pytest
+
+    import xarray_scipy_spark.pipeline as pl
+
+    empty = spark.createDataFrame([], "window_start long")
+    assert pl.missing_windows(empty, window_seconds=60).count() == 0
+    allmiss = pl.missing_windows(
+        empty, window_seconds=60, range_start=0, range_end=180
+    )
+    assert [r["window_start"] for r in allmiss.collect()] == [0, 60, 120]
+    with _pytest.raises(ValueError, match="window_seconds"):
+        pl.missing_windows(empty, window_seconds=0)
+
+
+def test_missing_windows_composes_with_windowed_constraints(spark):
+    """End-to-end: windowed_constraints output feeds missing_windows
+    directly — the silent window appears in neither constraint row
+    but IS reported as missing."""
+    import datetime as _dt
+
+    import xarray_scipy_spark.pipeline as pl
+
+    base = _dt.datetime(2026, 1, 1)
+    rows = [
+        (base + _dt.timedelta(seconds=s), float(v))
+        for s, v in [(5, 1.0), (20, 2.0), (130, 3.0)]  # window 60-120 silent
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = pl.windowed_constraints(
+        df,
+        dim="ts",
+        constraints=[{"kind": "non_negative", "column": "value"}],
+        window="60 seconds",
+        watermark="10 minutes",
+    )
+    starts = sorted(r["window_start"] for r in out.collect())
+    epoch0 = int(base.replace(tzinfo=_dt.timezone.utc).timestamp())
+    assert starts == [epoch0, epoch0 + 120]
+    gaps = pl.missing_windows(out, window_seconds=60)
+    assert [r["window_start"] for r in gaps.collect()] == [epoch0 + 60]

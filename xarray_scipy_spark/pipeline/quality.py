@@ -43,6 +43,7 @@ __all__ = [
     "constraint_check",
     "frequent_values",
     "windowed_constraints",
+    "missing_windows",
 ]
 
 
@@ -367,10 +368,10 @@ def windowed_constraints(
     ``min_rows`` caveat: a window with ZERO rows produces no group and
     therefore no output row — the floor only evaluates windows that
     received at least one event, so it cannot flag a completely silent
-    feed (the true heartbeat-failure case). Total-silence detection
-    needs gap detection downstream: generate the expected window grid
-    and left-join this output against it (or alarm on absent window
-    keys), which is itself a stateless batch/stream join.
+    feed (the true heartbeat-failure case). Total-silence detection is
+    :func:`missing_windows`: feed it this output (plus the monitoring
+    horizon) and it reports every expected window that never produced
+    a row — a grid-sized left-anti join, no event-volume work.
 
     Output: ``(window_start, constraint, kind, passed, n_violations,
     n_rows)``, one row per (window, constraint).
@@ -424,3 +425,61 @@ def windowed_constraints(
         F.col("w.start").cast("long").alias("window_start"),
         F.explode(F.array(*rows)).alias("_r"),
     ).select("window_start", "_r.*")
+
+
+def missing_windows(
+    observed: DataFrame,
+    *,
+    window_start_col: str = "window_start",
+    window_seconds: int,
+    range_start=None,
+    range_end=None,
+) -> DataFrame:
+    """Total-silence (heartbeat-failure) detection — the downstream
+    half :func:`windowed_constraints` documents: a window with ZERO
+    events produces no aggregate row at all, so the only way to see a
+    dead feed is to generate the EXPECTED window grid and subtract the
+    windows that reported.
+
+    ``observed`` is any frame with epoch-second window starts in
+    ``window_start_col`` (``windowed_constraints``' output works
+    as-is). The expected grid spans ``[range_start, range_end)``
+    epoch seconds — pass the monitoring horizon explicitly for a live
+    monitor; left as None they default to the observed min/max, which
+    detects interior gaps only (a feed that died and never came back
+    has no observed right edge to learn from, which is exactly why a
+    real monitor pins ``range_end`` to the wall clock).
+
+    Plan: the grid is ONE ``sequence()`` projection — O(windows) rows,
+    a calendar property, never event volume — and the subtraction is a
+    left-anti join on the window start: grid-sized, broadcastable,
+    no event-volume shuffle anywhere. Output: ``(window_start,)`` one
+    row per silent window, ascending.
+    """
+    if window_seconds <= 0:
+        raise ValueError(
+            f"window_seconds must be positive, got {window_seconds}"
+        )
+    spark = observed.sparkSession
+    w = F.col(window_start_col).cast("long")
+    bounds = observed.agg(
+        F.min(w).alias("_lo"), F.max(w).alias("_hi")
+    ).first()
+    lo = int(range_start) if range_start is not None else bounds["_lo"]
+    hi = int(range_end) if range_end is not None else (
+        None if bounds["_hi"] is None else bounds["_hi"] + window_seconds
+    )
+    if lo is None or hi is None or hi <= lo:
+        return spark.range(0).select(
+            F.col("id").cast("long").alias("window_start")
+        )
+    per = int(window_seconds)
+    # align the grid to the same epoch buckets window() produces
+    first = (lo // per) * per
+    grid = spark.range(first, hi, per).select(
+        F.col("id").cast("long").alias("window_start")
+    )
+    seen = observed.select(w.alias("window_start")).distinct()
+    return grid.join(seen, "window_start", "left_anti").orderBy(
+        "window_start"
+    )
