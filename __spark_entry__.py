@@ -35,33 +35,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round, CHANGED this round, or UNCHECKED last round sits in the
 # head; the two-round freshness bar caps the registry at 100 names.
 #
-# r10 rotation (EXECUTED this round — see contract.py's r10 rotation
-# block): ELEVEN variant merges under their base names —
-# istft_roundtrip(+istft_native), lfilter(+filtfilt),
-# dataset_split(+stratified), ann_cosine_topk(+lsh),
-# fftconvolve(+convolve+correlate), cwt_ricker(+periodogram),
-# savgol(+detrend), acf(+ewma+seasonal_decompose),
-# text_logprob(+text_vocab), skew_join(+bloom_semijoin),
-# text_token_stats(+text_url_stats, +text_redact riding free from the
-# r9 head) — 13 r10-due constituents absorbed, freeing 13 head slots;
-# 14 registrations landed (the ledgered r10 slate: interval_join,
-# funnel, retention, audio_spectral, char_entropy, ngram_counts,
-# quantile_normalize, rolling_median, kfold_weights, tpch_q4,
-# tpch_q18, grouped_ols, triangle_count, sequence_pack).
-# N = 99 − 14 absorbed + 14 new = 99. The staged convolve@merged /
-# correlate@merged queue entries were DROPPED (their constituents
-# retired into the fftconvolve family instead — one family per
-# constituent); convolve_valid + deconvolve remain an r11 lever.
+# r11 rotation (EXECUTED this round — see contract.py's r11 rotation
+# block): TEN merges — sosfilt(+chunked+sosfiltfilt, drags sosfilt),
+# fftconvolve(+convolve_valid+deconvolve, drags fftconvolve),
+# multimodal_real_decode(+video_frames), gapfill(+interp_to),
+# dedup_minhash(+cross), sketch_hll(+hll_merge), tpch_q1(+q3),
+# clean_text(+url_canonical_dedup), welch(+csd),
+# dataset_mix(+filter_by_quantile, cap_per_group retiring free) —
+# 12 r11-due constituents absorbed + cap_per_group retired; 10
+# registrations landed (the FULL ledgered r11 slate: text_postings,
+# edit_distance_join, bm25_scores, event_pivot, orders_unshipped,
+# json_props_stats, cdc_apply, window_analytics; + 2 r12
+# pull-forwards: active_user_setops, weighted_sample).
+# N = 99 − 12 − 1 + 10 = 96. The recipe's K=11 became K=10 because
+# sequence_pack's oracle CHANGED this round (HUGEINT->BIGINT casts
+# fixing the r10 driver hash-fail) and so re-enters the head.
 #
-# Head (50) = the 36 surviving r10-due names (the 11 merged bases
-# among them carry their variant unions) + the 14 new registrations.
-# Tail (49) = the r9-head names (green CORRECTNESS_r09 rows, no r10
-# code change) minus the absorbed text_redact, in CORRECTNESS_r09.json
+# Head (50) = 37 surviving r11-due names (the 8 merged bases among
+# them carry their variant unions) + 2 dragged (sosfilt, fftconvolve)
+# + sequence_pack (changed) + the 10 new registrations.
+# Tail (46) = the r10-head names (green CORRECTNESS_r10 rows, no r11
+# code change) minus dragged sosfilt/fftconvolve, retired
+# cap_per_group, and changed sequence_pack, in CORRECTNESS_r10.json
 # key order. Tail queries retain value-level verification in CI:
 # tests/test_contract_integration.py::test_tail_queries_match_oracle
 # runs each against its DuckDB oracle at sf0.001 every pytest run
 # (which also asserts head size == exactly 50), and
-# tools/check_correctness.py covers all 99 at sf0.01 on demand.
+# tools/check_correctness.py covers all 96 at sf0.01 on demand.
 #
 # ROTATION MATH: with a 50-slot head, N registered queries get
 # driver-checked every ceil(N/50) rounds — the two-round freshness bar
@@ -70,55 +70,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # comments, they went stale once already, ADVICE r9 #1); prefer
 # retiring redundant variants over weakening either bar.
 _CHECK_LAST = (
-    "fft",
-    "resample_freq",
-    "stft",
-    "welch",
-    "csd",
-    "hilbert_envelope",
-    "sosfilt_chunked",
-    "peak_widths",
-    "dominant_frequency",
-    "dedup_minhash",
-    "ann_cosine_topk_ivf",
-    "embedding_pca",
-    "dataset_mix",
-    "decontaminate",
-    "multimodal_features",
-    "multimodal_real_decode",
-    "multimodal_audio_decode",
-    "tpch_q1",
-    "sessionize",
-    "fftconvolve_2d",
-    "tpch_q3",
-    "sosfilt_stream",
-    "asof_join",
-    "dedup_clusters",
-    "decimate_iir",
-    "sosfiltfilt",
-    "text_lang_id",
-    "convolve_valid",
-    "dedup_ngram_spans",
-    "deconvolve",
-    "sketch_hll",
-    "gapfill",
-    "dedup_minhash_cross",
-    "cube_revenue",
-    "filter_by_quantile",
-    "interp_to",
-    "ohlc_bars",
-    "latest_by_key",
-    "multimodal_video_frames",
-    "sample_negatives",
-    "rolling_stats",
-    "pagerank",
-    "zorder_curve",
-    "sketch_hll_merge",
-    "group_quantiles",
-    "url_canonical_dedup",
-    "winsorize",
-    "clean_text",
-    "bpe_encode",
+    "decimate_fir",
+    "resample",
+    "istft_roundtrip",
+    "cwt_ricker",
+    "resample_poly",
+    "fftconvolve_complex",
+    "coherence",
+    "hilbert",
+    "lfilter",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "curation_report",
+    "embedding_quantize",
+    "dataset_split",
+    "lineitem_rollup",
+    "stream_window_stats_live",
+    "multimodal_gzip_decode",
+    "stream_dedup",
+    "text_logprob",
+    "multimodal_png_decode",
+    "savgol",
+    "stream_window_stats",
+    "ifft",
+    "fftshift",
+    "medfilt",
+    "text_token_stats",
+    "skew_join",
+    "sketch_histogram",
+    "text_hash_vectors",
+    "lombscargle",
+    "acf",
+    "robust_zscore",
+    "interval_join",
+    "funnel",
+    "retention",
+    "audio_spectral",
+    "char_entropy",
+    "ngram_counts",
+    "quantile_normalize",
+    "rolling_median",
+    "kfold_weights",
+    "tpch_q4",
+    "tpch_q18",
+    "grouped_ols",
+    "triangle_count",
 )
 
 

@@ -199,6 +199,8 @@ HEADLINE = [
     "constraint_check",
     "frequent_values",
     "windowed_constraints",
+    # r11 addition: total-silence detection (oracle row added r11)
+    "missing_windows",
 ]
 
 
@@ -253,6 +255,25 @@ def plain_overrides() -> dict:
         "skew_join": C.q_skew_join,
         "bloom_semijoin": C.q_bloom_semijoin,
         "text_url_stats": C.q_text_url_stats,
+        # r11 rotation (10 merges)
+        "sosfilt": C.q_sosfilt,
+        # sosfiltfilt's plain plan is the r7 padtype union — the same
+        # function its BENCH row has measured since r7
+        "sosfiltfilt": C.q_sosfiltfilt_merged,
+        # convolve_valid's BENCH row has measured the r9 valid-mode
+        # union since r9 — keep that exact plan
+        "convolve_valid": C.q_convolve_merged,
+        "deconvolve": C.q_deconvolve,
+        "multimodal_real_decode": C.q_multimodal_real_decode,
+        "multimodal_video_frames": C.q_multimodal_video_frames,
+        "gapfill": C.q_gapfill,
+        "interp_to": C.q_interp_to,
+        "dedup_minhash_cross": C.q_dedup_minhash_cross,
+        "sketch_hll_merge": C.q_sketch_hll_merge,
+        "clean_text": C.q_clean_text,
+        "url_canonical_dedup": C.q_url_canonical_dedup,
+        "cap_per_group": C.q_cap_per_group,
+        "filter_by_quantile": C.q_filter_by_quantile,
     }
 
 
@@ -286,17 +307,27 @@ def main() -> int:
     # committed BENCH_DETAIL.json (the file on disk at run time is the
     # prior round's — the driver commits it per round). Steal only
     # inflates, so the monotone min is robust to corrupted rounds.
+    # Band hygiene: bands are only meaningful WITHIN one scale factor —
+    # an ad-hoc sf0.01 verify run must neither inherit the sf0.1 bands
+    # (everything would read as 10x-fast) nor overwrite the committed
+    # sf0.1 record (future official runs would flag vs sf0.01 minima).
+    # Non-default-sf runs read/write a suffixed artifact instead.
+    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    detail_name = (
+        "BENCH_DETAIL.json" if sf_tag == "0.1" else f"BENCH_DETAIL_sf{sf_tag}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     bands: dict[str, float] = {}
     try:
         with open(detail_path) as fh:
             prior = json.load(fh)
-        bands.update(prior.get("bands", {}))
-        for k, v in prior.get("queries", {}).items():
-            if isinstance(v, (int, float)) and v > 0:
-                bands[k] = min(bands.get(k, v), v)
+        if str(prior.get("sf")) == sf_tag or sf_tag == "0.1":
+            bands.update(prior.get("bands", {}))
+            for k, v in prior.get("queries", {}).items():
+                if isinstance(v, (int, float)) and v > 0:
+                    bands[k] = min(bands.get(k, v), v)
     except (OSError, ValueError):
         pass
 

@@ -679,6 +679,63 @@ def test_tpch_q14_q22_no_cartesian(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
+# --- merged-union glue locks (ADVICE r10 #5) --------------------------------
+# _contract_fn prefers the plain q_<name> function, so the union plans
+# themselves had no lock: an accidental repartition/sort between
+# unionAll branches would go unnoticed. Lock: the union's Exchange
+# count must not exceed the SUM of its branches' own counts (exchange
+# reuse may make it smaller — never larger), and the glue must be a
+# plain Union node.
+
+_MERGED_UNIONS = {
+    # r11 rotation
+    "sosfilt": ("q_sosfilt", "q_sosfilt_chunked", "q_sosfiltfilt_merged"),
+    "fftconvolve": ("q_convolve_family_merged", "q_convolve_merged", "q_deconvolve"),
+    "multimodal_real_decode": (
+        "q_multimodal_real_decode",
+        "q_multimodal_video_frames",
+    ),
+    "gapfill": ("q_gapfill", "q_interp_to"),
+    "dedup_minhash": ("q_dedup_pairs_merged", "q_dedup_minhash_cross"),
+    "sketch_hll": ("q_sketch_state_merged", "q_sketch_hll_merge"),
+    "tpch_q1": ("q_tpch_q1q6_merged", "q_tpch_q3q5_merged"),
+    "clean_text": ("q_clean_text", "q_url_canonical_dedup"),
+    "welch": ("q_welch_merged", "q_csd_merged"),
+    "dataset_mix": ("q_dataset_mix", "q_cap_per_group", "q_filter_by_quantile"),
+    # r10 rotation
+    "istft_roundtrip": ("q_istft_roundtrip", "q_istft_native"),
+    "lfilter": ("q_lfilter", "q_filtfilt"),
+    "dataset_split": ("q_dataset_split", "q_dataset_stratified"),
+    "ann_cosine_topk": ("q_ann_cosine_topk", "q_ann_cosine_topk_lsh"),
+    "cwt_ricker": ("q_cwt_ricker", "q_periodogram"),
+    "acf": ("q_acf", "q_ewma", "q_seasonal_decompose"),
+    "text_logprob": ("q_text_logprob", "q_text_vocab"),
+    "skew_join": ("q_skew_join", "q_bloom_semijoin"),
+    "text_token_stats": ("q_text_stats_merged", "q_text_redact", "q_text_url_stats"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_MERGED_UNIONS))
+def test_merged_union_adds_no_exchange(spark, name):
+    """The registered variant-tag union must be pure unionAll glue:
+    its static plan contains a Union node and no MORE Exchange nodes
+    than its branches' plans sum to (reuse may shrink the count)."""
+    from xarray_scipy_spark import contract as C
+    from xarray_scipy_spark.contract import QUERIES
+
+    union_plan = _static_plan(QUERIES[name](spark, SF_DIR))
+    assert "Union" in union_plan, union_plan
+    branch_sum = sum(
+        _static_plan(getattr(C, b)(spark, SF_DIR)).count("Exchange")
+        for b in _MERGED_UNIONS[name]
+    )
+    assert union_plan.count("Exchange") <= branch_sum, (
+        name,
+        union_plan.count("Exchange"),
+        branch_sum,
+    )
+
+
 def test_unforced_broadcasts_scale_paths(spark):
     """target_encoding's per-category aggregate and pagerank's degree
     frame are DATA-SIZED (one row per category / vertex), so neither

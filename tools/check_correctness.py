@@ -56,6 +56,22 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
     }
     if not (out["rows_match"] and out["schema_match"]):
         return out
+    # Strict dtype-kind gate: the driver's value hash normalizes per
+    # dtype, so an int64 Spark column against a float64 oracle column
+    # (e.g. DuckDB HUGEINT -> pandas float64, the r10 sequence_pack
+    # fail) hashes differently even when every value is equal. Catch
+    # the skew here instead of letting the value-equality compare
+    # below mask it.
+    skew = {}
+    for c in sorted(sdf.columns):
+        ks = sdf[c].dtype.kind
+        ko = odf[c].dtype.kind
+        ks = "i" if ks in "iu" else ks
+        ko = "i" if ko in "iu" else ko
+        if {ks, ko} == {"i", "f"}:
+            skew[c] = f"spark={sdf[c].dtype} oracle={odf[c].dtype}"
+    if skew:
+        out["dtype_skew"] = skew
     a, b = normalize(sdf), normalize(odf)
     mismatches = {}
     for c in a.columns:
@@ -76,7 +92,7 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
                     "n_diff": int((av != bv).sum()),
                     "examples": [(str(av[i]), str(bv[i])) for i in bad],
                 }
-    out["hash_match"] = not mismatches
+    out["hash_match"] = not mismatches and not skew
     if mismatches:
         out["mismatches"] = mismatches
     return out
@@ -141,6 +157,8 @@ def main() -> int:
         )
         if not ok and "mismatches" in res:
             print(f"      mismatches: {json.dumps(res['mismatches'])[:400]}", flush=True)
+        if not ok and "dtype_skew" in res:
+            print(f"      dtype_skew: {json.dumps(res['dtype_skew'])[:400]}", flush=True)
     with open("/tmp/check_correctness.json", "w") as f:
         json.dump(report, f, indent=1, default=str)
     print(f"\n{len(report) - len(fails)}/{len(report)} ok; failures: {fails}")

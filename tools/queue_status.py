@@ -17,44 +17,33 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# r10 executed: ELEVEN merges (istft pair, lfilter+filtfilt,
-# dataset_split+stratified, ann exact+lsh, convolve-family trio,
-# cwt+periodogram, savgol+detrend, tsstats trio, text_logprob+vocab,
-# skew_join+bloom_semijoin, text-surface trio) — 13 r10-due
-# constituents absorbed + text_redact riding free; the FULL r10 slate
-# (14 names) registered. N stays 99. The staged convolve@merged /
-# correlate@merged entries were DROPPED (constituents retired into
-# the fftconvolve family — one family per constituent). Live counts:
-# run this tool; static counts in comments went stale once (ADVICE
-# r9 #1) and are not repeated here.
+# r11 executed: TEN merges (sosfilt family, fftconvolve x-family,
+# multimodal_real_decode+video_frames, gapfill+interp_to,
+# dedup_minhash+cross, sketch_hll+merge, tpch_q1+q3, clean_text+url,
+# welch+csd, dataset_mix+filter_by_quantile with cap_per_group
+# retiring free) — 12 r11-due constituents absorbed + 1 free
+# retirement; the FULL 8-name r11 slate + 2 r12 pull-forwards
+# (active_user_setops, weighted_sample) registered. The recipe's
+# K=11 became K=10: sequence_pack's oracle changed (HUGEINT cast
+# fix) and re-entered the head. N = 96. Live counts: run this tool;
+# static counts in comments went stale once (ADVICE r9 #1) and are
+# not repeated here.
 ROUND_PLAN = {
-    # Merge levers at r11 (verify against CORRECTNESS_r10.json at
-    # round open — static due-ness claims rot). TEN +1 levers are
-    # staged and CI-byte-exact (see the r11 RECIPE comment in
-    # contract.py above _QUEUED): sosfilt@merged(+1 net),
-    # fftconvolve@merged(+1 net), multimodal_real_decode@merged,
-    # gapfill@merged, dedup_minhash@merged, sketch_hll@merged,
-    # tpch_q1@merged, clean_text@merged, welch@merged,
-    # dataset_mix@merged (extended: +filter_by_quantile). Head math:
-    # 49 due − 12 absorbed + 2 dragged + 11 new = 50 → the FULL
-    # 8-name r11 slate plus THREE r12 pull-forwards is fundable.
-    # Net-0 retirement levers (shrink N, no head slot) remain:
-    # hilbert/resample/embedding_quantize/lombscargle/dedup_exact/
-    # sessionize/sosfilt_stream @merged.
-    "r11": [
-        "text_postings",
-        "edit_distance_join",
-        "bm25_scores",
-        "event_pivot",
-        "orders_unshipped",
-        "json_props_stats",
-        "cdc_apply",
-        "window_analytics",
-    ],
+    # Merge levers at r12 (REDO the due-ness math against
+    # CORRECTNESS_r11.json at round open — static due-ness claims
+    # rot). Staged and CI-byte-exact: hilbert@merged (absorbs
+    # hilbert_envelope), decimate_fir@merged (absorbs decimate_iir),
+    # resample@merged (absorbs resample_poly + resample_freq),
+    # multimodal_audio_decode@merged (absorbs multimodal_gzip_decode
+    # — base due r12 only if dragged; check cohorts), dedup_exact@
+    # merged, sessionize@merged, embedding_quantize@merged,
+    # fftconvolve_2d@merged, lombscargle@merged, sosfilt_stream@
+    # merged, ifft@merged, stft@merged, funnel@merged, tpch_q4@merged,
+    # lineitem_rollup@merged, rolling_stats@merged, group_quantiles@
+    # merged, curation_report@merged.
     "r12": [
-        "active_user_setops",
         "ann_recall_eval",
-        "weighted_sample",
+        "missing_windows",
         "tpch_q7",
         "tpch_q10",
         "tpch_q14",

@@ -61,10 +61,16 @@ def main() -> int:
            "rows": []}
     for name in names:
         code = _CHILD.format(repo=REPO, name=name, sf_dir=sf_dir)
-        r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            cwd=REPO, timeout=600,
-        )
+        # one hung/broken sentinel must not kill the whole run — append
+        # an error row and keep measuring the rest (ADVICE r10 #3)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                cwd=REPO, timeout=600,
+            )
+        except (subprocess.TimeoutExpired, OSError) as ex:
+            out["rows"].append({"name": name, "error": f"{type(ex).__name__}: {ex}"[:800]})
+            continue
         last = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
         if not last:
             out["rows"].append({"name": name, "error": r.stderr[-800:]})

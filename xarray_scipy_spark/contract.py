@@ -7327,20 +7327,28 @@ _PACK_BUCKETS = 64
 
 
 def _sequence_pack_oracle() -> str:
+    # Every derived column is CAST to BIGINT: DuckDB's integer sum()
+    # (incl. the running-sum window) yields HUGEINT, which // and %
+    # propagate; pandas renders HUGEINT as float64, so without the
+    # casts the driver's value hash sees float bytes against Spark's
+    # int64 even though every value is equal (the r10 hash-fail —
+    # VERDICT r10 #1; the local checker's int-vs-float value compare
+    # masked it until the strict-dtype mode was added alongside).
     ln = _PACK_LEN
     return (
         "WITH t AS (SELECT doc_id, "
         "len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok "
         "FROM documents), "
         "c AS (SELECT doc_id, n_tok, "
-        "sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
-        "- n_tok AS s FROM t) "
+        "CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
+        "- n_tok AS BIGINT) AS s FROM t) "
         "SELECT doc_id, n_tok, "
-        f"s // {ln} AS start_bin, s % {ln} AS start_off, "
-        f"CASE WHEN n_tok > 0 THEN (s + n_tok - 1) // {ln} "
-        f"ELSE s // {ln} END AS end_bin, "
-        f"CASE WHEN n_tok > 0 THEN (s + n_tok - 1) // {ln} - s // {ln} + 1 "
-        "ELSE 0 END AS n_bins FROM c"
+        f"CAST(s // {ln} AS BIGINT) AS start_bin, "
+        f"CAST(s % {ln} AS BIGINT) AS start_off, "
+        f"CAST(CASE WHEN n_tok > 0 THEN (s + n_tok - 1) // {ln} "
+        f"ELSE s // {ln} END AS BIGINT) AS end_bin, "
+        f"CAST(CASE WHEN n_tok > 0 THEN (s + n_tok - 1) // {ln} - s // {ln} + 1 "
+        "ELSE 0 END AS BIGINT) AS n_bins FROM c"
     )
 
 
@@ -10419,6 +10427,55 @@ def q_windowed_constraints(spark, sf_dir):
     )
 
 
+_MW_SECONDS = 3600
+
+
+def _missing_windows_oracle() -> str:
+    """DuckDB twin of pipeline.quality.missing_windows over 1-hour
+    'error'-event windows: identical epoch bucketing (epoch_ns // per
+    — the windowed_constraints precedent), the expected grid as an
+    inclusive range over the observed min/max, and the subtraction as
+    the same anti-join (LEFT JOIN ... WHERE NULL). Every derived
+    column CAST to BIGINT (the sequence_pack HUGEINT lesson)."""
+    per = _MW_SECONDS
+    ns = per * 1_000_000_000
+    return (
+        f"WITH o AS (SELECT DISTINCT CAST((epoch_ns(ts) // {ns}) * {per} "
+        "AS BIGINT) AS ws FROM events WHERE event_type = 'error'), "
+        "b AS (SELECT min(ws) AS lo, max(ws) AS hi FROM o), "
+        f"g AS (SELECT CAST(unnest(range(lo, hi + {per}, {per})) "
+        "AS BIGINT) AS window_start FROM b) "
+        "SELECT g.window_start FROM g LEFT JOIN o ON g.window_start = o.ws "
+        "WHERE o.ws IS NULL"
+    )
+
+
+def q_missing_windows(spark, sf_dir):
+    """Total-silence (dead-feed) detection (pipeline/quality.py
+    missing_windows): 1-hour windows of 'error' events that produced
+    ZERO rows — the gap class no per-window aggregate can report
+    because silent windows emit no aggregate row at all. Default
+    (unpinned) horizon = observed min/max, so this is the
+    interior-gap configuration; the pinned live-monitor path skips
+    the bounds scan entirely (ADVICE r10 #2) and is unit-tested. The
+    grid is one sequence() projection — O(windows), a calendar
+    property — and the subtraction a broadcastable left-anti join;
+    no event-volume shuffle anywhere (538 silent windows at sf0.001,
+    42 at sf0.01 — real gaps at both CI scales)."""
+    from .functions import timeutil
+    from .pipeline.quality import missing_windows
+
+    per = _MW_SECONDS
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "error"
+    )
+    # ts is timestamp_ntz: project to epoch seconds via epoch_us (the
+    # sessionize precedent), then integer bucketing — no float division
+    sec = (timeutil.epoch_us(ev, "ts") / F.lit(1_000_000)).cast("bigint")
+    obs = ev.select((sec - sec % per).alias("window_start"))
+    return missing_windows(obs, window_seconds=per)
+
+
 _FREQ_COLS = ("l_returnflag", "l_quantity", "o_orderpriority")
 _FREQ_K = 5
 
@@ -10805,61 +10862,91 @@ def q_text_hygiene_merged(spark, sf_dir):
     return a.unionAll(b)
 
 
+# ---------------------------------------------------------------------------
+# r11 rotation EXECUTED per the ledgered recipe (the r11 RECIPE block
+# above _QUEUED's predecessor comment): TEN merges — two cross-cohort
+# (sosfilt@merged drags sosfilt, fftconvolve@merged drags fftconvolve:
+# each absorbs 2 due names, net +1), two base-due
+# (multimodal_real_decode@merged absorbs multimodal_video_frames,
+# gapfill@merged absorbs interp_to), six same-cohort clean +1
+# (dedup_minhash+cross, sketch_hll+merge, tpch_q1+q3, clean_text+url,
+# welch+csd, dataset_mix+filter_by_quantile with cap_per_group
+# retiring free). 12 due names absorbed + cap_per_group retired.
+# Head math DEVIATES from the recipe's K=11 by design: sequence_pack's
+# oracle CHANGED this round (the HUGEINT->BIGINT cast fix for the r10
+# driver hash-fail, VERDICT r10 #1), so it takes one head slot —
+# 49 due − 12 absorbed + 2 dragged + 1 changed + 10 new = 50 exactly.
+# The 10 registrations: the FULL 8-name ledgered r11 slate + 2 r12
+# pull-forwards (active_user_setops, weighted_sample).
+# N = 99 − 12 − 1 + 10 = 96. Same mechanics as r9/r10: merged-oracle
+# builders read the constituents' ORACLES[...] rows, so every _q()
+# call lands BEFORE the pops; plain q_* functions remain for bench
+# plan-continuity and plan locks. No new plain-oracle snapshots
+# needed: every builder remaining in _QUEUED after this block either
+# reads names unchanged at r11 or calls its constituents' oracle
+# builders directly (audited at r11 open — grep `ORACLES\[`).
+# ---------------------------------------------------------------------------
+_q("sosfilt", _sosfilt_family_merged_oracle())(q_sosfilt_family_merged)
+_q("fftconvolve", _convolve_xfamily_merged_oracle())(q_convolve_xfamily_merged)
+_q("multimodal_real_decode", _real_decode_merged_oracle())(q_real_decode_merged)
+_q("gapfill", _regularize_merged_oracle())(q_regularize_merged)
+_q("dedup_minhash", _dedup_pair_family_merged_oracle())(q_dedup_pair_family_merged)
+_q("sketch_hll", _sketch_family_merged_oracle())(q_sketch_family_merged)
+_q("tpch_q1", _tpch_scan_join_merged_oracle())(q_tpch_scan_join_merged)
+_q("clean_text", _text_hygiene_merged_oracle())(q_text_hygiene_merged)
+_q("welch", _psd_family_merged_oracle())(q_psd_family_merged)
+_q("dataset_mix", _dataset_shape_merged_oracle())(q_dataset_shape_merged)
+for _gone in (
+    "sosfilt_chunked",
+    "sosfiltfilt",
+    "convolve_valid",
+    "deconvolve",
+    "multimodal_video_frames",
+    "interp_to",
+    "dedup_minhash_cross",
+    "sketch_hll_merge",
+    "tpch_q3",
+    "url_canonical_dedup",
+    "csd",
+    "filter_by_quantile",
+    "cap_per_group",
+):
+    del QUERIES[_gone]
+    ORACLES.pop(_gone, None)
+del _gone
+# the 10 r11 registrations (the ledgered 8-name slate +
+# active_user_setops + weighted_sample pulled from r12)
+_q("text_postings", _text_postings_oracle())(q_text_postings)
+_q("edit_distance_join", _edit_join_oracle())(q_edit_distance_join)
+_q("bm25_scores", _bm25_oracle())(q_bm25_scores)
+_q("event_pivot", _event_pivot_oracle())(q_event_pivot)
+_q("orders_unshipped", _orders_unshipped_oracle())(q_orders_unshipped)
+_q("json_props_stats", _json_props_oracle())(q_json_props_stats)
+_q("cdc_apply", _cdc_apply_oracle())(q_cdc_apply)
+_q("window_analytics", _window_analytics_oracle())(q_window_analytics)
+_q("active_user_setops", _setops_oracle())(q_active_user_setops)
+_q("weighted_sample", _weighted_sample_oracle())(q_weighted_sample)
+
+
 _QUEUED: dict = {
-    # r11 merge, ready (frees 1: hilbert_envelope — due r11 — retires;
+    # r12 merge, ready (frees 1: hilbert_envelope — due r12 — retires;
     # the builder reads ORACLES[name], so keep the constituent
     # registrations until the rotation block pops them)
     "hilbert@merged": (q_hilbert_merged, _hilbert_merged_oracle()),
-    # r11 merge, STAGED (the extension lever): convolve_valid +
-    # deconvolve — both due r11 — fold into the fftconvolve family
-    # union registered at r10 (drags fftconvolve into the r11 head a
-    # round early: net +1 slot). The previously staged
-    # convolve@merged / correlate@merged entries were DROPPED at r10:
-    # their constituents retired into fftconvolve@merged instead
-    # ("pick ONE family per constituent" — the r10 recipe note).
-    "fftconvolve@merged": (
-        q_convolve_xfamily_merged,
-        _convolve_xfamily_merged_oracle(),
-    ),
-    # r11 same-cohort merges, staged r10 (base AND absorbed both
-    # r11-due: clean +1 each — see the builder block above _QUEUED)
-    "dedup_minhash@merged": (
-        q_dedup_pair_family_merged,
-        _dedup_pair_family_merged_oracle(),
-    ),
-    "sketch_hll@merged": (
-        q_sketch_family_merged,
-        _sketch_family_merged_oracle(),
-    ),
-    "tpch_q1@merged": (
-        q_tpch_scan_join_merged,
-        _tpch_scan_join_merged_oracle(),
-    ),
-    "clean_text@merged": (
-        q_text_hygiene_merged,
-        _text_hygiene_merged_oracle(),
-    ),
-    "welch@merged": (q_psd_family_merged, _psd_family_merged_oracle()),
-    # r11 merge, ready (frees 1: decimate_iir retires into
+    # r12 merge, ready (frees 1: decimate_iir retires into
     # decimate_fir's slot)
     "decimate_fir@merged": (q_decimate_merged, _decimate_merged_oracle()),
-    # r11 merges, ready (free 3: resample_poly, resample_freq,
-    # sosfilt_chunked/sosfiltfilt retire)
+    # r12 merges, ready (free 2: resample_poly + resample_freq retire)
     "resample@merged": (q_resample_merged, _resample_merged_oracle()),
-    "sosfilt@merged": (q_sosfilt_family_merged, _sosfilt_family_merged_oracle()),
     # r12 merges, ready
     "multimodal_audio_decode@merged": (
         q_multimodal_bin_merged,
         _multimodal_bin_merged_oracle(),
     ),
-    # r13 merges, ready (free: dedup_ngram_jaccard, dedup_ngram_spans,
-    # interp_to retire — funding the r13 slate below; acf@merged was
-    # EXECUTED at r10)
+    # r13 merges, ready (free: dedup_ngram_jaccard, dedup_ngram_spans
+    # retire — funding the r13 slate below; acf@merged was EXECUTED at
+    # r10, gapfill@merged at r11)
     "dedup_exact@merged": (q_dedup_family_merged, _dedup_family_merged_oracle()),
-    "gapfill@merged": (q_regularize_merged, _regularize_merged_oracle()),
-    # r13 slate (relational + pipeline additions; merges staged in the
-    # r13 section above the _QUEUED comment block)
-    "text_postings": (q_text_postings, _text_postings_oracle()),
     # r14 merges, ready (free 6: retention, tpch_q18, cube_revenue,
     # coherence, text_tfidf, text_repetition retire — funding the r14
     # slate below with one spare slot)
@@ -10870,29 +10957,18 @@ _QUEUED: dict = {
         _grouping_sets_merged_oracle(),
     ),
     "stft@merged": (q_framed_spectral_merged, _framed_spectral_merged_oracle()),
-    # r14 slate (retrieval + typo-dedup + relational checklist seams)
-    "edit_distance_join": (q_edit_distance_join, _edit_join_oracle()),
-    "bm25_scores": (q_bm25_scores, _bm25_oracle()),
-    "event_pivot": (q_event_pivot, _event_pivot_oracle()),
-    "orders_unshipped": (q_orders_unshipped, _orders_unshipped_oracle()),
-    "json_props_stats": (q_json_props_stats, _json_props_oracle()),
-    # r15 merges, ready (free 5: fftconvolve_complex, text_vocab,
-    # multimodal_video_frames, stream_dedup, embedding_pca retire —
-    # funding the r15 slate below)
+    # r15 merges, ready (free 4: fftconvolve_complex, text_vocab,
+    # stream_dedup, embedding_pca retire — funding the r15 slate
+    # below; multimodal_real_decode@merged EXECUTED at r11)
     "fftconvolve_2d@merged": (q_fftconv_nd_merged, _fftconv_nd_merged_oracle()),
-    "multimodal_real_decode@merged": (
-        q_real_decode_merged,
-        _real_decode_merged_oracle(),
-    ),
     "sessionize@merged": (q_session_family_merged, _session_family_merged_oracle()),
     "embedding_quantize@merged": (q_embedding_merged, _embedding_merged_oracle()),
-    # r15 slate (CDC apply, analytics windows, set ops, ANN recall,
-    # weighted sampling)
-    "cdc_apply": (q_cdc_apply, _cdc_apply_oracle()),
-    "window_analytics": (q_window_analytics, _window_analytics_oracle()),
-    "active_user_setops": (q_active_user_setops, _setops_oracle()),
+    # r12 slate remainder (ANN recall eval; active_user_setops +
+    # weighted_sample registered at r11 as pull-forwards) + the
+    # missing_windows oracle row added at r11 (VERDICT r10 #3 — the
+    # last operator outside the oracle discipline)
     "ann_recall_eval": (q_ann_recall_eval, _ann_recall_oracle()),
-    "weighted_sample": (q_weighted_sample, _weighted_sample_oracle()),
+    "missing_windows": (q_missing_windows, _missing_windows_oracle()),
     # r16 merges, ready (free 2: dominant_frequency,
     # stream_window_stats_live retire — funding the r16 slate below;
     # savgol/cwt_ricker merges EXECUTED at r10, correlate@merged
@@ -10933,14 +11009,14 @@ _QUEUED: dict = {
         q_dataset_temperature_mix,
         _temperature_mix_oracle(),
     ),
-    # r17 merges, ready (free 2: fftshift, cap_per_group retire —
+    # r17 merge, ready (frees 1: fftshift retires —
     # text_token_stats@merged EXECUTED at r10, convolve@merged dropped
-    # for the fftconvolve family; istft_native retired at r10)
+    # for the fftconvolve family; istft_native retired at r10;
+    # dataset_mix@merged EXECUTED at r11, cap_per_group retired there)
     "ifft@merged": (
         q_inverse_transform_merged,
         _inverse_transform_merged_oracle(),
     ),
-    "dataset_mix@merged": (q_dataset_shape_merged, _dataset_shape_merged_oracle()),
     # r19 slate (label-aware + eval layer: NB routing, exact AUC,
     # MI feature selection, target encoding, Markov transitions —
     # funded by the r17/r18 merge spares below)

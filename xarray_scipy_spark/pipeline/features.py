@@ -194,32 +194,25 @@ def auc_exact(
         F.sum(1 - F.col("_y")).cast("bigint").alias("_neg"),
     )
     if max_distinct_scores is not None:
-        # materialize the (histogram-sized, small) frame once so the
-        # guard count and the windowed identity below both read it —
-        # without the cut, the guard aggregate re-ran the full input
-        # scan + groupBy purely to evaluate the assertion (ADVICE r9)
-        hist = hist.localCheckpoint(eager=True)
-        nds = hist.agg(F.count(F.lit(1)).alias("_nds"))
-        hist = (
-            hist.crossJoin(F.broadcast(nds))
-            .where(
-                F.assert_true(
-                    F.col("_nds") <= F.lit(int(max_distinct_scores)),
-                    F.concat(
-                        F.lit(
-                            "auc_exact: distinct-score histogram has "
-                        ),
-                        F.col("_nds").cast("string"),
-                        F.lit(
-                            f" buckets > max_distinct_scores="
-                            f"{int(max_distinct_scores)} — quantize the"
-                            " score column upstream or raise the cap"
-                        ),
-                    ),
-                ).isNull()
+        # GUARD BEFORE CHECKPOINT (ADVICE r10 #4): the count action is
+        # a streaming aggregate — it never materializes histogram rows
+        # in the block manager — so a frame that should be rejected
+        # (unquantized float scores -> row-count-sized histogram) fails
+        # here without first being fully checkpointed, which was the
+        # exact GC-bound retention pattern the r10 label_outliers fix
+        # removed. Cost on the pass path: one extra input scan (the
+        # checkpoint re-runs the groupBy); the failure path is the one
+        # the guard exists for.
+        nds = hist.count()
+        if nds > int(max_distinct_scores):
+            raise ValueError(
+                f"auc_exact: distinct-score histogram has {nds} buckets"
+                f" > max_distinct_scores={int(max_distinct_scores)} —"
+                " quantize the score column upstream or raise the cap"
             )
-            .drop("_nds")
-        )
+        # materialize the (histogram-sized, small) frame once so the
+        # windowed identity and the final aggregate both read it
+        hist = hist.localCheckpoint(eager=True)
     w = Window.orderBy(F.col("_s").asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -462,13 +462,18 @@ def missing_windows(
         )
     spark = observed.sparkSession
     w = F.col(window_start_col).cast("long")
-    bounds = observed.agg(
-        F.min(w).alias("_lo"), F.max(w).alias("_hi")
-    ).first()
-    lo = int(range_start) if range_start is not None else bounds["_lo"]
-    hi = int(range_end) if range_end is not None else (
-        None if bounds["_hi"] is None else bounds["_hi"] + window_seconds
-    )
+    if range_start is not None and range_end is not None:
+        # pinned horizon (the live-monitor configuration): no need to
+        # scan `observed` for bounds at all (ADVICE r10 #2)
+        lo, hi = int(range_start), int(range_end)
+    else:
+        bounds = observed.agg(
+            F.min(w).alias("_lo"), F.max(w).alias("_hi")
+        ).first()
+        lo = int(range_start) if range_start is not None else bounds["_lo"]
+        hi = int(range_end) if range_end is not None else (
+            None if bounds["_hi"] is None else bounds["_hi"] + window_seconds
+        )
     if lo is None or hi is None or hi <= lo:
         return spark.range(0).select(
             F.col("id").cast("long").alias("window_start")
