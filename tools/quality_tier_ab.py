@@ -44,6 +44,15 @@ def main() -> int:
     reps = 40
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    # --only: measure a subset (e.g. frequent_values at the 1000x tier
+    # without paying for the exact-distinct data_profile battery there)
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only") + 1
+        only = set()
+        while i < len(sys.argv) and not sys.argv[i].startswith("--"):
+            only.add(sys.argv[i])
+            i += 1
 
     from xarray_scipy_spark import contract as C
     from xarray_scipy_spark import pipeline as pl
@@ -73,6 +82,8 @@ def main() -> int:
         ("constraint_check", C.q_constraint_check),
         ("frequent_values", C.q_frequent_values),
     ):
+        if only is not None and name not in only:
+            continue
         sp_med, sp_runs = _median5(lambda q=q: noop(q(spark, tier_dir)))
         # quality-layer entries are queued until r15 — oracle lives in
         # _QUEUED, not ORACLES
@@ -84,6 +95,10 @@ def main() -> int:
             "ratio": round(sp_med / o_med, 2),
         }
 
+    if only is not None and "data_profile_hll_ab" not in only:
+        print(json.dumps(out))
+        spark.stop()
+        return 0
     # HLL swap A/B: same five columns, approx_count_distinct folded
     # into the single stats aggregate (no Expand, no second pass)
     li = load_table(spark, "lineitem", tier_dir)

@@ -46,12 +46,19 @@ def build_tpch(spark, reps: int) -> str:
     li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
     shift = orders.agg(F.max("o_orderkey")).first()[0] + 1
     reps_df = spark.range(reps).select(F.col("id").alias("_r"))
+    # scale the write fan-out with the tier (16 was single-threaded
+    # misery at --reps 1000: ~40 GB of rows through 16 tasks)
+    n_out = max(16, min(256, reps // 4))
     for name, df, key in (("orders", orders, "o_orderkey"), ("lineitem", li, "l_orderkey")):
-        big = df.crossJoin(F.broadcast(reps_df)).withColumn(
+        # the sf0.1 sources are single parquet FILES -> one input
+        # partition, so without this repartition the crossJoin
+        # generates all reps x rows in ONE task (measured: the 1000x
+        # build ran a single core for >10 min per table)
+        big = df.repartition(32).crossJoin(F.broadcast(reps_df)).withColumn(
             key, F.col(key) + F.col("_r") * shift
         ).drop("_r")
         (
-            big.repartition(16)
+            big.repartition(n_out)
             .write.option("parquet.block.size", 16 * 1024 * 1024)
             .mode("overwrite")
             .parquet(os.path.join(out, f"{name}.parquet"))

@@ -8824,7 +8824,15 @@ def q_tpch_q22(spark, sf_dir):
     average broadcast as a 1-row cross join (a plain avg() over doubles
     would let summation order flip borderline customers between
     engines); the dormancy check is a LEFT ANTI hash join against the
-    date-pruned orders scan — no correlated per-row subquery."""
+    date-pruned orders scan — no correlated per-row subquery. The
+    recent-custkey side is DISTINCT'd before the join (r11, the q22
+    decomposition): anti-join semantics are unchanged, but the join
+    ingests <= |customers-with-recent-orders| rows instead of every
+    recent ORDER row — a map-side partial aggregate does the collapse
+    (measured 1.04 -> 0.58 s at the 200x tier, identical output). No
+    broadcast hint: the distinct side is data-sized (grows with the
+    customer count), so AQE picks the strategy (the unforced-broadcast
+    rule, tests/test_plans.py)."""
     cust = load_table(spark, "customer", sf_dir).select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
@@ -8837,9 +8845,12 @@ def q_tpch_q22(spark, sf_dir):
             ).alias("avg_bal")
         )
     )
-    recent = load_table(spark, "orders", sf_dir).filter(
-        F.col("o_orderdate") >= F.lit(_Q22_CUT).cast("timestamp_ntz")
-    ).select("o_custkey")
+    recent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUT).cast("timestamp_ntz"))
+        .select("o_custkey")
+        .distinct()
+    )
     rich = cust.crossJoin(F.broadcast(ab)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
     )
