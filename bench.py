@@ -199,8 +199,11 @@ HEADLINE = [
     "constraint_check",
     "frequent_values",
     "windowed_constraints",
-    # r11 addition: total-silence detection (oracle row added r11)
+    # r11 additions: total-silence detection (oracle row added r11),
+    # dedup cluster resolution, skew-detection histogram
     "missing_windows",
+    "dedup_keep_best",
+    "key_skew_profile",
 ]
 
 

@@ -2512,3 +2512,81 @@ def test_missing_windows_composes_with_windowed_constraints(spark):
     assert starts == [epoch0, epoch0 + 120]
     gaps = pl.missing_windows(out, window_seconds=60)
     assert [r["window_start"] for r in gaps.collect()] == [epoch0 + 60]
+
+
+def test_keep_best_resolves_clusters_deterministically(spark):
+    """keep_best: transitive pairs collapse to one survivor per
+    cluster (max quality, ties -> min id); unpaired docs are their own
+    singleton cluster with kept=True."""
+    import xarray_scipy_spark.pipeline as pl
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (5, 99)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a_id long, b_id long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep_id"], r["kept"], r["n_members"])
+        for r in pl.keep_best(docs, pairs, quality_col="quality").collect()
+    }
+    # cluster {1,2,3}: quality 10/50/50 -> tie between 2 and 3 -> min id 2
+    assert out[1] == (1, 2, False, 3)
+    assert out[2] == (1, 2, True, 3)
+    assert out[3] == (1, 2, False, 3)
+    # singletons keep themselves
+    assert out[4] == (4, 4, True, 1)
+    assert out[5] == (5, 5, True, 1)
+
+
+def test_keep_best_stable_under_repartition(spark):
+    import xarray_scipy_spark.pipeline as pl
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(40)], "doc_id long, quality long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 38, 2)], "a_id long, b_id long"
+    )
+    a = sorted(map(tuple, pl.keep_best(docs, pairs, quality_col="quality").collect()))
+    b = sorted(
+        map(
+            tuple,
+            pl.keep_best(
+                docs.repartition(7), pairs.repartition(3), quality_col="quality"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_key_skew_profile_exact_buckets(spark):
+    """Counts 1,1,3,8 land in integer bit-length buckets 0/1/3 with
+    exact per-bucket key counts, row sums, and maxima."""
+    import xarray_scipy_spark.pipeline as pl
+
+    rows = (
+        [("a",)] * 1 + [("b",)] * 1 + [("c",)] * 3 + [("d",)] * 8
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r["log2_bucket"]: (r["n_keys"], r["n_rows"], r["max_count"])
+        for r in pl.key_skew_profile(df, key_col="k").collect()
+    }
+    assert got == {0: (2, 2, 1), 1: (1, 3, 3), 3: (1, 8, 8)}
+
+
+def test_key_skew_profile_null_key_counts(spark):
+    """NULL keys hash to one reducer like any value — they must appear
+    in the histogram, not vanish."""
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), (None,), ("x",)], "k string"
+    )
+    got = {
+        r["log2_bucket"]: (r["n_keys"], r["n_rows"], r["max_count"])
+        for r in pl.key_skew_profile(df, key_col="k").collect()
+    }
+    assert got == {0: (1, 1, 1), 2: (1, 4, 4)}

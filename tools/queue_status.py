@@ -44,6 +44,8 @@ ROUND_PLAN = {
     "r12": [
         "ann_recall_eval",
         "missing_windows",
+        "dedup_keep_best",
+        "key_skew_profile",
         "tpch_q7",
         "tpch_q10",
         "tpch_q14",

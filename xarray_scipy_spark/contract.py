@@ -10487,6 +10487,96 @@ def q_missing_windows(spark, sf_dir):
     return missing_windows(obs, window_seconds=per)
 
 
+def _keep_best_oracle() -> str:
+    """Recursive-CTE connected components over the SAME minhash pair
+    SQL dedup_clusters pins, then the deterministic survivor rule
+    (max n_chars, ties -> min doc_id) as a row_number window — the
+    full per-doc verdict frame including singleton clusters."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+walk(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id),
+d AS (
+  SELECT doc_id, n_chars, coalesce(c.cluster_id, doc_id) AS cluster_id
+  FROM documents LEFT JOIN comp c ON c.id = doc_id
+),
+r AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM d
+)
+SELECT doc_id, cluster_id,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END)
+            OVER (PARTITION BY cluster_id) AS BIGINT) AS keep_id,
+       doc_id = max(CASE WHEN rn = 1 THEN doc_id END)
+                OVER (PARTITION BY cluster_id) AS kept,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r
+"""
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster resolution — the missing step between pair emission and
+    the actual training corpus (pipeline/dedup.py keep_best): minhash
+    near-dup pairs -> transitive clusters -> ONE deterministic
+    survivor per cluster (max n_chars, ties min id), one verdict row
+    per input doc. Plan: the iterative CC runs over the pair-node
+    frame (tiny next to the corpus); the corpus side pays two keyed
+    equi-joins and one map-side-combinable max_by aggregate — no
+    window over the corpus, no all-pairs stage."""
+    docs = _docs(spark, sf_dir)
+    pairs = pl.minhash_pairs(
+        docs,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+    return pl.keep_best(
+        docs.select("doc_id", "n_chars"), pairs, quality_col="n_chars"
+    )
+
+
+def _key_skew_oracle() -> str:
+    """DuckDB twin of pipeline.quality.key_skew_profile over orders'
+    o_custkey: identical integer bit-length bucketing (length(bin(c)) -
+    1 == Spark's length(conv(c, 10, 2)) - 1 — exact at power-of-two
+    boundaries where float log2 flips), BIGINT casts on the HUGEINT
+    sum."""
+    return (
+        "WITH c AS (SELECT o_custkey AS k, count(*) AS c "
+        "FROM orders GROUP BY o_custkey) "
+        "SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_bucket, "
+        "count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows, "
+        "max(c) AS max_count "
+        "FROM c GROUP BY 1"
+    )
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """Per-key volume histogram (pipeline/quality.py key_skew_profile)
+    over orders' o_custkey — the detect half of skew handling (the fix
+    half is operators/joins.skew_join): one map-side-combinable
+    groupBy(key).count() shuffle (the same exchange any downstream
+    join would pay) + one aggregation over the keys-sized count frame,
+    bucketed by integer bit length so both engines agree byte-exactly
+    at power-of-two boundaries."""
+    from .pipeline.quality import key_skew_profile
+
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey")
+    return key_skew_profile(orders, key_col="o_custkey")
+
+
 _FREQ_COLS = ("l_returnflag", "l_quantity", "o_orderpriority")
 _FREQ_K = 5
 
@@ -10980,6 +11070,10 @@ _QUEUED: dict = {
     # last operator outside the oracle discipline)
     "ann_recall_eval": (q_ann_recall_eval, _ann_recall_oracle()),
     "missing_windows": (q_missing_windows, _missing_windows_oracle()),
+    # r11 additions (slated r12): dedup cluster resolution + the
+    # skew-detection histogram
+    "dedup_keep_best": (q_dedup_keep_best, _keep_best_oracle()),
+    "key_skew_profile": (q_key_skew_profile, _key_skew_oracle()),
     # r16 merges, ready (free 2: dominant_frequency,
     # stream_window_stats_live retire — funding the r16 slate below;
     # savgol/cwt_ricker merges EXECUTED at r10, correlate@merged

@@ -52,6 +52,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_dup_pairs",
     "duplicate_clusters",
+    "keep_best",
     "srp_plane",
     "duplicated_ngram_spans",
 ]
@@ -468,6 +469,72 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+def keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve duplicate clusters to ONE survivor each — the step
+    between pair emission and the actual training corpus: pair lists
+    say *what matches*, this says *which copy to keep*.
+
+    Clusters come from :func:`duplicate_clusters` (transitive min-label
+    components over ``pairs``); unpaired docs are their own singleton
+    cluster. The survivor is the cluster member with the highest
+    ``quality_col``, ties broken by minimum id — fully deterministic,
+    so reruns and repartitionings keep the same corpus.
+
+    Returns one row PER INPUT DOC: ``(id_col, cluster_id, keep_id,
+    kept, n_members)`` — the per-doc verdict frame a curation pass
+    filters on (``kept``) or audits (``n_members > 1``).
+
+    Scale shape: the component labels are pair-node-sized (tiny next
+    to the corpus); the docs⋈labels join and the keep-id join are both
+    keyed equi-joins AQE can broadcast when the duplicate graph is
+    small, and the per-cluster argmax is ONE map-side-combinable
+    ``max_by`` aggregate — no windows over the corpus, no all-pairs
+    stage anywhere.
+    """
+    clusters = duplicate_clusters(
+        pairs, a_col=a_col, b_col=b_col, max_iter=max_iter
+    )
+    d = df.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(quality_col).alias("_q"),
+    )
+    lab = d.join(
+        clusters, d["_id"] == clusters["doc_id"], "left"
+    ).select(
+        "_id",
+        "_q",
+        F.coalesce(F.col("cluster_id"), F.col("_id")).alias("cluster_id"),
+    )
+    # survivor per cluster: max quality, then min id — the negated id
+    # inside the ordering struct makes the argmax unique, so max_by is
+    # deterministic (no ties ever reach it)
+    best = lab.groupBy("cluster_id").agg(
+        F.max_by("_id", F.struct(F.col("_q"), (-F.col("_id")).alias("_nid"))).alias(
+            "keep_id"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        lab.join(best, "cluster_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster_id",
+            "keep_id",
+            (F.col("_id") == F.col("keep_id")).alias("kept"),
+            "n_members",
+        )
+    )
 
 
 # SimHash: 48-bit fingerprints (12 md5 hex chars per token hash) with

@@ -44,6 +44,7 @@ __all__ = [
     "frequent_values",
     "windowed_constraints",
     "missing_windows",
+    "key_skew_profile",
 ]
 
 
@@ -487,4 +488,46 @@ def missing_windows(
     seen = observed.select(w.alias("window_start")).distinct()
     return grid.join(seen, "window_start", "left_anti").orderBy(
         "window_start"
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    *,
+    key_col: str,
+) -> DataFrame:
+    """Per-key volume distribution as a log2-bucketed histogram — the
+    DETECT half of skew handling (``operators/joins.skew_join`` is the
+    fix): before shuffling 100 TB on a key, this says whether the key
+    is salting-worthy and how bad the head is.
+
+    One row per occupied bucket ``b`` (keys appearing in
+    ``[2^b, 2^(b+1))`` rows): ``(log2_bucket, n_keys, n_rows,
+    max_count)``, ascending. A healthy uniform key produces one or two
+    adjacent buckets; a power-law key paints a long bucket tail whose
+    top rows name the salt-or-broadcast decision. NULL keys count as a
+    key (they hash to one reducer like any other value — the classic
+    accidental-skew source).
+
+    Plan: ONE map-side-combinable ``groupBy(key).count()`` shuffle —
+    the same exchange any downstream join would pay — then a second
+    aggregation over the (keys)-sized count frame. The bucket index is
+    integer bit-length arithmetic (``length(bin(c)) - 1``), not
+    float ``log2``: exact at power-of-two boundaries on every engine,
+    so the DuckDB oracle reproduces it byte-for-byte.
+    """
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    bucket = (
+        F.length(F.conv(F.col("_c").cast("string"), 10, 2)) - 1
+    ).cast("bigint")
+    return (
+        counts.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("_c").alias("n_rows"),
+            F.max("_c").alias("max_count"),
+        )
+        .orderBy("log2_bucket")
     )
