@@ -204,6 +204,7 @@ HEADLINE = [
     "missing_windows",
     "dedup_keep_best",
     "key_skew_profile",
+    "dataset_split_safe",
 ]
 
 

@@ -2590,3 +2590,32 @@ def test_key_skew_profile_null_key_counts(spark):
         for r in pl.key_skew_profile(df, key_col="k").collect()
     }
     assert got == {0: (1, 1, 1), 2: (1, 4, 4)}
+
+
+def test_split_assign_clustered_is_leakage_safe(spark):
+    """Every member of a duplicate cluster gets the SAME split, and
+    unpaired docs split exactly as plain split_assign would."""
+    import xarray_scipy_spark.pipeline as pl
+
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (30, 45)], "a_id long, b_id long"
+    )
+    out = pl.split_assign_clustered(
+        docs, pairs, weights={"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert len(rows) == 60
+    for cluster in ([0, 1, 2], [10, 11], [30, 45]):
+        splits = {rows[d][1] for d in cluster}
+        assert len(splits) == 1, cluster
+        assert {rows[d][0] for d in cluster} == {min(cluster)}
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in pl.split_assign(
+            docs, weights={"train": 0.6, "val": 0.2, "test": 0.2}
+        ).collect()
+    }
+    clustered_ids = {0, 1, 2, 10, 11, 30, 45}
+    for d in set(rows) - clustered_ids:
+        assert rows[d] == (d, plain[d]), d

@@ -968,3 +968,79 @@ def test_windowed_constraints_rejects_unique(spark):
             df, dim="ts",
             constraints=[{"kind": "unique", "columns": ["value"]}],
         )
+
+
+def test_missing_windows_live_monitor_shrinks_per_trigger(spark, tmp_path):
+    """The total-silence monitor in its LIVE configuration: each
+    micro-batch, missing_windows runs on the windowed aggregate's
+    complete snapshot with a PINNED horizon (the configuration that
+    skips the bounds scan). Silent windows shrink monotonically as
+    feeds report in, and the final report equals the batch call on the
+    full data."""
+    import xarray_scipy_spark.pipeline as pl
+
+    src = tmp_path / "mw_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-03-01")
+    # horizon: 10 windows of 60 s; batches fill windows 0-1, 4-5, 8
+    fills = [(0, 1), (4, 5), (8,)]
+    all_rows = []
+    for i, wins in enumerate(fills):
+        rows = pd.DataFrame(
+            {
+                "ts": [
+                    (base + pd.Timedelta(seconds=60 * w + 7)).to_datetime64()
+                    for w in wins
+                ],
+                "value": [float(w) for w in wins],
+            }
+        )
+        rows["ts"] = rows["ts"].astype("datetime64[us]")
+        all_rows.append(rows)
+        rows.to_parquet(src / f"b{i}.parquet")
+        time.sleep(1.1)
+    epoch0 = int(base.tz_localize("UTC").timestamp())
+    lo, hi = epoch0, epoch0 + 600
+
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = stream.groupBy(F.window("ts", "60 seconds")).count().select(
+        F.col("window.start").cast("long").alias("window_start"), "count"
+    )
+    per_trigger: list[list[int]] = []
+
+    def monitor(batch_df, batch_id):
+        gaps = pl.missing_windows(
+            batch_df, window_seconds=60, range_start=lo, range_end=hi
+        )
+        per_trigger.append([r["window_start"] for r in gaps.collect()])
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(monitor)
+        .option("checkpointLocation", str(tmp_path / "mw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(per_trigger) >= 3
+    # monotone shrink: every later report is a subset of every earlier
+    for a, b in zip(per_trigger, per_trigger[1:]):
+        assert set(b) <= set(a)
+    # final report equals the batch call on the full data
+    full = spark.createDataFrame(pd.concat(all_rows, ignore_index=True))
+    batch_obs = full.groupBy(F.window("ts", "60 seconds")).count().select(
+        F.col("window.start").cast("long").alias("window_start")
+    )
+    expect = [
+        r["window_start"]
+        for r in pl.missing_windows(
+            batch_obs, window_seconds=60, range_start=lo, range_end=hi
+        ).collect()
+    ]
+    assert per_trigger[-1] == expect
+    # the pinned horizon reports the windows 2,3,6,7,9 as silent
+    assert expect == [epoch0 + 60 * w for w in (2, 3, 6, 7, 9)]

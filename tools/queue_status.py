@@ -46,6 +46,7 @@ ROUND_PLAN = {
         "missing_windows",
         "dedup_keep_best",
         "key_skew_profile",
+        "dataset_split_safe",
         "tpch_q7",
         "tpch_q10",
         "tpch_q14",

@@ -3897,6 +3897,38 @@ def q_correlate(spark, sf_dir):
 # ORACLE-READ SNAPSHOTS: grep `ORACLES\[` over every builder that
 # remains in _QUEUED after the r11 edit before popping anything —
 # the r10 pattern (_ISTFT_NATIVE_PLAIN_ORACLE / _ANN_EXACT_...).
+#
+# r11 EXECUTED (see the r11 rotation block at the end of this module);
+# the recipe's K=11 became K=10 — sequence_pack's oracle changed (the
+# HUGEINT cast fix) and took a head slot.
+#
+# r12 RECIPE (REDO the due-ness math against CORRECTNESS_r11.json at
+# round open — cohorts below assume r11 lands as executed). Due pool =
+# the 46 r10-head names in __spark_entry__._CHECK_LAST. Clean +1
+# levers (absorbed name IS due r12), all staged in _QUEUED and
+# CI-byte-exact:
+#   resample@merged (absorbs due resample_poly; resample_freq — r11
+#   head — retires free), dedup_exact@merged (absorbs due
+#   dedup_ngram_jaccard; dedup_ngram_spans retires free),
+#   ifft@merged (absorbs due fftshift), funnel@merged (absorbs due
+#   retention), tpch_q4@merged (absorbs due tpch_q18),
+#   rolling_stats@merged (absorbs due rolling_median +
+#   quantile_normalize, DRAGS head-cohort base rolling_stats: +1 net).
+# Head math: 46 due − 7 absorbed-due + 1 dragged + K new = 50 →
+# K = 10: exactly the 10-name r12 slate (tools/queue_status.py).
+# N = 96 − 9 retired + 10 = 97.
+# Net-0 retirement levers (base due, absorbed name r11-head → retires
+# free, shrink N only): hilbert@merged (hilbert_envelope),
+# decimate_fir@merged (decimate_iir), lombscargle@merged
+# (dominant_frequency), lineitem_rollup@merged (cube_revenue),
+# embedding_quantize@merged (embedding_pca), curation_report@merged
+# (clean_text).
+# NOT at r12 (would drag a freshly-checked base for no due absorb):
+# multimodal_audio_decode@merged, sessionize@merged,
+# fftconvolve_2d@merged, sosfilt_stream@merged, stft@merged,
+# group_quantiles@merged, text_postings@merged (constituents both
+# registered r11 — due r13), tpch_q7@merged / tpch_q14@merged
+# (constituents register at r12 — due r14+).
 
 
 def q_welch_blackman(spark, sf_dir):
@@ -10547,6 +10579,65 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def _split_safe_oracle() -> str:
+    """CC over the minhash pairs (the dedup_clusters recursive CTE),
+    coalesce singletons to their own id, then the literal hash_uniform
+    md5 arithmetic over the CLUSTER id — the whole per-doc assignment
+    pinned row-for-row."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+walk(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id),
+d AS (
+  SELECT doc_id, coalesce(c.cluster_id, doc_id) AS cluster_id
+  FROM documents LEFT JOIN comp c ON c.id = doc_id
+),
+u AS (
+  SELECT doc_id, cluster_id,
+         (('0x' || substring(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+          / 16.0^15) AS u
+  FROM d
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+"""
+
+
+def q_dataset_split_safe(spark, sf_dir):
+    """Leakage-safe splitting (pipeline/sample.py
+    split_assign_clustered): near-duplicate cluster members land in
+    the SAME train/val/test split — plain id-hash splitting lets two
+    near-copies straddle train and test, which is exactly the
+    benchmark-contamination hole decontaminate() exists to detect
+    after the fact; this prevents it at assignment time. The hash
+    input is the transitive cluster id (min-label CC over the same
+    minhash pairs dedup uses; singletons hash their own id), so the
+    corpus pays one keyed equi-join against the pair-node-sized
+    component frame and the split stays a pure projection."""
+    docs = _docs(spark, sf_dir)
+    pairs = pl.minhash_pairs(
+        docs,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+    res = pl.split_assign_clustered(
+        docs.select("doc_id"), pairs, weights=dict(_SPLIT_W), salt="split"
+    )
+    return res.select("doc_id", "cluster_id", "split")
+
+
 def _key_skew_oracle() -> str:
     """DuckDB twin of pipeline.quality.key_skew_profile over orders'
     o_custkey: identical integer bit-length bucketing (length(bin(c)) -
@@ -11074,6 +11165,7 @@ _QUEUED: dict = {
     # skew-detection histogram
     "dedup_keep_best": (q_dedup_keep_best, _keep_best_oracle()),
     "key_skew_profile": (q_key_skew_profile, _key_skew_oracle()),
+    "dataset_split_safe": (q_dataset_split_safe, _split_safe_oracle()),
     # r16 merges, ready (free 2: dominant_frequency,
     # stream_window_stats_live retire — funding the r16 slate below;
     # savgol/cwt_ricker merges EXECUTED at r10, correlate@merged

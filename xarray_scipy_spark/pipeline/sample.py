@@ -26,6 +26,7 @@ __all__ = [
     "robust_zscore",
     "hash_uniform",
     "split_assign",
+    "split_assign_clustered",
     "stratified_sample",
     "mix_datasets",
     "sample_negatives",
@@ -87,6 +88,52 @@ def split_assign(
     for name, hi in reversed(conds):
         expr = F.when(u < F.lit(hi), F.lit(name)).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def split_assign_clustered(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+    out: str = "split",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every member of a
+    near-duplicate cluster lands in the SAME split.
+
+    Plain :func:`split_assign` hashes the doc id, so two near-copies
+    can straddle train and test — the classic benchmark-contamination
+    hole (the eval set "tests" memorized training text). Here the
+    hash input is the CLUSTER id instead: transitive components over
+    ``pairs`` (the same min-label CC dedup uses), singletons hashing
+    their own id, so the split decision is constant across each
+    cluster while unclustered docs split exactly as before.
+
+    Output: the input columns + ``cluster_id`` + ``out``. Same
+    determinism contract as split_assign (rerun/partitioning-stable,
+    salt-independent resplits, DuckDB-reproducible). Scale shape: the
+    component frame is pair-node-sized; the corpus pays ONE keyed
+    equi-join (AQE broadcasts it when the duplicate graph is small)
+    and the split itself stays a pure projection.
+    """
+    from .dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(
+        pairs, a_col=a_col, b_col=b_col, max_iter=max_iter
+    ).withColumnRenamed("doc_id", "_cc_id")
+    d = df.join(
+        clusters, df[id_col] == clusters["_cc_id"], "left"
+    ).drop("_cc_id")
+    d = d.withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col).cast("bigint"))
+    )
+    return split_assign(
+        d, id_col="cluster_id", weights=weights, salt=salt, out=out
+    )
 
 
 def mix_datasets(
