@@ -1197,17 +1197,26 @@ def naive_bayes_lang(
     cheap language/domain routing before anything learned exists.
 
     Training is TWO map-side-combinable aggregates (per-(label, token)
-    counts and per-label totals; the model is |vocab|x|labels| rows —
-    corpus-independent); classification joins the dense smoothed
-    log-likelihood table onto per-doc term frequencies and argmaxes
-    per document. Add-1 smoothing over the dense (token x label) grid
-    — built by a vocab x labels cross join, NOT from observed pairs,
-    so unseen (token, label) cells get their ln(1/(N_l + V)) mass.
+    counts and per-label totals); the model ships WIDE — one row per
+    vocabulary token with one smoothed log-likelihood column per label
+    (pivot over the label set, which is collected driver-side: the
+    label domain is the ROUTING CLASS set, bounded by design like the
+    sos coefficient matrices — never data-sized). Unseen (token,
+    label) cells fold in as the per-label ln(1/(N_l + V)) baseline via
+    coalesce, so no dense vocab x labels cross join is materialized at
+    all. Classification joins the wide model onto per-doc term
+    frequencies ONCE — the r11 A/B vs the previous tall-model shape
+    (tf x labels join blowup + a (doc, label) aggregate) measured
+    2.56 -> 1.97 s at the 10x docs tier with byte-equal output: the
+    join emits |tf| rows instead of |tf| x |labels|, and the per-doc
+    aggregate keeps |labels| sum columns instead of |labels| x groups.
 
     Determinism: log-likelihoods and priors round to 6 decimals and
-    quantize to DECIMAL(18,6) BEFORE the per-(doc, label) sum, so
-    scores are exact under any partitioning; the argmax tie-breaks on
-    the lexicographically smallest label.
+    ride as INT64 micro-units (value*10^6 — exact sums under any
+    partitioning; a mu-unit sum cast to double then /10^6 equals the
+    DECIMAL sum while |k| < 2^53). The argmax tie-breaks on the
+    lexicographically smallest label (the when-chain scans labels in
+    sorted order).
 
     Output: ``(id_col, label_col, pred, score_q, is_correct)`` — one
     row per document that has >= 1 token. Documents whose text
@@ -1219,114 +1228,115 @@ def naive_bayes_lang(
     Filter for them upstream (``length(trim(text)) = 0``-style) if the
     routing needs a row per input document.
     """
-    # the token frame feeds FIVE consumers (label-token counts, vocab,
-    # vocab size, per-label totals, per-doc tf) — without a lineage
-    # cut each one re-runs the tokenizer explode (r9 profile: the
-    # re-tokenization dominated the 10×-tier time). Lazy checkpoint:
+    labels = sorted(
+        r[0] for r in df.select(label_col).distinct().collect()
+    )
+    if not labels:
+        raise ValueError("naive_bayes_lang: no labels in the input")
+    mu = 1_000_000
+    # the token frame feeds FOUR consumers (label-token counts, vocab
+    # size, per-label totals, per-doc tf) — without a lineage cut each
+    # one re-runs the tokenizer explode (r9 profile: the
+    # re-tokenization dominated the 10x-tier time). Lazy checkpoint:
     # materialized at the first action, reused by every later job.
     toks = spread(df, id_col).select(
         F.col(id_col).alias("_doc"),
         F.col(label_col).alias("_lab"),
         F.explode(tokens(F.col(text_col))).alias("_t"),
     ).localCheckpoint(eager=False)
-    # training side. Log-likelihoods quantize to 6 decimals and ride
-    # as INT64 MICRO-UNITS (value·10⁶ — the same DECIMAL(18,6)
-    # lattice in plain long arithmetic; decimal multiply-aggregate
-    # measured ~2× slower in the JVM, r9): sums stay exact under any
-    # partitioning and every published value is bit-identical (a
-    # µ-unit sum k cast to double then /10⁶ equals the DECIMAL sum
-    # cast to double while |k| < 2⁵³; scores here are ≤ ~10¹¹).
     lt = toks.groupBy("_lab", "_t").agg(F.count(F.lit(1)).alias("_c"))
-    vocab = toks.select("_t").distinct()
-    labels = df.select(F.col(label_col).alias("_lab")).distinct()
-    v_size = vocab.agg(F.count(F.lit(1)).alias("_v"))
+    v_size = toks.select("_t").distinct().agg(
+        F.count(F.lit(1)).alias("_v")
+    )
     n_l = toks.groupBy("_lab").agg(F.count(F.lit(1)).alias("_nl"))
+
+    def _mu_log(expr):
+        return (
+            (F.round(F.log(expr), 6).cast("decimal(18,6)") * F.lit(mu))
+            .cast("long")
+        )
+
     dense = (
-        vocab.crossJoin(labels)
-        .join(lt, ["_lab", "_t"], "left")
-        .join(F.broadcast(n_l), "_lab")
+        lt.join(F.broadcast(n_l), "_lab")
         .crossJoin(F.broadcast(v_size))
         .select(
             "_lab",
             "_t",
-            (
-                F.round(
-                    F.log(
-                        (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1.0))
-                        / (F.col("_nl") + F.col("_v"))
-                    ),
-                    6,
-                ).cast("decimal(18,6)")
-                * F.lit(1000000)
-            )
-            .cast("long")
-            .alias("_lpm"),
+            _mu_log(
+                (F.col("_c") + F.lit(1.0)) / (F.col("_nl") + F.col("_v"))
+            ).alias("_lpm"),
         )
     )
-    n_docs = df.agg(F.count(F.lit(1)).alias("_nd"))
-    priors = (
-        df.groupBy(F.col(label_col).alias("_lab"))
-        .agg(F.count(F.lit(1)).alias("_dl"))
-        .crossJoin(F.broadcast(n_docs))
+    # per-label unseen-cell baseline + priors: |labels|-row bounded
+    # collects (the same class as the 1-row maxima the repo documents)
+    base_m = {
+        r["_lab"]: r["_bm"]
+        for r in n_l.crossJoin(v_size)
         .select(
             "_lab",
-            (
-                F.round(F.log(F.col("_dl") / F.col("_nd")), 6)
-                .cast("decimal(18,6)")
-                * F.lit(1000000)
-            )
-            .cast("long")
-            .alias("_priorm"),
+            _mu_log(F.lit(1.0) / (F.col("_nl") + F.col("_v"))).alias("_bm"),
         )
+        .collect()
+    }
+    n_docs = df.agg(F.count(F.lit(1)).alias("_nd"))
+    prior_m = {
+        r["_lab"]: r["_pm"]
+        for r in df.groupBy(F.col(label_col).alias("_lab"))
+        .agg(F.count(F.lit(1)).alias("_dl"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("_lab", _mu_log(F.col("_dl") / F.col("_nd")).alias("_pm"))
+        .collect()
+    }
+    wide = dense.groupBy("_t").pivot("_lab", labels).agg(F.first("_lpm"))
+    wide = wide.select(
+        "_t",
+        *[
+            F.coalesce(F.col(f"`{l}`"), F.lit(base_m[l])).alias(f"_m_{i}")
+            for i, l in enumerate(labels)
+        ],
     )
     # classification side. The merge hint blocks a static-planner
     # mis-broadcast of the CORPUS side: both inputs sit behind
     # aggregates/checkpoints with no reliable size stats, and the r9
     # profile caught Catalyst broadcasting the 1.4M-row tf frame while
-    # the 1.5k-row model grid shuffled (7.2 s → 1.4 s from this hint
-    # at the 10× tier). Planned as sort-merge, AQE's runtime stats
-    # then convert it to a broadcast of whichever side is ACTUALLY
-    # small — the model when the vocabulary is bounded, never the
-    # corpus.
+    # the model grid shuffled. Planned as sort-merge, AQE converts it
+    # to a broadcast of whichever side is ACTUALLY small — the model
+    # when the vocabulary is bounded, never the corpus.
     tf = toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("_tf"))
-    scored = (
-        tf.join(dense.withColumnRenamed("_lab", "_cand").hint("merge"), "_t")
-        .groupBy("_doc", "_cand")
-        .agg(F.sum(F.col("_tf") * F.col("_lpm")).alias("_likem"))
-        .join(
-            F.broadcast(priors.withColumnRenamed("_lab", "_cand")), "_cand"
-        )
-        .select(
-            "_doc",
-            "_cand",
-            (F.col("_likem") + F.col("_priorm")).alias("_scorem"),
-        )
+    scored = tf.join(wide.hint("merge"), "_t").groupBy("_doc").agg(
+        *[
+            F.sum(F.col("_tf") * F.col(f"_m_{i}")).alias(f"_s_{i}")
+            for i in range(len(labels))
+        ]
     )
-    # argmax with smallest-label tie-break: min over (−score, label) —
-    # long negation is exact, so the struct ordering is the argmax
-    best = scored.groupBy("_doc").agg(
-        F.min(
-            F.struct(
-                (-F.col("_scorem")).alias("_ns"), F.col("_cand").alias("_cand")
-            )
-        ).alias("_b")
-    )
+    score = [
+        (F.col(f"_s_{i}") + F.lit(prior_m[l])).alias(f"_sc_{i}")
+        for i, l in enumerate(labels)
+    ]
+    scored = scored.select("_doc", *score)
+    cols = [F.col(f"_sc_{i}") for i in range(len(labels))]
+    best_s = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    pred = F.lit(labels[-1])
+    for i in range(len(labels) - 2, -1, -1):
+        pred = F.when(F.col(f"_sc_{i}") == best_s, F.lit(labels[i])).otherwise(
+            pred
+        )
     truth = df.select(F.col(id_col).alias("_doc"), F.col(label_col))
     return (
-        best.join(truth, "_doc")
+        scored.select("_doc", best_s.alias("_bs"), pred.alias("pred"))
+        .join(truth, "_doc")
         .select(
             F.col("_doc").alias(id_col),
             label_col,
-            F.col("_b._cand").alias("pred"),
+            "pred",
             (
-                F.round(
-                    (-F.col("_b._ns")).cast("double") / F.lit(1000000.0), 6
-                )
+                F.round(F.col("_bs").cast("double") / F.lit(float(mu)), 6)
                 + F.lit(0.0)
             ).alias("score_q"),
-            (F.col("_b._cand") == F.col(label_col)).alias("is_correct"),
+            (F.col("pred") == F.col(label_col)).alias("is_correct"),
         )
     )
+
 
 
 MI_LANGS = ("de", "en", "es", "fr", "zh")
