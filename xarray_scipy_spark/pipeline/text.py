@@ -1267,31 +1267,39 @@ def naive_bayes_lang(
             ).alias("_lpm"),
         )
     )
-    # per-label unseen-cell baseline + priors: |labels|-row bounded
-    # collects (the same class as the 1-row maxima the repo documents)
-    base_m = {
-        r["_lab"]: r["_bm"]
-        for r in n_l.crossJoin(v_size)
+    # per-label unseen-cell baselines and priors ride as 1-ROW pivoted
+    # broadcast frames, NOT driver collects: the only driver action in
+    # the whole plan build is the labels distinct above (the pivot
+    # needs the label VALUES at plan time) — the r11 first cut
+    # collected these too and paid ~0.5 s of extra plan-build jobs per
+    # bench iteration at sf0.1
+    base_row = (
+        n_l.crossJoin(v_size)
         .select(
             "_lab",
             _mu_log(F.lit(1.0) / (F.col("_nl") + F.col("_v"))).alias("_bm"),
         )
-        .collect()
-    }
+        .groupBy()
+        .pivot("_lab", labels)
+        .agg(F.first("_bm"))
+        .select(*[F.col(f"`{l}`").alias(f"_b_{i}") for i, l in enumerate(labels)])
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("_nd"))
-    prior_m = {
-        r["_lab"]: r["_pm"]
-        for r in df.groupBy(F.col(label_col).alias("_lab"))
+    prior_row = (
+        df.groupBy(F.col(label_col).alias("_lab"))
         .agg(F.count(F.lit(1)).alias("_dl"))
         .crossJoin(F.broadcast(n_docs))
         .select("_lab", _mu_log(F.col("_dl") / F.col("_nd")).alias("_pm"))
-        .collect()
-    }
+        .groupBy()
+        .pivot("_lab", labels)
+        .agg(F.first("_pm"))
+        .select(*[F.col(f"`{l}`").alias(f"_p_{i}") for i, l in enumerate(labels)])
+    )
     wide = dense.groupBy("_t").pivot("_lab", labels).agg(F.first("_lpm"))
-    wide = wide.select(
+    wide = wide.crossJoin(F.broadcast(base_row)).select(
         "_t",
         *[
-            F.coalesce(F.col(f"`{l}`"), F.lit(base_m[l])).alias(f"_m_{i}")
+            F.coalesce(F.col(f"`{l}`"), F.col(f"_b_{i}")).alias(f"_m_{i}")
             for i, l in enumerate(labels)
         ],
     )
@@ -1310,10 +1318,10 @@ def naive_bayes_lang(
         ]
     )
     score = [
-        (F.col(f"_s_{i}") + F.lit(prior_m[l])).alias(f"_sc_{i}")
-        for i, l in enumerate(labels)
+        (F.col(f"_s_{i}") + F.col(f"_p_{i}")).alias(f"_sc_{i}")
+        for i in range(len(labels))
     ]
-    scored = scored.select("_doc", *score)
+    scored = scored.crossJoin(F.broadcast(prior_row)).select("_doc", *score)
     cols = [F.col(f"_sc_{i}") for i in range(len(labels))]
     best_s = F.greatest(*cols) if len(cols) > 1 else cols[0]
     pred = F.lit(labels[-1])
