@@ -2619,3 +2619,60 @@ def test_split_assign_clustered_is_leakage_safe(spark):
     clustered_ids = {0, 1, 2, 10, 11, 30, 45}
     for d in set(rows) - clustered_ids:
         assert rows[d] == (d, plain[d]), d
+
+
+def test_keep_best_matches_union_find_reference(spark):
+    """keep_best vs a brute-force Python union-find + argmax reference
+    over several deterministic random graphs (self-loops, multi-edges,
+    reversed duplicates included)."""
+    import random
+
+    import xarray_scipy_spark.pipeline as pl
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = 80
+        quality = {i: rng.randrange(0, 9) for i in range(n)}
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(50)
+        ]
+        # reference: union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, list[int]] = {}
+        for i in range(n):
+            comps.setdefault(find(i), []).append(i)
+        expect = {}
+        for members in comps.values():
+            cluster_id = min(members)
+            keep = max(members, key=lambda d: (quality[d], -d))
+            for d in members:
+                expect[d] = (cluster_id, keep, d == keep, len(members))
+
+        docs = spark.createDataFrame(
+            [(i, quality[i]) for i in range(n)], "doc_id long, quality long"
+        )
+        # drop self-loops: pair emitters never produce them, and the
+        # reference treats them as no-ops anyway
+        pair_rows = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(pair_rows, "a_id long, b_id long")
+        got = {
+            r["doc_id"]: (
+                r["cluster_id"],
+                r["keep_id"],
+                r["kept"],
+                r["n_members"],
+            )
+            for r in pl.keep_best(docs, pairs, quality_col="quality").collect()
+        }
+        assert got == expect, seed
