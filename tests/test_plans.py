@@ -782,3 +782,37 @@ def test_unforced_broadcasts_scale_paths(spark):
             assert abs(rank - base_pr[node]) < 1e-12, (node, rank, base_pr[node])
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_keep_best_no_window_partial_argmax(spark):
+    """keep_best's survivor rule must be a partial+final max_by
+    aggregate (map-side combinable) — never a window over the corpus;
+    every join an equi-join."""
+    plan = _static_plan(_contract_fn("dedup_keep_best")(spark, SF_DIR))
+    assert " Window" not in plan, plan
+    assert "partial_max_by" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_key_skew_profile_two_aggregations_no_join(spark):
+    """key_skew_profile is exactly the per-key count shuffle (the same
+    exchange any downstream join would pay) + one keys-sized bucket
+    aggregation: two hash exchanges, no join, no window, no Python."""
+    plan = _static_plan(_contract_fn("key_skew_profile")(spark, SF_DIR))
+    assert not any(j in plan for j in _JOIN_NODES), plan
+    assert " Window" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_dataset_split_safe_projection_after_one_join(spark):
+    """Leakage-safe splitting: the split itself is a pure projection —
+    the corpus pays keyed equi-joins against the pair-node-sized
+    component frame and nothing else (no corpus window, no cartesian,
+    no Python)."""
+    plan = _static_plan(_contract_fn("dataset_split_safe")(spark, SF_DIR))
+    assert " Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
