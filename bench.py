@@ -278,6 +278,19 @@ def plain_overrides() -> dict:
         "url_canonical_dedup": C.q_url_canonical_dedup,
         "cap_per_group": C.q_cap_per_group,
         "filter_by_quantile": C.q_filter_by_quantile,
+        # r12 rotation (12 merges): names retired from the registry
+        # keep their historical plans here. decimate_iir's BENCH row
+        # has measured the r7 iir-family union since r7 — keep that
+        # exact plan.
+        "dominant_frequency": C.q_dominant_frequency,
+        "hilbert_envelope": C.q_hilbert_envelope,
+        "decimate_iir": C.q_decimate_iir_merged,
+        "resample_poly": C.q_resample_poly,
+        "dedup_ngram_spans": C.q_dedup_ngram_spans,
+        "quantile_normalize": C.q_quantile_normalize,
+        "rolling_median": C.q_rolling_median,
+        "retention": C.q_retention,
+        "tpch_q18": C.q_tpch_q18,
     }
 
 
@@ -327,7 +340,10 @@ def main() -> int:
     try:
         with open(detail_path) as fh:
             prior = json.load(fh)
-        if str(prior.get("sf")) == sf_tag or sf_tag == "0.1":
+        # matching-sf or pre-sf-field records only — a legacy
+        # default-named file written at another sf must not poison
+        # this tier's minima (ADVICE r11 #3)
+        if str(prior.get("sf")) in (sf_tag, "None"):
             bands.update(prior.get("bands", {}))
             for k, v in prior.get("queries", {}).items():
                 if isinstance(v, (int, float)) and v > 0:

@@ -699,7 +699,6 @@ _MERGED_UNIONS = {
     "dedup_minhash": ("q_dedup_pairs_merged", "q_dedup_minhash_cross"),
     "sketch_hll": ("q_sketch_state_merged", "q_sketch_hll_merge"),
     "tpch_q1": ("q_tpch_q1q6_merged", "q_tpch_q3q5_merged"),
-    "clean_text": ("q_clean_text", "q_url_canonical_dedup"),
     "welch": ("q_welch_merged", "q_csd_merged"),
     "dataset_mix": ("q_dataset_mix", "q_cap_per_group", "q_filter_by_quantile"),
     # r10 rotation
@@ -712,6 +711,28 @@ _MERGED_UNIONS = {
     "text_logprob": ("q_text_logprob", "q_text_vocab"),
     "skew_join": ("q_skew_join", "q_bloom_semijoin"),
     "text_token_stats": ("q_text_stats_merged", "q_text_redact", "q_text_url_stats"),
+    # r12 rotation (clean_text's r11 hygiene union moved inside
+    # curation_report's slot)
+    "resample": ("q_resample", "q_resample_poly", "q_resample_freq"),
+    "dedup_exact": (
+        "q_dedup_exact",
+        "q_dedup_ngram_jaccard",
+        "q_dedup_ngram_spans",
+    ),
+    "ifft": ("q_fft_family_merged", "q_fftshift_merged", "q_istft_native"),
+    "funnel": ("q_funnel", "q_retention"),
+    "tpch_q4": ("q_tpch_q4", "q_tpch_q18"),
+    "rolling_stats": (
+        "q_rolling_stats",
+        "q_rolling_median",
+        "q_quantile_normalize",
+    ),
+    "hilbert": ("q_hilbert", "q_hilbert_envelope"),
+    "decimate_fir": ("q_decimate_fir", "q_decimate_iir_merged"),
+    "lombscargle": ("q_lombscargle", "q_dominant_frequency"),
+    "lineitem_rollup": ("q_lineitem_rollup", "q_cube_revenue"),
+    "embedding_quantize": ("q_embedding_quantize", "q_embedding_pca"),
+    "curation_report": ("q_curation_report", "q_text_hygiene_merged"),
 }
 
 

@@ -17,42 +17,26 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# r11 executed: TEN merges (sosfilt family, fftconvolve x-family,
-# multimodal_real_decode+video_frames, gapfill+interp_to,
-# dedup_minhash+cross, sketch_hll+merge, tpch_q1+q3, clean_text+url,
-# welch+csd, dataset_mix+filter_by_quantile with cap_per_group
-# retiring free) — 12 r11-due constituents absorbed + 1 free
-# retirement; the FULL 8-name r11 slate + 2 r12 pull-forwards
-# (active_user_setops, weighted_sample) registered. The recipe's
-# K=11 became K=10: sequence_pack's oracle changed (HUGEINT cast
-# fix) and re-entered the head. N = 96. Live counts: run this tool;
-# static counts in comments went stale once (ADVICE r9 #1) and are
-# not repeated here.
+# r12 executed: TWELVE merges (six clean +1: resample+poly,
+# dedup_exact+ngram_jaccard, ifft+fftshift, funnel+retention,
+# tpch_q4+q18, rolling_stats+rolling_median+quantile_normalize
+# dragging its base; six net-0: hilbert+envelope,
+# decimate_fir+decimate_iir, lombscargle+dominant_frequency,
+# lineitem_rollup+cube_revenue, embedding_quantize+embedding_pca,
+# curation_report+the clean_text hygiene union) — 7 due constituents
+# absorbed + 8 free retirements; the FULL 10-name r12 slate
+# registered. N = 91. Live counts: run this tool; static counts in
+# comments went stale once (ADVICE r9 #1) and are not repeated here.
 ROUND_PLAN = {
-    # Merge levers at r12 (REDO the due-ness math against
-    # CORRECTNESS_r11.json at round open — static due-ness claims
-    # rot). Staged and CI-byte-exact: hilbert@merged (absorbs
-    # hilbert_envelope), decimate_fir@merged (absorbs decimate_iir),
-    # resample@merged (absorbs resample_poly + resample_freq),
-    # multimodal_audio_decode@merged (absorbs multimodal_gzip_decode
-    # — base due r12 only if dragged; check cohorts), dedup_exact@
-    # merged, sessionize@merged, embedding_quantize@merged,
-    # fftconvolve_2d@merged, lombscargle@merged, sosfilt_stream@
-    # merged, ifft@merged, stft@merged, funnel@merged, tpch_q4@merged,
-    # lineitem_rollup@merged, rolling_stats@merged, group_quantiles@
-    # merged, curation_report@merged.
-    "r12": [
-        "ann_recall_eval",
-        "missing_windows",
-        "dedup_keep_best",
-        "key_skew_profile",
-        "dataset_split_safe",
-        "tpch_q7",
-        "tpch_q10",
-        "tpch_q14",
-        "tpch_q15",
-        "tpch_q22",
-    ],
+    # Merge levers at r13 (REDO the due-ness math against
+    # CORRECTNESS_r12.json at round open — static due-ness claims
+    # rot). Staged and CI-byte-exact: multimodal_audio_decode@merged
+    # (absorbs multimodal_gzip_decode), sessionize@merged (absorbs
+    # stream_dedup), stft@merged (absorbs coherence),
+    # fftconvolve_2d@merged (absorbs fftconvolve_complex),
+    # sosfilt_stream@merged (absorbs stream_window_stats_live),
+    # group_quantiles@merged (absorbs winsorize), text_postings@
+    # merged, tpch_q7@merged, tpch_q14@merged.
     "r13": [
         "tpch_q8",
         "tpch_q9",

@@ -10008,14 +10008,23 @@ def _rolling_family_merged_oracle() -> str:
         "SELECT 'median' AS variant, user_id, t_us, roll_count, "
         "median_q AS m1, CAST(-1 AS BIGINT) AS m2, "
         "CAST(-1 AS BIGINT) AS m3, CAST(-1 AS BIGINT) AS m4 "
-        "FROM (" + _rolling_median_oracle() + ")"
+        "FROM (" + _rolling_median_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'qn' AS variant, user_id, t_us, "
+        "CAST(-1 AS BIGINT) AS roll_count, qn_mille AS m1, "
+        "CAST(-1 AS BIGINT) AS m2, CAST(-1 AS BIGINT) AS m3, "
+        "CAST(-1 AS BIGINT) AS m4 "
+        "FROM (" + _qnorm_oracle() + ")"
     )
 
 
 def q_rolling_family_merged(spark, sf_dir):
-    """Rolling moment stats + rolling median in ONE variant-tag union
-    — replaces rolling_stats + rolling_median at r18 (both r10/r12
-    slate entries; the merge lands after both have registered)."""
+    """Rolling moment stats + rolling median + per-group
+    rank-uniformization in ONE variant-tag union — replaces
+    rolling_stats + rolling_median + quantile_normalize at r12 (the
+    ordered-window-per-user family in one head slot, per the r12
+    recipe's head math; all three plans stay literal union
+    branches)."""
     a = q_rolling_stats(spark, sf_dir).select(
         F.lit("stats").alias("variant"),
         "user_id",
@@ -10036,7 +10045,17 @@ def q_rolling_family_merged(spark, sf_dir):
         F.lit(-1).cast("bigint").alias("m3"),
         F.lit(-1).cast("bigint").alias("m4"),
     )
-    return a.unionAll(b)
+    c = q_quantile_normalize(spark, sf_dir).select(
+        F.lit("qn").alias("variant"),
+        "user_id",
+        "t_us",
+        F.lit(-1).cast("bigint").alias("roll_count"),
+        F.col("qn_mille").alias("m1"),
+        F.lit(-1).cast("bigint").alias("m2"),
+        F.lit(-1).cast("bigint").alias("m3"),
+        F.lit(-1).cast("bigint").alias("m4"),
+    )
+    return a.unionAll(b).unionAll(c)
 
 
 def _quantile_family_merged_oracle() -> str:
@@ -10199,19 +10218,25 @@ def q_tpch_onerow_merged(spark, sf_dir):
 
 
 def _curation_family_merged_oracle() -> str:
+    # ORACLES["clean_text"] is the r11 hygiene union (clean+url,
+    # variant/k/n/s) — absorbing it whole keeps the
+    # url_canonical_dedup variant under the driver after the
+    # clean_text name retires.
     return (
         "SELECT 'cur' AS variant, doc_id, quality6 AS f1, "
         "CAST(-1 AS BIGINT) AS n1, status AS s1 "
         "FROM (" + ORACLES["curation_report"] + ") "
         "UNION ALL "
-        "SELECT 'clean' AS variant, doc_id, 0.0 AS f1, n_removed AS n1, "
-        "clean_md5 AS s1 FROM (" + _clean_text_oracle() + ")"
+        "SELECT variant, k AS doc_id, 0.0 AS f1, n AS n1, "
+        "s AS s1 FROM (" + ORACLES["clean_text"] + ")"
     )
 
 
 def q_curation_family_merged(spark, sf_dir):
-    """End-to-end curation verdict + text cleaning in ONE variant-tag
-    union — replaces curation_report + clean_text at r18."""
+    """End-to-end curation verdict + the r11 text-hygiene union
+    (clean_text + url_canonical_dedup) in ONE variant-tag union —
+    replaces curation_report + clean_text at r12; all three plans
+    stay literal union branches."""
     a = q_curation_report(spark, sf_dir).select(
         F.lit("cur").alias("variant"),
         "doc_id",
@@ -10219,12 +10244,12 @@ def q_curation_family_merged(spark, sf_dir):
         F.lit(-1).cast("bigint").alias("n1"),
         F.col("status").alias("s1"),
     )
-    b = q_clean_text(spark, sf_dir).select(
-        F.lit("clean").alias("variant"),
-        "doc_id",
+    b = q_text_hygiene_merged(spark, sf_dir).select(
+        "variant",
+        F.col("k").alias("doc_id"),
         F.lit(0.0).alias("f1"),
-        F.col("n_removed").alias("n1"),
-        F.col("clean_md5").alias("s1"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
     )
     return a.unionAll(b)
 
@@ -11121,73 +11146,32 @@ _q("weighted_sample", _weighted_sample_oracle())(q_weighted_sample)
 
 
 _QUEUED: dict = {
-    # r12 merge, ready (frees 1: hilbert_envelope — due r12 — retires;
-    # the builder reads ORACLES[name], so keep the constituent
-    # registrations until the rotation block pops them)
-    "hilbert@merged": (q_hilbert_merged, _hilbert_merged_oracle()),
-    # r12 merge, ready (frees 1: decimate_iir retires into
-    # decimate_fir's slot)
-    "decimate_fir@merged": (q_decimate_merged, _decimate_merged_oracle()),
-    # r12 merges, ready (free 2: resample_poly + resample_freq retire)
-    "resample@merged": (q_resample_merged, _resample_merged_oracle()),
-    # r12 merges, ready
+    # r13 merges, ready (free 2: multimodal_gzip_decode + stream_dedup
+    # retire — both register-checked at r12's head; acf@merged EXECUTED
+    # r10, gapfill@merged r11, the 12-merge r12 sweep in the rotation
+    # block below)
     "multimodal_audio_decode@merged": (
         q_multimodal_bin_merged,
         _multimodal_bin_merged_oracle(),
     ),
-    # r13 merges, ready (free: dedup_ngram_jaccard, dedup_ngram_spans
-    # retire — funding the r13 slate below; acf@merged was EXECUTED at
-    # r10, gapfill@merged at r11)
-    "dedup_exact@merged": (q_dedup_family_merged, _dedup_family_merged_oracle()),
-    # r14 merges, ready (free 6: retention, tpch_q18, cube_revenue,
-    # coherence, text_tfidf, text_repetition retire — funding the r14
-    # slate below with one spare slot)
-    "funnel@merged": (q_events_merged, _events_merged_oracle()),
-    "tpch_q4@merged": (q_tpch_order_merged, _tpch_order_merged_oracle()),
-    "lineitem_rollup@merged": (
-        q_grouping_sets_merged,
-        _grouping_sets_merged_oracle(),
-    ),
-    "stft@merged": (q_framed_spectral_merged, _framed_spectral_merged_oracle()),
-    # r15 merges, ready (free 4: fftconvolve_complex, text_vocab,
-    # stream_dedup, embedding_pca retire — funding the r15 slate
-    # below; multimodal_real_decode@merged EXECUTED at r11)
-    "fftconvolve_2d@merged": (q_fftconv_nd_merged, _fftconv_nd_merged_oracle()),
     "sessionize@merged": (q_session_family_merged, _session_family_merged_oracle()),
-    "embedding_quantize@merged": (q_embedding_merged, _embedding_merged_oracle()),
-    # r12 slate remainder (ANN recall eval; active_user_setops +
-    # weighted_sample registered at r11 as pull-forwards) + the
-    # missing_windows oracle row added at r11 (VERDICT r10 #3 — the
-    # last operator outside the oracle discipline)
-    "ann_recall_eval": (q_ann_recall_eval, _ann_recall_oracle()),
-    "missing_windows": (q_missing_windows, _missing_windows_oracle()),
-    # r11 additions (slated r12): dedup cluster resolution + the
-    # skew-detection histogram
-    "dedup_keep_best": (q_dedup_keep_best, _keep_best_oracle()),
-    "key_skew_profile": (q_key_skew_profile, _key_skew_oracle()),
-    "dataset_split_safe": (q_dataset_split_safe, _split_safe_oracle()),
-    # r16 merges, ready (free 2: dominant_frequency,
-    # stream_window_stats_live retire — funding the r16 slate below;
-    # savgol/cwt_ricker merges EXECUTED at r10, correlate@merged
-    # dropped — see the r11 lever note at the top of this dict)
-    "lombscargle@merged": (q_freqest_merged, _freqest_merged_oracle()),
+    # r13 merges, ready (free 2: coherence, fftconvolve_complex retire)
+    "stft@merged": (q_framed_spectral_merged, _framed_spectral_merged_oracle()),
+    "fftconvolve_2d@merged": (q_fftconv_nd_merged, _fftconv_nd_merged_oracle()),
+    # r13 merge, ready (frees 1: stream_window_stats_live retires)
     "sosfilt_stream@merged": (
         q_live_streams_merged,
         _live_streams_merged_oracle(),
     ),
-    # r16 slate (TPC-H relational sweep: Q7/Q10/Q14/Q15/Q22 shapes)
-    "tpch_q7": (q_tpch_q7, _tpch_q7_oracle()),
-    "tpch_q10": (q_tpch_q10, _tpch_q10_oracle()),
-    "tpch_q14": (q_tpch_q14, _tpch_q14_oracle()),
-    "tpch_q15": (q_tpch_q15, _tpch_q15_oracle()),
-    "tpch_q22": (q_tpch_q22, _tpch_q22_oracle()),
-    # r17 slate (TPC-H completion sweep: the last five shapes the
-    # schema can express — merges to fund the head slots staged below)
+    # r13 slate (TPC-H completion sweep + sparse retrieval + dedup
+    # eval, per tools/queue_status.py)
     "tpch_q8": (q_tpch_q8, _tpch_q8_oracle()),
     "tpch_q9": (q_tpch_q9, _tpch_q9_oracle()),
     "tpch_q13": (q_tpch_q13, _tpch_q13_oracle()),
     "tpch_q17": (q_tpch_q17, _tpch_q17_oracle()),
     "tpch_q19": (q_tpch_q19, _tpch_q19_oracle()),
+    "text_sparse_knn": (q_text_sparse_knn, _sparse_knn_oracle()),
+    "dedup_recall_eval": (q_dedup_recall_eval, _dedup_recall_oracle()),
     # r9 s2 additions: the data-quality layer (ledgered for r15 in
     # tools/queue_status.py)
     "data_profile": (q_data_profile, _data_profile_oracle()),
@@ -11197,50 +11181,104 @@ _QUEUED: dict = {
         q_windowed_constraints,
         _windowed_constraints_oracle(),
     ),
-    # r18 slate (sparse retrieval, dedup eval, label-noise sweep,
-    # temperature mixing; bpe_encode registered at r9)
-    "text_sparse_knn": (q_text_sparse_knn, _sparse_knn_oracle()),
-    "dedup_recall_eval": (q_dedup_recall_eval, _dedup_recall_oracle()),
+    # r14 slate (label-noise sweep + temperature mixing + the
+    # label-aware/eval layer: NB routing, exact AUC, MI)
     "embedding_outliers": (q_embedding_outliers, _embedding_outliers_oracle()),
     "dataset_temperature_mix": (
         q_dataset_temperature_mix,
         _temperature_mix_oracle(),
     ),
-    # r17 merge, ready (frees 1: fftshift retires —
-    # text_token_stats@merged EXECUTED at r10, convolve@merged dropped
-    # for the fftconvolve family; istft_native retired at r10;
-    # dataset_mix@merged EXECUTED at r11, cap_per_group retired there)
-    "ifft@merged": (
-        q_inverse_transform_merged,
-        _inverse_transform_merged_oracle(),
-    ),
-    # r19 slate (label-aware + eval layer: NB routing, exact AUC,
-    # MI feature selection, target encoding, Markov transitions —
-    # funded by the r17/r18 merge spares below)
     "naive_bayes_lang": (q_naive_bayes_lang, _naive_bayes_oracle()),
     "auc_eval": (q_auc_eval, _auc_oracle()),
     "token_mi": (q_token_mi, _token_mi_oracle()),
+    # r15 slate (target encoding + Markov transitions, with the
+    # data-quality layer above)
     "target_encoding": (q_target_encoding, _target_encoding_oracle()),
     "event_transitions": (q_event_transitions, _transitions_oracle()),
-    # r18 merges, ready (free 4: rolling_median, quantile_normalize,
-    # winsorize, clean_text retire — funding the r18 slate above;
-    # skew_join@merged EXECUTED at r10)
-    "rolling_stats@merged": (
-        q_rolling_family_merged,
-        _rolling_family_merged_oracle(),
-    ),
+    # r14+ merge, ready (frees 1: winsorize retires; the qn branch
+    # became redundant when rolling_stats@merged absorbed
+    # quantile_normalize at r12 — harmless duplicate coverage)
     "group_quantiles@merged": (
         q_quantile_family_merged,
         _quantile_family_merged_oracle(),
     ),
-    "curation_report@merged": (
-        q_curation_family_merged,
-        _curation_family_merged_oracle(),
-    ),
-    # r19 merges, ready (free 4: bm25_scores, tpch_q8, tpch_q9,
-    # tpch_q19 retire — with the r17/r18 spares, funding the r19
-    # slate above; the remainder rolls to r20)
+    # r14+ merges, ready (free 4: bm25_scores, tpch_q8, tpch_q9,
+    # tpch_q19 retire — funding later slates; the remainder rolls on)
     "text_postings@merged": (q_retrieval_merged, _retrieval_merged_oracle()),
     "tpch_q7@merged": (q_tpch_joinfam_merged, _tpch_joinfam_merged_oracle()),
     "tpch_q14@merged": (q_tpch_onerow_merged, _tpch_onerow_merged_oracle()),
 }
+
+
+# ---------------------------------------------------------------------------
+# r12 rotation EXECUTED per the ledgered recipe (the r12 RECIPE block
+# above _QUEUED's r11 predecessor comment), due-ness re-derived from
+# CORRECTNESS_r11.json at round open (50/50 green; due pool = the 46
+# r10-head names in __spark_entry__._CHECK_LAST). TWELVE merges:
+#   clean +1 (absorbed name due r12): resample@merged (absorbs due
+#   resample_poly; resample_freq r11-head retires free), dedup_exact@
+#   merged (absorbs due dedup_ngram_jaccard; dedup_ngram_spans retires
+#   free), ifft@merged (absorbs due fftshift), funnel@merged (absorbs
+#   due retention), tpch_q4@merged (absorbs due tpch_q18),
+#   rolling_stats@merged (absorbs due rolling_median + due
+#   quantile_normalize — the qn branch added this round per the
+#   recipe's head math — DRAGS r11-head base rolling_stats: +1);
+#   net-0 retirement (absorbed name r11-head, base due — shrink N
+#   only): hilbert@merged (hilbert_envelope), decimate_fir@merged
+#   (decimate_iir), lombscargle@merged (dominant_frequency),
+#   lineitem_rollup@merged (cube_revenue), embedding_quantize@merged
+#   (embedding_pca), curation_report@merged (clean_text — EXTENDED
+#   this round to absorb the whole r11 hygiene union so the
+#   url_canonical_dedup variant stays under the driver).
+# Head math: 46 due − 7 absorbed-due + 1 dragged + 10 new = 50.
+# N = 96 − 15 retired + 10 = 91 (head 50 + tail 41; freshness bar
+# holds, N <= 100). The 10 registrations = the full ledgered r12
+# slate. Same mechanics as r9–r11: merged-oracle builders read the
+# constituents' ORACLES[...] rows, so every _q() call lands BEFORE
+# the pops; plain q_* functions remain for bench plan-continuity and
+# plan locks. The _QUEUED literal above builds before this block
+# runs, so remaining queued builders never see the deletions.
+# ---------------------------------------------------------------------------
+_q("resample", _resample_merged_oracle())(q_resample_merged)
+_q("dedup_exact", _dedup_family_merged_oracle())(q_dedup_family_merged)
+_q("ifft", _inverse_transform_merged_oracle())(q_inverse_transform_merged)
+_q("funnel", _events_merged_oracle())(q_events_merged)
+_q("tpch_q4", _tpch_order_merged_oracle())(q_tpch_order_merged)
+_q("rolling_stats", _rolling_family_merged_oracle())(q_rolling_family_merged)
+_q("hilbert", _hilbert_merged_oracle())(q_hilbert_merged)
+_q("decimate_fir", _decimate_merged_oracle())(q_decimate_merged)
+_q("lombscargle", _freqest_merged_oracle())(q_freqest_merged)
+_q("lineitem_rollup", _grouping_sets_merged_oracle())(q_grouping_sets_merged)
+_q("embedding_quantize", _embedding_merged_oracle())(q_embedding_merged)
+_q("curation_report", _curation_family_merged_oracle())(q_curation_family_merged)
+for _gone in (
+    "hilbert_envelope",
+    "decimate_iir",
+    "resample_poly",
+    "resample_freq",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_spans",
+    "fftshift",
+    "retention",
+    "tpch_q18",
+    "rolling_median",
+    "quantile_normalize",
+    "dominant_frequency",
+    "cube_revenue",
+    "embedding_pca",
+    "clean_text",
+):
+    del QUERIES[_gone]
+    ORACLES.pop(_gone, None)
+del _gone
+# the 10 r12 registrations (the full ledgered r12 slate)
+_q("ann_recall_eval", _ann_recall_oracle())(q_ann_recall_eval)
+_q("missing_windows", _missing_windows_oracle())(q_missing_windows)
+_q("dedup_keep_best", _keep_best_oracle())(q_dedup_keep_best)
+_q("key_skew_profile", _key_skew_oracle())(q_key_skew_profile)
+_q("dataset_split_safe", _split_safe_oracle())(q_dataset_split_safe)
+_q("tpch_q7", _tpch_q7_oracle())(q_tpch_q7)
+_q("tpch_q10", _tpch_q10_oracle())(q_tpch_q10)
+_q("tpch_q14", _tpch_q14_oracle())(q_tpch_q14)
+_q("tpch_q15", _tpch_q15_oracle())(q_tpch_q15)
+_q("tpch_q22", _tpch_q22_oracle())(q_tpch_q22)
