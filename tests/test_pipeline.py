@@ -2676,3 +2676,128 @@ def test_keep_best_matches_union_find_reference(spark):
             for r in pl.keep_best(docs, pairs, quality_col="quality").collect()
         }
         assert got == expect, seed
+
+
+def test_auc_exact_guard_fires_over_cap(spark):
+    """ADVICE r11 #4: the max_distinct_scores guard must reject an
+    over-cap (unquantized-float-signature) score column with a clear
+    ValueError, and pass untouched just under the cap."""
+    from xarray_scipy_spark.pipeline.features import auc_exact
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(40)], "score long, label int"
+    )
+    # 40 distinct scores > cap=10 -> loud reject at the histogram stage
+    with pytest.raises(ValueError, match="max_distinct_scores"):
+        auc_exact(df, score_col="score", label_col="label",
+                  max_distinct_scores=10)
+    # just under the cap: no raise, and the identity still holds
+    row = auc_exact(
+        df, score_col="score", label_col="label", max_distinct_scores=40
+    ).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (20, 20)
+    # scores 1,3,..,39 are positives: AUC = P(pos > neg) with ties
+    # impossible here; brute force the tiny case
+    pos = list(range(1, 40, 2))
+    neg = list(range(0, 40, 2))
+    wins = sum((p > q) + 0.5 * (p == q) for p in pos for q in neg)
+    assert abs(row["auc_q"] - round(wins / (20 * 20), 6)) < 1e-9
+
+
+def test_hash_uniform_engines(spark):
+    """The r12 xxhash64 knob (VERDICT r11 #2): md5 default pinned
+    byte-equal to the DuckDB h60 construction; xxhash64 deterministic,
+    salt-sensitive, in [0, 1); unknown engine raises."""
+    import duckdb
+
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # md5 default unchanged: byte-equal to the documented DuckDB twin
+    got = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", pl.hash_uniform("doc_id", salt="s").alias("u")
+        ).collect()
+    }
+    exp = dict(
+        duckdb.sql(
+            "SELECT i, ('0x' || substring(md5('s|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT"
+            " / 16.0^15 FROM range(200) t(i)"
+        ).fetchall()
+    )
+    assert got == exp
+    # xxhash64: deterministic, in [0,1), salt changes the draw
+    a = df.select(
+        "doc_id",
+        pl.hash_uniform("doc_id", salt="s", engine="xxhash64").alias("u"),
+    )
+    ua = {r["doc_id"]: r["u"] for r in a.collect()}
+    ub = {r["doc_id"]: r["u"] for r in a.collect()}
+    assert ua == ub
+    assert all(0.0 <= v < 1.0 for v in ua.values())
+    uc = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id",
+            pl.hash_uniform("doc_id", salt="t", engine="xxhash64").alias("u"),
+        ).collect()
+    }
+    assert sum(ua[i] != uc[i] for i in ua) > 150
+    with pytest.raises(ValueError, match="hash engine"):
+        df.select(pl.hash_uniform("doc_id", engine="sha9"))
+
+
+def test_split_and_kfold_xxhash64_contracts(spark):
+    """split_assign/kfold_assign(engine='xxhash64'): disjoint +
+    exhaustive + rerun-stable, proportions near the weights, and the
+    md5 default stays byte-identical to the engine-less call."""
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    md5_default = {
+        r["doc_id"]: r["split"] for r in pl.split_assign(df, weights=w).collect()
+    }
+    md5_named = {
+        r["doc_id"]: r["split"]
+        for r in pl.split_assign(df, weights=w, engine="md5").collect()
+    }
+    assert md5_default == md5_named
+    xx = {
+        r["doc_id"]: r["split"]
+        for r in pl.split_assign(df, weights=w, engine="xxhash64").collect()
+    }
+    assert set(xx) == set(md5_default)
+    from collections import Counter
+
+    c = Counter(xx.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.06 < c["val"] / 2000 < 0.14
+    # folds: every row in [0, k), stable across reruns
+    f1 = {
+        r["doc_id"]: r["fold"]
+        for r in pl.kfold_assign(df, k=5, engine="xxhash64").collect()
+    }
+    f2 = {
+        r["doc_id"]: r["fold"]
+        for r in pl.kfold_assign(df, k=5, engine="xxhash64").collect()
+    }
+    assert f1 == f2
+    assert set(f1.values()) == set(range(5))
+    with pytest.raises(ValueError, match="hash engine"):
+        pl.kfold_assign(df, k=5, engine="sha9")
+
+
+def test_split_assign_clustered_rejects_cluster_id_input(spark):
+    """ADVICE r11 #1: composing with duplicate_clusters/keep_best
+    output (which already carries cluster_id) must raise a clear
+    ValueError instead of AMBIGUOUS_REFERENCE."""
+    import xarray_scipy_spark.pipeline as pl
+
+    docs = spark.createDataFrame(
+        [(i, i) for i in range(10)], "doc_id long, cluster_id long"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
+    with pytest.raises(ValueError, match="cluster_id"):
+        pl.split_assign_clustered(docs, pairs)

@@ -100,3 +100,26 @@ def test_postings_min_df_filters(spark):
     )
     toks = {r["token"] for r in pl.postings(df, min_df=2).collect()}
     assert toks == {"x"}
+
+
+def test_naive_bayes_lang_rejects_null_and_backtick_labels(spark):
+    """ADVICE r11 #2: the wide model's driver-side label collect must
+    reject NULL labels (sorted() would TypeError on None/str mixes)
+    and backtick labels (quoted pivot-column resolution breaks) with
+    clear errors instead."""
+    import pytest
+
+    from xarray_scipy_spark.pipeline.text import naive_bayes_lang
+
+    nulls = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour monde", None)],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="NULL label"):
+        naive_bayes_lang(nulls)
+    ticks = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour monde", "f`r")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="backtick"):
+        naive_bayes_lang(ticks)

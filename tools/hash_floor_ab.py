@@ -12,9 +12,10 @@ dominates; no parquet needed — the input is ``spark.range``):
 
 - ``md5``      : conv(substring(md5(salt|id),1,15),16,10)/16.0^15 —
                  the shipped cross-engine construction;
-- ``xxhash64`` : (xxhash64(salt, id) magnitude)/2^63 — same
-                 determinism and salt-independence properties, JVM
-                 codegen, no hex round-trip;
+- ``xxhash64`` : xxhash64(salt, id)/2^64 + 0.5 (the signed 64-bit
+                 hash shifted into [0, 1)) — same determinism and
+                 salt-independence properties, JVM codegen, no hex
+                 round-trip;
 - ``baseline`` : the identical plan with a constant in place of the
                  uniform — the scan+split+aggregate floor.
 

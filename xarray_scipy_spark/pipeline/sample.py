@@ -44,16 +44,47 @@ __all__ = [
 _H60_SPAN = float(16**15)
 
 
-def hash_uniform(col, salt: str = "") -> Column:
+def _u01(parts: Sequence[Column], engine: str) -> Column:
+    """[0, 1) uniform over the salted parts tuple, by hash engine.
+
+    ``md5`` is the shipped default: the h60 construction reproduces
+    bit-for-bit in DuckDB, which is what the oracle gate verifies.
+    ``xxhash64`` is the at-scale fast path: same determinism and
+    salt-independence contracts, whole-stage-codegen JVM hashing with
+    no hex round-trip — measured 11.8x faster on the hash-dominated
+    tier, landing at 1.18x the no-hash scan floor
+    (tools/hash_floor_ab.py; BASELINE.md r11 addendum) — but NOT
+    reproducible by other engines, so oracle-gated paths keep md5.
+    """
+    if engine == "xxhash64":
+        # signed 64-bit hash shifted into [0, 1)
+        return (F.xxhash64(*parts) / F.lit(float(2**64))) + F.lit(0.5)
+    if engine != "md5":
+        raise ValueError(
+            f"unknown hash engine {engine!r}: expected 'md5' or 'xxhash64'"
+        )
+    seeded = F.concat_ws("|", *parts)
+    h = F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("bigint")
+    return h / F.lit(_H60_SPAN)
+
+
+def hash_uniform(col, salt: str = "", engine: str = "md5") -> Column:
     """Deterministic uniform in [0, 1) from ``md5(salt|value)``.
 
     DuckDB equivalent (the oracle recomputes it exactly)::
 
         ('0x' || substring(md5(salt || '|' || x), 1, 15))::BIGINT / 16.0^15
+
+    ``engine="xxhash64"`` swaps the cross-engine md5 construction for
+    JVM-native xxhash64 (``xxhash64(salt, x)/2^64 + 0.5``) — the
+    100 TB knob for hash-dominated plans (split/fold/mix/cap): same
+    rerun/partitioning stability and salt-independence, ~12x less
+    per-row hash cost, but no out-of-Spark reproducibility. Default
+    stays md5 because the correctness gate requires a hash DuckDB can
+    recompute (the ``exact_distinct=False`` precedent in
+    pipeline/quality.py data_profile).
     """
-    seeded = F.concat_ws("|", F.lit(salt), _c(col))
-    h = F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("bigint")
-    return h / F.lit(_H60_SPAN)
+    return _u01([F.lit(salt), _c(col)], engine)
 
 
 def split_assign(
@@ -63,6 +94,7 @@ def split_assign(
     weights: Mapping[str, float] | None = None,
     salt: str = "split",
     out: str = "split",
+    engine: str = "md5",
 ) -> DataFrame:
     """Assign every row to a named split by cumulative weight ranges
     over the salted-hash uniform — e.g. ``{"train": .98, "val": .01,
@@ -77,7 +109,7 @@ def split_assign(
         raise ValueError(f"split weights must sum to 1, got {total}")
     if len(weights) < 2:
         raise ValueError("need at least two splits")
-    u = hash_uniform(id_col, salt=salt)
+    u = hash_uniform(id_col, salt=salt, engine=engine)
     names = list(weights)
     expr = F.lit(names[-1])
     cum = 0.0
@@ -101,6 +133,7 @@ def split_assign_clustered(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 30,
+    engine: str = "md5",
 ) -> DataFrame:
     """Leakage-safe train/val/test assignment: every member of a
     near-duplicate cluster lands in the SAME split.
@@ -122,6 +155,16 @@ def split_assign_clustered(
     """
     from .dedup import duplicate_clusters
 
+    if "cluster_id" in df.columns:
+        # the equi-join below would otherwise die with
+        # AMBIGUOUS_REFERENCE at the coalesce — a natural composition
+        # hazard, since duplicate_clusters/keep_best both emit
+        # cluster_id (ADVICE r11 #1)
+        raise ValueError(
+            "split_assign_clustered emits a 'cluster_id' output column "
+            "but the input already has one — drop or rename it first "
+            "(duplicate_clusters/keep_best output carries cluster_id)"
+        )
     clusters = duplicate_clusters(
         pairs, a_col=a_col, b_col=b_col, max_iter=max_iter
     ).withColumnRenamed("doc_id", "_cc_id")
@@ -132,7 +175,8 @@ def split_assign_clustered(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col).cast("bigint"))
     )
     return split_assign(
-        d, id_col="cluster_id", weights=weights, salt=salt, out=out
+        d, id_col="cluster_id", weights=weights, salt=salt, out=out,
+        engine=engine,
     )
 
 
@@ -143,6 +187,7 @@ def mix_datasets(
     id_col: str = "doc_id",
     salt: str = "mix",
     source_col: str = "source",
+    engine: str = "md5",
 ) -> DataFrame:
     """Weighted domain mixture: the corpus-assembly step that samples
     each source dataset at its own rate and unions the survivors,
@@ -166,7 +211,8 @@ def mix_datasets(
         if not 0.0 <= rate <= 1.0:
             raise ValueError(f"rate for {name!r} must be in [0, 1], got {rate}")
         part = df.filter(
-            hash_uniform(id_col, salt=f"{salt}|{name}") < F.lit(rate)
+            hash_uniform(id_col, salt=f"{salt}|{name}", engine=engine)
+            < F.lit(rate)
         ).withColumn(source_col, F.lit(name))
         out = part if out is None else out.unionByName(part)
     if out is None:
@@ -181,6 +227,7 @@ def stratified_sample(
     fractions: Mapping[str, float] | str,
     stratum_col: str | None = None,
     salt: str = "sample",
+    engine: str = "md5",
 ) -> DataFrame:
     """Deterministic per-stratum subsample: keep a row iff its salted-
     hash uniform falls below its stratum's fraction. ``fractions`` maps
@@ -189,7 +236,7 @@ def stratified_sample(
     for a flat sample. Unlike ``DataFrame.sample`` this is exact-by-id:
     the same ids survive every rerun, any partitioning, any engine.
     """
-    u = hash_uniform(id_col, salt=salt)
+    u = hash_uniform(id_col, salt=salt, engine=engine)
     if stratum_col is None:
         frac = float(fractions)  # type: ignore[arg-type]
         return df.filter(u < F.lit(frac))
@@ -309,6 +356,7 @@ def cap_per_group(
     n: int,
     salt: str = "cap",
     keep_col: str | None = None,
+    engine: str = "md5",
 ) -> DataFrame:
     """Keep at most ``n`` rows per group, chosen by the salted-hash
     uniform over ``id_col`` — the per-domain / per-source cap every
@@ -346,7 +394,8 @@ def cap_per_group(
         raise ValueError(f"n must be >= 1, got {n}")
     by = [by] if isinstance(by, str) else list(by)
     w = Window.partitionBy(*by).orderBy(
-        hash_uniform(id_col, salt=salt).asc(), F.col(id_col).asc()
+        hash_uniform(id_col, salt=salt, engine=engine).asc(),
+        F.col(id_col).asc(),
     )
     if keep_col is not None:
         ranked = df.withColumn("_rk", F.row_number().over(w))
@@ -359,7 +408,8 @@ def cap_per_group(
     # the window then reuses this exchange, no second shuffle
     pb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
     wl = Window.partitionBy(pb, *by).orderBy(
-        hash_uniform(id_col, salt=salt).asc(), F.col(id_col).asc()
+        hash_uniform(id_col, salt=salt, engine=engine).asc(),
+        F.col(id_col).asc(),
     )
     pruned = (
         df.repartition(buckets, pb, *[F.col(c) for c in by])
@@ -378,6 +428,7 @@ def kfold_assign(
     k: int = 5,
     salt: str = "fold",
     out: str = "fold",
+    engine: str = "md5",
 ) -> DataFrame:
     """Deterministic k-fold cross-validation assignment: fold =
     ``h60(salt|id) mod k`` — the split_assign determinism contract
@@ -388,9 +439,19 @@ def kfold_assign(
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    fold = F.pmod(
-        h60(F.concat_ws("|", F.lit(salt), _c(id_col).cast("string"))), F.lit(k)
-    )
+    if engine == "xxhash64":
+        # same fast-path contract as hash_uniform: pmod of the JVM
+        # hash keeps folds disjoint/exhaustive and rerun-stable
+        fold = F.pmod(F.xxhash64(F.lit(salt), _c(id_col)), F.lit(k))
+    elif engine == "md5":
+        fold = F.pmod(
+            h60(F.concat_ws("|", F.lit(salt), _c(id_col).cast("string"))),
+            F.lit(k),
+        )
+    else:
+        raise ValueError(
+            f"unknown hash engine {engine!r}: expected 'md5' or 'xxhash64'"
+        )
     return df.withColumn(out, fold.cast("int"))
 
 
@@ -607,6 +668,7 @@ def weighted_sample(
     k: int,
     group_cols=None,
     salt: str = "wsample",
+    engine: str = "md5",
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement — k rows
     per group (or globally), selection probability proportional to
@@ -629,7 +691,7 @@ def weighted_sample(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k!r}")
     groups = list(group_cols) if group_cols else []
-    u = hash_uniform(F.col(id_col), salt)
+    u = hash_uniform(F.col(id_col), salt, engine=engine)
     key = F.log(u) / F.col(weight_col)
     base = df.filter(F.col(weight_col) > 0).select(
         *groups, F.col(id_col), key.alias("_key")
@@ -657,6 +719,7 @@ def temperature_mix(
     alpha: float = 0.7,
     budget_frac: float = 0.5,
     salt: str = "tmix",
+    engine: str = "md5",
 ) -> DataFrame:
     """Temperature-flattened source mixing: sampling shares follow
     ``cnt^alpha`` (alpha < 1 flattens the source power law, the
@@ -720,12 +783,9 @@ def temperature_mix(
             ).alias("_rate"),
         )
     )
-    seeded = F.concat_ws(
-        "|", F.lit(salt), F.col(source_col), F.col(id_col).cast("string")
-    )
-    u = (
-        F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("bigint")
-        / F.lit(_H60_SPAN)
+    u = _u01(
+        [F.lit(salt), F.col(source_col), F.col(id_col).cast("string")],
+        engine,
     )
     kept = (
         df.select(id_col, source_col)

@@ -1228,11 +1228,28 @@ def naive_bayes_lang(
     Filter for them upstream (``length(trim(text)) = 0``-style) if the
     routing needs a row per input document.
     """
-    labels = sorted(
-        r[0] for r in df.select(label_col).distinct().collect()
-    )
-    if not labels:
+    raw_labels = [r[0] for r in df.select(label_col).distinct().collect()]
+    if not raw_labels:
         raise ValueError("naive_bayes_lang: no labels in the input")
+    # the wide model addresses pivot columns by quoted label text, so
+    # the label domain must be NULL-free (sorted() dies on None/str
+    # mixes) and backtick-free (backticks break column resolution) —
+    # loud errors instead of those failure modes (ADVICE r11 #2); the
+    # previous tall model handled arbitrary labels, so point the user
+    # at the fix rather than silently dropping rows
+    if any(lab is None for lab in raw_labels):
+        raise ValueError(
+            "naive_bayes_lang: NULL label values in the input — filter "
+            "or impute them upstream (labels become model pivot columns)"
+        )
+    bad = [lab for lab in raw_labels if "`" in str(lab)]
+    if bad:
+        raise ValueError(
+            "naive_bayes_lang: label values containing backticks break "
+            f"pivot-column resolution: {bad[:3]!r} — clean the label "
+            "column upstream"
+        )
+    labels = sorted(raw_labels)
     mu = 1_000_000
     # the token frame feeds FOUR consumers (label-token counts, vocab
     # size, per-label totals, per-doc tf) — without a lineage cut each
