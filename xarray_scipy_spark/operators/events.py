@@ -133,28 +133,32 @@ def retention_cohorts(
     ``cohort_period`` is the epoch-period index of the cohort and
     offset 0 is the cohort period itself.
 
-    Plan (r10 rewrite): deduplicate to (group, period) pairs FIRST —
-    the distinct is a codegen'd hash aggregate whose map-side partials
-    shrink the one event-volume shuffle to per-partition-unique pairs
-    — then the per-group first and the offset join both run on the
-    small pairs frame (groups x active periods rows). The previous
-    shape joined every RAW event against the per-group firsts and
-    distinct'd the joined rows: two full event-volume shuffles. A
-    collect_set single-aggregation variant was also A/B'd and
-    rejected: it plans as ObjectHashAggregate (object-array state,
-    outside whole-stage codegen) and measured 42 s vs this plan's
-    4.1 s and the old plan's 30.9 s at the 1000x tier (100 M events,
-    1.5 M groups)."""
+    Plan (r10 rewrite, r12 glue fix): deduplicate to (group, period)
+    pairs FIRST — the distinct is a codegen'd hash aggregate whose
+    map-side partials shrink the one event-volume shuffle to
+    per-partition-unique pairs. The per-group cohort is then a
+    whole-partition ``min`` WINDOW over the pairs frame, not a
+    groupBy+join: the r12 decomposition (tools/retention_decompose.py
+    @1000x) measured the join shape's small-frame glue at 1.25 s of a
+    2.86 s total — three pair-volume exchanges (first-agg, both join
+    sides re-keyed) where the window pays one; the rewrite measured
+    3.93 -> 2.85 s interleaved same-session with identical output.
+    The previous shapes lost worse: raw-events join (two event-volume
+    shuffles, 30.9 s) and collect_set single-aggregation
+    (ObjectHashAggregate, outside whole-stage codegen, 42 s) at the
+    1000x tier."""
     if period_seconds <= 0:
         raise ValueError(f"period_seconds must be positive, got {period_seconds}")
+    from pyspark.sql import Window
+
     from ..functions.timeutil import epoch_us
 
     per_us = int(period_seconds) * 1_000_000
     p = F.floor(epoch_us(df, dim) / per_us).cast("bigint")
     pairs = df.select(F.col(by).alias("_g"), p.alias("_p")).distinct()
-    first = pairs.groupBy("_g").agg(F.min("_p").alias("_cohort"))
+    w = Window.partitionBy("_g")
     return (
-        pairs.join(first, "_g")
+        pairs.withColumn("_cohort", F.min("_p").over(w))
         .select(
             F.col("_cohort").alias("cohort_period"),
             (F.col("_p") - F.col("_cohort")).alias("period_offset"),
