@@ -279,9 +279,20 @@ def plain_overrides() -> dict:
         "cap_per_group": C.q_cap_per_group,
         "filter_by_quantile": C.q_filter_by_quantile,
         # r12 rotation (12 merges): names retired from the registry
-        # keep their historical plans here. decimate_iir's BENCH row
-        # has measured the r7 iir-family union since r7 — keep that
-        # exact plan.
+        # keep their historical plans here, and the merged BASE names
+        # that carry a HEADLINE row keep their plain single-variant
+        # plans (the r11 sosfilt/fftconvolve precedent — without
+        # these the r12 unions inflate the base rows ~40% and flag
+        # vs band, measured at the r12 open). decimate_iir's BENCH
+        # row has measured the r7 iir-family union since r7 — keep
+        # that exact plan.
+        "resample": C.q_resample,
+        "dedup_exact": C.q_dedup_exact,
+        "funnel": C.q_funnel,
+        "tpch_q4": C.q_tpch_q4,
+        "rolling_stats": C.q_rolling_stats,
+        "decimate_fir": C.q_decimate_fir,
+        "lombscargle": C.q_lombscargle,
         "dominant_frequency": C.q_dominant_frequency,
         "hilbert_envelope": C.q_hilbert_envelope,
         "decimate_iir": C.q_decimate_iir_merged,

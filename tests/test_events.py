@@ -130,3 +130,26 @@ def test_funnel_is_single_sort_exchange(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # window + agg
     assert plan.count("Sort ") <= 1 or plan.count("Sort") <= 2
+
+
+def test_retention_cohorts_plan_is_join_free(spark):
+    """r12 plan lock: the cohort is a whole-partition min() WINDOW
+    over the deduplicated pairs frame, not a groupBy+join — the r12
+    decomposition measured the join shape at 3 pair-volume exchanges
+    where the window pays 1 (tools/retention_decompose.py, -27%
+    same-session). Empty input stays well-formed."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-09 00:00:00")],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    plan = (
+        retention_cohorts(df, period_seconds=7 * 86400)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
+    empty = retention_cohorts(df.filter("user_id < 0"), period_seconds=7 * 86400)
+    assert empty.count() == 0
+    assert empty.columns == ["cohort_period", "period_offset", "n_active"]

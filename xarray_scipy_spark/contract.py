@@ -3902,33 +3902,33 @@ def q_correlate(spark, sf_dir):
 # the recipe's K=11 became K=10 — sequence_pack's oracle changed (the
 # HUGEINT cast fix) and took a head slot.
 #
-# r12 RECIPE (REDO the due-ness math against CORRECTNESS_r11.json at
-# round open — cohorts below assume r11 lands as executed). Due pool =
-# the 46 r10-head names in __spark_entry__._CHECK_LAST. Clean +1
-# levers (absorbed name IS due r12), all staged in _QUEUED and
-# CI-byte-exact:
-#   resample@merged (absorbs due resample_poly; resample_freq — r11
-#   head — retires free), dedup_exact@merged (absorbs due
-#   dedup_ngram_jaccard; dedup_ngram_spans retires free),
-#   ifft@merged (absorbs due fftshift), funnel@merged (absorbs due
-#   retention), tpch_q4@merged (absorbs due tpch_q18),
-#   rolling_stats@merged (absorbs due rolling_median +
-#   quantile_normalize, DRAGS head-cohort base rolling_stats: +1 net).
-# Head math: 46 due − 7 absorbed-due + 1 dragged + K new = 50 →
-# K = 10: exactly the 10-name r12 slate (tools/queue_status.py).
-# N = 96 − 9 retired + 10 = 97.
-# Net-0 retirement levers (base due, absorbed name r11-head → retires
-# free, shrink N only): hilbert@merged (hilbert_envelope),
-# decimate_fir@merged (decimate_iir), lombscargle@merged
-# (dominant_frequency), lineitem_rollup@merged (cube_revenue),
-# embedding_quantize@merged (embedding_pca), curation_report@merged
-# (clean_text).
-# NOT at r12 (would drag a freshly-checked base for no due absorb):
-# multimodal_audio_decode@merged, sessionize@merged,
-# fftconvolve_2d@merged, sosfilt_stream@merged, stft@merged,
-# group_quantiles@merged, text_postings@merged (constituents both
-# registered r11 — due r13), tpch_q7@merged / tpch_q14@merged
-# (constituents register at r12 — due r14+).
+# r12 EXECUTED as recipe'd (see the r12 rotation block at the end of
+# this module): all six clean +1 levers (rolling_stats@merged gained
+# its qn branch to cover quantile_normalize per the head math) and
+# all six net-0 levers (curation_report@merged extended to absorb the
+# whole r11 hygiene union), the full 10-name slate registered.
+# N = 91 (head 50 + tail 41), queue 27.
+#
+# r13 RECIPE (REDO the due-ness math against CORRECTNESS_r12.json at
+# round open — cohorts below assume r12 lands as executed). Due pool
+# = the 41 r11-head names in __spark_entry__._CHECK_LAST. Clean +1
+# levers (absorbed name IS due r13), staged and CI-byte-exact:
+#   group_quantiles@merged (absorbs due winsorize; its qn branch is
+#   redundant duplicate coverage since r12), text_postings@merged
+#   (absorbs due bm25_scores).
+# Net-0 retirement levers (base due r13, absorbed name r12-head →
+# retires free, shrink N only): multimodal_audio_decode@merged
+# (multimodal_gzip_decode), sessionize@merged (stream_dedup),
+# stft@merged (coherence), fftconvolve_2d@merged
+# (fftconvolve_complex), sosfilt_stream@merged
+# (stream_window_stats_live).
+# Head math: 41 due − 2 absorbed-due + 0 dragged + K new = 50 →
+# K = 11: the 7-name r13 slate (tpch_q8/q9/q13/q17/q19,
+# text_sparse_knn, dedup_recall_eval) + 4 r14 pull-forwards
+# (embedding_outliers, dataset_temperature_mix, naive_bayes_lang,
+# auc_eval). N = 91 − 7 retired + 11 = 95; queue 27 − 7 merges − 11
+# new = 9 (drains at r14 with tpch_q7@merged / tpch_q14@merged, whose
+# constituents registered r12 and fall due r14).
 
 
 def q_welch_blackman(spark, sf_dir):
