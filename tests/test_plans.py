@@ -679,6 +679,43 @@ def test_tpch_q14_q22_no_cartesian(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
+def test_tpch_q8_q9_dims_broadcast_no_cartesian(spark):
+    """q8/q9 (r13 slate): every dimension must join as a broadcast of
+    a BASE-table scan (the measured q7 lesson: joining the fact to a
+    dim-join OUTPUT loses the size estimate and degenerates to
+    fact-wide sort-merge shuffles); no cartesian anywhere."""
+    for name, min_bcast in (("tpch_q8", 3), ("tpch_q9", 3)):
+        plan = _static_plan(_contract_fn(name)(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= min_bcast, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_tpch_q13_aggregate_below_outer_join(spark):
+    """q13 (r13 slate): the per-custkey order count must aggregate
+    BELOW the left outer join (the r10 rewrite: map-side combine
+    shrinks the shuffle from every order row to per-custkey partials,
+    and the counts frame broadcasts into the join) — so the plan
+    carries a broadcast LeftOuter and no fact-wide SortMergeJoin."""
+    plan = _static_plan(_contract_fn("tpch_q13")(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q17_q19_part_semireduction_broadcast(spark):
+    """q17/q19 (r13 slate): the filtered part frame semi-reduces
+    lineitem through a BROADCAST join (one brand / the clause union is
+    a bounded fraction of parts at any scale); no cartesian, and q17's
+    decorrelated per-part average must not plan a Window."""
+    for name in ("tpch_q17", "tpch_q19"):
+        plan = _static_plan(_contract_fn(name)(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+    assert "Window" not in _static_plan(
+        _contract_fn("tpch_q17")(spark, SF_DIR)
+    )
+
+
 # --- merged-union glue locks (ADVICE r10 #5) --------------------------------
 # _contract_fn prefers the plain q_<name> function, so the union plans
 # themselves had no lock: an accidental repartition/sort between
