@@ -453,9 +453,15 @@ def missing_windows(
 
     Plan: the grid is ONE ``sequence()`` projection — O(windows) rows,
     a calendar property, never event volume — and the subtraction is a
-    left-anti join on the window start: grid-sized, broadcastable,
-    no event-volume shuffle anywhere. Output: ``(window_start,)`` one
-    row per silent window, ascending.
+    left-anti join on the window start: grid-sized, broadcastable. The
+    input pays exactly ONE scan: the distinct-windows frame (map-side
+    partials collapse the exchange to per-partition-unique windows) is
+    lazily checkpointed and the unpinned horizon bounds are read from
+    THAT tiny frame, not from a second scan of ``observed`` — the r12
+    tier decomposition caught the old bounds aggregate re-scanning the
+    full input (2.11 s -> one-scan at the 1000x events tier; the
+    pinned path still scans nothing for bounds, ADVICE r10 #2).
+    Output: ``(window_start,)`` one row per silent window, ascending.
     """
     if window_seconds <= 0:
         raise ValueError(
@@ -463,29 +469,34 @@ def missing_windows(
         )
     spark = observed.sparkSession
     w = F.col(window_start_col).cast("long")
+    per = int(window_seconds)
+    seen = observed.select(w.alias("window_start")).distinct()
     if range_start is not None and range_end is not None:
         # pinned horizon (the live-monitor configuration): no need to
         # scan `observed` for bounds at all (ADVICE r10 #2)
         lo, hi = int(range_start), int(range_end)
     else:
-        bounds = observed.agg(
-            F.min(w).alias("_lo"), F.max(w).alias("_hi")
+        # windows-sized frame: materialize it once, read the bounds
+        # from it, reuse it in the anti-join — never a second pass
+        # over the event-volume input
+        seen = seen.localCheckpoint(eager=False)
+        bounds = seen.agg(
+            F.min("window_start").alias("_lo"),
+            F.max("window_start").alias("_hi"),
         ).first()
         lo = int(range_start) if range_start is not None else bounds["_lo"]
         hi = int(range_end) if range_end is not None else (
-            None if bounds["_hi"] is None else bounds["_hi"] + window_seconds
+            None if bounds["_hi"] is None else bounds["_hi"] + per
         )
     if lo is None or hi is None or hi <= lo:
         return spark.range(0).select(
             F.col("id").cast("long").alias("window_start")
         )
-    per = int(window_seconds)
     # align the grid to the same epoch buckets window() produces
     first = (lo // per) * per
     grid = spark.range(first, hi, per).select(
         F.col("id").cast("long").alias("window_start")
     )
-    seen = observed.select(w.alias("window_start")).distinct()
     return grid.join(seen, "window_start", "left_anti").orderBy(
         "window_start"
     )
