@@ -8811,7 +8811,13 @@ def q_tpch_q15(spark, sf_dir):
     window over an unpartitioned frame — that would serialize the
     per-supplier rows through one task); the decimal equality makes
     max-row selection identical across engines. Supplier joins last,
-    against at most the tied max rows."""
+    against at most the tied max rows. The revenue frame feeds TWO
+    consumers (the scalar max and the equality join) — without a
+    lineage cut Catalyst duplicates the whole filtered-lineitem
+    scan+aggregate subtree, one full fact scan per consumer (measured
+    at the 1000x tier: 3.96 s two-scan vs 2.66 s with the
+    aggregate-compressed rev frame lazily checkpointed; ratio 2.46x
+    -> ~1.5x, fresh-session steady state)."""
     li = load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit(_Q15_D1).cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit(_Q15_D2).cast("timestamp_ntz"))
@@ -8822,7 +8828,7 @@ def q_tpch_q15(spark, sf_dir):
                 "decimal(22,4)"
             )
         ).alias("total_rev")
-    )
+    ).localCheckpoint(eager=False)
     mx = rev.agg(F.max("total_rev").alias("_mx"))
     top = rev.join(F.broadcast(mx), rev.total_rev == F.col("_mx"))
     sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
