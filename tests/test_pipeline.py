@@ -2801,3 +2801,47 @@ def test_split_assign_clustered_rejects_cluster_id_input(spark):
     pairs = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
     with pytest.raises(ValueError, match="cluster_id"):
         pl.split_assign_clustered(docs, pairs)
+
+
+def test_remaining_xxhash64_engine_surfaces(spark):
+    """The r12 knob on the other four sampling functions: xxhash64
+    keeps each function's own contract (determinism, sizes, exact-by-id
+    stability) and the md5 default stays byte-identical to engine-less
+    calls."""
+    import xarray_scipy_spark.pipeline as pl
+
+    docs = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i % 7) + 1.0) for i in range(400)],
+        "doc_id long, grp string, wt double",
+    )
+    # stratified_sample: md5 default pinned; xxhash64 deterministic
+    md5_ids = {r["doc_id"] for r in pl.stratified_sample(
+        docs, fractions="0.25").collect()}
+    assert md5_ids == {r["doc_id"] for r in pl.stratified_sample(
+        docs, fractions="0.25", engine="md5").collect()}
+    xx1 = {r["doc_id"] for r in pl.stratified_sample(
+        docs, fractions="0.25", engine="xxhash64").collect()}
+    xx2 = {r["doc_id"] for r in pl.stratified_sample(
+        docs, fractions="0.25", engine="xxhash64").collect()}
+    assert xx1 == xx2 and 40 < len(xx1) < 160
+    # cap_per_group: exactly n per group, stable, engine-selectable
+    for eng in ("md5", "xxhash64"):
+        capped = pl.cap_per_group(
+            docs, by=["grp"], id_col="doc_id", n=5, engine=eng
+        )
+        rows = capped.groupBy("grp").count().collect()
+        assert {r["count"] for r in rows} == {5}, (eng, rows)
+    # weighted_sample: k ranks, positive weights only, deterministic
+    w1 = {(r["doc_id"], r["smp_rank"]) for r in pl.weighted_sample(
+        docs, id_col="doc_id", weight_col="wt", k=7, engine="xxhash64"
+    ).collect()}
+    w2 = {(r["doc_id"], r["smp_rank"]) for r in pl.weighted_sample(
+        docs, id_col="doc_id", weight_col="wt", k=7, engine="xxhash64"
+    ).collect()}
+    assert w1 == w2 and len(w1) == 7
+    # mix_datasets: rates respected in expectation, deterministic
+    out = pl.mix_datasets(
+        {"x": docs, "y": docs}, {"x": 0.5, "y": 1.0}, engine="xxhash64"
+    )
+    cnt = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert cnt["y"] == 400 and 120 < cnt["x"] < 280
