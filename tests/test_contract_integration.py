@@ -176,3 +176,26 @@ def test_time_queries_are_session_timezone_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", old)
     for n in names:
         assert utc[n] == ny[n], f"{n} drifted with the session timezone"
+
+
+def test_bench_headline_names_all_resolve():
+    """Rotation guard: bench.py silently skips a HEADLINE name whose
+    resolver returns None (plain_overrides -> registry -> queue), so a
+    rotation that retires a name without adding a plain override would
+    silently drop its BENCH row instead of failing. Every HEADLINE
+    name must resolve to a callable."""
+    import bench
+    from xarray_scipy_spark.contract import QUERIES, _QUEUED
+
+    plain = bench.plain_overrides()
+    missing = [
+        n
+        for n in bench.HEADLINE
+        if plain.get(n) is None
+        and n not in QUERIES
+        and n not in _QUEUED
+    ]
+    assert not missing, (
+        f"HEADLINE names with no resolvable plan (add a plain override "
+        f"or registry entry): {missing}"
+    )
