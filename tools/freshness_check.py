@@ -73,10 +73,16 @@ def main() -> int:
         ok = False
     order = [n for n in prior_head if n in set(tail)]
     if order != list(tail):
+        # the zip mismatch can be empty when `order` is a strict
+        # prefix of the tail (a stale-tail name fell out of the
+        # intersection) — report the length delta in that case
+        mismatch = next(
+            ((a, b) for a, b in zip(order, tail) if a != b),
+            f"length {len(order)} vs {len(tail)}",
+        )
         print(
             "FAIL tail order deviates from the latest CORRECTNESS key "
-            "order (first mismatch: "
-            f"{next((a, b) for a, b in zip(order, tail) if a != b)})"
+            f"order (first mismatch: {mismatch})"
         )
         ok = False
 

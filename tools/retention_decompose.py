@@ -28,25 +28,11 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
-import time
-
-import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SRC = "/root/testdata/sf0.1"
-
-
-def _median5(fn) -> tuple[float, list[float]]:
-    ts = []
-    for i in range(6):
-        t0 = time.time()
-        fn()
-        if i > 0:
-            ts.append(round(time.time() - t0, 3))
-    return statistics.median(ts), ts
+from tools.measure import duck_median, median5  # noqa: E402
 
 
 def main() -> int:
@@ -91,7 +77,7 @@ def main() -> int:
         ("pairs_distinct", lambda: noop(ev_df().distinct())),
         ("full", lambda: noop(C.q_retention(spark, tier))),
     ):
-        med, runs = _median5(fn)
+        med, runs = median5(fn)
         out[tag] = {"median": round(med, 3), "samples": runs}
         print(f"# {tag}: {med:.3f}s {runs}", file=sys.stderr)
     out["distinct_over_scan"] = round(
@@ -116,20 +102,9 @@ def main() -> int:
         "full": C.ORACLES.get("retention") or C._retention_oracle(),
     }
 
-    def duck_once(sql: str) -> float:
-        con = duckdb.connect()
-        for s in views:
-            con.execute(s)
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        dt = time.time() - t0
-        con.close()
-        return dt
-
     for tag, sql in duck_sqls.items():
-        duck_once(sql)
-        med = statistics.median(duck_once(sql) for _ in range(5))
-        out[f"duck_{tag}"] = round(med, 3)
+        med = duck_median(views, sql)
+        out[f"duck_{tag}"] = med
         print(f"# duck_{tag}: {med:.3f}s", file=sys.stderr)
     print(json.dumps(out))
     return 0

@@ -4880,7 +4880,7 @@ def _hilbert_merged_oracle() -> str:
 
 def q_hilbert_merged(spark, sf_dir):
     """Analytic signal + its envelope in ONE variant-tag union —
-    replaces hilbert + hilbert_envelope at r10."""
+    replaces hilbert + hilbert_envelope (EXECUTED r12)."""
     an = q_hilbert(spark, sf_dir).select(
         F.lit("analytic").alias("variant"), "user_id", "idx",
         F.col("re4").alias("va"), F.col("im4").alias("vb"),
@@ -6774,7 +6774,7 @@ def _decimate_merged_oracle() -> str:
 
 def q_decimate_merged(spark, sf_dir):
     """decimate ftype='fir' + the iir causal/zerophase pair in ONE
-    variant-tag union — replaces decimate_fir + decimate_iir at r10
+    variant-tag union — replaces decimate_fir + decimate_iir (EXECUTED r12
     (both halves of the reference's decimate surface, signal.py:124,
     stay value-verified in one head slot)."""
     fir = q_decimate_fir(spark, sf_dir).select(
@@ -6805,7 +6805,7 @@ def _resample_merged_oracle() -> str:
 def q_resample_merged(spark, sf_dir):
     """resample domain='time' + resample_poly + resample domain='freq'
     in ONE variant-tag union — replaces resample + resample_poly +
-    resample_freq at r11, freeing two slots (vb carries the freq
+    resample_freq (EXECUTED r12), freeing two slots (vb carries the freq
     variant's imaginary part; 0.0 where the variant is real-valued)."""
     t = q_resample(spark, sf_dir).select(
         F.lit("time").alias("variant"), "user_id", "idx",
@@ -7657,7 +7657,7 @@ def _dedup_family_merged_oracle() -> str:
 def q_dedup_family_merged(spark, sf_dir):
     """Exact-hash dedup + n-gram Jaccard pairs + substring-level dup
     spans in ONE variant-tag union — replaces dedup_exact +
-    dedup_ngram_jaccard + dedup_ngram_spans at r13, freeing two slots
+    dedup_ngram_jaccard + dedup_ngram_spans (EXECUTED r12), freeing two slots
     (k1/k2 = ids, s = the content hash, a..d = each variant's integer
     columns -1-padded, x = the Jaccard score)."""
     ex = q_dedup_exact(spark, sf_dir).select(
@@ -8156,8 +8156,8 @@ def _embedding_merged_oracle() -> str:
 
 def q_embedding_merged(spark, sf_dir):
     """int8 embedding quantization + the PCA invariant query in ONE
-    variant-tag union — replaces embedding_quantize + embedding_pca at
-    r15 (the embedding-transform family in one slot)."""
+    variant-tag union — replaces embedding_quantize + embedding_pca
+    (EXECUTED r12; the embedding-transform family in one slot)."""
     qu = q_embedding_quantize(spark, sf_dir).select(
         F.lit("quant").alias("variant"), F.col("vec_id").alias("k1"),
         F.lit(-1).cast("bigint").alias("k2"),
@@ -8201,7 +8201,7 @@ def _events_merged_oracle() -> str:
 
 def q_events_merged(spark, sf_dir):
     """Ordered funnel times + retention cohorts in ONE variant-tag
-    union — replaces funnel + retention at r14 (the event-sequence
+    union — replaces funnel + retention (EXECUTED r12; the event-sequence
     family in one head slot; k1 = user or cohort, v1..v3 carry each
     variant's columns -1-padded)."""
     fu = q_funnel(spark, sf_dir).select(
@@ -8236,7 +8236,7 @@ def _tpch_order_merged_oracle() -> str:
 
 def q_tpch_order_merged(spark, sf_dir):
     """TPC-H Q4 (semi-join priority counts) + Q18 (having-join top-100)
-    in ONE variant-tag union — replaces tpch_q4 + tpch_q18 at r14;
+    in ONE variant-tag union — replaces tpch_q4 + tpch_q18 (EXECUTED r12);
     both join plans stay individually plan-locked."""
     q4 = q_tpch_q4(spark, sf_dir).select(
         F.lit("q4").alias("variant"),
@@ -8272,7 +8272,7 @@ def _grouping_sets_merged_oracle() -> str:
 
 def q_grouping_sets_merged(spark, sf_dir):
     """ROLLUP + CUBE (with GROUPING() markers) in ONE variant-tag
-    union — replaces lineitem_rollup + cube_revenue at r14; the
+    union — replaces lineitem_rollup + cube_revenue (EXECUTED r12); the
     grouping-sets surface stays value-verified in one slot."""
     ro = q_lineitem_rollup(spark, sf_dir).select(
         F.lit("rollup").alias("variant"),
@@ -8522,7 +8522,7 @@ def _freqest_merged_oracle() -> str:
 def q_freqest_merged(spark, sf_dir):
     """Lomb–Scargle (irregular series) + dominant-frequency argmax
     (regular series) in ONE variant-tag union — replaces lombscargle +
-    dominant_frequency at r16 (the frequency-estimation family)."""
+    dominant_frequency (EXECUTED r12; the frequency-estimation family)."""
     lo = q_lombscargle(spark, sf_dir).select(
         F.lit("lomb").alias("variant"), "user_id", "idx",
         F.col("power_q").cast("double").alias("v"),
@@ -9902,7 +9902,7 @@ def _inverse_transform_merged_oracle() -> str:
 def q_inverse_transform_merged(spark, sf_dir):
     """The inverse/spectral-rearrangement family (ifft 4-variant +
     fftshift 3-variant + native istft) in ONE variant-tag union —
-    replaces ifft + fftshift + istft_native at r17."""
+    replaces ifft + fftshift + istft_native (EXECUTED r12)."""
     a = q_fft_family_merged(spark, sf_dir).select(
         "variant",
         "user_id",

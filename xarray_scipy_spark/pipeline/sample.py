@@ -57,12 +57,23 @@ def _u01(parts: Sequence[Column], engine: str) -> Column:
     reproducible by other engines, so oracle-gated paths keep md5.
     """
     if engine == "xxhash64":
-        # signed 64-bit hash shifted into [0, 1)
-        return (F.xxhash64(*parts) / F.lit(float(2**64))) + F.lit(0.5)
+        # signed 64-bit hash shifted into [0, 1). The long->double
+        # conversion rounds hashes within ~2^10 of 2^63-1 UP to
+        # exactly 2^63, which would make u == 1.0 and deterministically
+        # drop those ids even at rate=1.0 — clamp to the largest
+        # double below 1 (no oracle mirrors this path, so the clamp
+        # is free)
+        u = (F.xxhash64(*parts) / F.lit(float(2**64))) + F.lit(0.5)
+        return F.least(u, F.lit(1.0 - 2.0**-53))
     if engine != "md5":
         raise ValueError(
             f"unknown hash engine {engine!r}: expected 'md5' or 'xxhash64'"
         )
+    # NOTE: h values within ~2^7 of 2^60-1 round up to u == 1.0 here
+    # (~1e-16 of ids). DuckDB's BIGINT/DOUBLE divide rounds IDENTICALLY,
+    # so both engines agree row-for-row — the md5 path's contract is
+    # cross-engine reproducibility, and a Spark-only clamp would break
+    # byte-parity with every shipped oracle; left as-is by design.
     seeded = F.concat_ws("|", *parts)
     h = F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("bigint")
     return h / F.lit(_H60_SPAN)
