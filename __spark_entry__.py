@@ -35,37 +35,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round, CHANGED this round, or UNCHECKED last round sits in the
 # head; the two-round freshness bar caps the registry at 100 names.
 #
-# r12 rotation (EXECUTED this round — see contract.py's r12 rotation
-# block): TWELVE merges — six clean +1 (resample absorbs
-# resample_poly with resample_freq retiring free, dedup_exact absorbs
-# dedup_ngram_jaccard with dedup_ngram_spans retiring free, ifft
-# absorbs fftshift, funnel absorbs retention, tpch_q4 absorbs
-# tpch_q18, rolling_stats absorbs rolling_median + quantile_normalize
-# and drags its r11-head base) and six net-0 retirements (hilbert
-# absorbs hilbert_envelope, decimate_fir absorbs decimate_iir,
-# lombscargle absorbs dominant_frequency, lineitem_rollup absorbs
-# cube_revenue, embedding_quantize absorbs embedding_pca,
-# curation_report absorbs the whole r11 clean_text hygiene union);
-# 10 registrations landed (the FULL ledgered r12 slate:
-# ann_recall_eval, missing_windows, dedup_keep_best,
-# key_skew_profile, dataset_split_safe, tpch_q7, tpch_q10, tpch_q14,
-# tpch_q15, tpch_q22).
-# Head math: 46 due − 7 absorbed-due + 1 dragged + 10 new = 50.
-# N = 96 − 15 retired + 10 = 91.
+# r13 rotation (EXECUTED this round — see contract.py's r13 rotation
+# block): SEVEN merges — two clean +1 (group_quantiles absorbs due
+# winsorize, text_postings absorbs due bm25_scores) and five net-0
+# retirements (multimodal_audio_decode absorbs multimodal_gzip_decode,
+# sessionize absorbs stream_dedup, stft absorbs coherence,
+# fftconvolve_2d absorbs fftconvolve_complex, sosfilt_stream absorbs
+# stream_window_stats_live — each absorbed name r12-head, retiring
+# free); 11 registrations landed (the 7-name ledgered r13 slate
+# tpch_q8/q9/q13/q17/q19 + text_sparse_knn + dedup_recall_eval, plus
+# 4 r14 pull-forwards: embedding_outliers, dataset_temperature_mix,
+# naive_bayes_lang, auc_eval).
+# Head math: 41 due − 2 absorbed-due + 0 dragged + 11 new = 50.
+# N = 91 − 7 retired + 11 = 95.
 #
-# Head (50) = 39 surviving r12-due names (the 10 merged bases among
-# them carry their variant unions) + 1 dragged (rolling_stats) + the
-# 10 new registrations.
-# Tail (41) = the r11-head names (green CORRECTNESS_r11 rows, no r12
-# code change) minus the 8 retired (resample_freq, hilbert_envelope,
-# dominant_frequency, decimate_iir, dedup_ngram_spans, cube_revenue,
-# embedding_pca, clean_text) and dragged rolling_stats, in
-# CORRECTNESS_r11.json key order. Tail queries retain value-level
+# Head (50) = 39 surviving r13-due names (the 7 merged bases among
+# them carry their variant unions) + the 11 new registrations.
+# Tail (45) = the r12-head names (green CORRECTNESS_r12 rows, no r13
+# code change) minus the 5 retired r12-head names
+# (multimodal_gzip_decode, stream_dedup, coherence,
+# fftconvolve_complex, stream_window_stats_live), in
+# CORRECTNESS_r12.json key order. Tail queries retain value-level
 # verification in CI:
 # tests/test_contract_integration.py::test_tail_queries_match_oracle
 # runs each against its DuckDB oracle at sf0.001 every pytest run
 # (which also asserts head size == exactly 50), and
-# tools/check_correctness.py covers all 91 at sf0.01 on demand.
+# tools/check_correctness.py covers all 95 at sf0.01 on demand.
 #
 # ROTATION MATH: with a 50-slot head, N registered queries get
 # driver-checked every ceil(N/50) rounds — the two-round freshness bar
@@ -74,47 +69,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # comments, they went stale once already, ADVICE r9 #1); prefer
 # retiring redundant variants over weakening either bar.
 _CHECK_LAST = (
-    "fft",
-    "fftconvolve",
-    "stft",
-    "welch",
-    "sosfilt",
-    "peak_widths",
-    "dedup_minhash",
-    "ann_cosine_topk_ivf",
-    "dataset_mix",
-    "decontaminate",
-    "multimodal_features",
-    "multimodal_real_decode",
-    "multimodal_audio_decode",
-    "tpch_q1",
-    "sessionize",
-    "fftconvolve_2d",
-    "sosfilt_stream",
-    "asof_join",
-    "dedup_clusters",
-    "text_lang_id",
-    "sketch_hll",
-    "gapfill",
-    "ohlc_bars",
-    "latest_by_key",
-    "sample_negatives",
-    "pagerank",
-    "zorder_curve",
-    "group_quantiles",
-    "winsorize",
-    "bpe_encode",
-    "sequence_pack",
-    "text_postings",
-    "edit_distance_join",
-    "bm25_scores",
-    "event_pivot",
-    "orders_unshipped",
-    "json_props_stats",
-    "cdc_apply",
-    "window_analytics",
-    "active_user_setops",
-    "weighted_sample",
+    "decimate_fir",
+    "resample",
+    "istft_roundtrip",
+    "cwt_ricker",
+    "hilbert",
+    "lfilter",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "curation_report",
+    "embedding_quantize",
+    "dataset_split",
+    "lineitem_rollup",
+    "text_logprob",
+    "multimodal_png_decode",
+    "savgol",
+    "stream_window_stats",
+    "ifft",
+    "medfilt",
+    "text_token_stats",
+    "skew_join",
+    "sketch_histogram",
+    "text_hash_vectors",
+    "lombscargle",
+    "acf",
+    "robust_zscore",
+    "rolling_stats",
+    "interval_join",
+    "funnel",
+    "audio_spectral",
+    "char_entropy",
+    "ngram_counts",
+    "kfold_weights",
+    "tpch_q4",
+    "grouped_ols",
+    "triangle_count",
+    "ann_recall_eval",
+    "missing_windows",
+    "dedup_keep_best",
+    "key_skew_profile",
+    "dataset_split_safe",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q22",
 )
 
 

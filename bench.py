@@ -302,6 +302,19 @@ def plain_overrides() -> dict:
         "rolling_median": C.q_rolling_median,
         "retention": C.q_retention,
         "tpch_q18": C.q_tpch_q18,
+        # r13 rotation (7 merges): HEADLINE names touched — the
+        # merged BASES keep their plain single-variant plans, the
+        # RETIRED names keep their historical plans (names not in
+        # HEADLINE — multimodal_audio_decode, fftconvolve_2d,
+        # sosfilt_stream and their absorbed twins except
+        # multimodal_gzip_decode — need no row here).
+        "stft": C.q_stft,
+        "sessionize": C.q_sessionize,
+        "group_quantiles": C.q_group_quantiles,
+        "text_postings": C.q_text_postings,
+        "winsorize": C.q_winsorize,
+        "bm25_scores": C.q_bm25_scores,
+        "multimodal_gzip_decode": C.q_multimodal_gzip_decode,
     }
 
 

@@ -65,6 +65,37 @@ def test_driver_head_is_exactly_50():
     assert set(mod._CHECK_LAST) <= set(qs)
 
 
+def test_freshness_checker_both_phases():
+    """tools/freshness_check.py must hold at BOTH points of a round
+    (VERDICT r12 #2 — the single-latest-file version false-FAILed at
+    round close): round open (tail == the latest head's surviving
+    keys) and round close (the driver has written the NEW head file;
+    the tail now lives in the second-latest file). And it must still
+    FAIL on a genuinely stale tail name and on an order violation."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from freshness_check import tail_freshness
+
+    tail = ["a", "b", "c"]
+    # round open: one head file, tail is its key order
+    assert tail_freshness(tail, {"r12": ["a", "b", "c", "x"]}) == []
+    # round close: the new head file (r13) holds OTHER names; the tail
+    # is still fresh via the second-latest (r12) — must pass
+    assert (
+        tail_freshness(tail, {"r12": ["a", "b", "c"], "r13": ["x", "y"]})
+        == []
+    )
+    # genuinely stale: "c" in neither head
+    msgs = tail_freshness(tail, {"r12": ["a", "b"], "r13": ["x"]})
+    assert any("older than the two-round bar" in m and "'c'" in m for m in msgs)
+    # order violation vs the file that contains the names
+    msgs = tail_freshness(["b", "a"], {"r12": ["a", "b"], "r13": ["x"]})
+    assert any("order deviates" in m for m in msgs)
+
+
 def _tail_names():
     import importlib.util
 

@@ -770,6 +770,24 @@ _MERGED_UNIONS = {
     "lineitem_rollup": ("q_lineitem_rollup", "q_cube_revenue"),
     "embedding_quantize": ("q_embedding_quantize", "q_embedding_pca"),
     "curation_report": ("q_curation_report", "q_text_hygiene_merged"),
+    # r13 rotation (sosfilt_stream@merged is excluded: its branches
+    # each EXECUTE a live readStream→memory-sink job when called, so
+    # the static-plan comparison would run four streaming jobs to lock
+    # a union of two memory-sink scans; its glue is covered by the
+    # tail oracle check instead)
+    "multimodal_audio_decode": (
+        "q_multimodal_audio_decode",
+        "q_multimodal_gzip_decode",
+    ),
+    "sessionize": ("q_sessionize", "q_stream_dedup"),
+    "stft": ("q_stft", "q_coherence"),
+    "fftconvolve_2d": ("q_fftconvolve_2d", "q_fftconvolve_complex"),
+    "group_quantiles": (
+        "q_group_quantiles",
+        "q_quantile_normalize",
+        "q_winsorize",
+    ),
+    "text_postings": ("q_text_postings", "q_bm25_scores"),
 }
 
 

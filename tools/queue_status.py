@@ -17,40 +17,22 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# r12 executed: TWELVE merges (six clean +1: resample+poly,
-# dedup_exact+ngram_jaccard, ifft+fftshift, funnel+retention,
-# tpch_q4+q18, rolling_stats+rolling_median+quantile_normalize
-# dragging its base; six net-0: hilbert+envelope,
-# decimate_fir+decimate_iir, lombscargle+dominant_frequency,
-# lineitem_rollup+cube_revenue, embedding_quantize+embedding_pca,
-# curation_report+the clean_text hygiene union) — 7 due constituents
-# absorbed + 8 free retirements; the FULL 10-name r12 slate
-# registered. N = 91. Live counts: run this tool; static counts in
-# comments went stale once (ADVICE r9 #1) and are not repeated here.
+# r13 executed: SEVEN merges (two clean +1: group_quantiles+winsorize,
+# text_postings+bm25_scores; five net-0:
+# multimodal_audio_decode+gzip, sessionize+stream_dedup,
+# stft+coherence, fftconvolve_2d+fftconvolve_complex,
+# sosfilt_stream+stream_window_stats_live) — 2 due constituents
+# absorbed + 5 free retirements; the 7-name r13 slate + 4 r14
+# pull-forwards (embedding_outliers, dataset_temperature_mix,
+# naive_bayes_lang, auc_eval) registered. N = 95. Live counts: run
+# this tool; static counts in comments went stale once (ADVICE r9 #1)
+# and are not repeated here.
 ROUND_PLAN = {
-    # Merge levers at r13 (REDO the due-ness math against
-    # CORRECTNESS_r12.json at round open — static due-ness claims
-    # rot). Staged and CI-byte-exact: multimodal_audio_decode@merged
-    # (absorbs multimodal_gzip_decode), sessionize@merged (absorbs
-    # stream_dedup), stft@merged (absorbs coherence),
-    # fftconvolve_2d@merged (absorbs fftconvolve_complex),
-    # sosfilt_stream@merged (absorbs stream_window_stats_live),
-    # group_quantiles@merged (absorbs winsorize), text_postings@
-    # merged, tpch_q7@merged, tpch_q14@merged.
-    "r13": [
-        "tpch_q8",
-        "tpch_q9",
-        "tpch_q13",
-        "tpch_q17",
-        "tpch_q19",
-        "text_sparse_knn",
-        "dedup_recall_eval",
-    ],
+    # Merge levers at r14 (REDO the due-ness math against
+    # CORRECTNESS_r13.json at round open — static due-ness claims
+    # rot). Staged and CI-byte-exact: tpch_q7@merged (absorbs
+    # tpch_q8 + tpch_q9), tpch_q14@merged (absorbs tpch_q19).
     "r14": [
-        "embedding_outliers",
-        "dataset_temperature_mix",
-        "naive_bayes_lang",
-        "auc_eval",
         "token_mi",
     ],
     "r15": [

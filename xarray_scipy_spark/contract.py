@@ -11152,33 +11152,7 @@ _q("weighted_sample", _weighted_sample_oracle())(q_weighted_sample)
 
 
 _QUEUED: dict = {
-    # r13 merges, ready (free 2: multimodal_gzip_decode + stream_dedup
-    # retire — both register-checked at r12's head; acf@merged EXECUTED
-    # r10, gapfill@merged r11, the 12-merge r12 sweep in the rotation
-    # block below)
-    "multimodal_audio_decode@merged": (
-        q_multimodal_bin_merged,
-        _multimodal_bin_merged_oracle(),
-    ),
-    "sessionize@merged": (q_session_family_merged, _session_family_merged_oracle()),
-    # r13 merges, ready (free 2: coherence, fftconvolve_complex retire)
-    "stft@merged": (q_framed_spectral_merged, _framed_spectral_merged_oracle()),
-    "fftconvolve_2d@merged": (q_fftconv_nd_merged, _fftconv_nd_merged_oracle()),
-    # r13 merge, ready (frees 1: stream_window_stats_live retires)
-    "sosfilt_stream@merged": (
-        q_live_streams_merged,
-        _live_streams_merged_oracle(),
-    ),
-    # r13 slate (TPC-H completion sweep + sparse retrieval + dedup
-    # eval, per tools/queue_status.py)
-    "tpch_q8": (q_tpch_q8, _tpch_q8_oracle()),
-    "tpch_q9": (q_tpch_q9, _tpch_q9_oracle()),
-    "tpch_q13": (q_tpch_q13, _tpch_q13_oracle()),
-    "tpch_q17": (q_tpch_q17, _tpch_q17_oracle()),
-    "tpch_q19": (q_tpch_q19, _tpch_q19_oracle()),
-    "text_sparse_knn": (q_text_sparse_knn, _sparse_knn_oracle()),
-    "dedup_recall_eval": (q_dedup_recall_eval, _dedup_recall_oracle()),
-    # r9 s2 additions: the data-quality layer (ledgered for r15 in
+    # r15 slate: the data-quality layer (r9 s2 additions, ledgered in
     # tools/queue_status.py)
     "data_profile": (q_data_profile, _data_profile_oracle()),
     "constraint_check": (q_constraint_check, _constraint_check_oracle()),
@@ -11187,30 +11161,16 @@ _QUEUED: dict = {
         q_windowed_constraints,
         _windowed_constraints_oracle(),
     ),
-    # r14 slate (label-noise sweep + temperature mixing + the
-    # label-aware/eval layer: NB routing, exact AUC, MI)
-    "embedding_outliers": (q_embedding_outliers, _embedding_outliers_oracle()),
-    "dataset_temperature_mix": (
-        q_dataset_temperature_mix,
-        _temperature_mix_oracle(),
-    ),
-    "naive_bayes_lang": (q_naive_bayes_lang, _naive_bayes_oracle()),
-    "auc_eval": (q_auc_eval, _auc_oracle()),
+    # r14 slate remainder (embedding_outliers, dataset_temperature_mix,
+    # naive_bayes_lang, auc_eval pulled forward into the r13 rotation)
     "token_mi": (q_token_mi, _token_mi_oracle()),
     # r15 slate (target encoding + Markov transitions, with the
     # data-quality layer above)
     "target_encoding": (q_target_encoding, _target_encoding_oracle()),
     "event_transitions": (q_event_transitions, _transitions_oracle()),
-    # r14+ merge, ready (frees 1: winsorize retires; the qn branch
-    # became redundant when rolling_stats@merged absorbed
-    # quantile_normalize at r12 — harmless duplicate coverage)
-    "group_quantiles@merged": (
-        q_quantile_family_merged,
-        _quantile_family_merged_oracle(),
-    ),
-    # r14+ merges, ready (free 4: bm25_scores, tpch_q8, tpch_q9,
-    # tpch_q19 retire — funding later slates; the remainder rolls on)
-    "text_postings@merged": (q_retrieval_merged, _retrieval_merged_oracle()),
+    # r14 merges, ready (free 4: bm25_scores retired r13 via
+    # text_postings@merged; tpch_q8/q9/q19 retire here — funding
+    # later slates; the remainder rolls on)
     "tpch_q7@merged": (q_tpch_joinfam_merged, _tpch_joinfam_merged_oracle()),
     "tpch_q14@merged": (q_tpch_onerow_merged, _tpch_onerow_merged_oracle()),
 }
@@ -11288,3 +11248,66 @@ _q("tpch_q10", _tpch_q10_oracle())(q_tpch_q10)
 _q("tpch_q14", _tpch_q14_oracle())(q_tpch_q14)
 _q("tpch_q15", _tpch_q15_oracle())(q_tpch_q15)
 _q("tpch_q22", _tpch_q22_oracle())(q_tpch_q22)
+
+
+# ---------------------------------------------------------------------------
+# r13 rotation EXECUTED per the ledgered recipe (the r13 RECIPE block
+# above), due-ness re-derived from CORRECTNESS_r12.json at round open
+# (50/50 full green; due pool = the 41 r11-head names in
+# __spark_entry__._CHECK_LAST). SEVEN merges:
+#   clean +1 (absorbed name due r13): group_quantiles@merged (absorbs
+#   due winsorize; the qn branch is duplicate coverage with
+#   rolling_stats@merged since r12 — harmless), text_postings@merged
+#   (absorbs due bm25_scores);
+#   net-0 retirement (absorbed name r12-head, base due — shrink N
+#   only): multimodal_audio_decode@merged (multimodal_gzip_decode),
+#   sessionize@merged (stream_dedup), stft@merged (coherence),
+#   fftconvolve_2d@merged (fftconvolve_complex), sosfilt_stream@merged
+#   (stream_window_stats_live).
+# Head math: 41 due − 2 absorbed-due + 0 dragged + 11 new = 50.
+# N = 91 − 7 retired + 11 = 95 (head 50 + tail 45; freshness bar
+# holds, N <= 100). The 11 registrations = the 7-name ledgered r13
+# slate (tpch_q8/q9/q13/q17/q19, text_sparse_knn, dedup_recall_eval)
+# + 4 r14 pull-forwards (embedding_outliers, dataset_temperature_mix,
+# naive_bayes_lang, auc_eval). Queue 27 − 7 merges − 11 new = 9
+# (drains r14 with tpch_q7@merged / tpch_q14@merged, r15 with the
+# data-quality layer). Same mechanics as r9–r12: merged-oracle
+# builders read the constituents' ORACLES[...] rows, so every _q()
+# call lands BEFORE the pops; plain q_* functions remain for bench
+# plan-continuity (bench.plain_overrides) and plan locks
+# (tests/test_plans.py::_MERGED_UNIONS).
+# ---------------------------------------------------------------------------
+_q("multimodal_audio_decode", _multimodal_bin_merged_oracle())(
+    q_multimodal_bin_merged
+)
+_q("sessionize", _session_family_merged_oracle())(q_session_family_merged)
+_q("stft", _framed_spectral_merged_oracle())(q_framed_spectral_merged)
+_q("fftconvolve_2d", _fftconv_nd_merged_oracle())(q_fftconv_nd_merged)
+_q("sosfilt_stream", _live_streams_merged_oracle())(q_live_streams_merged)
+_q("group_quantiles", _quantile_family_merged_oracle())(q_quantile_family_merged)
+_q("text_postings", _retrieval_merged_oracle())(q_retrieval_merged)
+for _gone in (
+    "multimodal_gzip_decode",
+    "stream_dedup",
+    "coherence",
+    "fftconvolve_complex",
+    "stream_window_stats_live",
+    "winsorize",
+    "bm25_scores",
+):
+    del QUERIES[_gone]
+    ORACLES.pop(_gone, None)
+del _gone
+# the 11 r13 registrations (the 7-name ledgered slate + 4 r14
+# pull-forwards)
+_q("tpch_q8", _tpch_q8_oracle())(q_tpch_q8)
+_q("tpch_q9", _tpch_q9_oracle())(q_tpch_q9)
+_q("tpch_q13", _tpch_q13_oracle())(q_tpch_q13)
+_q("tpch_q17", _tpch_q17_oracle())(q_tpch_q17)
+_q("tpch_q19", _tpch_q19_oracle())(q_tpch_q19)
+_q("text_sparse_knn", _sparse_knn_oracle())(q_text_sparse_knn)
+_q("dedup_recall_eval", _dedup_recall_oracle())(q_dedup_recall_eval)
+_q("embedding_outliers", _embedding_outliers_oracle())(q_embedding_outliers)
+_q("dataset_temperature_mix", _temperature_mix_oracle())(q_dataset_temperature_mix)
+_q("naive_bayes_lang", _naive_bayes_oracle())(q_naive_bayes_lang)
+_q("auc_eval", _auc_oracle())(q_auc_eval)
