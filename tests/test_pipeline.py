@@ -2748,6 +2748,64 @@ def test_hash_uniform_engines(spark):
         df.select(pl.hash_uniform("doc_id", engine="sha9"))
 
 
+def test_u01_xxhash64_boundary_clamp(spark):
+    """The xxhash64 uniform lives in the OPEN interval (0, 1): hashes
+    rounding to exactly 0.0 (within ~2^9 of -2^63) or 1.0 (within
+    ~2^10 of 2^63-1) are clamped, so rate=1.0 keeps every id and
+    log(u) consumers stay finite (r12 self-review + ADVICE r12 #1).
+    The clamp helper is driven with literal extremes — the raw
+    boundary hashes themselves are ~2^-54-rare, unreachable by
+    enumeration."""
+    from pyspark.sql import functions as F
+
+    from xarray_scipy_spark.pipeline.sample import _clamp_u01_open
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (0.5,), (2.0**-64,), (1.0 - 2.0**-53,)], "u double"
+    )
+    vals = [
+        r["c"] for r in df.select(_clamp_u01_open(F.col("u")).alias("c")).collect()
+    ]
+    assert vals == [2.0**-64, 1.0 - 2.0**-53, 0.5, 2.0**-64, 1.0 - 2.0**-53]
+    assert all(0.0 < v < 1.0 for v in vals)
+
+
+def test_weighted_sample_zero_u_loses(spark):
+    """A row whose uniform is exactly 0.0 must LOSE weighted
+    selection, not win it: log(0) is NULL in Spark and NULL sorts
+    first under the descending key order (ADVICE r12 #1). Pin the
+    guard by driving the key expression the same way weighted_sample
+    builds it, with a forced-zero uniform."""
+    from pyspark.sql import functions as F
+
+    # reproduce the guarded key with u pinned per-row: id 1 has u=0
+    # (the pathological draw), ids 2..4 have ordinary draws
+    df = spark.createDataFrame(
+        [(1, 0.0, 1e9), (2, 0.5, 1.0), (3, 0.9, 1.0), (4, 0.2, 1.0)],
+        "id long, u double, w double",
+    )
+    key = F.when(F.col("u") > 0, F.log("u") / F.col("w")).otherwise(
+        F.lit(float("-inf"))
+    )
+    got = [
+        r["id"]
+        for r in df.select("id", key.alias("k"))
+        .orderBy(F.col("k").desc(), "id")
+        .collect()
+    ]
+    # the zero-u row sorts LAST despite its huge weight
+    assert got[-1] == 1
+    # end-to-end: weighted_sample never returns a NULL-keyed winner —
+    # every selected id must carry a finite key (md5 path, real data)
+    import xarray_scipy_spark.pipeline as pl
+
+    data = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(500)], "doc_id long, w double"
+    )
+    picked = pl.weighted_sample(data, id_col="doc_id", weight_col="w", k=25)
+    assert picked.count() == 25
+
+
 def test_split_and_kfold_xxhash64_contracts(spark):
     """split_assign/kfold_assign(engine='xxhash64'): disjoint +
     exhaustive + rerun-stable, proportions near the weights, and the

@@ -44,6 +44,14 @@ __all__ = [
 _H60_SPAN = float(16**15)
 
 
+def _clamp_u01_open(u: Column) -> Column:
+    """Clamp a nominal [0, 1] uniform into the OPEN interval (0, 1):
+    never exactly 1.0 (a rate=1.0 filter must keep every id) and never
+    exactly 0.0 (``log(u)`` consumers must stay finite). Bounds are the
+    largest double below 1 and the grid spacing of the 2^-64 divide."""
+    return F.greatest(F.least(u, F.lit(1.0 - 2.0**-53)), F.lit(2.0**-64))
+
+
 def _u01(parts: Sequence[Column], engine: str) -> Column:
     """[0, 1) uniform over the salted parts tuple, by hash engine.
 
@@ -57,14 +65,18 @@ def _u01(parts: Sequence[Column], engine: str) -> Column:
     reproducible by other engines, so oracle-gated paths keep md5.
     """
     if engine == "xxhash64":
-        # signed 64-bit hash shifted into [0, 1). The long->double
+        # signed 64-bit hash shifted into (0, 1). The long->double
         # conversion rounds hashes within ~2^10 of 2^63-1 UP to
         # exactly 2^63, which would make u == 1.0 and deterministically
         # drop those ids even at rate=1.0 — clamp to the largest
-        # double below 1 (no oracle mirrors this path, so the clamp
-        # is free)
+        # double below 1. Symmetrically, hashes within ~2^9 of -2^63
+        # round to exactly u == 0.0 (~2^-54 of ids), which poisons
+        # log(u) consumers (weighted_sample's A-Res key goes NULL and
+        # NULL-sorted rows would WIN regardless of weight, ADVICE r12
+        # #1) — clamp above 0 too. No oracle mirrors this path, so
+        # both clamps are free.
         u = (F.xxhash64(*parts) / F.lit(float(2**64))) + F.lit(0.5)
-        return F.least(u, F.lit(1.0 - 2.0**-53))
+        return _clamp_u01_open(u)
     if engine != "md5":
         raise ValueError(
             f"unknown hash engine {engine!r}: expected 'md5' or 'xxhash64'"
@@ -94,6 +106,23 @@ def hash_uniform(col, salt: str = "", engine: str = "md5") -> Column:
     stays md5 because the correctness gate requires a hash DuckDB can
     recompute (the ``exact_distinct=False`` precedent in
     pipeline/quality.py data_profile).
+
+    Boundary semantics DIFFER between the two engines, by design:
+
+    - ``md5`` keeps DuckDB's BIGINT/DOUBLE divide rounding verbatim —
+      hash values within ~2^7 of 2^60-1 round UP to exactly ``u ==
+      1.0`` (~1e-16 of ids), so those ids are deterministically
+      dropped even at rate=1.0, and ``u == 0.0`` is reachable (15
+      leading zero hex chars, ~1e-18 of ids). A Spark-side clamp
+      would break byte-parity with every shipped oracle, so the md5
+      path is left exactly as DuckDB computes it.
+    - ``xxhash64`` has no oracle to mirror, so it clamps BOTH ends
+      into the open interval (0, 1): never 1.0 (no rate=1.0 drops)
+      and never 0.0 (no ``log(u)`` poisoning). See the boundary test
+      ``tests/test_pipeline.py::test_u01_xxhash64_boundary_clamp``.
+
+    Consumers that cannot tolerate either boundary on the md5 path
+    must guard locally (``weighted_sample`` guards ``log(u)``).
     """
     return _u01([F.lit(salt), _c(col)], engine)
 
@@ -703,7 +732,14 @@ def weighted_sample(
         raise ValueError(f"k must be >= 1, got {k!r}")
     groups = list(group_cols) if group_cols else []
     u = hash_uniform(F.col(id_col), salt, engine=engine)
-    key = F.log(u) / F.col(weight_col)
+    # u == 0.0 would make log(u) NULL, and NULL sorts FIRST under the
+    # descending key order — such ids would win selection regardless
+    # of weight (ADVICE r12 #1). The xxhash64 path clamps u > 0 at the
+    # source; the md5 path deliberately keeps DuckDB's rounding (see
+    # hash_uniform), so guard here: zero-u rows get -inf and LOSE.
+    key = F.when(u > 0, F.log(u) / F.col(weight_col)).otherwise(
+        F.lit(float("-inf"))
+    )
     base = df.filter(F.col(weight_col) > 0).select(
         *groups, F.col(id_col), key.alias("_key")
     )
