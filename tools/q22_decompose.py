@@ -94,10 +94,53 @@ def main() -> int:
             .alias("totacctbal"),
         )
 
+    def orders_scan_df():
+        # the anti join's probe input alone: date-pruned orders scan
+        return load_table(spark, "orders", tier).filter(
+            F.col("o_orderdate") >= F.lit(C._Q22_CUT).cast("timestamp_ntz")
+        ).select("o_custkey")
+
+    def anti_inverted_df():
+        # r13 candidate plan: the keep side (rich customers) is small
+        # and does NOT grow with the orders tier, so INVERT the anti
+        # join — semi-reduce the huge probe side through a broadcast
+        # semi join (orders never exchange), distinct the matching
+        # custkeys (map-side partials bound the exchange by #rich per
+        # partition, not #orders), then anti-join rich against that
+        # TINY set (AQE plans it as a broadcast anti). The shipped
+        # plan exchanges the full date-pruned orders projection on
+        # o_custkey instead — the named 2 GB constant at 1000x.
+        recent = orders_scan_df()
+        rich = cust.filter(F.col("c_acctbal") > F.lit(avg_val))
+        rich_keys = F.broadcast(rich.select("c_custkey"))
+        matched = (
+            recent.join(
+                rich_keys, recent.o_custkey == rich_keys.c_custkey, "left_semi"
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+        dormant = rich.join(
+            matched, rich.c_custkey == matched.o_custkey, "left_anti"
+        )
+        return dormant.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+
     out = {"reps": reps, "loadavg": [round(x, 2) for x in os.getloadavg()[:2]]}
+    # value parity first: the inverted plan must produce the shipped
+    # plan's exact rows before its timing means anything
+    a = sorted(map(tuple, anti_df().collect()))
+    b = sorted(map(tuple, anti_inverted_df().collect()))
+    out["inverted_matches"] = a == b
     for tag, fn in (
         ("avg_job", lambda: noop(avg_df())),
+        ("orders_scan", lambda: noop(orders_scan_df())),
         ("anti_job", lambda: noop(anti_df())),
+        ("anti_inverted", lambda: noop(anti_inverted_df())),
         ("full", lambda: noop(C.q_tpch_q22(spark, tier))),
     ):
         med, runs = _median5(fn)

@@ -31,17 +31,23 @@ ROUND_PLAN = {
     # Merge levers at r14 (REDO the due-ness math against
     # CORRECTNESS_r13.json at round open — static due-ness claims
     # rot). Staged and CI-byte-exact: tpch_q7@merged (absorbs
-    # tpch_q8 + tpch_q9), tpch_q14@merged (absorbs tpch_q19).
+    # tpch_q8 + tpch_q9, both r13-head -> retire free),
+    # tpch_q14@merged (absorbs tpch_q19, r13-head -> free). Head
+    # math at r14: 45 due + K new = 50 -> K = 5 EXACTLY, so the
+    # data-quality layer pulls forward next to token_mi. r15 head
+    # math: 47 due (50 r13-head minus the 3 retired) + 2 remaining
+    # queue = 49 -> one drag or one new registration needed at r15
+    # open (flagged here so it isn't a surprise).
     "r14": [
         "token_mi",
-    ],
-    "r15": [
-        "target_encoding",
-        "event_transitions",
         "data_profile",
         "constraint_check",
         "frequent_values",
         "windowed_constraints",
+    ],
+    "r15": [
+        "target_encoding",
+        "event_transitions",
     ],
 }
 

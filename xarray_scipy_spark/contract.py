@@ -3909,26 +3909,25 @@ def q_correlate(spark, sf_dir):
 # whole r11 hygiene union), the full 10-name slate registered.
 # N = 91 (head 50 + tail 41), queue 27.
 #
-# r13 RECIPE (REDO the due-ness math against CORRECTNESS_r12.json at
-# round open — cohorts below assume r12 lands as executed). Due pool
-# = the 41 r11-head names in __spark_entry__._CHECK_LAST. Clean +1
-# levers (absorbed name IS due r13), staged and CI-byte-exact:
-#   group_quantiles@merged (absorbs due winsorize; its qn branch is
-#   redundant duplicate coverage since r12), text_postings@merged
-#   (absorbs due bm25_scores).
-# Net-0 retirement levers (base due r13, absorbed name r12-head →
-# retires free, shrink N only): multimodal_audio_decode@merged
-# (multimodal_gzip_decode), sessionize@merged (stream_dedup),
-# stft@merged (coherence), fftconvolve_2d@merged
-# (fftconvolve_complex), sosfilt_stream@merged
-# (stream_window_stats_live).
-# Head math: 41 due − 2 absorbed-due + 0 dragged + K new = 50 →
-# K = 11: the 7-name r13 slate (tpch_q8/q9/q13/q17/q19,
-# text_sparse_knn, dedup_recall_eval) + 4 r14 pull-forwards
-# (embedding_outliers, dataset_temperature_mix, naive_bayes_lang,
-# auc_eval). N = 91 − 7 retired + 11 = 95; queue 27 − 7 merges − 11
-# new = 9 (drains at r14 with tpch_q7@merged / tpch_q14@merged, whose
-# constituents registered r12 and fall due r14).
+# r13 RECIPE: EXECUTED — see the r13 rotation block at the end of
+# this file. N = 95 (head 50 + tail 45), queue 9.
+#
+# r14 RECIPE (REDO the due-ness math against CORRECTNESS_r13.json at
+# round open — cohorts below assume r13 lands as executed). Due pool
+# = the 45 r12-head names in __spark_entry__._CHECK_LAST. Merge
+# levers, staged and CI-byte-exact, both net-0 (base due r14,
+# absorbed names r13-head → retire free, shrink N only):
+#   tpch_q7@merged (absorbs tpch_q8 + tpch_q9),
+#   tpch_q14@merged (absorbs tpch_q19).
+# Head math: 45 due − 0 absorbed-due + 0 dragged + K new = 50 →
+# K = 5 EXACTLY: token_mi + the data-quality layer (data_profile,
+# constraint_check, frequent_values, windowed_constraints) pulled
+# forward from r15. N = 95 − 3 retired + 5 = 97; queue 9 − 2 merges
+# − 5 new = 2 (target_encoding, event_transitions).
+# r15 LOOKAHEAD: due pool = 50 r13-head − 3 retired = 47, + the 2
+# remaining queue names = 49 ≠ 50 — r15 needs ONE drag (a
+# deliberately re-planned due query) or one new registration; decide
+# at r15 open, do not let the head shrink silently.
 
 
 def q_welch_blackman(spark, sf_dir):
