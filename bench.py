@@ -210,6 +210,8 @@ HEADLINE = [
     "dedup_keep_best",
     "key_skew_profile",
     "dataset_split_safe",
+    # r13 addition: DSIR importance weighting (queued for r15)
+    "dsir_weights",
 ]
 
 

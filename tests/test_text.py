@@ -123,3 +123,48 @@ def test_naive_bayes_lang_rejects_null_and_backtick_labels(spark):
     )
     with pytest.raises(ValueError, match="backtick"):
         naive_bayes_lang(ticks)
+
+
+def test_dsir_weights_semantics(spark):
+    """DSIR importance weights (pipeline/text.py dsir_weights): docs
+    made of target-LM tokens score POSITIVE, docs of raw-only tokens
+    score NEGATIVE, the weight is a per-token sum (n_tokens scales
+    it), and smoothing must be > 0. Exact values are pinned by the
+    DuckDB oracle (tests/test_queued_contract.py); this test pins the
+    SEMANTICS a selection pass relies on."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xarray_scipy_spark.pipeline.text import dsir_weights
+
+    rows = [
+        # target docs: pure "english-ish" tokens
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha beta gamma", "en"),
+        # raw-only docs: disjoint vocabulary
+        (3, "zeta eta zeta eta", "xx"),
+        (4, "zeta eta theta", "xx"),
+        # mixed doc: should land between the extremes
+        (5, "alpha zeta", "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_weights(df, F.col("lang") == "en").collect()
+    }
+    assert got[1]["n_tokens"] == 4 and got[5]["n_tokens"] == 2
+    # target-looking docs positive, raw-only docs negative
+    assert got[1]["weight"] > 0 and got[2]["weight"] > 0
+    assert got[3]["weight"] < 0 and got[4]["weight"] < 0
+    # the mixed doc sits strictly between the pure cases (per-token)
+    per_tok = {k: v["weight"] / v["n_tokens"] for k, v in got.items()}
+    assert per_tok[3] < per_tok[5] < per_tok[1]
+    # string target column works like the Column form
+    df2 = df.withColumn("is_en", F.col("lang") == "en")
+    got2 = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(df2, "is_en").collect()
+    }
+    assert got2 == {k: v["weight"] for k, v in got.items()}
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_weights(df, F.col("lang") == "en", smoothing=0.0)

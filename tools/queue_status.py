@@ -35,9 +35,10 @@ ROUND_PLAN = {
     # tpch_q14@merged (absorbs tpch_q19, r13-head -> free). Head
     # math at r14: 45 due + K new = 50 -> K = 5 EXACTLY, so the
     # data-quality layer pulls forward next to token_mi. r15 head
-    # math: 47 due (50 r13-head minus the 3 retired) + 2 remaining
-    # queue = 49 -> one drag or one new registration needed at r15
-    # open (flagged here so it isn't a surprise).
+    # math: 47 due (50 r13-head minus the 3 retired) + 3 remaining
+    # queue = 50 exactly (dsir_weights, added to the queue at r13,
+    # fills the hole the original lookahead flagged). N at r15 = 100,
+    # AT the cap: r16+ needs retirement-first merges.
     "r14": [
         "token_mi",
         "data_profile",
@@ -48,6 +49,7 @@ ROUND_PLAN = {
     "r15": [
         "target_encoding",
         "event_transitions",
+        "dsir_weights",
     ],
 }
 

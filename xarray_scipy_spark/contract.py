@@ -3922,12 +3922,22 @@ def q_correlate(spark, sf_dir):
 # Head math: 45 due − 0 absorbed-due + 0 dragged + K new = 50 →
 # K = 5 EXACTLY: token_mi + the data-quality layer (data_profile,
 # constraint_check, frequent_values, windowed_constraints) pulled
-# forward from r15. N = 95 − 3 retired + 5 = 97; queue 9 − 2 merges
-# − 5 new = 2 (target_encoding, event_transitions).
-# r15 LOOKAHEAD: due pool = 50 r13-head − 3 retired = 47, + the 2
-# remaining queue names = 49 ≠ 50 — r15 needs ONE drag (a
-# deliberately re-planned due query) or one new registration; decide
-# at r15 open, do not let the head shrink silently.
+# forward from r15. N = 95 − 3 retired + 5 = 97; queue 10 − 2 merges
+# − 5 new = 3 (target_encoding, event_transitions, dsir_weights).
+# r15 LOOKAHEAD: due pool = 50 r13-head − 3 retired = 47, + the 3
+# remaining queue names = 50 EXACTLY (dsir_weights, registered to the
+# queue at r13, fills the hole the original lookahead flagged).
+# N at r15 = 97 + 3 = 100 — AT the two-round-bar cap; r16+ takes no
+# new registrations without a retirement-first merge.
+# r14 PLAN-FIX ledger (do at r14 open, when these due names re-enter
+# the head and a driver row re-verifies them): unigram_logprob and
+# bigram_logprob duplicate their corpus explode+aggregate subtree —
+# the vocab (and bigram-count) frames feed two consumers without a
+# lineage cut (text_logprob executed plan shows 3 FileScans of
+# documents; the r13 plan audit caught the same class in dsir_weights
+# and fixed it there with a lazy localCheckpoint on the V-sized
+# vocabulary — apply the identical cut to both logprob functions and
+# re-verify byte-exact).
 
 
 def q_welch_blackman(spark, sf_dir):
@@ -11150,9 +11160,57 @@ _q("active_user_setops", _setops_oracle())(q_active_user_setops)
 _q("weighted_sample", _weighted_sample_oracle())(q_weighted_sample)
 
 
+# --- DSIR importance weights (pipeline/text.py dsir_weights) ----------------
+
+_DSIR_LAMBDA = 0.5
+
+
+def _dsir_oracle() -> str:
+    """DuckDB twin of pipeline.text.dsir_weights(target=lang=='en',
+    smoothing=0.5) over documents: identical one-pass conditional
+    vocabulary, shared-support add-λ LMs, per-doc log-ratio sum
+    quantized at 1e-3 milli-units."""
+    lam = _DSIR_LAMBDA
+    return (
+        "WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, "
+        "unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token "
+        "FROM documents), "
+        "vocab AS (SELECT token, count(*) AS tf_raw, "
+        "count(*) FILTER (WHERE tgt) AS tf_tgt FROM tok GROUP BY token), "
+        "tot AS (SELECT sum(tf_raw) AS n_raw, sum(tf_tgt) AS n_tgt, "
+        "count(*) AS v_size FROM vocab), "
+        "j AS (SELECT t.doc_id, "
+        f"ln((v.tf_tgt + {lam}) / (tot.n_tgt + {lam} * tot.v_size)) - "
+        f"ln((v.tf_raw + {lam}) / (tot.n_raw + {lam} * tot.v_size)) AS lr "
+        "FROM tok t JOIN vocab v USING (token) CROSS JOIN tot) "
+        "SELECT doc_id, count(*) AS n_tokens, "
+        + _q3("sum(lr)")
+        + " AS w_q FROM j GROUP BY doc_id"
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (pipeline/text.py dsir_weights; Xie et
+    al. 2023): log p_target − log p_raw per doc under two add-λ
+    unigram LMs fit in ONE conditional-aggregate pass, target = the
+    English rows. The selection half (rank/threshold/weighted_sample
+    over these weights) is already registered machinery."""
+    res = pl.dsir_weights(
+        _docs(spark, sf_dir),
+        F.col("lang") == "en",
+        smoothing=_DSIR_LAMBDA,
+    )
+    return res.select(
+        "doc_id", "n_tokens", _q3_col(F.col("weight")).alias("w_q")
+    )
+
+
 _QUEUED: dict = {
-    # r15 slate: the data-quality layer (r9 s2 additions, ledgered in
-    # tools/queue_status.py)
+    # r15 slate: DSIR importance weighting (registered behind the r15
+    # head math — the "+1 new" the r14 recipe lookahead calls for)
+    "dsir_weights": (q_dsir_weights, _dsir_oracle()),
+    # r14 slate: the data-quality layer (r9 s2 additions, pulled
+    # forward per the r14 recipe head math)
     "data_profile": (q_data_profile, _data_profile_oracle()),
     "constraint_check": (q_constraint_check, _constraint_check_oracle()),
     "frequent_values": (q_frequent_values, _frequent_values_oracle()),

@@ -42,6 +42,7 @@ __all__ = [
     "url_stats",
     "chunk_documents",
     "bigram_logprob",
+    "dsir_weights",
 ]
 
 # Distinctive high-frequency marker tokens per language. A doc's
@@ -617,6 +618,83 @@ def bigram_logprob(
         scored_bg.unionByName(first)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("nll").alias("avg_nll"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document importance weight for Data Selection via Importance
+    Resampling (DSIR, Xie et al. 2023, arXiv:2302.03169): ``weight =
+    log p_target(doc) − log p_raw(doc)`` under two add-λ-smoothed
+    unigram LMs — the target LM fit on the rows matching the
+    ``target`` boolean Column (e.g. ``F.col("lang") == "en"`` or a
+    high-quality source predicate), the raw LM on the whole corpus.
+    Feed the weights to :func:`~..sample.weighted_sample` (via
+    ``exp``/rank) or threshold them to select raw-corpus documents
+    that look like the target distribution.
+
+    ``p(token) = (tf + λ) / (N + λ·V)`` with ``V`` the raw vocabulary
+    size, so unseen-in-target tokens stay finite and the two LMs share
+    one support.
+
+    Plan (everything map-side-combinable, no UDFs): one explode pass
+    carries the per-doc target flag through the token stream; BOTH
+    LMs' counts come from a single conditional aggregate (one shuffle
+    — the data_profile one-pass trick), totals ride a 1-row broadcast;
+    tokens re-join the vocabulary on ``token`` (broadcast under the
+    threshold, AQE-skew-split shuffle at corpus scale — the
+    unigram_logprob precedent) and the per-doc sum is the final
+    keys-sized aggregate. The vocabulary frame moves ≤V rows however
+    large the corpus; nothing corpus-sized is ever collected.
+
+    Output: ``(id_col, n_tokens, weight)`` — weight in nats; positive
+    means the doc looks more like the target than the raw corpus.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    lam = float(smoothing)
+    tgt = F.col(target) if isinstance(target, str) else target
+    tok = df.select(
+        F.col(id_col),
+        tgt.cast("boolean").alias("_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    # the vocabulary feeds TWO consumers (the totals aggregate and the
+    # scoring join); without a lineage cut Catalyst duplicates the
+    # corpus-wide explode+aggregate subtree per consumer (the tpch_q15
+    # double-scan class, caught by the r13 plan audit). The frame is
+    # V-sized — bounded far below the corpus at any SF — so a lazy
+    # checkpoint is the correct 100 TB shape: ONE corpus pass total.
+    vocab = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf_raw"),
+        F.count_if(F.col("_tgt")).alias("tf_tgt"),
+    ).localCheckpoint(eager=False)
+    totals = vocab.agg(
+        F.sum("tf_raw").alias("n_raw"),
+        F.sum("tf_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    log_ratio = F.log(
+        (F.col("tf_tgt") + F.lit(lam))
+        / (F.col("n_tgt") + F.lit(lam) * F.col("v_size"))
+    ) - F.log(
+        (F.col("tf_raw") + F.lit(lam))
+        / (F.col("n_raw") + F.lit(lam) * F.col("v_size"))
+    )
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, log_ratio.alias("_lr"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_lr").alias("weight"),
     )
 
 
