@@ -8415,26 +8415,19 @@ def q_text_wide_merged(spark, sf_dir):
     return la.unionAll(tf).unionAll(rp)
 
 
-# --- r16 merge staging ------------------------------------------------------
-# Five merges funding the r16 slate's five head slots:
-#   correlate@ frees deconvolve (1),
-#   savgol@ frees detrend (1),
-#   cwt_ricker@ frees periodogram (1),
-#   lombscargle@ frees dominant_frequency (1),
-#   sosfilt_stream@ frees stream_window_stats_live (1).
-# r16 RECIPE (execute like r8/r9, all in one edit): KEEP the retired
-# names' original @_q registrations in place (the merged oracles read
-# them through ORACLES[...] — `_q("correlate", _xcorr_merged_oracle())`
-# in a bottom rotation block evaluates its argument against the OLD
-# entry before overwriting it, the same ordering r8 used for savgol),
-# re-register the five base names with the merged queries
-# (correlate, savgol, cwt_ricker, lombscargle, sosfilt_stream), DELETE
-# the five retired standalone registrations (deconvolve, detrend,
-# periodogram, dominant_frequency, stream_window_stats_live), then
-# register the five r16 slate entries (tpch_q7/q10/q14/q15/q22),
-# rebuild __spark_entry__._CHECK_LAST from CORRECTNESS_r15.json key
-# order minus merged-away tail names, update queue_status.ROUND_PLAN,
-# and run tools/check_correctness.py in FULL before committing.
+# --- r16 outlook (the old five-merge staging here was consumed
+# piecemeal: cwt_ricker@ executed r10, lombscargle@ r12,
+# sosfilt_stream@ r13, and the correlate/savgol families merged under
+# other bases; its tpch slate registered at r12) -----------------------------
+# After the ledgered r14 (N=97, queue 3) and r15 (N=100, queue 0)
+# rotations, the registry reaches STEADY STATE at the two-round-bar
+# cap: every name driver-checked exactly every other round. An r16+
+# rotation is then pure bookkeeping — set __spark_entry__._CHECK_LAST
+# to CORRECTNESS_r{N-1}'s key order (the 50 just-checked names); the
+# other 50 are due and form the head automatically. NO merges and NO
+# math needed unless a NEW operator wants a slot, in which case a
+# retirement-first merge must fund it (the q_xcorr_merged /
+# q_smoother-family builders below remain CI-covered and ready).
 
 
 def _xcorr_merged_oracle() -> str:
