@@ -230,3 +230,30 @@ def test_bench_headline_names_all_resolve():
         f"HEADLINE names with no resolvable plan (add a plain override "
         f"or registry entry): {missing}"
     )
+
+
+def test_bench_load_gate_both_paths(monkeypatch):
+    """bench._await_quiet_host (VERDICT r12 #2): returns 'ok' with the
+    ambient sample when load1 is under the gate; waits and returns
+    'EXCEEDED' when the host never settles — without real sleeping."""
+    import bench
+
+    # quiet host: immediate ok, no sleep
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.5, 2.0, 2.5))
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    la, status = bench._await_quiet_host()
+    assert status == "ok" and la == [1.5, 2.0] and slept == []
+
+    # hot host that settles after two waits
+    seq = iter([(9.0, 9.0, 9.0), (6.0, 8.0, 8.0), (3.2, 7.0, 7.0)])
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: next(seq))
+    la, status = bench._await_quiet_host()
+    assert status == "ok" and la[0] == 3.2 and len(slept) == 2
+
+    # hot host that never settles: EXCEEDED after the bounded tries
+    slept.clear()
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 9.9, 9.9))
+    la, status = bench._await_quiet_host()
+    assert status == "EXCEEDED" and la[0] == 9.9
+    assert len(slept) == bench._LOAD_TRIES
