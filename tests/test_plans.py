@@ -179,6 +179,75 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_right")
 
 
+def test_register_bucketed_roundtrip(spark, tmp_path):
+    """sources.write.register_bucketed re-attaches a bucketed-parquet
+    directory to a catalog that has never seen it (the cross-session
+    read-side of write_bucketed — bucket metadata lives in the
+    catalog, not the files). The re-registered pair must join with no
+    Exchange and return the right rows; with sort_by declared, the
+    sort-merge join must also skip its per-side sorts (one file per
+    bucket)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from xarray_scipy_spark.sources import register_bucketed, write_bucketed
+
+    pdf = pd.DataFrame({"k": range(600), "v": [i * 2 for i in range(600)]})
+    df = spark.createDataFrame(pdf).repartition(4, F.col("k"))
+    for side in ("l2", "r2"):
+        write_bucketed(
+            df, f"rb_{side}_w", bucket_by=["k"], n_buckets=4,
+            sort_by=["k"], path=str(tmp_path / side), mode="overwrite",
+        )
+        # drop the write-side entry: registration must rebuild it
+        spark.sql(f"DROP TABLE rb_{side}_w")
+    register_bucketed(
+        spark, "rb_left", str(tmp_path / "l2"),
+        bucket_by=["k"], n_buckets=4, sort_by=["k"],
+    )
+    register_bucketed(
+        spark, "rb_right", str(tmp_path / "r2"),
+        bucket_by=["k"], n_buckets=4, sort_by=["k"], replace=True,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("rb_left").join(spark.table("rb_right"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # Spark >= 3 does NOT propagate bucket sort order by default
+        # (multi-file buckets would break it) — the SMJ keeps LOCAL
+        # sorts, no exchange. With one file per bucket the legacy
+        # knob restores sort propagation and the sorts vanish too.
+        assert "Sort " in plan, plan
+        assert j.count() == 600
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        try:
+            plan2 = (
+                spark.table("rb_left")
+                .join(spark.table("rb_right"), "k")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Exchange hashpartitioning" not in plan2, plan2
+            assert "Sort " not in plan2, plan2
+        finally:
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+            )
+        got = dict(
+            spark.table("rb_left").select("k", "v").orderBy("k").limit(3).collect()
+        )
+        assert got == {0: 0, 1: 2, 2: 4}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS rb_left")
+        spark.sql("DROP TABLE IF EXISTS rb_right")
+
+
 def test_kernel_exchange_keeps_full_width(spark):
     """The kernel bucket exchange must be an explicit fixed-width
     repartition (REPARTITION_BY_NUM): AQE's byte-based coalescing would

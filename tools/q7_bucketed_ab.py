@@ -80,17 +80,19 @@ def build(spark, reps: int, buckets: int) -> str:
 
 def register_bucketed(spark, out: str, buckets: int) -> None:
     """External CLUSTERED BY tables over the built dirs (the catalog
-    entry from the build session does not survive the process)."""
+    entry from the build session does not survive the process) — the
+    library's read-side half, sources.write.register_bucketed."""
+    from xarray_scipy_spark.sources.write import register_bucketed as _reg
+
     for name, key in _FACTS:
-        path = os.path.join(out, name)
-        schema = spark.read.parquet(path).schema
-        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
-        tbl = f"{name}_b"
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        spark.sql(
-            f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {buckets} BUCKETS LOCATION '{path}'"
+        _reg(
+            spark,
+            f"{name}_b",
+            os.path.join(out, name),
+            bucket_by=[key],
+            n_buckets=buckets,
+            sort_by=[key],
+            replace=True,
         )
 
 

@@ -1,5 +1,5 @@
 from .tables import TABLES, load_table, load_tables, register_views
-from .write import read_series, write_bucketed, write_clustered, write_partitioned, write_series, write_zordered, zvalue
+from .write import read_series, register_bucketed, write_bucketed, write_clustered, write_partitioned, write_series, write_zordered, zvalue
 from .csvfile import read_csv, write_csv
 from .jsonl import DOCUMENTS_JSONL_SCHEMA, read_jsonl, write_jsonl
 from .orcfile import read_orc, write_orc
@@ -20,6 +20,7 @@ __all__ = [
     "write_zordered",
     "zvalue",
     "write_bucketed",
+    "register_bucketed",
     "write_series",
     "read_series",
 ]

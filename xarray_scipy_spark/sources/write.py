@@ -28,6 +28,7 @@ __all__ = [
     "zvalue",
     "write_partitioned",
     "write_bucketed",
+    "register_bucketed",
     "write_series",
     "read_series",
 ]
@@ -72,6 +73,55 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    *,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] = (),
+    replace: bool = False,
+) -> None:
+    """Re-attach an existing bucketed-parquet directory (written by
+    :func:`write_bucketed`) to THIS session's catalog as an external
+    ``CLUSTERED BY`` table.
+
+    Bucket metadata lives in the catalog, not the files — a new
+    session reading the directory with plain ``spark.read.parquet``
+    gets correct DATA but loses the exchange-free join/groupBy
+    property. This is the read-side half of the write-once/join-many
+    layout story (measured at the 1000x tier: the tpch_q7/q8
+    fact-fact sort-merge join drops its shuffles — 26.7→13.3 s and
+    10.1→5.1 s — tools/q7_bucketed_ab.py, BASELINE.md r13). The
+    declared ``bucket_by`` / ``n_buckets`` / ``sort_by`` MUST match
+    the values the directory was written with; Spark trusts the
+    declaration, so a mismatch silently produces wrong joins. The
+    schema is read from the parquet footers.
+
+    Note on ``sort_by``: Spark 3+ does not propagate bucket sort
+    order by default (a multi-file bucket reads as unordered), so the
+    exchange-free SMJ still runs cheap LOCAL sorts over the
+    pre-sorted runs. With one file per bucket (repartition on the
+    key before :func:`write_bucketed`), setting
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` makes
+    the declared order visible and removes those sorts too
+    (tests/test_plans.py::test_register_bucketed_roundtrip pins both
+    modes).
+    """
+    schema = spark.read.parquet(path).schema
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
+    cols = ", ".join(bucket_by)
+    sort_clause = f"SORTED BY ({', '.join(sort_by)}) " if sort_by else ""
+    if replace:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({ddl}) USING PARQUET "
+        f"CLUSTERED BY ({cols}) {sort_clause}"
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
 
 
 def write_series(
