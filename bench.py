@@ -322,6 +322,18 @@ def plain_overrides() -> dict:
         "winsorize": C.q_winsorize,
         "bm25_scores": C.q_bm25_scores,
         "multimodal_gzip_decode": C.q_multimodal_gzip_decode,
+        # r14 rotation pre-staging: today these resolve to the same
+        # functions QUERIES holds (no behavioral change); when
+        # tpch_q7@merged / tpch_q14@merged execute at r14, the
+        # retired q8/q9/q19 and the merged bases q7/q14 keep these
+        # exact plans under their BENCH rows — the continuity entries
+        # are then already in place instead of being an r14-open
+        # failure mode (the ~40% union inflation measured at r12).
+        "tpch_q7": C.q_tpch_q7,
+        "tpch_q8": C.q_tpch_q8,
+        "tpch_q9": C.q_tpch_q9,
+        "tpch_q14": C.q_tpch_q14,
+        "tpch_q19": C.q_tpch_q19,
     }
 
 
