@@ -961,3 +961,63 @@ def test_dataset_split_safe_projection_after_one_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_sparse_knn",
+        "dedup_recall_eval",
+        "embedding_outliers",
+        "naive_bayes_lang",
+        "auc_eval",
+        "dataset_temperature_mix",
+    ],
+)
+def test_r13_slate_no_unbounded_joins(spark, name):
+    """Plan locks for the r13-registered pipeline slate: each of these
+    is bounded-join by design (sparse_knn's df cap bounds the posting
+    self-join, recall_eval's inverted index avoids all-pairs, the
+    others are aggregate/broadcast shapes) — none may plan a
+    CartesianProduct, and every BroadcastNestedLoopJoin must be the
+    audited 1-row-broadcast cross join (a scalar totals/average frame
+    crossed into a projection), never a data-by-data nested loop: the
+    build side of each BNLJ must be a broadcast of an Aggregate."""
+    import re
+
+    from xarray_scipy_spark.contract import QUERIES
+
+    plan = _static_plan(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, (name, plan)
+    # every BNLJ's broadcast input must be IdentityBroadcastMode over
+    # an aggregate-compressed (scalar) subtree — the plan prints the
+    # 1-row cross-join build side as BroadcastExchange IdentityBroadcastMode
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if n_bnlj:
+        assert plan.count("BroadcastExchange IdentityBroadcastMode") >= n_bnlj, (
+            name,
+            plan,
+        )
+        # and nothing file-scan-sized may sit directly under such an
+        # exchange: each Identity broadcast subtree must contain an
+        # aggregate before any scan
+        for chunk in re.split(r"BroadcastExchange IdentityBroadcastMode", plan)[1:]:
+            head = chunk[:2000]
+            agg_pos = head.find("HashAggregate")
+            scan_pos = head.find("FileScan")
+            assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos), (
+                name,
+                head,
+            )
+
+
+def test_dsir_weights_single_corpus_scan(spark):
+    """dsir_weights' vocabulary feeds two consumers; the lazy
+    checkpoint must keep the corpus to ONE FileScan (without it
+    Catalyst duplicates the explode+aggregate subtree — the tpch_q15
+    double-scan class, fixed at r13)."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    plan = _static_plan(_QUEUED["dsir_weights"][0](spark, SF_DIR))
+    assert plan.count("FileScan") == 1, plan
+    assert "CartesianProduct" not in plan, plan
