@@ -1021,3 +1021,21 @@ def test_dsir_weights_single_corpus_scan(spark):
     plan = _static_plan(_QUEUED["dsir_weights"][0](spark, SF_DIR))
     assert plan.count("FileScan") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_logprob_single_corpus_scan(spark):
+    """The r14 ledger fix (VERDICT r13 #3): unigram_logprob's
+    vocabulary and bigram_logprob's pair-count frame each feed two+
+    consumers; the lazy localCheckpoint on the V-sized count frames
+    must keep each visible plan to ONE corpus FileScan (the r13-era
+    bigram shape showed EIGHT — a duplicated self-join subtree per
+    consumer). Also pins the bigram rewrite's no-self-join property:
+    pairs come off the token array, so no join key of (doc_id, pos)
+    may appear anywhere."""
+    import xarray_scipy_spark.pipeline as pl
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for fn in (pl.unigram_logprob, pl.bigram_logprob):
+        plan = _static_plan(fn(docs))
+        assert plan.count("FileScan") == 1, (fn.__name__, plan)
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)

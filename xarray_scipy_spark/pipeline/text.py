@@ -452,7 +452,17 @@ def unigram_logprob(
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # the vocabulary feeds TWO consumers (the total aggregate and the
+    # scoring join); without a lineage cut Catalyst duplicates the
+    # corpus explode+aggregate subtree per consumer (the tpch_q15 /
+    # dsir_weights double-scan class — r14 ledger fix). The frame is
+    # V-sized, bounded far below the corpus at any SF, so a lazy
+    # checkpoint keeps the visible plan to ONE corpus FileScan.
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     total = vocab.agg(F.sum("tf").alias("n_total"))
     scored = (
         tok.join(vocab, "token")
@@ -567,57 +577,69 @@ def bigram_logprob(
     under the unigram model, so every token contributes and short docs
     stay comparable.
 
-    Plan: one explode builds positional tokens; self-join on
-    ``(doc, pos+1)`` forms bigrams (a co-partitioned equi-join — both
-    sides hash on the same key); bigram and context counts are two
-    hash aggregates with map-side partials; the scoring join is on the
-    bigram key, skew handled by AQE as in the unigram pass.
+    Plan (r14 rewrite — the r13-era shape formed bigrams with a
+    positional self-join and let the count frames' subtrees duplicate
+    inline, 8 corpus FileScans total): bigram pairs come straight off
+    the token ARRAY with a Catalyst ``transform`` (``w1 = toks[i-1]``,
+    NULL at the document head) — no self-join, no shuffle to form
+    pairs. ONE corpus-wide hash aggregate counts every ``(w1, w2)``
+    pair (NULL-w1 rows carry the first-token unigram mass); that
+    pair-count frame is vocabulary²-bounded, so it takes a lazy
+    ``localCheckpoint`` and every other statistic derives from it
+    V-sized: ``tf(w) = Σ_w1 c(w1,w) `` (every token occurs exactly
+    once as ``w2``), ``c(w1·) = Σ_w2 c(w1,w2)``. The scoring pass
+    re-reads the corpus once and joins the three derived count frames
+    (broadcast under the threshold, AQE-skew-split at corpus scale).
+    Total: 2 corpus passes (aggregate + score), 1 visible FileScan —
+    plan-locked in tests/test_plans.py like dsir_weights.
 
     Output: ``(id_col, n_tokens, avg_nll)`` in nats.
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    tok = df.select(
-        F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    a = float(alpha)
+    toks = tokens(F.col(text_col))
+    pair = F.explode(
+        F.transform(
+            toks,
+            lambda w2, i: F.struct(
+                F.when(i > 0, F.get(toks, i - 1)).alias("w1"),
+                w2.alias("w2"),
+            ),
+        )
+    ).alias("_pair")
+    pairs = df.select(F.col(id_col), pair).select(
+        id_col, F.col("_pair.w1").alias("w1"), F.col("_pair.w2").alias("w2")
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = pair_counts.groupBy("w2").agg(F.sum("c12").alias("tf"))
     totals = vocab.agg(
         F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )
-    nxt = tok.select(
-        F.col(id_col), (F.col("pos") - 1).alias("pos"), F.col("token").alias("w2")
-    )
-    bigrams = tok.join(nxt, [id_col, "pos"]).select(
-        id_col, F.col("token").alias("w1"), "w2"
-    )
-    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    a = float(alpha)
-    scored_bg = (
-        bigrams.join(bg_counts, ["w1", "w2"])
-        .join(ctx_counts, "w1")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            id_col,
-            (
-                -F.log(
-                    (F.col("c12") + F.lit(a))
-                    / (F.col("c1") + F.lit(a) * F.col("v_size"))
-                )
-            ).alias("nll"),
+    bg_counts = pair_counts.filter(F.col("w1").isNotNull())
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nll = F.when(
+        F.col("w1").isNull(),
+        -F.log(F.col("tf").cast("double") / F.col("n_total")),
+    ).otherwise(
+        -F.log(
+            (F.col("c12") + F.lit(a))
+            / (F.col("c1") + F.lit(a) * F.col("v_size"))
         )
     )
-    first = tok.filter(F.col("pos") == 0).join(vocab, "token").crossJoin(
-        F.broadcast(totals)
-    ).select(
-        id_col,
-        (-F.log(F.col("tf").cast("double") / F.col("n_total"))).alias("nll"),
+    scored = (
+        pairs.join(vocab, "w2")
+        .join(bg_counts, ["w1", "w2"], "left")
+        .join(ctx_counts, "w1", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, nll.alias("nll"))
     )
-    return (
-        scored_bg.unionByName(first)
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("nll").alias("avg_nll"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.avg("nll").alias("avg_nll")
     )
 
 
