@@ -63,6 +63,13 @@ def test_driver_head_is_exactly_50():
     # every tail name must actually be registered (a typo would silently
     # shrink the tail and push a stale query into the unchecked zone)
     assert set(mod._CHECK_LAST) <= set(qs)
+    # and the tail must be EXACTLY N−50 distinct names (VERDICT r13 #9:
+    # a duplicate in _CHECK_LAST would inflate len(tail) and let a
+    # silent tail drop pass the head==50 check above)
+    assert len(set(mod._CHECK_LAST)) == len(mod._CHECK_LAST) == len(qs) - 50, (
+        f"_CHECK_LAST must be {len(qs) - 50} distinct names "
+        f"(got {len(mod._CHECK_LAST)}, {len(set(mod._CHECK_LAST))} distinct)"
+    )
 
 
 def test_freshness_checker_both_phases():

@@ -248,6 +248,53 @@ def test_register_bucketed_roundtrip(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS rb_right")
 
 
+def test_register_bucketed_validates_declaration(spark, tmp_path):
+    """ADVICE r13 #1: register_bucketed must refuse a declaration the
+    directory visibly contradicts — a bucket_by/sort_by column absent
+    from the parquet schema, an n_buckets smaller than an observed
+    bucket-id suffix, or a directory with no bucketed files at all —
+    instead of creating a catalog entry that silently mis-colocates
+    joins."""
+    import pandas as pd
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from xarray_scipy_spark.sources import register_bucketed, write_bucketed
+
+    pdf = pd.DataFrame({"k": range(200), "v": [i * 2 for i in range(200)]})
+    df = spark.createDataFrame(pdf).repartition(8, F.col("k"))
+    write_bucketed(
+        df, "rbv_w", bucket_by=["k"], n_buckets=8,
+        path=str(tmp_path / "b8"), mode="overwrite",
+    )
+    spark.sql("DROP TABLE rbv_w")
+    with _pt.raises(ValueError, match="not in the parquet schema"):
+        register_bucketed(
+            spark, "rbv_bad", str(tmp_path / "b8"),
+            bucket_by=["nope"], n_buckets=8,
+        )
+    with _pt.raises(ValueError, match="MORE buckets than declared"):
+        register_bucketed(
+            spark, "rbv_bad", str(tmp_path / "b8"),
+            bucket_by=["k"], n_buckets=4,
+        )
+    # an unbucketed directory has no _NNNNN suffixes to validate
+    df.write.mode("overwrite").parquet(str(tmp_path / "plain"))
+    with _pt.raises(ValueError, match="no bucketed parquet files"):
+        register_bucketed(
+            spark, "rbv_bad", str(tmp_path / "plain"),
+            bucket_by=["k"], n_buckets=8,
+        )
+    # the honest declaration still registers (backtick-quoted DDL)
+    register_bucketed(
+        spark, "rbv_ok", str(tmp_path / "b8"), bucket_by=["k"], n_buckets=8
+    )
+    try:
+        assert spark.table("rbv_ok").count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rbv_ok")
+
+
 def test_kernel_exchange_keeps_full_width(spark):
     """The kernel bucket exchange must be an explicit fixed-width
     repartition (REPARTITION_BY_NUM): AQE's byte-based coalescing would

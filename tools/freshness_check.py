@@ -95,7 +95,6 @@ def main() -> int:
             data = json.load(fh)
         heads[os.path.basename(path)] = list(data.get("queries", data))
     latest = files[-1]
-    union_heads = {n for keys in heads.values() for n in keys}
 
     tail = [n for n in mod._CHECK_LAST if n in QUERIES]
     head = [n for n in QUERIES if n not in set(tail)]

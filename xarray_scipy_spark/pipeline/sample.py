@@ -121,8 +121,14 @@ def hash_uniform(col, salt: str = "", engine: str = "md5") -> Column:
       and never 0.0 (no ``log(u)`` poisoning). See the boundary test
       ``tests/test_pipeline.py::test_u01_xxhash64_boundary_clamp``.
 
-    Consumers that cannot tolerate either boundary on the md5 path
-    must guard locally (``weighted_sample`` guards ``log(u)``).
+    Consumers that cannot tolerate a boundary on the md5 path must
+    guard locally, and the guard is per-boundary: ``weighted_sample``
+    today guards ONLY ``u == 0`` (the log(u)-NULL poisoning); ``u ==
+    1.0`` rows (~1e-16 of ids) still get ``key = log(1)/w = 0`` — the
+    maximum possible key — and win selection regardless of weight
+    (ADVICE r13 #2). The both-ends guard + its oracle mirror is
+    ledgered for r15, when weighted_sample falls due and re-enters the
+    driver head (contract.py r15 RECIPE).
     """
     return _u01([F.lit(salt), _c(col)], engine)
 
@@ -737,6 +743,11 @@ def weighted_sample(
     # of weight (ADVICE r12 #1). The xxhash64 path clamps u > 0 at the
     # source; the md5 path deliberately keeps DuckDB's rounding (see
     # hash_uniform), so guard here: zero-u rows get -inf and LOSE.
+    # KNOWN one-sided gap (ADVICE r13 #2): u == 1.0 (~1e-16 of md5
+    # ids) gives key = 0, the maximum, so such an id wins regardless
+    # of weight. The symmetric guard changes bytes vs every shipped
+    # oracle, so it lands WITH its oracle mirror at r15 when this name
+    # re-enters the driver head (contract.py r15 RECIPE).
     key = F.when(u > 0, F.log(u) / F.col(weight_col)).otherwise(
         F.lit(float("-inf"))
     )

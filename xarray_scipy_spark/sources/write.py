@@ -18,6 +18,7 @@ what make the 100 TB read side cheap:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -99,7 +100,15 @@ def register_bucketed(
     declared ``bucket_by`` / ``n_buckets`` / ``sort_by`` MUST match
     the values the directory was written with; Spark trusts the
     declaration, so a mismatch silently produces wrong joins. The
-    schema is read from the parquet footers.
+    schema is read from the parquet footers, and the declaration is
+    sanity-checked before CREATE TABLE (ADVICE r13 #1): every
+    ``bucket_by``/``sort_by`` column must exist in that schema, and
+    the bucket ids embedded in Spark's bucketed file names (the
+    ``_NNNNN`` suffix) must all be < ``n_buckets`` — which catches a
+    declaration SMALLER than the written layout outright. A
+    declaration LARGER than the written one (e.g. written 8, declared
+    16) is cheaply undetectable from file names alone (ids 0..7 are
+    consistent with both) — that direction still rests on the caller.
 
     Note on ``sort_by``: Spark 3+ does not propagate bucket sort
     order by default (a multi-file bucket reads as unordered), so the
@@ -112,9 +121,44 @@ def register_bucketed(
     modes).
     """
     schema = spark.read.parquet(path).schema
-    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
-    cols = ", ".join(bucket_by)
-    sort_clause = f"SORTED BY ({', '.join(sort_by)}) " if sort_by else ""
+    missing = [c for c in [*bucket_by, *sort_by] if c not in schema.names]
+    if missing:
+        raise ValueError(
+            f"register_bucketed: declared column(s) {missing} not in the "
+            f"parquet schema at {path} (has {schema.names})"
+        )
+    # bucket ids ride in the file names (part-...-<uuid>_NNNNN.c000...):
+    # every observed id must fit under the declared bucket count.
+    # Hadoop FS (not os.listdir) so HDFS/object-store paths validate too.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    ids = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        m = re.search(r"_(\d{5})\.", name)
+        if name.endswith(".parquet") and m:
+            ids.append(int(m.group(1)))
+    if not ids:
+        raise ValueError(
+            f"register_bucketed: no bucketed parquet files (_NNNNN "
+            f"suffix) under {path} — was it written by write_bucketed?"
+        )
+    if max(ids) >= n_buckets:
+        raise ValueError(
+            f"register_bucketed: observed bucket id {max(ids)} but "
+            f"declared n_buckets={n_buckets} — the directory was written "
+            "with MORE buckets than declared; registering would silently "
+            "mis-colocate joins"
+        )
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    cols = ", ".join(f"`{c}`" for c in bucket_by)
+    sort_clause = (
+        "SORTED BY (" + ", ".join(f"`{c}`" for c in sort_by) + ") "
+        if sort_by
+        else ""
+    )
     if replace:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(
