@@ -339,13 +339,11 @@ def plain_overrides() -> dict:
         "winsorize": C.q_winsorize,
         "bm25_scores": C.q_bm25_scores,
         "multimodal_gzip_decode": C.q_multimodal_gzip_decode,
-        # r14 rotation pre-staging: today these resolve to the same
-        # functions QUERIES holds (no behavioral change); when
-        # tpch_q7@merged / tpch_q14@merged execute at r14, the
-        # retired q8/q9/q19 and the merged bases q7/q14 keep these
-        # exact plans under their BENCH rows — the continuity entries
-        # are then already in place instead of being an r14-open
-        # failure mode (the ~40% union inflation measured at r12).
+        # r14 rotation (2 merges, executed): the merged bases q7/q14
+        # and the retired q8/q9/q19 keep their plain single-variant
+        # plans under their BENCH rows (entries pre-staged at r13 and
+        # asserted identical then, so the rotation changed no measured
+        # plan's identity).
         "tpch_q7": C.q_tpch_q7,
         "tpch_q8": C.q_tpch_q8,
         "tpch_q9": C.q_tpch_q9,

@@ -240,9 +240,11 @@ def test_bench_headline_names_all_resolve():
 
 
 def test_bench_load_gate_both_paths(monkeypatch):
-    """bench._await_quiet_host (VERDICT r12 #2): returns 'ok' with the
-    ambient sample when load1 is under the gate; waits and returns
-    'EXCEEDED' when the host never settles — without real sleeping."""
+    """bench._await_quiet_host (VERDICT r12 #2 + the r13 load5 blind
+    spot): returns 'ok' only when BOTH load1 and load5 are under the
+    gate; waits on either being hot; returns 'EXCEEDED' when the host
+    never settles; degrades (not crashes) on a mid-wait getloadavg
+    failure — all without real sleeping."""
     import bench
 
     # quiet host: immediate ok, no sleep
@@ -252,11 +254,12 @@ def test_bench_load_gate_both_paths(monkeypatch):
     la, status = bench._await_quiet_host()
     assert status == "ok" and la == [1.5, 2.0] and slept == []
 
-    # hot host that settles after two waits
-    seq = iter([(9.0, 9.0, 9.0), (6.0, 8.0, 8.0), (3.2, 7.0, 7.0)])
+    # the r13 blind spot: load1 settled but load5 still hot — the old
+    # gate passed this and shipped a uniformly smeared battery
+    seq = iter([(2.5, 5.9, 5.0), (2.2, 4.5, 4.8), (2.0, 3.1, 4.0)])
     monkeypatch.setattr(bench.os, "getloadavg", lambda: next(seq))
     la, status = bench._await_quiet_host()
-    assert status == "ok" and la[0] == 3.2 and len(slept) == 2
+    assert status == "ok" and la == [2.0, 3.1] and len(slept) == 2
 
     # hot host that never settles: EXCEEDED after the bounded tries
     slept.clear()
@@ -264,3 +267,18 @@ def test_bench_load_gate_both_paths(monkeypatch):
     la, status = bench._await_quiet_host()
     assert status == "EXCEEDED" and la[0] == 9.9
     assert len(slept) == bench._LOAD_TRIES
+
+    # transient getloadavg failure mid-wait (ADVICE r13 #3): keep the
+    # last good sample and stop waiting instead of crashing
+    slept.clear()
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return (9.0, 9.0, 9.0)
+        raise OSError("loadavg unavailable")
+
+    monkeypatch.setattr(bench.os, "getloadavg", flaky)
+    la, status = bench._await_quiet_host()
+    assert status == "EXCEEDED" and la == [9.0, 9.0] and len(slept) == 1

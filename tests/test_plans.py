@@ -904,6 +904,9 @@ _MERGED_UNIONS = {
         "q_winsorize",
     ),
     "text_postings": ("q_text_postings", "q_bm25_scores"),
+    # r14 rotation
+    "tpch_q7": ("q_tpch_q7", "q_tpch_q8", "q_tpch_q9"),
+    "tpch_q14": ("q_tpch_q14", "q_tpch_q19"),
 }
 
 

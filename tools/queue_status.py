@@ -17,39 +17,25 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# r13 executed: SEVEN merges (two clean +1: group_quantiles+winsorize,
-# text_postings+bm25_scores; five net-0:
-# multimodal_audio_decode+gzip, sessionize+stream_dedup,
-# stft+coherence, fftconvolve_2d+fftconvolve_complex,
-# sosfilt_stream+stream_window_stats_live) — 2 due constituents
-# absorbed + 5 free retirements; the 7-name r13 slate + 4 r14
-# pull-forwards (embedding_outliers, dataset_temperature_mix,
-# naive_bayes_lang, auc_eval) registered. N = 95. Live counts: run
-# this tool; static counts in comments went stale once (ADVICE r9 #1)
-# and are not repeated here.
+# r14 executed: TWO merges, both net-0 (tpch_q7@merged absorbs
+# tpch_q8 + tpch_q9; tpch_q14@merged absorbs tpch_q19 — all three
+# absorbed names r13-head -> retired free into variant-tag unions);
+# token_mi + the data-quality layer (data_profile, constraint_check,
+# frequent_values, windowed_constraints) registered. N = 97. Live
+# counts: run this tool; static counts in comments went stale once
+# (ADVICE r9 #1) and are not repeated here.
 ROUND_PLAN = {
-    # Merge levers at r14 (REDO the due-ness math against
-    # CORRECTNESS_r13.json at round open — static due-ness claims
-    # rot). Staged and CI-byte-exact: tpch_q7@merged (absorbs
-    # tpch_q8 + tpch_q9, both r13-head -> retire free),
-    # tpch_q14@merged (absorbs tpch_q19, r13-head -> free). Head
-    # math at r14: 45 due + K new = 50 -> K = 5 EXACTLY, so the
-    # data-quality layer pulls forward next to token_mi. r15 head
-    # math: 47 due (50 r13-head minus the 3 retired) + 3 remaining
-    # queue = 50 exactly (dsir_weights, added to the queue at r13,
-    # fills the hole the original lookahead flagged). N at r15 = 100,
-    # AT the cap: r16+ needs retirement-first merges.
-    "r14": [
-        "token_mi",
-        "data_profile",
-        "constraint_check",
-        "frequent_values",
-        "windowed_constraints",
-    ],
+    # r15 head math (REDO against CORRECTNESS_r14.json at round
+    # open): 47 due (50 r13-head minus the 3 r14-retired) + 3 new =
+    # 50 exactly — register the whole remaining queue. N at r15 =
+    # 100, AT the two-round-bar cap: r16+ needs retirement-first
+    # merges (policy: the r16+ block in contract.py's RECIPE ledger).
+    # r15 also carries a PLAN-FIX: weighted_sample (due r15) gets the
+    # both-ends u-boundary guard + oracle mirror (ADVICE r13 #2).
     "r15": [
+        "dsir_weights",
         "target_encoding",
         "event_transitions",
-        "dsir_weights",
     ],
 }
 

@@ -3912,6 +3912,14 @@ def q_correlate(spark, sf_dir):
 # r13 RECIPE: EXECUTED — see the r13 rotation block at the end of
 # this file. N = 95 (head 50 + tail 45), queue 9.
 #
+# r14 RECIPE: EXECUTED — see the r14 rotation block at the end of
+# this file (due-ness re-derived from CORRECTNESS_r13.json as
+# required; it matched the ledgered cohorts exactly). Kept verbatim
+# below for the audit trail. The r14 PLAN-FIX ledger item (the
+# unigram/bigram_logprob double-scan) was applied at r14 open —
+# pipeline/text.py, plan-locked by
+# tests/test_plans.py::test_logprob_single_corpus_scan.
+#
 # r14 RECIPE (REDO the due-ness math against CORRECTNESS_r13.json at
 # round open — cohorts below assume r13 lands as executed). Due pool
 # = the 45 r12-head names in __spark_entry__._CHECK_LAST. Merge
@@ -3938,6 +3946,56 @@ def q_correlate(spark, sf_dir):
 # and fixed it there with a lazy localCheckpoint on the V-sized
 # vocabulary — apply the identical cut to both logprob functions and
 # re-verify byte-exact).
+#
+# r15 RECIPE (REDO the due-ness math against CORRECTNESS_r14.json at
+# round open — cohorts below assume r14 lands as executed). Due pool
+# = the 47 r13-head names in __spark_entry__._CHECK_LAST (50 − the 3
+# r14-retired: tpch_q8/q9/q19). Head math: 47 due − 0 absorbed + 0
+# dragged + 3 new = 50 EXACTLY → register the whole remaining queue:
+#   dsir_weights, target_encoding, event_transitions.
+# N = 97 + 3 = 100 — AT the two-round-bar cap. Queue → 0.
+# r15 PLAN-FIX ledger (do when these due names re-enter the head so
+# the driver row verifies the change the same round it lands):
+#   weighted_sample (due r15): close ADVICE r13 #2 — guard BOTH u
+#   boundaries (u == 1.0 currently yields key = log(1)/w = 0, the
+#   maximum, so such an id wins regardless of weight; ~1e-16 of md5
+#   ids). Spark side: when((u > 0) & (u < 1), log(u)/w), else -inf;
+#   MIRROR the identical CASE in the weighted_sample oracle SQL so
+#   byte-parity holds, and update the one-sided-gap notes in
+#   pipeline/sample.py (two sites) + hash_uniform's docstring.
+#
+# r16+ RETIREMENT-FIRST POLICY (decided r14, before the cap binds —
+# VERDICT r13 #5). From r15 on, N = 100 and the two-round freshness
+# bar is saturated: EVERY new registration requires retiring a name
+# in the same rotation, merge-first. Rules:
+# 1. What counts as a retirement: fold the retiree into a variant-tag
+#    union under a surviving base — the union must be a literal
+#    unionAll of the constituent queries and its oracle the UNION ALL
+#    of the constituent oracles (a hash match then verifies every
+#    variant's values; the r9–r14 precedent). Evidence bar per
+#    retirement: (a) the union is CI-byte-exact vs its merged oracle
+#    BEFORE the rotation lands, (b) a _MERGED_UNIONS plan lock (or a
+#    documented streaming exclusion), (c) a bench plain_overrides
+#    entry for every HEADLINE name touched, so no measured plan
+#    changes identity.
+# 2. Retirement preference order (most-redundant first):
+#    a. same-operator parameter variants already demo'd by a sibling
+#       (the three decimate variants under decimate_fir@merged's
+#       slot; welch_blackman under welch's window surface),
+#    b. single-purpose demo shapes whose semantics another
+#       registered query fully exercises (event_pivot vs
+#       window_analytics' pivot branch),
+#    c. eval/report twins that compose already-registered queries
+#       (recall/eval rows keep priority LOWER than the operators they
+#       evaluate — retire the composition, never the operator).
+# 3. Never retire: the 17 reference operators' primary rows, any name
+#    whose union would cross data families (events vs documents vs
+#    embeddings — oracle unions must stay single-scan comparable),
+#    or a name carrying an open weak-list adjudication (its BENCH row
+#    must keep measuring the same plan until closed).
+# 4. Mechanics stay r9-style: absorbed name r(N−1)-head → retires
+#    free (net-0, shrinks N below 100 making the new slot); absorbed
+#    name due → the union base carries both driver rows (clean +1).
 
 
 def q_welch_blackman(spark, sf_dir):
@@ -11199,30 +11257,15 @@ def q_dsir_weights(spark, sf_dir):
 
 
 _QUEUED: dict = {
-    # r15 slate: DSIR importance weighting (registered behind the r15
-    # head math — the "+1 new" the r14 recipe lookahead calls for)
+    # r15 slate, COMPLETE (the r14 rotation consumed the data-quality
+    # layer + token_mi and both TPC-H merges): DSIR importance
+    # weighting, target encoding, Markov transitions. These three
+    # register at r15 → N = 100 AT the two-round-bar cap; r16+ takes
+    # no new registrations without a retirement-first merge (policy in
+    # the r15/r16 RECIPE block above the r13 predecessor comment).
     "dsir_weights": (q_dsir_weights, _dsir_oracle()),
-    # r14 slate: the data-quality layer (r9 s2 additions, pulled
-    # forward per the r14 recipe head math)
-    "data_profile": (q_data_profile, _data_profile_oracle()),
-    "constraint_check": (q_constraint_check, _constraint_check_oracle()),
-    "frequent_values": (q_frequent_values, _frequent_values_oracle()),
-    "windowed_constraints": (
-        q_windowed_constraints,
-        _windowed_constraints_oracle(),
-    ),
-    # r14 slate remainder (embedding_outliers, dataset_temperature_mix,
-    # naive_bayes_lang, auc_eval pulled forward into the r13 rotation)
-    "token_mi": (q_token_mi, _token_mi_oracle()),
-    # r15 slate (target encoding + Markov transitions, with the
-    # data-quality layer above)
     "target_encoding": (q_target_encoding, _target_encoding_oracle()),
     "event_transitions": (q_event_transitions, _transitions_oracle()),
-    # r14 merges, ready (free 4: bm25_scores retired r13 via
-    # text_postings@merged; tpch_q8/q9/q19 retire here — funding
-    # later slates; the remainder rolls on)
-    "tpch_q7@merged": (q_tpch_joinfam_merged, _tpch_joinfam_merged_oracle()),
-    "tpch_q14@merged": (q_tpch_onerow_merged, _tpch_onerow_merged_oracle()),
 }
 
 
@@ -11361,3 +11404,39 @@ _q("embedding_outliers", _embedding_outliers_oracle())(q_embedding_outliers)
 _q("dataset_temperature_mix", _temperature_mix_oracle())(q_dataset_temperature_mix)
 _q("naive_bayes_lang", _naive_bayes_oracle())(q_naive_bayes_lang)
 _q("auc_eval", _auc_oracle())(q_auc_eval)
+
+
+# ---------------------------------------------------------------------------
+# r14 rotation EXECUTED per the ledgered recipe (the r14 RECIPE block
+# above _QUEUED's r13 predecessor comment), due-ness re-derived from
+# CORRECTNESS_r13.json at round open (50/50 full green, zero err —
+# due pool = the 45 r12-head names in __spark_entry__._CHECK_LAST,
+# exactly as the recipe assumed). TWO merges, both net-0 retirement
+# (absorbed names r13-head → retire free, shrink N only; bases due):
+#   tpch_q7@merged (absorbs tpch_q8 + tpch_q9),
+#   tpch_q14@merged (absorbs tpch_q19).
+# Head math: 45 due − 0 absorbed-due + 0 dragged + 5 new = 50.
+# N = 95 − 3 retired + 5 = 97 (head 50 + tail 47; freshness bar
+# holds, N <= 100). The 5 registrations = token_mi + the data-quality
+# layer (data_profile, constraint_check, frequent_values,
+# windowed_constraints — the one user-reachable family that was still
+# CI-only, VERDICT r13 #1). Queue 10 − 2 merges − 5 new = 3
+# (target_encoding, event_transitions, dsir_weights — the exact r15
+# slate). Same mechanics as r9–r13: the merged oracle builders call
+# the constituents' _tpch_qN_oracle() functions directly, so ordering
+# vs the pops is safe; plain q_* functions remain for bench plan
+# continuity (bench.plain_overrides, pre-staged r13 commit 77601a7)
+# and plan locks (tests/test_plans.py::_MERGED_UNIONS).
+# ---------------------------------------------------------------------------
+_q("tpch_q7", _tpch_joinfam_merged_oracle())(q_tpch_joinfam_merged)
+_q("tpch_q14", _tpch_onerow_merged_oracle())(q_tpch_onerow_merged)
+for _gone in ("tpch_q8", "tpch_q9", "tpch_q19"):
+    del QUERIES[_gone]
+    ORACLES.pop(_gone, None)
+del _gone
+# the 5 r14 registrations (the full ledgered r14 slate)
+_q("token_mi", _token_mi_oracle())(q_token_mi)
+_q("data_profile", _data_profile_oracle())(q_data_profile)
+_q("constraint_check", _constraint_check_oracle())(q_constraint_check)
+_q("frequent_values", _frequent_values_oracle())(q_frequent_values)
+_q("windowed_constraints", _windowed_constraints_oracle())(q_windowed_constraints)
