@@ -290,8 +290,11 @@ def main() -> int:
         + "')"
         for t in ("orders", "lineitem", "customer", "supplier", "part", "nation", "region")
     ]
-    res["q7_duck"] = duck_median(views, C.ORACLES["tpch_q7"])
-    res["q8_duck"] = duck_median(views, C.ORACLES["tpch_q8"])
+    # plain oracle builders, not ORACLES[...]: the r14 rotation folded
+    # q7/q8 into variant-tag unions (q8's name retired), and this tool
+    # must keep measuring the SAME single-query oracle across rotations
+    res["q7_duck"] = duck_median(views, C._tpch_q7_oracle())
+    res["q8_duck"] = duck_median(views, C._tpch_q8_oracle())
     for q in ("q7", "q8"):
         res[f"{q}_ratio_plain"] = round(res[f"{q}_plain"]["median"] / res[f"{q}_duck"], 2)
         res[f"{q}_ratio_bucketed"] = round(

@@ -3963,6 +3963,10 @@ def q_correlate(spark, sf_dir):
 #   MIRROR the identical CASE in the weighted_sample oracle SQL so
 #   byte-parity holds, and update the one-sided-gap notes in
 #   pipeline/sample.py (two sites) + hash_uniform's docstring.
+#   (auc_eval carries NO r15 plan fix: the one-pass candidate was
+#   measured-and-rejected at r14 — tools/auc_shape_ab.py @135M rows,
+#   0.91x/1.04x tie, shuffle-stage reuse makes the extra jobs free —
+#   adjudicated a named floor, see pipeline/features.py auc_exact.)
 #
 # r16+ RETIREMENT-FIRST POLICY (decided r14, before the cap binds —
 # VERDICT r13 #5). From r15 on, N = 100 and the two-round freshness

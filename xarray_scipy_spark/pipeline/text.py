@@ -598,17 +598,22 @@ def bigram_logprob(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     a = float(alpha)
-    toks = tokens(F.col(text_col))
+    # materialize the token array in its own projection BEFORE the
+    # transform: the lambda indexes `_toks` as a bound column ref.
+    # Referencing the tokenizer EXPRESSION inside the lambda instead
+    # re-evaluates the whole tokenize per element — O(n²) per doc,
+    # measured 5x slower end-to-end (tools/logprob_shape_ab.py).
+    arr = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     pair = F.explode(
         F.transform(
-            toks,
+            F.col("_toks"),
             lambda w2, i: F.struct(
-                F.when(i > 0, F.get(toks, i - 1)).alias("w1"),
+                F.when(i > 0, F.get(F.col("_toks"), i - 1)).alias("w1"),
                 w2.alias("w2"),
             ),
         )
     ).alias("_pair")
-    pairs = df.select(F.col(id_col), pair).select(
+    pairs = arr.select(F.col(id_col), pair).select(
         id_col, F.col("_pair.w1").alias("w1"), F.col("_pair.w2").alias("w2")
     )
     pair_counts = (
