@@ -1297,6 +1297,32 @@ def test_bigram_logprob_order_sensitivity(spark):
         pl.bigram_logprob(df, alpha=0.0)
 
 
+def test_logprob_edge_docs(spark):
+    """Document-boundary edges through the r14 array-side pair
+    formation: empty/whitespace docs vanish (no rows), a single-token
+    doc is scored under the unigram model alone (the NULL-w1 pair),
+    and a two-token doc averages its unigram head with one smoothed
+    bigram — values pinned by hand (corpus = {hello, a, b}, N=3, V=3,
+    alpha=0.1)."""
+    import math
+
+    import xarray_scipy_spark.pipeline as pl
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": ["hello", "", "a b", "   "]}
+        )
+    )
+    for fn in (pl.unigram_logprob, pl.bigram_logprob):
+        got = {r["doc_id"]: r for r in fn(df).collect()}
+        assert set(got) == {1, 3}, f"{fn.__name__}: empty docs must vanish"
+        assert got[1]["n_tokens"] == 1
+        assert abs(got[1]["avg_nll"] - math.log(3)) < 1e-12
+    bg = {r["doc_id"]: r for r in pl.bigram_logprob(df).collect()}
+    expected = (math.log(3) + -math.log((1 + 0.1) / (1 + 0.1 * 3))) / 2
+    assert abs(bg[3]["avg_nll"] - expected) < 1e-12
+
+
 def test_model_free_similarity_capstone(spark):
     """Text → feature-hashed vectors → cosine top-k → embedding dedup,
     end to end with zero external models: near-duplicate paraphrase
