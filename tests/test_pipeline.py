@@ -2796,6 +2796,90 @@ def test_u01_xxhash64_boundary_clamp(spark):
     assert all(0.0 < v < 1.0 for v in vals)
 
 
+def test_ares_key_guard_modes(spark):
+    """The staged r15 both-ends guard (ADVICE r13 #2): under
+    u_guard='both' BOTH md5 rounding boundaries lose — u==1.0 no
+    longer yields key 0 (the maximum); under the registered 'zero'
+    default the one-sided r12-r14 semantics are preserved exactly.
+    Driven with literal boundary uniforms (the raw boundary hashes
+    are ~1e-16-rare, unreachable by enumeration)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xarray_scipy_spark.pipeline.sample import _ares_key
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (0.5,)], "u double"
+    )
+
+    def keys(mode):
+        return [
+            r["k"]
+            for r in df.select(
+                _ares_key(F.col("u"), F.lit(2.0), mode).alias("k")
+            ).collect()
+        ]
+
+    zero = keys("zero")
+    both = keys("both")
+    # u=0 loses under both modes; u=0.5 is the ordinary draw
+    assert zero[0] == float("-inf") and both[0] == float("-inf")
+    assert abs(zero[2] - math.log(0.5) / 2.0) < 1e-15
+    assert both[2] == zero[2]
+    # the one-sided gap: 'zero' hands u=1 the MAXIMUM key (0.0);
+    # 'both' deflects it to -inf like the other boundary
+    assert zero[1] == 0.0
+    assert both[1] == float("-inf")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="u_guard"):
+        keys("nope")
+
+
+def test_weighted_sample_guarded_matches_staged_oracle(spark):
+    """Pre-staging parity for the r15 flip (the 77601a7 discipline):
+    weighted_sample(u_guard='both') must match the STAGED guarded
+    DuckDB oracle byte-for-byte on real data TODAY, and — since no
+    sf0.001 id hits a boundary — both must equal the registered
+    ungarded pair, proving the flip changes nothing except on
+    boundary rows."""
+    import duckdb
+
+    import xarray_scipy_spark.pipeline as pl
+    from xarray_scipy_spark import contract as C
+
+    sf = "/root/testdata/sf0.001"
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("lang", "doc_id", "n_chars")
+    )
+    got = {
+        mode: sorted(
+            map(
+                tuple,
+                pl.weighted_sample(
+                    d, id_col="doc_id", weight_col="n_chars", k=C._WS_K,
+                    group_cols=["lang"], u_guard=mode,
+                ).collect(),
+            )
+        )
+        for mode in ("zero", "both")
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = {
+        g: sorted(map(tuple, con.execute(C._weighted_sample_oracle(g)).fetchall()))
+        for g in (False, True)
+    }
+    assert got["both"] == exp[True], "staged pair disagrees"
+    assert got["zero"] == exp[False], "registered pair disagrees"
+    assert got["zero"] == got["both"], "boundary-free data must not differ"
+
+
 def test_weighted_sample_zero_u_loses(spark):
     """A row whose uniform is exactly 0.0 must LOSE weighted
     selection, not win it: log(0) is NULL in Spark and NULL sorts

@@ -3956,13 +3956,15 @@ def q_correlate(spark, sf_dir):
 # N = 97 + 3 = 100 — AT the two-round-bar cap. Queue → 0.
 # r15 PLAN-FIX ledger (do when these due names re-enter the head so
 # the driver row verifies the change the same round it lands):
-#   weighted_sample (due r15): close ADVICE r13 #2 — guard BOTH u
-#   boundaries (u == 1.0 currently yields key = log(1)/w = 0, the
-#   maximum, so such an id wins regardless of weight; ~1e-16 of md5
-#   ids). Spark side: when((u > 0) & (u < 1), log(u)/w), else -inf;
-#   MIRROR the identical CASE in the weighted_sample oracle SQL so
-#   byte-parity holds, and update the one-sided-gap notes in
-#   pipeline/sample.py (two sites) + hash_uniform's docstring.
+#   weighted_sample (due r15): close ADVICE r13 #2 — flip the
+#   registration to the both-ends u-boundary guard. STAGED r14, the
+#   77601a7 discipline: Spark side pl.weighted_sample(...,
+#   u_guard="both") (pipeline/sample.py _ares_key), oracle side
+#   _weighted_sample_oracle(guarded=True), pair asserted byte-equal
+#   on real data today (tests/test_pipeline.py
+#   test_weighted_sample_guarded_matches_staged_oracle). The r15 edit
+#   is two one-line flips in q_weighted_sample's registration + the
+#   hash_uniform docstring note.
 #   (auc_eval carries NO r15 plan fix: the one-pass candidate was
 #   measured-and-rejected at r14 — tools/auc_shape_ab.py @135M rows,
 #   0.91x/1.04x tie, shuffle-stage reuse makes the extra jobs free —
@@ -8054,13 +8056,27 @@ def q_ann_recall_eval(spark, sf_dir):
 _WS_K = 25
 
 
-def _weighted_sample_oracle() -> str:
+def _weighted_sample_oracle(guarded: bool = False) -> str:
+    # guarded=True is the STAGED r15 oracle (ADVICE r13 #2): the
+    # both-ends boundary CASE mirroring pipeline/sample.py
+    # _ares_key(u_guard="both") — flips into the registration together
+    # with the Spark-side u_guard="both" at the r15 rotation.
+    # guarded=False is the registered r12-r14 oracle, byte-pinned to
+    # the default u_guard="zero" path (whose u==0 deflection the SQL
+    # omits on purpose: ~1e-18 of md5 ids, none below ~10^17 rows;
+    # Spark's -inf and DuckDB's raw ln(u) only diverge ON such a row).
     u = (
         "(('0x' || substring(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15))"
         "::BIGINT / 16.0^15)"
     )
+    key = (
+        f"CASE WHEN {u} > 0 AND {u} < 1 THEN ln({u}) / n_chars "
+        "ELSE CAST('-inf' AS DOUBLE) END"
+        if guarded
+        else f"ln({u}) / n_chars"
+    )
     return (
-        f"WITH keyed AS (SELECT lang, doc_id, ln({u}) / n_chars AS k "
+        f"WITH keyed AS (SELECT lang, doc_id, {key} AS k "
         "FROM documents WHERE n_chars > 0), "
         "r AS (SELECT lang, doc_id, row_number() OVER "
         "(PARTITION BY lang ORDER BY k DESC, doc_id) AS smp_rank FROM keyed) "

@@ -126,9 +126,11 @@ def hash_uniform(col, salt: str = "", engine: str = "md5") -> Column:
     today guards ONLY ``u == 0`` (the log(u)-NULL poisoning); ``u ==
     1.0`` rows (~1e-16 of ids) still get ``key = log(1)/w = 0`` — the
     maximum possible key — and win selection regardless of weight
-    (ADVICE r13 #2). The both-ends guard + its oracle mirror is
-    ledgered for r15, when weighted_sample falls due and re-enters the
-    driver head (contract.py r15 RECIPE).
+    (ADVICE r13 #2). The both-ends guard is STAGED as
+    ``weighted_sample(..., u_guard="both")`` with its oracle mirror
+    (contract._weighted_sample_oracle(guarded=True), pair tested
+    byte-equal); the registration flips at r15, when weighted_sample
+    falls due and re-enters the driver head (contract.py r15 RECIPE).
     """
     return _u01([F.lit(salt), _c(col)], engine)
 
@@ -706,6 +708,31 @@ def robust_zscore(
     return res
 
 
+def _ares_key(u: Column, weight: Column, u_guard: str) -> Column:
+    """The Efraimidis–Vassilvitskii A-Res key ``ln(u)/w`` with the
+    hash-boundary guard applied. ``u_guard``:
+
+    - ``"zero"`` (the r12-r14 registered semantics): only ``u == 0``
+      is deflected to −inf (log(0) is NULL and NULL sorts FIRST under
+      the descending key — ADVICE r12 #1); ``u == 1.0`` still yields
+      key 0, the maximum, so such an id wins regardless of weight
+      (the ADVICE r13 #2 one-sided gap).
+    - ``"both"`` (the r15 semantics, staged r14): any ``u`` outside
+      the open interval (0, 1) loses — symmetric treatment of both
+      md5 rounding boundaries (each ~1e-16-1e-18 of ids). The DuckDB
+      mirror is contract._weighted_sample_oracle(guarded=True).
+    """
+    if u_guard == "zero":
+        return F.when(u > 0, F.log(u) / weight).otherwise(
+            F.lit(float("-inf"))
+        )
+    if u_guard == "both":
+        return F.when((u > 0) & (u < 1), F.log(u) / weight).otherwise(
+            F.lit(float("-inf"))
+        )
+    raise ValueError(f"u_guard must be 'zero' or 'both', got {u_guard!r}")
+
+
 def weighted_sample(
     df: DataFrame,
     *,
@@ -715,6 +742,7 @@ def weighted_sample(
     group_cols=None,
     salt: str = "wsample",
     engine: str = "md5",
+    u_guard: str = "zero",
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement — k rows
     per group (or globally), selection probability proportional to
@@ -738,19 +766,13 @@ def weighted_sample(
         raise ValueError(f"k must be >= 1, got {k!r}")
     groups = list(group_cols) if group_cols else []
     u = hash_uniform(F.col(id_col), salt, engine=engine)
-    # u == 0.0 would make log(u) NULL, and NULL sorts FIRST under the
-    # descending key order — such ids would win selection regardless
-    # of weight (ADVICE r12 #1). The xxhash64 path clamps u > 0 at the
-    # source; the md5 path deliberately keeps DuckDB's rounding (see
-    # hash_uniform), so guard here: zero-u rows get -inf and LOSE.
-    # KNOWN one-sided gap (ADVICE r13 #2): u == 1.0 (~1e-16 of md5
-    # ids) gives key = 0, the maximum, so such an id wins regardless
-    # of weight. The symmetric guard changes bytes vs every shipped
-    # oracle, so it lands WITH its oracle mirror at r15 when this name
-    # re-enters the driver head (contract.py r15 RECIPE).
-    key = F.when(u > 0, F.log(u) / F.col(weight_col)).otherwise(
-        F.lit(float("-inf"))
-    )
+    # boundary semantics live in _ares_key (both md5 rounding
+    # boundaries documented there). The default stays "zero" — the
+    # registered r12-r14 semantics, byte-pinned by the shipped oracle —
+    # until the r15 rotation flips the contract query AND its oracle
+    # mirror to "both" together (ADVICE r13 #2; staged machinery is
+    # API + tested as of r14, the 77601a7 pre-staging discipline).
+    key = _ares_key(u, F.col(weight_col), u_guard)
     base = df.filter(F.col(weight_col) > 0).select(
         *groups, F.col(id_col), key.alias("_key")
     )
