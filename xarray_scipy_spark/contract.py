@@ -7698,14 +7698,12 @@ def q_json_props_stats(spark, sf_dir):
     )
 
 
-# --- r13 merge staging ------------------------------------------------------
-# Four variant-family merges funding the r13 slate's six head slots:
-#   dedup_exact@ frees dedup_ngram_jaccard + dedup_ngram_spans (2),
-#   acf@ frees ewma + seasonal_decompose (2),
-#   asof_join@ frees range_join (1),
-#   gapfill@ frees interp_to (1, registered r9 so due back r11 — safe
-#     to merge away at r13). Same generic-column -1/0-padding pattern
-#   as the r10-r12 staging above.
+# --- merged-union builders (staged as "r13 merge staging" under an
+# OLD plan; executed EARLIER/elsewhere: dedup_exact@ at r12, acf@ at
+# r10, asof_join@ at r9, gapfill@ at r11 — the ACTUAL r13 merges are
+# listed in the r13 rotation block at EOF). Same generic-column
+# -1/0-padding pattern as the r10-r12 staging above; builders below
+# remain the live implementations their registrations point at.
 
 
 def _dedup_family_merged_oracle() -> str:
@@ -8097,13 +8095,16 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
-# --- r15 merge staging ------------------------------------------------------
-# Five merges funding the r15 slate's five head slots:
-#   fftconvolve_2d@ frees fftconvolve_complex (1),
-#   text_logprob@ frees text_vocab (1),
-#   multimodal_real_decode@ frees multimodal_video_frames (1),
-#   sessionize@ frees stream_dedup (1),
-#   embedding_quantize@ frees embedding_pca (1).
+# --- merged-union builders (staged here, EXECUTED in earlier rotations) -----
+# STALE-HEADER FIX (r14): this block was originally titled "r15 merge
+# staging" under an old plan where these five merges would fund r15
+# slots. All five executed EARLIER than that plan assumed
+# (text_logprob@merged at r10, multimodal_real_decode@merged at r11,
+# embedding_quantize@merged at r12, fftconvolve_2d@merged and
+# sessionize@merged at r13 — see the rotation blocks at EOF). The
+# CURRENT r15 plan needs NO merges: 47 due + the 3-name queue = 50
+# exactly (the r15 RECIPE block above). Builders below remain the
+# live implementations their registrations point at.
 
 
 def _fftconv_nd_merged_oracle() -> str:
@@ -8264,14 +8265,13 @@ def q_embedding_merged(spark, sf_dir):
     return qu.unionAll(pc)
 
 
-# --- r14 merge staging ------------------------------------------------------
-# Five merges funding the r14 slate's five head slots (one spare):
-#   funnel@ frees retention (1), tpch_q4@ frees tpch_q18 (1),
-#   lineitem_rollup@ frees cube_revenue (1), stft@ frees coherence (1),
-#   text_lang_id@ frees text_tfidf + text_repetition (2).
-# funnel/retention/tpch_q4/tpch_q18 are still queued here, so their
-# oracle strings come from the builder functions (already materialized
-# at staging) rather than ORACLES.
+# --- merged-union builders (staged as "r14 merge staging" under an
+# OLD plan; all five executed EARLIER: funnel@/tpch_q4@/
+# lineitem_rollup@ at r12, stft@ at r13, text_lang_id@ at r9 — the
+# ACTUAL r14 merges were tpch_q7@/tpch_q14@, see the r14 rotation
+# block at EOF). Builders below remain the live implementations their
+# registrations point at; oracle strings come from the builder
+# functions materialized at staging time rather than ORACLES.
 
 
 def _events_merged_oracle() -> str:
