@@ -41,6 +41,32 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_registry_capped_at_100():
+    """VERDICT r14 #8: with a 50-slot driver head, the two-round
+    freshness bar holds only while N <= 100 — and N sits AT that cap
+    since the r15 rotation. A 101st registration would silently break
+    the bar (some name would go >2 rounds unchecked), so it fails
+    here with the policy pointer instead."""
+    from xarray_scipy_spark.contract import _QUEUED
+
+    assert len(QUERIES) <= 100, (
+        f"{len(QUERIES)} registered queries exceeds the two-round "
+        "freshness cap of 100. The registry is FULL: a new "
+        "registration must be paired with a retirement-first merge "
+        "in the SAME rotation block (fold a redundant variant into a "
+        "union under a surviving base with a merged oracle, a "
+        "_MERGED_UNIONS plan lock, and bench plain_overrides "
+        "continuity) — see the r16+ RETIREMENT-FIRST POLICY section "
+        "in xarray_scipy_spark/contract.py."
+    )
+    # queued names count against future capacity: flag a queue that
+    # could not register even with zero due-slack.
+    assert len(QUERIES) + len(_QUEUED) <= 100 or len(_QUEUED) == 0, (
+        f"queue of {len(_QUEUED)} cannot register at N={len(QUERIES)} "
+        "without retirements — ledger the merges first (r16+ policy)."
+    )
+
+
 def test_driver_head_is_exactly_50():
     """The driver's correctness gate checks the FIRST 50 queries()
     entries. Registering a query without a matching _CHECK_LAST update

@@ -2838,12 +2838,13 @@ def test_ares_key_guard_modes(spark):
 
 
 def test_weighted_sample_guarded_matches_staged_oracle(spark):
-    """Pre-staging parity for the r15 flip (the 77601a7 discipline):
-    weighted_sample(u_guard='both') must match the STAGED guarded
-    DuckDB oracle byte-for-byte on real data TODAY, and — since no
-    sf0.001 id hits a boundary — both must equal the registered
-    ungarded pair, proving the flip changes nothing except on
-    boundary rows."""
+    """Parity pinned a round ahead of the r15 flip (the 77601a7
+    discipline), kept as the standing guard-equivalence check now the
+    flip is REGISTERED: weighted_sample(u_guard='both') must match
+    the guarded DuckDB oracle byte-for-byte on real data, and — since
+    no sf0.001 id hits a boundary — both must equal the historical
+    r12-r14 unguarded pair, proving the guard changes nothing except
+    on boundary rows."""
     import duckdb
 
     import xarray_scipy_spark.pipeline as pl

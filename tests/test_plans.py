@@ -909,8 +909,21 @@ _MERGED_UNIONS = {
     "tpch_q14": ("q_tpch_q14", "q_tpch_q19"),
 }
 
+# Staged-but-unregistered retirement-first candidates (VERDICT r14
+# #3): same exchange-count glue lock as _MERGED_UNIONS, but the union
+# resolves from contract by builder name because no registration
+# points at it yet. An entry moves into _MERGED_UNIONS (keyed by the
+# surviving base's registered name) when its rotation executes —
+# e.g. "window_analytics": ("q_window_analytics", "q_event_pivot")
+# at the first r16+ merge.
+_STAGED_UNIONS = {
+    "q_event_widefam_merged": ("q_window_analytics", "q_event_pivot"),
+}
 
-@pytest.mark.parametrize("name", sorted(_MERGED_UNIONS))
+
+@pytest.mark.parametrize(
+    "name", sorted(_MERGED_UNIONS) + sorted(_STAGED_UNIONS)
+)
 def test_merged_union_adds_no_exchange(spark, name):
     """The registered variant-tag union must be pure unionAll glue:
     its static plan contains a Union node and no MORE Exchange nodes
@@ -918,11 +931,15 @@ def test_merged_union_adds_no_exchange(spark, name):
     from xarray_scipy_spark import contract as C
     from xarray_scipy_spark.contract import QUERIES
 
-    union_plan = _static_plan(QUERIES[name](spark, SF_DIR))
+    if name in _STAGED_UNIONS:
+        union_fn, branches = getattr(C, name), _STAGED_UNIONS[name]
+    else:
+        union_fn, branches = QUERIES[name], _MERGED_UNIONS[name]
+    union_plan = _static_plan(union_fn(spark, SF_DIR))
     assert "Union" in union_plan, union_plan
     branch_sum = sum(
         _static_plan(getattr(C, b)(spark, SF_DIR)).count("Exchange")
-        for b in _MERGED_UNIONS[name]
+        for b in branches
     )
     assert union_plan.count("Exchange") <= branch_sum, (
         name,
@@ -1066,9 +1083,9 @@ def test_dsir_weights_single_corpus_scan(spark):
     checkpoint must keep the corpus to ONE FileScan (without it
     Catalyst duplicates the explode+aggregate subtree — the tpch_q15
     double-scan class, fixed at r13)."""
-    from xarray_scipy_spark.contract import _QUEUED
+    from xarray_scipy_spark.contract import QUERIES
 
-    plan = _static_plan(_QUEUED["dsir_weights"][0](spark, SF_DIR))
+    plan = _static_plan(QUERIES["dsir_weights"](spark, SF_DIR))
     assert plan.count("FileScan") == 1, plan
     assert "CartesianProduct" not in plan, plan
 

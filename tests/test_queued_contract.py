@@ -27,12 +27,40 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("name", sorted(_QUEUED))
+# Staged retirement-first merges (VERDICT r14 #3): with the registry
+# AT the N=100 cap since r15, a future registration must fold a
+# redundant name into a variant-tag union under a surviving base in
+# the same rotation. Each candidate union is built and byte-verified
+# here a round BEFORE it can be needed, so the first forced merge is
+# never the first attempt. Values are (builder_name, oracle_builder
+# _name) resolved lazily from contract — the pair graduates out of
+# this dict into a registration + a _MERGED_UNIONS plan-lock entry
+# when its rotation executes.
+_STAGED_MERGES = {
+    # r16 candidate (policy rule b): event_pivot retires under the
+    # window_analytics base. See the dry-run comment in contract.py.
+    "event_widefam_merged": (
+        "q_event_widefam_merged",
+        "_event_widefam_merged_oracle",
+    ),
+}
+
+
+def _resolve(name):
+    if name in _QUEUED:
+        return _QUEUED[name]
+    from xarray_scipy_spark import contract as C
+
+    fn_name, oracle_name = _STAGED_MERGES[name]
+    return getattr(C, fn_name), getattr(C, oracle_name)()
+
+
+@pytest.mark.parametrize("name", sorted(_QUEUED) + sorted(_STAGED_MERGES))
 def test_queued_query_matches_oracle(spark, name):
     import duckdb
     import numpy as np
 
-    fn, oracle = _QUEUED[name]
+    fn, oracle = _resolve(name)
     sdf = fn(spark, SF_DIR).toPandas()
     if oracle is None:
         # rows-only queue entries (iterative algorithms with no SQL

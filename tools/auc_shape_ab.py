@@ -1,13 +1,19 @@
 """A/B the auc_exact job shape (VERDICT r13 #7 adjudication).
 
-The r10-r13 shape paid THREE jobs, two of them full input aggregates:
-guard ``count()`` on the un-checkpointed histogram (input pass 1),
-``localCheckpoint(eager=True)`` (input pass 2 — the checkpoint re-runs
-the groupBy), then the windowed identity over the cached frame. The
-r14 shape installs the lazy checkpoint first so the guard count IS the
-materializing action: one input pass, guard and window both read the
-cache. This tool measures old vs new on the real contract input shape
-at a chosen docs-metadata tier, interleaved same-session, and asserts
+The shipped r10+ shape pays THREE jobs, two of them full input
+aggregates: guard ``count()`` on the un-checkpointed histogram (input
+pass 1), ``localCheckpoint(eager=True)`` (input pass 2 — the
+checkpoint re-runs the groupBy), then the windowed identity over the
+cached frame. The r14 CANDIDATE shape installs the lazy checkpoint
+first so the guard count IS the materializing action: one input pass,
+guard and window both read the cache. ADJUDICATED OUTCOME (r14): the
+candidate was measured-and-REJECTED — a tie both runs (0.91x/1.04x at
+the 135M-row tier; Spark's shuffle-stage reuse makes the guard's
+extra jobs effectively free) — so pipeline/features.py KEEPS the
+guard-before-eager-checkpoint shape (see the auc_exact comment
+there). This tool remains the reproduction harness for that record:
+it measures shipped vs candidate on the real contract input shape at
+a chosen docs-metadata tier, interleaved same-session, and asserts
 the outputs are byte-identical.
 
 Usage: python tools/auc_shape_ab.py [--reps 1000]

@@ -15,7 +15,14 @@ documents tier (the dedup-safe alphabet-rotation build), asserting
 value equality to 1e-9 per doc. The old shapes are inlined verbatim
 from the r13 code (git a853e13^).
 
-Usage: python tools/logprob_shape_ab.py
+``--tier N`` swaps the data source for the N-replica documents tier
+(tools/dsir_tier_ab.build — the .bench_docs100x alphabet-rotation
+build; ``--tier 100`` = 5 M docs) and drops to 3 timed reps per
+shape: the VERDICT r14 #7 check that the removed pair-formation
+shuffle's advantage GROWS with data (the dsir precedent), not just
+holds at 10x.
+
+Usage: python tools/logprob_shape_ab.py [--tier N] [--bigram-only]
 """
 
 from __future__ import annotations
@@ -38,8 +45,20 @@ def main() -> int:
     from xarray_scipy_spark.session import get_spark
 
     spark = get_spark("logprob-shape-ab")
-    SE.build_tier(spark)
-    tier = SE.DST
+    tier_reps = (
+        int(sys.argv[sys.argv.index("--tier") + 1])
+        if "--tier" in sys.argv
+        else 0
+    )
+    if tier_reps:
+        from tools.dsir_tier_ab import build as build_docs_tier
+
+        tier = build_docs_tier(spark, tier_reps)
+        n_reps = 3
+    else:
+        SE.build_tier(spark)
+        tier = SE.DST
+        n_reps = 5
 
     def docs():
         return spark.read.parquet(os.path.join(tier, "documents.parquet"))
@@ -143,15 +162,21 @@ def main() -> int:
         mk(docs()).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    out = {"loadavg": [round(x, 2) for x in os.getloadavg()[:2]]}
-    for name, old, new in (
+    out = {
+        "loadavg": [round(x, 2) for x in os.getloadavg()[:2]],
+        "tier": tier_reps or 10,
+    }
+    pairs = (
         ("unigram", old_unigram, pl.unigram_logprob),
         ("bigram", old_bigram, pl.bigram_logprob),
-    ):
+    )
+    if "--bigram-only" in sys.argv:
+        pairs = pairs[1:]
+    for name, old, new in pairs:
         run(old)
         run(new)
         a, b = [], []
-        for _ in range(5):
+        for _ in range(n_reps):
             a.append(run(old))
             b.append(run(new))
         out[name] = {

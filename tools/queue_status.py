@@ -17,27 +17,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# r14 executed: TWO merges, both net-0 (tpch_q7@merged absorbs
-# tpch_q8 + tpch_q9; tpch_q14@merged absorbs tpch_q19 — all three
-# absorbed names r13-head -> retired free into variant-tag unions);
-# token_mi + the data-quality layer (data_profile, constraint_check,
-# frequent_values, windowed_constraints) registered. N = 97. Live
-# counts: run this tool; static counts in comments went stale once
-# (ADVICE r9 #1) and are not repeated here.
-ROUND_PLAN = {
-    # r15 head math (REDO against CORRECTNESS_r14.json at round
-    # open): 47 due (50 r13-head minus the 3 r14-retired) + 3 new =
-    # 50 exactly — register the whole remaining queue. N at r15 =
-    # 100, AT the two-round-bar cap: r16+ needs retirement-first
-    # merges (policy: the r16+ block in contract.py's RECIPE ledger).
-    # r15 also carries a PLAN-FIX: weighted_sample (due r15) gets the
-    # both-ends u-boundary guard + oracle mirror (ADVICE r13 #2).
-    "r15": [
-        "dsir_weights",
-        "target_encoding",
-        "event_transitions",
-    ],
-}
+# r15 executed: NO merges — 47 due + the final 3-name queue slate
+# (dsir_weights, target_encoding, event_transitions) = 50 exactly.
+# N = 100, AT the two-round-bar cap; queue -> 0. The weighted_sample
+# both-ends u-guard PLAN-FIX landed in the same rotation (ADVICE
+# r13 #2). STEADY STATE from r16: rotations are pure _CHECK_LAST
+# bookkeeping; ROUND_PLAN stays empty until a new operator ships,
+# and any new registration must pair with a retirement-first merge
+# in the same rotation block (policy: the r16+ RECIPE section in
+# contract.py; CI pins N <= 100). Live counts: run this tool; static
+# counts in comments went stale once (ADVICE r9 #1) and are not
+# repeated here.
+ROUND_PLAN: dict = {}
 
 
 def main() -> int:

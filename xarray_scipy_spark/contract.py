@@ -8055,11 +8055,11 @@ _WS_K = 25
 
 
 def _weighted_sample_oracle(guarded: bool = False) -> str:
-    # guarded=True is the STAGED r15 oracle (ADVICE r13 #2): the
-    # both-ends boundary CASE mirroring pipeline/sample.py
-    # _ares_key(u_guard="both") — flips into the registration together
-    # with the Spark-side u_guard="both" at the r15 rotation.
-    # guarded=False is the registered r12-r14 oracle, byte-pinned to
+    # guarded=True is the REGISTERED oracle since the r15 rotation
+    # (ADVICE r13 #2): the both-ends boundary CASE mirroring
+    # pipeline/sample.py _ares_key(u_guard="both"), staged+parity-
+    # pinned at r14, flipped into the registration at r15.
+    # guarded=False is the r12-r14 historical oracle, byte-pinned to
     # the default u_guard="zero" path (whose u==0 deflection the SQL
     # omits on purpose: ~1e-18 of md5 ids, none below ~10^17 rows;
     # Spark's -inf and DuckDB's raw ln(u) only diverge ON such a row).
@@ -8087,11 +8087,14 @@ def q_weighted_sample(spark, sf_dir):
     weighted_sample): 25 docs per language, probability ∝ n_chars, by
     the Efraimidis–Vassilvitskii A-Res keys over the salted-hash
     uniform — exact-by-id, rerun/partitioning-stable, and the oracle
-    recomputes the identical selection."""
+    recomputes the identical selection. Registered with the both-ends
+    u-boundary guard since r15 (ADVICE r13 #2): u values at EITHER
+    md5 rounding boundary (u == 0 log-poisoning, u == 1.0 guaranteed
+    win) lose symmetrically; the oracle mirrors the guard CASE."""
     d = _docs(spark, sf_dir).select("lang", "doc_id", "n_chars")
     return pl.weighted_sample(
         d, id_col="doc_id", weight_col="n_chars", k=_WS_K,
-        group_cols=["lang"],
+        group_cols=["lang"], u_guard="both",
     )
 
 
@@ -8105,6 +8108,83 @@ def q_weighted_sample(spark, sf_dir):
 # CURRENT r15 plan needs NO merges: 47 due + the 3-name queue = 50
 # exactly (the r15 RECIPE block above). Builders below remain the
 # live implementations their registrations point at.
+
+
+# --- r16 retirement-first DRY-RUN (staged r15, VERDICT r14 #3) --------------
+# NOT registered. With N = 100 AT the cap, r16's first new operator
+# must retire a name merge-first; this is the policy's own top
+# remaining candidate (preference rule b — welch/decimate variant
+# merges, rules-a candidates, already executed r9/r12): event_pivot
+# is a single-purpose demo shape (conditional-aggregation PIVOT over
+# events) folded under the surviving window_analytics base as a
+# variant-tag union. Built through the FULL evidence bar a round
+# ahead so the first forced merge is not the first attempt:
+#   (a) CI-byte-exact vs the merged oracle every pytest run
+#       (tests/test_queued_contract.py::_STAGED_MERGES),
+#   (b) union plan lock (tests/test_plans.py::_STAGED_UNIONS — moves
+#       into _MERGED_UNIONS under "window_analytics" at registration),
+#   (c) bench plain_overrides continuity pre-staged (bench.py r15
+#       block: window_analytics + event_pivot keep their plain plans).
+# Conformable schema per the csd_merged precedent: variant tag +
+# user_id + k1 BIGINT (t_us; -1 on pivot rows) + v01..v10 DOUBLE
+# (window: rn/nt4 cast exact + the four _q3 deltas + 0.0 padding;
+# pivot: the five (count, sum) pairs — counts exact in DOUBLE below
+# 2^53). At r16: _q("window_analytics", _event_widefam_merged_oracle())
+# (q_event_widefam_merged); del QUERIES["event_pivot"].
+
+
+def _event_widefam_merged_oracle() -> str:
+    pv = []
+    for i, t in enumerate(_PIVOT_TYPES):
+        pv.append(f"CAST({t}_n AS DOUBLE) AS v{2 * i + 1:02d}")
+        pv.append(f"{t}_v AS v{2 * i + 2:02d}")
+    return (
+        "SELECT 'window' AS variant, user_id, t_us AS k1, "
+        "CAST(rn AS DOUBLE) AS v01, CAST(nt4 AS DOUBLE) AS v02, "
+        "pr_q AS v03, cd_q AS v04, dlag_q AS v05, dlead_q AS v06, "
+        "0.0 AS v07, 0.0 AS v08, 0.0 AS v09, 0.0 AS v10 "
+        "FROM (" + _window_analytics_oracle() + ") "
+        "UNION ALL "
+        "SELECT 'pivot' AS variant, user_id, CAST(-1 AS BIGINT) AS k1, "
+        + ", ".join(pv)
+        + " FROM (" + _event_pivot_oracle() + ")"
+    )
+
+
+def q_event_widefam_merged(spark, sf_dir):
+    """Ranking/analytic window functions + the conditional-aggregation
+    event pivot in ONE variant-tag union — the staged r16 merge that
+    retires event_pivot under the window_analytics base (see the
+    dry-run comment above). Pure unionAll glue over the two registered
+    builders: no new exchange, each branch keeps its own plan."""
+    wa = q_window_analytics(spark, sf_dir).select(
+        F.lit("window").alias("variant"),
+        "user_id",
+        F.col("t_us").alias("k1"),
+        F.col("rn").cast("double").alias("v01"),
+        F.col("nt4").cast("double").alias("v02"),
+        F.col("pr_q").alias("v03"),
+        F.col("cd_q").alias("v04"),
+        F.col("dlag_q").alias("v05"),
+        F.col("dlead_q").alias("v06"),
+        F.lit(0.0).alias("v07"),
+        F.lit(0.0).alias("v08"),
+        F.lit(0.0).alias("v09"),
+        F.lit(0.0).alias("v10"),
+    )
+    pv_cols = []
+    for i, t in enumerate(_PIVOT_TYPES):
+        pv_cols.append(
+            F.col(f"{t}_n").cast("double").alias(f"v{2 * i + 1:02d}")
+        )
+        pv_cols.append(F.col(f"{t}_v").alias(f"v{2 * i + 2:02d}"))
+    pv = q_event_pivot(spark, sf_dir).select(
+        F.lit("pivot").alias("variant"),
+        "user_id",
+        F.lit(-1).cast("bigint").alias("k1"),
+        *pv_cols,
+    )
+    return wa.unionAll(pv)
 
 
 def _fftconv_nd_merged_oracle() -> str:
@@ -11228,7 +11308,12 @@ _q("json_props_stats", _json_props_oracle())(q_json_props_stats)
 _q("cdc_apply", _cdc_apply_oracle())(q_cdc_apply)
 _q("window_analytics", _window_analytics_oracle())(q_window_analytics)
 _q("active_user_setops", _setops_oracle())(q_active_user_setops)
-_q("weighted_sample", _weighted_sample_oracle())(q_weighted_sample)
+_q("weighted_sample", _weighted_sample_oracle(guarded=True))(q_weighted_sample)
+# ^ r15 PLAN-FIX (ADVICE r13 #2, staged r14): the registration now
+# carries the both-ends u-boundary guard — q_weighted_sample passes
+# u_guard="both" and the oracle is the guarded mirror; the pair was
+# byte-parity-pinned a round ahead by tests/test_pipeline.py::
+# test_weighted_sample_guarded_matches_staged_oracle.
 
 
 # --- DSIR importance weights (pipeline/text.py dsir_weights) ----------------
@@ -11277,15 +11362,13 @@ def q_dsir_weights(spark, sf_dir):
 
 
 _QUEUED: dict = {
-    # r15 slate, COMPLETE (the r14 rotation consumed the data-quality
-    # layer + token_mi and both TPC-H merges): DSIR importance
-    # weighting, target encoding, Markov transitions. These three
-    # register at r15 → N = 100 AT the two-round-bar cap; r16+ takes
-    # no new registrations without a retirement-first merge (policy in
-    # the r15/r16 RECIPE block above the r13 predecessor comment).
-    "dsir_weights": (q_dsir_weights, _dsir_oracle()),
-    "target_encoding": (q_target_encoding, _target_encoding_oracle()),
-    "event_transitions": (q_event_transitions, _transitions_oracle()),
+    # EMPTY since the r15 rotation: the final queue slate
+    # (dsir_weights, target_encoding, event_transitions) registered
+    # at r15 → N = 100 AT the two-round-bar cap, queue → 0. From here
+    # a new name enters this dict ONLY alongside a retirement-first
+    # merge in the same rotation block (policy: the r16+ RECIPE block
+    # above the r13 predecessor comment; CI pins N <= 100 in
+    # tests/test_contract_integration.py).
 }
 
 
@@ -11448,6 +11531,9 @@ _q("auc_eval", _auc_oracle())(q_auc_eval)
 # continuity (bench.plain_overrides, pre-staged r13 commit 77601a7)
 # and plan locks (tests/test_plans.py::_MERGED_UNIONS).
 # ---------------------------------------------------------------------------
+# (the staged r16 merge candidate q_event_widefam_merged lives with
+# the other union builders above — NOT registered; see the r16 dry-run
+# comment there)
 _q("tpch_q7", _tpch_joinfam_merged_oracle())(q_tpch_joinfam_merged)
 _q("tpch_q14", _tpch_onerow_merged_oracle())(q_tpch_onerow_merged)
 for _gone in ("tpch_q8", "tpch_q9", "tpch_q19"):
@@ -11460,3 +11546,29 @@ _q("data_profile", _data_profile_oracle())(q_data_profile)
 _q("constraint_check", _constraint_check_oracle())(q_constraint_check)
 _q("frequent_values", _frequent_values_oracle())(q_frequent_values)
 _q("windowed_constraints", _windowed_constraints_oracle())(q_windowed_constraints)
+
+
+# ---------------------------------------------------------------------------
+# r15 rotation EXECUTED per the ledgered recipe (the r15 RECIPE block
+# above _QUEUED's r13 predecessor comment), due-ness re-derived from
+# CORRECTNESS_r14.json at round open (50/50 full green, zero err —
+# due pool = the 47 r13-head names in __spark_entry__._CHECK_LAST,
+# exactly as the recipe assumed). NO merges needed: head math
+# 47 due + 0 dragged + 3 new = 50 EXACTLY, so the whole remaining
+# queue registers — dsir_weights, target_encoding, event_transitions.
+# N = 97 + 3 = 100 — AT the two-round-bar cap; queue -> 0. From r16
+# on, every registration requires a retirement-first merge in the
+# same rotation block (policy + evidence bar in the r16+ RECIPE
+# section; CI enforces N <= 100 with the policy message,
+# tests/test_contract_integration.py).
+# r15 PLAN-FIX also landed this rotation (ADVICE r13 #2): the
+# weighted_sample registration flipped in place to the both-ends
+# u-boundary guard (q_weighted_sample u_guard="both" +
+# _weighted_sample_oracle(guarded=True)) — see the annotated
+# registration line in the r12 block; the pair was byte-parity-pinned
+# a round ahead (tests/test_pipeline.py::
+# test_weighted_sample_guarded_matches_staged_oracle).
+# ---------------------------------------------------------------------------
+_q("dsir_weights", _dsir_oracle())(q_dsir_weights)
+_q("target_encoding", _target_encoding_oracle())(q_target_encoding)
+_q("event_transitions", _transitions_oracle())(q_event_transitions)

@@ -122,15 +122,15 @@ def hash_uniform(col, salt: str = "", engine: str = "md5") -> Column:
       ``tests/test_pipeline.py::test_u01_xxhash64_boundary_clamp``.
 
     Consumers that cannot tolerate a boundary on the md5 path must
-    guard locally, and the guard is per-boundary: ``weighted_sample``
-    today guards ONLY ``u == 0`` (the log(u)-NULL poisoning); ``u ==
-    1.0`` rows (~1e-16 of ids) still get ``key = log(1)/w = 0`` — the
-    maximum possible key — and win selection regardless of weight
-    (ADVICE r13 #2). The both-ends guard is STAGED as
-    ``weighted_sample(..., u_guard="both")`` with its oracle mirror
-    (contract._weighted_sample_oracle(guarded=True), pair tested
-    byte-equal); the registration flips at r15, when weighted_sample
-    falls due and re-enters the driver head (contract.py r15 RECIPE).
+    guard locally, and the guard is per-boundary: the default
+    ``u_guard="zero"`` deflects only ``u == 0`` (the log(u)-NULL
+    poisoning), leaving ``u == 1.0`` rows (~1e-16 of ids) with ``key
+    = log(1)/w = 0`` — the maximum possible key, a guaranteed win
+    regardless of weight (ADVICE r13 #2). The registered contract
+    query uses the symmetric guard — ``weighted_sample(...,
+    u_guard="both")`` with its oracle mirror
+    (contract._weighted_sample_oracle(guarded=True)) — since the r15
+    rotation; both semantics stay available per call site.
     """
     return _u01([F.lit(salt), _c(col)], engine)
 
@@ -712,15 +712,17 @@ def _ares_key(u: Column, weight: Column, u_guard: str) -> Column:
     """The Efraimidis–Vassilvitskii A-Res key ``ln(u)/w`` with the
     hash-boundary guard applied. ``u_guard``:
 
-    - ``"zero"`` (the r12-r14 registered semantics): only ``u == 0``
-      is deflected to −inf (log(0) is NULL and NULL sorts FIRST under
-      the descending key — ADVICE r12 #1); ``u == 1.0`` still yields
-      key 0, the maximum, so such an id wins regardless of weight
-      (the ADVICE r13 #2 one-sided gap).
-    - ``"both"`` (the r15 semantics, staged r14): any ``u`` outside
-      the open interval (0, 1) loses — symmetric treatment of both
-      md5 rounding boundaries (each ~1e-16-1e-18 of ids). The DuckDB
-      mirror is contract._weighted_sample_oracle(guarded=True).
+    - ``"zero"`` (the function default; the r12-r14 registered
+      semantics): only ``u == 0`` is deflected to −inf (log(0) is
+      NULL and NULL sorts FIRST under the descending key — ADVICE
+      r12 #1); ``u == 1.0`` still yields key 0, the maximum, so such
+      an id wins regardless of weight (the ADVICE r13 #2 one-sided
+      gap).
+    - ``"both"`` (the contract-registered semantics since r15, staged
+      r14): any ``u`` outside the open interval (0, 1) loses —
+      symmetric treatment of both md5 rounding boundaries (each
+      ~1e-16-1e-18 of ids). The DuckDB mirror is
+      contract._weighted_sample_oracle(guarded=True).
     """
     if u_guard == "zero":
         return F.when(u > 0, F.log(u) / weight).otherwise(

@@ -105,10 +105,17 @@ def register_bucketed(
     ``bucket_by``/``sort_by`` column must exist in that schema, and
     the bucket ids embedded in Spark's bucketed file names (the
     ``_NNNNN`` suffix) must all be < ``n_buckets`` — which catches a
-    declaration SMALLER than the written layout outright. A
+    declaration SMALLER than the written layout whenever a file with
+    bucket id >= ``n_buckets`` exists. That is not airtight (ADVICE
+    r14 #1): Spark writes NO file for an empty bucket, so a directory
+    written with 16 buckets whose keys happen to populate only low
+    ids can pass a declared ``n_buckets=8`` silently — a
+    ``UserWarning`` fires when the observed distinct ids cover less
+    than half the declaration, the sparse-population signature. A
     declaration LARGER than the written one (e.g. written 8, declared
-    16) is cheaply undetectable from file names alone (ids 0..7 are
-    consistent with both) — that direction still rests on the caller.
+    16) is likewise cheaply undetectable from file names alone (ids
+    0..7 are consistent with both) — both directions ultimately rest
+    on the caller declaring what was written.
 
     Note on ``sort_by``: Spark 3+ does not propagate bucket sort
     order by default (a multi-file bucket reads as unordered), so the
@@ -151,6 +158,22 @@ def register_bucketed(
             f"declared n_buckets={n_buckets} — the directory was written "
             "with MORE buckets than declared; registering would silently "
             "mis-colocate joins"
+        )
+    # empty buckets write no file, so a sparsely-populated layout can
+    # hide a too-small declaration from the max-id check (ADVICE r14
+    # #1) — surface the weak-evidence case instead of staying silent.
+    if len(set(ids)) < n_buckets / 2:
+        import warnings
+
+        warnings.warn(
+            f"register_bucketed: only {len(set(ids))} distinct bucket "
+            f"ids observed under {path} for declared "
+            f"n_buckets={n_buckets}. Empty buckets leave no file, so "
+            "the id check cannot rule out a layout written with MORE "
+            "buckets than declared — verify n_buckets against the "
+            "writer if this directory holds few distinct keys.",
+            UserWarning,
+            stacklevel=2,
         )
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
     cols = ", ".join(f"`{c}`" for c in bucket_by)
