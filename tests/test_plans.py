@@ -1090,6 +1090,20 @@ def test_dsir_weights_single_corpus_scan(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_target_encoding_single_corpus_scan(spark):
+    """target_encoding's per-category aggregate feeds two consumers
+    (the join back and the derived global prior); the lazy checkpoint
+    must keep the visible plan to ONE corpus FileScan (r15 rewrite:
+    the prior derives from the category frame's exact DECIMAL sums,
+    removing the dedicated corpus prior scan — the tpch_q15/dsir
+    double-scan class)."""
+    from xarray_scipy_spark.contract import QUERIES
+
+    plan = _static_plan(QUERIES["target_encoding"](spark, SF_DIR))
+    assert plan.count("FileScan") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_logprob_single_corpus_scan(spark):
     """The r14 ledger fix (VERDICT r13 #3): unigram_logprob's
     vocabulary and bigram_logprob's pair-count frame each feed two+

@@ -44,6 +44,14 @@ def target_encoding(
     Scale shape: ONE map-side-combinable aggregate per category (the
     category table is orders of magnitude below the rows), joined
     back, encoding as a pure projection — no window, no second pass.
+    The global prior derives FROM that category aggregate
+    (``sum(S_cat)/sum(n_cat)`` — DECIMAL sums are exact under any
+    grouping, so the value is byte-identical to a direct corpus
+    aggregate), and the category frame is lazily checkpointed because
+    it feeds two consumers (the join back and the prior): without the
+    cut Catalyst re-derives the corpus aggregate subtree per consumer
+    — the tpch_q15/dsir double-scan class — measured 3 → 2 corpus
+    FileScans at r15.
     The per-category join carries NO forced broadcast hint: the
     operator's stated use is high-cardinality categoricals, where the
     category frame itself can be billions of rows — AQE picks
@@ -69,10 +77,10 @@ def target_encoding(
     )
     per_cat = base.groupBy("_cat").agg(
         F.sum("_t").alias("_s"), F.count(F.lit(1)).alias("_n")
-    )
-    glob = base.agg(
+    ).localCheckpoint(eager=False)
+    glob = per_cat.agg(
         (
-            F.round(F.sum("_t").cast("double") / F.count(F.lit(1)), 6)
+            F.round(F.sum("_s").cast("double") / F.sum("_n"), 6)
         ).alias("_prior")
     )
     m = F.lit(float(smoothing))
