@@ -1104,6 +1104,22 @@ def test_target_encoding_single_corpus_scan(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_event_transitions_single_corpus_scan(spark):
+    """event_transitions' pair-count frame (|types|²-sized) feeds two
+    consumers (the join back and the row-total aggregate); the lazy
+    checkpoint must stop Catalyst re-deriving the per-user window +
+    corpus scan subtree per consumer (the r15 registration-day census
+    caught 2 corpus FileScans + 2 Window nodes). Post-cut, the
+    visible plan derives everything from the checkpointed counts:
+    zero FileScan/Window nodes, one corpus pass total."""
+    from xarray_scipy_spark.contract import QUERIES
+
+    plan = _static_plan(QUERIES["event_transitions"](spark, SF_DIR))
+    assert plan.count("FileScan") == 0, plan
+    assert plan.count("Window") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_logprob_single_corpus_scan(spark):
     """The r14 ledger fix (VERDICT r13 #3): unigram_logprob's
     vocabulary and bigram_logprob's pair-count frame each feed two+

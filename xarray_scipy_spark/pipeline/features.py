@@ -140,9 +140,15 @@ def event_transitions(
         )
         .filter(F.col("to_type").isNotNull())
     )
+    # cnt is |types|²-sized and feeds TWO consumers (the join back and
+    # the row-total aggregate): without the lazy cut Catalyst
+    # re-derives the per-user window + corpus scan subtree per
+    # consumer — the tpch_q15/dsir double-scan class, caught by the
+    # r15 registration-day census (2 corpus FileScans + 2 Window
+    # nodes → 1 of each).
     cnt = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
     tot = cnt.groupBy("from_type").agg(F.sum("cnt").alias("_tot"))
     return cnt.join(F.broadcast(tot), "from_type").select(
         "from_type",
