@@ -357,6 +357,14 @@ def plain_overrides() -> dict:
         # event_pivot -> window_analytics@merged rotation executes).
         "window_analytics": C.q_window_analytics,
         "event_pivot": C.q_event_pivot,
+        # r16+ staged rule-c merges (dry-runs built r15): the eval
+        # twins keep their plain composition plans under their BENCH
+        # rows when they fold into their bases (ann_cosine_topk_ivf /
+        # dedup_minhash already carry plain entries above). Identical
+        # to the registered functions today, so no measured plan
+        # changes identity at the eval-twin rotations.
+        "ann_recall_eval": C.q_ann_recall_eval,
+        "dedup_recall_eval": C.q_dedup_recall_eval,
     }
 
 

@@ -918,6 +918,13 @@ _MERGED_UNIONS = {
 # at the first r16+ merge.
 _STAGED_UNIONS = {
     "q_event_widefam_merged": ("q_window_analytics", "q_event_pivot"),
+    # rule-c eval-twin dry-runs (staged r15): branches are the
+    # surviving base's registered union + the plain eval composition.
+    "q_ann_evalfam_merged": ("q_ann_cells_merged", "q_ann_recall_eval"),
+    "q_dedup_evalfam_merged": (
+        "q_dedup_pair_family_merged",
+        "q_dedup_recall_eval",
+    ),
 }
 
 

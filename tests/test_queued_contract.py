@@ -43,6 +43,17 @@ _STAGED_MERGES = {
         "q_event_widefam_merged",
         "_event_widefam_merged_oracle",
     ),
+    # r16+ candidates (policy rule c, staged r15): the eval/report
+    # twins retire under the bases of the operators they evaluate.
+    # See the rule-c dry-run comment in contract.py.
+    "ann_evalfam_merged": (
+        "q_ann_evalfam_merged",
+        "_ann_evalfam_merged_oracle",
+    ),
+    "dedup_evalfam_merged": (
+        "q_dedup_evalfam_merged",
+        "_dedup_evalfam_merged_oracle",
+    ),
 }
 
 

@@ -8187,6 +8187,114 @@ def q_event_widefam_merged(spark, sf_dir):
     return wa.unionAll(pv)
 
 
+# --- r16+ retirement-first DRY-RUNS #2/#3 (staged r15, rule c) --------------
+# NOT registered. After event_pivot (rule b, above), the policy's
+# next candidates are the eval/report twins (preference rule c —
+# retire the COMPOSITION, never the operators it evaluates). Both are
+# built through the full evidence bar a round ahead: (a) CI-byte-exact
+# vs the merged oracle every pytest run (test_queued_contract
+# _STAGED_MERGES), (b) union plan lock (test_plans _STAGED_UNIONS),
+# (c) bench plain_overrides continuity pre-staged while plain ==
+# registered. Both unions stay single-data-family (rule 3): ann =
+# embeddings only, dedup = documents only.
+#   * ann_recall_eval folds under the ann_cosine_topk_ivf base (the
+#     r12 cells union): recall rows ride the cells schema as
+#     variant='recall', rank=-1, neighbor_id=n_hits (a <=k count,
+#     exact BIGINT), cos_sim=recall_q cast DOUBLE (a _q3 millis
+#     integer <= 1000, exact in DOUBLE). At registration:
+#     _q("ann_cosine_topk_ivf", _ann_evalfam_merged_oracle())
+#     (q_ann_evalfam_merged); del QUERIES["ann_recall_eval"].
+#   * dedup_recall_eval folds under the dedup_minhash base (the r11
+#     4-way pair-family union): the 1-row 5-metric eval UNPIVOTS into
+#     two pair-schema rows — ('eval_precision', a_id=n_candidates,
+#     b_id=n_tp, score=precision_q) and ('eval_recall', a_id=n_truth,
+#     b_id=n_tp, score=recall_q) — all five metrics carried (the csd
+#     padding precedent). The Spark side unpivots with ONE explode
+#     over the single eval subtree, so the union adds no second
+#     corpus-scale branch (the _STAGED_UNIONS exchange bound holds);
+#     the oracle inlines the eval subquery twice, which only DuckDB
+#     pays at sf0.001. At registration: _q("dedup_minhash",
+#     _dedup_evalfam_merged_oracle())(q_dedup_evalfam_merged);
+#     del QUERIES["dedup_recall_eval"].
+
+
+def _ann_evalfam_merged_oracle() -> str:
+    # ORACLES["ann_cosine_topk_ivf"] is the r12 cells-union snapshot
+    return (
+        "SELECT variant, query_id, rank, neighbor_id, cos_sim "
+        "FROM (" + ORACLES["ann_cosine_topk_ivf"] + ") "
+        "UNION ALL "
+        "SELECT 'recall' AS variant, query_id, "
+        "CAST(-1 AS INTEGER) AS rank, n_hits AS neighbor_id, "
+        "CAST(recall_q AS DOUBLE) AS cos_sim "
+        "FROM (" + ORACLES["ann_recall_eval"] + ")"
+    )
+
+
+def q_ann_evalfam_merged(spark, sf_dir):
+    """The cell-probed ANN union (ivf + kmeans variants) + its own
+    acceptance metric (recall@k of IVF vs the exact top-k) in ONE
+    variant-tag union — the staged rule-c merge that retires
+    ann_recall_eval under the ann_cosine_topk_ivf base (see the
+    dry-run comment above). Pure unionAll glue over the two
+    registered builders; each branch keeps its own plan."""
+    base = q_ann_cells_merged(spark, sf_dir)
+    rc = q_ann_recall_eval(spark, sf_dir).select(
+        F.lit("recall").alias("variant"),
+        "query_id",
+        F.lit(-1).cast("int").alias("rank"),
+        F.col("n_hits").alias("neighbor_id"),
+        F.col("recall_q").cast("double").alias("cos_sim"),
+    )
+    return base.unionAll(rc)
+
+
+def _dedup_evalfam_merged_oracle() -> str:
+    # ORACLES["dedup_minhash"] is the r11 4-way pair-family snapshot
+    ev = ORACLES["dedup_recall_eval"]
+    return (
+        "SELECT variant, a_id, b_id, score "
+        "FROM (" + ORACLES["dedup_minhash"] + ") "
+        "UNION ALL "
+        "SELECT 'eval_precision' AS variant, n_candidates AS a_id, "
+        "n_tp AS b_id, precision_q AS score FROM (" + ev + ") "
+        "UNION ALL "
+        "SELECT 'eval_recall' AS variant, n_truth AS a_id, "
+        "n_tp AS b_id, recall_q AS score FROM (" + ev + ")"
+    )
+
+
+def q_dedup_evalfam_merged(spark, sf_dir):
+    """The 4-way near-dup pair-family union + the banding-quality
+    eval (candidate precision / banding recall vs exact-Jaccard
+    ground truth) in ONE variant-tag union — the staged rule-c merge
+    that retires dedup_recall_eval under the dedup_minhash base (see
+    the dry-run comment above). The eval's five metrics unpivot into
+    two pair-schema rows via one explode over the single eval
+    subtree, so the union adds no duplicated corpus-scale branch."""
+    base = q_dedup_pair_family_merged(spark, sf_dir)
+    ev = q_dedup_recall_eval(spark, sf_dir)
+    rows = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("eval_precision").alias("variant"),
+                    F.col("n_candidates").alias("a_id"),
+                    F.col("n_tp").alias("b_id"),
+                    F.col("precision_q").alias("score"),
+                ),
+                F.struct(
+                    F.lit("eval_recall").alias("variant"),
+                    F.col("n_truth").alias("a_id"),
+                    F.col("n_tp").alias("b_id"),
+                    F.col("recall_q").alias("score"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return base.unionAll(rows)
+
+
 def _fftconv_nd_merged_oracle() -> str:
     return (
         "SELECT '2d' AS variant, user_id, row_idx AS i, col_idx AS j, "
