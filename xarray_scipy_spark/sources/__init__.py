@@ -3,6 +3,7 @@ from .write import read_series, register_bucketed, write_bucketed, write_cluster
 from .csvfile import read_csv, write_csv
 from .jsonl import DOCUMENTS_JSONL_SCHEMA, read_jsonl, write_jsonl
 from .orcfile import read_orc, write_orc
+from .binaryfile import MEDIA_FORMATS, read_binary_files, sniff_media_format
 
 __all__ = [
     "read_csv",
@@ -23,4 +24,7 @@ __all__ = [
     "register_bucketed",
     "write_series",
     "read_series",
+    "read_binary_files",
+    "sniff_media_format",
+    "MEDIA_FORMATS",
 ]
