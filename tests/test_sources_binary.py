@@ -28,6 +28,7 @@ from xarray_scipy_spark.pipeline.webp import encode_webp_lossless
 from xarray_scipy_spark.sources import (
     read_binary_files,
     sniff_media_format,
+    stream_binary_files,
 )
 
 
@@ -169,6 +170,40 @@ def test_metadata_only_projection_prunes_content(spark, media_dir):
         ln for ln in plan.splitlines() if "ReadSchema" in ln
     ]
     assert read_schema and "content" not in read_schema[0], plan
+
+
+def test_stream_equals_batch(spark, media_dir, tmp_path):
+    """The streaming twin must reproduce the batch read exactly
+    (path -> (length, content, sniffed format)), one micro-batch per
+    file under maxFilesPerTrigger=1 + AvailableNow — the repo's
+    stream-equals-batch pin applied to the ingest source itself."""
+    root, payloads = media_dir
+    stream = stream_binary_files(
+        spark, str(root), recursive=True, max_files_per_trigger=1
+    ).withColumn("format", sniff_media_format("content"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("binary_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= len(payloads)
+    got = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in spark.sql("select * from binary_stream_out").collect()
+    }
+    batch = _by_name(
+        read_binary_files(spark, str(root), recursive=True).withColumn(
+            "format", sniff_media_format("content")
+        )
+    )
+    assert set(got) == set(batch)
+    for name, row in got.items():
+        assert bytes(row["content"]) == bytes(batch[name]["content"])
+        assert row["length"] == batch[name]["length"]
+        assert row["format"] == batch[name]["format"]
 
 
 def test_duckdb_read_blob_parity(spark, media_dir):

@@ -3,7 +3,7 @@ from .write import read_series, register_bucketed, write_bucketed, write_cluster
 from .csvfile import read_csv, write_csv
 from .jsonl import DOCUMENTS_JSONL_SCHEMA, read_jsonl, write_jsonl
 from .orcfile import read_orc, write_orc
-from .binaryfile import MEDIA_FORMATS, read_binary_files, sniff_media_format
+from .binaryfile import MEDIA_FORMATS, read_binary_files, sniff_media_format, stream_binary_files
 
 __all__ = [
     "read_csv",
@@ -25,6 +25,7 @@ __all__ = [
     "write_series",
     "read_series",
     "read_binary_files",
+    "stream_binary_files",
     "sniff_media_format",
     "MEDIA_FORMATS",
 ]

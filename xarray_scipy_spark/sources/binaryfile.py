@@ -37,7 +37,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["read_binary_files", "sniff_media_format", "MEDIA_FORMATS"]
+__all__ = [
+    "read_binary_files",
+    "stream_binary_files",
+    "sniff_media_format",
+    "MEDIA_FORMATS",
+]
 
 
 def read_binary_files(
@@ -59,6 +64,44 @@ def read_binary_files(
         reader = reader.option("pathGlobFilter", glob)
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= int(max_bytes))
+    return df
+
+
+def stream_binary_files(
+    spark,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = False,
+    max_bytes: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Structured-Streaming twin of :func:`read_binary_files` — the
+    continuous-ingest shape for a landing zone that media files keep
+    arriving in (``binaryFile`` is a supported file-stream source
+    whose schema is FIXED, declared below because the streaming
+    reader refuses schema inference). The
+    checkpointed file log makes ingest exactly-once per file;
+    ``max_files_per_trigger`` bounds per-micro-batch memory the same
+    way ``max_bytes`` bounds per-file memory. Stream-equals-batch is
+    pinned in tests/test_sources_binary.py per the repo's streaming
+    discipline (every operator's streaming twin must reproduce the
+    batch result)."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, "
+        "length long, content binary"
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
     df = reader.load(path)
     if max_bytes is not None:
         df = df.filter(F.col("length") <= int(max_bytes))
