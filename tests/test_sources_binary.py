@@ -206,6 +206,24 @@ def test_stream_equals_batch(spark, media_dir, tmp_path):
         assert row["format"] == batch[name]["format"]
 
 
+def test_sniff_edge_payloads(spark):
+    """Degenerate payloads must route to 'unknown', never error:
+    sub-magic-length files (substring past the end compares false),
+    the empty file, a bare 'RIFF' header with no fourcc, and NULL
+    content (every WHEN is NULL -> the otherwise arm fires)."""
+    rows = [
+        ("empty", b""),
+        ("one", b"P"),
+        ("riff_only", b"RIFF\x00\x00\x00\x00"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, content binary"
+    ).withColumn("fmt", sniff_media_format("content"))
+    got = {r["name"]: r["fmt"] for r in df.collect()}
+    assert got == {n: "unknown" for n, _ in rows}
+
+
 def test_duckdb_read_blob_parity(spark, media_dir):
     """Oracle-style cross-engine check: DuckDB's read_blob over the
     same tree returns byte-identical content per file."""
