@@ -1032,6 +1032,99 @@ def test_duplicated_ngram_spans(spark):
         pl.duplicated_ngram_spans(df, k=4, min_docs=1)
 
 
+def test_xml_roundtrip_quarantine_and_attributes(spark, tmp_path):
+    """XML source/sink (the Spark-4 built-in source wrapped with the
+    jsonl/csv discipline): gzip shards roundtrip the documents shape
+    under an explicit schema with a key=value partition layout; a
+    malformed element under PERMISSIVE mode quarantines in
+    _corrupt_record; attribute fields surface under the _ prefix."""
+    import gzip
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from xarray_scipy_spark.sources.xmlfile import read_xml, write_xml
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    rows = [
+        (0, "alpha beta", "en", "web"),
+        (1, "gamma", "de", "books"),
+        (2, "delta epsilon zeta", "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    out = str(tmp_path / "docs_xml")
+    write_xml(df, out, row_tag="doc", partition_by=("source",))
+    assert os.path.isdir(os.path.join(out, "source=web"))
+    shard = [
+        f
+        for f in os.listdir(os.path.join(out, "source=web"))
+        if f.endswith(".gz")
+    ]
+    assert shard, os.listdir(os.path.join(out, "source=web"))
+
+    back = read_xml(spark, out, schema, row_tag="doc")
+    got = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"])
+        for r in back.collect()
+    }
+    assert got == {d: (t, l, s) for d, t, l, s in rows}
+
+    # malformed element: quarantined, not dropped
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    with gzip.open(bad / "shard.xml.gz", "wt") as f:
+        f.write("<rows>\n")
+        f.write(
+            "<doc><doc_id>7</doc_id><text>ok</text>"
+            "<lang>en</lang><source>web</source></doc>\n"
+        )
+        f.write("<doc><doc_id>not a number</doc_id></doc>\n")
+        f.write("</rows>\n")
+    parsed = read_xml(spark, str(bad), schema, row_tag="doc").collect()
+    assert len(parsed) == 2
+    corrupt = [r for r in parsed if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1
+    ok = [r for r in parsed if r["_corrupt_record"] is None]
+    assert ok[0]["doc_id"] == 7 and ok[0]["text"] == "ok"
+
+    # attributes: <chunk id="..." n="...">text</chunk> -> _id, _n, _VALUE
+    attr_dir = tmp_path / "attrs"
+    attr_dir.mkdir()
+    (attr_dir / "a.xml").write_text(
+        '<chunks><chunk id="3" n="2">hello</chunk>'
+        '<chunk id="4" n="5">world</chunk></chunks>'
+    )
+    attr_schema = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("_n", LongType()),
+            StructField("_VALUE", StringType()),
+        ]
+    )
+    chunks = read_xml(
+        spark, str(attr_dir), attr_schema, row_tag="chunk"
+    ).collect()
+    assert {(r["_id"], r["_n"], r["_VALUE"]) for r in chunks} == {
+        (3, 2, "hello"),
+        (4, 5, "world"),
+    }
+
+
 def test_csv_roundtrip_quarantine_and_partitioning(spark, tmp_path):
     from pyspark.sql.types import (
         LongType,
