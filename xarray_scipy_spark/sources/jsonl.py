@@ -14,6 +14,10 @@ Corrupt-record policy (``mode``):
   line in ``_corrupt_record`` — the curation pipeline's choice, since
   dropping silently loses the denominator for quality stats;
 - ``DROPMALFORMED`` / ``FAILFAST``: the strict variants, forwarded.
+
+Note (applies to every PERMISSIVE source in this package): Spark
+refuses queries that reference ONLY ``_corrupt_record`` from a raw
+parse — cache/persist first, or select data columns alongside it.
 """
 
 from __future__ import annotations
