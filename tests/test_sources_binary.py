@@ -224,6 +224,67 @@ def test_sniff_edge_payloads(spark):
     assert got == {n: "unknown" for n, _ in rows}
 
 
+def _py_sniff(payload: bytes | None) -> str:
+    """Pure-Python mirror of sniff_media_format's CASE, in the same
+    arm order — the fuzz test's independent reference."""
+    if payload is None:
+        return "unknown"
+    def at(off, magic):
+        return payload[off - 1 : off - 1 + len(magic)] == magic
+    if at(1, b"P6"):
+        return "ppm"
+    if at(1, b"BM"):
+        return "bmp"
+    if at(1, b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if at(1, b"\xff\xd8"):
+        return "jpeg"
+    if at(1, b"GIF87a") or at(1, b"GIF89a"):
+        return "gif"
+    if at(1, b"RIFF") and at(9, b"WEBP"):
+        return "webp"
+    if at(1, b"RIFF") and at(9, b"WAVE"):
+        return "wav"
+    if at(1, b"RIFF") and at(9, b"AVI "):
+        return "avi"
+    if at(1, b"\x1f\x8b"):
+        return "gzip"
+    return "unknown"
+
+
+def test_sniff_fuzz_matches_python_mirror(spark):
+    """Seeded fuzz: random payloads, truncated magics, and RIFF
+    confusables must classify identically in the Catalyst CASE and
+    the Python mirror (one DataFrame, one comparison — catches any
+    substring/offset discrepancy between the two dispatches)."""
+    rng = np.random.RandomState(1234)
+    magics = [
+        b"P6", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF87a",
+        b"GIF89a", b"RIFF", b"\x1f\x8b",
+    ]
+    fourccs = [b"WEBP", b"WAVE", b"AVI ", b"XXXX", b""]
+    payloads: list[bytes] = []
+    for i in range(120):
+        payloads.append(bytes(rng.randint(0, 256, rng.randint(0, 24), dtype="uint8")))
+    for m in magics:
+        for cut in range(len(m) + 1):
+            payloads.append(m[:cut])  # every truncation point
+            payloads.append(m[:cut] + bytes(rng.randint(0, 256, 12, dtype="uint8")))
+        for fc in fourccs:  # RIFF-style: magic + size + fourcc
+            payloads.append(m + b"\x10\x00\x00\x00" + fc + b"\x00" * 4)
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "i long, content binary").withColumn(
+        "fmt", sniff_media_format("content")
+    )
+    got = {r["i"]: r["fmt"] for r in df.collect()}
+    want = {i: _py_sniff(p) for i, p in rows}
+    assert got == want
+    # the fuzz set must actually exercise every dispatch arm
+    assert set(want.values()) == set(
+        "ppm bmp png jpeg gif webp wav avi gzip unknown".split()
+    )
+
+
 def test_duckdb_read_blob_parity(spark, media_dir):
     """Oracle-style cross-engine check: DuckDB's read_blob over the
     same tree returns byte-identical content per file."""
