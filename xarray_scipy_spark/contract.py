@@ -4002,6 +4002,15 @@ def q_correlate(spark, sf_dir):
 # 4. Mechanics stay r9-style: absorbed name r(N−1)-head → retires
 #    free (net-0, shrinks N below 100 making the new slot); absorbed
 #    name due → the union base carries both driver rows (clean +1).
+# 5. Staged runway (late r15): THREE candidates are pre-built through
+#    the full (a)/(b)/(c) evidence bar and waiting —
+#    q_event_widefam_merged (rule b: event_pivot under
+#    window_analytics), q_ann_evalfam_merged (rule c: ann_recall_eval
+#    under ann_cosine_topk_ivf), q_dedup_evalfam_merged (rule c:
+#    dedup_recall_eval under dedup_minhash). Registration one-liners
+#    sit in each dry-run comment; a registering rotation moves the
+#    test_plans._STAGED_UNIONS entry into _MERGED_UNIONS and the
+#    test_queued_contract._STAGED_MERGES entry out.
 
 
 def q_welch_blackman(spark, sf_dir):
