@@ -1125,6 +1125,59 @@ def test_xml_roundtrip_quarantine_and_attributes(spark, tmp_path):
     }
 
 
+def test_xml_stream_equals_batch(spark, tmp_path):
+    """stream_xml must reproduce read_xml row-for-row over the same
+    shards (one micro-batch per file under maxFilesPerTrigger=1 +
+    AvailableNow) — the stream-equals-batch pin applied to the XML
+    landing source."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from xarray_scipy_spark.sources.xmlfile import (
+        read_xml,
+        stream_xml,
+        write_xml,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    rows = [(i, f"text {i}") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path / "feed")
+    write_xml(df.repartition(3), src, row_tag="doc")
+
+    stream = stream_xml(
+        spark, src, schema, row_tag="doc", max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("xml_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 3  # one batch per shard
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql("select * from xml_stream_out").collect()
+    }
+    batch = {
+        r["doc_id"]: r["text"]
+        for r in read_xml(spark, src, schema, row_tag="doc").collect()
+    }
+    assert got == batch == dict(rows)
+
+
 def test_csv_roundtrip_quarantine_and_partitioning(spark, tmp_path):
     from pyspark.sql.types import (
         LongType,

@@ -4,7 +4,7 @@ from .csvfile import read_csv, write_csv
 from .jsonl import DOCUMENTS_JSONL_SCHEMA, read_jsonl, write_jsonl
 from .orcfile import read_orc, write_orc
 from .binaryfile import MEDIA_FORMATS, read_binary_files, sniff_media_format, stream_binary_files
-from .xmlfile import read_xml, write_xml
+from .xmlfile import read_xml, stream_xml, write_xml
 
 __all__ = [
     "read_csv",
@@ -13,6 +13,7 @@ __all__ = [
     "read_orc",
     "write_orc",
     "read_xml",
+    "stream_xml",
     "write_xml",
     "write_jsonl",
     "DOCUMENTS_JSONL_SCHEMA",

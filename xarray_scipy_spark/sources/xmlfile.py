@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_xml", "write_xml"]
+__all__ = ["read_xml", "stream_xml", "write_xml"]
 
 
 def read_xml(
@@ -55,6 +55,35 @@ def read_xml(
         .format("xml")
         .load(path)
     )
+
+
+def stream_xml(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    row_tag: str = "row",
+    mode: str = "PERMISSIVE",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_xml` — continuous
+    landing for a directory that XML shards keep arriving in (the
+    RSS/Atom-crawl and rolling-dump shape). Same explicit-schema +
+    quarantine discipline; the checkpointed file log makes landing
+    exactly-once per shard, ``max_files_per_trigger`` bounds
+    per-micro-batch parse memory. Stream-equals-batch pinned in
+    tests/test_pipeline.py."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    return reader.format("xml").load(path)
 
 
 def write_xml(
