@@ -165,6 +165,17 @@ def triangle_count(
     join key. Three shuffles total (degree agg, wedge join, closing
     edge join) + the final corner-count aggregate; no iteration, no
     driver state.
+
+    The canonical edge list and the oriented edge list are each
+    ``localCheckpoint``-ed (r16): the downstream dataflow references
+    ``e`` five times and ``fwd`` three times, and Catalyst inlines a
+    fresh copy of the whole upstream (input scan + canonicalizing
+    distinct) at every reference — the pre-r16 physical plan carried
+    ~45 copies of the edge subtree / 90 input scans. Both frames are
+    edge-list-sized (the small side of the problem at corpus scale —
+    the same bound pagerank's edge checkpoint relies on), so the two
+    materializations replace O(plan-copies) input scans with exactly
+    one.
     """
     e = (
         edges.select(
@@ -173,10 +184,11 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # one pass over e (explode, not a 2-way unionAll of the subtree)
     deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -196,10 +208,15 @@ def triangle_count(
             .alias("e")
         )
         .select("e.u", "e.v")
+        .localCheckpoint(eager=True)
     )
     # wedges u->(v,w) from u's oriented neighbor pairs; close with the
     # oriented edge v->w (v before w in the same order, so each
     # triangle matches exactly once)
+    # no join-strategy hints (r16 A/B): forcing shuffled-hash here
+    # measured 2.90 s vs sort-merge's 2.32 s — the wedge self-join's
+    # two sides shuffle identically, so SMJ reuses one exchange and
+    # the sorts are cheap on the oriented list.
     f1 = fwd.select(F.col("u"), F.col("v"))
     f2 = fwd.select(F.col("u"), F.col("v").alias("w"))
     wedges = f1.join(f2, "u").filter(F.col("v") < F.col("w"))
@@ -212,9 +229,7 @@ def triangle_count(
         ),
     ).select(F.col("cw.v").alias("v"), F.col("cw.w").alias("w"))
     tri = wedges.join(closing, ["v", "w"])
-    corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
-    )
+    # one pass over tri (explode, not a 3-way unionAll that would
+    # re-execute the wedge + closing joins three times)
+    corners = tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
