@@ -1222,6 +1222,14 @@ def sparse_knn(
         + F.lit(1.0),
         6,
     )
+    # NOT checkpointed (r16 A/B): materializing the weight table once
+    # looks right on paper (the dataflow references it 4x), but it
+    # strips the parquet size statistics, the planner falls back from
+    # broadcast/hash to sort-merge on the term key, and the term
+    # blocks' within-key products make that pathological — measured
+    # 3.5 s -> 23 s (SMJ) / 5.2 s (forced shuffle-hash) at sf0.1.
+    # Production corpora would persist the index to a table (restoring
+    # statistics) rather than checkpoint it.
     w = (
         tf.join(dft, "_t")
         .crossJoin(F.broadcast(n_docs))
@@ -1266,13 +1274,22 @@ def sparse_knn(
             ).alias("cos_sim"),
         )
     )
+    # symmetrize with ONE pass over cos (explode of the two
+    # directions), not a unionByName that re-executes the dot-product
+    # join + both norm joins a second time
     sym = cos.select(
-        F.col("_ad").alias("_q"), F.col("_bd").alias("_nb"), "cos_sim"
-    ).unionByName(
-        cos.select(
-            F.col("_bd").alias("_q"), F.col("_ad").alias("_nb"), "cos_sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ad").alias("_q"), F.col("_bd").alias("_nb")
+                ),
+                F.struct(
+                    F.col("_bd").alias("_q"), F.col("_ad").alias("_nb")
+                ),
+            )
+        ).alias("_p"),
+        "cos_sim",
+    ).select(F.col("_p._q").alias("_q"), F.col("_p._nb").alias("_nb"), "cos_sim")
     from pyspark.sql import Window
 
     rn = F.row_number().over(
