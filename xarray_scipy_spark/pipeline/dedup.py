@@ -442,9 +442,26 @@ def duplicate_clusters(
     components, so diameter (and the round count) stays small at any
     corpus size.
     """
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.union(rev).distinct()
+    # symmetrize with ONE pass over pairs (explode of both directions)
+    # — a fwd/rev union would re-execute the whole upstream pair
+    # pipeline (minhash signatures + band join + verify) twice inside
+    # the checkpoint job
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .distinct()
+    )
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
