@@ -9707,21 +9707,34 @@ def q_dedup_recall_eval(spark, sf_dir):
     the candidate side the production LSH path; both are corpus-scale
     plans, and the figures are what you tune bands/rows against
     before a 100 TB dedup run."""
+    # Both pair pipelines emit each (a_id, b_id) at most once (banding
+    # dedups via the smallest-shared-band trick; the exact side ends in
+    # a pair-keyed aggregate), so |cand|, |truth| and |cand ∩ truth|
+    # all fall out of ONE full-outer join with presence markers — one
+    # execution of each corpus-scale pipeline instead of the r15
+    # shape's two (separate count + intersection subtrees re-inlined
+    # the minhash and inverted-index plans twice each: 26 Exchanges /
+    # 12 input scans, halved by this restructure).
     cand = pl.minhash_pairs(
         _docs(spark, sf_dir),
         num_hashes=_MINHASH_N,
         bands=_MINHASH_BANDS,
         threshold=0.0,
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id", F.lit(1).alias("_in_cand"))
     truth = pl.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=_MINHASH_THRESHOLD
-    ).select("a_id", "b_id")
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    tp = cand.join(truth, ["a_id", "b_id"]).agg(
-        F.count(F.lit(1)).alias("n_tp")
+    ).select("a_id", "b_id", F.lit(1).alias("_in_truth"))
+    row = cand.join(truth, ["a_id", "b_id"], "full_outer").agg(
+        F.count("_in_cand").alias("n_candidates"),
+        F.count("_in_truth").alias("n_truth"),
+        F.count(
+            F.when(
+                F.col("_in_cand").isNotNull()
+                & F.col("_in_truth").isNotNull(),
+                F.lit(1),
+            )
+        ).alias("n_tp"),
     )
-    row = tp.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_truth))
     return row.select(
         "n_candidates",
         "n_truth",

@@ -974,12 +974,24 @@ def edit_distance_pairs(
         raise ValueError(f"max_dist must be 1 or 2, got {max_dist!r}")
     if dup_buckets < 1:
         raise ValueError(f"dup_buckets must be >= 1, got {dup_buckets}")
-    base = spread(df, id_col).select(
-        F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    # (id, string) is the lightweight proxy for everything below —
+    # corpus-metadata-sized (ids + short prefixes), never the corpus.
+    # localCheckpoint it (r16): the dataflow references it four times
+    # (uniq build, both re-expansion sides, dup members) and Catalyst
+    # re-inlines the whole input scan + projection at every reference
+    # — the pre-r16 physical plan carried 8 input scans; now exactly 1.
+    base = (
+        spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+        .localCheckpoint(eager=True)
     )
     # stage 1: distinct strings with a representative id (min — any
     # deterministic pick works; it only canonicalizes pair orientation)
-    uniq = base.groupBy("_s").agg(F.min("_id").alias("_rid"))
+    # + the member count, so the dist=0 stage below reuses this single
+    # aggregate instead of re-counting the input per string (r16).
+    uniq = base.groupBy("_s").agg(
+        F.min("_id").alias("_rid"), F.count(F.lit(1)).alias("_c")
+    ).localCheckpoint(eager=True)
     s = F.col("_s")
     n = F.length(s)
 
@@ -1037,11 +1049,7 @@ def edit_distance_pairs(
     # probe bucket, the right side keys on its own bucket, and the
     # (bx < by) | (bx == by & id order) filter kills the mirror.
     b_ = F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(dup_buckets))
-    dup_strings = (
-        base.groupBy("_s").agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("_s")
-    )
+    dup_strings = uniq.filter(F.col("_c") >= 2).select("_s")
     members = base.join(dup_strings, "_s").withColumn("_b", b_)
     wl = members.select(
         "_s",
