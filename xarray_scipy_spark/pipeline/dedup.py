@@ -468,21 +468,32 @@ def duplicate_clusters(
         .distinct()
         .withColumn("comp", F.col("id"))
     )
+    comp_t = dict(labels.dtypes)["comp"]
     for _ in range(max_iter):
         neighbor = edges.join(
             labels, edges.dst == labels.id
         ).select(F.col("src").alias("id"), F.col("comp"))
+        # The previous label rides THROUGH the aggregate (each id's one
+        # self row contributes it, neighbor rows contribute NULL and
+        # min() skips nulls), so the convergence check is a filter on
+        # the aggregate's own output — no join against the old frame —
+        # and with a LAZY checkpoint the changed-count action doubles
+        # as the materializing job: ONE job per round instead of two
+        # (eager checkpoint + join-count), and one fewer per-round
+        # shuffle (r16).
         new_labels = (
-            labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
+            labels.select("id", "comp", F.col("comp").alias("_prev"))
+            .union(
+                neighbor.select(
+                    "id", "comp", F.lit(None).cast(comp_t).alias("_prev")
+                )
+            )
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"), F.min("_prev").alias("_prev"))
+            .localCheckpoint(eager=False)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") != F.col("_prev")).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
