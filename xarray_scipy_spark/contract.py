@@ -6147,24 +6147,28 @@ def _gapfill_oracle() -> str:
 
 def q_gapfill(spark, sf_dir):
     """Regular-grid resampling of the irregular event series (6 h
-    grid): linear interpolation + last-observation-carried-forward in
-    one variant-tag union (operators/timegrid.py gapfill — union +
-    single ordered window, no join node)."""
+    grid): linear interpolation + last-observation-carried-forward
+    (operators/timegrid.py gapfill_variants — both fill methods are
+    pure projections over the same bracketing columns, so ONE grid +
+    ordered-window pass emits the two variant tags via an inline
+    array explode; the r15 per-variant union re-ran the scan, grid
+    and window once per method — plan 4 scans / 2 windows → 2 / 1,
+    r16)."""
     ev = _events(spark, sf_dir)
-    out = []
-    for tag in ("linear", "ffill"):
-        res = ops.gapfill(
-            ev, by=["user_id"], dim="ts", value="value", dt=_GF_DT_S, method=tag
-        )
-        out.append(
-            res.select(
-                F.lit(tag).alias("variant"),
-                "user_id",
-                timeutil.epoch_us(res, "ts").alias("t_us"),
-                _q3_col(F.col("value")).alias("v_q"),
-            )
-        )
-    return out[0].unionAll(out[1])
+    res = ops.gapfill_variants(
+        ev,
+        by=["user_id"],
+        dim="ts",
+        value="value",
+        dt=_GF_DT_S,
+        methods=("linear", "ffill"),
+    )
+    return res.select(
+        "variant",
+        "user_id",
+        timeutil.epoch_us(res, "ts").alias("t_us"),
+        _q3_col(F.col("value")).alias("v_q"),
+    )
 
 
 # --- skew-diffused join (r8 queue: r7's head budget is already exact;

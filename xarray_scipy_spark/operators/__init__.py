@@ -17,7 +17,7 @@ from .hilbert import envelope, hilbert
 from .events import funnel_counts, funnel_times, retention_cohorts
 from .joins import asof_join, bloom_semijoin, interval_join, range_join, skew_join
 from .lomb import lombscargle
-from .timegrid import gapfill, interp_to
+from .timegrid import gapfill, gapfill_variants, interp_to
 from .tsstats import acf, ewma, ohlc_bars, rolling_stats, seasonal_decompose
 from .peaks import find_peaks, peak_prominences, peak_widths
 from .resample import decimate, resample, resample_poly, upfirdn
@@ -30,6 +30,7 @@ __all__ = [
     "correlate",
     "fftconvolve",
     "gapfill",
+    "gapfill_variants",
     "interp_to",
     "lombscargle",
     "acf",

@@ -33,39 +33,37 @@ from collections.abc import Sequence as _Seq
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["gapfill", "interp_to"]
+__all__ = ["gapfill", "gapfill_variants", "interp_to"]
 
 
-def gapfill(
-    df: DataFrame,
-    *,
-    by: _Seq[str],
-    dim: str,
-    value: str = "value",
-    dt,
-    method: str = "linear",
-) -> DataFrame:
-    """Resample each series onto the regular grid ``min(t) .. max(t)``
-    step ``dt`` along ``dim``, filling values by ``method``:
+def _gapfill_value(method: str):
+    """The fill expression for one method over the shared bracketing
+    columns (``_t``, ``_v0``, ``_pt``, ``_v1``, ``_nt``)."""
+    if method == "ffill":
+        return F.col("_v0")
+    # exact-hit and trailing-edge cases short-circuit so the
+    # formula never divides by zero; the arithmetic order is fixed
+    # (diff ratio last) and mirrored by the contract oracle
+    return (
+        F.when(F.col("_t") == F.col("_pt"), F.col("_v0"))
+        .when(F.col("_nt").isNull(), F.col("_v0"))
+        .otherwise(
+            F.col("_v0")
+            + (F.col("_v1") - F.col("_v0"))
+            * (F.col("_t") - F.col("_pt")).cast("double")
+            / (F.col("_nt") - F.col("_pt")).cast("double")
+        )
+    )
 
-    - ``"linear"``: ``v0 + (v1 − v0) · (t − t0)/(t1 − t0)`` from the
-      bracketing observations; an observation exactly on a grid
-      instant passes through bit-identically; past the last
-      observation (only the series max itself, by construction) the
-      last value carries.
-    - ``"ffill"``: last observation at or before the grid instant.
 
-    ``dim`` may be numeric (``dt`` in the same units) or a timestamp
-    (``dt`` in SECONDS; the grid is computed on exact epoch
-    microseconds — integer arithmetic, no float timestamp round-trip —
-    and restored to a timestamp column on output).
-
-    Output: ``[*by, <dim>, <value>]``, one row per grid instant.
-    """
+def _gapfill_core(df: DataFrame, *, by, dim: str, value: str, dt):
+    """Shared gapfill machinery: grid generation + the ONE ordered
+    window computing the bracketing observations. Returns
+    ``(both, out_dim, by)`` where ``both`` carries
+    ``[*by, _t, _obs, _v0, _pt, _v1, _nt]`` — every fill method is a
+    pure projection over it (see :func:`_gapfill_value`)."""
     from ..functions.timeutil import _NTZ_EPOCH, epoch_us
 
-    if method not in ("linear", "ffill"):
-        raise ValueError(f"method must be 'linear' or 'ffill', got {method!r}")
     by = list(by)
     in_dtype = dict(df.dtypes)[dim]
     is_ts = in_dtype.startswith("timestamp")
@@ -132,31 +130,94 @@ def gapfill(
         F.first("_v", ignorenulls=True).over(fwd).alias("_v1"),
         F.first(obs_t, ignorenulls=True).over(fwd).alias("_nt"),
     )
-    if method == "ffill":
-        filled = F.col("_v0")
-    else:
-        # exact-hit and trailing-edge cases short-circuit so the
-        # formula never divides by zero; the arithmetic order is fixed
-        # (diff ratio last) and mirrored by the contract oracle
-        filled = (
-            F.when(F.col("_t") == F.col("_pt"), F.col("_v0"))
-            .when(F.col("_nt").isNull(), F.col("_v0"))
-            .otherwise(
-                F.col("_v0")
-                + (F.col("_v1") - F.col("_v0"))
-                * (F.col("_t") - F.col("_pt")).cast("double")
-                / (F.col("_nt") - F.col("_pt")).cast("double")
-            )
-        )
     if not is_ts:
         out_dim = F.col("_t").alias(dim)
     elif in_dtype == "timestamp_ntz":
         out_dim = F.expr(f"timestampadd(MICROSECOND, _t, {_NTZ_EPOCH})").alias(dim)
     else:
         out_dim = F.timestamp_micros(F.col("_t")).alias(dim)
+    return both, out_dim, by
+
+
+def gapfill(
+    df: DataFrame,
+    *,
+    by: _Seq[str],
+    dim: str,
+    value: str = "value",
+    dt,
+    method: str = "linear",
+) -> DataFrame:
+    """Resample each series onto the regular grid ``min(t) .. max(t)``
+    step ``dt`` along ``dim``, filling values by ``method``:
+
+    - ``"linear"``: ``v0 + (v1 − v0) · (t − t0)/(t1 − t0)`` from the
+      bracketing observations; an observation exactly on a grid
+      instant passes through bit-identically; past the last
+      observation (only the series max itself, by construction) the
+      last value carries.
+    - ``"ffill"``: last observation at or before the grid instant.
+
+    ``dim`` may be numeric (``dt`` in the same units) or a timestamp
+    (``dt`` in SECONDS; the grid is computed on exact epoch
+    microseconds — integer arithmetic, no float timestamp round-trip —
+    and restored to a timestamp column on output).
+
+    Output: ``[*by, <dim>, <value>]``, one row per grid instant.
+    """
+    if method not in ("linear", "ffill"):
+        raise ValueError(f"method must be 'linear' or 'ffill', got {method!r}")
+    both, out_dim, by = _gapfill_core(df, by=by, dim=dim, value=value, dt=dt)
     return (
         both.filter(F.col("_obs") == 0)
-        .select(*by, out_dim, filled.alias(value))
+        .select(*by, out_dim, _gapfill_value(method).alias(value))
+    )
+
+
+def gapfill_variants(
+    df: DataFrame,
+    *,
+    by: _Seq[str],
+    dim: str,
+    value: str = "value",
+    dt,
+    methods: _Seq[str] = ("linear", "ffill"),
+    variant_col: str = "variant",
+) -> DataFrame:
+    """All requested fill ``methods`` from ONE grid + window pass.
+
+    Row-equal to unioning per-method :func:`gapfill` calls (each output
+    row tagged with its method in ``variant_col``), but the union form
+    re-executes the scan, grid generation and ordered window once PER
+    method — every fill method is a pure projection over the same
+    bracketing columns, so one inline array + explode emits them all
+    from a single pass (r16: the two-variant consumer's plan dropped
+    from 4 input scans / 2 windows to 2 scans / 1 window).
+    """
+    methods = list(methods)
+    if not methods:
+        raise ValueError("methods must name at least one fill method")
+    for m in methods:
+        if m not in ("linear", "ffill"):
+            raise ValueError(f"method must be 'linear' or 'ffill', got {m!r}")
+    both, out_dim, by = _gapfill_core(df, by=by, dim=dim, value=value, dt=dt)
+    tagged = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("_m"), _gapfill_value(m).alias("_fv")
+            )
+            for m in methods
+        ]
+    )
+    return (
+        both.filter(F.col("_obs") == 0)
+        .select(*by, out_dim, F.explode(tagged).alias("_p"))
+        .select(
+            F.col("_p._m").alias(variant_col),
+            *by,
+            dim,
+            F.col("_p._fv").alias(value),
+        )
     )
 
 
