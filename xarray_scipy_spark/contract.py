@@ -4147,7 +4147,16 @@ def q_sketch_countmin(spark, sf_dir):
     )
     cnt = v.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
     probes = cnt.orderBy(F.desc("exact_cnt"), "tok").limit(_CM_TOPN)
-    sk = pl.countmin_sketch(v, "tok", depth=_CM_DEPTH, width=_CM_WIDTH)
+    # The sketch is the WEIGHTED sketch of the exact per-token counts
+    # (sum of exact_cnt per cell ≡ sum of 1 per occurrence — integer
+    # arithmetic, byte-identical counters): the exact side's aggregate
+    # exchange is reused instead of a second corpus scan feeding the
+    # depth-way explode — 2 lineitem passes → 1, and the explode runs
+    # over distinct keys, not raw rows (r16, guide §2.3 "aggregate
+    # before you shuffle").
+    sk = pl.countmin_sketch(
+        cnt, "tok", depth=_CM_DEPTH, width=_CM_WIDTH, weight=F.col("exact_cnt")
+    )
     est = pl.countmin_lookup(
         sk, probes.select("tok"), "tok", depth=_CM_DEPTH, width=_CM_WIDTH
     )
