@@ -75,9 +75,11 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).localCheckpoint(eager=False)
+    # one pass over e (explode of both endpoints, not a 2-way unionAll
+    # that reads the checkpointed edge RDD twice — the triangle_count
+    # degree pattern, r16)
     nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionAll(e.select(F.col("_d").alias("node")))
+        e.select(F.explode(F.array("_s", "_d")).alias("node"))
         .distinct()
     )
     deg = e.groupBy(F.col("_s").alias("node")).agg(
