@@ -372,8 +372,18 @@ def tfidf_top_tokens(
     tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("n_tok"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(id_col).distinct().count()
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
+    # n_docs rides the (tiny) token-idf side as a broadcast 1-row
+    # aggregate instead of an EAGER distinct-count action at plan-build
+    # time: the same distinct shuffle, but scheduled inside the main
+    # job — no driver barrier, no extra corpus pass serialized before
+    # the query starts (guide §5: the driver does no data work) (r16).
+    nfr = df.select(id_col).agg(
+        F.count_distinct(F.col(id_col)).alias("_ndocs")
+    )
+    dfreq = dfreq.crossJoin(F.broadcast(nfr))
+    idf = F.log(
+        (F.col("_ndocs") + F.lit(1)).cast("double") / (F.col("df") + 1)
+    ) + F.lit(1.0)
     scored = (
         tf.join(doclen, id_col)
         .join(F.broadcast(dfreq), "tok")
@@ -763,8 +773,18 @@ def hashed_tfidf_vectors(
     tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("n_tok"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(id_col).distinct().count()
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
+    # n_docs rides the (tiny) token-idf side as a broadcast 1-row
+    # aggregate instead of an EAGER distinct-count action at plan-build
+    # time: the same distinct shuffle, but scheduled inside the main
+    # job — no driver barrier, no extra corpus pass serialized before
+    # the query starts (guide §5: the driver does no data work) (r16).
+    nfr = df.select(id_col).agg(
+        F.count_distinct(F.col(id_col)).alias("_ndocs")
+    )
+    dfreq = dfreq.crossJoin(F.broadcast(nfr))
+    idf = F.log(
+        (F.col("_ndocs") + F.lit(1)).cast("double") / (F.col("df") + 1)
+    ) + F.lit(1.0)
     slot = h60(F.concat_ws("|", F.lit("fh"), F.col("tok"))) % F.lit(dim)
     sign = F.when(
         h60(F.concat_ws("|", F.lit("fhs"), F.col("tok"))) % 2 == 0, F.lit(1.0)
