@@ -524,15 +524,18 @@ def test_cube_is_native_expand(spark):
 
 def test_bloom_semijoin_probe_is_pure_projection(spark):
     """bloom_semijoin's membership probe must be a pure codegen FILTER
-    (getbit over the packed bitmap literal) — the only join in the
-    plan is the final exact one, and nothing shuffles or joins the
-    probe side before it (the k-broadcast-semi draft measured 2.1 s of
-    re-materialized bits subtrees, BASELINE.md r7)."""
+    (getbit over the packed bitmap) — the bitmap arrives as a ONE-ROW
+    broadcast (r16: built inside the main job, no plan-build collect
+    barrier), so the only joins are that 1-row BroadcastNestedLoopJoin
+    and the final exact join; nothing shuffles or semi-joins the probe
+    side before the filter (the k-broadcast-semi draft measured 2.1 s
+    of re-materialized bits subtrees, BASELINE.md r7)."""
     plan = _static_plan(_contract_fn("bloom_semijoin")(spark, SF_DIR))
     assert "getbit" in plan, plan
     assert "LeftSemi" not in plan, plan
     n_joins = sum(plan.count(j) for j in _JOIN_NODES)
-    assert n_joins == 1, plan  # the final exact join only
+    assert n_joins == 2, plan  # 1-row bitmap broadcast + exact join
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan
 
 

@@ -374,28 +374,43 @@ def bloom_semijoin(
     )
 
     if n_words <= 4096:
-        # small filter: collect the packed words (<= 32 KiB) and probe
-        # against an ARRAY LITERAL — the filter folds into whole-stage
-        # codegen, zero joins before the final exact one
-        packed = words.collect()
-        bitmap = [0] * n_words
-        for r in packed:
-            bitmap[r["w"]] = r["bits"]
-        bm = F.lit(bitmap)
+        # small filter: the packed words densify into ONE array row
+        # inside the aggregate (the per-slot map lookup runs once, on a
+        # single row) and ride to the probe as a broadcast — the build
+        # scan is scheduled inside the main job instead of an eager
+        # collect() barrier at plan-build time (guide §5: the driver
+        # does no data work; r16). Probing stays an O(1) array index
+        # inside whole-stage codegen, exactly as the literal form.
+        bmrow = words.agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+                "_m"
+            )
+        ).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("_m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("_bsj_bm")
+        )
+        bm = F.col("_bsj_bm")
         cond = None
         for pos in positions(left):
             word = F.element_at(bm, (F.floor(pos / 64) + 1).cast("int"))
             hit = F.getbit(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
             cond = hit if cond is None else (cond & hit)
-        probe = left.filter(cond)
+        probe = (
+            left.crossJoin(F.broadcast(bmrow)).filter(cond).drop("_bsj_bm")
+        )
     else:
         # large filter (big build-side key sets): a multi-MB literal
         # would bloat the plan, so the packed words stay a DataFrame —
-        # materialized ONCE (localCheckpoint) and BROADCAST into k
-        # word-lookup hash joins + getbit filters. Still zero probe-
-        # side shuffle; an absent word means no bits set, so the inner
-        # join itself drops those rows.
-        wdf = words.localCheckpoint()
+        # materialized ONCE (lazy localCheckpoint: the first broadcast
+        # build triggers it inside the main job, no plan-build barrier;
+        # r16) and BROADCAST into k word-lookup hash joins + getbit
+        # filters. Still zero probe-side shuffle; an absent word means
+        # no bits set, so the inner join itself drops those rows.
+        wdf = words.localCheckpoint(eager=False)
         probe = left
         for i, pos in enumerate(positions(left)):
             wcol, bcol = f"_bsw{i}", f"_bsb{i}"
