@@ -74,6 +74,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -474,13 +475,29 @@ def main() -> int:
     commit_detail = os.environ.get(
         "SPARK_GRAFT_DETAIL_COMMIT", ""
     ).lower() in ("1", "true", "yes")
+    # Non-commit scratch artifacts get a start-time+pid suffix so a
+    # later battery never clobbers an earlier one's audit evidence
+    # (ADVICE r15 — the r16 baseline battery's detail was lost to
+    # exactly this); the stable .run.json name is ALSO written (a
+    # copy) so existing tooling keeps finding the latest run. Both
+    # match the BENCH_DETAIL*.run.json gitignore glob.
     written_name = (
         detail_name
         if commit_detail
-        else detail_name[: -len(".json")] + ".run.json"
+        else detail_name[: -len(".json")]
+        + time.strftime(".%Y%m%dT%H%M%S")
+        + f"-{os.getpid()}.run.json"
     )
     written_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), written_name
+    )
+    stable_scratch_path = (
+        None
+        if commit_detail
+        else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            detail_name[: -len(".json")] + ".run.json",
+        )
     )
     bands: dict[str, float] = {}
     prior_queries: dict[str, float] = {}
@@ -728,6 +745,8 @@ def main() -> int:
             sort_keys=True,
         )
         fh.write("\n")
+    if stable_scratch_path is not None:
+        shutil.copyfile(written_path, stable_scratch_path)
     print(
         json.dumps(
             {

@@ -1112,6 +1112,26 @@ def test_target_encoding_single_corpus_scan(spark):
     plan = _static_plan(QUERIES["target_encoding"](spark, SF_DIR))
     assert plan.count("FileScan") == 1, plan
     assert "CartesianProduct" not in plan, plan
+    # The checkpoint hides the per_cat subtree behind a LogicalRDD, so
+    # the assertions above cannot see a double-scan INSIDE it (ADVICE
+    # r15). Pin the hidden shape through the _lineage_cut=False test
+    # hook: uncut, the plan shows base + per_cat inlined once per
+    # consumer (join back + derived prior) = exactly 3 corpus scans
+    # and still zero windows; a scan or window regression inside the
+    # aggregate subtree would push these counts up.
+    from xarray_scipy_spark.pipeline import target_encoding
+    from xarray_scipy_spark.sources.tables import load_table
+
+    uncut = target_encoding(
+        load_table(spark, "events", SF_DIR),
+        category_col="event_type",
+        target_col="value",
+        id_col="event_id",
+        _lineage_cut=False,
+    )
+    uplan = _static_plan(uncut)
+    assert uplan.count("FileScan") == 3, uplan
+    assert " Window" not in uplan, uplan
 
 
 def test_event_transitions_single_corpus_scan(spark):
@@ -1128,6 +1148,22 @@ def test_event_transitions_single_corpus_scan(spark):
     assert plan.count("FileScan") == 0, plan
     assert plan.count("Window") == 0, plan
     assert "CartesianProduct" not in plan, plan
+    # The checkpoint hides the cnt subtree behind a LogicalRDD, so the
+    # zero-counts above cannot see a double-scan INSIDE it (ADVICE
+    # r15). Pin the hidden shape through the _lineage_cut=False test
+    # hook: uncut, cnt inlines once per consumer (join back +
+    # row-total) = exactly 2 corpus scans and 2 windows — i.e. ONE
+    # scan + ONE window per derivation of the pair frame; a regression
+    # inside the hidden subtree doubles these.
+    from xarray_scipy_spark.pipeline import event_transitions
+    from xarray_scipy_spark.sources.tables import load_table
+
+    uncut = event_transitions(
+        load_table(spark, "events", SF_DIR), _lineage_cut=False
+    )
+    uplan = _static_plan(uncut)
+    assert uplan.count("FileScan") == 2, uplan
+    assert uplan.count("Window") == 2, uplan
 
 
 def test_logprob_single_corpus_scan(spark):

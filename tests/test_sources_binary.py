@@ -148,9 +148,18 @@ def test_max_bytes_guard_pushes_down(spark, media_dir):
         spark, str(root), recursive=True, max_bytes=cutoff
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the length guard must reach the binaryFile scan: oversize files
-    # are then skipped from file status alone, content never read
-    assert "PushedFilters" in plan and "length" in plan, plan
+    # the length guard must reach the binaryFile scan INSIDE the pushed
+    # list: oversize files are then skipped from file status alone,
+    # content never read. A bare "PushedFilters"/"length" presence
+    # check is vacuous (every binaryFile scan prints 'PushedFilters:
+    # []' and lists length in ReadSchema), so match the predicate
+    # itself (ADVICE r15).
+    import re as _re
+
+    assert _re.search(
+        r"PushedFilters: \[[^\]]*(LessThanOrEqual|LessThan)\(length",
+        plan,
+    ), plan
     kept = {n for n, p in payloads.items() if len(p) <= cutoff}
     assert {r.rsplit("/", 1)[-1] for r in _by_name(df)} == {
         n.rsplit("/", 1)[-1] for n in kept

@@ -33,8 +33,13 @@ def target_encoding(
     target_col: str,
     id_col: str,
     smoothing: float = 10.0,
+    _lineage_cut: bool = True,
 ) -> DataFrame:
     """Leave-one-out smoothed target encoding per category.
+
+    ``_lineage_cut=False`` is a TEST hook (tests/test_plans.py): it
+    skips the lazy checkpoint so the plan lock can pin the one-pass
+    shape of the otherwise-hidden subtree (ADVICE r15).
 
     ``enc(row) = (S_cat − target + m·prior) / (n_cat − 1 + m)`` with
     ``prior`` the global target mean and ``m = smoothing`` — the
@@ -77,7 +82,9 @@ def target_encoding(
     )
     per_cat = base.groupBy("_cat").agg(
         F.sum("_t").alias("_s"), F.count(F.lit(1)).alias("_n")
-    ).localCheckpoint(eager=False)
+    )
+    if _lineage_cut:
+        per_cat = per_cat.localCheckpoint(eager=False)
     glob = per_cat.agg(
         (
             F.round(F.sum("_s").cast("double") / F.sum("_n"), 6)
@@ -109,6 +116,7 @@ def event_transitions(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    _lineage_cut: bool = True,
 ) -> DataFrame:
     """First-order Markov transitions over per-user event sequences:
     ``(from_type, to_type, cnt, prob_q)`` with ``prob_q`` the
@@ -148,7 +156,9 @@ def event_transitions(
     # nodes → 1 of each).
     cnt = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint(eager=False)
+    )
+    if _lineage_cut:
+        cnt = cnt.localCheckpoint(eager=False)
     tot = cnt.groupBy("from_type").agg(F.sum("cnt").alias("_tot"))
     return cnt.join(F.broadcast(tot), "from_type").select(
         "from_type",
