@@ -611,7 +611,9 @@ def sample_negatives(
     """Deterministic negative-pair mining for contrastive / preference
     training: for every anchor row, ``k`` pseudo-random OTHER ids
     drawn by salted hash — the pair table a contrastive embedding or
-    DPO-style pipeline joins its features onto.
+    DPO-style pipeline joins its features onto. When ``n_ids`` is
+    omitted it derives in-plan (a broadcast 1-row ``max(id)+1``
+    aggregate — no plan-build action).
 
     Determinism contract (the split_assign family): negative ``j`` of
     anchor ``a`` is ``h60(salt|a|j) mod n_ids``, skipping self-hits by
@@ -619,7 +621,7 @@ def sample_negatives(
     partitioning-stable, no RNG state. ``n_ids`` is the id-space size
     (ids assumed dense ``0..n_ids-1``, the layout corpus compaction
     produces; computed with one ``max(id)+1`` aggregate when omitted —
-    a 1-row collect, closed over the corpus). Self-collisions step
+    a broadcast 1-row frame inside the plan). Self-collisions step
     deterministically (+1 mod n) so every anchor gets EXACTLY ``k``
     distinct-from-anchor negatives (negatives may repeat among
     themselves for tiny corpora; at corpus scale collisions are
@@ -634,22 +636,43 @@ def sample_negatives(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if n_ids is None:
-        n_ids = df.agg(F.max(F.col(id_col)).cast("bigint")).collect()[0][0] + 1
-    if n_ids < 2:
+    if n_ids is not None and n_ids < 2:
         raise ValueError("need at least two ids to draw negatives")
     slots = F.array(*[F.lit(j) for j in range(k)])
     a = F.col(id_col).cast("bigint")
     raw = h60(
         F.concat_ws("|", F.lit(salt), a.cast("string"), F.col("neg_slot").cast("string"))
     )
-    cand = F.pmod(raw, F.lit(n_ids))
-    neg = F.when(cand == a, F.pmod(cand + 1, F.lit(n_ids))).otherwise(cand)
-    out = (
-        df.select(id_col)
-        .select(F.col(id_col), F.explode(slots).alias("neg_slot"))
-        .withColumn("neg_id", neg)
+    out = df.select(id_col).select(
+        F.col(id_col), F.explode(slots).alias("neg_slot")
     )
+    if n_ids is None:
+        # the derived id-space size rides as a broadcast 1-row
+        # aggregate instead of an eager max(id) collect at plan-build
+        # time — the same shuffle-free corpus max, scheduled inside
+        # the main job (guide §5: the driver does no data work; r16).
+        # The <2 guard moves in-plan (raise_error on the 1-row frame,
+        # evaluated once), keeping the loud degenerate-corpus error.
+        nfr = df.agg(
+            (F.max(F.col(id_col)).cast("bigint") + 1).alias("_nids")
+        ).select(
+            F.when(F.col("_nids") >= 2, F.col("_nids"))
+            .otherwise(
+                F.raise_error(
+                    F.lit("sample_negatives: need at least two ids to draw negatives")
+                ).cast("bigint")
+            )
+            .alias("_nids")
+        )
+        out = out.crossJoin(F.broadcast(nfr))
+        nid = F.col("_nids")
+    else:
+        nid = F.lit(int(n_ids))
+    cand = F.pmod(raw, nid)
+    neg = F.when(cand == a, F.pmod(cand + 1, nid)).otherwise(cand)
+    out = out.withColumn("neg_id", neg)
+    if n_ids is None:
+        out = out.drop("_nids")
     if payload:
         side = df.select(
             F.col(id_col).cast("bigint").alias("neg_id"),
