@@ -69,18 +69,26 @@ def pack_documents(
         F.col(id_col).cast("bigint").alias("_id"),
         F.col(size_col).cast("bigint").alias("_n"),
     )
-    lo, hi = d.agg(F.min("_id"), F.max("_id")).first()
-    if lo is None:
-        return d.select(
-            F.col("_id").alias(id_col),
-            F.col("_n").alias("n_tok"),
-            F.lit(None).cast("bigint").alias("start_bin"),
-            F.lit(None).cast("bigint").alias("start_off"),
-            F.lit(None).cast("bigint").alias("end_bin"),
-            F.lit(0).cast("bigint").alias("n_bins"),
+    # id-range and bucket width ride as a broadcast 1-row aggregate
+    # instead of an eager min/max action at plan-build time — the same
+    # range scan, scheduled inside the main job with no driver barrier
+    # (guide §5: the driver does no data work; r16). An empty input
+    # needs no special case any more: zero rows in, zero rows out.
+    rng = d.agg(F.min("_id").alias("_lo"), F.max("_id").alias("_hi")).select(
+        "_lo",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"(_hi - _lo) div {int(buckets)}") + F.lit(1),
+        ).alias("_width"),
+    )
+    d = (
+        d.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "_bkt",
+            ((F.col("_id") - F.col("_lo")) / F.col("_width")).cast("bigint"),
         )
-    width = max(1, (int(hi) - int(lo)) // buckets + 1)
-    d = d.withColumn("_bkt", ((F.col("_id") - F.lit(int(lo))) / F.lit(width)).cast("bigint"))
+        .drop("_lo", "_width")
+    )
     in_bucket = Window.partitionBy("_bkt").orderBy("_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
