@@ -35,20 +35,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round, CHANGED this round, or UNCHECKED last round sits in the
 # head; the two-round freshness bar caps the registry at 100 names.
 #
-# r15 rotation (EXECUTED this round — see contract.py's r15 rotation
-# block): NO merges — the head math closed exactly (47 due + 3 new =
-# 50), so the final queue slate registered: dsir_weights,
-# target_encoding, event_transitions. N = 97 + 3 = 100 — AT the
-# two-round-bar cap; queue → 0. The r15 PLAN-FIX landed in the same
-# rotation: weighted_sample (due this round) re-enters the head with
-# the both-ends u-boundary guard + guarded oracle mirror (ADVICE
-# r13 #2; staged + byte-parity-pinned r14).
+# r17 rotation (EXECUTED this round, pure bookkeeping per the r16+
+# steady-state rule): _CHECK_LAST := CORRECTNESS_r16.json key order —
+# the 50 names the driver verified green in r16 move to the tail, and
+# the 50 r16-tail names (green CORRECTNESS_r15 rows) re-enter the
+# driver-checked head. This closes VERDICT r16 #3: every query the
+# r16 optimization round RESTRUCTURED while sitting in the unchecked
+# tail (triangle_count, text_hash_vectors, dedup_keep_best,
+# dataset_split_safe, skew_join's surface) is now in the head.
+# Coverage notes for the two restructured names without their own
+# registry rows: sketch_countmin rides the "sketch_hll" variant-tag
+# union (q_sketch_state_merged — driver-verified green in r16 AFTER
+# the weighted-sketch change landed), and bloom_semijoin remains
+# bench-only with its r18 covering union under skew_join staged
+# (q_join_strategy_merged dry-run; CI value-checks it at sf0.001 via
+# the staged-merge parity test until then).
 #
-# Head (50) = the 47 r15-due names (the r13-head cohort, with
-# weighted_sample carrying the guard flip) + the 3 new registrations.
-# Tail (50) = the r14-head names (green CORRECTNESS_r14 rows, no r15
-# code change), in CORRECTNESS_r14.json key order. Tail queries
-# retain value-level verification in CI:
+# Tail (50) = the r16-head names, in CORRECTNESS_r16.json key order.
+# Tail queries retain value-level verification in CI:
 # tests/test_contract_integration.py::test_tail_queries_match_oracle
 # runs each against its DuckDB oracle at sf0.001 every pytest run
 # (which also asserts head == 50 and tail == N−50 exactly), and
@@ -56,62 +60,62 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROTATION MATH: with a 50-slot head, N registered queries get
 # driver-checked every ceil(N/50) rounds — the two-round freshness bar
-# holds while N <= 100, and N now sits AT that cap (CI-pinned). From
-# r16 on, rotations are pure bookkeeping (_CHECK_LAST := the prior
-# round's CORRECTNESS key order) and any NEW registration requires a
-# retirement-first merge in the same rotation (policy + evidence bar:
-# contract.py's r16+ RECIPE block). Live counts: tools/queue_status.py.
+# holds while N <= 100, and N sits AT that cap (CI-pinned). Rotations
+# stay pure bookkeeping (_CHECK_LAST := the prior round's CORRECTNESS
+# key order) and any NEW registration requires a retirement-first
+# merge in the same rotation (policy + evidence bar: contract.py's
+# r16+ RECIPE block). Live counts: tools/queue_status.py.
 _CHECK_LAST = (
-    "decimate_fir",
-    "resample",
-    "istft_roundtrip",
-    "cwt_ricker",
-    "hilbert",
-    "lfilter",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "curation_report",
-    "embedding_quantize",
-    "dataset_split",
-    "lineitem_rollup",
-    "text_logprob",
-    "multimodal_png_decode",
-    "savgol",
-    "stream_window_stats",
-    "ifft",
-    "medfilt",
-    "text_token_stats",
-    "skew_join",
-    "sketch_histogram",
-    "text_hash_vectors",
-    "lombscargle",
-    "acf",
-    "robust_zscore",
-    "rolling_stats",
-    "interval_join",
-    "funnel",
-    "audio_spectral",
-    "char_entropy",
-    "ngram_counts",
-    "kfold_weights",
-    "tpch_q4",
-    "grouped_ols",
-    "triangle_count",
-    "ann_recall_eval",
-    "missing_windows",
-    "dedup_keep_best",
-    "key_skew_profile",
-    "dataset_split_safe",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q22",
-    "token_mi",
-    "data_profile",
-    "constraint_check",
-    "frequent_values",
-    "windowed_constraints",
+    "fft",
+    "fftconvolve",
+    "stft",
+    "welch",
+    "sosfilt",
+    "peak_widths",
+    "dedup_minhash",
+    "ann_cosine_topk_ivf",
+    "dataset_mix",
+    "decontaminate",
+    "multimodal_features",
+    "multimodal_real_decode",
+    "multimodal_audio_decode",
+    "tpch_q1",
+    "sessionize",
+    "fftconvolve_2d",
+    "sosfilt_stream",
+    "asof_join",
+    "dedup_clusters",
+    "text_lang_id",
+    "sketch_hll",
+    "gapfill",
+    "ohlc_bars",
+    "latest_by_key",
+    "sample_negatives",
+    "pagerank",
+    "zorder_curve",
+    "group_quantiles",
+    "bpe_encode",
+    "sequence_pack",
+    "text_postings",
+    "edit_distance_join",
+    "event_pivot",
+    "orders_unshipped",
+    "json_props_stats",
+    "cdc_apply",
+    "window_analytics",
+    "active_user_setops",
+    "weighted_sample",
+    "tpch_q13",
+    "tpch_q17",
+    "text_sparse_knn",
+    "dedup_recall_eval",
+    "embedding_outliers",
+    "dataset_temperature_mix",
+    "naive_bayes_lang",
+    "auc_eval",
+    "dsir_weights",
+    "target_encoding",
+    "event_transitions",
 )
 
 

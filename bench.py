@@ -74,7 +74,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -478,9 +477,13 @@ def main() -> int:
     # Non-commit scratch artifacts get a start-time+pid suffix so a
     # later battery never clobbers an earlier one's audit evidence
     # (ADVICE r15 — the r16 baseline battery's detail was lost to
-    # exactly this); the stable .run.json name is ALSO written (a
-    # copy) so existing tooling keeps finding the latest run. Both
-    # match the BENCH_DETAIL*.run.json gitignore glob.
+    # exactly this). r17 (VERDICT r16 #2): the copy to the fixed
+    # ``BENCH_DETAIL.run.json`` name is GONE — it re-created the
+    # clobbering the suffix was added to stop (the driver's official
+    # c32 detail was shadowed by its later c8 scaling run, blanking
+    # PERF_r16's per_query/scaling). The per-invocation detail file is
+    # named in the stdout line's ``detail`` field; nothing ever
+    # overwrites it. Matches the BENCH_DETAIL*.run.json gitignore glob.
     written_name = (
         detail_name
         if commit_detail
@@ -490,14 +493,6 @@ def main() -> int:
     )
     written_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), written_name
-    )
-    stable_scratch_path = (
-        None
-        if commit_detail
-        else os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            detail_name[: -len(".json")] + ".run.json",
-        )
     )
     bands: dict[str, float] = {}
     prior_queries: dict[str, float] = {}
@@ -710,6 +705,18 @@ def main() -> int:
             total += v
             bands[name] = round(min(bands.get(name, v), v), 3)
 
+    # sentinel-normalized total (VERDICT r15 #3, overdue two rounds):
+    # the three drift anchors (never optimized, pinned plans — the
+    # BASELINE.md sentinel triple) scale with host steal exactly like
+    # the battery-wide median, so total / sentinel-triple-sum is the
+    # host-drift-corrected figure readers should compare across rounds
+    # (r15 record 82.53/2.338 = 35.3; the r16 same-host batteries read
+    # 35.2/36.5 against raw totals 111-134 s). Emitted in BOTH the
+    # artifact and the stdout line; additions-only.
+    _SENTINELS = ("audio_spectral", "dedup_ngram_spans", "sosfiltfilt")
+    sent_sum = sum(times[n] for n in _SENTINELS if times.get(n, 0) > 0)
+    norm_total = round(total / sent_sum, 2) if sent_sum > 0 else None
+
     try:
         load1, load5, _ = os.getloadavg()
     except OSError:
@@ -728,6 +735,8 @@ def main() -> int:
                 "metric": "headline_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                "norm_total": norm_total,
+                "sentinel_sum": round(sent_sum, 3),
                 "queries": times,
                 "detail": detail,
                 "bands": bands,
@@ -745,14 +754,13 @@ def main() -> int:
             sort_keys=True,
         )
         fh.write("\n")
-    if stable_scratch_path is not None:
-        shutil.copyfile(written_path, stable_scratch_path)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                "norm_total": norm_total,
                 "sf": sf_val,
                 "n_queries": len(times),
                 "n_flagged": len(suspects),

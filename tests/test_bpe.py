@@ -117,6 +117,26 @@ def test_validates_args(spark, corpus):
         pl.train_bpe(corpus, num_merges=0)
 
 
+def test_segment_words_wraps_line_terminators(spark):
+    # ADVICE r16 medium: Java-regex '.' skips line terminators, so the
+    # inference replace-chain's per-char wrap needs DOTALL "(?s)" —
+    # without it an unwrapped \n fuses into the following piece as a
+    # literal "\x01x" garbage token, diverging from train_bpe's
+    # _initial_symbols split-on-"" (train/inference mismatch).
+    words = spark.createDataFrame(
+        [("a\nb",), ("a\rb",), ("a b",), ("ab",)], "word string"
+    )
+    merges = [("a", "b")]  # must NOT fire across the separator chars
+    got = {
+        r["word"]: list(r["pieces"])
+        for r in pl.segment_words(words, merges).collect()
+    }
+    assert got["a\nb"] == ["a", "\n", "b", END]
+    assert got["a\rb"] == ["a", "\r", "b", END]
+    assert got["a b"] == ["a", " ", "b", END]
+    assert got["ab"] == ["ab", END]
+
+
 def test_reference_parity_on_driver_documents(spark):
     import os
 

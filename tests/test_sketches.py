@@ -99,6 +99,25 @@ def test_countmin_never_underestimates_and_exact_when_wide(spark):
     assert sum(est2.values()) > sum(truth.values())  # some collision occurred
 
 
+def test_countmin_weighted_sketch_equals_occurrence_fed(spark):
+    # VERDICT r16 #7: q_sketch_countmin builds its sketch from the
+    # exact-count aggregate with weight=exact_cnt instead of the raw
+    # occurrence rows (guide §2.3). Pin the integer-arithmetic
+    # equivalence — sum(exact_cnt) per cell == sum(1) per occurrence —
+    # counter-for-counter on a salted fixture narrow enough (width 32
+    # << 97 keys) that real cell collisions occur.
+    occ = spark.range(2000).select(
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("id"), F.lit(97))).alias("tok")
+    )
+    agg = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    sk_occ = pl.countmin_sketch(occ, "tok", depth=4, width=32)
+    sk_wgt = pl.countmin_sketch(agg, "tok", depth=4, width=32, weight=F.col("c"))
+    cells_occ = {(r["j"], r["cell"]): r["cnt"] for r in sk_occ.collect()}
+    cells_wgt = {(r["j"], r["cell"]): r["cnt"] for r in sk_wgt.collect()}
+    assert cells_occ == cells_wgt
+    assert len(cells_occ) <= 4 * 32 and len(cells_occ) > 0
+
+
 def test_countmin_weighted_and_mergeable(spark):
     rows = spark.range(50).select(
         F.concat(F.lit("k"), F.col("id") % 7).alias("tok"),

@@ -9576,7 +9576,11 @@ def _bpe_encode_oracle() -> str:
     def sym(s: str) -> str:
         return d1 + s + d2
 
-    chain = f"regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') || '{sym('</w>')}'"
+    # (?s) mirrors the Spark side's DOTALL per-char wrap (ADVICE r16
+    # medium): RE2's '.' skips \n exactly like Java's, so both engines
+    # need the flag for line terminators to segment like any other
+    # char. No-op on the contract corpus (ASCII 32..121).
+    chain = f"regexp_replace(word, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g') || '{sym('</w>')}'"
     for a, b in _BPE_MERGES:
         chain = f"replace({chain}, '{sym(a)}{sym(b)}', '{sym(a + b)}')"
     return (

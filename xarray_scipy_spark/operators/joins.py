@@ -381,6 +381,11 @@ def bloom_semijoin(
         # collect() barrier at plan-build time (guide §5: the driver
         # does no data work; r16). Probing stays an O(1) array index
         # inside whole-stage codegen, exactly as the literal form.
+        # working-column names must not collide with the caller's frame
+        # (ADVICE r16 low): suffix until absent from left.columns
+        bmc = "_bsj_bm"
+        while bmc in left.columns:
+            bmc += "_"
         bmrow = words.agg(
             F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
                 "_m"
@@ -391,16 +396,16 @@ def bloom_semijoin(
                 lambda i: F.coalesce(
                     F.try_element_at(F.col("_m"), i), F.lit(0).cast("long")
                 ),
-            ).alias("_bsj_bm")
+            ).alias(bmc)
         )
-        bm = F.col("_bsj_bm")
+        bm = F.col(bmc)
         cond = None
         for pos in positions(left):
             word = F.element_at(bm, (F.floor(pos / 64) + 1).cast("int"))
             hit = F.getbit(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
             cond = hit if cond is None else (cond & hit)
         probe = (
-            left.crossJoin(F.broadcast(bmrow)).filter(cond).drop("_bsj_bm")
+            left.crossJoin(F.broadcast(bmrow)).filter(cond).drop(bmc)
         )
     else:
         # large filter (big build-side key sets): a multi-MB literal
@@ -414,6 +419,11 @@ def bloom_semijoin(
         probe = left
         for i, pos in enumerate(positions(left)):
             wcol, bcol = f"_bsw{i}", f"_bsb{i}"
+            # same collision guard as the small path's bitmap column
+            while wcol in left.columns:
+                wcol += "_"
+            while bcol in left.columns:
+                bcol += "_"
             probe = (
                 probe.join(
                     F.broadcast(

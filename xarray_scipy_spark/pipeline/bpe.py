@@ -179,10 +179,15 @@ def segment_words(
     per iteration to already-segmented arrays, where re-serializing to
     a string each step would cost more than the fold.
 
-    Delimiters cannot collide with text: words arrive whitespace-
-    tokenized (no control chars survive ``tokens``'s split) and merge
-    symbols are concatenations of word characters + the ``</w>``
-    marker.
+    PRECONDITION on delimiters: words must not contain the \\x01/\\x02
+    control chars (``tokens`` splits on spaces only, so they WOULD
+    survive tokenization of adversarial input — callers feeding
+    untrusted bytes should strip them first). Merge symbols themselves
+    are safe: concatenations of word characters + the ``</w>`` marker.
+    The per-char wrap uses DOTALL ``(?s)`` so line terminators (\\n,
+    \\r, U+0085, U+2028, U+2029 — which Java-regex ``.`` skips) are
+    wrapped like any other char, matching ``train_bpe``'s
+    ``_initial_symbols`` split-on-"" exactly (ADVICE r16 medium).
     """
     d1, d2 = "\x01", "\x02"
 
@@ -190,7 +195,7 @@ def segment_words(
         return d1 + s + d2
 
     seg = F.concat(
-        F.regexp_replace(F.col(word_col), "(.)", d1 + "$1" + d2),
+        F.regexp_replace(F.col(word_col), "(?s)(.)", d1 + "$1" + d2),
         F.lit(sym(_END)),
     )
     for a, b in merges:

@@ -378,6 +378,10 @@ def tfidf_top_tokens(
     # job — no driver barrier, no extra corpus pass serialized before
     # the query starts (guide §5: the driver does no data work) (r16).
     nfr = df.select(id_col).agg(
+        # count_distinct ignores NULL ids — the same semantics as the
+        # oracle's count(DISTINCT doc_id), unlike the pre-r16 eager
+        # distinct().count() which counted the null group (ADVICE r16
+        # low: callers with nullable ids get oracle-consistent idf)
         F.count_distinct(F.col(id_col)).alias("_ndocs")
     )
     dfreq = dfreq.crossJoin(F.broadcast(nfr))
@@ -779,6 +783,10 @@ def hashed_tfidf_vectors(
     # job — no driver barrier, no extra corpus pass serialized before
     # the query starts (guide §5: the driver does no data work) (r16).
     nfr = df.select(id_col).agg(
+        # count_distinct ignores NULL ids — the same semantics as the
+        # oracle's count(DISTINCT doc_id), unlike the pre-r16 eager
+        # distinct().count() which counted the null group (ADVICE r16
+        # low: callers with nullable ids get oracle-consistent idf)
         F.count_distinct(F.col(id_col)).alias("_ndocs")
     )
     dfreq = dfreq.crossJoin(F.broadcast(nfr))
