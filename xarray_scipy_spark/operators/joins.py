@@ -415,6 +415,10 @@ def bloom_semijoin(
         # r16) and BROADCAST into k word-lookup hash joins + getbit
         # filters. Still zero probe-side shuffle; an absent word means
         # no bits set, so the inner join itself drops those rows.
+        # Executor-local blocks (r17 note): the checkpointed words
+        # frame is at most m_bits/64 rows (bounded by construction),
+        # but an executor loss mid-query fails the query instead of
+        # recomputing it — use reliable checkpoint() on lossy clusters.
         wdf = words.localCheckpoint(eager=False)
         probe = left
         for i, pos in enumerate(positions(left)):

@@ -441,6 +441,13 @@ def duplicate_clusters(
     not replay rounds 1..N-1. Near-dup graphs are overwhelmingly tiny
     components, so diameter (and the round count) stays small at any
     corpus size.
+
+    Fault-tolerance trade (r17 note): ``localCheckpoint`` blocks live
+    on executors only, so an executor lost mid-run fails the query
+    rather than recomputing — acceptable for these edge-list/label
+    frames (bounded, rebuilt from parquet on a whole-query retry); on
+    a failure-prone cluster use a reliable ``checkpoint()`` with a
+    durable checkpoint dir at the same sites.
     """
     # symmetrize with ONE pass over pairs (explode of both directions)
     # — a fwd/rev union would re-execute the whole upstream pair
@@ -991,6 +998,9 @@ def edit_distance_pairs(
     # (uniq build, both re-expansion sides, dup members) and Catalyst
     # re-inlines the whole input scan + projection at every reference
     # — the pre-r16 physical plan carried 8 input scans; now exactly 1.
+    # Executor-local blocks: an executor loss mid-query fails the query
+    # instead of recomputing (r17 note) — fine for these metadata-sized
+    # proxies; swap for reliable checkpoint() on lossy clusters.
     base = (
         spread(df, id_col)
         .select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))

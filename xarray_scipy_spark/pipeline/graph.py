@@ -178,6 +178,15 @@ def triangle_count(
     the same bound pagerank's edge checkpoint relies on), so the two
     materializations replace O(plan-copies) input scans with exactly
     one.
+
+    Fault-tolerance trade (r17 note): ``localCheckpoint`` stores the
+    blocks on executors only — losing an executor mid-query kills the
+    query instead of recomputing the lost partitions. Acceptable here
+    because both frames are bounded intermediates rebuilt from parquet
+    on retry of the whole query; on a real multi-tenant cluster where
+    executor loss is routine, swap in a reliable ``checkpoint()``
+    (``spark.sparkContext.setCheckpointDir`` to durable storage) at
+    the same two call sites.
     """
     e = (
         edges.select(
