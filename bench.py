@@ -716,6 +716,12 @@ def main() -> int:
     _SENTINELS = ("audio_spectral", "dedup_ngram_spans", "sosfiltfilt")
     sent_sum = sum(times[n] for n in _SENTINELS if times.get(n, 0) > 0)
     norm_total = round(total / sent_sum, 2) if sent_sum > 0 else None
+    # the normalization is only meaningful when the anchors themselves
+    # ran clean: a steal-hit sentinel inflates the denominator and the
+    # figure lies in the FAST direction (or, flagged-and-confirmed,
+    # the slow one). norm_ok=false tells the reader to fall back to
+    # the per-query medians in the detail artifact.
+    norm_ok = not any(n in suspects for n in _SENTINELS)
 
     try:
         load1, load5, _ = os.getloadavg()
@@ -736,6 +742,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "norm_total": norm_total,
+                "norm_ok": norm_ok,
                 "sentinel_sum": round(sent_sum, 3),
                 "queries": times,
                 "detail": detail,
@@ -761,6 +768,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "norm_total": norm_total,
+                "norm_ok": norm_ok,
                 "sf": sf_val,
                 "n_queries": len(times),
                 "n_flagged": len(suspects),
